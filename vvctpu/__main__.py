@@ -1,0 +1,100 @@
+"""CLI apps: encode / decode raw YUV <-> Annex-B VVC-style bitstreams.
+
+Role of VTM:App/EncoderApp (EncApp) and VTM:App/DecoderApp (DecApp), with
+VTM-flavoured option names (-i/-b/-o/-q/--wdt/--hgt/--frames) so CTC-style
+invocations carry over (SURVEY.md §2.8).
+
+    python -m vvctpu encode -i in.yuv --wdt 416 --hgt 240 -q 32 -b out.bin
+    python -m vvctpu decode -b out.bin -o rec.yuv
+
+The default engine is the specification model; ``--engine jax`` selects the
+TPU engine (vvctpu/pipeline/) once per-frame parity allows.
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+
+def _enc(args) -> int:
+    from .io import yuv
+    from .spec import sequence as seq
+    frames = yuv.read_yuv(args.input, args.wdt, args.hgt, args.frames,
+                          args.bit_depth)
+    if not frames:
+        print("no frames read", file=sys.stderr)
+        return 1
+    cfg = seq.EncoderConfig(qp=args.qp, bit_depth=args.bit_depth)
+    t0 = time.time()
+    if args.engine == "jax":
+        from .pipeline import encoder as jenc
+        data, recons, bits = jenc.encode_sequence(frames, cfg)
+    else:
+        data, recons, bits = seq.encode_sequence(frames, cfg)
+    dt = time.time() - t0
+    with open(args.bitstream, "wb") as f:
+        f.write(data)
+    total_bits = 0
+    for poc, planes in enumerate(frames):
+        p = [seq.psnr(planes[c], recons[poc][c], args.bit_depth)
+             for c in range(3)]
+        total_bits += bits[poc]
+        print(f"POC {poc:4d} I  QP {args.qp:2d}  {bits[poc]:8d} bits  "
+              f"Y {p[0]:6.3f} dB  U {p[1]:6.3f} dB  V {p[2]:6.3f} dB")
+    if args.recon:
+        yuv.write_yuv(args.recon, recons, args.bit_depth)
+    n = len(frames)
+    print(f"SUMMARY: {n} frames, {total_bits} bits, "
+          f"{total_bits / max(n, 1):.0f} bits/frame, "
+          f"{dt:.2f} s ({n / dt:.3f} fps)")
+    return 0
+
+
+def _dec(args) -> int:
+    from .io import yuv
+    from .spec import sequence as seq
+    with open(args.bitstream, "rb") as f:
+        data = f.read()
+    t0 = time.time()
+    frames, sps = seq.decode_sequence(data, check_hash=not args.no_hash)
+    dt = time.time() - t0
+    yuv.write_yuv(args.output, frames, sps.bit_depth)
+    print(f"decoded {len(frames)} frames "
+          f"{frames[0][0].shape[1]}x{frames[0][0].shape[0]} in {dt:.2f} s "
+          f"({len(frames) / max(dt, 1e-9):.3f} fps)"
+          + ("" if args.no_hash else "; all picture hashes verified"))
+    return 0
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="vvctpu")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    e = sub.add_parser("encode", help="encode raw YUV to Annex-B bitstream")
+    e.add_argument("-i", "--input", required=True, help="input .yuv (I420)")
+    e.add_argument("-b", "--bitstream", required=True, help="output .bin")
+    e.add_argument("-o", "--recon", help="optional recon .yuv")
+    e.add_argument("--wdt", type=int, required=True, help="source width")
+    e.add_argument("--hgt", type=int, required=True, help="source height")
+    e.add_argument("-q", "--qp", type=int, default=32)
+    e.add_argument("-f", "--frames", type=int, default=None)
+    e.add_argument("--bit-depth", type=int, default=8, choices=(8, 10))
+    e.add_argument("--engine", choices=("spec", "jax"), default="spec")
+    e.set_defaults(fn=_enc)
+
+    d = sub.add_parser("decode", help="decode Annex-B bitstream to raw YUV")
+    d.add_argument("-b", "--bitstream", required=True)
+    d.add_argument("-o", "--output", required=True)
+    d.add_argument("--no-hash", action="store_true",
+                   help="skip decoded-picture-hash verification")
+    d.set_defaults(fn=_dec)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,106 @@
+"""Context-model registry: named context sets with per-slice-type init values.
+
+Plays the role of VTM:CommonLib/Contexts.cpp (ContextSetCfg) — one declarative
+table from which both the writer and reader build identical context state, so
+they cannot diverge (SURVEY.md §7.1 design principle).
+
+Init-value *contents* are this project's own tuning (see engine.py docstring);
+the slope/offset encoding matches the reference's scheme so a verified table
+can be dropped in later without code changes.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+# neutral init: slope 9 -> m = 0;  offset 10 -> n = 64  => pState ~ 0.5
+NEUTRAL = (9 << 4) | 10
+# biased inits (probability of "1" below/above half at init)
+LOW = (9 << 4) | 6      # n = 32  -> p ~ 0.25
+HIGH = (9 << 4) | 14    # n = 96  -> p ~ 0.75
+DEFAULT_RATE = 4        # shift0 = 3, shift1 = 7
+
+
+@dataclass(frozen=True)
+class CtxSet:
+    name: str
+    offset: int
+    size: int
+
+    def __call__(self, inc: int = 0) -> int:
+        assert 0 <= inc < self.size, (self.name, inc, self.size)
+        return self.offset + inc
+
+
+class _Registry:
+    def __init__(self) -> None:
+        self._sets: list[tuple[CtxSet, tuple[int, int, int], int]] = []
+        self.total = 0
+
+    def add(self, name: str, size: int, init=(NEUTRAL,) * 3,
+            rate: int = DEFAULT_RATE) -> CtxSet:
+        cs = CtxSet(name, self.total, size)
+        self._sets.append((cs, tuple(init), rate))
+        self.total += size
+        return cs
+
+    def tables(self, slice_type: int) -> tuple[np.ndarray, np.ndarray]:
+        """(init_values, rates) arrays for the given slice type (0=B,1=P,2=I)."""
+        iv = np.zeros(self.total, np.int32)
+        rt = np.zeros(self.total, np.int32)
+        for cs, init, rate in self._sets:
+            iv[cs.offset:cs.offset + cs.size] = init[slice_type]
+            rt[cs.offset:cs.offset + cs.size] = rate
+        return iv, rt
+
+
+R = _Registry()
+
+# --- coding tree ---------------------------------------------------------
+SPLIT_QT_FLAG = R.add("split_qt_flag", 3, init=(NEUTRAL, NEUTRAL, HIGH))
+SPLIT_CU_FLAG = R.add("split_cu_flag", 3)          # MTT split (reserved)
+PRED_MODE = R.add("pred_mode", 2)                  # intra/inter (reserved)
+
+# --- intra mode ----------------------------------------------------------
+INTRA_MPM_FLAG = R.add("intra_luma_mpm_flag", 1, init=(HIGH,) * 3)
+INTRA_PLANAR_FLAG = R.add("intra_luma_planar_flag", 1, init=(HIGH,) * 3)
+INTRA_CHROMA_DM = R.add("intra_chroma_dm_flag", 1, init=(HIGH,) * 3)
+MIP_FLAG = R.add("intra_mip_flag", 4)
+ISP_MODE = R.add("intra_isp_mode", 2)
+MRL_IDX = R.add("intra_mrl_idx", 2)
+
+# --- residual ------------------------------------------------------------
+CBF_LUMA = R.add("cbf_luma", 2, init=(HIGH,) * 3)
+CBF_CB = R.add("cbf_cb", 1)
+CBF_CR = R.add("cbf_cr", 2)
+LAST_X = R.add("last_sig_x_prefix", 20, init=(LOW,) * 3)
+LAST_Y = R.add("last_sig_y_prefix", 20, init=(LOW,) * 3)
+CG_FLAG = R.add("coded_sub_block_flag", 4)        # 2 luma + 2 chroma
+SIG_FLAG = R.add("sig_coeff_flag", 20)            # 12 luma + 8 chroma
+GT1_FLAG = R.add("abs_level_gt1_flag", 20, init=(LOW,) * 3)
+PAR_FLAG = R.add("par_level_flag", 20)
+GT3_FLAG = R.add("abs_level_gt3_flag", 20, init=(LOW,) * 3)
+TS_SIG = R.add("ts_sig_coeff_flag", 3)            # transform-skip (reserved)
+
+# --- transforms / tools --------------------------------------------------
+MTS_IDX = R.add("mts_idx", 4)
+LFNST_IDX = R.add("lfnst_idx", 3)
+
+# --- loop filters (CTU-level flags; reserved until SAO/ALF land) ---------
+SAO_MERGE = R.add("sao_merge_flag", 1)
+SAO_TYPE = R.add("sao_type_idx", 1)
+ALF_CTB_FLAG = R.add("alf_ctb_flag", 9)
+
+NUM_CTX = R.total
+
+SIG_LUMA_BASE = 0     # offsets inside SIG_FLAG: luma [0,12), chroma [12,20)
+SIG_CHROMA_BASE = 12
+GTX_LUMA_BASE = 0
+GTX_CHROMA_BASE = 12
+
+
+def make_ctx_state(slice_type: int, qp: int):
+    from .engine import CtxState
+    iv, rt = R.tables(slice_type)
+    return CtxState(iv, rt, qp)

@@ -1,0 +1,258 @@
+"""ROM: constant tables for the TPU-native VVC engine.
+
+Mirrors the role of the reference's constant-table unit (VTM:CommonLib/Rom.cpp
+``initROM`` — scan orders, transform matrices, QP/lambda tables).  See SURVEY.md
+§2.1.  Unlike the reference, every table here is *generated* from the closed-form
+definitions rather than embedded as literal dumps:
+
+* Transform matrices (DCT-II / DST-VII / DCT-VIII) are produced by rounding the
+  orthonormal basis scaled to the standard 64-DC convention
+  (``round(64*sqrt(N) * basis)``).  The VVC spec tables contain a handful of
+  hand-tweaked ±1 entries inherited from HEVC; generated tables are therefore
+  within ±1 of the published ones.  The engine is *internally* bit-exact
+  (encoder and decoder share these tables); swap in literal spec tables via
+  ``TR_MATRIX_OVERRIDE`` once an external conformance oracle is available
+  (the reference mount was empty this round — SURVEY.md §0).
+* Diagonal coefficient scan orders (4x4 coefficient groups, diagonal CG scan)
+  as in VTM:CommonLib/Rom.cpp ``initROM`` scan-order initialisation.
+* Quant scale tables per (QP % 6) as in VTM:CommonLib/Quant.cpp
+  (``g_quantScales`` / ``g_invQuantScales``).
+* Intra prediction angle / inverse-angle tables as in
+  VTM:CommonLib/IntraPrediction.cpp (spec Table 8-8 layout).
+
+All tables are plain numpy int arrays; the JAX engine loads them as device
+constants at init (SURVEY.md §3.3).
+"""
+from __future__ import annotations
+
+import functools
+import math
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# Geometry / limits
+# ---------------------------------------------------------------------------
+CTU_SIZE = 64
+MIN_CU_SIZE = 8          # min luma CU this build signals (4x4 chroma TBs exist)
+MIN_TB_SIZE = 4
+MAX_TB_SIZE = 32         # 64-CUs carry an implicit 4-way TU split
+MAX_QP = 63
+BIT_DEPTH = 8            # primary path; 10-bit is a config knob (see io.cfg)
+
+MAX_TR_DYNAMIC_RANGE = 15
+QUANT_SHIFT = 14
+
+# per (QP % 6): forward and inverse quantisation scales (the classic
+# HEVC/VVC pair with product ~2^20); VTM:CommonLib/Quant.cpp g_quantScales.
+QUANT_SCALES = np.array([26214, 23302, 20560, 18396, 16384, 14564], np.int64)
+INV_QUANT_SCALES = np.array([40, 45, 51, 57, 64, 72], np.int64)
+
+
+def transform_shift(log2_w: int, log2_h: int, bit_depth: int = BIT_DEPTH) -> int:
+    """Coefficient dynamic-range alignment shift (VTM TrQuant getTransformShift)."""
+    return MAX_TR_DYNAMIC_RANGE - bit_depth - ((log2_w + log2_h) >> 1)
+
+
+# ---------------------------------------------------------------------------
+# Transform matrices
+# ---------------------------------------------------------------------------
+DCT2, DST7, DCT8 = 0, 1, 2
+TR_SIZES = (4, 8, 16, 32, 64)
+MTS_SIZES = (4, 8, 16, 32)   # DST7/DCT8 defined for 4..32 only
+
+TR_MATRIX_OVERRIDE: dict[tuple[int, int], np.ndarray] = {}
+
+
+def _dct2(n: int) -> np.ndarray:
+    # VVC derives N-point DCT-II from the 64-point matrix by taking every
+    # (64/N)-th row (first N columns); reproduce that construction so e.g. the
+    # 4-point matrix matches the 64-point subsampling exactly.
+    n64 = 64
+    k = np.arange(n64)[:, None]
+    j = np.arange(n64)[None, :]
+    eps = np.where(k == 0, 1.0 / math.sqrt(2.0), 1.0)
+    base = math.sqrt(2.0 / n64) * eps * np.cos(math.pi * k * (2 * j + 1) / (2 * n64))
+    m64 = np.round(64.0 * math.sqrt(n64) * base).astype(np.int64)
+    step = n64 // n
+    return m64[::step, :n]
+
+
+def _dst7(n: int) -> np.ndarray:
+    k = np.arange(n)[:, None]
+    j = np.arange(n)[None, :]
+    base = math.sqrt(4.0 / (2 * n + 1)) * np.sin(
+        math.pi * (2 * k + 1) * (j + 1) / (2 * n + 1))
+    return np.round(64.0 * math.sqrt(n) * base).astype(np.int64)
+
+
+def _dct8(n: int) -> np.ndarray:
+    k = np.arange(n)[:, None]
+    j = np.arange(n)[None, :]
+    base = math.sqrt(4.0 / (2 * n + 1)) * np.cos(
+        math.pi * (2 * k + 1) * (2 * j + 1) / (2 * (2 * n + 1)))
+    return np.round(64.0 * math.sqrt(n) * base).astype(np.int64)
+
+
+@functools.lru_cache(maxsize=None)
+def tr_matrix(kind: int, n: int) -> np.ndarray:
+    """N-point transform matrix, rows = basis functions (forward: C = M x)."""
+    if (kind, n) in TR_MATRIX_OVERRIDE:
+        return TR_MATRIX_OVERRIDE[(kind, n)]
+    if kind == DCT2:
+        return _dct2(n)
+    if kind == DST7:
+        return _dst7(n)
+    if kind == DCT8:
+        return _dct8(n)
+    raise ValueError(f"unknown transform kind {kind}")
+
+
+# ---------------------------------------------------------------------------
+# Coefficient scan orders (diagonal, 4x4 coefficient groups)
+# ---------------------------------------------------------------------------
+CG_SIZE = 4
+
+
+def _diag_scan(w: int, h: int) -> np.ndarray:
+    """Up-right diagonal scan positions, shape (w*h, 2) of (x, y).
+
+    Matches the VVC coefficient scan: diagonals walked from bottom-left to
+    top-right (within each anti-diagonal y decreases), diagonal index
+    increasing.  VTM:CommonLib/Rom.cpp initROM / g_scanOrder.
+    """
+    out = []
+    for d in range(w + h - 1):
+        y0 = min(d, h - 1)
+        for y in range(y0, -1, -1):
+            x = d - y
+            if x < w:
+                out.append((x, y))
+    return np.array(out, np.int32)
+
+
+@functools.lru_cache(maxsize=None)
+def scan_order(log2_w: int, log2_h: int) -> np.ndarray:
+    """Full-TB scan: diagonal over CGs, diagonal within each CG.
+
+    Returns (num_coeff, 2) array of (x, y) in scan order (first entry = DC).
+    """
+    w, h = 1 << log2_w, 1 << log2_h
+    cg_w, cg_h = max(w // CG_SIZE, 1), max(h // CG_SIZE, 1)
+    sw, sh = min(w, CG_SIZE), min(h, CG_SIZE)
+    cg_scan = _diag_scan(cg_w, cg_h)
+    in_scan = _diag_scan(sw, sh)
+    pos = []
+    for cgx, cgy in cg_scan:
+        for x, y in in_scan:
+            pos.append((cgx * sw + x, cgy * sh + y))
+    return np.array(pos, np.int32)
+
+
+# ---------------------------------------------------------------------------
+# Intra prediction tables
+# ---------------------------------------------------------------------------
+PLANAR_IDX = 0
+DC_IDX = 1
+HOR_IDX = 18
+DIA_IDX = 34
+VER_IDX = 50
+NUM_LUMA_MODE = 67
+NUM_MPM = 6
+
+# intraPredAngle for modes 2..66 (spec Table 8-8 layout): antisymmetric around
+# the diagonal mode 34; 1/32-sample units.
+_HALF_ANGLES = [32, 29, 26, 23, 20, 18, 16, 14, 12, 10, 8, 6, 4, 3, 2, 1, 0,
+                -1, -2, -3, -4, -6, -8, -10, -12, -14, -16, -18, -20, -23,
+                -26, -29, -32]
+INTRA_PRED_ANGLE = np.zeros(NUM_LUMA_MODE, np.int32)
+for _m in range(2, 35):
+    INTRA_PRED_ANGLE[_m] = _HALF_ANGLES[_m - 2]
+for _m in range(35, 67):
+    INTRA_PRED_ANGLE[_m] = _HALF_ANGLES[66 - _m]
+
+# inverse angle (for negative-angle modes projecting the side reference);
+# scaled by 512*32 as in VVC; stored positive, used with |angle|.
+INTRA_INV_ANGLE = np.zeros(NUM_LUMA_MODE, np.int32)
+for _m in range(2, 67):
+    a = abs(int(INTRA_PRED_ANGLE[_m]))
+    if a != 0:
+        INTRA_INV_ANGLE[_m] = int(round(512 * 32 / a))
+
+
+@functools.lru_cache(maxsize=None)
+def intra_filter_4tap(smoothed: bool) -> np.ndarray:
+    """(32, 4) int32 4-tap fractional-position interpolation filters.
+
+    VVC uses two 4-tap sets for angular intra: a DCT-IF (cubic-like) set and a
+    smoothed (Gaussian) set, selected per block (VTM:CommonLib/Rom.cpp
+    g_intraGaussFilter / the fC tables).  Generated here from the standard
+    closed forms (sum 64, phase p/32).
+    """
+    taps = np.zeros((32, 4), np.int64)
+    for p in range(32):
+        f = p / 32.0
+        if smoothed:
+            # cubic B-spline weights (smoothed/Gaussian-like set)
+            w0 = ((1 - f) ** 3) / 6
+            w1 = (4 - 6 * f * f + 3 * f ** 3) / 6
+            w2 = (1 + 3 * f + 3 * f * f - 3 * f ** 3) / 6
+            w3 = (f ** 3) / 6
+            w = np.array([w0, w1, w2, w3])
+        else:
+            # Catmull-Rom cubic (DCT-IF-like sharp interpolator)
+            w0 = -0.5 * f + f * f - 0.5 * f ** 3
+            w1 = 1 - 2.5 * f * f + 1.5 * f ** 3
+            w2 = 0.5 * f + 2 * f * f - 1.5 * f ** 3
+            w3 = -0.5 * f * f + 0.5 * f ** 3
+            w = np.array([w0, w1, w2, w3])
+        q = np.round(w * 64).astype(np.int64)
+        # force sum to 64 by adjusting the largest tap
+        q[np.argmax(q)] += 64 - q.sum()
+        taps[p] = q
+    return taps.astype(np.int32)
+
+
+# ---------------------------------------------------------------------------
+# Inter MC interpolation filters (8-tap luma / 4-tap chroma), 1/16 pel
+# ---------------------------------------------------------------------------
+@functools.lru_cache(maxsize=None)
+def mc_filter_luma() -> np.ndarray:
+    """(16, 8) int32 luma MC filters, sum 64 (VTM InterpolationFilter.cpp
+
+    m_lumaFilter).  Generated as windowed-sinc (Lanczos-3 style) rounded to
+    6-bit, the construction the standard filters approximate.
+    """
+    taps = np.zeros((16, 8), np.int64)
+    for p in range(16):
+        f = p / 16.0
+        x = np.arange(-3, 5) - f
+        w = np.sinc(x) * np.sinc(x / 4.0)
+        w /= w.sum()
+        q = np.round(w * 64).astype(np.int64)
+        q[np.argmax(np.abs(q))] += 64 - q.sum()
+        taps[p] = q
+    return taps.astype(np.int32)
+
+
+@functools.lru_cache(maxsize=None)
+def mc_filter_chroma() -> np.ndarray:
+    """(32, 4) int32 chroma MC filters, sum 64, 1/32 pel."""
+    taps = np.zeros((32, 4), np.int64)
+    for p in range(32):
+        f = p / 32.0
+        x = np.arange(-1, 3) - f
+        w = np.sinc(x) * np.sinc(x / 2.0)
+        w /= w.sum()
+        q = np.round(w * 64).astype(np.int64)
+        q[np.argmax(np.abs(q))] += 64 - q.sum()
+        taps[p] = q
+    return taps.astype(np.int32)
+
+
+def qp_to_lambda(qp: int, intra: bool = True) -> float:
+    """RD lambda from QP (the classic 0.57*2^((qp-12)/3) family,
+
+    VTM:EncoderLib/EncSlice.cpp setUpLambda)."""
+    alpha = 0.57 if intra else 0.68
+    return alpha * (2.0 ** ((qp - 12) / 3.0))

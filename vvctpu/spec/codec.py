@@ -1,0 +1,268 @@
+"""Spec-model codec: the shared coding-tree traversal + frame encode/decode.
+
+This is the heart of the specification model: ONE traversal routine performs
+both encoding and decoding (direction chosen by the CABAC ``io`` adapter), and
+prediction/reconstruction run *inside* the traversal, so the encoder's
+reconstruction is by construction the decoder's output — the property the
+reference gets from sharing CommonLib between EncLib and DecLib (SURVEY.md §1,
+VTM:EncoderLib/EncCu.cpp vs DecoderLib/DecCu.cpp both calling
+CommonLib/IntraPrediction+TrQuant).
+
+Coding-tree shape this round: CTU 64 with an implicit first quad split, then
+signaled QT splits down to 8x8 luma leaves (single tree; chroma 4:2:0 coded
+per luma leaf with the derived DM mode).  Frames are coded padded to a CTU
+multiple with a conformance-window crop (hls.py).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..cabac import contexts as C
+from ..cabac.engine import CabacDecoder, CabacEncoder
+from ..core import bitstream as bs
+from ..core import rom
+from . import hls, intra, transform
+from .residual import DecIO, EncIO, code_tb
+
+MIN_LEAF = 8
+MID_SIZE = 32  # implicit-split child size inside the 64 CTU
+
+
+@dataclass
+class FrameDecisions:
+    """Partition + mode decisions at fixed granularities (padded frame)."""
+    split32: np.ndarray   # (H//32, W//32) uint8: split 32 -> 16
+    split16: np.ndarray   # (H//16, W//16) uint8: split 16 -> 8
+    modes8: np.ndarray    # (H//8,  W//8)  int32: luma mode per 8x8 granule
+
+    @classmethod
+    def empty(cls, h: int, w: int) -> "FrameDecisions":
+        return cls(np.zeros((h // 32, w // 32), np.uint8),
+                   np.zeros((h // 16, w // 16), np.uint8),
+                   np.zeros((h // 8, w // 8), np.int32))
+
+    def equal(self, other: "FrameDecisions") -> bool:
+        return (np.array_equal(self.split32, other.split32)
+                and np.array_equal(self.split16, other.split16)
+                and np.array_equal(self.modes8, other.modes8))
+
+
+@dataclass
+class _FrameState:
+    sps: hls.SPS
+    qp: int
+    encoding: bool
+    dec: FrameDecisions
+    # planes (padded sizes)
+    src: list[np.ndarray] | None         # encoder only: [Y, Cb, Cr]
+    recon: list[np.ndarray] = field(default_factory=list)
+    valid: list[np.ndarray] = field(default_factory=list)
+    mode_map: np.ndarray | None = None   # (H//4, W//4) int32, -1 = n/a
+
+    @classmethod
+    def make(cls, sps, qp, encoding, decisions, src):
+        h, w = sps.height, sps.width
+        st = cls(sps, qp, encoding, decisions, src)
+        st.recon = [np.zeros((h, w), np.int32),
+                    np.zeros((h // 2, w // 2), np.int32),
+                    np.zeros((h // 2, w // 2), np.int32)]
+        st.valid = [np.zeros((h, w), bool),
+                    np.zeros((h // 2, w // 2), bool),
+                    np.zeros((h // 2, w // 2), bool)]
+        st.mode_map = np.full((h // 4, w // 4), -1, np.int32)
+        return st
+
+
+# ---------------------------------------------------------------------------
+# intra mode signaling (MPM scheme; VTM CABACWriter::intra_luma_pred_mode)
+# ---------------------------------------------------------------------------
+
+def _neighbor_mode(st: _FrameState, x: int, y: int) -> int:
+    if x < 0 or y < 0:
+        return rom.PLANAR_IDX
+    m = int(st.mode_map[y // 4, x // 4])
+    return m if m >= 0 else rom.PLANAR_IDX
+
+
+def _code_intra_mode(io, st: _FrameState, x: int, y: int, s: int) -> int:
+    left = _neighbor_mode(st, x - 1, y + s - 1)
+    above = _neighbor_mode(st, x + s - 1, y - 1)
+    mpm = intra.mpm_list(left, above)
+
+    if io.decoding:
+        if io.bin(C.INTRA_MPM_FLAG(0)):
+            if io.bin(C.INTRA_PLANAR_FLAG(0)):
+                return rom.PLANAR_IDX
+            idx = 1
+            while idx < rom.NUM_MPM - 1 and io.byp():
+                idx += 1
+            return mpm[idx]
+        rest = sorted(m for m in range(rom.NUM_LUMA_MODE) if m not in mpm)
+        nsym = len(rest)                       # 61
+        nb = nsym.bit_length() - 1             # 5
+        u = (1 << (nb + 1)) - nsym             # 3
+        v = io.byp_n(n=nb)
+        idx = v if v < u else ((v << 1) | io.byp()) - u
+        return rest[idx]
+
+    mode = int(st.dec.modes8[y // 8, x // 8])
+    if mode in mpm:
+        io.bin(C.INTRA_MPM_FLAG(0), 1)
+        midx = mpm.index(mode)
+        io.bin(C.INTRA_PLANAR_FLAG(0), int(midx == 0))
+        if midx > 0:
+            for i in range(1, midx):
+                io.byp(1)
+            if midx < rom.NUM_MPM - 1:
+                io.byp(0)
+    else:
+        io.bin(C.INTRA_MPM_FLAG(0), 0)
+        rest = sorted(m for m in range(rom.NUM_LUMA_MODE) if m not in mpm)
+        nsym = len(rest)
+        nb = nsym.bit_length() - 1
+        u = (1 << (nb + 1)) - nsym
+        idx = rest.index(mode)
+        if idx < u:
+            io.byp_n(idx, nb)
+        else:
+            io.byp_n(idx + u, nb + 1)
+    return mode
+
+
+# ---------------------------------------------------------------------------
+# leaf coding: predict -> (quantise) -> residual syntax -> reconstruct
+# ---------------------------------------------------------------------------
+
+def _log2(n: int) -> int:
+    return int(n).bit_length() - 1
+
+
+def _code_component(io, st: _FrameState, comp: int, x: int, y: int, s: int,
+                    mode: int, cbf_ctx: int) -> None:
+    plane, valid = st.recon[comp], st.valid[comp]
+    is_chroma = comp > 0
+    bd = st.sps.bit_depth
+    top, left = intra.build_references(plane, valid, x, y, s, s, bd)
+    pred = intra.predict(top, left, mode, s, s, is_chroma, bd)
+    qp = st.qp
+    if io.decoding:
+        cbf = io.bin(cbf_ctx)
+        lev = code_tb(io, None, _log2(s), _log2(s), is_chroma) if cbf \
+            else np.zeros((s, s), np.int32)
+    else:
+        resi = st.src[comp][y:y + s, x:x + s].astype(np.int32) - pred
+        coef = transform.forward_transform(resi, bit_depth=bd)
+        lev = transform.quantize(coef, qp, intra=True, bit_depth=bd)
+        cbf = int(lev.any())
+        io.bin(cbf_ctx, cbf)
+        if cbf:
+            code_tb(io, lev, _log2(s), _log2(s), is_chroma)
+    plane[y:y + s, x:x + s] = transform.reconstruct(pred, lev, qp,
+                                                    bit_depth=bd)
+    valid[y:y + s, x:x + s] = True
+
+
+def _code_leaf(io, st: _FrameState, x: int, y: int, s: int) -> None:
+    mode = _code_intra_mode(io, st, x, y, s)
+    if io.decoding:
+        st.dec.modes8[y // 8:(y + s) // 8, x // 8:(x + s) // 8] = mode
+    _code_component(io, st, 0, x, y, s, mode, C.CBF_LUMA(0))
+    st.mode_map[y // 4:(y + s) // 4, x // 4:(x + s) // 4] = mode
+    # chroma (4:2:0, derived DM mode)
+    cs, cx, cy = s // 2, x // 2, y // 2
+    _code_component(io, st, 1, cx, cy, cs, mode, C.CBF_CB(0))
+    _code_component(io, st, 2, cx, cy, cs, mode, C.CBF_CR(0))
+
+
+def _code_qt(io, st: _FrameState, x: int, y: int, s: int, depth: int) -> None:
+    if s > MIN_LEAF:
+        ctx = C.SPLIT_QT_FLAG(min(2, depth - 1))
+        if io.decoding:
+            split = io.bin(ctx)
+            tgt = st.dec.split32 if s == 32 else st.dec.split16
+            tgt[y // s, x // s] = split
+        else:
+            src_arr = st.dec.split32 if s == 32 else st.dec.split16
+            split = int(src_arr[y // s, x // s])
+            io.bin(ctx, split)
+        if split:
+            h = s // 2
+            for dy in (0, h):
+                for dx in (0, h):
+                    _code_qt(io, st, x + dx, y + dy, h, depth + 1)
+            return
+    _code_leaf(io, st, x, y, s)
+
+
+def _code_ctu(io, st: _FrameState, cx: int, cy: int) -> None:
+    ctu = 1 << st.sps.log2_ctu
+    for dy in range(0, ctu, MID_SIZE):
+        for dx in range(0, ctu, MID_SIZE):
+            _code_qt(io, st, cx + dx, cy + dy, MID_SIZE, 1)
+
+
+# ---------------------------------------------------------------------------
+# frame encode / decode
+# ---------------------------------------------------------------------------
+
+def pad_planes(planes: list[np.ndarray], sps: hls.SPS) -> list[np.ndarray]:
+    out = []
+    for i, p in enumerate(planes):
+        tw = sps.width if i == 0 else sps.width // 2
+        th = sps.height if i == 0 else sps.height // 2
+        ph, pw = p.shape
+        out.append(np.pad(p.astype(np.int32),
+                          ((0, th - ph), (0, tw - pw)), mode="edge"))
+    return out
+
+
+def crop_planes(planes: list[np.ndarray], sps: hls.SPS) -> list[np.ndarray]:
+    l, r, t, b = sps.conf_win
+    out = [planes[0][t:sps.height - b, l:sps.width - r]]
+    for p in planes[1:]:
+        out.append(p[t // 2:(sps.height - b) // 2, l // 2:(sps.width - r) // 2])
+    return out
+
+
+def encode_frame(src_planes: list[np.ndarray], sps: hls.SPS, pps: hls.PPS,
+                 sh: hls.SliceHeader, decisions: FrameDecisions):
+    """Returns (slice_rbsp, recon_planes [padded])."""
+    qp = pps.init_qp + sh.qp_delta
+    st = _FrameState.make(sps, qp, True, decisions,
+                          pad_planes(src_planes, sps))
+    enc = CabacEncoder(C.make_ctx_state(sh.slice_type, qp))
+    io = EncIO(enc)
+    ctu = 1 << sps.log2_ctu
+    n_x, n_y = sps.width // ctu, sps.height // ctu
+    for iy in range(n_y):
+        for ix in range(n_x):
+            _code_ctu(io, st, ix * ctu, iy * ctu)
+            enc.terminate(int(iy == n_y - 1 and ix == n_x - 1))
+    w = sh.write()
+    w.write_bytes(enc.finish())
+    return w.getvalue(), st.recon
+
+
+def decode_frame(slice_rbsp: bytes, sps: hls.SPS, pps_map: dict[int, hls.PPS]):
+    """Returns (recon_planes [padded], SliceHeader, FrameDecisions)."""
+    r = bs.BitReader(slice_rbsp)
+    sh = hls.SliceHeader.read(r)
+    pps = pps_map[sh.pps_id]
+    qp = pps.init_qp + sh.qp_delta
+    decisions = FrameDecisions.empty(sps.height, sps.width)
+    st = _FrameState.make(sps, qp, False, decisions, None)
+    dec = CabacDecoder(C.make_ctx_state(sh.slice_type, qp),
+                       r.remaining_bytes())
+    io = DecIO(dec)
+    ctu = 1 << sps.log2_ctu
+    n_x, n_y = sps.width // ctu, sps.height // ctu
+    for iy in range(n_y):
+        for ix in range(n_x):
+            _code_ctu(io, st, ix * ctu, iy * ctu)
+            end = dec.terminate()
+            is_last = iy == n_y - 1 and ix == n_x - 1
+            if bool(end) != is_last:
+                raise ValueError("end_of_slice flag mismatch")
+    return st.recon, sh, decisions

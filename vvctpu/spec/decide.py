@@ -1,0 +1,139 @@
+"""Mode & partition decision (encoder policy) — integer-exact reference.
+
+Role of VTM:EncoderLib/EncCu.cpp (xCompressCU) + IntraSearch.cpp
+(estIntraPredLumaQT), redesigned TPU-first (SURVEY.md §7.3.2): instead of the
+reference's sequential candidate loop with early-outs, decisions are a *pure
+batched function of the original frame*: every (block, mode) cell of a dense
+candidate tensor is scored (Hadamard SATD + lambda * bit estimate, all
+integer), then the QT partition is chosen bottom-up by masked cost comparison.
+The JAX engine (vvctpu/coding/decide.py) evaluates the identical integer
+arithmetic batched on device and must match this reference bit-for-bit.
+
+Reconstruction then uses true reconstructed neighbours for *prediction* (in
+codec.py) — only the decision pass reads original neighbours.  Any decision is
+conformant; this trades a small BD-rate delta for complete batchability.
+"""
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from ..core import rom
+from . import intra
+from .codec import FrameDecisions
+
+# mode-cost bit estimates (flat; MPM outcome unknown at batch-decision time)
+MODE_BITS = np.full(rom.NUM_LUMA_MODE, 7, np.int64)
+MODE_BITS[rom.PLANAR_IDX] = 2
+MODE_BITS[rom.DC_IDX] = 3
+for m in (rom.HOR_IDX, rom.VER_IDX, rom.DIA_IDX, 2, 66):
+    MODE_BITS[m] = 5
+SPLIT_BITS = 2
+
+
+def lambda_satd_fp(qp: int) -> int:
+    """sqrt(lambda) in 8.8 fixed point (integer; shared with JAX engine)."""
+    return int(round(math.sqrt(0.57) * (2.0 ** ((qp - 12) / 6.0)) * 256.0))
+
+
+def _hadamard_matrix(n: int) -> np.ndarray:
+    h = np.array([[1]], np.int64)
+    while h.shape[0] < n:
+        h = np.block([[h, h], [h, -h]])
+    return h
+
+
+_H8 = _hadamard_matrix(8)
+
+
+def satd8x8(diff: np.ndarray) -> int:
+    """8x8 Hadamard SATD (int).  diff: (8, 8) int."""
+    t = _H8 @ diff.astype(np.int64) @ _H8
+    return int((np.abs(t).sum() + 4) >> 3)
+
+
+def block_satd(diff: np.ndarray) -> int:
+    """SATD of an (s, s) diff via 8x8 Hadamard tiling."""
+    s = diff.shape[0]
+    total = 0
+    for y in range(0, s, 8):
+        for x in range(0, s, 8):
+            total += satd8x8(diff[y:y + 8, x:x + 8])
+    return total
+
+
+def _mode_costs_for_block(orig: np.ndarray, x: int, y: int, s: int,
+                          lam: int, bit_depth: int) -> np.ndarray:
+    """(67,) int64 cost per mode for the block at (x, y) size s."""
+    h, w = orig.shape
+    valid = np.ones((h, w), bool)
+    top, left = intra.build_references(orig, valid, x, y, s, s, bit_depth)
+    blk = orig[y:y + s, x:x + s].astype(np.int64)
+    costs = np.empty(rom.NUM_LUMA_MODE, np.int64)
+    for mode in range(rom.NUM_LUMA_MODE):
+        pred = intra.predict(top, left, mode, s, s, False, bit_depth)
+        satd = block_satd(blk - pred)
+        costs[mode] = (satd << 8) + MODE_BITS[mode] * lam
+    return costs
+
+
+def decide_frame(orig_y: np.ndarray, qp: int,
+                 bit_depth: int = rom.BIT_DEPTH) -> FrameDecisions:
+    """Compute partition + modes for a padded luma plane (H, W)."""
+    h, w = orig_y.shape
+    lam = lambda_satd_fp(qp)
+    dec = FrameDecisions.empty(h, w)
+
+    n8y, n8x = h // 8, w // 8
+    best8_cost = np.zeros((n8y, n8x), np.int64)
+    best8_mode = np.zeros((n8y, n8x), np.int32)
+    n16y, n16x = h // 16, w // 16
+    best16_cost = np.zeros((n16y, n16x), np.int64)
+    best16_mode = np.zeros((n16y, n16x), np.int32)
+    n32y, n32x = h // 32, w // 32
+    best32_cost = np.zeros((n32y, n32x), np.int64)
+    best32_mode = np.zeros((n32y, n32x), np.int32)
+
+    for by in range(n8y):
+        for bx in range(n8x):
+            c = _mode_costs_for_block(orig_y, bx * 8, by * 8, 8, lam,
+                                      bit_depth)
+            best8_mode[by, bx] = int(np.argmin(c))
+            best8_cost[by, bx] = int(c.min())
+    for by in range(n16y):
+        for bx in range(n16x):
+            c = _mode_costs_for_block(orig_y, bx * 16, by * 16, 16, lam,
+                                      bit_depth)
+            best16_mode[by, bx] = int(np.argmin(c))
+            best16_cost[by, bx] = int(c.min())
+    for by in range(n32y):
+        for bx in range(n32x):
+            c = _mode_costs_for_block(orig_y, bx * 32, by * 32, 32, lam,
+                                      bit_depth)
+            best32_mode[by, bx] = int(np.argmin(c))
+            best32_cost[by, bx] = int(c.min())
+
+    # bottom-up partition: cost of coding a 16 as 4x8 leaves vs one leaf
+    sum8 = (best8_cost.reshape(n16y, 2, n16x, 2).sum(axis=(1, 3))
+            + ((4 * SPLIT_BITS) * lam))
+    split16 = sum8 < best16_cost
+    cost16 = np.where(split16, sum8, best16_cost)
+
+    sum16 = (cost16.reshape(n32y, 2, n32x, 2).sum(axis=(1, 3))
+             + ((4 * SPLIT_BITS) * lam))
+    split32 = sum16 < best32_cost
+    dec.split32[:] = split32.astype(np.uint8)
+    dec.split16[:] = (split16
+                      & np.kron(split32, np.ones((2, 2), bool))).astype(
+                          np.uint8)
+
+    # modes8: broadcast winning mode of the winning block size
+    m = np.kron(best32_mode, np.ones((4, 4), np.int32))
+    m16 = np.kron(best16_mode, np.ones((2, 2), np.int32))
+    use16 = np.kron(split32.astype(bool), np.ones((4, 4), bool))
+    m = np.where(use16, m16, m)
+    use8 = np.kron(dec.split16.astype(bool), np.ones((2, 2), bool))
+    m = np.where(use8, best8_mode, m)
+    dec.modes8[:] = m
+    return dec

@@ -1,0 +1,179 @@
+"""High-level syntax: SPS / PPS / slice header / picture-hash SEI.
+
+Role of VTM:CommonLib/Slice.{h,cpp} (parameter-set objects),
+VTM:EncoderLib/VLCWriter.cpp + VTM:DecoderLib/VLCReader.cpp (HLS VLC), and
+VTM:EncoderLib/SEIEncoder.cpp + DecLib::checkPictureHashSEI (decoded-picture
+hash).  Field subset covers what this build's toolset needs; unknown fields
+default.  The picture is coded padded to a CTU multiple with a conformance
+window crop, the standard mechanism for non-multiple sizes.
+"""
+from __future__ import annotations
+
+import hashlib
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..core import bitstream as bs
+from ..core import rom
+
+SLICE_I, SLICE_P, SLICE_B = 2, 1, 0
+
+
+@dataclass
+class SPS:
+    sps_id: int = 0
+    width: int = 0              # padded (CTU multiple)
+    height: int = 0
+    conf_win: tuple[int, int, int, int] = (0, 0, 0, 0)  # l, r, t, b
+    bit_depth: int = 8
+    log2_ctu: int = 6
+    chroma_format: int = 1      # 1 = 4:2:0
+    mts_enabled: bool = False
+    lfnst_enabled: bool = False
+    sao_enabled: bool = False
+    alf_enabled: bool = False
+    deblock_enabled: bool = True
+
+    @property
+    def out_width(self) -> int:
+        return self.width - self.conf_win[0] - self.conf_win[1]
+
+    @property
+    def out_height(self) -> int:
+        return self.height - self.conf_win[2] - self.conf_win[3]
+
+    def write(self) -> bytes:
+        w = bs.BitWriter()
+        w.ue(self.sps_id)
+        w.ue(self.width)
+        w.ue(self.height)
+        has_win = any(self.conf_win)
+        w.u(int(has_win), 1)
+        if has_win:
+            for v in self.conf_win:
+                w.ue(v)
+        w.ue(self.bit_depth - 8)
+        w.ue(self.log2_ctu - 4)
+        w.ue(self.chroma_format)
+        for f in (self.mts_enabled, self.lfnst_enabled, self.sao_enabled,
+                  self.alf_enabled, self.deblock_enabled):
+            w.u(int(f), 1)
+        w.byte_align()
+        return w.getvalue()
+
+    @classmethod
+    def read(cls, payload: bytes) -> "SPS":
+        r = bs.BitReader(payload)
+        s = cls()
+        s.sps_id = r.ue()
+        s.width = r.ue()
+        s.height = r.ue()
+        if r.u(1):
+            s.conf_win = tuple(r.ue() for _ in range(4))
+        s.bit_depth = r.ue() + 8
+        s.log2_ctu = r.ue() + 4
+        s.chroma_format = r.ue()
+        (s.mts_enabled, s.lfnst_enabled, s.sao_enabled, s.alf_enabled,
+         s.deblock_enabled) = (bool(r.u(1)) for _ in range(5))
+        return s
+
+
+@dataclass
+class PPS:
+    pps_id: int = 0
+    sps_id: int = 0
+    init_qp: int = 32
+    num_tile_cols: int = 1
+    num_tile_rows: int = 1
+    entropy_sync: bool = False   # WPP
+
+    def write(self) -> bytes:
+        w = bs.BitWriter()
+        w.ue(self.pps_id)
+        w.ue(self.sps_id)
+        w.se(self.init_qp - 26)
+        w.ue(self.num_tile_cols - 1)
+        w.ue(self.num_tile_rows - 1)
+        w.u(int(self.entropy_sync), 1)
+        w.byte_align()
+        return w.getvalue()
+
+    @classmethod
+    def read(cls, payload: bytes) -> "PPS":
+        r = bs.BitReader(payload)
+        p = cls()
+        p.pps_id = r.ue()
+        p.sps_id = r.ue()
+        p.init_qp = r.se() + 26
+        p.num_tile_cols = r.ue() + 1
+        p.num_tile_rows = r.ue() + 1
+        p.entropy_sync = bool(r.u(1))
+        return p
+
+
+@dataclass
+class SliceHeader:
+    pps_id: int = 0
+    slice_type: int = SLICE_I
+    poc: int = 0
+    qp_delta: int = 0
+
+    def write(self) -> bs.BitWriter:
+        w = bs.BitWriter()
+        w.ue(self.pps_id)
+        w.ue(self.slice_type)
+        w.u(self.poc & 0xFFFF, 16)
+        w.se(self.qp_delta)
+        w.byte_align()
+        return w
+
+    @classmethod
+    def read(cls, r: bs.BitReader) -> "SliceHeader":
+        s = cls()
+        s.pps_id = r.ue()
+        s.slice_type = r.ue()
+        s.poc = r.u(16)
+        s.qp_delta = r.se()
+        r.byte_align()
+        return s
+
+
+# ---------------------------------------------------------------------------
+# Decoded-picture-hash SEI (MD5 per plane), SEI payload type 132
+# ---------------------------------------------------------------------------
+SEI_PIC_HASH = 132
+
+
+def plane_md5(planes: list[np.ndarray], bit_depth: int = 8) -> bytes:
+    out = b""
+    for p in planes:
+        if bit_depth <= 8:
+            data = p.astype(np.uint8).tobytes()
+        else:
+            data = p.astype("<u2").tobytes()
+        out += hashlib.md5(data).digest()
+    return out
+
+
+def write_pic_hash_sei(planes: list[np.ndarray], bit_depth: int = 8) -> bytes:
+    w = bs.BitWriter()
+    digest = plane_md5(planes, bit_depth)
+    w.u(SEI_PIC_HASH, 8)          # payload type
+    w.u(1 + len(digest), 8)       # payload size
+    w.u(0, 8)                     # hash_type = 0 (MD5)
+    for b in digest:
+        w.u(b, 8)
+    w.byte_align()
+    return w.getvalue()
+
+
+def read_pic_hash_sei(payload: bytes) -> bytes | None:
+    r = bs.BitReader(payload)
+    ptype = r.u(8)
+    size = r.u(8)
+    if ptype != SEI_PIC_HASH:
+        return None
+    if r.u(8) != 0:
+        return None
+    return bytes(r.u(8) for _ in range(size - 1))

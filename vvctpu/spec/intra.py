@@ -1,0 +1,265 @@
+"""Spec-model intra prediction: reference construction, 67 modes, PDPC, MPM.
+
+Role of VTM:CommonLib/IntraPrediction.cpp (initIntraPatternChType,
+predIntraAng, xPredIntraPlanar, xPredIntraDc, PDPC) and the MPM derivation in
+VTM:CommonLib/UnitTools.cpp (PU::getIntraMPMs).
+
+Conventions: reference arrays ``top[0..w+h]`` with ``top[0]`` the above-left
+corner sample and ``top[i] = p(x-1+i, y-1)``; ``left[j] = p(x-1, y-1+j)``
+(``left[0] == top[0]``).  Unavailable samples are substituted scanning from the
+bottom-most left sample upward then across the top row, as in the standard;
+if nothing is available the half-range value is used.
+
+Deviations this round (documented per SURVEY.md §0 — internally consistent,
+encoder and decoder share this code): PDPC is applied for Planar/DC/HOR/VER
+(not yet for the near-diagonal angular modes); the 4-tap fractional filters
+are the generated sets from core.rom.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from ..core import rom
+
+P, DC, HOR, DIA, VER = (rom.PLANAR_IDX, rom.DC_IDX, rom.HOR_IDX, rom.DIA_IDX,
+                        rom.VER_IDX)
+
+
+# ---------------------------------------------------------------------------
+# Reference sample construction
+# ---------------------------------------------------------------------------
+
+def build_references(plane: np.ndarray, valid: np.ndarray, x: int, y: int,
+                     w: int, h: int, bit_depth: int = rom.BIT_DEPTH):
+    """Return (top, left) int32 reference arrays of length w+h+1 each."""
+    fh, fw = plane.shape
+    n = w + h
+    half = 1 << (bit_depth - 1)
+
+    # gather raw samples + availability, in substitution scan order:
+    # left column bottom-to-top, then corner, then top row left-to-right.
+    coords = []
+    for j in range(n, 0, -1):
+        coords.append((x - 1, y - 1 + j))
+    coords.append((x - 1, y - 1))
+    for i in range(1, n + 1):
+        coords.append((x - 1 + i, y - 1))
+
+    vals = np.empty(len(coords), np.int32)
+    avail = np.zeros(len(coords), bool)
+    for k, (cx, cy) in enumerate(coords):
+        if 0 <= cx < fw and 0 <= cy < fh and valid[cy, cx]:
+            vals[k] = plane[cy, cx]
+            avail[k] = True
+
+    if not avail.any():
+        vals[:] = half
+    else:
+        # substitute: first entry from first available, then carry forward
+        first = int(np.argmax(avail))
+        vals[:first + 1][~avail[:first + 1]] = vals[first]
+        for k in range(first + 1, len(coords)):
+            if not avail[k]:
+                vals[k] = vals[k - 1]
+
+    left = vals[:n + 1][::-1].copy()   # left[0]=corner, left[j]=p(x-1,y-1+j)
+    top = vals[n:].copy()              # top[0]=corner, top[i]=p(x-1+i,y-1)
+    return top.astype(np.int32), left.astype(np.int32)
+
+
+def _smooth_refs(top: np.ndarray, left: np.ndarray):
+    """[1 2 1]/4 reference smoothing (luma, selected modes)."""
+    def f(a):
+        out = a.copy()
+        out[1:-1] = (a[:-2] + 2 * a[1:-1] + a[2:] + 2) >> 2
+        out[0] = (a[1] + 2 * a[0] + a[1] + 2) >> 2
+        out[-1] = (a[-2] + 3 * a[-1] + 2) >> 2
+        return out
+    corner = (left[1] + 2 * top[0] + top[1] + 2) >> 2
+    tf, lf = f(top), f(left)
+    tf[0] = lf[0] = corner
+    return tf, lf
+
+
+# distance threshold per log2(size) above which smoothing applies
+_SMOOTH_THRES = {2: 64, 3: 14, 4: 2, 5: 0, 6: 0}
+
+
+def ref_filter_flag(mode: int, w: int, h: int) -> bool:
+    if mode in (DC, HOR, VER):
+        return False
+    log2s = ((int(w).bit_length() - 1) + (int(h).bit_length() - 1)) >> 1
+    if mode == P:
+        return (w * h) > 32
+    dist = min(abs(mode - HOR), abs(mode - VER))
+    angle = int(rom.INTRA_PRED_ANGLE[mode])
+    integer_slope = (angle % 32) == 0
+    return dist > _SMOOTH_THRES.get(log2s, 0) and integer_slope
+
+
+# ---------------------------------------------------------------------------
+# Prediction
+# ---------------------------------------------------------------------------
+
+def _planar(top, left, w, h):
+    lw, lh = int(w).bit_length() - 1, int(h).bit_length() - 1
+    xs = np.arange(w)
+    ys = np.arange(h)
+    t = top[1:w + 1].astype(np.int64)
+    l = left[1:h + 1].astype(np.int64)
+    tr = int(top[w + 1]) if w + 1 < len(top) else int(top[w])
+    bl = int(left[h + 1]) if h + 1 < len(left) else int(left[h])
+    pred_v = (h - 1 - ys)[:, None] * t[None, :] + (ys + 1)[:, None] * bl
+    pred_h = (w - 1 - xs)[None, :] * l[:, None] + (xs + 1)[None, :] * tr
+    return ((pred_v << lw) + (pred_h << lh) + w * h) >> (lw + lh + 1)
+
+
+def _dc(top, left, w, h):
+    if w == h:
+        s = int(top[1:w + 1].sum() + left[1:h + 1].sum())
+        return np.full((h, w), (s + ((w + h) >> 1)) // (w + h), np.int64)
+    if w > h:
+        s = int(top[1:w + 1].sum())
+        return np.full((h, w), (s + (w >> 1)) >> (int(w).bit_length() - 1),
+                       np.int64)
+    s = int(left[1:h + 1].sum())
+    return np.full((h, w), (s + (h >> 1)) >> (int(h).bit_length() - 1),
+                   np.int64)
+
+
+def _angular(top, left, mode, w, h, is_chroma, filt):
+    """Angular modes 2..66.  Modes >= DIA predict from the top reference;
+    modes < DIA are the transpose (predict from left)."""
+    vertical = mode >= DIA
+    angle = int(rom.INTRA_PRED_ANGLE[mode])
+    inv_angle = int(rom.INTRA_INV_ANGLE[mode])
+
+    if vertical:
+        main, side = top, left
+        n_pred, n_orth = w, h
+    else:
+        main, side = left, top
+        n_pred, n_orth = h, w
+
+    # extended main reference indexed ext[k] = main_ref(k - n_orth)
+    ext = np.zeros(2 * (n_pred + n_orth) + 2, np.int64)
+    off = n_orth
+    ln = min(len(main) - 1, 2 * n_pred + 1)
+    ext[off:off + ln + 1] = main[:ln + 1]
+    ext[off + ln + 1:] = main[ln]
+    if angle < 0:
+        # project side reference onto the main axis
+        for k in range(1, n_orth + 1):
+            sidx = (k * inv_angle + 256) >> 9
+            sidx = min(sidx, len(side) - 1)
+            ext[off - k] = side[sidx]
+
+    ys = np.arange(1, n_orth + 1)
+    pos = ys * angle
+    i_idx = (pos >> 5)
+    i_fact = pos & 31
+
+    xs = np.arange(n_pred)
+    # sample index per (row y, col x): off + x + 1 + i_idx[y]
+    base = off + 1 + xs[None, :] + i_idx[:, None]
+
+    if is_chroma or (angle % 32) == 0:
+        if (angle % 32) == 0:
+            pred = ext[base]
+        else:
+            a = ext[base]
+            b = ext[base + 1]
+            pred = ((32 - i_fact)[:, None] * a + i_fact[:, None] * b + 16) >> 5
+    else:
+        taps = rom.intra_filter_4tap(filt).astype(np.int64)
+        f = taps[i_fact]  # (n_orth, 4)
+        pred = np.zeros((n_orth, n_pred), np.int64)
+        for t in range(4):
+            pred += f[:, t][:, None] * ext[base + t - 1]
+        pred = (pred + 32) >> 6
+
+    if not vertical:
+        pred = pred.T
+    return pred
+
+
+def _pdpc(pred, top, left, mode, w, h, bit_depth):
+    scale = ((int(w).bit_length() - 1) + (int(h).bit_length() - 1) - 2) >> 2
+    xs = np.arange(w)
+    ys = np.arange(h)
+    wl = np.maximum(32 >> np.minimum(31, (xs * 2) >> scale), 0)[None, :]
+    wt = np.maximum(32 >> np.minimum(31, (ys * 2) >> scale), 0)[:, None]
+    t = top[1:w + 1].astype(np.int64)[None, :]
+    l = left[1:h + 1].astype(np.int64)[:, None]
+    corner = int(top[0])
+    p = pred.astype(np.int64)
+    if mode in (P, DC):
+        out = (wl * l + wt * t + (64 - wl - wt) * p + 32) >> 6
+    elif mode == VER:
+        out = np.clip(p + ((wl * (l - corner) + 32) >> 6), 0,
+                      (1 << bit_depth) - 1)
+    elif mode == HOR:
+        out = np.clip(p + ((wt * (t - corner) + 32) >> 6), 0,
+                      (1 << bit_depth) - 1)
+    else:
+        out = p
+    return out
+
+
+def predict(top: np.ndarray, left: np.ndarray, mode: int, w: int, h: int,
+            is_chroma: bool = False,
+            bit_depth: int = rom.BIT_DEPTH) -> np.ndarray:
+    """Intra prediction from reference arrays.  Returns (h, w) int32."""
+    filt = (not is_chroma) and ref_filter_flag(mode, w, h)
+    if filt and (mode == P or (rom.INTRA_PRED_ANGLE[mode] % 32) == 0):
+        top, left = _smooth_refs(top, left)
+        smoothed_interp = False
+    else:
+        smoothed_interp = filt
+
+    if mode == P:
+        pred = _planar(top, left, w, h)
+    elif mode == DC:
+        pred = _dc(top, left, w, h)
+    else:
+        pred = _angular(top, left, mode, w, h, is_chroma, smoothed_interp)
+
+    if not is_chroma and mode in (P, DC, HOR, VER):
+        pred = _pdpc(pred, top, left, mode, w, h, bit_depth)
+    return np.clip(pred, 0, (1 << bit_depth) - 1).astype(np.int32)
+
+
+# ---------------------------------------------------------------------------
+# MPM list (6 entries, planar always first)
+# ---------------------------------------------------------------------------
+
+def _adj(m: int, d: int) -> int:
+    return ((m - 2 + d) % 65) + 2
+
+
+def mpm_list(left_mode: int, above_mode: int) -> list[int]:
+    l, a = left_mode, above_mode
+    out = [P]
+
+    def push(m):
+        if m not in out:
+            out.append(m)
+
+    if l == a and l > DC:
+        for m in (l, _adj(l, -1), _adj(l, 1), DC, _adj(l, -2)):
+            push(m)
+    elif l > DC and a > DC:
+        push(l)
+        push(a)
+        push(DC)
+        for m in (_adj(l, -1), _adj(l, 1), _adj(a, -1), _adj(a, 1),
+                  _adj(l, -2), _adj(a, -2)):
+            push(m)
+    elif max(l, a) > DC:
+        m0 = max(l, a)
+        for m in (m0, _adj(m0, -1), _adj(m0, 1), DC, _adj(m0, -2)):
+            push(m)
+    else:
+        for m in (DC, VER, HOR, VER - 4, VER + 4):
+            push(m)
+    return out[:rom.NUM_MPM]

@@ -1,0 +1,93 @@
+"""Spec-model transform & quantisation (numpy, integer-exact).
+
+Role of VTM:CommonLib/TrQuant.cpp (xT/xIT/transformNxN) and
+VTM:CommonLib/Quant.cpp (quant/dequant).  All arithmetic is integer with the
+standard staged shifts so coefficients stay within 16-bit dynamic range
+(MAX_TR_DYNAMIC_RANGE = 15):
+
+forward:  E = (x @ Mw^T  + r) >> st1,  st1 = log2W + BD - 9
+          C = (Mh @ E    + r) >> st2,  st2 = log2H + 6
+inverse:  E = (Mh^T @ C  + r) >> 7            (clamped to 16-bit)
+          x = (E @ Mw    + r) >> (20 - BD)
+
+quant:    qBits = 14 + qp//6 + transform_shift
+          level = sign * ((|c| * qScale[qp%6] + f) >> qBits)
+dequant:  shift = BD + ((log2W+log2H)>>1) - 9
+          c = clip16((level * iqScale[qp%6] << qp//6  + round) >> shift)
+
+The JAX engine (vvctpu/kernels/transform.py) implements the same maths as MXU
+int32 matmuls and is tested bit-exact against this module.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from ..core import rom
+
+COEFF_MIN, COEFF_MAX = -32768, 32767
+
+
+def _log2(n: int) -> int:
+    return int(n).bit_length() - 1
+
+
+def forward_transform(resi: np.ndarray, kind_h: int = rom.DCT2,
+                      kind_v: int = rom.DCT2,
+                      bit_depth: int = rom.BIT_DEPTH) -> np.ndarray:
+    """resi (H, W) int -> coefficients (H, W) int (16-bit range)."""
+    h, w = resi.shape
+    mh = rom.tr_matrix(kind_v, h)
+    mw = rom.tr_matrix(kind_h, w)
+    st1 = _log2(w) + bit_depth - 9
+    st2 = _log2(h) + 6
+    x = resi.astype(np.int64)
+    e = (x @ mw.T + (1 << (st1 - 1))) >> st1
+    c = (mh @ e + (1 << (st2 - 1))) >> st2
+    return np.clip(c, COEFF_MIN, COEFF_MAX).astype(np.int32)
+
+
+def inverse_transform(coef: np.ndarray, kind_h: int = rom.DCT2,
+                      kind_v: int = rom.DCT2,
+                      bit_depth: int = rom.BIT_DEPTH) -> np.ndarray:
+    h, w = coef.shape
+    mh = rom.tr_matrix(kind_v, h)
+    mw = rom.tr_matrix(kind_h, w)
+    st2 = 20 - bit_depth
+    c = coef.astype(np.int64)
+    e = (mh.T @ c + 64) >> 7
+    e = np.clip(e, COEFF_MIN, COEFF_MAX)
+    x = (e @ mw + (1 << (st2 - 1))) >> st2
+    return np.clip(x, COEFF_MIN, COEFF_MAX).astype(np.int32)
+
+
+def quantize(coef: np.ndarray, qp: int, intra: bool = True,
+             bit_depth: int = rom.BIT_DEPTH) -> np.ndarray:
+    h, w = coef.shape
+    ts = rom.transform_shift(_log2(w), _log2(h), bit_depth)
+    q_bits = rom.QUANT_SHIFT + qp // 6 + ts
+    scale = int(rom.QUANT_SCALES[qp % 6])
+    f = (171 if intra else 85) << (q_bits - 9)
+    c = coef.astype(np.int64)
+    level = (np.abs(c) * scale + f) >> q_bits
+    level = np.clip(level, 0, COEFF_MAX)
+    return (np.sign(c) * level).astype(np.int32)
+
+
+def dequantize(level: np.ndarray, qp: int,
+               bit_depth: int = rom.BIT_DEPTH) -> np.ndarray:
+    h, w = level.shape
+    shift = bit_depth + ((_log2(w) + _log2(h)) >> 1) - 9
+    scale = int(rom.INV_QUANT_SCALES[qp % 6]) << (qp // 6)
+    c = (level.astype(np.int64) * scale + (1 << (shift - 1))) >> shift
+    return np.clip(c, COEFF_MIN, COEFF_MAX).astype(np.int32)
+
+
+def reconstruct(pred: np.ndarray, level: np.ndarray, qp: int,
+                kind_h: int = rom.DCT2, kind_v: int = rom.DCT2,
+                bit_depth: int = rom.BIT_DEPTH) -> np.ndarray:
+    """Shared enc/dec reconstruction: dequant -> inverse transform -> add-clip."""
+    if not level.any():
+        return pred.astype(np.int32)
+    resi = inverse_transform(dequantize(level, qp, bit_depth), kind_h, kind_v,
+                             bit_depth)
+    return np.clip(pred.astype(np.int32) + resi, 0, (1 << bit_depth) - 1)
