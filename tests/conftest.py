@@ -1,13 +1,17 @@
 """Test env: force JAX onto CPU with an 8-device virtual mesh.
 
 The real TPU chip is reserved for bench runs; tests exercise identical code on
-the CPU backend (SURVEY.md §7.3.6 — multi-chip paths validated via
-host-platform device simulation, kernels via Pallas interpret mode).
+the CPU backend (SURVEY.md §7.3.6).  Note the axon sitecustomize registers the
+TPU plugin and programmatically sets jax_platforms="axon,cpu", so the env var
+alone is not enough — the config update below is what actually pins CPU.
 """
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")

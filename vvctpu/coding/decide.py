@@ -1,0 +1,120 @@
+"""Batched mode & partition decision on device — twin of spec/decide.py.
+
+The dense (block x 67-mode) candidate tensor is evaluated in one vmapped pass
+per block size: reference build (original neighbours, in-frame availability),
+all-mode prediction, 8x8-tiled Hadamard SATD (MXU matmuls), integer
+SATD<<8 + bits*lambda cost, argmin.  The QT partition is then chosen by
+masked cost comparison on host (trivial arithmetic).  Integer arithmetic is
+identical to the spec reference, so decisions match bit-for-bit
+(tests/test_decide_parity.py) — the SURVEY.md §7.3.2 "batched candidate
+tensor, masked reduce-min" redesign of VTM:EncoderLib/EncCu.cpp xCompressCU /
+IntraSearch::estIntraPredLumaQT.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import rom
+from ..kernels import intra_pred
+from ..spec.codec import FrameDecisions
+from ..spec.decide import MODE_BITS, SPLIT_BITS, lambda_satd_fp
+
+_H8 = np.array([[1]], np.int32)
+while _H8.shape[0] < 8:
+    _H8 = np.block([[_H8, _H8], [_H8, -_H8]])
+_H8 = _H8.astype(np.int32)
+_MODE_BITS = np.asarray(MODE_BITS, np.int32)
+
+
+def _satd(diff, s: int):
+    """Tiled 8x8 Hadamard SATD, per-tile rounding as in spec.decide."""
+    t = s // 8
+    d = diff.reshape(t, 8, t, 8).transpose(0, 2, 1, 3).reshape(t * t, 8, 8)
+    h8 = jnp.asarray(_H8)
+    x = jnp.matmul(h8, d.astype(jnp.int32),
+                   preferred_element_type=jnp.int32)
+    x = jnp.matmul(x, h8, preferred_element_type=jnp.int32)
+    per_tile = (jnp.abs(x).sum(axis=(1, 2)) + 4) >> 3
+    return per_tile.sum()
+
+
+@functools.partial(jax.jit, static_argnames=("s", "frame_w", "frame_h",
+                                             "bd"))
+def size_pass(buf, lam, *, s: int, frame_w: int, frame_h: int, bd: int = 8):
+    """Best (cost, mode) per s-block over all 67 modes.
+
+    buf: margin-padded original luma plane (as in pipeline/recon buffers).
+    Returns (best_cost (nby, nbx) int32, best_mode (nby, nbx) int32).
+    """
+    nby, nbx = frame_h // s, frame_w // s
+    xs = (jnp.arange(nbx, dtype=jnp.int32) * s)
+    ys = (jnp.arange(nby, dtype=jnp.int32) * s)
+    gx, gy = jnp.meshgrid(xs, ys)
+    coords = jnp.stack([gx.ravel(), gy.ravel()], axis=1)
+    modes = jnp.arange(rom.NUM_LUMA_MODE, dtype=jnp.int32)
+    bit_cost = jnp.asarray(_MODE_BITS) * jnp.asarray(lam, jnp.int32)
+
+    def per_block(xy):
+        x, y = xy[0], xy[1]
+        top, left = intra_pred.build_references(
+            buf, x, y, s=s, is_luma=True, frame_w=frame_w, frame_h=frame_h,
+            n_ctu_x=frame_w // 64, bd=bd, in_frame_only=True)
+        blk = jax.lax.dynamic_slice(buf, (y + 1, x + 1), (s, s))
+
+        def per_mode(m):
+            pred = intra_pred.predict(top, left, m, s=s, is_luma=True, bd=bd)
+            return _satd(blk - pred, s)
+
+        satds = jax.vmap(per_mode)(modes)
+        costs = (satds << 8) + bit_cost
+        best = jnp.argmin(costs)
+        return costs[best], best.astype(jnp.int32)
+
+    cost, mode = jax.vmap(per_block)(coords)
+    return cost.reshape(nby, nbx), mode.reshape(nby, nbx)
+
+
+def decide_frame(orig_y: np.ndarray, qp: int, bd: int = 8) -> FrameDecisions:
+    """Device-batched decisions for a padded luma plane (host assembly)."""
+    h, w = orig_y.shape
+    lam = lambda_satd_fp(qp)
+    buf = np.zeros((h + 1 + intra_pred.MARGIN, w + 1 + intra_pred.MARGIN),
+                   np.int32)
+    buf[1:h + 1, 1:w + 1] = orig_y
+    jbuf = jnp.asarray(buf)
+
+    res = {s: size_pass(jbuf, np.int32(lam), s=s, frame_w=w, frame_h=h,
+                        bd=bd)
+           for s in (8, 16, 32)}
+    best8_cost = np.asarray(res[8][0]).astype(np.int64)
+    best8_mode = np.asarray(res[8][1])
+    best16_cost = np.asarray(res[16][0]).astype(np.int64)
+    best16_mode = np.asarray(res[16][1])
+    best32_cost = np.asarray(res[32][0]).astype(np.int64)
+    best32_mode = np.asarray(res[32][1])
+
+    dec = FrameDecisions.empty(h, w)
+    n16y, n16x = h // 16, w // 16
+    n32y, n32x = h // 32, w // 32
+    sum8 = (best8_cost.reshape(n16y, 2, n16x, 2).sum(axis=(1, 3))
+            + (4 * SPLIT_BITS) * lam)
+    split16 = sum8 < best16_cost
+    cost16 = np.where(split16, sum8, best16_cost)
+    sum16 = (cost16.reshape(n32y, 2, n32x, 2).sum(axis=(1, 3))
+             + (4 * SPLIT_BITS) * lam)
+    split32 = sum16 < best32_cost
+    dec.split32[:] = split32.astype(np.uint8)
+    dec.split16[:] = (split16
+                      & np.kron(split32, np.ones((2, 2), bool))).astype(
+                          np.uint8)
+    m = np.kron(best32_mode, np.ones((4, 4), np.int32))
+    m16 = np.kron(best16_mode, np.ones((2, 2), np.int32))
+    use16 = np.kron(split32.astype(bool), np.ones((4, 4), bool))
+    m = np.where(use16, m16, m)
+    use8 = np.kron(dec.split16.astype(bool), np.ones((2, 2), bool))
+    dec.modes8[:] = np.where(use8, best8_mode, m)
+    return dec

@@ -1,0 +1,229 @@
+"""JAX intra prediction — device twin of spec/intra.py, integer bit-exact.
+
+Single-block prediction with static size and traced mode, plus the reference
+L-array construction from a margin-padded recon buffer with *geometric*
+availability: a neighbouring sample is available iff its 8x8-granule Morton
+index (global z-order coding position) precedes the current leaf's.  This is
+exactly the order in which the spec model's dynamic ``valid`` map fills, so
+both derivations agree; the JAX side needs no sequential mask state.
+
+All arithmetic is int32 (int64 for planar accumulators is unnecessary at
+BD<=10: products fit int32), with explicit shifts mirroring spec/intra.py.
+Parity is enforced by tests/test_jax_parity.py over all 67 modes x sizes.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import rom
+
+MARGIN = 64  # right/bottom margin of the recon gather buffer
+
+_ANGLE = jnp.asarray(rom.INTRA_PRED_ANGLE, jnp.int32)
+_INV_ANGLE = jnp.asarray(rom.INTRA_INV_ANGLE, jnp.int32)
+_TAPS_SHARP = jnp.asarray(np.asarray(rom.intra_filter_4tap(False)), jnp.int32)
+_TAPS_SMOOTH = jnp.asarray(np.asarray(rom.intra_filter_4tap(True)), jnp.int32)
+
+_SMOOTH_THRES = jnp.asarray([64, 64, 64, 14, 2, 0, 0], jnp.int32)  # idx=log2s
+
+
+def morton8(x, y, n_ctu_x: int):
+    """Global z-order index of the 8x8 granule containing luma pixel (x, y)."""
+    ctu = (y >> 6) * n_ctu_x + (x >> 6)
+    gx = (x >> 3) & 7
+    gy = (y >> 3) & 7
+    m = jnp.zeros_like(gx)
+    for b in range(3):
+        m = m | (((gx >> b) & 1) << (2 * b)) | (((gy >> b) & 1) << (2 * b + 1))
+    return ctu * 64 + m
+
+
+@functools.partial(jax.jit, static_argnames=("s", "is_luma", "frame_w",
+                                             "frame_h", "n_ctu_x", "bd",
+                                             "in_frame_only"))
+def build_references(buf, x, y, *, s: int, is_luma: bool, frame_w: int,
+                     frame_h: int, n_ctu_x: int, bd: int = 8,
+                     in_frame_only: bool = False):
+    """Gather + substitute reference samples for a square s-block at (x, y).
+
+    ``buf`` is the (frame_h + 1 + MARGIN, frame_w + 1 + MARGIN) recon buffer
+    with a 1-sample top/left offset (buf[y+1, x+1] = plane[y, x]).
+    Returns (top, left): int32 arrays of length 2s+1 (index 0 = corner).
+    """
+    half = 1 << (bd - 1)
+    n = 2 * s
+    # raw gathers (offset +1 built into the buffer indexing)
+    top_raw = jax.lax.dynamic_slice(buf, (y, x), (1, n + 1))[0]
+    left_raw = jax.lax.dynamic_slice(buf, (y, x), (n + 1, 1))[:, 0]
+
+    # L-scan order: left bottom-to-top (j = n..1), corner, top (i = 1..n)
+    scan_vals = jnp.concatenate([left_raw[1:][::-1], top_raw])  # len 2n+1
+
+    # availability of each scan sample, by geometry
+    j_idx = jnp.arange(n, 0, -1)
+    left_sx = jnp.full((n,), -1, jnp.int32) + x          # x - 1
+    left_sy = y - 1 + j_idx
+    top_i = jnp.arange(0, n + 1)
+    top_sx = x - 1 + top_i
+    top_sy = jnp.full((n + 1,), -1, jnp.int32) + y       # y - 1
+    sx = jnp.concatenate([left_sx, top_sx])
+    sy = jnp.concatenate([left_sy, top_sy])
+    scale = 1 if is_luma else 2
+    in_frame = (sx >= 0) & (sy >= 0) & (sx < frame_w) & (sy < frame_h)
+    if in_frame_only:
+        avail = in_frame
+    else:
+        cur = morton8(x * scale, y * scale, n_ctu_x)
+        coded = morton8(jnp.maximum(sx, 0) * scale,
+                        jnp.maximum(sy, 0) * scale, n_ctu_x) < cur
+        avail = in_frame & coded
+
+    # substitution: forward-fill from the first available sample
+    idx = jnp.arange(2 * n + 1)
+    last_avail = jax.lax.cummax(jnp.where(avail, idx, -1))
+    first_avail = jnp.argmax(avail)
+    src = jnp.where(last_avail >= 0, last_avail, first_avail)
+    filled = scan_vals[src]
+    any_avail = avail.any()
+    filled = jnp.where(any_avail, filled, half).astype(jnp.int32)
+
+    left = jnp.concatenate([filled[n:n + 1], filled[:n][::-1]])
+    top = filled[n:]
+    return top, left
+
+
+# ---------------------------------------------------------------------------
+# prediction (mirrors spec/intra.py arithmetic exactly)
+# ---------------------------------------------------------------------------
+
+def _smooth(top, left):
+    def f(a):
+        mid = (a[:-2] + 2 * a[1:-1] + a[2:] + 2) >> 2
+        lastv = (a[-2] + 3 * a[-1] + 2) >> 2
+        return jnp.concatenate([a[:1], mid, lastv[None]])
+    corner = (left[1] + 2 * top[0] + top[1] + 2) >> 2
+    tf = f(top).at[0].set(corner)
+    lf = f(left).at[0].set(corner)
+    return tf, lf
+
+
+def _ref_filter_flag(mode, s: int):
+    log2s = int(s).bit_length() - 1
+    dist = jnp.minimum(jnp.abs(mode - rom.HOR_IDX),
+                       jnp.abs(mode - rom.VER_IDX))
+    is_special = (mode == rom.DC_IDX) | (mode == rom.HOR_IDX) | \
+        (mode == rom.VER_IDX)
+    planar_f = (mode == rom.PLANAR_IDX) & (s * s > 32)
+    ang_f = (mode >= 2) & (dist > _SMOOTH_THRES[log2s])
+    return jnp.where(is_special, False, planar_f | ang_f)
+
+
+def _planar(top, left, s: int):
+    lw = int(s).bit_length() - 1
+    xs = jnp.arange(s, dtype=jnp.int32)
+    ys = jnp.arange(s, dtype=jnp.int32)
+    t = top[1:s + 1]
+    l = left[1:s + 1]
+    tr = top[s + 1]
+    bl = left[s + 1]
+    pv = (s - 1 - ys)[:, None] * t[None, :] + (ys + 1)[:, None] * bl
+    ph = (s - 1 - xs)[None, :] * l[:, None] + (xs + 1)[None, :] * tr
+    return ((pv << lw) + (ph << lw) + s * s) >> (2 * lw + 1)
+
+
+def _dc(top, left, s: int):
+    lsum = top[1:s + 1].sum() + left[1:s + 1].sum()
+    v = (lsum + s) // (2 * s)
+    return jnp.full((s, s), v, jnp.int32)
+
+
+def _angular(top, left, mode, s: int, is_luma: bool):
+    angle = _ANGLE[mode]
+    inv_angle = _INV_ANGLE[mode]
+    vertical = mode >= rom.DIA_IDX
+    main = jnp.where(vertical, top, left)
+    side = jnp.where(vertical, left, top)
+
+    n = s
+    off = n
+    # ext[off + i] = main[i] (i = 0..2s), tail clamp, plus side projection
+    ext_len = 4 * s + 2
+    i_main = jnp.clip(jnp.arange(ext_len) - off, 0, 2 * s)
+    ext = main[i_main]
+    k = off - jnp.arange(off)          # k = s..1 at ext positions 0..s-1
+    sidx = jnp.clip((k * inv_angle + 256) >> 9, 0, 2 * s)
+    proj = side[sidx]
+    neg = angle < 0
+    ext = ext.at[:off].set(jnp.where(neg, proj, ext[:off]))
+
+    ys = jnp.arange(1, s + 1, dtype=jnp.int32)
+    pos = ys * angle
+    i_idx = pos >> 5
+    i_fact = pos & 31
+    xs = jnp.arange(s, dtype=jnp.int32)
+    base = off + 1 + xs[None, :] + i_idx[:, None]
+
+    integer_slope = (angle % 32) == 0
+    a = ext[jnp.clip(base, 0, ext_len - 1)]
+    b = ext[jnp.clip(base + 1, 0, ext_len - 1)]
+    two_tap = ((32 - i_fact)[:, None] * a + i_fact[:, None] * b + 16) >> 5
+
+    if is_luma:
+        filt = _ref_filter_flag(mode, s)
+        taps = jnp.where(filt, _TAPS_SMOOTH[i_fact], _TAPS_SHARP[i_fact])
+        four = jnp.zeros((s, s), jnp.int32)
+        for t in range(4):
+            four = four + taps[:, t][:, None] * ext[
+                jnp.clip(base + t - 1, 0, ext_len - 1)]
+        four = (four + 32) >> 6
+        pred = jnp.where(integer_slope, a, four)
+    else:
+        pred = jnp.where(integer_slope, a, two_tap)
+
+    return jnp.where(vertical, pred, pred.T)
+
+
+def _pdpc(pred, top, left, mode, s: int, bd: int):
+    scale = (2 * (int(s).bit_length() - 1) - 2) >> 2
+    xs = jnp.arange(s, dtype=jnp.int32)
+    wl = (32 >> jnp.minimum(31, (xs * 2) >> scale))[None, :]
+    wt = (32 >> jnp.minimum(31, (xs * 2) >> scale))[:, None]
+    t = top[1:s + 1][None, :]
+    l = left[1:s + 1][:, None]
+    corner = top[0]
+    mx = (1 << bd) - 1
+    plain = (wl * l + wt * t + (64 - wl - wt) * pred + 32) >> 6
+    ver = jnp.clip(pred + ((wl * (l - corner) + 32) >> 6), 0, mx)
+    hor = jnp.clip(pred + ((wt * (t - corner) + 32) >> 6), 0, mx)
+    out = jnp.where((mode == rom.PLANAR_IDX) | (mode == rom.DC_IDX), plain,
+                    jnp.where(mode == rom.VER_IDX, ver,
+                              jnp.where(mode == rom.HOR_IDX, hor, pred)))
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("s", "is_luma", "bd"))
+def predict(top, left, mode, *, s: int, is_luma: bool, bd: int = 8):
+    """Predict an (s, s) block.  top/left: (2s+1,) int32; mode traced."""
+    mode = jnp.asarray(mode, jnp.int32)
+    if is_luma:
+        filt = _ref_filter_flag(mode, s)
+        angle = _ANGLE[mode]
+        smooth_now = filt & ((mode == rom.PLANAR_IDX) | ((angle % 32) == 0))
+        ts, ls = _smooth(top, left)
+        top_u = jnp.where(smooth_now, ts, top)
+        left_u = jnp.where(smooth_now, ls, left)
+    else:
+        top_u, left_u = top, left
+
+    planar = _planar(top_u, left_u, s)
+    dc = _dc(top_u, left_u, s)
+    ang = _angular(top_u, left_u, jnp.maximum(mode, 2), s, is_luma)
+    pred = jnp.where(mode == rom.PLANAR_IDX, planar,
+                     jnp.where(mode == rom.DC_IDX, dc, ang))
+    if is_luma:
+        pred = _pdpc(pred, top_u, left_u, mode, s, bd)
+    return jnp.clip(pred, 0, (1 << bd) - 1).astype(jnp.int32)

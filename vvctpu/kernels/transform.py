@@ -1,0 +1,112 @@
+"""JAX transforms + quantisation — device twin of spec/transform.py.
+
+The forward/inverse DCT-II (and MTS DST-VII/DCT-VIII) are int32 matmuls
+against the ROM matrices — the best-mapped workload on the TPU MXU
+(SURVEY.md §2.9: "Transform SIMD -> MXU-native int matmul").  All shift/round
+staging mirrors the spec model exactly; intermediate magnitudes are proven to
+fit int32 (coefficients are 16-bit-clipped, |M| <= 91, N <= 64), and dequant
+is restructured as a static net-shift with a pre-clip so no int64 is needed.
+
+Functions operate on (..., h, w) batches with static (h, w).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import rom
+
+COEFF_MIN, COEFF_MAX = -32768, 32767
+
+
+def _log2(n: int) -> int:
+    return int(n).bit_length() - 1
+
+
+# precomputed eagerly: creating constants inside a trace and caching them
+# would leak tracers across jit scopes
+_MATS = {}
+for _kind in (rom.DCT2, rom.DST7, rom.DCT8):
+    for _n in rom.TR_SIZES:
+        if _kind == rom.DCT2 or _n in rom.MTS_SIZES:
+            _MATS[(_kind, _n)] = np.asarray(rom.tr_matrix(_kind, _n),
+                                            np.int32)
+
+
+def _mat(kind: int, n: int):
+    return _MATS[(kind, n)]
+
+
+def forward_transform(resi, h: int, w: int, kind_h: int = rom.DCT2,
+                      kind_v: int = rom.DCT2, bd: int = 8):
+    mh = _mat(kind_v, h)
+    mw = _mat(kind_h, w)
+    st1 = _log2(w) + bd - 9
+    st2 = _log2(h) + 6
+    x = resi.astype(jnp.int32)
+    e = (jnp.matmul(x, mw.T, preferred_element_type=jnp.int32)
+         + (1 << (st1 - 1))) >> st1
+    c = (jnp.matmul(mh, e, preferred_element_type=jnp.int32)
+         + (1 << (st2 - 1))) >> st2
+    return jnp.clip(c, COEFF_MIN, COEFF_MAX)
+
+
+def inverse_transform(coef, h: int, w: int, kind_h: int = rom.DCT2,
+                      kind_v: int = rom.DCT2, bd: int = 8):
+    mh = _mat(kind_v, h)
+    mw = _mat(kind_h, w)
+    st2 = 20 - bd
+    c = coef.astype(jnp.int32)
+    e = (jnp.matmul(mh.T, c, preferred_element_type=jnp.int32) + 64) >> 7
+    e = jnp.clip(e, COEFF_MIN, COEFF_MAX)
+    x = (jnp.matmul(e, mw, preferred_element_type=jnp.int32)
+         + (1 << (st2 - 1))) >> st2
+    return jnp.clip(x, COEFF_MIN, COEFF_MAX)
+
+
+_Q_SCALES = np.asarray(rom.QUANT_SCALES, np.int32)
+_IQ_SCALES = np.asarray(rom.INV_QUANT_SCALES, np.int32)
+
+
+def quantize(coef, h: int, w: int, qp, intra: bool = True, bd: int = 8):
+    """qp may be a traced int32 scalar (shift amounts are data on TPU)."""
+    qp = jnp.asarray(qp, jnp.int32)
+    ts = rom.transform_shift(_log2(w), _log2(h), bd)
+    q_bits = rom.QUANT_SHIFT + qp // 6 + ts
+    scale = jnp.asarray(_Q_SCALES)[qp % 6]
+    f = jnp.left_shift(jnp.int32(171 if intra else 85), q_bits - 9)
+    c = coef.astype(jnp.int32)
+    level = jnp.right_shift(jnp.abs(c) * scale + f, q_bits)
+    level = jnp.clip(level, 0, COEFF_MAX)
+    return jnp.sign(c) * level
+
+
+def dequantize(level, h: int, w: int, qp, bd: int = 8):
+    shift = bd + ((_log2(w) + _log2(h)) >> 1) - 9
+    qp = jnp.asarray(qp, jnp.int32)
+    per = qp // 6
+    iq = jnp.asarray(_IQ_SCALES)[qp % 6]
+    t = level.astype(jnp.int32) * iq          # |t| <= 32767*72 < 2^22
+    net = per - shift
+    netp = jnp.maximum(net, 0)
+    netn = jnp.maximum(-net, 0)
+    # net >= 0: exact up-shift with saturation pre-clip
+    lim = jnp.left_shift(jnp.int32(1), 30 - netp)
+    c_up = jnp.left_shift(jnp.clip(t, -lim, lim), netp)
+    # net < 0: rounded down-shift (exact vs the <<per form; low bits zero)
+    rnd = jnp.where(netn > 0, jnp.left_shift(jnp.int32(1),
+                                             jnp.maximum(netn - 1, 0)), 0)
+    c_dn = jnp.right_shift(t + rnd, netn)
+    c = jnp.where(net >= 0, c_up, c_dn)
+    return jnp.clip(c, COEFF_MIN, COEFF_MAX)
+
+
+def reconstruct(pred, level, h: int, w: int, qp: int,
+                kind_h: int = rom.DCT2, kind_v: int = rom.DCT2, bd: int = 8):
+    """Shared enc/dec reconstruction (zero levels reduce to pred exactly)."""
+    resi = inverse_transform(dequantize(level, h, w, qp, bd), h, w,
+                             kind_h, kind_v, bd)
+    return jnp.clip(pred.astype(jnp.int32) + resi, 0, (1 << bd) - 1)

@@ -1,0 +1,84 @@
+"""JAX pipeline encoder/decoder: device scans + host entropy + NAL assembly.
+
+The fast-engine counterpart of spec/sequence.py; bitstreams are byte-identical
+to the spec encoder's (enforced by tests/test_pipeline_parity.py), so the two
+engines are interchangeable per stream.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from ..core import bitstream as bs
+from ..spec import codec as scodec
+from ..spec import decide as sdecide
+from ..spec import hls
+from ..spec import sequence as sseq
+from . import entropy, recon
+
+
+def encode_sequence(frames, cfg: sseq.EncoderConfig, decisions_fn=None,
+                    decisions_out=None):
+    h, w = frames[0][0].shape
+    sps = cfg.make_sps(w, h)
+    pps = hls.PPS(init_qp=cfg.qp)
+    nals = [bs.NalUnit(bs.NAL_SPS, sps.write()),
+            bs.NalUnit(bs.NAL_PPS, pps.write())]
+    recons, bits = [], []
+    for poc, planes in enumerate(frames):
+        padded = scodec.pad_planes(planes, sps)
+        if decisions_fn is None:
+            dec = sdecide.decide_frame(padded[0], cfg.qp, cfg.bit_depth)
+        else:
+            dec = decisions_fn(poc, planes, sps, cfg)
+        if decisions_out is not None:
+            decisions_out.append(dec)
+        slots = recon.make_slots(dec, sps.height, sps.width)
+        ry, rcb, rcr, ly, lcb, lcr = recon.frame_scan(
+            slots, padded[0], padded[1], padded[2], frame_w=sps.width,
+            frame_h=sps.height, qp=cfg.qp, bd=cfg.bit_depth, encode=True)
+        levels = [np.asarray(ly), np.asarray(lcb), np.asarray(lcr)]
+        sh = hls.SliceHeader(poc=poc)
+        payload = entropy.encode_frame_syntax(sps, pps, sh, dec, levels)
+        rec = [np.asarray(ry), np.asarray(rcb), np.asarray(rcr)]
+        cropped = scodec.crop_planes(rec, sps)
+        nals.append(bs.NalUnit(bs.NAL_IDR_N_LP, payload))
+        nals.append(bs.NalUnit(bs.NAL_SUFFIX_SEI,
+                               hls.write_pic_hash_sei(cropped,
+                                                      cfg.bit_depth)))
+        recons.append(cropped)
+        bits.append(8 * len(payload))
+    return bs.write_annexb(nals), recons, bits
+
+
+def decode_sequence(data: bytes, check_hash: bool = True):
+    sps = None
+    pps_map: dict[int, hls.PPS] = {}
+    frames = []
+    pending = None
+    for nal in bs.read_annexb(data):
+        if nal.nal_type == bs.NAL_SPS:
+            sps = hls.SPS.read(nal.payload)
+        elif nal.nal_type == bs.NAL_PPS:
+            p = hls.PPS.read(nal.payload)
+            pps_map[p.pps_id] = p
+        elif nal.nal_type in (bs.NAL_IDR_N_LP, bs.NAL_IDR_W_RADL,
+                              bs.NAL_TRAIL, bs.NAL_CRA):
+            sh, dec, levels = entropy.parse_frame_syntax(nal.payload, sps,
+                                                         pps_map)
+            qp = pps_map[sh.pps_id].init_qp + sh.qp_delta
+            slots = recon.make_slots(dec, sps.height, sps.width)
+            ry, rcb, rcr, *_ = recon.frame_scan(
+                slots, levels[0], levels[1], levels[2], frame_w=sps.width,
+                frame_h=sps.height, qp=qp, bd=sps.bit_depth, encode=False)
+            rec = [np.asarray(ry), np.asarray(rcb), np.asarray(rcr)]
+            pending = scodec.crop_planes(rec, sps)
+            frames.append(pending)
+        elif nal.nal_type == bs.NAL_SUFFIX_SEI and check_hash:
+            digest = hls.read_pic_hash_sei(nal.payload)
+            if digest is not None and pending is not None:
+                got = hls.plane_md5(pending, sps.bit_depth)
+                if got != digest:
+                    raise ValueError(
+                        f"decoded-picture hash mismatch at frame "
+                        f"{len(frames) - 1}")
+    return frames, sps

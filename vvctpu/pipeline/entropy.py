@@ -1,0 +1,181 @@
+"""Host entropy stage for the JAX pipeline: syntax <-> (decisions, levels).
+
+The device scan (pipeline/recon.py) produces/consumes dense level planes;
+this module walks the identical coding-tree order and codes the identical
+syntax as the spec model's fused traversal (spec/codec.py), but with no pixel
+math — levels are read from (encode) or written to (decode) the planes.
+Bitstream equality with the spec encoder is enforced by
+tests/test_pipeline_parity.py.
+
+This split is the SURVEY.md §7.3.1 architecture: device produces decision/
+level tensors, the bin packing runs host-side (vectorized lanes / native
+packer are the upgrade path).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from ..cabac import contexts as C
+from ..cabac.engine import CabacDecoder, CabacEncoder
+from ..core import bitstream as bs
+from ..core import rom
+from ..spec import hls, intra
+from ..spec.codec import MID_SIZE, MIN_LEAF, FrameDecisions
+from ..spec.residual import DecIO, EncIO, code_tb
+
+
+def _log2(n: int) -> int:
+    return int(n).bit_length() - 1
+
+
+class _Walker:
+    def __init__(self, sps: hls.SPS, dec: FrameDecisions, levels, io):
+        self.sps = sps
+        self.dec = dec
+        self.levels = levels      # [ly, lcb, lcr] numpy planes
+        self.io = io
+        self.mode_map = np.full((sps.height // 4, sps.width // 4), -1,
+                                np.int32)
+
+    # -- intra mode (identical scheme to spec/codec._code_intra_mode) -----
+    def _neighbor_mode(self, x, y):
+        if x < 0 or y < 0:
+            return rom.PLANAR_IDX
+        m = int(self.mode_map[y // 4, x // 4])
+        return m if m >= 0 else rom.PLANAR_IDX
+
+    def _code_mode(self, x, y, s):
+        io = self.io
+        mpm = intra.mpm_list(self._neighbor_mode(x - 1, y + s - 1),
+                             self._neighbor_mode(x + s - 1, y - 1))
+        if io.decoding:
+            if io.bin(C.INTRA_MPM_FLAG(0)):
+                if io.bin(C.INTRA_PLANAR_FLAG(0)):
+                    mode = rom.PLANAR_IDX
+                else:
+                    idx = 1
+                    while idx < rom.NUM_MPM - 1 and io.byp():
+                        idx += 1
+                    mode = mpm[idx]
+            else:
+                rest = sorted(m for m in range(rom.NUM_LUMA_MODE)
+                              if m not in mpm)
+                nb = len(rest).bit_length() - 1
+                u = (1 << (nb + 1)) - len(rest)
+                v = io.byp_n(n=nb)
+                idx = v if v < u else ((v << 1) | io.byp()) - u
+                mode = rest[idx]
+            self.dec.modes8[y // 8:(y + s) // 8, x // 8:(x + s) // 8] = mode
+        else:
+            mode = int(self.dec.modes8[y // 8, x // 8])
+            if mode in mpm:
+                io.bin(C.INTRA_MPM_FLAG(0), 1)
+                midx = mpm.index(mode)
+                io.bin(C.INTRA_PLANAR_FLAG(0), int(midx == 0))
+                if midx > 0:
+                    for i in range(1, midx):
+                        io.byp(1)
+                    if midx < rom.NUM_MPM - 1:
+                        io.byp(0)
+            else:
+                io.bin(C.INTRA_MPM_FLAG(0), 0)
+                rest = sorted(m for m in range(rom.NUM_LUMA_MODE)
+                              if m not in mpm)
+                nb = len(rest).bit_length() - 1
+                u = (1 << (nb + 1)) - len(rest)
+                idx = rest.index(mode)
+                if idx < u:
+                    io.byp_n(idx, nb)
+                else:
+                    io.byp_n(idx + u, nb + 1)
+        self.mode_map[y // 4:(y + s) // 4, x // 4:(x + s) // 4] = mode
+        return mode
+
+    # -- residual per component ------------------------------------------
+    def _code_component(self, comp, x, y, s, cbf_ctx):
+        io = self.io
+        plane = self.levels[comp]
+        is_chroma = comp > 0
+        if io.decoding:
+            cbf = io.bin(cbf_ctx)
+            if cbf:
+                lev = code_tb(io, None, _log2(s), _log2(s), is_chroma)
+                plane[y:y + s, x:x + s] = lev
+        else:
+            lev = plane[y:y + s, x:x + s]
+            cbf = int(lev.any())
+            io.bin(cbf_ctx, cbf)
+            if cbf:
+                code_tb(io, lev, _log2(s), _log2(s), is_chroma)
+
+    def _code_leaf(self, x, y, s):
+        self._code_mode(x, y, s)
+        self._code_component(0, x, y, s, C.CBF_LUMA(0))
+        cs, cx, cy = s // 2, x // 2, y // 2
+        self._code_component(1, cx, cy, cs, C.CBF_CB(0))
+        self._code_component(2, cx, cy, cs, C.CBF_CR(0))
+
+    def _code_qt(self, x, y, s, depth):
+        io = self.io
+        if s > MIN_LEAF:
+            ctx = C.SPLIT_QT_FLAG(min(2, depth - 1))
+            tgt = self.dec.split32 if s == 32 else self.dec.split16
+            if io.decoding:
+                split = io.bin(ctx)
+                tgt[y // s, x // s] = split
+            else:
+                split = int(tgt[y // s, x // s])
+                io.bin(ctx, split)
+            if split:
+                h = s // 2
+                for dy in (0, h):
+                    for dx in (0, h):
+                        self._code_qt(x + dx, y + dy, h, depth + 1)
+                return
+        self._code_leaf(x, y, s)
+
+    def walk(self, terminate_fn):
+        ctu = 1 << self.sps.log2_ctu
+        n_x, n_y = self.sps.width // ctu, self.sps.height // ctu
+        for iy in range(n_y):
+            for ix in range(n_x):
+                for dy in range(0, ctu, MID_SIZE):
+                    for dx in range(0, ctu, MID_SIZE):
+                        self._code_qt(ix * ctu + dx, iy * ctu + dy,
+                                      MID_SIZE, 1)
+                terminate_fn(iy == n_y - 1 and ix == n_x - 1)
+
+
+def encode_frame_syntax(sps: hls.SPS, pps: hls.PPS, sh: hls.SliceHeader,
+                        dec: FrameDecisions, levels) -> bytes:
+    """levels: [ly, lcb, lcr] numpy int32 planes from the device scan."""
+    qp = pps.init_qp + sh.qp_delta
+    enc = CabacEncoder(C.make_ctx_state(sh.slice_type, qp))
+    walker = _Walker(sps, dec, levels, EncIO(enc))
+    walker.walk(lambda last: enc.terminate(int(last)))
+    w = sh.write()
+    w.write_bytes(enc.finish())
+    return w.getvalue()
+
+
+def parse_frame_syntax(slice_rbsp: bytes, sps: hls.SPS,
+                       pps_map: dict[int, hls.PPS]):
+    """Returns (sh, decisions, [ly, lcb, lcr])."""
+    r = bs.BitReader(slice_rbsp)
+    sh = hls.SliceHeader.read(r)
+    pps = pps_map[sh.pps_id]
+    qp = pps.init_qp + sh.qp_delta
+    decisions = FrameDecisions.empty(sps.height, sps.width)
+    levels = [np.zeros((sps.height, sps.width), np.int32),
+              np.zeros((sps.height // 2, sps.width // 2), np.int32),
+              np.zeros((sps.height // 2, sps.width // 2), np.int32)]
+    cab = CabacDecoder(C.make_ctx_state(sh.slice_type, qp),
+                       r.remaining_bytes())
+    walker = _Walker(sps, decisions, levels, DecIO(cab))
+
+    def term(last):
+        if bool(cab.terminate()) != last:
+            raise ValueError("end_of_slice flag mismatch")
+
+    walker.walk(term)
+    return sh, decisions, levels

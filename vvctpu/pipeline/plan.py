@@ -1,0 +1,63 @@
+"""Leaf plan: flatten FrameDecisions into the global coding-order slot list.
+
+The frame scan (pipeline/recon.py) runs one step per 8x8 luma granule in
+coding order (CTU raster x Morton within CTU).  Each slot is either a no-op
+(granule covered by an earlier leaf) or the origin of a leaf of size 8/16/32.
+This is the static encoding of the QT traversal — the "finite static tree
+template" of SURVEY.md §7.3.2.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from ..spec.codec import FrameDecisions
+
+OP_SKIP, OP_LEAF8, OP_LEAF16, OP_LEAF32 = 0, 1, 2, 3
+_SIZE_OF_OP = {OP_LEAF8: 8, OP_LEAF16: 16, OP_LEAF32: 32}
+
+
+def _demorton(m: int) -> tuple[int, int]:
+    gx = gy = 0
+    for b in range(3):
+        gx |= ((m >> (2 * b)) & 1) << b
+        gy |= ((m >> (2 * b + 1)) & 1) << b
+    return gx, gy
+
+
+def leaf_plan(dec: FrameDecisions, height: int, width: int,
+              ctu: int = 64):
+    """Returns (op, x, y, mode) int32 arrays of length n_ctu * 64."""
+    n_cx, n_cy = width // ctu, height // ctu
+    n = n_cx * n_cy * 64
+    op = np.zeros(n, np.int32)
+    xs = np.zeros(n, np.int32)
+    ys = np.zeros(n, np.int32)
+    modes = np.zeros(n, np.int32)
+    i = 0
+    for cy in range(n_cy):
+        for cx in range(n_cx):
+            for m in range(64):
+                gx, gy = _demorton(m)
+                px, py = cx * ctu + gx * 8, cy * ctu + gy * 8
+                if not dec.split32[py // 32, px // 32]:
+                    o = OP_LEAF32 if (px % 32 == 0 and py % 32 == 0) \
+                        else OP_SKIP
+                elif not dec.split16[py // 16, px // 16]:
+                    o = OP_LEAF16 if (px % 16 == 0 and py % 16 == 0) \
+                        else OP_SKIP
+                else:
+                    o = OP_LEAF8
+                op[i] = o
+                xs[i] = px
+                ys[i] = py
+                modes[i] = dec.modes8[py // 8, px // 8]
+                i += 1
+    return op, xs, ys, modes
+
+
+def plan_leaves_list(dec: FrameDecisions, height: int, width: int,
+                     ctu: int = 64):
+    """Python list of (x, y, size, mode) leaves in coding order (host use)."""
+    op, xs, ys, modes = leaf_plan(dec, height, width, ctu)
+    return [(int(x), int(y), _SIZE_OF_OP[int(o)], int(md))
+            for o, x, y, md in zip(op, xs, ys, modes) if o != OP_SKIP]

@@ -92,9 +92,7 @@ def ref_filter_flag(mode: int, w: int, h: int) -> bool:
     if mode == P:
         return (w * h) > 32
     dist = min(abs(mode - HOR), abs(mode - VER))
-    angle = int(rom.INTRA_PRED_ANGLE[mode])
-    integer_slope = (angle % 32) == 0
-    return dist > _SMOOTH_THRES.get(log2s, 0) and integer_slope
+    return dist > _SMOOTH_THRES.get(log2s, 0)
 
 
 # ---------------------------------------------------------------------------
