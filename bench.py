@@ -41,9 +41,15 @@ def synth_frames(n, h, w, seed=0):
 
 
 def main() -> int:
+    import jax
+    import os
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".jax_cache")
+    os.makedirs(cache, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     from vvctpu.pipeline import encoder as jenc
     from vvctpu.spec import sequence as seq
-    import jax
 
     print(f"bench: devices={jax.devices()}", file=sys.stderr)
     frames = synth_frames(NFRAMES, H, W)

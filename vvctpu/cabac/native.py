@@ -1,0 +1,107 @@
+"""ctypes bindings for the native CABAC packer/decoder (native/cabac.c).
+
+Byte-identical to the Python engine; loaded lazily, with a documented Python
+fallback when the .so has not been built (``make -C native``).
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+
+import numpy as np
+
+from . import contexts as C
+
+_LIB = None
+_TRIED = False
+_SO = os.path.join(os.path.dirname(__file__), "..", "..", "native",
+                   "libvvctpu_cabac.so")
+
+
+def _load():
+    global _LIB, _TRIED
+    if _TRIED:
+        return _LIB
+    _TRIED = True
+    try:
+        lib = ctypes.CDLL(os.path.abspath(_SO))
+    except OSError:
+        _LIB = None
+        return None
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    lib.vvc_pack_bins.restype = ctypes.c_int64
+    lib.vvc_pack_bins.argtypes = [i32p, i32p, i32p, ctypes.c_int64,
+                                  i32p, i32p, i32p, i32p,
+                                  u8p, ctypes.c_int64]
+    lib.vvc_dec_sizeof.restype = ctypes.c_int64
+    lib.vvc_dec_init.restype = None
+    lib.vvc_dec_init.argtypes = [ctypes.c_void_p, u8p, ctypes.c_int64]
+    for name in ("vvc_dec_bin",):
+        fn = getattr(lib, name)
+        fn.restype = ctypes.c_int32
+        fn.argtypes = [ctypes.c_void_p, ctypes.c_int32, i32p, i32p, i32p,
+                       i32p]
+    lib.vvc_dec_bypass.restype = ctypes.c_int32
+    lib.vvc_dec_bypass.argtypes = [ctypes.c_void_p]
+    lib.vvc_dec_bypass_bits.restype = ctypes.c_int32
+    lib.vvc_dec_bypass_bits.argtypes = [ctypes.c_void_p, ctypes.c_int32]
+    lib.vvc_dec_terminate.restype = ctypes.c_int32
+    lib.vvc_dec_terminate.argtypes = [ctypes.c_void_p]
+    _LIB = lib
+    return lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def _i32p(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+
+
+def pack_bins(arr: np.ndarray, slice_type: int, qp: int) -> bytes:
+    """arr: (N, 3) int32 [kind, ctx, bin].  Returns the codeword bytes."""
+    lib = _load()
+    st = C.make_ctx_state(slice_type, qp)
+    kinds = np.ascontiguousarray(arr[:, 0])
+    ctxs = np.ascontiguousarray(arr[:, 1])
+    bins = np.ascontiguousarray(arr[:, 2])
+    n = len(arr)
+    out = np.zeros(n + 4096, np.uint8)
+    wrote = lib.vvc_pack_bins(
+        _i32p(kinds), _i32p(ctxs), _i32p(bins), n,
+        _i32p(st.p0), _i32p(st.p1), _i32p(st.sh0), _i32p(st.sh1),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(out))
+    if wrote < 0:
+        raise RuntimeError("native packer overflow")
+    return out[:wrote].tobytes()
+
+
+class NativeDecoder:
+    """CabacDecoder-compatible wrapper over the C decode engine."""
+
+    def __init__(self, ctx_state, data: bytes):
+        self.lib = _load()
+        self.ctx = ctx_state
+        self._data = np.frombuffer(data, np.uint8).copy()
+        self._dec = ctypes.create_string_buffer(
+            int(self.lib.vvc_dec_sizeof()))
+        self.lib.vvc_dec_init(
+            self._dec, self._data.ctypes.data_as(
+                ctypes.POINTER(ctypes.c_uint8)), len(self._data))
+
+    def bin(self, ctx_id: int) -> int:
+        st = self.ctx
+        return int(self.lib.vvc_dec_bin(self._dec, ctx_id, _i32p(st.p0),
+                                        _i32p(st.p1), _i32p(st.sh0),
+                                        _i32p(st.sh1)))
+
+    def bypass(self) -> int:
+        return int(self.lib.vvc_dec_bypass(self._dec))
+
+    def bypass_bits(self, n: int) -> int:
+        return int(self.lib.vvc_dec_bypass_bits(self._dec, n))
+
+    def terminate(self) -> int:
+        return int(self.lib.vvc_dec_terminate(self._dec))

@@ -8,9 +8,9 @@ from __future__ import annotations
 
 import numpy as np
 
+from ..coding import decide as jdecide
 from ..core import bitstream as bs
 from ..spec import codec as scodec
-from ..spec import decide as sdecide
 from ..spec import hls
 from ..spec import sequence as sseq
 from . import entropy, recon
@@ -27,7 +27,8 @@ def encode_sequence(frames, cfg: sseq.EncoderConfig, decisions_fn=None,
     for poc, planes in enumerate(frames):
         padded = scodec.pad_planes(planes, sps)
         if decisions_fn is None:
-            dec = sdecide.decide_frame(padded[0], cfg.qp, cfg.bit_depth)
+            # device-batched decision pass (bit-identical to spec decide)
+            dec = jdecide.decide_frame(padded[0], cfg.qp, cfg.bit_depth)
         else:
             dec = decisions_fn(poc, planes, sps, cfg)
         if decisions_out is not None:
@@ -38,8 +39,18 @@ def encode_sequence(frames, cfg: sseq.EncoderConfig, decisions_fn=None,
             frame_h=sps.height, qp=cfg.qp, bd=cfg.bit_depth, encode=True)
         levels = [np.asarray(ly), np.asarray(lcb), np.asarray(lcr)]
         sh = hls.SliceHeader(poc=poc)
-        payload = entropy.encode_frame_syntax(sps, pps, sh, dec, levels)
         rec = [np.asarray(ry), np.asarray(rcb), np.asarray(rcr)]
+        if sps.deblock_enabled:
+            from ..spec import deblock
+            rec = deblock.deblock_frame(rec, dec, cfg.qp, cfg.bit_depth)
+        sao_params = None
+        if sps.sao_enabled:
+            from ..spec import sao as saomod
+            sao_params = saomod.decide_sao(padded, rec, cfg.qp, cfg.ctu,
+                                           cfg.bit_depth)
+            rec = saomod.apply_sao(rec, sao_params, cfg.ctu, cfg.bit_depth)
+        payload = entropy.encode_frame_syntax(sps, pps, sh, dec, levels,
+                                              sao_params)
         cropped = scodec.crop_planes(rec, sps)
         nals.append(bs.NalUnit(bs.NAL_IDR_N_LP, payload))
         nals.append(bs.NalUnit(bs.NAL_SUFFIX_SEI,
@@ -63,14 +74,21 @@ def decode_sequence(data: bytes, check_hash: bool = True):
             pps_map[p.pps_id] = p
         elif nal.nal_type in (bs.NAL_IDR_N_LP, bs.NAL_IDR_W_RADL,
                               bs.NAL_TRAIL, bs.NAL_CRA):
-            sh, dec, levels = entropy.parse_frame_syntax(nal.payload, sps,
-                                                         pps_map)
+            sh, dec, levels, sao_params = entropy.parse_frame_syntax(
+                nal.payload, sps, pps_map)
             qp = pps_map[sh.pps_id].init_qp + sh.qp_delta
             slots = recon.make_slots(dec, sps.height, sps.width)
             ry, rcb, rcr, *_ = recon.frame_scan(
                 slots, levels[0], levels[1], levels[2], frame_w=sps.width,
                 frame_h=sps.height, qp=qp, bd=sps.bit_depth, encode=False)
             rec = [np.asarray(ry), np.asarray(rcb), np.asarray(rcr)]
+            if sps.deblock_enabled:
+                from ..spec import deblock
+                rec = deblock.deblock_frame(rec, dec, qp, sps.bit_depth)
+            if sao_params is not None:
+                from ..spec import sao as saomod
+                rec = saomod.apply_sao(rec, sao_params,
+                                       1 << sps.log2_ctu, sps.bit_depth)
             pending = scodec.crop_planes(rec, sps)
             frames.append(pending)
         elif nal.nal_type == bs.NAL_SUFFIX_SEI and check_hash:

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import numpy as np
 
+from ..cabac import binarize
 from ..cabac import contexts as C
 from ..cabac.engine import CabacDecoder, CabacEncoder
 from ..core import bitstream as bs
@@ -28,12 +29,35 @@ def _log2(n: int) -> int:
     return int(n).bit_length() - 1
 
 
+class RecordIO:
+    """EncIO-compatible adapter that records bins into a BinSink instead of
+    driving the arithmetic coder — the packer replays them afterwards."""
+    decoding = False
+
+    def __init__(self, sink):
+        self.sink = sink
+
+    def bin(self, ctx, v):
+        self.sink.ctx(ctx, int(v))
+        return v
+
+    def byp(self, v):
+        self.sink.byp(int(v))
+        return v
+
+    def byp_n(self, v, n):
+        self.sink.byp_bits(int(v), n)
+        return v
+
+
 class _Walker:
-    def __init__(self, sps: hls.SPS, dec: FrameDecisions, levels, io):
+    def __init__(self, sps: hls.SPS, dec: FrameDecisions, levels, io,
+                 sink=None):
         self.sps = sps
         self.dec = dec
         self.levels = levels      # [ly, lcb, lcr] numpy planes
         self.io = io
+        self.sink = sink          # encode fast path: vectorised binarise
         self.mode_map = np.full((sps.height // 4, sps.width // 4), -1,
                                 np.int32)
 
@@ -106,7 +130,11 @@ class _Walker:
             cbf = int(lev.any())
             io.bin(cbf_ctx, cbf)
             if cbf:
-                code_tb(io, lev, _log2(s), _log2(s), is_chroma)
+                if self.sink is not None:
+                    binarize.tb_bins(self.sink, lev, _log2(s), _log2(s),
+                                     is_chroma)
+                else:
+                    code_tb(io, lev, _log2(s), _log2(s), is_chroma)
 
     def _code_leaf(self, x, y, s):
         self._code_mode(x, y, s)
@@ -143,19 +171,57 @@ class _Walker:
                     for dx in range(0, ctu, MID_SIZE):
                         self._code_qt(ix * ctu + dx, iy * ctu + dy,
                                       MID_SIZE, 1)
-                terminate_fn(iy == n_y - 1 and ix == n_x - 1)
+                terminate_fn(False)
 
 
 def encode_frame_syntax(sps: hls.SPS, pps: hls.PPS, sh: hls.SliceHeader,
-                        dec: FrameDecisions, levels) -> bytes:
+                        dec: FrameDecisions, levels,
+                        sao_params=None, fast: bool = True) -> bytes:
     """levels: [ly, lcb, lcr] numpy int32 planes from the device scan."""
+    from ..spec import sao as saomod
     qp = pps.init_qp + sh.qp_delta
-    enc = CabacEncoder(C.make_ctx_state(sh.slice_type, qp))
-    walker = _Walker(sps, dec, levels, EncIO(enc))
-    walker.walk(lambda last: enc.terminate(int(last)))
+    ctu = 1 << sps.log2_ctu
+    n_x, n_y = sps.width // ctu, sps.height // ctu
+    if fast:
+        sink = binarize.BinSink()
+        io = RecordIO(sink)
+        walker = _Walker(sps, dec, levels, io, sink=sink)
+        walker.walk(lambda last: sink.term(0))
+        if sao_params is not None:
+            saomod.code_sao_params(io, sao_params, n_y, n_x)
+        sink.term(1)
+        payload = pack_bins(sink.concat(), sh.slice_type, qp)
+    else:
+        enc = CabacEncoder(C.make_ctx_state(sh.slice_type, qp))
+        io = EncIO(enc)
+        walker = _Walker(sps, dec, levels, io)
+        walker.walk(lambda last: enc.terminate(0))
+        if sao_params is not None:
+            saomod.code_sao_params(io, sao_params, n_y, n_x)
+        enc.terminate(1)
+        payload = enc.finish()
     w = sh.write()
-    w.write_bytes(enc.finish())
+    w.write_bytes(payload)
     return w.getvalue()
+
+
+def pack_bins(arr: np.ndarray, slice_type: int, qp: int) -> bytes:
+    """Drive the arithmetic coder over a recorded (kind, ctx, bin) array.
+
+    Uses the native packer (native/cabac.c) when built; falls back to the
+    Python engine (identical output)."""
+    from ..cabac import native as cnative
+    if cnative.available():
+        return cnative.pack_bins(arr, slice_type, qp)
+    enc = CabacEncoder(C.make_ctx_state(slice_type, qp))
+    for kind, ctx, b in arr:
+        if kind == binarize.KIND_CTX:
+            enc.bin(int(ctx), int(b))
+        elif kind == binarize.KIND_BYP:
+            enc.bypass(int(b))
+        else:
+            enc.terminate(int(b))
+    return enc.finish()
 
 
 def parse_frame_syntax(slice_rbsp: bytes, sps: hls.SPS,
@@ -169,13 +235,27 @@ def parse_frame_syntax(slice_rbsp: bytes, sps: hls.SPS,
     levels = [np.zeros((sps.height, sps.width), np.int32),
               np.zeros((sps.height // 2, sps.width // 2), np.int32),
               np.zeros((sps.height // 2, sps.width // 2), np.int32)]
-    cab = CabacDecoder(C.make_ctx_state(sh.slice_type, qp),
-                       r.remaining_bytes())
-    walker = _Walker(sps, decisions, levels, DecIO(cab))
+    from ..cabac import native as cnative
+    if cnative.available():
+        cab = cnative.NativeDecoder(C.make_ctx_state(sh.slice_type, qp),
+                                    r.remaining_bytes())
+    else:
+        cab = CabacDecoder(C.make_ctx_state(sh.slice_type, qp),
+                          r.remaining_bytes())
+    io = DecIO(cab)
+    walker = _Walker(sps, decisions, levels, io)
 
     def term(last):
-        if bool(cab.terminate()) != last:
-            raise ValueError("end_of_slice flag mismatch")
+        if cab.terminate() != 0:
+            raise ValueError("unexpected end_of_slice")
 
     walker.walk(term)
-    return sh, decisions, levels
+    sao_params = None
+    if sps.sao_enabled:
+        from ..spec import sao as saomod
+        ctu = 1 << sps.log2_ctu
+        sao_params = saomod.code_sao_params(io, None, sps.height // ctu,
+                                            sps.width // ctu)
+    if cab.terminate() != 1:
+        raise ValueError("missing end_of_slice")
+    return sh, decisions, levels, sao_params

@@ -239,10 +239,20 @@ def encode_frame(src_planes: list[np.ndarray], sps: hls.SPS, pps: hls.PPS,
     for iy in range(n_y):
         for ix in range(n_x):
             _code_ctu(io, st, ix * ctu, iy * ctu)
-            enc.terminate(int(iy == n_y - 1 and ix == n_x - 1))
+            enc.terminate(0)
+    recon = st.recon
+    if sps.deblock_enabled:
+        from . import deblock
+        recon = deblock.deblock_frame(recon, decisions, qp, sps.bit_depth)
+    if sps.sao_enabled:
+        from . import sao
+        params = sao.decide_sao(st.src, recon, qp, ctu, sps.bit_depth)
+        sao.code_sao_params(io, params, n_y, n_x)
+        recon = sao.apply_sao(recon, params, ctu, sps.bit_depth)
+    enc.terminate(1)
     w = sh.write()
     w.write_bytes(enc.finish())
-    return w.getvalue(), st.recon
+    return w.getvalue(), recon
 
 
 def decode_frame(slice_rbsp: bytes, sps: hls.SPS, pps_map: dict[int, hls.PPS]):
@@ -261,8 +271,16 @@ def decode_frame(slice_rbsp: bytes, sps: hls.SPS, pps_map: dict[int, hls.PPS]):
     for iy in range(n_y):
         for ix in range(n_x):
             _code_ctu(io, st, ix * ctu, iy * ctu)
-            end = dec.terminate()
-            is_last = iy == n_y - 1 and ix == n_x - 1
-            if bool(end) != is_last:
-                raise ValueError("end_of_slice flag mismatch")
-    return st.recon, sh, decisions
+            if dec.terminate() != 0:
+                raise ValueError("unexpected end_of_slice")
+    recon = st.recon
+    if sps.deblock_enabled:
+        from . import deblock
+        recon = deblock.deblock_frame(recon, decisions, qp, sps.bit_depth)
+    if sps.sao_enabled:
+        from . import sao
+        params = sao.code_sao_params(io, None, n_y, n_x)
+        recon = sao.apply_sao(recon, params, ctu, sps.bit_depth)
+    if dec.terminate() != 1:
+        raise ValueError("missing end_of_slice")
+    return recon, sh, decisions

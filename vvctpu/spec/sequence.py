@@ -21,6 +21,8 @@ class EncoderConfig:
     qp: int = 32
     bit_depth: int = 8
     ctu: int = 64
+    deblock: bool = True
+    sao: bool = True
 
     def make_sps(self, width: int, height: int) -> hls.SPS:
         pw = -(-width // self.ctu) * self.ctu
@@ -28,7 +30,9 @@ class EncoderConfig:
         return hls.SPS(width=pw, height=ph,
                        conf_win=(0, pw - width, 0, ph - height),
                        bit_depth=self.bit_depth,
-                       log2_ctu=int(self.ctu).bit_length() - 1)
+                       log2_ctu=int(self.ctu).bit_length() - 1,
+                       deblock_enabled=self.deblock,
+                       sao_enabled=self.sao)
 
 
 def encode_sequence(frames: list[list[np.ndarray]], cfg: EncoderConfig,
