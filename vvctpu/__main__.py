@@ -27,7 +27,8 @@ def _enc(args) -> int:
     if not frames:
         print("no frames read", file=sys.stderr)
         return 1
-    cfg = seq.EncoderConfig(qp=args.qp, bit_depth=args.bit_depth)
+    cfg = seq.EncoderConfig(qp=args.qp, bit_depth=args.bit_depth,
+                            intra_period=args.intra_period)
     t0 = time.time()
     if args.engine == "jax":
         from .pipeline import encoder as jenc
@@ -42,7 +43,10 @@ def _enc(args) -> int:
         p = [seq.psnr(planes[c], recons[poc][c], args.bit_depth)
              for c in range(3)]
         total_bits += bits[poc]
-        print(f"POC {poc:4d} I  QP {args.qp:2d}  {bits[poc]:8d} bits  "
+        ip = args.intra_period
+        st = "I" if (poc == 0 or ip == 1 or (ip > 1 and poc % ip == 0)) \
+            else "P"
+        print(f"POC {poc:4d} {st}  QP {args.qp:2d}  {bits[poc]:8d} bits  "
               f"Y {p[0]:6.3f} dB  U {p[1]:6.3f} dB  V {p[2]:6.3f} dB")
     if args.recon:
         yuv.write_yuv(args.recon, recons, args.bit_depth)
@@ -82,6 +86,9 @@ def main(argv=None) -> int:
     e.add_argument("-q", "--qp", type=int, default=32)
     e.add_argument("-f", "--frames", type=int, default=None)
     e.add_argument("--bit-depth", type=int, default=8, choices=(8, 10))
+    e.add_argument("--ip", "--intra-period", dest="intra_period", type=int,
+                   default=1, help="1 = all-intra, 0 = first frame only, "
+                   "N = IDR every N frames")
     e.add_argument("--engine", choices=("spec", "jax"), default="spec")
     e.set_defaults(fn=_enc)
 

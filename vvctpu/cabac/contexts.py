@@ -62,6 +62,11 @@ SPLIT_QT_FLAG = R.add("split_qt_flag", 3, init=(NEUTRAL, NEUTRAL, HIGH))
 SPLIT_CU_FLAG = R.add("split_cu_flag", 3)          # MTT split (reserved)
 PRED_MODE = R.add("pred_mode", 2)                  # intra/inter (reserved)
 
+# --- inter ---------------------------------------------------------------
+MVD_FLAG = R.add("mvd_flags", 2)                   # gt0, gt1 (shared x/y)
+MERGE_FLAG = R.add("merge_flag", 1)
+MERGE_IDX = R.add("merge_idx", 1)
+
 # --- intra mode ----------------------------------------------------------
 INTRA_MPM_FLAG = R.add("intra_luma_mpm_flag", 1, init=(HIGH,) * 3)
 INTRA_PLANAR_FLAG = R.add("intra_luma_planar_flag", 1, init=(HIGH,) * 3)

@@ -118,3 +118,72 @@ def decide_frame(orig_y: np.ndarray, qp: int, bd: int = 8) -> FrameDecisions:
     use8 = np.kron(dec.split16.astype(bool), np.ones((2, 2), bool))
     dec.modes8[:] = np.where(use8, best8_mode, m)
     return dec
+
+
+def decide_frame_p(orig_y: np.ndarray, ref_y: np.ndarray, qp: int,
+                   bd: int = 8) -> FrameDecisions:
+    """Device-batched P-frame decisions (twin of spec decide_frame_p)."""
+    from ..spec.inter import ME_RANGE
+    from . import me as jme
+    h, w = orig_y.shape
+    lam = lambda_satd_fp(qp)
+    buf = np.zeros((h + 1 + intra_pred.MARGIN, w + 1 + intra_pred.MARGIN),
+                   np.int32)
+    buf[1:h + 1, 1:w + 1] = orig_y
+    jbuf = jnp.asarray(buf)
+    refp = np.pad(ref_y.astype(np.int32), ME_RANGE, mode="edge")
+    memaps = jme.me_pass(jnp.asarray(orig_y, jnp.int32), jnp.asarray(refp),
+                         np.int64(lam), frame_w=w, frame_h=h)
+
+    size_data = {}
+    for s in (8, 16, 32):
+        icost, imode = size_pass(jbuf, np.int32(lam), s=s, frame_w=w,
+                                 frame_h=h, bd=bd)
+        icost = np.asarray(icost).astype(np.int64)
+        imode = np.asarray(imode)
+        mcost = np.asarray(memaps[s][0])
+        mv = np.asarray(memaps[s][1])
+        use_inter = mcost < icost
+        cost = np.where(use_inter, mcost, icost)
+        size_data[s] = (cost, imode, use_inter, mv)
+
+    dec = FrameDecisions.empty(h, w)
+    cost8, imode8, inter8, mv8 = size_data[8]
+    cost16, imode16, inter16, mv16 = size_data[16]
+    cost32, imode32, inter32, mv32 = size_data[32]
+    n16y, n16x = h // 16, w // 16
+    n32y, n32x = h // 32, w // 32
+    sum8 = (cost8.reshape(n16y, 2, n16x, 2).sum(axis=(1, 3))
+            + (4 * SPLIT_BITS) * lam)
+    split16 = sum8 < cost16
+    c16 = np.where(split16, sum8, cost16)
+    sum16 = (c16.reshape(n32y, 2, n32x, 2).sum(axis=(1, 3))
+             + (4 * SPLIT_BITS) * lam)
+    split32 = sum16 < cost32
+    dec.split32[:] = split32.astype(np.uint8)
+    dec.split16[:] = (split16
+                      & np.kron(split32, np.ones((2, 2), bool))).astype(
+                          np.uint8)
+
+    def up(a, f):
+        return np.kron(a, np.ones((f, f), a.dtype))
+
+    use16 = up(split32.astype(np.uint8), 4).astype(bool)
+    use8 = up(dec.split16, 2).astype(bool)
+    mode = up(imode32, 4)
+    mode = np.where(use16, up(imode16, 2), mode)
+    mode = np.where(use8, imode8, mode)
+    itf = up(inter32.astype(np.uint8), 4).astype(bool)
+    itf = np.where(use16, up(inter16.astype(np.uint8), 2).astype(bool), itf)
+    itf = np.where(use8, inter8, itf)
+    mvx = up(mv32[..., 0], 4)
+    mvy = up(mv32[..., 1], 4)
+    mvx = np.where(use16, up(mv16[..., 0], 2), mvx)
+    mvy = np.where(use16, up(mv16[..., 1], 2), mvy)
+    mvx = np.where(use8, mv8[..., 0], mvx)
+    mvy = np.where(use8, mv8[..., 1], mvy)
+    dec.inter8[:] = itf.astype(np.uint8)
+    dec.modes8[:] = np.where(itf, 0, mode)
+    dec.mv8[..., 0] = np.where(itf, mvx << 4, 0)
+    dec.mv8[..., 1] = np.where(itf, mvy << 4, 0)
+    return dec

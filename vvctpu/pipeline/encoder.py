@@ -24,21 +24,33 @@ def encode_sequence(frames, cfg: sseq.EncoderConfig, decisions_fn=None,
     nals = [bs.NalUnit(bs.NAL_SPS, sps.write()),
             bs.NalUnit(bs.NAL_PPS, pps.write())]
     recons, bits = [], []
+    dpb = None   # previous filtered recon (padded planes, numpy)
     for poc, planes in enumerate(frames):
         padded = scodec.pad_planes(planes, sps)
-        if decisions_fn is None:
+        ip = cfg.intra_period
+        is_intra = poc == 0 or (ip == 1) or (ip > 1 and poc % ip == 0)
+        if decisions_fn is not None:
+            dec = decisions_fn(poc, planes, sps, cfg)
+        elif is_intra:
             # device-batched decision pass (bit-identical to spec decide)
             dec = jdecide.decide_frame(padded[0], cfg.qp, cfg.bit_depth)
         else:
-            dec = decisions_fn(poc, planes, sps, cfg)
+            dec = jdecide.decide_frame_p(padded[0], dpb[0], cfg.qp,
+                                         cfg.bit_depth)
         if decisions_out is not None:
             decisions_out.append(dec)
         slots = recon.make_slots(dec, sps.height, sps.width)
+        refs = recon.pad_refs(dpb) if not is_intra else {}
+        ref_kw = dict(zip(("ref_y", "ref_cb", "ref_cr"), refs)) \
+            if not is_intra else {}
         ry, rcb, rcr, ly, lcb, lcr = recon.frame_scan(
             slots, padded[0], padded[1], padded[2], frame_w=sps.width,
-            frame_h=sps.height, qp=cfg.qp, bd=cfg.bit_depth, encode=True)
+            frame_h=sps.height, qp=cfg.qp, bd=cfg.bit_depth, encode=True,
+            inter_enabled=not is_intra, **ref_kw)
         levels = [np.asarray(ly), np.asarray(lcb), np.asarray(lcr)]
-        sh = hls.SliceHeader(poc=poc)
+        sh = hls.SliceHeader(
+            poc=poc,
+            slice_type=hls.SLICE_I if is_intra else hls.SLICE_P)
         rec = [np.asarray(ry), np.asarray(rcb), np.asarray(rcr)]
         if sps.deblock_enabled:
             from ..spec import deblock
@@ -51,8 +63,10 @@ def encode_sequence(frames, cfg: sseq.EncoderConfig, decisions_fn=None,
             rec = saomod.apply_sao(rec, sao_params, cfg.ctu, cfg.bit_depth)
         payload = entropy.encode_frame_syntax(sps, pps, sh, dec, levels,
                                               sao_params)
+        dpb = rec
         cropped = scodec.crop_planes(rec, sps)
-        nals.append(bs.NalUnit(bs.NAL_IDR_N_LP, payload))
+        nals.append(bs.NalUnit(
+            bs.NAL_IDR_N_LP if is_intra else bs.NAL_TRAIL, payload))
         nals.append(bs.NalUnit(bs.NAL_SUFFIX_SEI,
                                hls.write_pic_hash_sei(cropped,
                                                       cfg.bit_depth)))
@@ -66,6 +80,7 @@ def decode_sequence(data: bytes, check_hash: bool = True):
     pps_map: dict[int, hls.PPS] = {}
     frames = []
     pending = None
+    dpb = None
     for nal in bs.read_annexb(data):
         if nal.nal_type == bs.NAL_SPS:
             sps = hls.SPS.read(nal.payload)
@@ -78,9 +93,13 @@ def decode_sequence(data: bytes, check_hash: bool = True):
                 nal.payload, sps, pps_map)
             qp = pps_map[sh.pps_id].init_qp + sh.qp_delta
             slots = recon.make_slots(dec, sps.height, sps.width)
+            is_p = sh.slice_type != hls.SLICE_I
+            ref_kw = dict(zip(("ref_y", "ref_cb", "ref_cr"),
+                              recon.pad_refs(dpb))) if is_p else {}
             ry, rcb, rcr, *_ = recon.frame_scan(
                 slots, levels[0], levels[1], levels[2], frame_w=sps.width,
-                frame_h=sps.height, qp=qp, bd=sps.bit_depth, encode=False)
+                frame_h=sps.height, qp=qp, bd=sps.bit_depth, encode=False,
+                inter_enabled=is_p, **ref_kw)
             rec = [np.asarray(ry), np.asarray(rcb), np.asarray(rcr)]
             if sps.deblock_enabled:
                 from ..spec import deblock
@@ -89,6 +108,7 @@ def decode_sequence(data: bytes, check_hash: bool = True):
                 from ..spec import sao as saomod
                 rec = saomod.apply_sao(rec, sao_params,
                                        1 << sps.log2_ctu, sps.bit_depth)
+            dpb = rec
             pending = scodec.crop_planes(rec, sps)
             frames.append(pending)
         elif nal.nal_type == bs.NAL_SUFFIX_SEI and check_hash:

@@ -52,14 +52,18 @@ class RecordIO:
 
 class _Walker:
     def __init__(self, sps: hls.SPS, dec: FrameDecisions, levels, io,
-                 sink=None):
+                 sink=None, is_p: bool = False):
         self.sps = sps
         self.dec = dec
         self.levels = levels      # [ly, lcb, lcr] numpy planes
         self.io = io
         self.sink = sink          # encode fast path: vectorised binarise
+        self.is_p = is_p
         self.mode_map = np.full((sps.height // 4, sps.width // 4), -1,
                                 np.int32)
+        self.inter_map = np.zeros((sps.height // 8, sps.width // 8), bool)
+        self.mv_map = np.zeros((sps.height // 8, sps.width // 8, 2),
+                               np.int32)
 
     # -- intra mode (identical scheme to spec/codec._code_intra_mode) -----
     def _neighbor_mode(self, x, y):
@@ -136,8 +140,42 @@ class _Walker:
                 else:
                     code_tb(io, lev, _log2(s), _log2(s), is_chroma)
 
+    def _code_inter(self, x, y, s):
+        from ..spec import inter as imod
+        from ..spec.codec import _code_mvd_comp
+        io = self.io
+        cands = imod.mvp_candidates(self.mv_map, self.inter_map, x, y, s)
+        if io.decoding:
+            idx = io.byp()
+            mvd_x = _code_mvd_comp(io, None)
+            mvd_y = _code_mvd_comp(io, None)
+            mv = (cands[idx][0] + (mvd_x << 2),
+                  cands[idx][1] + (mvd_y << 2))
+            self.dec.inter8[y // 8:(y + s) // 8, x // 8:(x + s) // 8] = 1
+            self.dec.mv8[y // 8:(y + s) // 8, x // 8:(x + s) // 8] = mv
+        else:
+            mv = (int(self.dec.mv8[y // 8, x // 8, 0]),
+                  int(self.dec.mv8[y // 8, x // 8, 1]))
+            costs = [abs(mv[0] - c[0]) + abs(mv[1] - c[1]) for c in cands]
+            idx = int(np.argmin(costs))
+            io.byp(idx)
+            _code_mvd_comp(io, (mv[0] - cands[idx][0]) >> 2)
+            _code_mvd_comp(io, (mv[1] - cands[idx][1]) >> 2)
+        self.inter_map[y // 8:(y + s) // 8, x // 8:(x + s) // 8] = True
+        self.mv_map[y // 8:(y + s) // 8, x // 8:(x + s) // 8] = mv
+
     def _code_leaf(self, x, y, s):
-        self._code_mode(x, y, s)
+        io = self.io
+        is_inter = 0
+        if self.is_p:
+            is_inter = io.bin(
+                C.PRED_MODE(0),
+                None if io.decoding else
+                int(self.dec.inter8[y // 8, x // 8]))
+        if is_inter:
+            self._code_inter(x, y, s)
+        else:
+            self._code_mode(x, y, s)
         self._code_component(0, x, y, s, C.CBF_LUMA(0))
         cs, cx, cy = s // 2, x // 2, y // 2
         self._code_component(1, cx, cy, cs, C.CBF_CB(0))
@@ -182,10 +220,11 @@ def encode_frame_syntax(sps: hls.SPS, pps: hls.PPS, sh: hls.SliceHeader,
     qp = pps.init_qp + sh.qp_delta
     ctu = 1 << sps.log2_ctu
     n_x, n_y = sps.width // ctu, sps.height // ctu
+    is_p = sh.slice_type != hls.SLICE_I
     if fast:
         sink = binarize.BinSink()
         io = RecordIO(sink)
-        walker = _Walker(sps, dec, levels, io, sink=sink)
+        walker = _Walker(sps, dec, levels, io, sink=sink, is_p=is_p)
         walker.walk(lambda last: sink.term(0))
         if sao_params is not None:
             saomod.code_sao_params(io, sao_params, n_y, n_x)
@@ -194,7 +233,7 @@ def encode_frame_syntax(sps: hls.SPS, pps: hls.PPS, sh: hls.SliceHeader,
     else:
         enc = CabacEncoder(C.make_ctx_state(sh.slice_type, qp))
         io = EncIO(enc)
-        walker = _Walker(sps, dec, levels, io)
+        walker = _Walker(sps, dec, levels, io, is_p=is_p)
         walker.walk(lambda last: enc.terminate(0))
         if sao_params is not None:
             saomod.code_sao_params(io, sao_params, n_y, n_x)
@@ -243,7 +282,8 @@ def parse_frame_syntax(slice_rbsp: bytes, sps: hls.SPS,
         cab = CabacDecoder(C.make_ctx_state(sh.slice_type, qp),
                           r.remaining_bytes())
     io = DecIO(cab)
-    walker = _Walker(sps, decisions, levels, io)
+    walker = _Walker(sps, decisions, levels, io,
+                     is_p=sh.slice_type != hls.SLICE_I)
 
     def term(last):
         if cab.terminate() != 0:

@@ -26,13 +26,17 @@ def _demorton(m: int) -> tuple[int, int]:
 
 def leaf_plan(dec: FrameDecisions, height: int, width: int,
               ctu: int = 64):
-    """Returns (op, x, y, mode) int32 arrays of length n_ctu * 64."""
+    """Returns (op, x, y, mode, mvx, mvy) int32 arrays, length n_ctu * 64.
+
+    op: 0 skip, 1/2/3 intra leaf 8/16/32, 4/5/6 inter leaf 8/16/32."""
     n_cx, n_cy = width // ctu, height // ctu
     n = n_cx * n_cy * 64
     op = np.zeros(n, np.int32)
     xs = np.zeros(n, np.int32)
     ys = np.zeros(n, np.int32)
     modes = np.zeros(n, np.int32)
+    mvx = np.zeros(n, np.int32)
+    mvy = np.zeros(n, np.int32)
     i = 0
     for cy in range(n_cy):
         for cx in range(n_cx):
@@ -47,17 +51,23 @@ def leaf_plan(dec: FrameDecisions, height: int, width: int,
                         else OP_SKIP
                 else:
                     o = OP_LEAF8
+                if o != OP_SKIP and dec.inter8 is not None \
+                        and dec.inter8[py // 8, px // 8]:
+                    o += 3
+                    mvx[i] = dec.mv8[py // 8, px // 8, 0]
+                    mvy[i] = dec.mv8[py // 8, px // 8, 1]
                 op[i] = o
                 xs[i] = px
                 ys[i] = py
                 modes[i] = dec.modes8[py // 8, px // 8]
                 i += 1
-    return op, xs, ys, modes
+    return op, xs, ys, modes, mvx, mvy
 
 
 def plan_leaves_list(dec: FrameDecisions, height: int, width: int,
                      ctu: int = 64):
     """Python list of (x, y, size, mode) leaves in coding order (host use)."""
-    op, xs, ys, modes = leaf_plan(dec, height, width, ctu)
-    return [(int(x), int(y), _SIZE_OF_OP[int(o)], int(md))
+    op, xs, ys, modes, _, _ = leaf_plan(dec, height, width, ctu)
+    return [(int(x), int(y), _SIZE_OF_OP[int(o) - 3 if int(o) > 3
+                                         else int(o)], int(md))
             for o, x, y, md in zip(op, xs, ys, modes) if o != OP_SKIP]

@@ -1,12 +1,13 @@
 """JAX frame reconstruction scan — the conformance-path engine.
 
 One ``lax.scan`` over coding-order slots (pipeline/plan.py); each step
-dispatches via ``lax.switch`` on the leaf size class and runs the shared
-predict -> (quantise) -> reconstruct chain with static shapes, updating the
-margin-padded recon buffers and the level planes in place.  The same compiled
-body serves the encoder (levels computed from source) and the decoder (levels
-supplied from the parsed bitstream) — the encoder-embeds-the-decoder property
-(SURVEY.md §1) realised as one jitted function.
+dispatches via ``lax.switch`` on the leaf class — sizes {8,16,32} x
+{intra, inter} — and runs the shared predict/MC -> (quantise) -> reconstruct
+chain with static shapes, updating the margin-padded recon buffers and the
+level planes in place.  The same compiled body serves the encoder (levels
+computed from source) and the decoder (levels supplied from the parsed
+bitstream) — the encoder-embeds-the-decoder property (SURVEY.md §1) realised
+as one jitted function.
 
 Role of VTM:EncoderLib/EncSlice::compressSlice + DecoderLib/DecCu (the CTU
 reconstruction loops), restructured as a static scan for XLA.
@@ -20,25 +21,16 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core import rom
-from ..kernels import intra_pred, transform
+from ..kernels import intra_pred, mc, transform
 from ..spec.codec import FrameDecisions
+from ..spec.inter import REF_MARGIN
 from . import plan as planmod
 
 MARGIN = intra_pred.MARGIN
 
 
-def _leaf_component(buf, levels_io, src, x, y, s, mode, *, comp_luma: bool,
-                    frame_w: int, frame_h: int, n_ctu_x: int, qp: int,
-                    bd: int, encode: bool):
-    """Process one component block: returns (new_buf, new_levels, lev_block).
-
-    ``levels_io``: encode -> output plane being filled; decode -> parsed
-    plane (read-only source of levels, also threaded through unchanged).
-    """
-    top, left = intra_pred.build_references(
-        buf, x, y, s=s, is_luma=comp_luma, frame_w=frame_w, frame_h=frame_h,
-        n_ctu_x=n_ctu_x, bd=bd)
-    pred = intra_pred.predict(top, left, mode, s=s, is_luma=comp_luma, bd=bd)
+def _component(buf, levels_io, src, pred, x, y, s, qp, bd, encode):
+    """Shared residual+recon for one component block with given prediction."""
     if encode:
         blk = jax.lax.dynamic_slice(src, (y, x), (s, s)).astype(jnp.int32)
         coef = transform.forward_transform(blk - pred, s, s, bd=bd)
@@ -51,35 +43,59 @@ def _leaf_component(buf, levels_io, src, x, y, s, mode, *, comp_luma: bool,
     return buf, levels_io
 
 
-def _make_leaf_fn(s: int, *, frame_w: int, frame_h: int, n_ctu_x: int,
-                  qp: int, bd: int, encode: bool):
-    def leaf(carry, x, y, mode):
+def _make_leaf_fn(s: int, inter: bool, *, frame_w: int, frame_h: int,
+                  n_ctu_x: int, qp, bd: int, encode: bool, refs):
+    cs = s // 2
+
+    def leaf(carry, x, y, mode, mvx, mvy):
         (by, bcb, bcr, ly, lcb, lcr, sy, scb, scr) = carry
-        by, ly = _leaf_component(
-            by, ly, sy, x, y, s, mode, comp_luma=True, frame_w=frame_w,
-            frame_h=frame_h, n_ctu_x=n_ctu_x, qp=qp, bd=bd, encode=encode)
-        cs, cx, cy = s // 2, x // 2, y // 2
-        bcb, lcb = _leaf_component(
-            bcb, lcb, scb, cx, cy, cs, mode, comp_luma=False,
-            frame_w=frame_w // 2, frame_h=frame_h // 2, n_ctu_x=n_ctu_x,
-            qp=qp, bd=bd, encode=encode)
-        bcr, lcr = _leaf_component(
-            bcr, lcr, scr, cx, cy, cs, mode, comp_luma=False,
-            frame_w=frame_w // 2, frame_h=frame_h // 2, n_ctu_x=n_ctu_x,
-            qp=qp, bd=bd, encode=encode)
+        if inter:
+            pred_y = mc.mc_luma_block(refs[0], x, y, s, mvx, mvy, bd)
+            pred_cb = mc.mc_chroma_block(refs[1], x // 2, y // 2, cs,
+                                         mvx, mvy, bd)
+            pred_cr = mc.mc_chroma_block(refs[2], x // 2, y // 2, cs,
+                                         mvx, mvy, bd)
+        else:
+            top, left = intra_pred.build_references(
+                by, x, y, s=s, is_luma=True, frame_w=frame_w,
+                frame_h=frame_h, n_ctu_x=n_ctu_x, bd=bd)
+            pred_y = intra_pred.predict(top, left, mode, s=s, is_luma=True,
+                                        bd=bd)
+            tcb, lcb_r = intra_pred.build_references(
+                bcb, x // 2, y // 2, s=cs, is_luma=False,
+                frame_w=frame_w // 2, frame_h=frame_h // 2,
+                n_ctu_x=n_ctu_x, bd=bd)
+            pred_cb = intra_pred.predict(tcb, lcb_r, mode, s=cs,
+                                         is_luma=False, bd=bd)
+            tcr, lcr_r = intra_pred.build_references(
+                bcr, x // 2, y // 2, s=cs, is_luma=False,
+                frame_w=frame_w // 2, frame_h=frame_h // 2,
+                n_ctu_x=n_ctu_x, bd=bd)
+            pred_cr = intra_pred.predict(tcr, lcr_r, mode, s=cs,
+                                         is_luma=False, bd=bd)
+        by, ly = _component(by, ly, sy, pred_y, x, y, s, qp, bd, encode)
+        bcb, lcb = _component(bcb, lcb, scb, pred_cb, x // 2, y // 2, cs,
+                              qp, bd, encode)
+        bcr, lcr = _component(bcr, lcr, scr, pred_cr, x // 2, y // 2, cs,
+                              qp, bd, encode)
         return (by, bcb, bcr, ly, lcb, lcr, sy, scb, scr)
 
     return leaf
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("frame_w", "frame_h", "bd", "encode"))
+                   static_argnames=("frame_w", "frame_h", "bd", "encode",
+                                    "inter_enabled"))
 def frame_scan(slots, planes_y, planes_cb, planes_cr, *, frame_w: int,
-               frame_h: int, qp, bd: int, encode: bool):
+               frame_h: int, qp, bd: int, encode: bool,
+               inter_enabled: bool = False, ref_y=None, ref_cb=None,
+               ref_cr=None):
     """Run the full-frame reconstruction scan.
 
-    slots: (N, 4) int32 [op, x, y, mode] in coding order.
+    slots: (N, 6) int32 [op, x, y, mode, mvx, mvy] in coding order; op 0 =
+    skip, 1/2/3 intra 8/16/32, 4/5/6 inter 8/16/32.
     planes_*: encode -> source planes; decode -> parsed level planes.
+    ref_*: margin-padded reference planes (P slices).
     Returns (recon_y, recon_cb, recon_cr, levels_y, levels_cb, levels_cr).
     """
     n_ctu_x = frame_w // 64
@@ -95,15 +111,21 @@ def frame_scan(slots, planes_y, planes_cb, planes_cr, *, frame_w: int,
              planes_y.astype(jnp.int32), planes_cb.astype(jnp.int32),
              planes_cr.astype(jnp.int32))
 
+    refs = (ref_y, ref_cb, ref_cr)
     kw = dict(frame_w=frame_w, frame_h=frame_h, n_ctu_x=n_ctu_x, qp=qp,
-              bd=bd, encode=encode)
-    branches = [lambda c, x, y, m: c,
-                _make_leaf_fn(8, **kw), _make_leaf_fn(16, **kw),
-                _make_leaf_fn(32, **kw)]
+              bd=bd, encode=encode, refs=refs)
+    branches = [lambda c, x, y, m, vx, vy: c,
+                _make_leaf_fn(8, False, **kw), _make_leaf_fn(16, False, **kw),
+                _make_leaf_fn(32, False, **kw)]
+    if inter_enabled:
+        branches += [_make_leaf_fn(8, True, **kw),
+                     _make_leaf_fn(16, True, **kw),
+                     _make_leaf_fn(32, True, **kw)]
 
     def step(carry, slot):
-        op, x, y, mode = slot[0], slot[1], slot[2], slot[3]
-        return jax.lax.switch(op, branches, carry, x, y, mode), None
+        return jax.lax.switch(
+            jnp.minimum(slot[0], len(branches) - 1), branches, carry,
+            slot[1], slot[2], slot[3], slot[4], slot[5]), None
 
     carry, _ = jax.lax.scan(step, carry, slots)
     by, bcb, bcr, ly, lcb, lcr = carry[:6]
@@ -113,5 +135,12 @@ def frame_scan(slots, planes_y, planes_cb, planes_cr, *, frame_w: int,
 
 
 def make_slots(dec: FrameDecisions, frame_h: int, frame_w: int) -> np.ndarray:
-    op, xs, ys, modes = planmod.leaf_plan(dec, frame_h, frame_w)
-    return np.stack([op, xs, ys, modes], axis=1).astype(np.int32)
+    op, xs, ys, modes, mvx, mvy = planmod.leaf_plan(dec, frame_h, frame_w)
+    return np.stack([op, xs, ys, modes, mvx, mvy], axis=1).astype(np.int32)
+
+
+def pad_refs(rec_planes):
+    """Margin-pad filtered recon planes for use as MC references."""
+    return (np.pad(rec_planes[0], REF_MARGIN, mode="edge"),
+            np.pad(rec_planes[1], REF_MARGIN // 2, mode="edge"),
+            np.pad(rec_planes[2], REF_MARGIN // 2, mode="edge"))

@@ -36,17 +36,23 @@ class FrameDecisions:
     split32: np.ndarray   # (H//32, W//32) uint8: split 32 -> 16
     split16: np.ndarray   # (H//16, W//16) uint8: split 16 -> 8
     modes8: np.ndarray    # (H//8,  W//8)  int32: luma mode per 8x8 granule
+    inter8: np.ndarray = None   # (H//8, W//8) uint8: 1 = inter leaf
+    mv8: np.ndarray = None      # (H//8, W//8, 2) int32: (mvx, mvy) 1/16 pel
 
     @classmethod
     def empty(cls, h: int, w: int) -> "FrameDecisions":
         return cls(np.zeros((h // 32, w // 32), np.uint8),
                    np.zeros((h // 16, w // 16), np.uint8),
-                   np.zeros((h // 8, w // 8), np.int32))
+                   np.zeros((h // 8, w // 8), np.int32),
+                   np.zeros((h // 8, w // 8), np.uint8),
+                   np.zeros((h // 8, w // 8, 2), np.int32))
 
     def equal(self, other: "FrameDecisions") -> bool:
         return (np.array_equal(self.split32, other.split32)
                 and np.array_equal(self.split16, other.split16)
-                and np.array_equal(self.modes8, other.modes8))
+                and np.array_equal(self.modes8, other.modes8)
+                and np.array_equal(self.inter8, other.inter8)
+                and np.array_equal(self.mv8, other.mv8))
 
 
 @dataclass
@@ -60,9 +66,12 @@ class _FrameState:
     recon: list[np.ndarray] = field(default_factory=list)
     valid: list[np.ndarray] = field(default_factory=list)
     mode_map: np.ndarray | None = None   # (H//4, W//4) int32, -1 = n/a
+    refs: list[np.ndarray] | None = None  # margin-padded [Y, Cb, Cr] or None
+    inter_map: np.ndarray | None = None   # (H//8, W//8) bool
+    mv_map: np.ndarray | None = None      # (H//8, W//8, 2) int32
 
     @classmethod
-    def make(cls, sps, qp, encoding, decisions, src):
+    def make(cls, sps, qp, encoding, decisions, src, refs=None):
         h, w = sps.height, sps.width
         st = cls(sps, qp, encoding, decisions, src)
         st.recon = [np.zeros((h, w), np.int32),
@@ -72,6 +81,13 @@ class _FrameState:
                     np.zeros((h // 2, w // 2), bool),
                     np.zeros((h // 2, w // 2), bool)]
         st.mode_map = np.full((h // 4, w // 4), -1, np.int32)
+        if refs is not None:
+            from . import inter
+            st.refs = [inter.pad_reference(refs[0], inter.REF_MARGIN),
+                       inter.pad_reference(refs[1], inter.REF_MARGIN // 2),
+                       inter.pad_reference(refs[2], inter.REF_MARGIN // 2)]
+        st.inter_map = np.zeros((h // 8, w // 8), bool)
+        st.mv_map = np.zeros((h // 8, w // 8, 2), np.int32)
         return st
 
 
@@ -140,12 +156,13 @@ def _log2(n: int) -> int:
 
 
 def _code_component(io, st: _FrameState, comp: int, x: int, y: int, s: int,
-                    mode: int, cbf_ctx: int) -> None:
+                    mode: int, cbf_ctx: int, pred=None) -> None:
     plane, valid = st.recon[comp], st.valid[comp]
     is_chroma = comp > 0
     bd = st.sps.bit_depth
-    top, left = intra.build_references(plane, valid, x, y, s, s, bd)
-    pred = intra.predict(top, left, mode, s, s, is_chroma, bd)
+    if pred is None:
+        top, left = intra.build_references(plane, valid, x, y, s, s, bd)
+        pred = intra.predict(top, left, mode, s, s, is_chroma, bd)
     qp = st.qp
     if io.decoding:
         cbf = io.bin(cbf_ctx)
@@ -164,7 +181,84 @@ def _code_component(io, st: _FrameState, comp: int, x: int, y: int, s: int,
     valid[y:y + s, x:x + s] = True
 
 
+def _eg_k(io, val, k: int):
+    """Exp-Golomb order-k bypass code (HEVC xWriteEpExGolomb scheme)."""
+    if io.decoding:
+        sym = 0
+        while io.byp():
+            sym += 1 << k
+            k += 1
+        return sym + (io.byp_n(n=k) if k else 0)
+    sym = int(val)
+    while sym >= (1 << k):
+        io.byp(1)
+        sym -= 1 << k
+        k += 1
+    io.byp(0)
+    if k:
+        io.byp_n(sym, k)
+    return val
+
+
+def _code_mvd_comp(io, v) -> int:
+    """One MVD component in quarter-pel units (VVC mvd_coding shape)."""
+    gt0 = io.bin(C.MVD_FLAG(0), None if io.decoding else int(v != 0))
+    if not gt0:
+        return 0
+    a = None if io.decoding else abs(int(v))
+    gt1 = io.bin(C.MVD_FLAG(1), None if io.decoding else int(a > 1))
+    if io.decoding:
+        a = 1 + (1 + _eg_k(io, None, 1) if gt1 else 0)
+    else:
+        if gt1:
+            _eg_k(io, a - 2, 1)
+    sign = io.byp(None if io.decoding else int(v < 0))
+    if io.decoding:
+        return -a if sign else a
+    return v
+
+
+def _code_inter_leaf(io, st: _FrameState, x: int, y: int, s: int) -> None:
+    from . import inter as imod
+    cands = imod.mvp_candidates(st.mv_map, st.inter_map, x, y, s)
+    if io.decoding:
+        idx = io.byp()
+        mvd_x = _code_mvd_comp(io, None)
+        mvd_y = _code_mvd_comp(io, None)
+        mv = (cands[idx][0] + (mvd_x << 2), cands[idx][1] + (mvd_y << 2))
+        st.dec.inter8[y // 8:(y + s) // 8, x // 8:(x + s) // 8] = 1
+        st.dec.mv8[y // 8:(y + s) // 8, x // 8:(x + s) // 8] = mv
+    else:
+        mv = (int(st.dec.mv8[y // 8, x // 8, 0]),
+              int(st.dec.mv8[y // 8, x // 8, 1]))
+        costs = [abs(mv[0] - c[0]) + abs(mv[1] - c[1]) for c in cands]
+        idx = int(np.argmin(costs))
+        io.byp(idx)
+        _code_mvd_comp(io, (mv[0] - cands[idx][0]) >> 2)
+        _code_mvd_comp(io, (mv[1] - cands[idx][1]) >> 2)
+
+    bd = st.sps.bit_depth
+    pred_y = imod.mc_luma(st.refs[0], x, y, s, s, mv[0], mv[1], bd)
+    _code_component(io, st, 0, x, y, s, 0, C.CBF_LUMA(0), pred=pred_y)
+    cs, cx, cy = s // 2, x // 2, y // 2
+    pred_cb = imod.mc_chroma(st.refs[1], cx, cy, cs, cs, mv[0], mv[1], bd,
+                             imod.REF_MARGIN // 2)
+    pred_cr = imod.mc_chroma(st.refs[2], cx, cy, cs, cs, mv[0], mv[1], bd,
+                             imod.REF_MARGIN // 2)
+    _code_component(io, st, 1, cx, cy, cs, 0, C.CBF_CB(0), pred=pred_cb)
+    _code_component(io, st, 2, cx, cy, cs, 0, C.CBF_CR(0), pred=pred_cr)
+    st.inter_map[y // 8:(y + s) // 8, x // 8:(x + s) // 8] = True
+    st.mv_map[y // 8:(y + s) // 8, x // 8:(x + s) // 8] = mv
+
+
 def _code_leaf(io, st: _FrameState, x: int, y: int, s: int) -> None:
+    if st.refs is not None:
+        is_inter = io.bin(
+            C.PRED_MODE(0),
+            None if io.decoding else int(st.dec.inter8[y // 8, x // 8]))
+        if is_inter:
+            _code_inter_leaf(io, st, x, y, s)
+            return
     mode = _code_intra_mode(io, st, x, y, s)
     if io.decoding:
         st.dec.modes8[y // 8:(y + s) // 8, x // 8:(x + s) // 8] = mode
@@ -227,11 +321,12 @@ def crop_planes(planes: list[np.ndarray], sps: hls.SPS) -> list[np.ndarray]:
 
 
 def encode_frame(src_planes: list[np.ndarray], sps: hls.SPS, pps: hls.PPS,
-                 sh: hls.SliceHeader, decisions: FrameDecisions):
-    """Returns (slice_rbsp, recon_planes [padded])."""
+                 sh: hls.SliceHeader, decisions: FrameDecisions, refs=None):
+    """Returns (slice_rbsp, recon_planes [padded]).  refs: previous filtered
+    recon [Y, Cb, Cr] (padded frame size) for P slices."""
     qp = pps.init_qp + sh.qp_delta
     st = _FrameState.make(sps, qp, True, decisions,
-                          pad_planes(src_planes, sps))
+                          pad_planes(src_planes, sps), refs)
     enc = CabacEncoder(C.make_ctx_state(sh.slice_type, qp))
     io = EncIO(enc)
     ctu = 1 << sps.log2_ctu
@@ -255,14 +350,16 @@ def encode_frame(src_planes: list[np.ndarray], sps: hls.SPS, pps: hls.PPS,
     return w.getvalue(), recon
 
 
-def decode_frame(slice_rbsp: bytes, sps: hls.SPS, pps_map: dict[int, hls.PPS]):
+def decode_frame(slice_rbsp: bytes, sps: hls.SPS, pps_map: dict[int, hls.PPS],
+                 refs=None):
     """Returns (recon_planes [padded], SliceHeader, FrameDecisions)."""
     r = bs.BitReader(slice_rbsp)
     sh = hls.SliceHeader.read(r)
     pps = pps_map[sh.pps_id]
     qp = pps.init_qp + sh.qp_delta
     decisions = FrameDecisions.empty(sps.height, sps.width)
-    st = _FrameState.make(sps, qp, False, decisions, None)
+    st = _FrameState.make(sps, qp, False, decisions, None,
+                          refs if sh.slice_type != hls.SLICE_I else None)
     dec = CabacDecoder(C.make_ctx_state(sh.slice_type, qp),
                        r.remaining_bytes())
     io = DecIO(dec)

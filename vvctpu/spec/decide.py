@@ -137,3 +137,103 @@ def decide_frame(orig_y: np.ndarray, qp: int,
     m = np.where(use8, best8_mode, m)
     dec.modes8[:] = m
     return dec
+
+
+# ---------------------------------------------------------------------------
+# P-frame decision: batched integer full-search ME + intra/inter arbitration
+# (TPU-first redesign of VTM:EncoderLib/InterSearch.cpp xTZSearch — dense
+#  candidate window, running masked min; the JAX twin mirrors this exactly)
+# ---------------------------------------------------------------------------
+from . import inter as _inter  # noqa: E402
+
+
+def me_size_pass(orig: np.ndarray, ref: np.ndarray, s: int, lam: int):
+    """Best integer MV per s-block over a +-ME_RANGE full search.
+
+    Returns (cost (nby,nbx) int64 incl. lambda*bits, mv (nby,nbx,2) int32
+    in integer-pel units).  Candidate order: row-major (dy, dx), strict-less
+    running min (ties keep the earlier candidate).
+    """
+    r = _inter.ME_RANGE
+    h, w = orig.shape
+    nby, nbx = h // s, w // s
+    o = orig.astype(np.int64)
+    refp = np.pad(ref, r, mode="edge").astype(np.int64)
+    best_cost = np.full((nby, nbx), np.iinfo(np.int64).max, np.int64)
+    best_dy = np.zeros((nby, nbx), np.int32)
+    best_dx = np.zeros((nby, nbx), np.int32)
+    for dy in range(-r, r + 1):
+        for dx in range(-r, r + 1):
+            d = np.abs(o - refp[r + dy:r + dy + h, r + dx:r + dx + w])
+            sad = d.reshape(nby, s, nbx, s).sum(axis=(1, 3))
+            cost = (sad << 8) + lam * _inter.mv_bits_est(dx, dy)
+            better = cost < best_cost
+            best_cost = np.where(better, cost, best_cost)
+            best_dy = np.where(better, dy, best_dy)
+            best_dx = np.where(better, dx, best_dx)
+    return best_cost, np.stack([best_dx, best_dy], axis=-1)
+
+
+def decide_frame_p(orig_y: np.ndarray, ref_y: np.ndarray, qp: int,
+                   bit_depth: int = rom.BIT_DEPTH) -> FrameDecisions:
+    """Decisions for a P frame: per-size intra-vs-inter, then QT bottom-up."""
+    h, w = orig_y.shape
+    lam = lambda_satd_fp(qp)
+    dec = FrameDecisions.empty(h, w)
+
+    size_data = {}
+    for s in (8, 16, 32):
+        nby, nbx = h // s, w // s
+        icost = np.zeros((nby, nbx), np.int64)
+        imode = np.zeros((nby, nbx), np.int32)
+        for by in range(nby):
+            for bx in range(nbx):
+                c = _mode_costs_for_block(orig_y, bx * s, by * s, s, lam,
+                                          bit_depth)
+                imode[by, bx] = int(np.argmin(c))
+                icost[by, bx] = int(c.min())
+        mcost, mv = me_size_pass(orig_y, ref_y, s, lam)
+        use_inter = mcost < icost
+        cost = np.where(use_inter, mcost, icost)
+        size_data[s] = (cost, imode, use_inter, mv)
+
+    cost8, imode8, inter8, mv8 = size_data[8]
+    cost16, imode16, inter16, mv16 = size_data[16]
+    cost32, imode32, inter32, mv32 = size_data[32]
+    n16y, n16x = h // 16, w // 16
+    n32y, n32x = h // 32, w // 32
+    sum8 = (cost8.reshape(n16y, 2, n16x, 2).sum(axis=(1, 3))
+            + (4 * SPLIT_BITS) * lam)
+    split16 = sum8 < cost16
+    c16 = np.where(split16, sum8, cost16)
+    sum16 = (c16.reshape(n32y, 2, n32x, 2).sum(axis=(1, 3))
+             + (4 * SPLIT_BITS) * lam)
+    split32 = sum16 < cost32
+    dec.split32[:] = split32.astype(np.uint8)
+    dec.split16[:] = (split16
+                      & np.kron(split32, np.ones((2, 2), bool))).astype(
+                          np.uint8)
+
+    def up(a, f):
+        return np.kron(a, np.ones((f, f), a.dtype))
+
+    use16 = up(split32.astype(np.uint8), 4).astype(bool)
+    use8 = up(dec.split16, 2).astype(bool)
+    mode = up(imode32, 4)
+    mode = np.where(use16, up(imode16, 2), mode)
+    mode = np.where(use8, imode8, mode)
+    itf = up(inter32.astype(np.uint8), 4).astype(bool)
+    itf = np.where(use16, up(inter16.astype(np.uint8), 2).astype(bool), itf)
+    itf = np.where(use8, inter8, itf)
+    mvx = up(mv32[..., 0], 4)
+    mvy = up(mv32[..., 1], 4)
+    mvx = np.where(use16, up(mv16[..., 0], 2), mvx)
+    mvy = np.where(use16, up(mv16[..., 1], 2), mvy)
+    mvx = np.where(use8, mv8[..., 0], mvx)
+    mvy = np.where(use8, mv8[..., 1], mvy)
+
+    dec.inter8[:] = itf.astype(np.uint8)
+    dec.modes8[:] = np.where(itf, 0, mode)
+    dec.mv8[..., 0] = np.where(itf, mvx << 4, 0)   # to 1/16-pel units
+    dec.mv8[..., 1] = np.where(itf, mvy << 4, 0)
+    return dec

@@ -23,6 +23,7 @@ class EncoderConfig:
     ctu: int = 64
     deblock: bool = True
     sao: bool = True
+    intra_period: int = 1   # 1 = all-intra; 0 = first frame only; N = every N
 
     def make_sps(self, width: int, height: int) -> hls.SPS:
         pw = -(-width // self.ctu) * self.ctu
@@ -46,18 +47,30 @@ def encode_sequence(frames: list[list[np.ndarray]], cfg: EncoderConfig,
             bs.NalUnit(bs.NAL_PPS, pps.write())]
     recons = []
     bits = []
+    dpb = None   # previous filtered recon (padded planes)
     for poc, planes in enumerate(frames):
-        if decisions_fn is None:
+        ip = cfg.intra_period
+        is_intra = poc == 0 or (ip == 1) or (ip > 1 and poc % ip == 0)
+        if decisions_fn is not None:
+            dec = decisions_fn(poc, planes, sps, cfg)
+        elif is_intra:
             padded_y = codec.pad_planes(planes, sps)[0]
             dec = decide.decide_frame(padded_y, cfg.qp, cfg.bit_depth)
         else:
-            dec = decisions_fn(poc, planes, sps, cfg)
+            padded_y = codec.pad_planes(planes, sps)[0]
+            dec = decide.decide_frame_p(padded_y, dpb[0], cfg.qp,
+                                        cfg.bit_depth)
         if decisions_out is not None:
             decisions_out.append(dec)
-        sh = hls.SliceHeader(poc=poc)
-        payload, recon = codec.encode_frame(planes, sps, pps, sh, dec)
+        sh = hls.SliceHeader(
+            poc=poc,
+            slice_type=hls.SLICE_I if is_intra else hls.SLICE_P)
+        payload, recon = codec.encode_frame(
+            planes, sps, pps, sh, dec, refs=None if is_intra else dpb)
+        dpb = recon
         cropped = codec.crop_planes(recon, sps)
-        nals.append(bs.NalUnit(bs.NAL_IDR_N_LP, payload))
+        nals.append(bs.NalUnit(
+            bs.NAL_IDR_N_LP if is_intra else bs.NAL_TRAIL, payload))
         nals.append(bs.NalUnit(
             bs.NAL_SUFFIX_SEI,
             hls.write_pic_hash_sei(cropped, cfg.bit_depth)))
@@ -72,6 +85,7 @@ def decode_sequence(data: bytes, check_hash: bool = True):
     pps_map: dict[int, hls.PPS] = {}
     frames = []
     pending = None  # last decoded (cropped) frame awaiting its hash SEI
+    dpb = None
     for nal in bs.read_annexb(data):
         if nal.nal_type == bs.NAL_SPS:
             sps = hls.SPS.read(nal.payload)
@@ -80,7 +94,9 @@ def decode_sequence(data: bytes, check_hash: bool = True):
             pps_map[p.pps_id] = p
         elif nal.nal_type in (bs.NAL_IDR_N_LP, bs.NAL_IDR_W_RADL,
                               bs.NAL_TRAIL, bs.NAL_CRA):
-            recon, sh, _ = codec.decode_frame(nal.payload, sps, pps_map)
+            recon, sh, _ = codec.decode_frame(nal.payload, sps, pps_map,
+                                              refs=dpb)
+            dpb = recon
             pending = codec.crop_planes(recon, sps)
             frames.append(pending)
         elif nal.nal_type == bs.NAL_SUFFIX_SEI and check_hash:
