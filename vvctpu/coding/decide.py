@@ -131,9 +131,13 @@ def decide_frame_p(orig_y: np.ndarray, ref_y: np.ndarray, qp: int,
                    np.int32)
     buf[1:h + 1, 1:w + 1] = orig_y
     jbuf = jnp.asarray(buf)
+    from ..spec.inter import REF_MARGIN
     refp = np.pad(ref_y.astype(np.int32), ME_RANGE, mode="edge")
     memaps = jme.me_pass(jnp.asarray(orig_y, jnp.int32), jnp.asarray(refp),
                          np.int64(lam), frame_w=w, frame_h=h)
+    refp80 = jnp.asarray(np.pad(ref_y.astype(np.int32), REF_MARGIN,
+                                mode="edge"))
+    jorig = jnp.asarray(orig_y, jnp.int32)
 
     size_data = {}
     for s in (8, 16, 32):
@@ -141,11 +145,14 @@ def decide_frame_p(orig_y: np.ndarray, ref_y: np.ndarray, qp: int,
                                  frame_h=h, bd=bd)
         icost = np.asarray(icost).astype(np.int64)
         imode = np.asarray(imode)
-        mcost = np.asarray(memaps[s][0])
-        mv = np.asarray(memaps[s][1])
-        use_inter = mcost < icost
-        cost = np.where(use_inter, mcost, icost)
-        size_data[s] = (cost, imode, use_inter, mv)
+        rcost, rmv = jme.refine_pass(jorig, refp80, memaps[s][1],
+                                     np.int32(lam), s=s, frame_w=w,
+                                     frame_h=h, bd=bd)
+        rcost = np.asarray(rcost).astype(np.int64)
+        rmv = np.asarray(rmv)
+        use_inter = rcost < icost
+        cost = np.where(use_inter, rcost, icost)
+        size_data[s] = (cost, imode, use_inter, rmv)
 
     dec = FrameDecisions.empty(h, w)
     cost8, imode8, inter8, mv8 = size_data[8]
@@ -184,6 +191,6 @@ def decide_frame_p(orig_y: np.ndarray, ref_y: np.ndarray, qp: int,
     mvy = np.where(use8, mv8[..., 1], mvy)
     dec.inter8[:] = itf.astype(np.uint8)
     dec.modes8[:] = np.where(itf, 0, mode)
-    dec.mv8[..., 0] = np.where(itf, mvx << 4, 0)
-    dec.mv8[..., 1] = np.where(itf, mvy << 4, 0)
+    dec.mv8[..., 0] = np.where(itf, mvx, 0)   # already 1/16-pel
+    dec.mv8[..., 1] = np.where(itf, mvy, 0)
     return dec

@@ -76,3 +76,56 @@ def me_pass(orig, refp, lam, *, frame_w: int, frame_h: int):
     carry, _ = jax.lax.scan(body, carry0, offs)
     return {s: (carry[i][0], jnp.stack([carry[i][1], carry[i][2]], -1))
             for i, s in enumerate((8, 16, 32))}
+
+
+def _bitlen(v):
+    """Threshold-sum integer bit length (== spec.inter.bitlen_int)."""
+    v = jnp.abs(v)
+    return sum((v >= (1 << k)).astype(jnp.int32) for k in range(15))
+
+
+def _mv_bits_q(mvx_q, mvy_q):
+    return 2 + 2 * _bitlen(mvx_q) + 2 * _bitlen(mvy_q)
+
+
+@functools.partial(jax.jit, static_argnames=("s", "frame_w", "frame_h",
+                                             "bd"))
+def refine_pass(orig, refp_margin, int_mv, lam, *, s: int, frame_w: int,
+                frame_h: int, bd: int = 8):
+    """Half/quarter-pel refinement (twin of spec refine_size_pass).
+
+    refp_margin: REF_MARGIN-padded reference; int_mv: (nby, nbx, 2) int.
+    Returns (cost int32, mv_1_16 int32 (nby, nbx, 2))."""
+    from ..kernels import mc as jmc
+    from ..spec.inter import (MV_FRAC_BITS, REFINE_HALF, REFINE_QUARTER)
+    h, w = frame_h, frame_w
+    nby, nbx = h // s, w // s
+    xs = jnp.arange(nbx, dtype=jnp.int32) * s
+    ys = jnp.arange(nby, dtype=jnp.int32) * s
+    gx, gy = jnp.meshgrid(xs, ys)
+    coords = jnp.stack([gx.ravel(), gy.ravel()], axis=1)
+    lam = jnp.asarray(lam, jnp.int32)
+    orig = orig.astype(jnp.int32)
+
+    best_mv = (int_mv.reshape(-1, 2) << MV_FRAC_BITS).astype(jnp.int32)
+
+    def block_cost(xy, mvx, mvy):
+        pred = jmc.mc_luma_block(refp_margin, xy[0], xy[1], s, mvx, mvy, bd)
+        blk = jax.lax.dynamic_slice(orig, (xy[1], xy[0]), (s, s))
+        sad = jnp.abs(blk - pred).sum()
+        return (sad << 8) + lam * _mv_bits_q(mvx >> 2, mvy >> 2)
+
+    for deltas in (REFINE_HALF, REFINE_QUARTER):
+        cost = jnp.full((nby * nbx,), I32MAX, jnp.int32)
+        nxt = best_mv
+        for ddx, ddy in deltas:
+            c = jax.vmap(block_cost)(coords, best_mv[:, 0] + ddx,
+                                     best_mv[:, 1] + ddy)
+            better = c < cost
+            cost = jnp.where(better, c, cost)
+            nxt = jnp.where(better[:, None],
+                            best_mv + jnp.asarray([ddx, ddy], jnp.int32),
+                            nxt)
+        best_mv = nxt
+    return (cost.reshape(nby, nbx),
+            best_mv.reshape(nby, nbx, 2))

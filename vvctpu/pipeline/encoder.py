@@ -39,10 +39,14 @@ def encode_sequence(frames, cfg: sseq.EncoderConfig, decisions_fn=None,
                                          cfg.bit_depth)
         if decisions_out is not None:
             decisions_out.append(dec)
-        slots = recon.make_slots(dec, sps.height, sps.width)
-        refs = recon.pad_refs(dpb) if not is_intra else {}
-        ref_kw = dict(zip(("ref_y", "ref_cb", "ref_cr"), refs)) \
-            if not is_intra else {}
+        if is_intra:
+            slots = recon.make_slots(dec, sps.height, sps.width)
+            ref_kw = {}
+        else:
+            slots, isl = recon.make_slots_split(dec, sps.height, sps.width)
+            refs = recon.pad_refs(dpb)
+            ref_kw = dict(ref_y=refs[0], ref_cb=refs[1], ref_cr=refs[2],
+                          inter8=isl[8], inter16=isl[16], inter32=isl[32])
         ry, rcb, rcr, ly, lcb, lcr = recon.frame_scan(
             slots, padded[0], padded[1], padded[2], frame_w=sps.width,
             frame_h=sps.height, qp=cfg.qp, bd=cfg.bit_depth, encode=True,
@@ -94,8 +98,15 @@ def decode_sequence(data: bytes, check_hash: bool = True):
             qp = pps_map[sh.pps_id].init_qp + sh.qp_delta
             slots = recon.make_slots(dec, sps.height, sps.width)
             is_p = sh.slice_type != hls.SLICE_I
-            ref_kw = dict(zip(("ref_y", "ref_cb", "ref_cr"),
-                              recon.pad_refs(dpb))) if is_p else {}
+            if is_p:
+                slots, isl = recon.make_slots_split(dec, sps.height,
+                                                    sps.width)
+                refs = recon.pad_refs(dpb)
+                ref_kw = dict(ref_y=refs[0], ref_cb=refs[1],
+                              ref_cr=refs[2], inter8=isl[8],
+                              inter16=isl[16], inter32=isl[32])
+            else:
+                ref_kw = {}
             ry, rcb, rcr, *_ = recon.frame_scan(
                 slots, levels[0], levels[1], levels[2], frame_w=sps.width,
                 frame_h=sps.height, qp=qp, bd=sps.bit_depth, encode=False,

@@ -83,13 +83,65 @@ def _make_leaf_fn(s: int, inter: bool, *, frame_w: int, frame_h: int,
     return leaf
 
 
+def _inter_batch_pass(carry, ib_slots, refs, s: int, qp, bd: int,
+                      encode: bool, frame_w: int, frame_h: int):
+    """Phase A: all inter s-leaves at once (no intra-frame dependency).
+
+    ib_slots: (B, 4) int32 [x, y, mvx, mvy]; invalid rows have x = y = 2^20
+    (positive out-of-bounds: their scatter indices are dropped)."""
+    (by, bcb, bcr, ly, lcb, lcr, sy, scb, scr) = carry
+    cs = s // 2
+
+    def one(slot):
+        x, y, mvx, mvy = slot[0], slot[1], slot[2], slot[3]
+        pred_y = mc.mc_luma_block(refs[0], x, y, s, mvx, mvy, bd)
+        pred_cb = mc.mc_chroma_block(refs[1], x // 2, y // 2, cs, mvx, mvy,
+                                     bd)
+        pred_cr = mc.mc_chroma_block(refs[2], x // 2, y // 2, cs, mvx, mvy,
+                                     bd)
+
+        def comp(src, pred, cx, cy, sz):
+            if encode:
+                blk = jax.lax.dynamic_slice(src, (cy, cx),
+                                            (sz, sz)).astype(jnp.int32)
+                coef = transform.forward_transform(blk - pred, sz, sz, bd=bd)
+                lev = transform.quantize(coef, sz, sz, qp, intra=True, bd=bd)
+            else:
+                lev = jax.lax.dynamic_slice(src, (cy, cx), (sz, sz))
+            rec = transform.reconstruct(pred, lev, sz, sz, qp, bd=bd)
+            return rec, lev
+
+        ry, lvy = comp(sy, pred_y, x, y, s)
+        rcb, lvcb = comp(scb, pred_cb, x // 2, y // 2, cs)
+        rcr, lvcr = comp(scr, pred_cr, x // 2, y // 2, cs)
+        return ry, rcb, rcr, lvy, lvcb, lvcr
+
+    ry, rcb, rcr, lvy, lvcb, lvcr = jax.vmap(one)(ib_slots)
+
+    def scatter(buf, blocks, xs0, ys0, sz, off):
+        b = blocks.shape[0]
+        yy = ys0[:, None, None] + off + jnp.arange(sz)[None, :, None]
+        xx = xs0[:, None, None] + off + jnp.arange(sz)[None, None, :]
+        return buf.at[yy, xx].set(blocks, mode="drop")
+
+    xs, ys = ib_slots[:, 0], ib_slots[:, 1]
+    by = scatter(by, ry, xs, ys, s, 1)
+    bcb = scatter(bcb, rcb, xs // 2, ys // 2, cs, 1)
+    bcr = scatter(bcr, rcr, xs // 2, ys // 2, cs, 1)
+    if encode:
+        ly = scatter(ly, lvy, xs, ys, s, 0)
+        lcb = scatter(lcb, lvcb, xs // 2, ys // 2, cs, 0)
+        lcr = scatter(lcr, lvcr, xs // 2, ys // 2, cs, 0)
+    return (by, bcb, bcr, ly, lcb, lcr, sy, scb, scr)
+
+
 @functools.partial(jax.jit,
                    static_argnames=("frame_w", "frame_h", "bd", "encode",
                                     "inter_enabled"))
 def frame_scan(slots, planes_y, planes_cb, planes_cr, *, frame_w: int,
                frame_h: int, qp, bd: int, encode: bool,
                inter_enabled: bool = False, ref_y=None, ref_cb=None,
-               ref_cr=None):
+               ref_cr=None, inter8=None, inter16=None, inter32=None):
     """Run the full-frame reconstruction scan.
 
     slots: (N, 6) int32 [op, x, y, mode, mvx, mvy] in coding order; op 0 =
@@ -112,19 +164,22 @@ def frame_scan(slots, planes_y, planes_cb, planes_cr, *, frame_w: int,
              planes_cr.astype(jnp.int32))
 
     refs = (ref_y, ref_cb, ref_cr)
+    if inter_enabled:
+        # phase A: every inter leaf at once (no intra-frame dependency)
+        for s_sz, ib in ((8, inter8), (16, inter16), (32, inter32)):
+            carry = _inter_batch_pass(carry, ib, refs, s_sz, qp, bd, encode,
+                                      frame_w, frame_h)
+
+    # phase B: intra leaves in coding order (inter slots are op=0 skips)
     kw = dict(frame_w=frame_w, frame_h=frame_h, n_ctu_x=n_ctu_x, qp=qp,
               bd=bd, encode=encode, refs=refs)
     branches = [lambda c, x, y, m, vx, vy: c,
                 _make_leaf_fn(8, False, **kw), _make_leaf_fn(16, False, **kw),
                 _make_leaf_fn(32, False, **kw)]
-    if inter_enabled:
-        branches += [_make_leaf_fn(8, True, **kw),
-                     _make_leaf_fn(16, True, **kw),
-                     _make_leaf_fn(32, True, **kw)]
 
     def step(carry, slot):
         return jax.lax.switch(
-            jnp.minimum(slot[0], len(branches) - 1), branches, carry,
+            jnp.minimum(slot[0], 3), branches, carry,
             slot[1], slot[2], slot[3], slot[4], slot[5]), None
 
     carry, _ = jax.lax.scan(step, carry, slots)
@@ -137,6 +192,31 @@ def frame_scan(slots, planes_y, planes_cb, planes_cr, *, frame_w: int,
 def make_slots(dec: FrameDecisions, frame_h: int, frame_w: int) -> np.ndarray:
     op, xs, ys, modes, mvx, mvy = planmod.leaf_plan(dec, frame_h, frame_w)
     return np.stack([op, xs, ys, modes, mvx, mvy], axis=1).astype(np.int32)
+
+
+def make_slots_split(dec: FrameDecisions, frame_h: int, frame_w: int):
+    """(scan_slots, {8/16/32: inter_slot_arrays}) — inter leaves pulled out
+    of the sequential scan (op -> skip) into fixed-capacity per-size batches
+    for the phase-A pass.  Invalid rows use x = y = 2^20 (positive
+    out-of-bounds; scatter-dropped, gathers clamp)."""
+    slots = make_slots(dec, frame_h, frame_w)
+    inter = {}
+    for i, s in enumerate((8, 16, 32)):
+        opv = i + 4
+        cap = (frame_h // s) * (frame_w // s)
+        # dummy coordinate must be positive-out-of-bounds: jnp .at[] wraps
+        # negative indices instead of dropping them
+        arr = np.full((cap, 4), 1 << 20, np.int32)
+        rows = slots[slots[:, 0] == opv]
+        arr[:len(rows), 0] = rows[:, 1]
+        arr[:len(rows), 1] = rows[:, 2]
+        arr[:len(rows), 2] = rows[:, 4]
+        arr[:len(rows), 3] = rows[:, 5]
+        arr[len(rows):, 2:] = 0
+        inter[s] = arr
+    scan_slots = slots.copy()
+    scan_slots[scan_slots[:, 0] > 3, 0] = 0
+    return scan_slots, inter
 
 
 def pad_refs(rec_planes):

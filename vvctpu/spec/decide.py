@@ -193,9 +193,11 @@ def decide_frame_p(orig_y: np.ndarray, ref_y: np.ndarray, qp: int,
                 imode[by, bx] = int(np.argmin(c))
                 icost[by, bx] = int(c.min())
         mcost, mv = me_size_pass(orig_y, ref_y, s, lam)
-        use_inter = mcost < icost
-        cost = np.where(use_inter, mcost, icost)
-        size_data[s] = (cost, imode, use_inter, mv)
+        refp = _inter.pad_reference(ref_y)
+        rcost, rmv = refine_size_pass(orig_y, refp, mv, s, lam)
+        use_inter = rcost < icost
+        cost = np.where(use_inter, rcost, icost)
+        size_data[s] = (cost, imode, use_inter, rmv)
 
     cost8, imode8, inter8, mv8 = size_data[8]
     cost16, imode16, inter16, mv16 = size_data[16]
@@ -234,6 +236,43 @@ def decide_frame_p(orig_y: np.ndarray, ref_y: np.ndarray, qp: int,
 
     dec.inter8[:] = itf.astype(np.uint8)
     dec.modes8[:] = np.where(itf, 0, mode)
-    dec.mv8[..., 0] = np.where(itf, mvx << 4, 0)   # to 1/16-pel units
-    dec.mv8[..., 1] = np.where(itf, mvy << 4, 0)
+    dec.mv8[..., 0] = np.where(itf, mvx, 0)   # already 1/16-pel
+    dec.mv8[..., 1] = np.where(itf, mvy, 0)
     return dec
+
+
+def refine_size_pass(orig: np.ndarray, refp: np.ndarray, int_mv: np.ndarray,
+                     s: int, lam: int):
+    """Half- then quarter-pel refinement around the integer-ME winner.
+
+    refp: REF_MARGIN-padded reference; int_mv: (nby, nbx, 2) integer-pel.
+    Returns (cost, mv_1_16) with cost = (SAD << 8) + lam * mv_bits_q.
+    Numpy reference of coding/me.py refine_pass (bit-identical)."""
+    h, w = orig.shape
+    nby, nbx = h // s, w // s
+    o = orig.astype(np.int64)
+    best_mv = (int_mv.astype(np.int64) << _inter.MV_FRAC_BITS)
+    for deltas in (_inter.REFINE_HALF, _inter.REFINE_QUARTER):
+        cost = np.full((nby, nbx), np.iinfo(np.int64).max, np.int64)
+        nxt = best_mv.copy()
+        for ddx, ddy in deltas:
+            c = np.empty((nby, nbx), np.int64)
+            for by in range(nby):
+                for bx in range(nbx):
+                    mvx = int(best_mv[by, bx, 0]) + ddx
+                    mvy = int(best_mv[by, bx, 1]) + ddy
+                    pred = _inter.mc_luma(refp, bx * s, by * s, s, s, mvx,
+                                          mvy)
+                    sad = int(np.abs(o[by * s:(by + 1) * s,
+                                      bx * s:(bx + 1) * s] - pred).sum())
+                    c[by, bx] = ((sad << 8)
+                                 + lam * _inter.mv_bits_q(mvx >> 2,
+                                                          mvy >> 2))
+            better = c < cost
+            cost = np.where(better, c, cost)
+            nxt[..., 0] = np.where(better, best_mv[..., 0] + ddx,
+                                   nxt[..., 0])
+            nxt[..., 1] = np.where(better, best_mv[..., 1] + ddy,
+                                   nxt[..., 1])
+        best_mv = nxt
+    return cost, best_mv.astype(np.int32)

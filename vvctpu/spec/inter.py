@@ -153,3 +153,23 @@ def mv_bits_est(mvx_q: int, mvy_q: int) -> int:
     would be <<2; we store 1/16)."""
     return (2 + abs(mvx_q).bit_length() * 2
             + abs(mvy_q).bit_length() * 2)
+
+
+def bitlen_int(v: int) -> int:
+    """Integer bit length via threshold sums — identical formula to the JAX
+    engine (no .bit_length(), so both sides agree exactly)."""
+    v = abs(int(v))
+    return sum(1 for k in range(15) if v >= (1 << k))
+
+
+def mv_bits_q(mvx_q: int, mvy_q: int) -> int:
+    """Decision-time rate of a quarter-pel MV."""
+    return 2 + 2 * bitlen_int(mvx_q) + 2 * bitlen_int(mvy_q)
+
+
+# half-pel then quarter-pel refinement deltas in 1/16-pel units; centre
+# first so strict-less running min prefers the unrefined vector on ties
+REFINE_HALF = [(0, 0), (-8, 0), (8, 0), (0, -8), (0, 8),
+               (-8, -8), (8, -8), (-8, 8), (8, 8)]
+REFINE_QUARTER = [(0, 0), (-4, 0), (4, 0), (0, -4), (0, 4),
+                  (-4, -4), (4, -4), (-4, 4), (4, 4)]
