@@ -219,3 +219,72 @@ int32_t vvc_dec_terminate(Dec *d)
 }
 
 int64_t vvc_dec_sizeof(void) { return (int64_t)sizeof(Dec); }
+
+/* WPP variant: identical packing, but copies the context state into
+ * (snap_p0, snap_p1) after consuming `snap_idx` bins — the CABAC context
+ * inheritance point (state after the first CTU of the row) that seeds the
+ * next wavefront row's lane. */
+int64_t vvc_pack_bins_snap(const int32_t *kinds, const int32_t *ctxs,
+                           const int32_t *bins, int64_t n,
+                           int32_t *p0, int32_t *p1,
+                           const int32_t *sh0, const int32_t *sh1,
+                           int64_t snap_idx, int32_t nctx,
+                           int32_t *snap_p0, int32_t *snap_p1,
+                           uint8_t *out, int64_t out_cap)
+{
+    Enc e = { out, 0, 0, 9, 510, 0 };
+    for (int64_t i = 0; i < n; i++) {
+        int32_t b = bins[i];
+        int k = kinds[i];
+        if (k == 0) {
+            int32_t c = ctxs[i];
+            int32_t p = (p0[c] << 4) + p1[c];
+            int32_t mps = p >> 14;
+            int32_t q = p < 16384 ? p : 32767 - p;
+            uint32_t lps = (((e.range >> 5) * (uint32_t)(q >> 9)) >> 1) + 4;
+            e.range -= lps;
+            if (b != mps) {
+                add_low(&e, e.range);
+                e.range = lps;
+            }
+            p0[c] = p0[c] - (p0[c] >> sh0[c]) + ((1023 * b) >> sh0[c]);
+            p1[c] = p1[c] - (p1[c] >> sh1[c]) + ((16383 * b) >> sh1[c]);
+            renorm(&e);
+        } else if (k == 1) {
+            e.low <<= 1;
+            e.wbits++;
+            e.nbits++;
+            if (b)
+                add_low(&e, e.range);
+            flush_window(&e);
+        } else {
+            e.range -= 2;
+            if (b) {
+                add_low(&e, e.range);
+                e.range = 2;
+            }
+            renorm(&e);
+        }
+        if (i + 1 == snap_idx) {
+            for (int32_t c = 0; c < nctx; c++) {
+                snap_p0[c] = p0[c];
+                snap_p1[c] = p1[c];
+            }
+        }
+        if (e.len + 16 > out_cap)
+            return -1;
+    }
+    {
+        int64_t total = 9 + e.nbits;
+        int pad = (int)((8 - (total & 7)) & 7);
+        e.low <<= pad;
+        e.wbits += pad;
+        while (e.wbits >= 8) {
+            int shift = e.wbits - 8;
+            e.buf[e.len++] = (uint8_t)((e.low >> shift) & 0xFF);
+            e.low &= (1u << shift) - 1u;
+            e.wbits -= 8;
+        }
+    }
+    return e.len;
+}

@@ -106,3 +106,27 @@ class TestYuvIO:
         back = yuv.read_yuv(str(p), 16, 16, bit_depth=10)
         for c in range(3):
             assert np.array_equal(back[0][c], f[c])
+
+
+class TestTracing:
+    def test_enc_dec_traces_identical(self, tmp_path):
+        from vvctpu.core import trace
+        planes = synth_frame(64, 64, seed=13)
+        ta, tb = str(tmp_path / "enc.trc"), str(tmp_path / "dec.trc")
+        trace.open_trace(ta)
+        data, _, _ = seq.encode_sequence([planes], seq.EncoderConfig(qp=32))
+        trace.close_trace()
+        trace.open_trace(tb)
+        seq.decode_sequence(data)
+        trace.close_trace()
+        assert trace.diff_traces(ta, tb) is None
+        assert open(ta).readline().startswith("D_")
+
+    def test_rule_filters(self, tmp_path):
+        from vvctpu.core import trace
+        planes = synth_frame(64, 64, seed=14)
+        tf = str(tmp_path / "f.trc")
+        trace.open_trace(tf, "D_MODE:poc==1")
+        seq.encode_sequence([planes], seq.EncoderConfig(qp=32))
+        trace.close_trace()
+        assert open(tf).read() == ""  # only poc 0 exists

@@ -28,7 +28,10 @@ def _enc(args) -> int:
         print("no frames read", file=sys.stderr)
         return 1
     cfg = seq.EncoderConfig(qp=args.qp, bit_depth=args.bit_depth,
-                            intra_period=args.intra_period)
+                            intra_period=args.intra_period, wpp=args.wpp)
+    if args.trace_file:
+        from .core import trace
+        trace.open_trace(args.trace_file, args.trace_rule)
     t0 = time.time()
     if args.engine == "jax":
         from .pipeline import encoder as jenc
@@ -60,6 +63,9 @@ def _enc(args) -> int:
 def _dec(args) -> int:
     from .io import yuv
     from .spec import sequence as seq
+    if args.trace_file:
+        from .core import trace
+        trace.open_trace(args.trace_file, args.trace_rule)
     with open(args.bitstream, "rb") as f:
         data = f.read()
     t0 = time.time()
@@ -89,7 +95,11 @@ def main(argv=None) -> int:
     e.add_argument("--ip", "--intra-period", dest="intra_period", type=int,
                    default=1, help="1 = all-intra, 0 = first frame only, "
                    "N = IDR every N frames")
+    e.add_argument("--wpp", action="store_true",
+                   help="wavefront entropy lanes (one per CTU row)")
     e.add_argument("--engine", choices=("spec", "jax"), default="spec")
+    e.add_argument("--trace-file", help="syntax trace output (dtrace equiv)")
+    e.add_argument("--trace-rule", default="D_SYNTAX,D_MODE,D_RESID:poc>=0")
     e.set_defaults(fn=_enc)
 
     d = sub.add_parser("decode", help="decode Annex-B bitstream to raw YUV")
@@ -97,6 +107,8 @@ def main(argv=None) -> int:
     d.add_argument("-o", "--output", required=True)
     d.add_argument("--no-hash", action="store_true",
                    help="skip decoded-picture-hash verification")
+    d.add_argument("--trace-file", help="syntax trace output (dtrace equiv)")
+    d.add_argument("--trace-rule", default="D_SYNTAX,D_MODE,D_RESID:poc>=0")
     d.set_defaults(fn=_dec)
 
     args = ap.parse_args(argv)

@@ -105,3 +105,33 @@ class NativeDecoder:
 
     def terminate(self) -> int:
         return int(self.lib.vvc_dec_terminate(self._dec))
+
+
+def pack_bins_state(arr: np.ndarray, st, snap_idx: int = -1):
+    """Pack with an explicit CtxState (mutated in place).  Returns
+    (payload_bytes, (snap_p0, snap_p1) | None) — snapshot taken after
+    consuming ``snap_idx`` bins (WPP context inheritance)."""
+    lib = _load()
+    lib2 = getattr(lib, "vvc_pack_bins_snap", None)
+    kinds = np.ascontiguousarray(arr[:, 0])
+    ctxs = np.ascontiguousarray(arr[:, 1])
+    bins = np.ascontiguousarray(arr[:, 2])
+    n = len(arr)
+    out = np.zeros(n + 4096, np.uint8)
+    nctx = len(st.p0)
+    sp0 = np.zeros(nctx, np.int32)
+    sp1 = np.zeros(nctx, np.int32)
+    if lib2 is None:
+        raise RuntimeError("rebuild native lib for WPP support")
+    lib2.restype = ctypes.c_int64
+    wrote = lib2(
+        _i32p(kinds), _i32p(ctxs), _i32p(bins), ctypes.c_int64(n),
+        _i32p(st.p0), _i32p(st.p1), _i32p(st.sh0), _i32p(st.sh1),
+        ctypes.c_int64(snap_idx), ctypes.c_int32(nctx),
+        _i32p(sp0), _i32p(sp1),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.c_int64(len(out)))
+    if wrote < 0:
+        raise RuntimeError("native packer overflow")
+    snap = (sp0, sp1) if snap_idx >= 0 else None
+    return out[:wrote].tobytes(), snap

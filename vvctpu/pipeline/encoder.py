@@ -20,7 +20,7 @@ def encode_sequence(frames, cfg: sseq.EncoderConfig, decisions_fn=None,
                     decisions_out=None):
     h, w = frames[0][0].shape
     sps = cfg.make_sps(w, h)
-    pps = hls.PPS(init_qp=cfg.qp)
+    pps = hls.PPS(init_qp=cfg.qp, entropy_sync=cfg.wpp)
     nals = [bs.NalUnit(bs.NAL_SPS, sps.write()),
             bs.NalUnit(bs.NAL_PPS, pps.write())]
     recons, bits = [], []

@@ -20,6 +20,7 @@ from ..cabac import contexts as C
 from ..cabac.engine import CabacDecoder, CabacEncoder
 from ..core import bitstream as bs
 from ..core import rom
+from ..core import trace
 from ..spec import hls, intra
 from ..spec.codec import MID_SIZE, MIN_LEAF, FrameDecisions
 from ..spec.residual import DecIO, EncIO, code_tb
@@ -129,10 +130,12 @@ class _Walker:
             if cbf:
                 lev = code_tb(io, None, _log2(s), _log2(s), is_chroma)
                 plane[y:y + s, x:x + s] = lev
+            trace.t_cbf(comp, x, y, s, cbf)
         else:
             lev = plane[y:y + s, x:x + s]
             cbf = int(lev.any())
             io.bin(cbf_ctx, cbf)
+            trace.t_cbf(comp, x, y, s, cbf)
             if cbf:
                 if self.sink is not None:
                     binarize.tb_bins(self.sink, lev, _log2(s), _log2(s),
@@ -161,6 +164,7 @@ class _Walker:
             io.byp(idx)
             _code_mvd_comp(io, (mv[0] - cands[idx][0]) >> 2)
             _code_mvd_comp(io, (mv[1] - cands[idx][1]) >> 2)
+        trace.t_leaf_inter(x, y, s, mv)
         self.inter_map[y // 8:(y + s) // 8, x // 8:(x + s) // 8] = True
         self.mv_map[y // 8:(y + s) // 8, x // 8:(x + s) // 8] = mv
 
@@ -175,7 +179,8 @@ class _Walker:
         if is_inter:
             self._code_inter(x, y, s)
         else:
-            self._code_mode(x, y, s)
+            mode = self._code_mode(x, y, s)
+            trace.t_leaf_intra(x, y, s, mode)
         self._code_component(0, x, y, s, C.CBF_LUMA(0))
         cs, cx, cy = s // 2, x // 2, y // 2
         self._code_component(1, cx, cy, cs, C.CBF_CB(0))
@@ -192,6 +197,7 @@ class _Walker:
             else:
                 split = int(tgt[y // s, x // s])
                 io.bin(ctx, split)
+            trace.t_split(x, y, s, split)
             if split:
                 h = s // 2
                 for dy in (0, h):
@@ -212,6 +218,138 @@ class _Walker:
                 terminate_fn(False)
 
 
+def _pack_row(arr, st, snap_idx):
+    """Pack one substream with explicit ctx state; python fallback mirrors
+    the native snapshot packer byte-for-byte."""
+    from ..cabac import native as cnative
+    from ..cabac.engine import CabacEncoder
+    if cnative.available():
+        return cnative.pack_bins_state(arr, st, snap_idx)
+    enc = CabacEncoder(st)
+    snap = None
+    for i, (kind, ctx, b) in enumerate(arr):
+        if kind == binarize.KIND_CTX:
+            enc.bin(int(ctx), int(b))
+        elif kind == binarize.KIND_BYP:
+            enc.bypass(int(b))
+        else:
+            enc.terminate(int(b))
+        if i + 1 == snap_idx:
+            snap = (st.p0.copy(), st.p1.copy())
+    return enc.finish(), snap
+
+
+def _seed_state(slice_type, qp, snap):
+    st = C.make_ctx_state(slice_type, qp)
+    if snap is not None:
+        st.p0[:] = snap[0]
+        st.p1[:] = snap[1]
+    return st
+
+
+def encode_frame_syntax_wpp(sps: hls.SPS, pps: hls.PPS, sh: hls.SliceHeader,
+                            dec: FrameDecisions, levels,
+                            sao_params=None) -> bytes:
+    """WPP: one CABAC lane per CTU row; row r inherits the context state
+    saved after the first CTU of row r-1; entry-point offsets follow the
+    slice header (VTM:EncoderLib/EncSlice.cpp substream handling)."""
+    from ..spec import sao as saomod
+    qp = pps.init_qp + sh.qp_delta
+    ctu = 1 << sps.log2_ctu
+    n_x, n_y = sps.width // ctu, sps.height // ctu
+    is_p = sh.slice_type != hls.SLICE_I
+
+    rows = []          # (bin_array, first_ctu_end_index)
+    sink = binarize.BinSink()
+    walker = _Walker(sps, dec, levels, RecordIO(sink), sink=sink, is_p=is_p)
+    for iy in range(n_y):
+        first_end = None
+        for ix in range(n_x):
+            for dy2 in range(0, ctu, MID_SIZE):
+                for dx2 in range(0, ctu, MID_SIZE):
+                    walker._code_qt(ix * ctu + dx2, iy * ctu + dy2,
+                                    MID_SIZE, 1)
+            if ix == 0:
+                first_end = len(sink.concat())
+        if iy == n_y - 1 and sao_params is not None:
+            saomod.code_sao_params(walker.io, sao_params, n_y, n_x)
+        sink.term(1)
+        rows.append((sink.concat(), first_end))
+        sink = binarize.BinSink()
+        walker.sink = sink
+        walker.io = RecordIO(sink)
+
+    payloads = []
+    snap = None
+    for iy, (arr, first_end) in enumerate(rows):
+        st = _seed_state(sh.slice_type, qp, snap)
+        data, snap = _pack_row(arr, st, first_end)
+        payloads.append(data)
+
+    w = sh.write()
+    ep = bs.BitWriter()
+    ep.ue(n_y)
+    for pl in payloads[:-1]:
+        ep.ue(len(pl))
+    ep.byte_align()
+    w.write_bytes(ep.getvalue())
+    for pl in payloads:
+        w.write_bytes(pl)
+    return w.getvalue()
+
+
+def parse_frame_syntax_wpp(slice_rbsp: bytes, sps: hls.SPS,
+                           pps_map: dict[int, hls.PPS]):
+    from ..cabac import native as cnative
+    from ..spec import sao as saomod
+    r = bs.BitReader(slice_rbsp)
+    sh = hls.SliceHeader.read(r)
+    pps = pps_map[sh.pps_id]
+    qp = pps.init_qp + sh.qp_delta
+    ctu = 1 << sps.log2_ctu
+    n_x, n_y = sps.width // ctu, sps.height // ctu
+    n_rows = r.ue()
+    if n_rows != n_y:
+        raise ValueError("entry-point count mismatch")
+    lens = [r.ue() for _ in range(n_rows - 1)]
+    r.byte_align()
+    rest = r.remaining_bytes()
+    offs = [0]
+    for ln in lens:
+        offs.append(offs[-1] + ln)
+    subs = [rest[offs[i]:offs[i + 1]] if i + 1 < len(offs)
+            else rest[offs[i]:] for i in range(n_rows)]
+
+    decisions = FrameDecisions.empty(sps.height, sps.width)
+    levels = [np.zeros((sps.height, sps.width), np.int32),
+              np.zeros((sps.height // 2, sps.width // 2), np.int32),
+              np.zeros((sps.height // 2, sps.width // 2), np.int32)]
+    walker = _Walker(sps, decisions, levels, None,
+                     is_p=sh.slice_type != hls.SLICE_I)
+    sao_params = None
+    snap = None
+    for iy in range(n_y):
+        st = _seed_state(sh.slice_type, qp, snap)
+        if cnative.available():
+            cab = cnative.NativeDecoder(st, subs[iy])
+        else:
+            cab = CabacDecoder(st, subs[iy])
+        walker.io = DecIO(cab)
+        for ix in range(n_x):
+            for dy2 in range(0, ctu, MID_SIZE):
+                for dx2 in range(0, ctu, MID_SIZE):
+                    walker._code_qt(ix * ctu + dx2, iy * ctu + dy2,
+                                    MID_SIZE, 1)
+            if ix == 0:
+                snap = (st.p0.copy(), st.p1.copy())
+        if iy == n_y - 1 and sps.sao_enabled:
+            sao_params = saomod.code_sao_params(walker.io, None, n_y, n_x)
+        if cab.terminate() != 1:
+            raise ValueError("missing end_of_substream")
+    return sh, decisions, levels, sao_params
+
+
+
 def encode_frame_syntax(sps: hls.SPS, pps: hls.PPS, sh: hls.SliceHeader,
                         dec: FrameDecisions, levels,
                         sao_params=None, fast: bool = True) -> bytes:
@@ -220,6 +358,8 @@ def encode_frame_syntax(sps: hls.SPS, pps: hls.PPS, sh: hls.SliceHeader,
     qp = pps.init_qp + sh.qp_delta
     ctu = 1 << sps.log2_ctu
     n_x, n_y = sps.width // ctu, sps.height // ctu
+    if pps.entropy_sync and n_y > 1:
+        return encode_frame_syntax_wpp(sps, pps, sh, dec, levels, sao_params)
     is_p = sh.slice_type != hls.SLICE_I
     if fast:
         sink = binarize.BinSink()
@@ -265,7 +405,13 @@ def pack_bins(arr: np.ndarray, slice_type: int, qp: int) -> bytes:
 
 def parse_frame_syntax(slice_rbsp: bytes, sps: hls.SPS,
                        pps_map: dict[int, hls.PPS]):
-    """Returns (sh, decisions, [ly, lcb, lcr])."""
+    """Returns (sh, decisions, [ly, lcb, lcr], sao_params)."""
+    r0 = bs.BitReader(slice_rbsp)
+    sh0 = hls.SliceHeader.read(r0)
+    pps0 = pps_map[sh0.pps_id]
+    ctu0 = 1 << sps.log2_ctu
+    if pps0.entropy_sync and sps.height // ctu0 > 1:
+        return parse_frame_syntax_wpp(slice_rbsp, sps, pps_map)
     r = bs.BitReader(slice_rbsp)
     sh = hls.SliceHeader.read(r)
     pps = pps_map[sh.pps_id]

@@ -23,6 +23,7 @@ from ..cabac import contexts as C
 from ..cabac.engine import CabacDecoder, CabacEncoder
 from ..core import bitstream as bs
 from ..core import rom
+from ..core import trace
 from . import hls, intra, transform
 from .residual import DecIO, EncIO, code_tb
 
@@ -176,6 +177,7 @@ def _code_component(io, st: _FrameState, comp: int, x: int, y: int, s: int,
         io.bin(cbf_ctx, cbf)
         if cbf:
             code_tb(io, lev, _log2(s), _log2(s), is_chroma)
+    trace.t_cbf(comp, x, y, s, cbf)
     plane[y:y + s, x:x + s] = transform.reconstruct(pred, lev, qp,
                                                     bit_depth=bd)
     valid[y:y + s, x:x + s] = True
@@ -237,6 +239,7 @@ def _code_inter_leaf(io, st: _FrameState, x: int, y: int, s: int) -> None:
         _code_mvd_comp(io, (mv[0] - cands[idx][0]) >> 2)
         _code_mvd_comp(io, (mv[1] - cands[idx][1]) >> 2)
 
+    trace.t_leaf_inter(x, y, s, mv)
     bd = st.sps.bit_depth
     pred_y = imod.mc_luma(st.refs[0], x, y, s, s, mv[0], mv[1], bd)
     _code_component(io, st, 0, x, y, s, 0, C.CBF_LUMA(0), pred=pred_y)
@@ -260,6 +263,7 @@ def _code_leaf(io, st: _FrameState, x: int, y: int, s: int) -> None:
             _code_inter_leaf(io, st, x, y, s)
             return
     mode = _code_intra_mode(io, st, x, y, s)
+    trace.t_leaf_intra(x, y, s, mode)
     if io.decoding:
         st.dec.modes8[y // 8:(y + s) // 8, x // 8:(x + s) // 8] = mode
     _code_component(io, st, 0, x, y, s, mode, C.CBF_LUMA(0))
@@ -281,6 +285,7 @@ def _code_qt(io, st: _FrameState, x: int, y: int, s: int, depth: int) -> None:
             src_arr = st.dec.split32 if s == 32 else st.dec.split16
             split = int(src_arr[y // s, x // s])
             io.bin(ctx, split)
+        trace.t_split(x, y, s, split)
         if split:
             h = s // 2
             for dy in (0, h):
@@ -320,33 +325,84 @@ def crop_planes(planes: list[np.ndarray], sps: hls.SPS) -> list[np.ndarray]:
     return out
 
 
+def _seed_state(slice_type, qp, snap):
+    st = C.make_ctx_state(slice_type, qp)
+    if snap is not None:
+        st.p0[:] = snap[0]
+        st.p1[:] = snap[1]
+    return st
+
+
 def encode_frame(src_planes: list[np.ndarray], sps: hls.SPS, pps: hls.PPS,
                  sh: hls.SliceHeader, decisions: FrameDecisions, refs=None):
     """Returns (slice_rbsp, recon_planes [padded]).  refs: previous filtered
     recon [Y, Cb, Cr] (padded frame size) for P slices."""
     qp = pps.init_qp + sh.qp_delta
+    trace.set_poc(sh.poc)
     st = _FrameState.make(sps, qp, True, decisions,
                           pad_planes(src_planes, sps), refs)
-    enc = CabacEncoder(C.make_ctx_state(sh.slice_type, qp))
-    io = EncIO(enc)
     ctu = 1 << sps.log2_ctu
     n_x, n_y = sps.width // ctu, sps.height // ctu
+    wpp = pps.entropy_sync and n_y > 1
+
+    if not wpp:
+        enc = CabacEncoder(C.make_ctx_state(sh.slice_type, qp))
+        io = EncIO(enc)
+        for iy in range(n_y):
+            for ix in range(n_x):
+                _code_ctu(io, st, ix * ctu, iy * ctu)
+                enc.terminate(0)
+        recon = st.recon
+        if sps.deblock_enabled:
+            from . import deblock
+            recon = deblock.deblock_frame(recon, decisions, qp,
+                                          sps.bit_depth)
+        if sps.sao_enabled:
+            from . import sao
+            params = sao.decide_sao(st.src, recon, qp, ctu, sps.bit_depth)
+            sao.code_sao_params(io, params, n_y, n_x)
+            recon = sao.apply_sao(recon, params, ctu, sps.bit_depth)
+        enc.terminate(1)
+        w = sh.write()
+        w.write_bytes(enc.finish())
+        return w.getvalue(), recon
+
+    # WPP: one CABAC lane per CTU row, context inherited after the first
+    # CTU of the row above (SURVEY.md §2.10); reconstruction order is
+    # unchanged, only the entropy lanes restart.
+    payloads = []
+    snap = None
+    recon = None
     for iy in range(n_y):
+        enc = CabacEncoder(_seed_state(sh.slice_type, qp, snap))
+        io = EncIO(enc)
         for ix in range(n_x):
             _code_ctu(io, st, ix * ctu, iy * ctu)
-            enc.terminate(0)
-    recon = st.recon
-    if sps.deblock_enabled:
-        from . import deblock
-        recon = deblock.deblock_frame(recon, decisions, qp, sps.bit_depth)
-    if sps.sao_enabled:
-        from . import sao
-        params = sao.decide_sao(st.src, recon, qp, ctu, sps.bit_depth)
-        sao.code_sao_params(io, params, n_y, n_x)
-        recon = sao.apply_sao(recon, params, ctu, sps.bit_depth)
-    enc.terminate(1)
+            if ix == 0:
+                snap = (enc.ctx.p0.copy(), enc.ctx.p1.copy())
+        if iy == n_y - 1:
+            recon = st.recon
+            if sps.deblock_enabled:
+                from . import deblock
+                recon = deblock.deblock_frame(recon, decisions, qp,
+                                              sps.bit_depth)
+            if sps.sao_enabled:
+                from . import sao
+                params = sao.decide_sao(st.src, recon, qp, ctu,
+                                        sps.bit_depth)
+                sao.code_sao_params(io, params, n_y, n_x)
+                recon = sao.apply_sao(recon, params, ctu, sps.bit_depth)
+        enc.terminate(1)
+        payloads.append(enc.finish())
     w = sh.write()
-    w.write_bytes(enc.finish())
+    ep = bs.BitWriter()
+    ep.ue(n_y)
+    for pl in payloads[:-1]:
+        ep.ue(len(pl))
+    ep.byte_align()
+    w.write_bytes(ep.getvalue())
+    for pl in payloads:
+        w.write_bytes(pl)
     return w.getvalue(), recon
 
 
@@ -357,14 +413,53 @@ def decode_frame(slice_rbsp: bytes, sps: hls.SPS, pps_map: dict[int, hls.PPS],
     sh = hls.SliceHeader.read(r)
     pps = pps_map[sh.pps_id]
     qp = pps.init_qp + sh.qp_delta
+    trace.set_poc(sh.poc)
     decisions = FrameDecisions.empty(sps.height, sps.width)
     st = _FrameState.make(sps, qp, False, decisions, None,
                           refs if sh.slice_type != hls.SLICE_I else None)
+    ctu = 1 << sps.log2_ctu
+    n_x, n_y = sps.width // ctu, sps.height // ctu
+    wpp = pps.entropy_sync and n_y > 1
+    if wpp:
+        n_rows = r.ue()
+        if n_rows != n_y:
+            raise ValueError("entry-point count mismatch")
+        lens = [r.ue() for _ in range(n_rows - 1)]
+        r.byte_align()
+        rest = r.remaining_bytes()
+        offs = [0]
+        for ln in lens:
+            offs.append(offs[-1] + ln)
+        subs = [rest[offs[i]:offs[i + 1]] if i + 1 < len(offs)
+                else rest[offs[i]:] for i in range(n_rows)]
+        snap = None
+        sao_params_parsed = None
+        for iy in range(n_y):
+            dec = CabacDecoder(_seed_state(sh.slice_type, qp, snap),
+                               subs[iy])
+            io = DecIO(dec)
+            for ix in range(n_x):
+                _code_ctu(io, st, ix * ctu, iy * ctu)
+                if ix == 0:
+                    snap = (dec.ctx.p0.copy(), dec.ctx.p1.copy())
+            if iy == n_y - 1 and sps.sao_enabled:
+                from . import sao
+                sao_params_parsed = sao.code_sao_params(io, None, n_y, n_x)
+            if dec.terminate() != 1:
+                raise ValueError("missing end_of_substream")
+        recon = st.recon
+        if sps.deblock_enabled:
+            from . import deblock
+            recon = deblock.deblock_frame(recon, decisions, qp,
+                                          sps.bit_depth)
+        if sao_params_parsed is not None:
+            from . import sao
+            recon = sao.apply_sao(recon, sao_params_parsed, ctu,
+                                  sps.bit_depth)
+        return recon, sh, decisions
     dec = CabacDecoder(C.make_ctx_state(sh.slice_type, qp),
                        r.remaining_bytes())
     io = DecIO(dec)
-    ctu = 1 << sps.log2_ctu
-    n_x, n_y = sps.width // ctu, sps.height // ctu
     for iy in range(n_y):
         for ix in range(n_x):
             _code_ctu(io, st, ix * ctu, iy * ctu)

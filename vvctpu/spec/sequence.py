@@ -24,6 +24,7 @@ class EncoderConfig:
     deblock: bool = True
     sao: bool = True
     intra_period: int = 1   # 1 = all-intra; 0 = first frame only; N = every N
+    wpp: bool = False       # wavefront entropy lanes (one per CTU row)
 
     def make_sps(self, width: int, height: int) -> hls.SPS:
         pw = -(-width // self.ctu) * self.ctu
@@ -42,7 +43,7 @@ def encode_sequence(frames: list[list[np.ndarray]], cfg: EncoderConfig,
     (annexb_bytes, recon_frames[cropped], per_frame_bits)."""
     h, w = frames[0][0].shape
     sps = cfg.make_sps(w, h)
-    pps = hls.PPS(init_qp=cfg.qp)
+    pps = hls.PPS(init_qp=cfg.qp, entropy_sync=cfg.wpp)
     nals = [bs.NalUnit(bs.NAL_SPS, sps.write()),
             bs.NalUnit(bs.NAL_PPS, pps.write())]
     recons = []
