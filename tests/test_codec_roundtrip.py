@@ -130,3 +130,23 @@ class TestTracing:
         seq.encode_sequence([planes], seq.EncoderConfig(qp=32))
         trace.close_trace()
         assert open(tf).read() == ""  # only poc 0 exists
+
+
+class Test10Bit:
+    def test_roundtrip_10bit(self):
+        rng = np.random.default_rng(60)
+        h, w = 64, 96
+        yy, xx = np.mgrid[0:h, 0:w]
+        y10 = (400 + 240 * np.sin(xx / 9.0) + 160 * np.cos(yy / 7.0)
+               + rng.integers(-30, 30, (h, w))).clip(0, 1023).astype(np.int32)
+        cb = (512 + 80 * np.sin(xx[::2, ::2] / 5.0)).clip(
+            0, 1023).astype(np.int32)
+        cr = (512 - 60 * np.cos(yy[::2, ::2] / 6.0)).clip(
+            0, 1023).astype(np.int32)
+        cfg = seq.EncoderConfig(qp=32, bit_depth=10)
+        data, recons, bits = seq.encode_sequence([[y10, cb, cr]], cfg)
+        out, sps = seq.decode_sequence(data, check_hash=True)
+        assert sps.bit_depth == 10
+        for c in range(3):
+            assert np.array_equal(out[0][c], recons[0][c])
+        assert seq.psnr(y10, out[0][0], 10) > 35.0

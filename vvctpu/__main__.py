@@ -28,7 +28,8 @@ def _enc(args) -> int:
         print("no frames read", file=sys.stderr)
         return 1
     cfg = seq.EncoderConfig(qp=args.qp, bit_depth=args.bit_depth,
-                            intra_period=args.intra_period, wpp=args.wpp)
+                            intra_period=args.intra_period, wpp=args.wpp,
+                            gop=args.gop)
     if args.trace_file:
         from .core import trace
         trace.open_trace(args.trace_file, args.trace_rule)
@@ -46,9 +47,12 @@ def _enc(args) -> int:
         p = [seq.psnr(planes[c], recons[poc][c], args.bit_depth)
              for c in range(3)]
         total_bits += bits[poc]
-        ip = args.intra_period
-        st = "I" if (poc == 0 or ip == 1 or (ip > 1 and poc % ip == 0)) \
-            else "P"
+        from .spec.sequence import gop_plan
+        from .spec import hls as _hls
+        types = {p[0]: p[1] for p in gop_plan(len(frames),
+                                              args.intra_period, args.gop)}
+        st = {_hls.SLICE_I: "I", _hls.SLICE_P: "P",
+              _hls.SLICE_B: "B"}[types[poc]]
         print(f"POC {poc:4d} {st}  QP {args.qp:2d}  {bits[poc]:8d} bits  "
               f"Y {p[0]:6.3f} dB  U {p[1]:6.3f} dB  V {p[2]:6.3f} dB")
     if args.recon:
@@ -95,6 +99,8 @@ def main(argv=None) -> int:
     e.add_argument("--ip", "--intra-period", dest="intra_period", type=int,
                    default=1, help="1 = all-intra, 0 = first frame only, "
                    "N = IDR every N frames")
+    e.add_argument("--gop", type=int, default=1,
+                   help="1 = low-delay IPPP; >1 = hierarchical-B GOP size")
     e.add_argument("--wpp", action="store_true",
                    help="wavefront entropy lanes (one per CTU row)")
     e.add_argument("--engine", choices=("spec", "jax"), default="spec")

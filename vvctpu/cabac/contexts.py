@@ -64,6 +64,7 @@ PRED_MODE = R.add("pred_mode", 2)                  # intra/inter (reserved)
 
 # --- inter ---------------------------------------------------------------
 MVD_FLAG = R.add("mvd_flags", 2)                   # gt0, gt1 (shared x/y)
+INTER_DIR = R.add("inter_dir", 1)                  # bi-prediction flag
 MERGE_FLAG = R.add("merge_flag", 1)
 MERGE_IDX = R.add("merge_idx", 1)
 

@@ -194,3 +194,97 @@ def decide_frame_p(orig_y: np.ndarray, ref_y: np.ndarray, qp: int,
     dec.mv8[..., 0] = np.where(itf, mvx, 0)   # already 1/16-pel
     dec.mv8[..., 1] = np.where(itf, mvy, 0)
     return dec
+
+
+def decide_frame_b(orig_y: np.ndarray, ref0_y: np.ndarray,
+                   ref1_y: np.ndarray, qp: int, bd: int = 8):
+    """Device-batched B-frame decisions (twin of spec decide_frame_b)."""
+    from ..spec.inter import ME_RANGE, REF_MARGIN
+    from . import me as jme
+    h, w = orig_y.shape
+    lam = lambda_satd_fp(qp)
+    buf = np.zeros((h + 1 + intra_pred.MARGIN, w + 1 + intra_pred.MARGIN),
+                   np.int32)
+    buf[1:h + 1, 1:w + 1] = orig_y
+    jbuf = jnp.asarray(buf)
+    jorig = jnp.asarray(orig_y, jnp.int32)
+    refs = (ref0_y, ref1_y)
+    refp_me = [jnp.asarray(np.pad(r.astype(np.int32), ME_RANGE, mode="edge"))
+               for r in refs]
+    refp80 = [jnp.asarray(np.pad(r.astype(np.int32), REF_MARGIN,
+                                 mode="edge")) for r in refs]
+    memaps = [jme.me_pass(jorig, refp_me[i], np.int64(lam), frame_w=w,
+                          frame_h=h) for i in range(2)]
+
+    size_data = {}
+    for s in (8, 16, 32):
+        icost, imode = size_pass(jbuf, np.int32(lam), s=s, frame_w=w,
+                                 frame_h=h, bd=bd)
+        icost = np.asarray(icost).astype(np.int64)
+        imode = np.asarray(imode)
+        ucost, umv = [], []
+        for lst in range(2):
+            rc, rmv = jme.refine_pass(jorig, refp80[lst], memaps[lst][s][1],
+                                      np.int32(lam), s=s, frame_w=w,
+                                      frame_h=h, bd=bd)
+            ucost.append(np.asarray(rc).astype(np.int64))
+            umv.append(np.asarray(rmv))
+        bcost = np.asarray(jme.bi_cost_pass(
+            jorig, refp80[0], refp80[1], jnp.asarray(umv[0]),
+            jnp.asarray(umv[1]), np.int32(lam), s=s, frame_w=w, frame_h=h,
+            bd=bd)).astype(np.int64)
+        costs = np.stack([icost, ucost[0], ucost[1], bcost])
+        kind = np.argmin(costs, axis=0).astype(np.int32)
+        cost = np.min(costs, axis=0)
+        size_data[s] = (cost, imode, kind, umv[0], umv[1])
+
+    from ..spec.codec import FrameDecisions as FD
+    dec = FD.empty(h, w)
+    c8, im8, k8, mva8, mvb8 = size_data[8]
+    c16, im16, k16, mva16, mvb16 = size_data[16]
+    c32, im32, k32, mva32, mvb32 = size_data[32]
+    n16y, n16x = h // 16, w // 16
+    n32y, n32x = h // 32, w // 32
+    sum8 = (c8.reshape(n16y, 2, n16x, 2).sum(axis=(1, 3))
+            + (4 * SPLIT_BITS) * lam)
+    split16 = sum8 < c16
+    cc16 = np.where(split16, sum8, c16)
+    sum16 = (cc16.reshape(n32y, 2, n32x, 2).sum(axis=(1, 3))
+             + (4 * SPLIT_BITS) * lam)
+    split32 = sum16 < c32
+    dec.split32[:] = split32.astype(np.uint8)
+    dec.split16[:] = (split16
+                      & np.kron(split32, np.ones((2, 2), bool))).astype(
+                          np.uint8)
+
+    def up(a, f):
+        if a.ndim == 3:
+            return np.kron(a, np.ones((f, f, 1), a.dtype))
+        return np.kron(a, np.ones((f, f), a.dtype))
+
+    use16 = up(split32.astype(np.uint8), 4).astype(bool)
+    use8 = up(dec.split16, 2).astype(bool)
+
+    def sel(a32, a16, a8):
+        v = up(a32, 4)
+        m16 = use16 if a32.ndim == 2 else use16[..., None]
+        m8 = use8 if a32.ndim == 2 else use8[..., None]
+        v = np.where(m16, up(a16, 2), v)
+        return np.where(m8, a8, v)
+
+    kind = sel(k32, k16, k8)
+    mode = sel(im32, im16, im8)
+    mv0 = sel(mva32, mva16, mva8)
+    mv1 = sel(mvb32, mvb16, mvb8)
+    itf = kind > 0
+    dec.inter8[:] = itf.astype(np.uint8)
+    dec.modes8[:] = np.where(itf, 0, mode)
+    dec.dir8[:] = np.where(itf, np.where(kind == 3, 2, kind - 1),
+                           0).astype(np.uint8)
+    use0 = itf & ((kind == 1) | (kind == 3))
+    use1 = itf & ((kind == 2) | (kind == 3))
+    dec.mv8[..., 0] = np.where(use0, mv0[..., 0], 0)
+    dec.mv8[..., 1] = np.where(use0, mv0[..., 1], 0)
+    dec.mv8_l1[..., 0] = np.where(use1, mv1[..., 0], 0)
+    dec.mv8_l1[..., 1] = np.where(use1, mv1[..., 1], 0)
+    return dec

@@ -129,3 +129,36 @@ def refine_pass(orig, refp_margin, int_mv, lam, *, s: int, frame_w: int,
         best_mv = nxt
     return (cost.reshape(nby, nbx),
             best_mv.reshape(nby, nbx, 2))
+
+
+@functools.partial(jax.jit, static_argnames=("s", "frame_w", "frame_h",
+                                             "bd"))
+def bi_cost_pass(orig, refp0, refp1, mv0, mv1, lam, *, s: int, frame_w: int,
+                 frame_h: int, bd: int = 8):
+    """BI cost per s-block: SAD of the averaged refined uni predictions plus
+    both quarter-pel MV rates (twin of the numpy loop in decide_frame_b)."""
+    from ..kernels import mc as jmc
+    h, w = frame_h, frame_w
+    nby, nbx = h // s, w // s
+    xs = jnp.arange(nbx, dtype=jnp.int32) * s
+    ys = jnp.arange(nby, dtype=jnp.int32) * s
+    gx, gy = jnp.meshgrid(xs, ys)
+    coords = jnp.stack([gx.ravel(), gy.ravel()], axis=1)
+    m0 = mv0.reshape(-1, 2)
+    m1 = mv1.reshape(-1, 2)
+    lam = jnp.asarray(lam, jnp.int32)
+    mx = (1 << bd) - 1
+    orig = orig.astype(jnp.int32)
+
+    def one(xy, a, b):
+        p0 = jmc.mc_luma_block(refp0, xy[0], xy[1], s, a[0], a[1], bd)
+        p1 = jmc.mc_luma_block(refp1, xy[0], xy[1], s, b[0], b[1], bd)
+        pb = jnp.minimum((p0 + p1 + 1) >> 1, mx)
+        blk = jax.lax.dynamic_slice(orig, (xy[1], xy[0]), (s, s))
+        sad = jnp.abs(blk - pb).sum()
+        bits = (_mv_bits_q(a[0] >> 2, a[1] >> 2)
+                + _mv_bits_q(b[0] >> 2, b[1] >> 2))
+        return (sad << 8) + lam * bits
+
+    cost = jax.vmap(one)(coords, m0, m1)
+    return cost.reshape(nby, nbx)

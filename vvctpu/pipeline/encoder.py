@@ -23,19 +23,27 @@ def encode_sequence(frames, cfg: sseq.EncoderConfig, decisions_fn=None,
     pps = hls.PPS(init_qp=cfg.qp, entropy_sync=cfg.wpp)
     nals = [bs.NalUnit(bs.NAL_SPS, sps.write()),
             bs.NalUnit(bs.NAL_PPS, pps.write())]
-    recons, bits = [], []
-    dpb = None   # previous filtered recon (padded planes, numpy)
-    for poc, planes in enumerate(frames):
+    recons = [None] * len(frames)
+    bits = [None] * len(frames)
+    dpb = {}   # poc -> filtered recon (padded planes, numpy)
+    for poc, stype, ref_pocs, qpd in sseq.gop_plan(len(frames),
+                                                   cfg.intra_period,
+                                                   cfg.gop):
+        planes = frames[poc]
         padded = scodec.pad_planes(planes, sps)
-        ip = cfg.intra_period
-        is_intra = poc == 0 or (ip == 1) or (ip > 1 and poc % ip == 0)
+        qp = cfg.qp + qpd
+        is_intra = stype == hls.SLICE_I
         if decisions_fn is not None:
             dec = decisions_fn(poc, planes, sps, cfg)
         elif is_intra:
             # device-batched decision pass (bit-identical to spec decide)
-            dec = jdecide.decide_frame(padded[0], cfg.qp, cfg.bit_depth)
+            dec = jdecide.decide_frame(padded[0], qp, cfg.bit_depth)
+        elif stype == hls.SLICE_P:
+            dec = jdecide.decide_frame_p(padded[0], dpb[ref_pocs[0]][0], qp,
+                                         cfg.bit_depth)
         else:
-            dec = jdecide.decide_frame_p(padded[0], dpb[0], cfg.qp,
+            dec = jdecide.decide_frame_b(padded[0], dpb[ref_pocs[0]][0],
+                                         dpb[ref_pocs[1]][0], qp,
                                          cfg.bit_depth)
         if decisions_out is not None:
             decisions_out.append(dec)
@@ -44,47 +52,50 @@ def encode_sequence(frames, cfg: sseq.EncoderConfig, decisions_fn=None,
             ref_kw = {}
         else:
             slots, isl = recon.make_slots_split(dec, sps.height, sps.width)
-            refs = recon.pad_refs(dpb)
-            ref_kw = dict(ref_y=refs[0], ref_cb=refs[1], ref_cr=refs[2],
+            r0 = recon.pad_refs(dpb[ref_pocs[0]])
+            ref_kw = dict(ref_y=r0[0], ref_cb=r0[1], ref_cr=r0[2],
                           inter8=isl[8], inter16=isl[16], inter32=isl[32])
+            if len(ref_pocs) == 2:
+                r1 = recon.pad_refs(dpb[ref_pocs[1]])
+                ref_kw.update(ref1_y=r1[0], ref1_cb=r1[1], ref1_cr=r1[2])
         ry, rcb, rcr, ly, lcb, lcr = recon.frame_scan(
             slots, padded[0], padded[1], padded[2], frame_w=sps.width,
-            frame_h=sps.height, qp=cfg.qp, bd=cfg.bit_depth, encode=True,
+            frame_h=sps.height, qp=qp, bd=cfg.bit_depth, encode=True,
             inter_enabled=not is_intra, **ref_kw)
         levels = [np.asarray(ly), np.asarray(lcb), np.asarray(lcr)]
-        sh = hls.SliceHeader(
-            poc=poc,
-            slice_type=hls.SLICE_I if is_intra else hls.SLICE_P)
+        sh = hls.SliceHeader(poc=poc, slice_type=stype, qp_delta=qpd,
+                             ref_pocs=ref_pocs)
         rec = [np.asarray(ry), np.asarray(rcb), np.asarray(rcr)]
         if sps.deblock_enabled:
             from ..spec import deblock
-            rec = deblock.deblock_frame(rec, dec, cfg.qp, cfg.bit_depth)
+            rec = deblock.deblock_frame(rec, dec, qp, cfg.bit_depth)
         sao_params = None
         if sps.sao_enabled:
             from ..spec import sao as saomod
-            sao_params = saomod.decide_sao(padded, rec, cfg.qp, cfg.ctu,
+            sao_params = saomod.decide_sao(padded, rec, qp, cfg.ctu,
                                            cfg.bit_depth)
             rec = saomod.apply_sao(rec, sao_params, cfg.ctu, cfg.bit_depth)
         payload = entropy.encode_frame_syntax(sps, pps, sh, dec, levels,
                                               sao_params)
-        dpb = rec
+        dpb[poc] = rec
         cropped = scodec.crop_planes(rec, sps)
         nals.append(bs.NalUnit(
             bs.NAL_IDR_N_LP if is_intra else bs.NAL_TRAIL, payload))
         nals.append(bs.NalUnit(bs.NAL_SUFFIX_SEI,
                                hls.write_pic_hash_sei(cropped,
                                                       cfg.bit_depth)))
-        recons.append(cropped)
-        bits.append(8 * len(payload))
+        recons[poc] = cropped
+        bits[poc] = 8 * len(payload)
     return bs.write_annexb(nals), recons, bits
 
 
 def decode_sequence(data: bytes, check_hash: bool = True):
     sps = None
     pps_map: dict[int, hls.PPS] = {}
-    frames = []
+    frames = {}
     pending = None
-    dpb = None
+    pending_poc = -1
+    dpb = {}
     for nal in bs.read_annexb(data):
         if nal.nal_type == bs.NAL_SPS:
             sps = hls.SPS.read(nal.payload)
@@ -101,10 +112,14 @@ def decode_sequence(data: bytes, check_hash: bool = True):
             if is_p:
                 slots, isl = recon.make_slots_split(dec, sps.height,
                                                     sps.width)
-                refs = recon.pad_refs(dpb)
-                ref_kw = dict(ref_y=refs[0], ref_cb=refs[1],
-                              ref_cr=refs[2], inter8=isl[8],
+                r0 = recon.pad_refs(dpb[sh.ref_pocs[0]])
+                ref_kw = dict(ref_y=r0[0], ref_cb=r0[1],
+                              ref_cr=r0[2], inter8=isl[8],
                               inter16=isl[16], inter32=isl[32])
+                if len(sh.ref_pocs) == 2:
+                    r1 = recon.pad_refs(dpb[sh.ref_pocs[1]])
+                    ref_kw.update(ref1_y=r1[0], ref1_cb=r1[1],
+                                  ref1_cr=r1[2])
             else:
                 ref_kw = {}
             ry, rcb, rcr, *_ = recon.frame_scan(
@@ -119,15 +134,16 @@ def decode_sequence(data: bytes, check_hash: bool = True):
                 from ..spec import sao as saomod
                 rec = saomod.apply_sao(rec, sao_params,
                                        1 << sps.log2_ctu, sps.bit_depth)
-            dpb = rec
+            dpb[sh.poc] = rec
             pending = scodec.crop_planes(rec, sps)
-            frames.append(pending)
+            pending_poc = sh.poc
+            frames[sh.poc] = pending
         elif nal.nal_type == bs.NAL_SUFFIX_SEI and check_hash:
             digest = hls.read_pic_hash_sei(nal.payload)
             if digest is not None and pending is not None:
                 got = hls.plane_md5(pending, sps.bit_depth)
                 if got != digest:
                     raise ValueError(
-                        f"decoded-picture hash mismatch at frame "
-                        f"{len(frames) - 1}")
-    return frames, sps
+                        f"decoded-picture hash mismatch at poc "
+                        f"{pending_poc}")
+    return [frames[p] for p in sorted(frames)], sps

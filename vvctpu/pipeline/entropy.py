@@ -53,17 +53,19 @@ class RecordIO:
 
 class _Walker:
     def __init__(self, sps: hls.SPS, dec: FrameDecisions, levels, io,
-                 sink=None, is_p: bool = False):
+                 sink=None, is_p: bool = False, is_b: bool = False):
         self.sps = sps
         self.dec = dec
         self.levels = levels      # [ly, lcb, lcr] numpy planes
         self.io = io
         self.sink = sink          # encode fast path: vectorised binarise
-        self.is_p = is_p
+        self.is_p = is_p          # any inter slice (P or B)
+        self.is_b = is_b
         self.mode_map = np.full((sps.height // 4, sps.width // 4), -1,
                                 np.int32)
-        self.inter_map = np.zeros((sps.height // 8, sps.width // 8), bool)
-        self.mv_map = np.zeros((sps.height // 8, sps.width // 8, 2),
+        self.inter_map = np.zeros((sps.height // 8, sps.width // 8, 2),
+                                  bool)
+        self.mv_map = np.zeros((sps.height // 8, sps.width // 8, 2, 2),
                                np.int32)
 
     # -- intra mode (identical scheme to spec/codec._code_intra_mode) -----
@@ -143,30 +145,65 @@ class _Walker:
                 else:
                     code_tb(io, lev, _log2(s), _log2(s), is_chroma)
 
-    def _code_inter(self, x, y, s):
+    def _code_mv_list(self, x, y, s, lst, mv_enc=None):
         from ..spec import inter as imod
         from ..spec.codec import _code_mvd_comp
         io = self.io
-        cands = imod.mvp_candidates(self.mv_map, self.inter_map, x, y, s)
+        cands = imod.mvp_candidates(self.mv_map[:, :, lst],
+                                    self.inter_map[:, :, lst], x, y, s)
         if io.decoding:
             idx = io.byp()
             mvd_x = _code_mvd_comp(io, None)
             mvd_y = _code_mvd_comp(io, None)
-            mv = (cands[idx][0] + (mvd_x << 2),
-                  cands[idx][1] + (mvd_y << 2))
-            self.dec.inter8[y // 8:(y + s) // 8, x // 8:(x + s) // 8] = 1
-            self.dec.mv8[y // 8:(y + s) // 8, x // 8:(x + s) // 8] = mv
+            return (cands[idx][0] + (mvd_x << 2),
+                    cands[idx][1] + (mvd_y << 2))
+        mv = mv_enc
+        costs = [abs(mv[0] - c[0]) + abs(mv[1] - c[1]) for c in cands]
+        idx = int(np.argmin(costs))
+        io.byp(idx)
+        _code_mvd_comp(io, (mv[0] - cands[idx][0]) >> 2)
+        _code_mvd_comp(io, (mv[1] - cands[idx][1]) >> 2)
+        return mv
+
+    def _code_inter(self, x, y, s):
+        io = self.io
+        gy, gx = y // 8, x // 8
+        if self.is_b:
+            if io.decoding:
+                bi = io.bin(C.INTER_DIR(0))
+                d = 2 if bi else io.byp()
+            else:
+                d = int(self.dec.dir8[gy, gx])
+                io.bin(C.INTER_DIR(0), int(d == 2))
+                if d != 2:
+                    io.byp(d)
         else:
-            mv = (int(self.dec.mv8[y // 8, x // 8, 0]),
-                  int(self.dec.mv8[y // 8, x // 8, 1]))
-            costs = [abs(mv[0] - c[0]) + abs(mv[1] - c[1]) for c in cands]
-            idx = int(np.argmin(costs))
-            io.byp(idx)
-            _code_mvd_comp(io, (mv[0] - cands[idx][0]) >> 2)
-            _code_mvd_comp(io, (mv[1] - cands[idx][1]) >> 2)
-        trace.t_leaf_inter(x, y, s, mv)
-        self.inter_map[y // 8:(y + s) // 8, x // 8:(x + s) // 8] = True
-        self.mv_map[y // 8:(y + s) // 8, x // 8:(x + s) // 8] = mv
+            d = 0
+        mv0 = mv1 = (0, 0)
+        if d in (0, 2):
+            mv0 = self._code_mv_list(
+                x, y, s, 0, None if io.decoding else
+                (int(self.dec.mv8[gy, gx, 0]),
+                 int(self.dec.mv8[gy, gx, 1])))
+        if d in (1, 2):
+            mv1 = self._code_mv_list(
+                x, y, s, 1, None if io.decoding else
+                (int(self.dec.mv8_l1[gy, gx, 0]),
+                 int(self.dec.mv8_l1[gy, gx, 1])))
+        if io.decoding:
+            sl = np.s_[gy:(y + s) // 8, gx:(x + s) // 8]
+            self.dec.inter8[sl] = 1
+            self.dec.dir8[sl] = d
+            self.dec.mv8[sl] = mv0
+            self.dec.mv8_l1[sl] = mv1
+        trace.t_leaf_inter(x, y, s, mv0 if d != 1 else mv1)
+        sl = np.s_[gy:(y + s) // 8, gx:(x + s) // 8]
+        if d in (0, 2):
+            self.inter_map[:, :, 0][sl] = True
+            self.mv_map[:, :, 0][sl] = mv0
+        if d in (1, 2):
+            self.inter_map[:, :, 1][sl] = True
+            self.mv_map[:, :, 1][sl] = mv1
 
     def _code_leaf(self, x, y, s):
         io = self.io
@@ -258,10 +295,12 @@ def encode_frame_syntax_wpp(sps: hls.SPS, pps: hls.PPS, sh: hls.SliceHeader,
     ctu = 1 << sps.log2_ctu
     n_x, n_y = sps.width // ctu, sps.height // ctu
     is_p = sh.slice_type != hls.SLICE_I
+    is_b = sh.slice_type == hls.SLICE_B
 
     rows = []          # (bin_array, first_ctu_end_index)
     sink = binarize.BinSink()
-    walker = _Walker(sps, dec, levels, RecordIO(sink), sink=sink, is_p=is_p)
+    walker = _Walker(sps, dec, levels, RecordIO(sink), sink=sink, is_p=is_p,
+                     is_b=is_b)
     for iy in range(n_y):
         first_end = None
         for ix in range(n_x):
@@ -325,7 +364,8 @@ def parse_frame_syntax_wpp(slice_rbsp: bytes, sps: hls.SPS,
               np.zeros((sps.height // 2, sps.width // 2), np.int32),
               np.zeros((sps.height // 2, sps.width // 2), np.int32)]
     walker = _Walker(sps, decisions, levels, None,
-                     is_p=sh.slice_type != hls.SLICE_I)
+                     is_p=sh.slice_type != hls.SLICE_I,
+                     is_b=sh.slice_type == hls.SLICE_B)
     sao_params = None
     snap = None
     for iy in range(n_y):
@@ -361,10 +401,12 @@ def encode_frame_syntax(sps: hls.SPS, pps: hls.PPS, sh: hls.SliceHeader,
     if pps.entropy_sync and n_y > 1:
         return encode_frame_syntax_wpp(sps, pps, sh, dec, levels, sao_params)
     is_p = sh.slice_type != hls.SLICE_I
+    is_b = sh.slice_type == hls.SLICE_B
     if fast:
         sink = binarize.BinSink()
         io = RecordIO(sink)
-        walker = _Walker(sps, dec, levels, io, sink=sink, is_p=is_p)
+        walker = _Walker(sps, dec, levels, io, sink=sink, is_p=is_p,
+                         is_b=is_b)
         walker.walk(lambda last: sink.term(0))
         if sao_params is not None:
             saomod.code_sao_params(io, sao_params, n_y, n_x)
@@ -373,7 +415,7 @@ def encode_frame_syntax(sps: hls.SPS, pps: hls.PPS, sh: hls.SliceHeader,
     else:
         enc = CabacEncoder(C.make_ctx_state(sh.slice_type, qp))
         io = EncIO(enc)
-        walker = _Walker(sps, dec, levels, io, is_p=is_p)
+        walker = _Walker(sps, dec, levels, io, is_p=is_p, is_b=is_b)
         walker.walk(lambda last: enc.terminate(0))
         if sao_params is not None:
             saomod.code_sao_params(io, sao_params, n_y, n_x)
@@ -429,7 +471,8 @@ def parse_frame_syntax(slice_rbsp: bytes, sps: hls.SPS,
                           r.remaining_bytes())
     io = DecIO(cab)
     walker = _Walker(sps, decisions, levels, io,
-                     is_p=sh.slice_type != hls.SLICE_I)
+                     is_p=sh.slice_type != hls.SLICE_I,
+                     is_b=sh.slice_type == hls.SLICE_B)
 
     def term(last):
         if cab.terminate() != 0:

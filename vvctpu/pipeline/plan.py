@@ -26,17 +26,19 @@ def _demorton(m: int) -> tuple[int, int]:
 
 def leaf_plan(dec: FrameDecisions, height: int, width: int,
               ctu: int = 64):
-    """Returns (op, x, y, mode, mvx, mvy) int32 arrays, length n_ctu * 64.
+    """Returns (op, x, y, mode, mv0, mv1, dir) arrays, length n_ctu * 64.
 
-    op: 0 skip, 1/2/3 intra leaf 8/16/32, 4/5/6 inter leaf 8/16/32."""
+    op: 0 skip, 1/2/3 intra leaf 8/16/32, 4/5/6 inter leaf 8/16/32;
+    mv0/mv1: (n, 2) int32; dir: 0 = L0, 1 = L1, 2 = BI."""
     n_cx, n_cy = width // ctu, height // ctu
     n = n_cx * n_cy * 64
     op = np.zeros(n, np.int32)
     xs = np.zeros(n, np.int32)
     ys = np.zeros(n, np.int32)
     modes = np.zeros(n, np.int32)
-    mvx = np.zeros(n, np.int32)
-    mvy = np.zeros(n, np.int32)
+    mv0 = np.zeros((n, 2), np.int32)
+    mv1 = np.zeros((n, 2), np.int32)
+    dirs = np.zeros(n, np.int32)
     i = 0
     for cy in range(n_cy):
         for cx in range(n_cx):
@@ -54,20 +56,22 @@ def leaf_plan(dec: FrameDecisions, height: int, width: int,
                 if o != OP_SKIP and dec.inter8 is not None \
                         and dec.inter8[py // 8, px // 8]:
                     o += 3
-                    mvx[i] = dec.mv8[py // 8, px // 8, 0]
-                    mvy[i] = dec.mv8[py // 8, px // 8, 1]
+                    mv0[i] = dec.mv8[py // 8, px // 8]
+                    if dec.mv8_l1 is not None:
+                        mv1[i] = dec.mv8_l1[py // 8, px // 8]
+                        dirs[i] = dec.dir8[py // 8, px // 8]
                 op[i] = o
                 xs[i] = px
                 ys[i] = py
                 modes[i] = dec.modes8[py // 8, px // 8]
                 i += 1
-    return op, xs, ys, modes, mvx, mvy
+    return op, xs, ys, modes, mv0, mv1, dirs
 
 
 def plan_leaves_list(dec: FrameDecisions, height: int, width: int,
                      ctu: int = 64):
     """Python list of (x, y, size, mode) leaves in coding order (host use)."""
-    op, xs, ys, modes, _, _ = leaf_plan(dec, height, width, ctu)
+    op, xs, ys, modes, _, _, _ = leaf_plan(dec, height, width, ctu)
     return [(int(x), int(y), _SIZE_OF_OP[int(o) - 3 if int(o) > 3
                                          else int(o)], int(md))
             for o, x, y, md in zip(op, xs, ys, modes) if o != OP_SKIP]

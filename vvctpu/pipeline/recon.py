@@ -87,18 +87,28 @@ def _inter_batch_pass(carry, ib_slots, refs, s: int, qp, bd: int,
                       encode: bool, frame_w: int, frame_h: int):
     """Phase A: all inter s-leaves at once (no intra-frame dependency).
 
-    ib_slots: (B, 4) int32 [x, y, mvx, mvy]; invalid rows have x = y = 2^20
-    (positive out-of-bounds: their scatter indices are dropped)."""
+    ib_slots: (B, 8) int32 [x, y, mv0x, mv0y, mv1x, mv1y, dir, _pad];
+    invalid rows have x = y = 2^20 (positive out-of-bounds: their scatter
+    indices are dropped).  refs: (l0_y, l0_cb, l0_cr, l1_y, l1_cb, l1_cr).
+    """
     (by, bcb, bcr, ly, lcb, lcr, sy, scb, scr) = carry
     cs = s // 2
+    mx = (1 << bd) - 1
 
     def one(slot):
-        x, y, mvx, mvy = slot[0], slot[1], slot[2], slot[3]
-        pred_y = mc.mc_luma_block(refs[0], x, y, s, mvx, mvy, bd)
-        pred_cb = mc.mc_chroma_block(refs[1], x // 2, y // 2, cs, mvx, mvy,
-                                     bd)
-        pred_cr = mc.mc_chroma_block(refs[2], x // 2, y // 2, cs, mvx, mvy,
-                                     bd)
+        x, y = slot[0], slot[1]
+        m0x, m0y, m1x, m1y, d = slot[2], slot[3], slot[4], slot[5], slot[6]
+
+        def bipred(ref0, ref1, px, py, sz, luma):
+            f = mc.mc_luma_block if luma else mc.mc_chroma_block
+            p0 = f(ref0, px, py, sz, m0x, m0y, bd)
+            p1 = f(ref1, px, py, sz, m1x, m1y, bd)
+            avg = jnp.minimum((p0 + p1 + 1) >> 1, mx)
+            return jnp.where(d == 0, p0, jnp.where(d == 1, p1, avg))
+
+        pred_y = bipred(refs[0], refs[3], x, y, s, True)
+        pred_cb = bipred(refs[1], refs[4], x // 2, y // 2, cs, False)
+        pred_cr = bipred(refs[2], refs[5], x // 2, y // 2, cs, False)
 
         def comp(src, pred, cx, cy, sz):
             if encode:
@@ -141,7 +151,8 @@ def _inter_batch_pass(carry, ib_slots, refs, s: int, qp, bd: int,
 def frame_scan(slots, planes_y, planes_cb, planes_cr, *, frame_w: int,
                frame_h: int, qp, bd: int, encode: bool,
                inter_enabled: bool = False, ref_y=None, ref_cb=None,
-               ref_cr=None, inter8=None, inter16=None, inter32=None):
+               ref_cr=None, ref1_y=None, ref1_cb=None, ref1_cr=None,
+               inter8=None, inter16=None, inter32=None):
     """Run the full-frame reconstruction scan.
 
     slots: (N, 6) int32 [op, x, y, mode, mvx, mvy] in coding order; op 0 =
@@ -163,7 +174,9 @@ def frame_scan(slots, planes_y, planes_cb, planes_cr, *, frame_w: int,
              planes_y.astype(jnp.int32), planes_cb.astype(jnp.int32),
              planes_cr.astype(jnp.int32))
 
-    refs = (ref_y, ref_cb, ref_cr)
+    if ref1_y is None:
+        ref1_y, ref1_cb, ref1_cr = ref_y, ref_cb, ref_cr
+    refs = (ref_y, ref_cb, ref_cr, ref1_y, ref1_cb, ref1_cr)
     if inter_enabled:
         # phase A: every inter leaf at once (no intra-frame dependency)
         for s_sz, ib in ((8, inter8), (16, inter16), (32, inter32)):
@@ -190,8 +203,10 @@ def frame_scan(slots, planes_y, planes_cb, planes_cr, *, frame_w: int,
 
 
 def make_slots(dec: FrameDecisions, frame_h: int, frame_w: int) -> np.ndarray:
-    op, xs, ys, modes, mvx, mvy = planmod.leaf_plan(dec, frame_h, frame_w)
-    return np.stack([op, xs, ys, modes, mvx, mvy], axis=1).astype(np.int32)
+    op, xs, ys, modes, mv0, mv1, dirs = planmod.leaf_plan(dec, frame_h,
+                                                          frame_w)
+    return np.stack([op, xs, ys, modes, mv0[:, 0], mv0[:, 1]],
+                    axis=1).astype(np.int32)
 
 
 def make_slots_split(dec: FrameDecisions, frame_h: int, frame_w: int):
@@ -199,20 +214,27 @@ def make_slots_split(dec: FrameDecisions, frame_h: int, frame_w: int):
     of the sequential scan (op -> skip) into fixed-capacity per-size batches
     for the phase-A pass.  Invalid rows use x = y = 2^20 (positive
     out-of-bounds; scatter-dropped, gathers clamp)."""
-    slots = make_slots(dec, frame_h, frame_w)
+    op, xs, ys, modes, mv0, mv1, dirs = planmod.leaf_plan(dec, frame_h,
+                                                          frame_w)
+    slots = np.stack([op, xs, ys, modes, mv0[:, 0], mv0[:, 1]],
+                     axis=1).astype(np.int32)
     inter = {}
     for i, s in enumerate((8, 16, 32)):
         opv = i + 4
         cap = (frame_h // s) * (frame_w // s)
         # dummy coordinate must be positive-out-of-bounds: jnp .at[] wraps
         # negative indices instead of dropping them
-        arr = np.full((cap, 4), 1 << 20, np.int32)
-        rows = slots[slots[:, 0] == opv]
-        arr[:len(rows), 0] = rows[:, 1]
-        arr[:len(rows), 1] = rows[:, 2]
-        arr[:len(rows), 2] = rows[:, 4]
-        arr[:len(rows), 3] = rows[:, 5]
-        arr[len(rows):, 2:] = 0
+        arr = np.full((cap, 8), 1 << 20, np.int32)
+        m = op == opv
+        k = int(m.sum())
+        arr[:k, 0] = xs[m]
+        arr[:k, 1] = ys[m]
+        arr[:k, 2] = mv0[m, 0]
+        arr[:k, 3] = mv0[m, 1]
+        arr[:k, 4] = mv1[m, 0]
+        arr[:k, 5] = mv1[m, 1]
+        arr[:k, 6] = dirs[m]
+        arr[k:, 2:] = 0
         inter[s] = arr
     scan_slots = slots.copy()
     scan_slots[scan_slots[:, 0] > 3, 0] = 0

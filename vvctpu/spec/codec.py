@@ -38,7 +38,9 @@ class FrameDecisions:
     split16: np.ndarray   # (H//16, W//16) uint8: split 16 -> 8
     modes8: np.ndarray    # (H//8,  W//8)  int32: luma mode per 8x8 granule
     inter8: np.ndarray = None   # (H//8, W//8) uint8: 1 = inter leaf
-    mv8: np.ndarray = None      # (H//8, W//8, 2) int32: (mvx, mvy) 1/16 pel
+    mv8: np.ndarray = None      # (H//8, W//8, 2) int32: L0 (mvx, mvy) 1/16
+    mv8_l1: np.ndarray = None   # (H//8, W//8, 2) int32: L1 mv (B slices)
+    dir8: np.ndarray = None     # (H//8, W//8) uint8: 0=L0, 1=L1, 2=BI
 
     @classmethod
     def empty(cls, h: int, w: int) -> "FrameDecisions":
@@ -46,14 +48,18 @@ class FrameDecisions:
                    np.zeros((h // 16, w // 16), np.uint8),
                    np.zeros((h // 8, w // 8), np.int32),
                    np.zeros((h // 8, w // 8), np.uint8),
-                   np.zeros((h // 8, w // 8, 2), np.int32))
+                   np.zeros((h // 8, w // 8, 2), np.int32),
+                   np.zeros((h // 8, w // 8, 2), np.int32),
+                   np.zeros((h // 8, w // 8), np.uint8))
 
     def equal(self, other: "FrameDecisions") -> bool:
         return (np.array_equal(self.split32, other.split32)
                 and np.array_equal(self.split16, other.split16)
                 and np.array_equal(self.modes8, other.modes8)
                 and np.array_equal(self.inter8, other.inter8)
-                and np.array_equal(self.mv8, other.mv8))
+                and np.array_equal(self.mv8, other.mv8)
+                and np.array_equal(self.mv8_l1, other.mv8_l1)
+                and np.array_equal(self.dir8, other.dir8))
 
 
 @dataclass
@@ -84,11 +90,13 @@ class _FrameState:
         st.mode_map = np.full((h // 4, w // 4), -1, np.int32)
         if refs is not None:
             from . import inter
-            st.refs = [inter.pad_reference(refs[0], inter.REF_MARGIN),
-                       inter.pad_reference(refs[1], inter.REF_MARGIN // 2),
-                       inter.pad_reference(refs[2], inter.REF_MARGIN // 2)]
-        st.inter_map = np.zeros((h // 8, w // 8), bool)
-        st.mv_map = np.zeros((h // 8, w // 8, 2), np.int32)
+            st.refs = [
+                [inter.pad_reference(rf[0], inter.REF_MARGIN),
+                 inter.pad_reference(rf[1], inter.REF_MARGIN // 2),
+                 inter.pad_reference(rf[2], inter.REF_MARGIN // 2)]
+                for rf in refs]
+        st.inter_map = np.zeros((h // 8, w // 8, 2), bool)
+        st.mv_map = np.zeros((h // 8, w // 8, 2, 2), np.int32)
         return st
 
 
@@ -220,38 +228,97 @@ def _code_mvd_comp(io, v) -> int:
     return v
 
 
-def _code_inter_leaf(io, st: _FrameState, x: int, y: int, s: int) -> None:
+def _code_mv_list(io, st: _FrameState, x: int, y: int, s: int, lst: int,
+                  mv_enc=None):
+    """mvp_idx + MVD for one reference list; returns the (reconstructed)
+    MV for that list."""
     from . import inter as imod
-    cands = imod.mvp_candidates(st.mv_map, st.inter_map, x, y, s)
+    cands = imod.mvp_candidates(st.mv_map[:, :, lst], st.inter_map[:, :, lst],
+                                x, y, s)
     if io.decoding:
         idx = io.byp()
         mvd_x = _code_mvd_comp(io, None)
         mvd_y = _code_mvd_comp(io, None)
-        mv = (cands[idx][0] + (mvd_x << 2), cands[idx][1] + (mvd_y << 2))
-        st.dec.inter8[y // 8:(y + s) // 8, x // 8:(x + s) // 8] = 1
-        st.dec.mv8[y // 8:(y + s) // 8, x // 8:(x + s) // 8] = mv
-    else:
-        mv = (int(st.dec.mv8[y // 8, x // 8, 0]),
-              int(st.dec.mv8[y // 8, x // 8, 1]))
-        costs = [abs(mv[0] - c[0]) + abs(mv[1] - c[1]) for c in cands]
-        idx = int(np.argmin(costs))
-        io.byp(idx)
-        _code_mvd_comp(io, (mv[0] - cands[idx][0]) >> 2)
-        _code_mvd_comp(io, (mv[1] - cands[idx][1]) >> 2)
+        return (cands[idx][0] + (mvd_x << 2), cands[idx][1] + (mvd_y << 2))
+    mv = mv_enc
+    costs = [abs(mv[0] - c[0]) + abs(mv[1] - c[1]) for c in cands]
+    idx = int(np.argmin(costs))
+    io.byp(idx)
+    _code_mvd_comp(io, (mv[0] - cands[idx][0]) >> 2)
+    _code_mvd_comp(io, (mv[1] - cands[idx][1]) >> 2)
+    return mv
 
-    trace.t_leaf_inter(x, y, s, mv)
+
+def _code_inter_leaf(io, st: _FrameState, x: int, y: int, s: int) -> None:
+    from . import inter as imod
+    gy, gx = y // 8, x // 8
+    is_b = len(st.refs) == 2
+
+    # inter_dir: 0 = L0, 1 = L1, 2 = BI (B slices only)
+    if is_b:
+        if io.decoding:
+            bi = io.bin(C.INTER_DIR(0))
+            d = 2 if bi else io.byp()
+        else:
+            d = int(st.dec.dir8[gy, gx])
+            io.bin(C.INTER_DIR(0), int(d == 2))
+            if d != 2:
+                io.byp(d)
+    else:
+        d = 0
+
+    mv0 = mv1 = (0, 0)
+    if d in (0, 2):
+        mv0 = _code_mv_list(io, st, x, y, s, 0,
+                            None if io.decoding else
+                            (int(st.dec.mv8[gy, gx, 0]),
+                             int(st.dec.mv8[gy, gx, 1])))
+    if d in (1, 2):
+        mv1 = _code_mv_list(io, st, x, y, s, 1,
+                            None if io.decoding else
+                            (int(st.dec.mv8_l1[gy, gx, 0]),
+                             int(st.dec.mv8_l1[gy, gx, 1])))
+    if io.decoding:
+        sl = np.s_[gy:(y + s) // 8, gx:(x + s) // 8]
+        st.dec.inter8[sl] = 1
+        st.dec.dir8[sl] = d
+        st.dec.mv8[sl] = mv0
+        st.dec.mv8_l1[sl] = mv1
+
+    trace.t_leaf_inter(x, y, s, mv0 if d != 1 else mv1)
     bd = st.sps.bit_depth
-    pred_y = imod.mc_luma(st.refs[0], x, y, s, s, mv[0], mv[1], bd)
-    _code_component(io, st, 0, x, y, s, 0, C.CBF_LUMA(0), pred=pred_y)
+    mx = (1 << bd) - 1
     cs, cx, cy = s // 2, x // 2, y // 2
-    pred_cb = imod.mc_chroma(st.refs[1], cx, cy, cs, cs, mv[0], mv[1], bd,
-                             imod.REF_MARGIN // 2)
-    pred_cr = imod.mc_chroma(st.refs[2], cx, cy, cs, cs, mv[0], mv[1], bd,
-                             imod.REF_MARGIN // 2)
-    _code_component(io, st, 1, cx, cy, cs, 0, C.CBF_CB(0), pred=pred_cb)
-    _code_component(io, st, 2, cx, cy, cs, 0, C.CBF_CR(0), pred=pred_cr)
-    st.inter_map[y // 8:(y + s) // 8, x // 8:(x + s) // 8] = True
-    st.mv_map[y // 8:(y + s) // 8, x // 8:(x + s) // 8] = mv
+
+    def pred_for(comp, px, py, sz):
+        outs = []
+        for lst, mv in ((0, mv0), (1, mv1)):
+            if d != 2 and lst != d:
+                continue
+            ref = st.refs[lst][comp]
+            if comp == 0:
+                outs.append(imod.mc_luma(ref, px, py, sz, sz, mv[0], mv[1],
+                                         bd))
+            else:
+                outs.append(imod.mc_chroma(ref, px, py, sz, sz, mv[0],
+                                           mv[1], bd, imod.REF_MARGIN // 2))
+        if len(outs) == 2:
+            return np.minimum((outs[0] + outs[1] + 1) >> 1, mx)
+        return outs[0]
+
+    _code_component(io, st, 0, x, y, s, 0, C.CBF_LUMA(0),
+                    pred=pred_for(0, x, y, s))
+    _code_component(io, st, 1, cx, cy, cs, 0, C.CBF_CB(0),
+                    pred=pred_for(1, cx, cy, cs))
+    _code_component(io, st, 2, cx, cy, cs, 0, C.CBF_CR(0),
+                    pred=pred_for(2, cx, cy, cs))
+    sl = np.s_[gy:(y + s) // 8, gx:(x + s) // 8]
+    if d in (0, 2):
+        st.inter_map[:, :, 0][sl] = True
+        st.mv_map[:, :, 0][sl] = mv0
+    if d in (1, 2):
+        st.inter_map[:, :, 1][sl] = True
+        st.mv_map[:, :, 1][sl] = mv1
 
 
 def _code_leaf(io, st: _FrameState, x: int, y: int, s: int) -> None:
@@ -407,16 +474,19 @@ def encode_frame(src_planes: list[np.ndarray], sps: hls.SPS, pps: hls.PPS,
 
 
 def decode_frame(slice_rbsp: bytes, sps: hls.SPS, pps_map: dict[int, hls.PPS],
-                 refs=None):
-    """Returns (recon_planes [padded], SliceHeader, FrameDecisions)."""
+                 dpb=None):
+    """Returns (recon_planes [padded], SliceHeader, FrameDecisions).
+    dpb: {poc: filtered recon planes} for resolving sh.ref_pocs."""
     r = bs.BitReader(slice_rbsp)
     sh = hls.SliceHeader.read(r)
     pps = pps_map[sh.pps_id]
     qp = pps.init_qp + sh.qp_delta
     trace.set_poc(sh.poc)
     decisions = FrameDecisions.empty(sps.height, sps.width)
-    st = _FrameState.make(sps, qp, False, decisions, None,
-                          refs if sh.slice_type != hls.SLICE_I else None)
+    refs = None
+    if sh.slice_type != hls.SLICE_I:
+        refs = [dpb[rp] for rp in sh.ref_pocs]
+    st = _FrameState.make(sps, qp, False, decisions, None, refs)
     ctu = 1 << sps.log2_ctu
     n_x, n_y = sps.width // ctu, sps.height // ctu
     wpp = pps.entropy_sync and n_y > 1

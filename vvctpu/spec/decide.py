@@ -276,3 +276,106 @@ def refine_size_pass(orig: np.ndarray, refp: np.ndarray, int_mv: np.ndarray,
                                    nxt[..., 1])
         best_mv = nxt
     return cost, best_mv.astype(np.int32)
+
+
+def decide_frame_b(orig_y: np.ndarray, ref0_y: np.ndarray,
+                   ref1_y: np.ndarray, qp: int,
+                   bit_depth: int = rom.BIT_DEPTH) -> FrameDecisions:
+    """B-frame decisions: per-size best of {intra, L0, L1, BI}, QT bottom-up.
+
+    BI cost: SAD of the averaged refined uni-predictions plus both MV rates
+    (VTM:EncoderLib/InterSearch predInterSearch bi-iteration, simplified to
+    one pass over the two uni winners)."""
+    h, w = orig_y.shape
+    lam = lambda_satd_fp(qp)
+    dec = FrameDecisions.empty(h, w)
+    refp = [_inter.pad_reference(ref0_y), _inter.pad_reference(ref1_y)]
+    o64 = orig_y.astype(np.int64)
+
+    size_data = {}
+    for s in (8, 16, 32):
+        nby, nbx = h // s, w // s
+        icost = np.zeros((nby, nbx), np.int64)
+        imode = np.zeros((nby, nbx), np.int32)
+        for by in range(nby):
+            for bx in range(nbx):
+                c = _mode_costs_for_block(orig_y, bx * s, by * s, s, lam,
+                                          bit_depth)
+                imode[by, bx] = int(np.argmin(c))
+                icost[by, bx] = int(c.min())
+        ucost, umv = [], []
+        for lst, ref in enumerate((ref0_y, ref1_y)):
+            mc_, mv_ = me_size_pass(orig_y, ref, s, lam)
+            rc, rmv = refine_size_pass(orig_y, refp[lst], mv_, s, lam)
+            ucost.append(rc)
+            umv.append(rmv)
+        # BI evaluation with the two refined winners
+        bcost = np.empty((nby, nbx), np.int64)
+        for by in range(nby):
+            for bx in range(nbx):
+                m0 = umv[0][by, bx]
+                m1 = umv[1][by, bx]
+                p0 = _inter.mc_luma(refp[0], bx * s, by * s, s, s,
+                                    int(m0[0]), int(m0[1]), bit_depth)
+                p1 = _inter.mc_luma(refp[1], bx * s, by * s, s, s,
+                                    int(m1[0]), int(m1[1]), bit_depth)
+                pb = (p0.astype(np.int64) + p1 + 1) >> 1
+                sad = int(np.abs(o64[by * s:(by + 1) * s,
+                                     bx * s:(bx + 1) * s] - pb).sum())
+                bits = (_inter.mv_bits_q(int(m0[0]) >> 2, int(m0[1]) >> 2)
+                        + _inter.mv_bits_q(int(m1[0]) >> 2,
+                                           int(m1[1]) >> 2))
+                bcost[by, bx] = (sad << 8) + lam * bits
+        costs = np.stack([icost, ucost[0], ucost[1], bcost])  # (4,nby,nbx)
+        kind = np.argmin(costs, axis=0).astype(np.int32)      # first-min
+        cost = np.min(costs, axis=0)
+        size_data[s] = (cost, imode, kind, umv[0], umv[1])
+
+    c8, im8, k8, mva8, mvb8 = size_data[8]
+    c16, im16, k16, mva16, mvb16 = size_data[16]
+    c32, im32, k32, mva32, mvb32 = size_data[32]
+    n16y, n16x = h // 16, w // 16
+    n32y, n32x = h // 32, w // 32
+    sum8 = (c8.reshape(n16y, 2, n16x, 2).sum(axis=(1, 3))
+            + (4 * SPLIT_BITS) * lam)
+    split16 = sum8 < c16
+    cc16 = np.where(split16, sum8, c16)
+    sum16 = (cc16.reshape(n32y, 2, n32x, 2).sum(axis=(1, 3))
+             + (4 * SPLIT_BITS) * lam)
+    split32 = sum16 < c32
+    dec.split32[:] = split32.astype(np.uint8)
+    dec.split16[:] = (split16
+                      & np.kron(split32, np.ones((2, 2), bool))).astype(
+                          np.uint8)
+
+    def up(a, f):
+        if a.ndim == 3:
+            return np.kron(a, np.ones((f, f, 1), a.dtype))
+        return np.kron(a, np.ones((f, f), a.dtype))
+
+    use16 = up(split32.astype(np.uint8), 4).astype(bool)
+    use8 = up(dec.split16, 2).astype(bool)
+
+    def sel(a32, a16, a8):
+        v = up(a32, 4)
+        m16 = use16 if a32.ndim == 2 else use16[..., None]
+        m8 = use8 if a32.ndim == 2 else use8[..., None]
+        v = np.where(m16, up(a16, 2), v)
+        return np.where(m8, a8, v)
+
+    kind = sel(k32, k16, k8)
+    mode = sel(im32, im16, im8)
+    mv0 = sel(mva32, mva16, mva8)
+    mv1 = sel(mvb32, mvb16, mvb8)
+    itf = kind > 0
+    dec.inter8[:] = itf.astype(np.uint8)
+    dec.modes8[:] = np.where(itf, 0, mode)
+    dec.dir8[:] = np.where(itf, np.where(kind == 3, 2, kind - 1),
+                           0).astype(np.uint8)
+    use0 = itf & ((kind == 1) | (kind == 3))
+    use1 = itf & ((kind == 2) | (kind == 3))
+    dec.mv8[..., 0] = np.where(use0, mv0[..., 0], 0)
+    dec.mv8[..., 1] = np.where(use0, mv0[..., 1], 0)
+    dec.mv8_l1[..., 0] = np.where(use1, mv1[..., 0], 0)
+    dec.mv8_l1[..., 1] = np.where(use1, mv1[..., 1], 0)
+    return dec

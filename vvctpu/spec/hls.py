@@ -118,6 +118,7 @@ class SliceHeader:
     slice_type: int = SLICE_I
     poc: int = 0
     qp_delta: int = 0
+    ref_pocs: tuple = ()     # reference POCs: (l0,) for P, (l0, l1) for B
 
     def write(self) -> bs.BitWriter:
         w = bs.BitWriter()
@@ -125,6 +126,10 @@ class SliceHeader:
         w.ue(self.slice_type)
         w.u(self.poc & 0xFFFF, 16)
         w.se(self.qp_delta)
+        if self.slice_type != SLICE_I:
+            w.ue(len(self.ref_pocs))
+            for rp in self.ref_pocs:
+                w.se(self.poc - rp)     # delta, positive = past
         w.byte_align()
         return w
 
@@ -135,6 +140,9 @@ class SliceHeader:
         s.slice_type = r.ue()
         s.poc = r.u(16)
         s.qp_delta = r.se()
+        if s.slice_type != SLICE_I:
+            n = r.ue()
+            s.ref_pocs = tuple(s.poc - r.se() for _ in range(n))
         r.byte_align()
         return s
 

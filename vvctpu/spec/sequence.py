@@ -25,6 +25,8 @@ class EncoderConfig:
     sao: bool = True
     intra_period: int = 1   # 1 = all-intra; 0 = first frame only; N = every N
     wpp: bool = False       # wavefront entropy lanes (one per CTU row)
+    gop: int = 1            # 1 = low-delay IPPP; >1 = hierarchical-B GOP
+
 
     def make_sps(self, width: int, height: int) -> hls.SPS:
         pw = -(-width // self.ctu) * self.ctu
@@ -37,6 +39,43 @@ class EncoderConfig:
                        sao_enabled=self.sao)
 
 
+def gop_plan(n_frames: int, intra_period: int, gop: int):
+    """Coding-order plan: list of (poc, slice_type, ref_pocs, qp_delta).
+
+    Hierarchical-B random access (SURVEY.md §2.6 EncGOP): anchors every
+    ``gop`` pictures (I per intra_period, else P off the previous anchor),
+    the interior filled by binary-subdivision B pictures referencing the
+    nearest coded past/future pictures; qp_delta rises with temporal layer.
+    """
+    out = []
+
+    def is_idr(poc):
+        ip = intra_period
+        return poc == 0 or (ip == 1) or (ip > 1 and poc % ip == 0)
+
+    def subdivide(lo, hi, tid):
+        if hi - lo < 2:
+            return
+        mid = (lo + hi) // 2
+        out.append((mid, hls.SLICE_B, (lo, hi), min(tid, 5)))
+        subdivide(lo, mid, tid + 1)
+        subdivide(mid, hi, tid + 1)
+
+    anchor = 0
+    out.append((0, hls.SLICE_I, (), 0))
+    while anchor < n_frames - 1:
+        nxt = min(anchor + max(gop, 1), n_frames - 1)
+        if nxt == anchor:
+            break
+        if is_idr(nxt):
+            out.append((nxt, hls.SLICE_I, (), 0))
+        else:
+            out.append((nxt, hls.SLICE_P, (anchor,), 1))
+        subdivide(anchor, nxt, 2)
+        anchor = nxt
+    return out
+
+
 def encode_sequence(frames: list[list[np.ndarray]], cfg: EncoderConfig,
                     decisions_fn=None, decisions_out: list | None = None):
     """frames: list of [Y, Cb, Cr] planes (output size).  Returns
@@ -46,37 +85,42 @@ def encode_sequence(frames: list[list[np.ndarray]], cfg: EncoderConfig,
     pps = hls.PPS(init_qp=cfg.qp, entropy_sync=cfg.wpp)
     nals = [bs.NalUnit(bs.NAL_SPS, sps.write()),
             bs.NalUnit(bs.NAL_PPS, pps.write())]
-    recons = []
-    bits = []
-    dpb = None   # previous filtered recon (padded planes)
-    for poc, planes in enumerate(frames):
-        ip = cfg.intra_period
-        is_intra = poc == 0 or (ip == 1) or (ip > 1 and poc % ip == 0)
+    recons = [None] * len(frames)
+    bits = [None] * len(frames)
+    dpb = {}   # poc -> filtered recon (padded planes)
+    plan = gop_plan(len(frames), cfg.intra_period, cfg.gop)
+    for poc, stype, ref_pocs, qpd in plan:
+        planes = frames[poc]
+        padded_y = codec.pad_planes(planes, sps)[0]
+        qp = cfg.qp + qpd
         if decisions_fn is not None:
             dec = decisions_fn(poc, planes, sps, cfg)
-        elif is_intra:
-            padded_y = codec.pad_planes(planes, sps)[0]
-            dec = decide.decide_frame(padded_y, cfg.qp, cfg.bit_depth)
+        elif stype == hls.SLICE_I:
+            dec = decide.decide_frame(padded_y, qp, cfg.bit_depth)
+        elif stype == hls.SLICE_P:
+            dec = decide.decide_frame_p(padded_y, dpb[ref_pocs[0]][0], qp,
+                                        cfg.bit_depth)
         else:
-            padded_y = codec.pad_planes(planes, sps)[0]
-            dec = decide.decide_frame_p(padded_y, dpb[0], cfg.qp,
+            dec = decide.decide_frame_b(padded_y, dpb[ref_pocs[0]][0],
+                                        dpb[ref_pocs[1]][0], qp,
                                         cfg.bit_depth)
         if decisions_out is not None:
             decisions_out.append(dec)
-        sh = hls.SliceHeader(
-            poc=poc,
-            slice_type=hls.SLICE_I if is_intra else hls.SLICE_P)
+        sh = hls.SliceHeader(poc=poc, slice_type=stype, qp_delta=qpd,
+                             ref_pocs=ref_pocs)
         payload, recon = codec.encode_frame(
-            planes, sps, pps, sh, dec, refs=None if is_intra else dpb)
-        dpb = recon
+            planes, sps, pps, sh, dec,
+            refs=[dpb[rp] for rp in ref_pocs] if ref_pocs else None)
+        dpb[poc] = recon
         cropped = codec.crop_planes(recon, sps)
         nals.append(bs.NalUnit(
-            bs.NAL_IDR_N_LP if is_intra else bs.NAL_TRAIL, payload))
+            bs.NAL_IDR_N_LP if stype == hls.SLICE_I else bs.NAL_TRAIL,
+            payload))
         nals.append(bs.NalUnit(
             bs.NAL_SUFFIX_SEI,
             hls.write_pic_hash_sei(cropped, cfg.bit_depth)))
-        recons.append(cropped)
-        bits.append(8 * len(payload))
+        recons[poc] = cropped
+        bits[poc] = 8 * len(payload)
     return bs.write_annexb(nals), recons, bits
 
 
@@ -84,9 +128,10 @@ def decode_sequence(data: bytes, check_hash: bool = True):
     """Returns (frames [cropped planes], sps).  Raises on hash mismatch."""
     sps = None
     pps_map: dict[int, hls.PPS] = {}
-    frames = []
+    frames = {}     # poc -> cropped planes
     pending = None  # last decoded (cropped) frame awaiting its hash SEI
-    dpb = None
+    pending_poc = -1
+    dpb = {}
     for nal in bs.read_annexb(data):
         if nal.nal_type == bs.NAL_SPS:
             sps = hls.SPS.read(nal.payload)
@@ -96,19 +141,20 @@ def decode_sequence(data: bytes, check_hash: bool = True):
         elif nal.nal_type in (bs.NAL_IDR_N_LP, bs.NAL_IDR_W_RADL,
                               bs.NAL_TRAIL, bs.NAL_CRA):
             recon, sh, _ = codec.decode_frame(nal.payload, sps, pps_map,
-                                              refs=dpb)
-            dpb = recon
+                                              dpb=dpb)
+            dpb[sh.poc] = recon
             pending = codec.crop_planes(recon, sps)
-            frames.append(pending)
+            pending_poc = sh.poc
+            frames[sh.poc] = pending
         elif nal.nal_type == bs.NAL_SUFFIX_SEI and check_hash:
             digest = hls.read_pic_hash_sei(nal.payload)
             if digest is not None and pending is not None:
                 got = hls.plane_md5(pending, sps.bit_depth)
                 if got != digest:
                     raise ValueError(
-                        f"decoded-picture hash mismatch at frame "
-                        f"{len(frames) - 1}")
-    return frames, sps
+                        f"decoded-picture hash mismatch at poc "
+                        f"{pending_poc}")
+    return [frames[p] for p in sorted(frames)], sps
 
 
 def psnr(ref: np.ndarray, rec: np.ndarray, bit_depth: int = 8) -> float:
