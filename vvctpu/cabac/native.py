@@ -135,3 +135,65 @@ def pack_bins_state(arr: np.ndarray, st, snap_idx: int = -1):
         raise RuntimeError("native packer overflow")
     snap = (sp0, sp1) if snap_idx >= 0 else None
     return out[:wrote].tobytes(), snap
+
+
+def _res_cfg():
+    return np.asarray([C.LAST_X.offset, C.LAST_Y.offset, C.CG_FLAG.offset,
+                       C.SIG_FLAG.offset, C.GT1_FLAG.offset,
+                       C.PAR_FLAG.offset, C.GT3_FLAG.offset,
+                       C.SIG_CHROMA_BASE, C.GTX_CHROMA_BASE], np.int32)
+
+
+_SCANS: dict = {}
+
+
+def _scan(log2_w, log2_h):
+    key = (log2_w, log2_h)
+    if key not in _SCANS:
+        from ..core import rom
+        _SCANS[key] = np.ascontiguousarray(
+            rom.scan_order(log2_w, log2_h).astype(np.int32))
+    return _SCANS[key]
+
+
+def tb_bins_c(levels: np.ndarray, log2_w: int, log2_h: int,
+              is_chroma: bool) -> np.ndarray:
+    """(n, 3) int32 bins for one TB via the C binarizer (== binarize.tb_bins
+    output order)."""
+    lib = _load()
+    n = levels.size
+    cap = 16 * n + 256
+    kinds = np.empty(cap, np.int32)
+    ctxs = np.empty(cap, np.int32)
+    bins = np.empty(cap, np.int32)
+    work = np.empty(3 * n + 64, np.int32)
+    lev = np.ascontiguousarray(levels, np.int32)
+    lib.vvc_tb_bins.restype = ctypes.c_int64
+    wrote = lib.vvc_tb_bins(
+        _i32p(lev), ctypes.c_int(log2_w), ctypes.c_int(log2_h),
+        ctypes.c_int(int(is_chroma)), _i32p(_scan(log2_w, log2_h)),
+        _i32p(_res_cfg()), _i32p(kinds), _i32p(ctxs), _i32p(bins),
+        ctypes.c_int64(cap), _i32p(work))
+    out = np.empty((wrote, 3), np.int32)
+    out[:, 0] = kinds[:wrote]
+    out[:, 1] = ctxs[:wrote]
+    out[:, 2] = bins[:wrote]
+    return out
+
+
+def native_parse_tb(dec: "NativeDecoder", log2_w: int, log2_h: int,
+                    is_chroma: bool) -> np.ndarray:
+    """Parse one TB directly in C through the native decode engine."""
+    lib = _load()
+    w, h = 1 << log2_w, 1 << log2_h
+    n = w * h
+    out = np.empty(n, np.int32)
+    work = np.empty(3 * n + 64, np.int32)
+    st = dec.ctx
+    lib.vvc_tb_parse.restype = None
+    lib.vvc_tb_parse(
+        dec._dec, _i32p(st.p0), _i32p(st.p1), _i32p(st.sh0), _i32p(st.sh1),
+        ctypes.c_int(log2_w), ctypes.c_int(log2_h),
+        ctypes.c_int(int(is_chroma)), _i32p(_scan(log2_w, log2_h)),
+        _i32p(_res_cfg()), _i32p(out), _i32p(work))
+    return out.reshape(h, w)

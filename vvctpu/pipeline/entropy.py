@@ -127,10 +127,15 @@ class _Walker:
         io = self.io
         plane = self.levels[comp]
         is_chroma = comp > 0
+        from ..cabac import native as cnative
         if io.decoding:
             cbf = io.bin(cbf_ctx)
             if cbf:
-                lev = code_tb(io, None, _log2(s), _log2(s), is_chroma)
+                if isinstance(io.c, cnative.NativeDecoder):
+                    lev = cnative.native_parse_tb(io.c, _log2(s), _log2(s),
+                                                  is_chroma)
+                else:
+                    lev = code_tb(io, None, _log2(s), _log2(s), is_chroma)
                 plane[y:y + s, x:x + s] = lev
             trace.t_cbf(comp, x, y, s, cbf)
         else:
@@ -140,8 +145,13 @@ class _Walker:
             trace.t_cbf(comp, x, y, s, cbf)
             if cbf:
                 if self.sink is not None:
-                    binarize.tb_bins(self.sink, lev, _log2(s), _log2(s),
-                                     is_chroma)
+                    if cnative.available():
+                        self.sink._chunks.append(
+                            cnative.tb_bins_c(lev, _log2(s), _log2(s),
+                                              is_chroma))
+                    else:
+                        binarize.tb_bins(self.sink, lev, _log2(s),
+                                         _log2(s), is_chroma)
                 else:
                     code_tb(io, lev, _log2(s), _log2(s), is_chroma)
 
