@@ -92,3 +92,31 @@ class TestReferenceParity:
             n_ctu_x=n_ctu_x)
         assert np.array_equal(np.asarray(top), ref_top)
         assert np.array_equal(np.asarray(left), ref_left)
+
+
+class TestTransformParity:
+    @pytest.mark.parametrize("n", [4, 8, 16, 32])
+    def test_fwd_inv_quant_parity(self, n):
+        from vvctpu.kernels import transform as jtf
+        from vvctpu.spec import transform as stf
+        rng = np.random.default_rng(n)
+        x = rng.integers(-255, 256, (n, n)).astype(np.int32)
+        for kh in (rom.DCT2, rom.DST7, rom.DCT8):
+            for kv in (rom.DCT2, rom.DST7, rom.DCT8):
+                c_ref = stf.forward_transform(x, kh, kv)
+                c_jax = np.asarray(jtf.forward_transform(
+                    jnp.asarray(x), n, n, kh, kv))
+                assert np.array_equal(c_jax, c_ref), (n, kh, kv)
+                for qp in (0, 22, 37, 51, 63):
+                    l_ref = stf.quantize(c_ref, qp)
+                    l_jax = np.asarray(jtf.quantize(jnp.asarray(c_ref),
+                                                    n, n, qp))
+                    assert np.array_equal(l_jax, l_ref), (n, qp)
+                    d_ref = stf.dequantize(l_ref, qp)
+                    d_jax = np.asarray(jtf.dequantize(jnp.asarray(l_ref),
+                                                      n, n, qp))
+                    assert np.array_equal(d_jax, d_ref), (n, qp)
+                x_ref = stf.inverse_transform(c_ref, kh, kv)
+                x_jax = np.asarray(jtf.inverse_transform(
+                    jnp.asarray(c_ref), n, n, kh, kv))
+                assert np.array_equal(x_jax, x_ref), (n, kh, kv)

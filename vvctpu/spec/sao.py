@@ -78,37 +78,37 @@ def _edge_categories(p: np.ndarray, t: int) -> np.ndarray:
 
 def _apply_component(rec: np.ndarray, orig_unused, params: SaoParams,
                      comp: int, ctu: int, bd: int) -> np.ndarray:
+    """Vectorised per-pixel offset application (categories and band indices
+    derive from the pre-SAO plane, as in the standard)."""
     h, w = rec.shape
     scale = 1 if comp == 0 else 2
     cs = ctu // scale
     out = rec.astype(np.int64)
     mx = (1 << bd) - 1
-    n_y, n_x = params.type.shape[:2]
-    # precompute edge category planes once per used type
-    cat_planes = {}
+
+    def up(a):
+        return np.kron(a, np.ones((cs, cs), a.dtype))[:h, :w]
+
+    tp = up(params.type[:, :, comp].astype(np.int64))
+    offs_px = np.stack([up(params.offsets[:, :, comp, i].astype(np.int64))
+                        for i in range(4)], axis=-1)
+    add = np.zeros((h, w), np.int64)
     for t in range(SAO_EO0, SAO_EO45 + 1):
-        if (params.type[:, :, comp] == t).any():
-            cat_planes[t] = _edge_categories(out, t)
-    band_idx = out >> (bd - 5)
-    for cy in range(n_y):
-        for cx in range(n_x):
-            t = int(params.type[cy, cx, comp])
-            if t == SAO_OFF:
-                continue
-            sl = np.s_[cy * cs:(cy + 1) * cs, cx * cs:(cx + 1) * cs]
-            offs = params.offsets[cy, cx, comp].astype(np.int64)
-            if t == SAO_BAND:
-                bp = int(params.band_pos[cy, cx, comp])
-                rel = (band_idx[sl] - bp) % N_BANDS
-                add = np.where(rel < 4, offs[np.minimum(rel, 3)], 0)
-                # band offsets carry explicit signs in `offsets`
-                out[sl] = np.clip(out[sl] + add, 0, mx)
-            else:
-                cat = cat_planes[t][sl]
-                lut = np.zeros(5, np.int64)
-                lut[[0, 1, 3, 4]] = offs * _EO_SIGN[[0, 1, 3, 4]]
-                out[sl] = np.clip(out[sl] + lut[cat], 0, mx)
-    return out.astype(np.int32)
+        m_t = tp == t
+        if not m_t.any():
+            continue
+        cat = _edge_categories(out, t)
+        for oi, ci in enumerate((0, 1, 3, 4)):
+            m = m_t & (cat == ci)
+            add[m] += offs_px[..., oi][m] * int(_EO_SIGN[ci])
+    m_b = tp == SAO_BAND
+    if m_b.any():
+        bp = up(params.band_pos[:, :, comp].astype(np.int64))
+        rel = ((out >> (bd - 5)) - bp) % N_BANDS
+        sel = np.take_along_axis(offs_px, np.minimum(rel, 3)[..., None],
+                                 axis=-1)[..., 0]
+        add += np.where(m_b & (rel < 4), sel, 0)
+    return np.clip(out + add, 0, mx).astype(np.int32)
 
 
 def apply_sao(planes, params: SaoParams, ctu: int = 64, bd: int = 8):
@@ -126,72 +126,88 @@ def _ctu_view(plane: np.ndarray, cy: int, cx: int, cs: int) -> np.ndarray:
 
 def decide_sao(orig_planes, rec_planes, qp: int, ctu: int = 64,
                bd: int = 8) -> SaoParams:
-    """Pick per-CTU params minimising D + lambda*R (integer costs)."""
+    """Pick per-CTU params minimising D + lambda*R (fully vectorised:
+    per-(CTU, category) statistics via bincount over combined indices)."""
     h, w = rec_planes[0].shape
     n_y, n_x = h // ctu, w // ctu
+    n_ctu = n_y * n_x
     params = SaoParams.empty(n_y, n_x)
     lam = int(round(0.57 * (2.0 ** ((qp - 12) / 3.0)) * 256.0))
     bits_est = {"off": 2, "edge": 20, "band": 28}
 
+    def refine_offsets(n, e):
+        """Integer offsets >= 0 minimising n*o^2 - 2*o*e, elementwise."""
+        with np.errstate(divide="ignore", invalid="ignore"):
+            o = np.where(n > 0, np.round(e / np.maximum(n, 1)), 0)
+        o = np.clip(o, 0, MAX_OFFSET).astype(np.int64)
+        for _ in range(MAX_OFFSET):
+            cur = n * o * o - 2 * o * e
+            dn = n * (o - 1) * (o - 1) - 2 * (o - 1) * e
+            step = (o > 0) & (cur > dn)
+            o = np.where(step, o - 1, o)
+        return o
+
     for comp in range(3):
         rec = rec_planes[comp].astype(np.int64)
         org = orig_planes[comp].astype(np.int64)
-        diff = org - rec
+        diff = (org - rec).ravel()
         scale = 1 if comp == 0 else 2
         cs = ctu // scale
-        cats = {t: _edge_categories(rec, t)
-                for t in range(SAO_EO0, SAO_EO45 + 1)}
-        band_idx = rec >> (bd - 5)
-        for cy in range(n_y):
-            for cx in range(n_x):
-                d = _ctu_view(diff, cy, cx, cs)
-                best_cost = bits_est["off"] * lam
-                best = (SAO_OFF, np.zeros(4, np.int64), 0)
-                # edge types
-                for t in range(SAO_EO0, SAO_EO45 + 1):
-                    cat = _ctu_view(cats[t], cy, cx, cs)
-                    offs = np.zeros(4, np.int64)
-                    d_delta = 0
-                    for oi, ci in enumerate((0, 1, 3, 4)):
-                        m = cat == ci
-                        n = int(m.sum())
-                        if n == 0:
-                            continue
-                        e = int(d[m].sum()) * int(_EO_SIGN[ci])
-                        o = max(0, min(MAX_OFFSET,
-                                       int(round(e / n)) if n else 0))
-                        # refine: integer o minimising n*o^2 - 2*o*e
-                        while o > 0 and n * o * o - 2 * o * e > \
-                                n * (o - 1) * (o - 1) - 2 * (o - 1) * e:
-                            o -= 1
-                        offs[oi] = o
-                        d_delta += n * o * o - 2 * o * e
-                    cost = d_delta * 256 + bits_est["edge"] * lam
-                    if cost < best_cost:
-                        best_cost = cost
-                        best = (t, offs, 0)
-                # band type
-                bi = _ctu_view(band_idx, cy, cx, cs)
-                n_b = np.bincount(bi.ravel(), minlength=N_BANDS)
-                e_b = np.bincount(bi.ravel(), weights=d.ravel(),
-                                  minlength=N_BANDS).astype(np.int64)
-                o_b = np.zeros(N_BANDS, np.int64)
-                nz = n_b > 0
-                o_b[nz] = np.clip(np.round(e_b[nz] / n_b[nz]), -MAX_OFFSET,
-                                  MAX_OFFSET).astype(np.int64)
-                dd_b = n_b * o_b * o_b - 2 * o_b * e_b
-                # best window of 4 consecutive bands
-                win = np.array([dd_b[(np.arange(4) + s) % N_BANDS].sum()
-                                for s in range(N_BANDS)])
-                s_best = int(np.argmin(win))
-                cost = int(win[s_best]) * 256 + bits_est["band"] * lam
-                if cost < best_cost:
-                    best_cost = cost
-                    best = (SAO_BAND,
-                            o_b[(np.arange(4) + s_best) % N_BANDS], s_best)
-                params.type[cy, cx, comp] = best[0]
-                params.offsets[cy, cx, comp] = best[1]
-                params.band_pos[cy, cx, comp] = best[2]
+        hh, ww = rec.shape
+        yy, xx = np.mgrid[0:hh, 0:ww]
+        ctu_id = ((yy // cs) * n_x + (xx // cs)).ravel()
+
+        costs = np.full((6, n_ctu), bits_est["off"] * lam, np.int64)
+        all_offs = np.zeros((6, n_ctu, 4), np.int64)
+        band_pos = np.zeros(n_ctu, np.int64)
+
+        for t in range(SAO_EO0, SAO_EO45 + 1):
+            cat = _edge_categories(rec, t).ravel()
+            idx = ctu_id * 5 + cat
+            n_cnt = np.bincount(idx, minlength=n_ctu * 5).reshape(n_ctu, 5)
+            e_sum = np.bincount(idx, weights=diff,
+                                minlength=n_ctu * 5).reshape(
+                n_ctu, 5).astype(np.int64)
+            cis = np.array([0, 1, 3, 4])
+            n4 = n_cnt[:, cis]
+            e4 = e_sum[:, cis] * _EO_SIGN[cis][None, :]
+            o4 = refine_offsets(n4, e4)
+            dd = (n4 * o4 * o4 - 2 * o4 * e4).sum(axis=1)
+            costs[t] = dd * 256 + bits_est["edge"] * lam
+            all_offs[t] = o4
+
+        band = (rec.ravel() >> (bd - 5))
+        idx = ctu_id * N_BANDS + band
+        n_b = np.bincount(idx, minlength=n_ctu * N_BANDS).reshape(
+            n_ctu, N_BANDS)
+        e_b = np.bincount(idx, weights=diff,
+                          minlength=n_ctu * N_BANDS).reshape(
+            n_ctu, N_BANDS).astype(np.int64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            o_b = np.where(n_b > 0, np.round(e_b / np.maximum(n_b, 1)), 0)
+        o_b = np.clip(o_b, -MAX_OFFSET, MAX_OFFSET).astype(np.int64)
+        dd_b = n_b * o_b * o_b - 2 * o_b * e_b
+        ddc = np.concatenate([dd_b, dd_b[:, :3]], axis=1)
+        win = np.stack([ddc[:, s:s + 4].sum(axis=1)
+                        for s in range(N_BANDS)], axis=1)
+        s_best = np.argmin(win, axis=1)
+        costs[SAO_BAND] = (win[np.arange(n_ctu), s_best] * 256
+                           + bits_est["band"] * lam)
+        band_pos[:] = s_best
+        rel = (np.arange(4)[None, :] + s_best[:, None]) % N_BANDS
+        all_offs[SAO_BAND] = np.take_along_axis(o_b, rel, axis=1)
+
+        # selection order matches the sequential reference: OFF beats ties,
+        # edge types in index order, band last (argmin keeps the first min)
+        order = [SAO_OFF, SAO_EO0, SAO_EO90, SAO_EO135, SAO_EO45, SAO_BAND]
+        stacked = costs[order]
+        pick = np.argmin(stacked, axis=0)
+        chosen_t = np.array(order)[pick]
+        params.type[:, :, comp] = chosen_t.reshape(n_y, n_x)
+        offs = all_offs[chosen_t, np.arange(n_ctu)]
+        params.offsets[:, :, comp, :] = offs.reshape(n_y, n_x, 4)
+        params.band_pos[:, :, comp] = np.where(
+            chosen_t == SAO_BAND, band_pos, 0).reshape(n_y, n_x)
     return params
 
 
