@@ -1,0 +1,85 @@
+"""Aux apps: parcat, checkpoint/resume, cfg files (SURVEY §2.8/§5)."""
+import numpy as np
+import pytest
+
+from vvctpu.io import cfg as cfgmod, yuv
+from vvctpu.io.parcat import parcat
+from vvctpu.spec import sequence as seq
+
+from test_codec_roundtrip import synth_frame
+from test_inter_parity import motion_frames
+
+
+class TestParcat:
+    def test_concat_two_segments(self):
+        seg1 = motion_frames(3, 64, 96, seed=80)
+        seg2 = motion_frames(3, 64, 96, seed=81)
+        cfg = seq.EncoderConfig(qp=32, intra_period=0)
+        d1, r1, _ = seq.encode_sequence(seg1, cfg)
+        d2, r2, _ = seq.encode_sequence(seg2, cfg)
+        merged = parcat([d1, d2])
+        out, _ = seq.decode_sequence(merged, check_hash=True)
+        assert len(out) == 6
+        for i in range(3):
+            for c in range(3):
+                assert np.array_equal(out[i][c], r1[i][c])
+                assert np.array_equal(out[3 + i][c], r2[i][c])
+
+    def test_parcat_cli(self, tmp_path):
+        from vvctpu.__main__ import main
+        seg = motion_frames(2, 64, 64, seed=82)
+        cfg = seq.EncoderConfig(qp=35)
+        d1, _, _ = seq.encode_sequence(seg, cfg)
+        p1 = tmp_path / "a.bin"
+        p1.write_bytes(d1)
+        p2 = tmp_path / "b.bin"
+        p2.write_bytes(d1)
+        po = tmp_path / "out.bin"
+        assert main(["parcat", str(p1), str(p2), "-o", str(po)]) == 0
+        out, _ = seq.decode_sequence(po.read_bytes(), check_hash=True)
+        assert len(out) == 4
+
+
+class TestCheckpoint:
+    def test_resume_produces_identical_stream(self, tmp_path):
+        frames = motion_frames(5, 64, 96, seed=83)
+        cfg = seq.EncoderConfig(qp=32, intra_period=0, gop=4)
+        ref_data, _, _ = seq.encode_sequence(frames, cfg)
+        ck = str(tmp_path / "enc.npz")
+        # run once to create the checkpoint (completes + checkpoints)
+        seq.encode_sequence(frames, cfg, checkpoint_path=ck)
+        # resume from it: must reproduce the identical stream
+        data2, _, _ = seq.encode_sequence(frames, cfg, checkpoint_path=ck)
+        assert data2 == ref_data
+
+
+class TestCfgFiles:
+    def test_layered_parse(self, tmp_path):
+        base = tmp_path / "base.cfg"
+        base.write_text(
+            "SourceWidth : 176   # comment\n"
+            "SourceHeight: 144\n"
+            "QP          : 37\n"
+            "IntraPeriod : -1\n"
+            "GOPSize     : 8\n"
+            "EntropyCodingSyncEnabled : 1\n"
+            "UnknownFutureOption : 42\n")
+        over = tmp_path / "seq.cfg"
+        over.write_text("QP : 27\nFramesToBeEncoded : 9\n")
+        c = cfgmod.load_layered([str(base), str(over)])
+        assert (c.width, c.height) == (176, 144)
+        assert c.qp == 27 and c.frames == 9
+        assert c.intra_period == 0 and c.gop == 8 and c.wpp
+
+    def test_cfg_driven_encode(self, tmp_path):
+        from vvctpu.__main__ import main
+        frames = [synth_frame(48, 64, seed=84)]
+        src = tmp_path / "in.yuv"
+        yuv.write_yuv(str(src), frames)
+        out = tmp_path / "out.bin"
+        cfgf = tmp_path / "e.cfg"
+        cfgf.write_text(f"InputFile : {src}\nBitstreamFile : {out}\n"
+                        "SourceWidth : 64\nSourceHeight : 48\nQP : 30\n")
+        assert main(["encode", "-c", str(cfgf)]) == 0
+        dec, _ = seq.decode_sequence(out.read_bytes(), check_hash=True)
+        assert dec[0][0].shape == (48, 64)

@@ -22,6 +22,25 @@ import numpy as np
 def _enc(args) -> int:
     from .io import yuv
     from .spec import sequence as seq
+    if args.cfg:
+        from .io.cfg import load_layered
+        fc = load_layered(args.cfg)
+        args.input = args.input or fc.input_file
+        args.bitstream = args.bitstream or fc.bitstream_file
+        args.recon = args.recon or (fc.recon_file or None)
+        args.wdt = args.wdt or fc.width
+        args.hgt = args.hgt or fc.height
+        if args.frames is None:
+            args.frames = fc.frames
+        for a, v in (("qp", fc.qp), ("intra_period", fc.intra_period),
+                     ("gop", fc.gop), ("bit_depth", fc.bit_depth),
+                     ("wpp", fc.wpp)):
+            if ap_defaults.get(a) == getattr(args, a):
+                setattr(args, a, v)
+    if not (args.input and args.bitstream and args.wdt and args.hgt):
+        print("missing input/bitstream/wdt/hgt (flags or cfg)",
+              file=sys.stderr)
+        return 2
     frames = yuv.read_yuv(args.input, args.wdt, args.hgt, args.frames,
                           args.bit_depth)
     if not frames:
@@ -38,7 +57,8 @@ def _enc(args) -> int:
         from .pipeline import encoder as jenc
         data, recons, bits = jenc.encode_sequence(frames, cfg)
     else:
-        data, recons, bits = seq.encode_sequence(frames, cfg)
+        data, recons, bits = seq.encode_sequence(
+            frames, cfg, checkpoint_path=args.checkpoint)
     dt = time.time() - t0
     with open(args.bitstream, "wb") as f:
         f.write(data)
@@ -64,6 +84,17 @@ def _enc(args) -> int:
     return 0
 
 
+def _parcat(args) -> int:
+    from .io.parcat import parcat
+    streams = [open(f, "rb").read() for f in args.inputs]
+    out = parcat(streams)
+    with open(args.output, "wb") as f:
+        f.write(out)
+    print(f"parcat: {len(args.inputs)} segments -> {args.output} "
+          f"({len(out)} bytes)")
+    return 0
+
+
 def _dec(args) -> int:
     from .io import yuv
     from .spec import sequence as seq
@@ -83,16 +114,23 @@ def _dec(args) -> int:
     return 0
 
 
+ap_defaults = {"qp": 32, "intra_period": 1, "gop": 1, "bit_depth": 8,
+               "wpp": False}
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="vvctpu")
     sub = ap.add_subparsers(dest="cmd", required=True)
 
     e = sub.add_parser("encode", help="encode raw YUV to Annex-B bitstream")
-    e.add_argument("-i", "--input", required=True, help="input .yuv (I420)")
-    e.add_argument("-b", "--bitstream", required=True, help="output .bin")
+    e.add_argument("-c", "--cfg", action="append", default=[],
+                   help="VTM-style cfg file (repeatable; later wins)")
+    e.add_argument("-i", "--input", help="input .yuv (I420)")
+    e.add_argument("-b", "--bitstream", help="output .bin")
     e.add_argument("-o", "--recon", help="optional recon .yuv")
-    e.add_argument("--wdt", type=int, required=True, help="source width")
-    e.add_argument("--hgt", type=int, required=True, help="source height")
+    e.add_argument("--wdt", type=int, help="source width")
+    e.add_argument("--hgt", type=int, help="source height")
+    e.add_argument("--checkpoint", help="encoder checkpoint .npz path")
     e.add_argument("-q", "--qp", type=int, default=32)
     e.add_argument("-f", "--frames", type=int, default=None)
     e.add_argument("--bit-depth", type=int, default=8, choices=(8, 10))
@@ -116,6 +154,12 @@ def main(argv=None) -> int:
     d.add_argument("--trace-file", help="syntax trace output (dtrace equiv)")
     d.add_argument("--trace-rule", default="D_SYNTAX,D_MODE,D_RESID:poc>=0")
     d.set_defaults(fn=_dec)
+
+    pc = sub.add_parser("parcat",
+                        help="concatenate segment bitstreams (Parcat)")
+    pc.add_argument("inputs", nargs="+")
+    pc.add_argument("-o", "--output", required=True)
+    pc.set_defaults(fn=_parcat)
 
     args = ap.parse_args(argv)
     return args.fn(args)

@@ -1,0 +1,72 @@
+"""VTM-style layered cfg-file parser (`Key : value`, later files win).
+
+Role of VTM:Utilities/program_options_lite.{h,cpp} + EncAppCfg.cpp: option
+names match the VTM cfg vocabulary where the tool exists here, so CTC-style
+cfg files port directly (SURVEY.md §5 "same option names where they exist").
+CLI flags override cfg values.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+
+@dataclass
+class AppConfig:
+    width: int = 0                # SourceWidth
+    height: int = 0               # SourceHeight
+    frames: int | None = None     # FramesToBeEncoded
+    qp: int = 32                  # QP
+    intra_period: int = 1         # IntraPeriod (-1 -> 0: first frame only)
+    gop: int = 1                  # GOPSize
+    bit_depth: int = 8            # InputBitDepth
+    wpp: bool = False             # EntropyCodingSyncEnabled / WaveFrontSynchro
+    sao: bool = True              # SAO
+    deblock: bool = True          # (inverse of) LoopFilterDisable
+    input_file: str = ""          # InputFile
+    bitstream_file: str = ""      # BitstreamFile
+    recon_file: str = ""          # ReconFile
+
+
+_KEYMAP = {
+    "sourcewidth": ("width", int),
+    "sourceheight": ("height", int),
+    "framestobeencoded": ("frames", int),
+    "qp": ("qp", int),
+    "intraperiod": ("intra_period", lambda v: 0 if int(v) < 0 else int(v)),
+    "gopsize": ("gop", int),
+    "inputbitdepth": ("bit_depth", int),
+    "entropycodingsyncenabled": ("wpp", lambda v: bool(int(v))),
+    "wavefrontsynchro": ("wpp", lambda v: bool(int(v))),
+    "sao": ("sao", lambda v: bool(int(v))),
+    "loopfilterdisable": ("deblock", lambda v: not bool(int(v))),
+    "inputfile": ("input_file", str),
+    "bitstreamfile": ("bitstream_file", str),
+    "reconfile": ("recon_file", str),
+}
+
+
+def parse_cfg_file(path: str, cfg: AppConfig | None = None) -> AppConfig:
+    cfg = cfg or AppConfig()
+    with open(path) as f:
+        for ln, line in enumerate(f, 1):
+            line = line.split("#")[0].split("//")[0].strip()
+            if not line:
+                continue
+            if ":" not in line:
+                raise ValueError(f"{path}:{ln}: expected 'Key : value'")
+            key, _, val = line.partition(":")
+            key = key.strip().lower()
+            val = val.strip()
+            if key in _KEYMAP:
+                attr, conv = _KEYMAP[key]
+                setattr(cfg, attr, conv(val))
+            # unknown keys are ignored (forward compatibility, like the
+            # reference tolerates unknown per-sequence options)
+    return cfg
+
+
+def load_layered(paths: list[str]) -> AppConfig:
+    cfg = AppConfig()
+    for p in paths:
+        cfg = parse_cfg_file(p, cfg)
+    return cfg

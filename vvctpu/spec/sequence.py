@@ -77,9 +77,14 @@ def gop_plan(n_frames: int, intra_period: int, gop: int):
 
 
 def encode_sequence(frames: list[list[np.ndarray]], cfg: EncoderConfig,
-                    decisions_fn=None, decisions_out: list | None = None):
+                    decisions_fn=None, decisions_out: list | None = None,
+                    checkpoint_path: str | None = None):
     """frames: list of [Y, Cb, Cr] planes (output size).  Returns
-    (annexb_bytes, recon_frames[cropped], per_frame_bits)."""
+    (annexb_bytes, recon_frames[cropped], per_frame_bits).
+
+    checkpoint_path: optional .npz the encoder writes after every anchor
+    picture and resumes from if present (SURVEY.md §5 checkpoint/resume —
+    absent in the reference, required for preemptible multi-host runs)."""
     h, w = frames[0][0].shape
     sps = cfg.make_sps(w, h)
     pps = hls.PPS(init_qp=cfg.qp, entropy_sync=cfg.wpp)
@@ -89,7 +94,21 @@ def encode_sequence(frames: list[list[np.ndarray]], cfg: EncoderConfig,
     bits = [None] * len(frames)
     dpb = {}   # poc -> filtered recon (padded planes)
     plan = gop_plan(len(frames), cfg.intra_period, cfg.gop)
-    for poc, stype, ref_pocs, qpd in plan:
+    start_idx = 0
+    if checkpoint_path:
+        import os
+        if os.path.exists(checkpoint_path):
+            ck = np.load(checkpoint_path, allow_pickle=True)
+            start_idx = int(ck["plan_idx"])
+            nals = list(ck["nals"].tolist())
+            dpb = {int(k): [a for a in v]
+                   for k, v in ck["dpb"].item().items()}
+            for poc_d, b, r0, r1, r2 in ck["done"].tolist():
+                recons[poc_d] = [r0, r1, r2]
+                bits[poc_d] = b
+    for idx, (poc, stype, ref_pocs, qpd) in enumerate(plan):
+        if idx < start_idx:
+            continue
         planes = frames[poc]
         padded_y = codec.pad_planes(planes, sps)[0]
         qp = cfg.qp + qpd
@@ -121,6 +140,15 @@ def encode_sequence(frames: list[list[np.ndarray]], cfg: EncoderConfig,
             hls.write_pic_hash_sei(cropped, cfg.bit_depth)))
         recons[poc] = cropped
         bits[poc] = 8 * len(payload)
+        if checkpoint_path and stype != hls.SLICE_B:
+            done = [(p2, bits[p2], *recons[p2])
+                    for p2 in range(len(frames)) if recons[p2] is not None]
+            np.savez(checkpoint_path,
+                     plan_idx=np.int64(idx + 1),
+                     nals=np.asarray(nals, dtype=object),
+                     dpb=np.asarray({k: v for k, v in dpb.items()},
+                                    dtype=object),
+                     done=np.asarray(done, dtype=object))
     return bs.write_annexb(nals), recons, bits
 
 
