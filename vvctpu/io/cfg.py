@@ -21,6 +21,7 @@ class AppConfig:
     bit_depth: int = 8            # InputBitDepth
     wpp: bool = False             # EntropyCodingSyncEnabled / WaveFrontSynchro
     sao: bool = True              # SAO
+    mts: bool = False             # MTS / MTSIntra
     deblock: bool = True          # (inverse of) LoopFilterDisable
     input_file: str = ""          # InputFile
     bitstream_file: str = ""      # BitstreamFile
@@ -38,6 +39,8 @@ _KEYMAP = {
     "entropycodingsyncenabled": ("wpp", lambda v: bool(int(v))),
     "wavefrontsynchro": ("wpp", lambda v: bool(int(v))),
     "sao": ("sao", lambda v: bool(int(v))),
+    "mts": ("mts", lambda v: bool(int(v))),
+    "mtsintra": ("mts", lambda v: bool(int(v))),
     "loopfilterdisable": ("deblock", lambda v: not bool(int(v))),
     "inputfile": ("input_file", str),
     "bitstreamfile": ("bitstream_file", str),

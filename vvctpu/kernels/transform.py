@@ -110,3 +110,41 @@ def reconstruct(pred, level, h: int, w: int, qp: int,
     resi = inverse_transform(dequantize(level, h, w, qp, bd), h, w,
                              kind_h, kind_v, bd)
     return jnp.clip(pred.astype(jnp.int32) + resi, 0, (1 << bd) - 1)
+
+
+# ---------------------------------------------------------------------------
+# MTS candidate evaluation (device twin of spec/transform.choose_mts)
+# ---------------------------------------------------------------------------
+from ..spec.transform import MTS_IDX_BITS, MTS_SET  # noqa: E402
+
+
+def level_rate_est_j(lev):
+    """Integer rate proxy == spec level_rate_est (threshold-sum bitlen)."""
+    a = jnp.abs(lev)
+    nnz = (a > 0).sum()
+    bl = sum((a >= (1 << k)).sum() for k in range(15))
+    return (nnz + bl).astype(jnp.int32)
+
+
+def choose_mts_j(resi, s: int, qp, lam_rd, bd: int = 8):
+    """Returns (idx int32, levels (s,s), recon_resi (s,s)) — RD-selected
+    transform pair, first-min tie-breaking in MTS_SET order."""
+    costs = []
+    levs = []
+    recs = []
+    for k, (kh, kv) in enumerate(MTS_SET):
+        coef = forward_transform(resi, s, s, kh, kv, bd)
+        lev = quantize(coef, s, s, qp, intra=True, bd=bd)
+        rec = inverse_transform(dequantize(lev, s, s, qp, bd), s, s, kh, kv,
+                                bd)
+        dist = ((resi - rec) ** 2).sum()
+        rate = jnp.minimum(level_rate_est_j(lev) + MTS_IDX_BITS[k],
+                           1 << 14)
+        costs.append(dist + lam_rd * rate)
+        levs.append(lev)
+        recs.append(rec)
+    cost_v = jnp.stack(costs)
+    idx = jnp.argmin(cost_v).astype(jnp.int32)
+    lev = jnp.stack(levs)[idx]
+    rec = jnp.stack(recs)[idx]
+    return idx, lev, rec

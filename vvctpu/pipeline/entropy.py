@@ -123,13 +123,19 @@ class _Walker:
         return mode
 
     # -- residual per component ------------------------------------------
-    def _code_component(self, comp, x, y, s, cbf_ctx):
+    def _code_component(self, comp, x, y, s, cbf_ctx, mts_ok=False):
+        from ..spec.codec import _code_mts_idx
         io = self.io
         plane = self.levels[comp]
         is_chroma = comp > 0
+        mts_ok = mts_ok and self.sps.mts_enabled
         from ..cabac import native as cnative
         if io.decoding:
             cbf = io.bin(cbf_ctx)
+            if cbf and mts_ok:
+                midx = _code_mts_idx(io, None)
+                self.dec.mts8[y // 8:(y + s) // 8,
+                              x // 8:(x + s) // 8] = midx
             if cbf:
                 if isinstance(io.c, cnative.NativeDecoder):
                     lev = cnative.native_parse_tb(io.c, _log2(s), _log2(s),
@@ -142,6 +148,8 @@ class _Walker:
             lev = plane[y:y + s, x:x + s]
             cbf = int(lev.any())
             io.bin(cbf_ctx, cbf)
+            if cbf and mts_ok:
+                _code_mts_idx(io, int(self.dec.mts8[y // 8, x // 8]))
             trace.t_cbf(comp, x, y, s, cbf)
             if cbf:
                 if self.sink is not None:
@@ -225,10 +233,11 @@ class _Walker:
                 int(self.dec.inter8[y // 8, x // 8]))
         if is_inter:
             self._code_inter(x, y, s)
+            self._code_component(0, x, y, s, C.CBF_LUMA(0))
         else:
             mode = self._code_mode(x, y, s)
             trace.t_leaf_intra(x, y, s, mode)
-        self._code_component(0, x, y, s, C.CBF_LUMA(0))
+            self._code_component(0, x, y, s, C.CBF_LUMA(0), mts_ok=True)
         cs, cx, cy = s // 2, x // 2, y // 2
         self._code_component(1, cx, cy, cs, C.CBF_CB(0))
         self._code_component(2, cx, cy, cs, C.CBF_CR(0))

@@ -44,11 +44,12 @@ def _component(buf, levels_io, src, pred, x, y, s, qp, bd, encode):
 
 
 def _make_leaf_fn(s: int, inter: bool, *, frame_w: int, frame_h: int,
-                  n_ctu_x: int, qp, bd: int, encode: bool, refs):
+                  n_ctu_x: int, qp, bd: int, encode: bool, refs,
+                  mts: bool = False, lam_rd=None):
     cs = s // 2
 
-    def leaf(carry, x, y, mode, mvx, mvy):
-        (by, bcb, bcr, ly, lcb, lcr, sy, scb, scr) = carry
+    def leaf(carry, x, y, mode, mvx, mvy, mts_in):
+        (by, bcb, bcr, ly, lcb, lcr, sy, scb, scr, mtsp) = carry
         if inter:
             pred_y = mc.mc_luma_block(refs[0], x, y, s, mvx, mvy, bd)
             pred_cb = mc.mc_chroma_block(refs[1], x // 2, y // 2, cs,
@@ -73,12 +74,35 @@ def _make_leaf_fn(s: int, inter: bool, *, frame_w: int, frame_h: int,
                 n_ctu_x=n_ctu_x, bd=bd)
             pred_cr = intra_pred.predict(tcr, lcr_r, mode, s=cs,
                                          is_luma=False, bd=bd)
-        by, ly = _component(by, ly, sy, pred_y, x, y, s, qp, bd, encode)
+        if mts and not inter:
+            # intra luma: RD-select the transform pair (device twin of
+            # spec choose_mts), signalised via the mts plane
+            if encode:
+                blk = jax.lax.dynamic_slice(sy, (y, x),
+                                            (s, s)).astype(jnp.int32)
+                midx, lev, rres = transform.choose_mts_j(blk - pred_y, s,
+                                                         qp, lam_rd, bd)
+                ly = jax.lax.dynamic_update_slice(ly, lev, (y, x))
+            else:
+                midx = mts_in
+                lev = jax.lax.dynamic_slice(sy, (y, x), (s, s))
+                branches_m = [
+                    (lambda kh=kh, kv=kv: transform.inverse_transform(
+                        transform.dequantize(lev, s, s, qp, bd), s, s,
+                        kh, kv, bd))
+                    for kh, kv in transform.MTS_SET]
+                rres = jax.lax.switch(midx, branches_m)
+            rec = jnp.clip(pred_y + rres, 0, (1 << bd) - 1)
+            by = jax.lax.dynamic_update_slice(by, rec, (y + 1, x + 1))
+            mtsp = jax.lax.dynamic_update_slice(
+                mtsp, midx.reshape(1, 1), (y // 8, x // 8))
+        else:
+            by, ly = _component(by, ly, sy, pred_y, x, y, s, qp, bd, encode)
         bcb, lcb = _component(bcb, lcb, scb, pred_cb, x // 2, y // 2, cs,
                               qp, bd, encode)
         bcr, lcr = _component(bcr, lcr, scr, pred_cr, x // 2, y // 2, cs,
                               qp, bd, encode)
-        return (by, bcb, bcr, ly, lcb, lcr, sy, scb, scr)
+        return (by, bcb, bcr, ly, lcb, lcr, sy, scb, scr, mtsp)
 
     return leaf
 
@@ -91,7 +115,7 @@ def _inter_batch_pass(carry, ib_slots, refs, s: int, qp, bd: int,
     invalid rows have x = y = 2^20 (positive out-of-bounds: their scatter
     indices are dropped).  refs: (l0_y, l0_cb, l0_cr, l1_y, l1_cb, l1_cr).
     """
-    (by, bcb, bcr, ly, lcb, lcr, sy, scb, scr) = carry
+    (by, bcb, bcr, ly, lcb, lcr, sy, scb, scr, mtsp) = carry
     cs = s // 2
     mx = (1 << bd) - 1
 
@@ -142,17 +166,18 @@ def _inter_batch_pass(carry, ib_slots, refs, s: int, qp, bd: int,
         ly = scatter(ly, lvy, xs, ys, s, 0)
         lcb = scatter(lcb, lvcb, xs // 2, ys // 2, cs, 0)
         lcr = scatter(lcr, lvcr, xs // 2, ys // 2, cs, 0)
-    return (by, bcb, bcr, ly, lcb, lcr, sy, scb, scr)
+    return (by, bcb, bcr, ly, lcb, lcr, sy, scb, scr, mtsp)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("frame_w", "frame_h", "bd", "encode",
-                                    "inter_enabled"))
+                                    "inter_enabled", "mts"))
 def frame_scan(slots, planes_y, planes_cb, planes_cr, *, frame_w: int,
                frame_h: int, qp, bd: int, encode: bool,
                inter_enabled: bool = False, ref_y=None, ref_cb=None,
                ref_cr=None, ref1_y=None, ref1_cb=None, ref1_cr=None,
-               inter8=None, inter16=None, inter32=None):
+               inter8=None, inter16=None, inter32=None,
+               mts: bool = False, lam_rd=0):
     """Run the full-frame reconstruction scan.
 
     slots: (N, 6) int32 [op, x, y, mode, mvx, mvy] in coding order; op 0 =
@@ -172,7 +197,8 @@ def frame_scan(slots, planes_y, planes_cb, planes_cr, *, frame_w: int,
              jnp.zeros((h2, w2), jnp.int32),
              jnp.zeros((h2, w2), jnp.int32),
              planes_y.astype(jnp.int32), planes_cb.astype(jnp.int32),
-             planes_cr.astype(jnp.int32))
+             planes_cr.astype(jnp.int32),
+             jnp.zeros((frame_h // 8, frame_w // 8), jnp.int32))
 
     if ref1_y is None:
         ref1_y, ref1_cb, ref1_cr = ref_y, ref_cb, ref_cr
@@ -185,27 +211,34 @@ def frame_scan(slots, planes_y, planes_cb, planes_cr, *, frame_w: int,
 
     # phase B: intra leaves in coding order (inter slots are op=0 skips)
     kw = dict(frame_w=frame_w, frame_h=frame_h, n_ctu_x=n_ctu_x, qp=qp,
-              bd=bd, encode=encode, refs=refs)
-    branches = [lambda c, x, y, m, vx, vy: c,
+              bd=bd, encode=encode, refs=refs, mts=mts,
+              lam_rd=jnp.asarray(lam_rd, jnp.int32))
+    branches = [lambda c, x, y, m, vx, vy, mt: c,
                 _make_leaf_fn(8, False, **kw), _make_leaf_fn(16, False, **kw),
                 _make_leaf_fn(32, False, **kw)]
 
     def step(carry, slot):
+        mt = slot[6] if slot.shape[0] > 6 else jnp.int32(0)
         return jax.lax.switch(
             jnp.minimum(slot[0], 3), branches, carry,
-            slot[1], slot[2], slot[3], slot[4], slot[5]), None
+            slot[1], slot[2], slot[3], slot[4], slot[5], mt), None
 
+    if slots.shape[1] < 7:
+        slots = jnp.concatenate(
+            [slots, jnp.zeros((slots.shape[0], 1), jnp.int32)], axis=1)
     carry, _ = jax.lax.scan(step, carry, slots)
     by, bcb, bcr, ly, lcb, lcr = carry[:6]
     return (by[1:frame_h + 1, 1:frame_w + 1],
             bcb[1:h2 + 1, 1:w2 + 1], bcr[1:h2 + 1, 1:w2 + 1],
-            ly, lcb, lcr)
+            ly, lcb, lcr, carry[9])
 
 
 def make_slots(dec: FrameDecisions, frame_h: int, frame_w: int) -> np.ndarray:
     op, xs, ys, modes, mv0, mv1, dirs = planmod.leaf_plan(dec, frame_h,
                                                           frame_w)
-    return np.stack([op, xs, ys, modes, mv0[:, 0], mv0[:, 1]],
+    mts = dec.mts8[ys // 8, xs // 8].astype(np.int32) \
+        if dec.mts8 is not None else np.zeros_like(op)
+    return np.stack([op, xs, ys, modes, mv0[:, 0], mv0[:, 1], mts],
                     axis=1).astype(np.int32)
 
 
@@ -216,7 +249,9 @@ def make_slots_split(dec: FrameDecisions, frame_h: int, frame_w: int):
     out-of-bounds; scatter-dropped, gathers clamp)."""
     op, xs, ys, modes, mv0, mv1, dirs = planmod.leaf_plan(dec, frame_h,
                                                           frame_w)
-    slots = np.stack([op, xs, ys, modes, mv0[:, 0], mv0[:, 1]],
+    mts = dec.mts8[ys // 8, xs // 8].astype(np.int32) \
+        if dec.mts8 is not None else np.zeros_like(op)
+    slots = np.stack([op, xs, ys, modes, mv0[:, 0], mv0[:, 1], mts],
                      axis=1).astype(np.int32)
     inter = {}
     for i, s in enumerate((8, 16, 32)):

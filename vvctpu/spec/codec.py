@@ -41,6 +41,7 @@ class FrameDecisions:
     mv8: np.ndarray = None      # (H//8, W//8, 2) int32: L0 (mvx, mvy) 1/16
     mv8_l1: np.ndarray = None   # (H//8, W//8, 2) int32: L1 mv (B slices)
     dir8: np.ndarray = None     # (H//8, W//8) uint8: 0=L0, 1=L1, 2=BI
+    mts8: np.ndarray = None     # (H//8, W//8) uint8: MTS index (intra luma)
 
     @classmethod
     def empty(cls, h: int, w: int) -> "FrameDecisions":
@@ -50,6 +51,7 @@ class FrameDecisions:
                    np.zeros((h // 8, w // 8), np.uint8),
                    np.zeros((h // 8, w // 8, 2), np.int32),
                    np.zeros((h // 8, w // 8, 2), np.int32),
+                   np.zeros((h // 8, w // 8), np.uint8),
                    np.zeros((h // 8, w // 8), np.uint8))
 
     def equal(self, other: "FrameDecisions") -> bool:
@@ -59,7 +61,8 @@ class FrameDecisions:
                 and np.array_equal(self.inter8, other.inter8)
                 and np.array_equal(self.mv8, other.mv8)
                 and np.array_equal(self.mv8_l1, other.mv8_l1)
-                and np.array_equal(self.dir8, other.dir8))
+                and np.array_equal(self.dir8, other.dir8)
+                and np.array_equal(self.mts8, other.mts8))
 
 
 @dataclass
@@ -164,8 +167,23 @@ def _log2(n: int) -> int:
     return int(n).bit_length() - 1
 
 
+def _code_mts_idx(io, idx):
+    """Truncated-unary MTS index, ctx per bin (cmax 4)."""
+    v = 0
+    if io.decoding:
+        while v < 4 and io.bin(C.MTS_IDX(v)):
+            v += 1
+        return v
+    for i in range(min(idx, 4)):
+        io.bin(C.MTS_IDX(i), 1)
+    if idx < 4:
+        io.bin(C.MTS_IDX(idx), 0)
+    return idx
+
+
 def _code_component(io, st: _FrameState, comp: int, x: int, y: int, s: int,
-                    mode: int, cbf_ctx: int, pred=None) -> None:
+                    mode: int, cbf_ctx: int, pred=None,
+                    mts_ok: bool = False) -> None:
     plane, valid = st.recon[comp], st.valid[comp]
     is_chroma = comp > 0
     bd = st.sps.bit_depth
@@ -173,20 +191,32 @@ def _code_component(io, st: _FrameState, comp: int, x: int, y: int, s: int,
         top, left = intra.build_references(plane, valid, x, y, s, s, bd)
         pred = intra.predict(top, left, mode, s, s, is_chroma, bd)
     qp = st.qp
+    mts_ok = mts_ok and st.sps.mts_enabled
+    mts_idx = 0
     if io.decoding:
         cbf = io.bin(cbf_ctx)
+        if cbf and mts_ok:
+            mts_idx = _code_mts_idx(io, None)
+            st.dec.mts8[y // 8:(y + s) // 8, x // 8:(x + s) // 8] = mts_idx
         lev = code_tb(io, None, _log2(s), _log2(s), is_chroma) if cbf \
             else np.zeros((s, s), np.int32)
     else:
         resi = st.src[comp][y:y + s, x:x + s].astype(np.int32) - pred
-        coef = transform.forward_transform(resi, bit_depth=bd)
-        lev = transform.quantize(coef, qp, intra=True, bit_depth=bd)
+        if mts_ok:
+            mts_idx, lev = transform.choose_mts(resi, qp, bd)
+            st.dec.mts8[y // 8:(y + s) // 8, x // 8:(x + s) // 8] = mts_idx
+        else:
+            coef = transform.forward_transform(resi, bit_depth=bd)
+            lev = transform.quantize(coef, qp, intra=True, bit_depth=bd)
         cbf = int(lev.any())
         io.bin(cbf_ctx, cbf)
         if cbf:
+            if mts_ok:
+                _code_mts_idx(io, mts_idx)
             code_tb(io, lev, _log2(s), _log2(s), is_chroma)
     trace.t_cbf(comp, x, y, s, cbf)
-    plane[y:y + s, x:x + s] = transform.reconstruct(pred, lev, qp,
+    kh, kv = transform.MTS_SET[mts_idx if cbf else 0]
+    plane[y:y + s, x:x + s] = transform.reconstruct(pred, lev, qp, kh, kv,
                                                     bit_depth=bd)
     valid[y:y + s, x:x + s] = True
 
@@ -333,7 +363,7 @@ def _code_leaf(io, st: _FrameState, x: int, y: int, s: int) -> None:
     trace.t_leaf_intra(x, y, s, mode)
     if io.decoding:
         st.dec.modes8[y // 8:(y + s) // 8, x // 8:(x + s) // 8] = mode
-    _code_component(io, st, 0, x, y, s, mode, C.CBF_LUMA(0))
+    _code_component(io, st, 0, x, y, s, mode, C.CBF_LUMA(0), mts_ok=True)
     st.mode_map[y // 4:(y + s) // 4, x // 4:(x + s) // 4] = mode
     # chroma (4:2:0, derived DM mode)
     cs, cx, cy = s // 2, x // 2, y // 2

@@ -26,6 +26,7 @@ class EncoderConfig:
     intra_period: int = 1   # 1 = all-intra; 0 = first frame only; N = every N
     wpp: bool = False       # wavefront entropy lanes (one per CTU row)
     gop: int = 1            # 1 = low-delay IPPP; >1 = hierarchical-B GOP
+    mts: bool = False       # explicit MTS (DST7/DCT8) for intra luma
 
 
     def make_sps(self, width: int, height: int) -> hls.SPS:
@@ -36,7 +37,7 @@ class EncoderConfig:
                        bit_depth=self.bit_depth,
                        log2_ctu=int(self.ctu).bit_length() - 1,
                        deblock_enabled=self.deblock,
-                       sao_enabled=self.sao)
+                       sao_enabled=self.sao, mts_enabled=self.mts)
 
 
 def gop_plan(n_frames: int, intra_period: int, gop: int):

@@ -91,3 +91,46 @@ def reconstruct(pred: np.ndarray, level: np.ndarray, qp: int,
     resi = inverse_transform(dequantize(level, qp, bit_depth), kind_h, kind_v,
                              bit_depth)
     return np.clip(pred.astype(np.int32) + resi, 0, (1 << bit_depth) - 1)
+
+
+# ---------------------------------------------------------------------------
+# MTS (explicit multiple transform selection, intra luma)
+# ---------------------------------------------------------------------------
+MTS_SET = ((rom.DCT2, rom.DCT2), (rom.DST7, rom.DST7),
+           (rom.DST7, rom.DCT8), (rom.DCT8, rom.DST7),
+           (rom.DCT8, rom.DCT8))
+MTS_IDX_BITS = (1, 2, 3, 4, 4)       # truncated-unary bin counts
+
+
+def lambda_rd_int(qp: int) -> int:
+    """Integer full-lambda for SSE-domain RD (shared with the JAX engine)."""
+    import math
+    return max(1, int(round(0.57 * (2.0 ** ((qp - 12) / 3.0)))))
+
+
+def level_rate_est(lev: np.ndarray) -> int:
+    """Integer rate proxy: nnz + sum of |level| bit lengths (threshold-sum
+    formula identical to the JAX twin)."""
+    a = np.abs(lev.astype(np.int64))
+    nnz = int((a > 0).sum())
+    bl = sum(int((a >= (1 << k)).sum()) for k in range(15))
+    return nnz + bl
+
+
+def choose_mts(resi: np.ndarray, qp: int, bd: int = rom.BIT_DEPTH):
+    """RD-select the transform pair: returns (idx, levels).
+
+    cost = SSE(recon residual) + lambda * (level rate + idx bins);
+    first-min tie-breaking in MTS_SET order."""
+    lam = lambda_rd_int(qp)
+    best = None
+    for k, (kh, kv) in enumerate(MTS_SET):
+        coef = forward_transform(resi, kh, kv, bd)
+        lev = quantize(coef, qp, intra=True, bit_depth=bd)
+        rec = inverse_transform(dequantize(lev, qp, bd), kh, kv, bd)
+        dist = int(((resi.astype(np.int64) - rec) ** 2).sum())
+        rate = min(level_rate_est(lev) + MTS_IDX_BITS[k], 1 << 14)
+        cost = dist + lam * rate     # bounded: fits int32 (JAX twin)
+        if best is None or cost < best[0]:
+            best = (cost, k, lev)
+    return best[1], best[2]
