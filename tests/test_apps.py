@@ -83,3 +83,34 @@ class TestCfgFiles:
         assert main(["encode", "-c", str(cfgf)]) == 0
         dec, _ = seq.decode_sequence(out.read_bytes(), check_hash=True)
         assert dec[0][0].shape == (48, 64)
+
+
+class TestRateControl:
+    def test_rc_converges_toward_target(self):
+        frames = motion_frames(8, 64, 96, seed=95)
+        base = seq.EncoderConfig(qp=22, intra_period=0)
+        d0, _, b0 = seq.encode_sequence(frames, base)
+        target = 1500
+        rc_cfg = seq.EncoderConfig(qp=22, intra_period=0,
+                                   rc_bits_per_frame=target)
+        d1, _, b1 = seq.encode_sequence(frames, rc_cfg)
+        seq.decode_sequence(d1, check_hash=True)
+        assert abs(sum(b1) - target * 8) < abs(sum(b0) - target * 8)
+
+    def test_rc_engines_identical(self):
+        pytest.importorskip("jax")
+        from vvctpu.pipeline import encoder as jenc
+        frames = motion_frames(4, 64, 64, seed=96)
+        cfg = seq.EncoderConfig(qp=26, intra_period=0,
+                                rc_bits_per_frame=1200)
+        sdata, _, _ = seq.encode_sequence(frames, cfg)
+        jdata, _, _ = jenc.encode_sequence(frames, cfg)
+        assert jdata == sdata
+
+    def test_cfg_bitrate_keys(self, tmp_path):
+        from vvctpu.io.cfg import parse_cfg_file, rc_bits_per_frame
+        f = tmp_path / "rc.cfg"
+        f.write_text("RateControl : 1\nTargetBitrate : 300000\n"
+                     "FrameRate : 30\n")
+        c = parse_cfg_file(str(f))
+        assert rc_bits_per_frame(c) == 10000

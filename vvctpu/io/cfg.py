@@ -22,6 +22,9 @@ class AppConfig:
     wpp: bool = False             # EntropyCodingSyncEnabled / WaveFrontSynchro
     sao: bool = True              # SAO
     mts: bool = False             # MTS / MTSIntra
+    rate_control: bool = False    # RateControl
+    target_bitrate: int = 0       # TargetBitrate (bits/s)
+    frame_rate: int = 30          # FrameRate
     deblock: bool = True          # (inverse of) LoopFilterDisable
     input_file: str = ""          # InputFile
     bitstream_file: str = ""      # BitstreamFile
@@ -41,6 +44,9 @@ _KEYMAP = {
     "sao": ("sao", lambda v: bool(int(v))),
     "mts": ("mts", lambda v: bool(int(v))),
     "mtsintra": ("mts", lambda v: bool(int(v))),
+    "ratecontrol": ("rate_control", lambda v: bool(int(v))),
+    "targetbitrate": ("target_bitrate", int),
+    "framerate": ("frame_rate", lambda v: int(float(v))),
     "loopfilterdisable": ("deblock", lambda v: not bool(int(v))),
     "inputfile": ("input_file", str),
     "bitstreamfile": ("bitstream_file", str),
@@ -73,3 +79,10 @@ def load_layered(paths: list[str]) -> AppConfig:
     for p in paths:
         cfg = parse_cfg_file(p, cfg)
     return cfg
+
+
+def rc_bits_per_frame(cfg: AppConfig) -> int:
+    """Per-frame bit budget from VTM-style RateControl/TargetBitrate keys."""
+    if cfg.rate_control and cfg.target_bitrate > 0:
+        return max(1, cfg.target_bitrate // max(cfg.frame_rate, 1))
+    return 0

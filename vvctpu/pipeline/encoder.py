@@ -26,11 +26,15 @@ def encode_sequence(frames, cfg: sseq.EncoderConfig, decisions_fn=None,
     recons = [None] * len(frames)
     bits = [None] * len(frames)
     dpb = {}   # poc -> filtered recon (padded planes, numpy)
+    rc = sseq.RateControl(cfg.rc_bits_per_frame) \
+        if cfg.rc_bits_per_frame > 0 else None
     for poc, stype, ref_pocs, qpd in sseq.gop_plan(len(frames),
                                                    cfg.intra_period,
                                                    cfg.gop):
         planes = frames[poc]
         padded = scodec.pad_planes(planes, sps)
+        if rc is not None:
+            qpd = max(0, min(63 - cfg.qp, qpd + rc.qp_offset()))
         qp = cfg.qp + qpd
         is_intra = stype == hls.SLICE_I
         if decisions_fn is not None:
@@ -90,6 +94,8 @@ def encode_sequence(frames, cfg: sseq.EncoderConfig, decisions_fn=None,
                                                       cfg.bit_depth)))
         recons[poc] = cropped
         bits[poc] = 8 * len(payload)
+        if rc is not None:
+            rc.update(bits[poc])
     return bs.write_annexb(nals), recons, bits
 
 

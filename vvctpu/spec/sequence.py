@@ -27,6 +27,7 @@ class EncoderConfig:
     wpp: bool = False       # wavefront entropy lanes (one per CTU row)
     gop: int = 1            # 1 = low-delay IPPP; >1 = hierarchical-B GOP
     mts: bool = False       # explicit MTS (DST7/DCT8) for intra luma
+    rc_bits_per_frame: int = 0   # >0 enables rate control
 
 
     def make_sps(self, width: int, height: int) -> hls.SPS:
@@ -95,6 +96,8 @@ def encode_sequence(frames: list[list[np.ndarray]], cfg: EncoderConfig,
     bits = [None] * len(frames)
     dpb = {}   # poc -> filtered recon (padded planes)
     plan = gop_plan(len(frames), cfg.intra_period, cfg.gop)
+    rc = RateControl(cfg.rc_bits_per_frame) \
+        if cfg.rc_bits_per_frame > 0 else None
     start_idx = 0
     if checkpoint_path:
         import os
@@ -112,6 +115,8 @@ def encode_sequence(frames: list[list[np.ndarray]], cfg: EncoderConfig,
             continue
         planes = frames[poc]
         padded_y = codec.pad_planes(planes, sps)[0]
+        if rc is not None:
+            qpd = max(0, min(63 - cfg.qp, qpd + rc.qp_offset()))
         qp = cfg.qp + qpd
         if decisions_fn is not None:
             dec = decisions_fn(poc, planes, sps, cfg)
@@ -141,6 +146,8 @@ def encode_sequence(frames: list[list[np.ndarray]], cfg: EncoderConfig,
             hls.write_pic_hash_sei(cropped, cfg.bit_depth)))
         recons[poc] = cropped
         bits[poc] = 8 * len(payload)
+        if rc is not None:
+            rc.update(bits[poc])
         if checkpoint_path and stype != hls.SLICE_B:
             done = [(p2, bits[p2], *recons[p2])
                     for p2 in range(len(frames)) if recons[p2] is not None]
@@ -192,3 +199,27 @@ def psnr(ref: np.ndarray, rec: np.ndarray, bit_depth: int = 8) -> float:
         return 99.0
     peak = (1 << bit_depth) - 1
     return 10.0 * np.log10(peak * peak / mse)
+
+
+# ---------------------------------------------------------------------------
+# Rate control (lambda-domain-lite; role of VTM:EncoderLib/RateCtrl.cpp)
+# ---------------------------------------------------------------------------
+@dataclass
+class RateControl:
+    """Deterministic integer PI controller on QP, shared by both engines.
+
+    Tracks the accumulated bit error against the per-frame target and maps
+    it to a bounded QP offset (a +6 QP step halves bits to first order, so
+    the gain is one step per accumulated target's worth of overshoot)."""
+    target_bits_per_frame: int
+    err: int = 0
+
+    def qp_offset(self) -> int:
+        t = max(self.target_bits_per_frame, 1)
+        off = (2 * self.err) // t    # one QP per half-target of error
+        return max(-10, min(10, off))
+
+    def update(self, actual_bits: int) -> None:
+        self.err += actual_bits - self.target_bits_per_frame
+        # leaky integrator so ancient history decays
+        self.err -= self.err // 16
