@@ -1,0 +1,70 @@
+"""ALF: derivation improves PSNR, syntax roundtrip, engine parity."""
+import numpy as np
+import pytest
+
+from vvctpu.cabac import contexts as C
+from vvctpu.cabac.engine import CabacDecoder, CabacEncoder
+from vvctpu.spec import alf, sequence as seq
+from vvctpu.spec.residual import DecIO, EncIO
+
+from test_codec_roundtrip import synth_frame
+
+
+class TestAlfCore:
+    def test_wiener_improves(self):
+        rng = np.random.default_rng(3)
+        orig = synth_frame(128, 128, seed=101)[0]
+        rec = np.clip(orig + rng.integers(-6, 7, orig.shape), 0,
+                      255).astype(np.int32)
+        p = alf.derive_alf(orig, rec, qp=37)
+        if p.enabled:
+            out = alf.apply_alf(rec, p)
+            e0 = ((orig - rec) ** 2).sum()
+            e1 = ((orig - out) ** 2).sum()
+            assert e1 <= e0
+
+    def test_perfect_recon_disabled(self):
+        orig = synth_frame(64, 64, seed=102)[0]
+        p = alf.derive_alf(orig, orig.copy(), qp=32)
+        assert not p.enabled
+
+    def test_syntax_roundtrip(self):
+        rng = np.random.default_rng(5)
+        p = alf.AlfParams(enabled=True,
+                          coeff=rng.integers(-200, 200,
+                                             alf.N_COEFF).astype(np.int32),
+                          ctu_on=rng.integers(0, 2, (2, 3)).astype(np.uint8))
+        enc = CabacEncoder(C.make_ctx_state(2, 32))
+        alf.code_alf_params(EncIO(enc), p, 2, 3)
+        enc.terminate(1)
+        dec = CabacDecoder(C.make_ctx_state(2, 32), enc.finish())
+        q = alf.code_alf_params(DecIO(dec), None, 2, 3)
+        assert dec.terminate() == 1
+        assert q.equal(p)
+
+
+class TestAlfCodec:
+    def test_roundtrip_and_gain(self):
+        planes = synth_frame(128, 128, seed=100)
+        d1, r1, b1 = seq.encode_sequence([planes],
+                                         seq.EncoderConfig(qp=37, alf=True))
+        d0, r0, b0 = seq.encode_sequence([planes],
+                                         seq.EncoderConfig(qp=37, alf=False))
+        out, _ = seq.decode_sequence(d1, check_hash=True)
+        for c in range(3):
+            assert np.array_equal(out[0][c], r1[0][c])
+        p_on = seq.psnr(planes[0], r1[0][0])
+        p_off = seq.psnr(planes[0], r0[0][0])
+        assert p_on >= p_off - 0.01   # never materially worse
+
+    def test_engine_parity(self):
+        pytest.importorskip("jax")
+        from vvctpu.pipeline import encoder as jenc
+        planes = synth_frame(128, 128, seed=103)
+        cfg = seq.EncoderConfig(qp=37, alf=True)
+        sdata, srec, _ = seq.encode_sequence([planes], cfg)
+        jdata, _, _ = jenc.encode_sequence([planes], cfg)
+        assert jdata == sdata
+        out, _ = jenc.decode_sequence(sdata, check_hash=True)
+        for c in range(3):
+            assert np.array_equal(out[0][c], srec[0][c])

@@ -22,6 +22,7 @@ class AppConfig:
     wpp: bool = False             # EntropyCodingSyncEnabled / WaveFrontSynchro
     sao: bool = True              # SAO
     mts: bool = False             # MTS / MTSIntra
+    alf: bool = False             # ALF
     rate_control: bool = False    # RateControl
     target_bitrate: int = 0       # TargetBitrate (bits/s)
     frame_rate: int = 30          # FrameRate
@@ -44,6 +45,7 @@ _KEYMAP = {
     "sao": ("sao", lambda v: bool(int(v))),
     "mts": ("mts", lambda v: bool(int(v))),
     "mtsintra": ("mts", lambda v: bool(int(v))),
+    "alf": ("alf", lambda v: bool(int(v))),
     "ratecontrol": ("rate_control", lambda v: bool(int(v))),
     "targetbitrate": ("target_bitrate", int),
     "framerate": ("frame_rate", lambda v: int(float(v))),

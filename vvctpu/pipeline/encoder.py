@@ -83,8 +83,15 @@ def encode_sequence(frames, cfg: sseq.EncoderConfig, decisions_fn=None,
             sao_params = saomod.decide_sao(padded, rec, qp, cfg.ctu,
                                            cfg.bit_depth)
             rec = saomod.apply_sao(rec, sao_params, cfg.ctu, cfg.bit_depth)
+        alf_params = None
+        if sps.alf_enabled:
+            from ..spec import alf as alfmod
+            alf_params = alfmod.derive_alf(padded[0], rec[0], qp, cfg.ctu,
+                                           cfg.bit_depth)
+            rec[0] = alfmod.apply_alf(rec[0], alf_params, cfg.ctu,
+                                      cfg.bit_depth)
         payload = entropy.encode_frame_syntax(sps, pps, sh, dec, levels,
-                                              sao_params)
+                                              sao_params, alf_params)
         dpb[poc] = rec
         cropped = scodec.crop_planes(rec, sps)
         nals.append(bs.NalUnit(
@@ -114,8 +121,8 @@ def decode_sequence(data: bytes, check_hash: bool = True):
             pps_map[p.pps_id] = p
         elif nal.nal_type in (bs.NAL_IDR_N_LP, bs.NAL_IDR_W_RADL,
                               bs.NAL_TRAIL, bs.NAL_CRA):
-            sh, dec, levels, sao_params = entropy.parse_frame_syntax(
-                nal.payload, sps, pps_map)
+            sh, dec, levels, sao_params, alf_params = \
+                entropy.parse_frame_syntax(nal.payload, sps, pps_map)
             qp = pps_map[sh.pps_id].init_qp + sh.qp_delta
             slots = recon.make_slots(dec, sps.height, sps.width)
             is_p = sh.slice_type != hls.SLICE_I
@@ -144,6 +151,10 @@ def decode_sequence(data: bytes, check_hash: bool = True):
                 from ..spec import sao as saomod
                 rec = saomod.apply_sao(rec, sao_params,
                                        1 << sps.log2_ctu, sps.bit_depth)
+            if alf_params is not None:
+                from ..spec import alf as alfmod
+                rec[0] = alfmod.apply_alf(rec[0], alf_params,
+                                          1 << sps.log2_ctu, sps.bit_depth)
             dpb[sh.poc] = rec
             pending = scodec.crop_planes(rec, sps)
             pending_poc = sh.poc

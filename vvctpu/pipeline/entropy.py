@@ -305,7 +305,7 @@ def _seed_state(slice_type, qp, snap):
 
 def encode_frame_syntax_wpp(sps: hls.SPS, pps: hls.PPS, sh: hls.SliceHeader,
                             dec: FrameDecisions, levels,
-                            sao_params=None) -> bytes:
+                            sao_params=None, alf_params=None) -> bytes:
     """WPP: one CABAC lane per CTU row; row r inherits the context state
     saved after the first CTU of row r-1; entry-point offsets follow the
     slice header (VTM:EncoderLib/EncSlice.cpp substream handling)."""
@@ -331,6 +331,9 @@ def encode_frame_syntax_wpp(sps: hls.SPS, pps: hls.PPS, sh: hls.SliceHeader,
                 first_end = len(sink.concat())
         if iy == n_y - 1 and sao_params is not None:
             saomod.code_sao_params(walker.io, sao_params, n_y, n_x)
+        if iy == n_y - 1 and alf_params is not None:
+            from ..spec import alf as alfmod
+            alfmod.code_alf_params(walker.io, alf_params, n_y, n_x)
         sink.term(1)
         rows.append((sink.concat(), first_end))
         sink = binarize.BinSink()
@@ -386,6 +389,7 @@ def parse_frame_syntax_wpp(slice_rbsp: bytes, sps: hls.SPS,
                      is_p=sh.slice_type != hls.SLICE_I,
                      is_b=sh.slice_type == hls.SLICE_B)
     sao_params = None
+    alf_params = None
     snap = None
     for iy in range(n_y):
         st = _seed_state(sh.slice_type, qp, snap)
@@ -403,22 +407,27 @@ def parse_frame_syntax_wpp(slice_rbsp: bytes, sps: hls.SPS,
                 snap = (st.p0.copy(), st.p1.copy())
         if iy == n_y - 1 and sps.sao_enabled:
             sao_params = saomod.code_sao_params(walker.io, None, n_y, n_x)
+        if iy == n_y - 1 and sps.alf_enabled:
+            from ..spec import alf as alfmod
+            alf_params = alfmod.code_alf_params(walker.io, None, n_y, n_x)
         if cab.terminate() != 1:
             raise ValueError("missing end_of_substream")
-    return sh, decisions, levels, sao_params
+    return sh, decisions, levels, sao_params, alf_params
 
 
 
 def encode_frame_syntax(sps: hls.SPS, pps: hls.PPS, sh: hls.SliceHeader,
                         dec: FrameDecisions, levels,
-                        sao_params=None, fast: bool = True) -> bytes:
+                        sao_params=None, alf_params=None,
+                        fast: bool = True) -> bytes:
     """levels: [ly, lcb, lcr] numpy int32 planes from the device scan."""
     from ..spec import sao as saomod
     qp = pps.init_qp + sh.qp_delta
     ctu = 1 << sps.log2_ctu
     n_x, n_y = sps.width // ctu, sps.height // ctu
     if pps.entropy_sync and n_y > 1:
-        return encode_frame_syntax_wpp(sps, pps, sh, dec, levels, sao_params)
+        return encode_frame_syntax_wpp(sps, pps, sh, dec, levels, sao_params,
+                                       alf_params)
     is_p = sh.slice_type != hls.SLICE_I
     is_b = sh.slice_type == hls.SLICE_B
     if fast:
@@ -429,6 +438,9 @@ def encode_frame_syntax(sps: hls.SPS, pps: hls.PPS, sh: hls.SliceHeader,
         walker.walk(lambda last: sink.term(0))
         if sao_params is not None:
             saomod.code_sao_params(io, sao_params, n_y, n_x)
+        if alf_params is not None:
+            from ..spec import alf as alfmod
+            alfmod.code_alf_params(io, alf_params, n_y, n_x)
         sink.term(1)
         payload = pack_bins(sink.concat(), sh.slice_type, qp)
     else:
@@ -438,6 +450,9 @@ def encode_frame_syntax(sps: hls.SPS, pps: hls.PPS, sh: hls.SliceHeader,
         walker.walk(lambda last: enc.terminate(0))
         if sao_params is not None:
             saomod.code_sao_params(io, sao_params, n_y, n_x)
+        if alf_params is not None:
+            from ..spec import alf as alfmod
+            alfmod.code_alf_params(io, alf_params, n_y, n_x)
         enc.terminate(1)
         payload = enc.finish()
     w = sh.write()
@@ -499,11 +514,16 @@ def parse_frame_syntax(slice_rbsp: bytes, sps: hls.SPS,
 
     walker.walk(term)
     sao_params = None
+    alf_params = None
+    ctu = 1 << sps.log2_ctu
     if sps.sao_enabled:
         from ..spec import sao as saomod
-        ctu = 1 << sps.log2_ctu
         sao_params = saomod.code_sao_params(io, None, sps.height // ctu,
+                                            sps.width // ctu)
+    if sps.alf_enabled:
+        from ..spec import alf as alfmod
+        alf_params = alfmod.code_alf_params(io, None, sps.height // ctu,
                                             sps.width // ctu)
     if cab.terminate() != 1:
         raise ValueError("missing end_of_slice")
-    return sh, decisions, levels, sao_params
+    return sh, decisions, levels, sao_params, alf_params

@@ -459,6 +459,11 @@ def encode_frame(src_planes: list[np.ndarray], sps: hls.SPS, pps: hls.PPS,
             params = sao.decide_sao(st.src, recon, qp, ctu, sps.bit_depth)
             sao.code_sao_params(io, params, n_y, n_x)
             recon = sao.apply_sao(recon, params, ctu, sps.bit_depth)
+        if sps.alf_enabled:
+            from . import alf
+            ap = alf.derive_alf(st.src[0], recon[0], qp, ctu, sps.bit_depth)
+            alf.code_alf_params(io, ap, n_y, n_x)
+            recon[0] = alf.apply_alf(recon[0], ap, ctu, sps.bit_depth)
         enc.terminate(1)
         w = sh.write()
         w.write_bytes(enc.finish())
@@ -489,6 +494,12 @@ def encode_frame(src_planes: list[np.ndarray], sps: hls.SPS, pps: hls.PPS,
                                         sps.bit_depth)
                 sao.code_sao_params(io, params, n_y, n_x)
                 recon = sao.apply_sao(recon, params, ctu, sps.bit_depth)
+            if sps.alf_enabled:
+                from . import alf
+                ap = alf.derive_alf(st.src[0], recon[0], qp, ctu,
+                                    sps.bit_depth)
+                alf.code_alf_params(io, ap, n_y, n_x)
+                recon[0] = alf.apply_alf(recon[0], ap, ctu, sps.bit_depth)
         enc.terminate(1)
         payloads.append(enc.finish())
     w = sh.write()
@@ -534,6 +545,7 @@ def decode_frame(slice_rbsp: bytes, sps: hls.SPS, pps_map: dict[int, hls.PPS],
                 else rest[offs[i]:] for i in range(n_rows)]
         snap = None
         sao_params_parsed = None
+        alf_params_parsed = None
         for iy in range(n_y):
             dec = CabacDecoder(_seed_state(sh.slice_type, qp, snap),
                                subs[iy])
@@ -545,6 +557,9 @@ def decode_frame(slice_rbsp: bytes, sps: hls.SPS, pps_map: dict[int, hls.PPS],
             if iy == n_y - 1 and sps.sao_enabled:
                 from . import sao
                 sao_params_parsed = sao.code_sao_params(io, None, n_y, n_x)
+            if iy == n_y - 1 and sps.alf_enabled:
+                from . import alf
+                alf_params_parsed = alf.code_alf_params(io, None, n_y, n_x)
             if dec.terminate() != 1:
                 raise ValueError("missing end_of_substream")
         recon = st.recon
@@ -556,6 +571,10 @@ def decode_frame(slice_rbsp: bytes, sps: hls.SPS, pps_map: dict[int, hls.PPS],
             from . import sao
             recon = sao.apply_sao(recon, sao_params_parsed, ctu,
                                   sps.bit_depth)
+        if sps.alf_enabled:
+            from . import alf
+            recon[0] = alf.apply_alf(recon[0], alf_params_parsed, ctu,
+                                     sps.bit_depth)
         return recon, sh, decisions
     dec = CabacDecoder(C.make_ctx_state(sh.slice_type, qp),
                        r.remaining_bytes())
@@ -573,6 +592,10 @@ def decode_frame(slice_rbsp: bytes, sps: hls.SPS, pps_map: dict[int, hls.PPS],
         from . import sao
         params = sao.code_sao_params(io, None, n_y, n_x)
         recon = sao.apply_sao(recon, params, ctu, sps.bit_depth)
+    if sps.alf_enabled:
+        from . import alf
+        ap = alf.code_alf_params(io, None, n_y, n_x)
+        recon[0] = alf.apply_alf(recon[0], ap, ctu, sps.bit_depth)
     if dec.terminate() != 1:
         raise ValueError("missing end_of_slice")
     return recon, sh, decisions

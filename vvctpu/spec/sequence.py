@@ -27,6 +27,7 @@ class EncoderConfig:
     wpp: bool = False       # wavefront entropy lanes (one per CTU row)
     gop: int = 1            # 1 = low-delay IPPP; >1 = hierarchical-B GOP
     mts: bool = False       # explicit MTS (DST7/DCT8) for intra luma
+    alf: bool = False       # adaptive loop filter (luma Wiener, CTU flags)
     rc_bits_per_frame: int = 0   # >0 enables rate control
 
 
@@ -38,7 +39,8 @@ class EncoderConfig:
                        bit_depth=self.bit_depth,
                        log2_ctu=int(self.ctu).bit_length() - 1,
                        deblock_enabled=self.deblock,
-                       sao_enabled=self.sao, mts_enabled=self.mts)
+                       sao_enabled=self.sao, mts_enabled=self.mts,
+                       alf_enabled=self.alf)
 
 
 def gop_plan(n_frames: int, intra_period: int, gop: int):
