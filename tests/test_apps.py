@@ -114,3 +114,27 @@ class TestRateControl:
                      "FrameRate : 30\n")
         c = parse_cfg_file(str(f))
         assert rc_bits_per_frame(c) == 10000
+
+
+class TestMctf:
+    def test_prefilter_denoises_and_helps_rd(self):
+        rng = np.random.default_rng(7)
+        base = motion_frames(5, 64, 96, seed=97)
+        noisy = [[np.clip(p + rng.integers(-8, 9, p.shape), 0,
+                          255).astype(np.int32) for p in f] for f in base]
+        from vvctpu.spec import mctf
+        filt = mctf.temporal_filter(noisy, gop=1)
+        # anchors get closer to the clean signal than the noisy input
+        e_noisy = ((noisy[2][0] - base[2][0]) ** 2).mean()
+        e_filt = ((filt[2][0] - base[2][0]) ** 2).mean()
+        assert e_filt < e_noisy
+
+    def test_engines_identical_with_mctf(self):
+        pytest.importorskip("jax")
+        from vvctpu.pipeline import encoder as jenc
+        frames = motion_frames(4, 64, 64, seed=98)
+        cfg = seq.EncoderConfig(qp=32, intra_period=0, gop=2, mctf=True)
+        sdata, _, _ = seq.encode_sequence(frames, cfg)
+        jdata, _, _ = jenc.encode_sequence(frames, cfg)
+        assert jdata == sdata
+        seq.decode_sequence(sdata, check_hash=True)

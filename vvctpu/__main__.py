@@ -49,6 +49,7 @@ def _enc(args) -> int:
     cfg = seq.EncoderConfig(qp=args.qp, bit_depth=args.bit_depth,
                             intra_period=args.intra_period, wpp=args.wpp,
                             gop=args.gop, mts=args.mts, alf=args.alf,
+                            mctf=args.mctf,
                             rc_bits_per_frame=args.rc_bpf)
     if args.trace_file:
         from .core import trace
@@ -142,6 +143,8 @@ def main(argv=None) -> int:
                    help="1 = low-delay IPPP; >1 = hierarchical-B GOP size")
     e.add_argument("--rc-bpf", type=int, default=0,
                    help="rate control: target bits per frame (0 = off)")
+    e.add_argument("--mctf", action="store_true",
+                   help="motion-compensated temporal source prefilter")
     e.add_argument("--alf", action="store_true",
                    help="adaptive loop filter (luma Wiener, CTU flags)")
     e.add_argument("--mts", action="store_true",

@@ -23,6 +23,7 @@ class AppConfig:
     sao: bool = True              # SAO
     mts: bool = False             # MTS / MTSIntra
     alf: bool = False             # ALF
+    mctf: bool = False            # TemporalFilter / MCTF
     rate_control: bool = False    # RateControl
     target_bitrate: int = 0       # TargetBitrate (bits/s)
     frame_rate: int = 30          # FrameRate
@@ -46,6 +47,8 @@ _KEYMAP = {
     "mts": ("mts", lambda v: bool(int(v))),
     "mtsintra": ("mts", lambda v: bool(int(v))),
     "alf": ("alf", lambda v: bool(int(v))),
+    "temporalfilter": ("mctf", lambda v: bool(int(v))),
+    "mctf": ("mctf", lambda v: bool(int(v))),
     "ratecontrol": ("rate_control", lambda v: bool(int(v))),
     "targetbitrate": ("target_bitrate", int),
     "framerate": ("frame_rate", lambda v: int(float(v))),

@@ -26,6 +26,9 @@ def encode_sequence(frames, cfg: sseq.EncoderConfig, decisions_fn=None,
     recons = [None] * len(frames)
     bits = [None] * len(frames)
     dpb = {}   # poc -> filtered recon (padded planes, numpy)
+    if cfg.mctf:
+        from ..spec import mctf as mctfmod
+        frames = mctfmod.temporal_filter(frames, cfg.gop)
     rc = sseq.RateControl(cfg.rc_bits_per_frame) \
         if cfg.rc_bits_per_frame > 0 else None
     for poc, stype, ref_pocs, qpd in sseq.gop_plan(len(frames),

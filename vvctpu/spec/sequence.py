@@ -28,6 +28,7 @@ class EncoderConfig:
     gop: int = 1            # 1 = low-delay IPPP; >1 = hierarchical-B GOP
     mts: bool = False       # explicit MTS (DST7/DCT8) for intra luma
     alf: bool = False       # adaptive loop filter (luma Wiener, CTU flags)
+    mctf: bool = False      # motion-compensated temporal source prefilter
     rc_bits_per_frame: int = 0   # >0 enables rate control
 
 
@@ -98,6 +99,9 @@ def encode_sequence(frames: list[list[np.ndarray]], cfg: EncoderConfig,
     bits = [None] * len(frames)
     dpb = {}   # poc -> filtered recon (padded planes)
     plan = gop_plan(len(frames), cfg.intra_period, cfg.gop)
+    if cfg.mctf:
+        from . import mctf as mctfmod
+        frames = mctfmod.temporal_filter(frames, cfg.gop)
     rc = RateControl(cfg.rc_bits_per_frame) \
         if cfg.rc_bits_per_frame > 0 else None
     start_idx = 0
