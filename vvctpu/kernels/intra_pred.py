@@ -219,11 +219,14 @@ def predict(top, left, mode, *, s: int, is_luma: bool, bd: int = 8):
     else:
         top_u, left_u = top, left
 
-    planar = _planar(top_u, left_u, s)
-    dc = _dc(top_u, left_u, s)
-    ang = _angular(top_u, left_u, jnp.maximum(mode, 2), s, is_luma)
-    pred = jnp.where(mode == rom.PLANAR_IDX, planar,
-                     jnp.where(mode == rom.DC_IDX, dc, ang))
+    # lax.switch: the sequential recon scan evaluates only the selected
+    # family; under vmap (the all-mode decision pass) XLA lowers this to the
+    # same select-all-branches as before — values are identical either way
+    pred = jax.lax.switch(
+        jnp.minimum(mode, 2),
+        [lambda: _planar(top_u, left_u, s),
+         lambda: _dc(top_u, left_u, s),
+         lambda: _angular(top_u, left_u, jnp.maximum(mode, 2), s, is_luma)])
     if is_luma:
         pred = _pdpc(pred, top_u, left_u, mode, s, bd)
     return jnp.clip(pred, 0, (1 << bd) - 1).astype(jnp.int32)
