@@ -67,6 +67,7 @@ MVD_FLAG = R.add("mvd_flags", 2)                   # gt0, gt1 (shared x/y)
 INTER_DIR = R.add("inter_dir", 1)                  # bi-prediction flag
 MERGE_FLAG = R.add("merge_flag", 1)
 MERGE_IDX = R.add("merge_idx", 1)
+SKIP_FLAG = R.add("cu_skip_flag", 1)               # merge + zero residual
 
 # --- intra mode ----------------------------------------------------------
 INTRA_MPM_FLAG = R.add("intra_luma_mpm_flag", 1, init=(HIGH,) * 3)

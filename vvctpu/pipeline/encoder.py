@@ -26,6 +26,7 @@ def encode_sequence(frames, cfg: sseq.EncoderConfig, decisions_fn=None,
     recons = [None] * len(frames)
     bits = [None] * len(frames)
     dpb = {}   # poc -> filtered recon (padded planes, numpy)
+    mot = {}   # poc -> motion_record (TMVP side table)
     if cfg.mctf:
         from ..spec import mctf as mctfmod
         frames = mctfmod.temporal_filter(frames, cfg.gop)
@@ -93,9 +94,11 @@ def encode_sequence(frames, cfg: sseq.EncoderConfig, decisions_fn=None,
                                            cfg.bit_depth)
             rec[0] = alfmod.apply_alf(rec[0], alf_params, cfg.ctu,
                                       cfg.bit_depth)
-        payload = entropy.encode_frame_syntax(sps, pps, sh, dec, levels,
-                                              sao_params, alf_params)
+        payload = entropy.encode_frame_syntax(
+            sps, pps, sh, dec, levels, sao_params, alf_params,
+            col=scodec.col_motion(mot, poc, ref_pocs))
         dpb[poc] = rec
+        mot[poc] = scodec.motion_record(dec, ref_pocs)
         cropped = scodec.crop_planes(rec, sps)
         nals.append(bs.NalUnit(
             bs.NAL_IDR_N_LP if is_intra else bs.NAL_TRAIL, payload))
@@ -116,6 +119,7 @@ def decode_sequence(data: bytes, check_hash: bool = True):
     pending = None
     pending_poc = -1
     dpb = {}
+    mot = {}
     for nal in bs.read_annexb(data):
         if nal.nal_type == bs.NAL_SPS:
             sps = hls.SPS.read(nal.payload)
@@ -125,7 +129,8 @@ def decode_sequence(data: bytes, check_hash: bool = True):
         elif nal.nal_type in (bs.NAL_IDR_N_LP, bs.NAL_IDR_W_RADL,
                               bs.NAL_TRAIL, bs.NAL_CRA):
             sh, dec, levels, sao_params, alf_params = \
-                entropy.parse_frame_syntax(nal.payload, sps, pps_map)
+                entropy.parse_frame_syntax(nal.payload, sps, pps_map,
+                                           motion=mot)
             qp = pps_map[sh.pps_id].init_qp + sh.qp_delta
             slots = recon.make_slots(dec, sps.height, sps.width)
             is_p = sh.slice_type != hls.SLICE_I
@@ -159,6 +164,7 @@ def decode_sequence(data: bytes, check_hash: bool = True):
                 rec[0] = alfmod.apply_alf(rec[0], alf_params,
                                           1 << sps.log2_ctu, sps.bit_depth)
             dpb[sh.poc] = rec
+            mot[sh.poc] = scodec.motion_record(dec, sh.ref_pocs)
             pending = scodec.crop_planes(rec, sps)
             pending_poc = sh.poc
             frames[sh.poc] = pending

@@ -53,7 +53,8 @@ class RecordIO:
 
 class _Walker:
     def __init__(self, sps: hls.SPS, dec: FrameDecisions, levels, io,
-                 sink=None, is_p: bool = False, is_b: bool = False):
+                 sink=None, is_p: bool = False, is_b: bool = False,
+                 col=None):
         self.sps = sps
         self.dec = dec
         self.levels = levels      # [ly, lcb, lcr] numpy planes
@@ -61,6 +62,8 @@ class _Walker:
         self.sink = sink          # encode fast path: vectorised binarise
         self.is_p = is_p          # any inter slice (P or B)
         self.is_b = is_b
+        self.col = col            # scaled TMVP field (codec.col_motion)
+        self.hmvp = []            # history merge FIFO (reset per CTU row)
         self.mode_map = np.full((sps.height // 4, sps.width // 4), -1,
                                 np.int32)
         self.inter_map = np.zeros((sps.height // 8, sps.width // 8, 2),
@@ -183,37 +186,76 @@ class _Walker:
         _code_mvd_comp(io, (mv[1] - cands[idx][1]) >> 2)
         return mv
 
-    def _code_inter(self, x, y, s):
+    def _enc_motion(self, x, y, s):
+        """Encoder-side (d, mv0, mv1, merge_idx) from the decision maps."""
+        from ..spec import inter as imod
+        gy, gx = y // 8, x // 8
+        d = int(self.dec.dir8[gy, gx]) if self.is_b else 0
+        mv0 = ((int(self.dec.mv8[gy, gx, 0]), int(self.dec.mv8[gy, gx, 1]))
+               if d in (0, 2) else (0, 0))
+        mv1 = ((int(self.dec.mv8_l1[gy, gx, 0]),
+                int(self.dec.mv8_l1[gy, gx, 1]))
+               if d in (1, 2) else (0, 0))
+        cands = imod.merge_candidates(self.inter_map, self.mv_map, x, y, s,
+                                      self.is_b, self.col, self.hmvp)
+        me = (d, mv0, mv1)
+        midx = cands.index(me) if me in cands else None
+        return d, mv0, mv1, midx
+
+    def _leaf_levels_zero(self, x, y, s):
+        cs, cx, cy = s // 2, x // 2, y // 2
+        return not (self.levels[0][y:y + s, x:x + s].any()
+                    or self.levels[1][cy:cy + cs, cx:cx + cs].any()
+                    or self.levels[2][cy:cy + cs, cx:cx + cs].any())
+
+    def _code_inter(self, x, y, s, skip, enc_mot=None):
+        from ..spec import inter as imod
+        from ..spec.codec import _code_merge_idx
         io = self.io
         gy, gx = y // 8, x // 8
-        if self.is_b:
-            if io.decoding:
-                bi = io.bin(C.INTER_DIR(0))
-                d = 2 if bi else io.byp()
-            else:
-                d = int(self.dec.dir8[gy, gx])
-                io.bin(C.INTER_DIR(0), int(d == 2))
-                if d != 2:
-                    io.byp(d)
-        else:
-            d = 0
-        mv0 = mv1 = (0, 0)
-        if d in (0, 2):
-            mv0 = self._code_mv_list(
-                x, y, s, 0, None if io.decoding else
-                (int(self.dec.mv8[gy, gx, 0]),
-                 int(self.dec.mv8[gy, gx, 1])))
-        if d in (1, 2):
-            mv1 = self._code_mv_list(
-                x, y, s, 1, None if io.decoding else
-                (int(self.dec.mv8_l1[gy, gx, 0]),
-                 int(self.dec.mv8_l1[gy, gx, 1])))
         if io.decoding:
+            merge = True if skip else bool(io.bin(C.MERGE_FLAG(0)))
+            if merge:
+                midx = _code_merge_idx(io)
+                cands = imod.merge_candidates(self.inter_map, self.mv_map,
+                                              x, y, s, self.is_b, self.col,
+                                              self.hmvp)
+                d, mv0, mv1 = cands[midx]
+            else:
+                if self.is_b:
+                    bi = io.bin(C.INTER_DIR(0))
+                    d = 2 if bi else io.byp()
+                else:
+                    d = 0
+                mv0 = mv1 = (0, 0)
+                if d in (0, 2):
+                    mv0 = self._code_mv_list(x, y, s, 0)
+                if d in (1, 2):
+                    mv1 = self._code_mv_list(x, y, s, 1)
+                if d == 1:
+                    mv0 = (0, 0)
             sl = np.s_[gy:(y + s) // 8, gx:(x + s) // 8]
             self.dec.inter8[sl] = 1
             self.dec.dir8[sl] = d
             self.dec.mv8[sl] = mv0
             self.dec.mv8_l1[sl] = mv1
+        else:
+            d, mv0, mv1, midx = enc_mot
+            if skip:
+                _code_merge_idx(io, midx)
+            else:
+                io.bin(C.MERGE_FLAG(0), int(midx is not None))
+                if midx is not None:
+                    _code_merge_idx(io, midx)
+                else:
+                    if self.is_b:
+                        io.bin(C.INTER_DIR(0), int(d == 2))
+                        if d != 2:
+                            io.byp(d)
+                    if d in (0, 2):
+                        self._code_mv_list(x, y, s, 0, mv0)
+                    if d in (1, 2):
+                        self._code_mv_list(x, y, s, 1, mv1)
         trace.t_leaf_inter(x, y, s, mv0 if d != 1 else mv1)
         sl = np.s_[gy:(y + s) // 8, gx:(x + s) // 8]
         if d in (0, 2):
@@ -222,23 +264,51 @@ class _Walker:
         if d in (1, 2):
             self.inter_map[:, :, 1][sl] = True
             self.mv_map[:, :, 1][sl] = mv1
+        imod.hmvp_push(self.hmvp, (d, mv0, mv1))
 
     def _code_leaf(self, x, y, s):
         io = self.io
-        is_inter = 0
+        cs, cx, cy = s // 2, x // 2, y // 2
         if self.is_p:
-            is_inter = io.bin(
-                C.PRED_MODE(0),
-                None if io.decoding else
-                int(self.dec.inter8[y // 8, x // 8]))
+            if io.decoding:
+                if io.bin(C.SKIP_FLAG(0)):
+                    self._code_inter(x, y, s, True)
+                    for comp, (px, py, sz) in enumerate(
+                            ((x, y, s), (cx, cy, cs), (cx, cy, cs))):
+                        trace.t_cbf(comp, px, py, sz, 0)
+                    return
+                is_inter = io.bin(C.PRED_MODE(0))
+            else:
+                is_inter = int(self.dec.inter8[y // 8, x // 8])
+                if is_inter:
+                    enc_mot = self._enc_motion(x, y, s)
+                    skip = (enc_mot[3] is not None
+                            and self._leaf_levels_zero(x, y, s))
+                    io.bin(C.SKIP_FLAG(0), int(skip))
+                    if skip:
+                        self._code_inter(x, y, s, True, enc_mot)
+                        for comp, (px, py, sz) in enumerate(
+                                ((x, y, s), (cx, cy, cs), (cx, cy, cs))):
+                            trace.t_cbf(comp, px, py, sz, 0)
+                        return
+                    io.bin(C.PRED_MODE(0), 1)
+                    self._code_inter(x, y, s, False, enc_mot)
+                    self._code_component(0, x, y, s, C.CBF_LUMA(0))
+                    self._code_component(1, cx, cy, cs, C.CBF_CB(0))
+                    self._code_component(2, cx, cy, cs, C.CBF_CR(0))
+                    return
+                io.bin(C.SKIP_FLAG(0), 0)
+                io.bin(C.PRED_MODE(0), 0)
+                is_inter = 0
+        else:
+            is_inter = 0
         if is_inter:
-            self._code_inter(x, y, s)
+            self._code_inter(x, y, s, False)
             self._code_component(0, x, y, s, C.CBF_LUMA(0))
         else:
             mode = self._code_mode(x, y, s)
             trace.t_leaf_intra(x, y, s, mode)
             self._code_component(0, x, y, s, C.CBF_LUMA(0), mts_ok=True)
-        cs, cx, cy = s // 2, x // 2, y // 2
         self._code_component(1, cx, cy, cs, C.CBF_CB(0))
         self._code_component(2, cx, cy, cs, C.CBF_CR(0))
 
@@ -266,6 +336,7 @@ class _Walker:
         ctu = 1 << self.sps.log2_ctu
         n_x, n_y = self.sps.width // ctu, self.sps.height // ctu
         for iy in range(n_y):
+            self.hmvp = []
             for ix in range(n_x):
                 for dy in range(0, ctu, MID_SIZE):
                     for dx in range(0, ctu, MID_SIZE):
@@ -305,7 +376,8 @@ def _seed_state(slice_type, qp, snap):
 
 def encode_frame_syntax_wpp(sps: hls.SPS, pps: hls.PPS, sh: hls.SliceHeader,
                             dec: FrameDecisions, levels,
-                            sao_params=None, alf_params=None) -> bytes:
+                            sao_params=None, alf_params=None,
+                            col=None) -> bytes:
     """WPP: one CABAC lane per CTU row; row r inherits the context state
     saved after the first CTU of row r-1; entry-point offsets follow the
     slice header (VTM:EncoderLib/EncSlice.cpp substream handling)."""
@@ -319,9 +391,10 @@ def encode_frame_syntax_wpp(sps: hls.SPS, pps: hls.PPS, sh: hls.SliceHeader,
     rows = []          # (bin_array, first_ctu_end_index)
     sink = binarize.BinSink()
     walker = _Walker(sps, dec, levels, RecordIO(sink), sink=sink, is_p=is_p,
-                     is_b=is_b)
+                     is_b=is_b, col=col)
     for iy in range(n_y):
         first_end = None
+        walker.hmvp = []
         for ix in range(n_x):
             for dy2 in range(0, ctu, MID_SIZE):
                 for dx2 in range(0, ctu, MID_SIZE):
@@ -360,7 +433,7 @@ def encode_frame_syntax_wpp(sps: hls.SPS, pps: hls.PPS, sh: hls.SliceHeader,
 
 
 def parse_frame_syntax_wpp(slice_rbsp: bytes, sps: hls.SPS,
-                           pps_map: dict[int, hls.PPS]):
+                           pps_map: dict[int, hls.PPS], motion=None):
     from ..cabac import native as cnative
     from ..spec import sao as saomod
     r = bs.BitReader(slice_rbsp)
@@ -385,9 +458,12 @@ def parse_frame_syntax_wpp(slice_rbsp: bytes, sps: hls.SPS,
     levels = [np.zeros((sps.height, sps.width), np.int32),
               np.zeros((sps.height // 2, sps.width // 2), np.int32),
               np.zeros((sps.height // 2, sps.width // 2), np.int32)]
+    from ..spec.codec import col_motion
     walker = _Walker(sps, decisions, levels, None,
                      is_p=sh.slice_type != hls.SLICE_I,
-                     is_b=sh.slice_type == hls.SLICE_B)
+                     is_b=sh.slice_type == hls.SLICE_B,
+                     col=col_motion(motion, sh.poc, sh.ref_pocs)
+                     if sh.slice_type != hls.SLICE_I else None)
     sao_params = None
     alf_params = None
     snap = None
@@ -398,6 +474,7 @@ def parse_frame_syntax_wpp(slice_rbsp: bytes, sps: hls.SPS,
         else:
             cab = CabacDecoder(st, subs[iy])
         walker.io = DecIO(cab)
+        walker.hmvp = []
         for ix in range(n_x):
             for dy2 in range(0, ctu, MID_SIZE):
                 for dx2 in range(0, ctu, MID_SIZE):
@@ -419,7 +496,7 @@ def parse_frame_syntax_wpp(slice_rbsp: bytes, sps: hls.SPS,
 def encode_frame_syntax(sps: hls.SPS, pps: hls.PPS, sh: hls.SliceHeader,
                         dec: FrameDecisions, levels,
                         sao_params=None, alf_params=None,
-                        fast: bool = True) -> bytes:
+                        fast: bool = True, col=None) -> bytes:
     """levels: [ly, lcb, lcr] numpy int32 planes from the device scan."""
     from ..spec import sao as saomod
     qp = pps.init_qp + sh.qp_delta
@@ -427,14 +504,14 @@ def encode_frame_syntax(sps: hls.SPS, pps: hls.PPS, sh: hls.SliceHeader,
     n_x, n_y = sps.width // ctu, sps.height // ctu
     if pps.entropy_sync and n_y > 1:
         return encode_frame_syntax_wpp(sps, pps, sh, dec, levels, sao_params,
-                                       alf_params)
+                                       alf_params, col=col)
     is_p = sh.slice_type != hls.SLICE_I
     is_b = sh.slice_type == hls.SLICE_B
     if fast:
         sink = binarize.BinSink()
         io = RecordIO(sink)
         walker = _Walker(sps, dec, levels, io, sink=sink, is_p=is_p,
-                         is_b=is_b)
+                         is_b=is_b, col=col)
         walker.walk(lambda last: sink.term(0))
         if sao_params is not None:
             saomod.code_sao_params(io, sao_params, n_y, n_x)
@@ -446,7 +523,8 @@ def encode_frame_syntax(sps: hls.SPS, pps: hls.PPS, sh: hls.SliceHeader,
     else:
         enc = CabacEncoder(C.make_ctx_state(sh.slice_type, qp))
         io = EncIO(enc)
-        walker = _Walker(sps, dec, levels, io, is_p=is_p, is_b=is_b)
+        walker = _Walker(sps, dec, levels, io, is_p=is_p, is_b=is_b,
+                         col=col)
         walker.walk(lambda last: enc.terminate(0))
         if sao_params is not None:
             saomod.code_sao_params(io, sao_params, n_y, n_x)
@@ -480,14 +558,14 @@ def pack_bins(arr: np.ndarray, slice_type: int, qp: int) -> bytes:
 
 
 def parse_frame_syntax(slice_rbsp: bytes, sps: hls.SPS,
-                       pps_map: dict[int, hls.PPS]):
+                       pps_map: dict[int, hls.PPS], motion=None):
     """Returns (sh, decisions, [ly, lcb, lcr], sao_params)."""
     r0 = bs.BitReader(slice_rbsp)
     sh0 = hls.SliceHeader.read(r0)
     pps0 = pps_map[sh0.pps_id]
     ctu0 = 1 << sps.log2_ctu
     if pps0.entropy_sync and sps.height // ctu0 > 1:
-        return parse_frame_syntax_wpp(slice_rbsp, sps, pps_map)
+        return parse_frame_syntax_wpp(slice_rbsp, sps, pps_map, motion)
     r = bs.BitReader(slice_rbsp)
     sh = hls.SliceHeader.read(r)
     pps = pps_map[sh.pps_id]
@@ -503,10 +581,13 @@ def parse_frame_syntax(slice_rbsp: bytes, sps: hls.SPS,
     else:
         cab = CabacDecoder(C.make_ctx_state(sh.slice_type, qp),
                           r.remaining_bytes())
+    from ..spec.codec import col_motion
     io = DecIO(cab)
     walker = _Walker(sps, decisions, levels, io,
                      is_p=sh.slice_type != hls.SLICE_I,
-                     is_b=sh.slice_type == hls.SLICE_B)
+                     is_b=sh.slice_type == hls.SLICE_B,
+                     col=col_motion(motion, sh.poc, sh.ref_pocs)
+                     if sh.slice_type != hls.SLICE_I else None)
 
     def term(last):
         if cab.terminate() != 0:

@@ -79,9 +79,11 @@ class _FrameState:
     refs: list[np.ndarray] | None = None  # margin-padded [Y, Cb, Cr] or None
     inter_map: np.ndarray | None = None   # (H//8, W//8) bool
     mv_map: np.ndarray | None = None      # (H//8, W//8, 2) int32
+    col: dict | None = None               # scaled TMVP field (inter.build_col_motion)
+    hmvp: list = field(default_factory=list)  # history merge FIFO (per CTU row)
 
     @classmethod
-    def make(cls, sps, qp, encoding, decisions, src, refs=None):
+    def make(cls, sps, qp, encoding, decisions, src, refs=None, col=None):
         h, w = sps.height, sps.width
         st = cls(sps, qp, encoding, decisions, src)
         st.recon = [np.zeros((h, w), np.int32),
@@ -100,6 +102,7 @@ class _FrameState:
                 for rf in refs]
         st.inter_map = np.zeros((h // 8, w // 8, 2), bool)
         st.mv_map = np.zeros((h // 8, w // 8, 2, 2), np.int32)
+        st.col = col
         return st
 
 
@@ -183,7 +186,7 @@ def _code_mts_idx(io, idx):
 
 def _code_component(io, st: _FrameState, comp: int, x: int, y: int, s: int,
                     mode: int, cbf_ctx: int, pred=None,
-                    mts_ok: bool = False) -> None:
+                    mts_ok: bool = False, lev_pre=None) -> None:
     plane, valid = st.recon[comp], st.valid[comp]
     is_chroma = comp > 0
     bd = st.sps.bit_depth
@@ -201,11 +204,14 @@ def _code_component(io, st: _FrameState, comp: int, x: int, y: int, s: int,
         lev = code_tb(io, None, _log2(s), _log2(s), is_chroma) if cbf \
             else np.zeros((s, s), np.int32)
     else:
-        resi = st.src[comp][y:y + s, x:x + s].astype(np.int32) - pred
         if mts_ok:
+            resi = st.src[comp][y:y + s, x:x + s].astype(np.int32) - pred
             mts_idx, lev = transform.choose_mts(resi, qp, bd)
             st.dec.mts8[y // 8:(y + s) // 8, x // 8:(x + s) // 8] = mts_idx
+        elif lev_pre is not None:
+            lev = lev_pre
         else:
+            resi = st.src[comp][y:y + s, x:x + s].astype(np.int32) - pred
             coef = transform.forward_transform(resi, bit_depth=bd)
             lev = transform.quantize(coef, qp, intra=True, bit_depth=bd)
         cbf = int(lev.any())
@@ -279,46 +285,29 @@ def _code_mv_list(io, st: _FrameState, x: int, y: int, s: int, lst: int,
     return mv
 
 
-def _code_inter_leaf(io, st: _FrameState, x: int, y: int, s: int) -> None:
-    from . import inter as imod
-    gy, gx = y // 8, x // 8
-    is_b = len(st.refs) == 2
-
-    # inter_dir: 0 = L0, 1 = L1, 2 = BI (B slices only)
-    if is_b:
-        if io.decoding:
-            bi = io.bin(C.INTER_DIR(0))
-            d = 2 if bi else io.byp()
-        else:
-            d = int(st.dec.dir8[gy, gx])
-            io.bin(C.INTER_DIR(0), int(d == 2))
-            if d != 2:
-                io.byp(d)
-    else:
-        d = 0
-
-    mv0 = mv1 = (0, 0)
-    if d in (0, 2):
-        mv0 = _code_mv_list(io, st, x, y, s, 0,
-                            None if io.decoding else
-                            (int(st.dec.mv8[gy, gx, 0]),
-                             int(st.dec.mv8[gy, gx, 1])))
-    if d in (1, 2):
-        mv1 = _code_mv_list(io, st, x, y, s, 1,
-                            None if io.decoding else
-                            (int(st.dec.mv8_l1[gy, gx, 0]),
-                             int(st.dec.mv8_l1[gy, gx, 1])))
+def _code_merge_idx(io, idx=None) -> int:
+    """Truncated-unary merge index, first bin ctx-coded (cmax MRG_MAX-1)."""
+    from .inter import MRG_MAX
     if io.decoding:
-        sl = np.s_[gy:(y + s) // 8, gx:(x + s) // 8]
-        st.dec.inter8[sl] = 1
-        st.dec.dir8[sl] = d
-        st.dec.mv8[sl] = mv0
-        st.dec.mv8_l1[sl] = mv1
+        if not io.bin(C.MERGE_IDX(0)):
+            return 0
+        v = 1
+        while v < MRG_MAX - 1 and io.byp():
+            v += 1
+        return v
+    io.bin(C.MERGE_IDX(0), int(idx > 0))
+    for _ in range(1, idx):
+        io.byp(1)
+    if 0 < idx < MRG_MAX - 1:
+        io.byp(0)
+    return idx
 
-    trace.t_leaf_inter(x, y, s, mv0 if d != 1 else mv1)
+
+def _inter_pred(st: _FrameState, x: int, y: int, s: int, d: int, mv0, mv1):
+    """[Y, Cb, Cr] motion-compensated predictions for the leaf."""
+    from . import inter as imod
     bd = st.sps.bit_depth
     mx = (1 << bd) - 1
-    cs, cx, cy = s // 2, x // 2, y // 2
 
     def pred_for(comp, px, py, sz):
         outs = []
@@ -336,12 +325,112 @@ def _code_inter_leaf(io, st: _FrameState, x: int, y: int, s: int) -> None:
             return np.minimum((outs[0] + outs[1] + 1) >> 1, mx)
         return outs[0]
 
-    _code_component(io, st, 0, x, y, s, 0, C.CBF_LUMA(0),
-                    pred=pred_for(0, x, y, s))
-    _code_component(io, st, 1, cx, cy, cs, 0, C.CBF_CB(0),
-                    pred=pred_for(1, cx, cy, cs))
-    _code_component(io, st, 2, cx, cy, cs, 0, C.CBF_CR(0),
-                    pred=pred_for(2, cx, cy, cs))
+    return [pred_for(0, x, y, s), pred_for(1, x // 2, y // 2, s // 2),
+            pred_for(2, x // 2, y // 2, s // 2)]
+
+
+def _prep_inter_enc(st: _FrameState, x: int, y: int, s: int) -> dict:
+    """Encoder-side precompute for one inter leaf: motion from the decision
+    maps, merge-candidate match, predictions and quantized levels (needed
+    before the skip flag can be coded)."""
+    from . import inter as imod
+    gy, gx = y // 8, x // 8
+    is_b = len(st.refs) == 2
+    d = int(st.dec.dir8[gy, gx]) if is_b else 0
+    mv0 = ((int(st.dec.mv8[gy, gx, 0]), int(st.dec.mv8[gy, gx, 1]))
+           if d in (0, 2) else (0, 0))
+    mv1 = ((int(st.dec.mv8_l1[gy, gx, 0]), int(st.dec.mv8_l1[gy, gx, 1]))
+           if d in (1, 2) else (0, 0))
+    cands = imod.merge_candidates(st.inter_map, st.mv_map, x, y, s, is_b,
+                                  st.col, st.hmvp)
+    me = (d, mv0, mv1)
+    midx = cands.index(me) if me in cands else None
+    preds = _inter_pred(st, x, y, s, d, mv0, mv1)
+    bd = st.sps.bit_depth
+    levs = []
+    for comp, (px, py, sz) in enumerate(((x, y, s),
+                                         (x // 2, y // 2, s // 2),
+                                         (x // 2, y // 2, s // 2))):
+        resi = (st.src[comp][py:py + sz, px:px + sz].astype(np.int32)
+                - preds[comp])
+        coef = transform.forward_transform(resi, bit_depth=bd)
+        levs.append(transform.quantize(coef, st.qp, intra=True,
+                                       bit_depth=bd))
+    all_zero = not any(lv.any() for lv in levs)
+    return dict(d=d, mv0=mv0, mv1=mv1, midx=midx, preds=preds, levs=levs,
+                all_zero=all_zero)
+
+
+def _code_inter_leaf(io, st: _FrameState, x: int, y: int, s: int,
+                     skip: bool, pre: dict | None = None) -> None:
+    from . import inter as imod
+    gy, gx = y // 8, x // 8
+    is_b = st.refs is not None and len(st.refs) == 2
+
+    if io.decoding:
+        merge = True if skip else bool(io.bin(C.MERGE_FLAG(0)))
+        if merge:
+            midx = _code_merge_idx(io)
+            cands = imod.merge_candidates(st.inter_map, st.mv_map, x, y, s,
+                                          is_b, st.col, st.hmvp)
+            d, mv0, mv1 = cands[midx]
+        else:
+            if is_b:
+                bi = io.bin(C.INTER_DIR(0))
+                d = 2 if bi else io.byp()
+            else:
+                d = 0
+            mv0 = mv1 = (0, 0)
+            if d in (0, 2):
+                mv0 = _code_mv_list(io, st, x, y, s, 0)
+            if d in (1, 2):
+                mv1 = _code_mv_list(io, st, x, y, s, 1)
+            if d == 1:
+                mv0 = (0, 0)
+        preds = _inter_pred(st, x, y, s, d, mv0, mv1)
+        sl = np.s_[gy:(y + s) // 8, gx:(x + s) // 8]
+        st.dec.inter8[sl] = 1
+        st.dec.dir8[sl] = d
+        st.dec.mv8[sl] = mv0
+        st.dec.mv8_l1[sl] = mv1
+    else:
+        d, mv0, mv1 = pre["d"], pre["mv0"], pre["mv1"]
+        midx, preds = pre["midx"], pre["preds"]
+        if skip:
+            _code_merge_idx(io, midx)
+        else:
+            io.bin(C.MERGE_FLAG(0), int(midx is not None))
+            if midx is not None:
+                _code_merge_idx(io, midx)
+            else:
+                if is_b:
+                    io.bin(C.INTER_DIR(0), int(d == 2))
+                    if d != 2:
+                        io.byp(d)
+                if d in (0, 2):
+                    _code_mv_list(io, st, x, y, s, 0, mv0)
+                if d in (1, 2):
+                    _code_mv_list(io, st, x, y, s, 1, mv1)
+
+    trace.t_leaf_inter(x, y, s, mv0 if d != 1 else mv1)
+    bd = st.sps.bit_depth
+    mx = (1 << bd) - 1
+    cs, cx, cy = s // 2, x // 2, y // 2
+    if skip:
+        for comp, (px, py, sz) in enumerate(((x, y, s), (cx, cy, cs),
+                                             (cx, cy, cs))):
+            trace.t_cbf(comp, px, py, sz, 0)
+            st.recon[comp][py:py + sz, px:px + sz] = np.clip(preds[comp], 0,
+                                                             mx)
+            st.valid[comp][py:py + sz, px:px + sz] = True
+    else:
+        levs = (None, None, None) if io.decoding else pre["levs"]
+        _code_component(io, st, 0, x, y, s, 0, C.CBF_LUMA(0),
+                        pred=preds[0], lev_pre=levs[0])
+        _code_component(io, st, 1, cx, cy, cs, 0, C.CBF_CB(0),
+                        pred=preds[1], lev_pre=levs[1])
+        _code_component(io, st, 2, cx, cy, cs, 0, C.CBF_CR(0),
+                        pred=preds[2], lev_pre=levs[2])
     sl = np.s_[gy:(y + s) // 8, gx:(x + s) // 8]
     if d in (0, 2):
         st.inter_map[:, :, 0][sl] = True
@@ -349,16 +438,29 @@ def _code_inter_leaf(io, st: _FrameState, x: int, y: int, s: int) -> None:
     if d in (1, 2):
         st.inter_map[:, :, 1][sl] = True
         st.mv_map[:, :, 1][sl] = mv1
+    imod.hmvp_push(st.hmvp, (d, mv0, mv1))
 
 
 def _code_leaf(io, st: _FrameState, x: int, y: int, s: int) -> None:
     if st.refs is not None:
-        is_inter = io.bin(
-            C.PRED_MODE(0),
-            None if io.decoding else int(st.dec.inter8[y // 8, x // 8]))
-        if is_inter:
-            _code_inter_leaf(io, st, x, y, s)
-            return
+        if io.decoding:
+            if io.bin(C.SKIP_FLAG(0)):
+                _code_inter_leaf(io, st, x, y, s, True)
+                return
+            if io.bin(C.PRED_MODE(0)):
+                _code_inter_leaf(io, st, x, y, s, False)
+                return
+        else:
+            if st.dec.inter8[y // 8, x // 8]:
+                pre = _prep_inter_enc(st, x, y, s)
+                skip = pre["midx"] is not None and pre["all_zero"]
+                io.bin(C.SKIP_FLAG(0), int(skip))
+                if not skip:
+                    io.bin(C.PRED_MODE(0), 1)
+                _code_inter_leaf(io, st, x, y, s, skip, pre)
+                return
+            io.bin(C.SKIP_FLAG(0), 0)
+            io.bin(C.PRED_MODE(0), 0)
     mode = _code_intra_mode(io, st, x, y, s)
     trace.t_leaf_intra(x, y, s, mode)
     if io.decoding:
@@ -430,14 +532,40 @@ def _seed_state(slice_type, qp, snap):
     return st
 
 
+def motion_record(decisions: FrameDecisions, ref_pocs) -> dict:
+    """Snapshot of a picture's motion field for the DPB side table (TMVP
+    source; role of VTM's per-picture MotionInfo grid)."""
+    return dict(inter8=decisions.inter8.copy(),
+                dir8=decisions.dir8.copy(),
+                mv8=decisions.mv8.copy(),
+                mv8_l1=decisions.mv8_l1.copy(),
+                ref_pocs=tuple(ref_pocs))
+
+
+def col_motion(motion: dict | None, poc: int, ref_pocs):
+    """Scaled TMVP field for the current picture from the collocated
+    reference (ref_pocs[0]); None when unavailable."""
+    if not ref_pocs or not motion:
+        return None
+    rec = motion.get(ref_pocs[0])
+    if rec is None:
+        return None
+    from . import inter as imod
+    return imod.build_col_motion(rec["inter8"], rec["dir8"], rec["mv8"],
+                                 rec["mv8_l1"], ref_pocs[0],
+                                 rec["ref_pocs"], poc, ref_pocs)
+
+
 def encode_frame(src_planes: list[np.ndarray], sps: hls.SPS, pps: hls.PPS,
-                 sh: hls.SliceHeader, decisions: FrameDecisions, refs=None):
+                 sh: hls.SliceHeader, decisions: FrameDecisions, refs=None,
+                 col=None):
     """Returns (slice_rbsp, recon_planes [padded]).  refs: previous filtered
-    recon [Y, Cb, Cr] (padded frame size) for P slices."""
+    recon [Y, Cb, Cr] (padded frame size) for P slices; col: scaled TMVP
+    field (col_motion)."""
     qp = pps.init_qp + sh.qp_delta
     trace.set_poc(sh.poc)
     st = _FrameState.make(sps, qp, True, decisions,
-                          pad_planes(src_planes, sps), refs)
+                          pad_planes(src_planes, sps), refs, col)
     ctu = 1 << sps.log2_ctu
     n_x, n_y = sps.width // ctu, sps.height // ctu
     wpp = pps.entropy_sync and n_y > 1
@@ -446,6 +574,7 @@ def encode_frame(src_planes: list[np.ndarray], sps: hls.SPS, pps: hls.PPS,
         enc = CabacEncoder(C.make_ctx_state(sh.slice_type, qp))
         io = EncIO(enc)
         for iy in range(n_y):
+            st.hmvp = []
             for ix in range(n_x):
                 _code_ctu(io, st, ix * ctu, iy * ctu)
                 enc.terminate(0)
@@ -478,6 +607,7 @@ def encode_frame(src_planes: list[np.ndarray], sps: hls.SPS, pps: hls.PPS,
     for iy in range(n_y):
         enc = CabacEncoder(_seed_state(sh.slice_type, qp, snap))
         io = EncIO(enc)
+        st.hmvp = []
         for ix in range(n_x):
             _code_ctu(io, st, ix * ctu, iy * ctu)
             if ix == 0:
@@ -515,9 +645,10 @@ def encode_frame(src_planes: list[np.ndarray], sps: hls.SPS, pps: hls.PPS,
 
 
 def decode_frame(slice_rbsp: bytes, sps: hls.SPS, pps_map: dict[int, hls.PPS],
-                 dpb=None):
+                 dpb=None, motion=None):
     """Returns (recon_planes [padded], SliceHeader, FrameDecisions).
-    dpb: {poc: filtered recon planes} for resolving sh.ref_pocs."""
+    dpb: {poc: filtered recon planes} for resolving sh.ref_pocs;
+    motion: {poc: motion_record} side table for TMVP."""
     r = bs.BitReader(slice_rbsp)
     sh = hls.SliceHeader.read(r)
     pps = pps_map[sh.pps_id]
@@ -525,9 +656,11 @@ def decode_frame(slice_rbsp: bytes, sps: hls.SPS, pps_map: dict[int, hls.PPS],
     trace.set_poc(sh.poc)
     decisions = FrameDecisions.empty(sps.height, sps.width)
     refs = None
+    col = None
     if sh.slice_type != hls.SLICE_I:
         refs = [dpb[rp] for rp in sh.ref_pocs]
-    st = _FrameState.make(sps, qp, False, decisions, None, refs)
+        col = col_motion(motion, sh.poc, sh.ref_pocs)
+    st = _FrameState.make(sps, qp, False, decisions, None, refs, col)
     ctu = 1 << sps.log2_ctu
     n_x, n_y = sps.width // ctu, sps.height // ctu
     wpp = pps.entropy_sync and n_y > 1
@@ -550,6 +683,7 @@ def decode_frame(slice_rbsp: bytes, sps: hls.SPS, pps_map: dict[int, hls.PPS],
             dec = CabacDecoder(_seed_state(sh.slice_type, qp, snap),
                                subs[iy])
             io = DecIO(dec)
+            st.hmvp = []
             for ix in range(n_x):
                 _code_ctu(io, st, ix * ctu, iy * ctu)
                 if ix == 0:
@@ -580,6 +714,7 @@ def decode_frame(slice_rbsp: bytes, sps: hls.SPS, pps_map: dict[int, hls.PPS],
                        r.remaining_bytes())
     io = DecIO(dec)
     for iy in range(n_y):
+        st.hmvp = []
         for ix in range(n_x):
             _code_ctu(io, st, ix * ctu, iy * ctu)
             if dec.terminate() != 0:

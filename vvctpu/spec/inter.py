@@ -128,6 +128,153 @@ def mvp_candidates(mv_map: np.ndarray, inter_map: np.ndarray, x: int, y: int,
 
 
 # ---------------------------------------------------------------------------
+# Merge candidate derivation (role of VTM:CommonLib/UnitTools.cpp
+# PU::getInterMergeCandidates: spatial A1/B1/B0/A0/B2 + scaled TMVP +
+# HMVP FIFO + pairwise average + zero fill).  Candidates are normalized
+# (d, (mv0x, mv0y), (mv1x, mv1y)) tuples with unused-list MVs zeroed, so
+# encoder-side matching is plain tuple equality.
+# ---------------------------------------------------------------------------
+MRG_MAX = 6          # merge candidate list size
+HMVP_MAX = 5         # history FIFO depth (reset per CTU row)
+
+
+def mv_scale_factor(tb: int, td: int) -> int | None:
+    """VTM-style POC distance scale factor; None if td == 0 (no scaling)."""
+    if td == 0:
+        return None
+    tdc = max(-128, min(127, td))
+    tbc = max(-128, min(127, tb))
+    a = abs(tdc)
+    tx = (16384 + (a >> 1)) // a
+    if tdc < 0:
+        tx = -tx
+    return max(-4096, min(4095, (tbc * tx + 32) >> 6))
+
+
+def build_col_motion(col_inter8, col_dir8, col_mv8, col_mv8_l1,
+                     col_poc: int, col_ref_pocs, cur_poc: int, cur_ref_pocs):
+    """Per-granule scaled TMVP source from the collocated picture's stored
+    motion field.  Returns None (no usable motion) or a dict:
+    {"avail": (gh, gw) bool, "mv": [(gh, gw, 2) int32 per current list]}.
+    """
+    if col_inter8 is None or not len(col_ref_pocs):
+        return None
+    avail = col_inter8.astype(bool)
+    if not avail.any():
+        return None
+    # source list per granule: L0 when the col block used it, else L1
+    use_l1 = (col_dir8 == 1)
+    src_mv = np.where(use_l1[..., None], col_mv8_l1, col_mv8).astype(np.int64)
+    td0 = col_poc - col_ref_pocs[0]
+    td1 = (col_poc - col_ref_pocs[1]) if len(col_ref_pocs) > 1 else td0
+    out = []
+    for ref in cur_ref_pocs:
+        tb = cur_poc - ref
+        dsf0 = mv_scale_factor(tb, td0)
+        dsf1 = mv_scale_factor(tb, td1)
+        if dsf0 is None and dsf1 is None:
+            return None
+        dsf = np.where(use_l1, dsf1 if dsf1 is not None else 0,
+                       dsf0 if dsf0 is not None else 0).astype(np.int64)
+        prod = dsf[..., None] * src_mv
+        mag = (np.abs(prod) + 127) >> 8
+        sc = np.where(prod >= 0, mag, -mag)
+        out.append(np.clip(sc, -131072, 131071).astype(np.int32))
+    return {"avail": avail, "mv": out}
+
+
+def _cand_at(inter_map, mv_map, gx: int, gy: int):
+    """Normalized candidate tuple from the traversal-state maps, or None."""
+    gh, gw = inter_map.shape[:2]
+    if not (0 <= gx < gw and 0 <= gy < gh):
+        return None
+    l0, l1 = bool(inter_map[gy, gx, 0]), bool(inter_map[gy, gx, 1])
+    if not (l0 or l1):
+        return None
+    d = 2 if (l0 and l1) else (0 if l0 else 1)
+    mv0 = (int(mv_map[gy, gx, 0, 0]), int(mv_map[gy, gx, 0, 1])) if l0 \
+        else (0, 0)
+    mv1 = (int(mv_map[gy, gx, 1, 0]), int(mv_map[gy, gx, 1, 1])) if l1 \
+        else (0, 0)
+    return (d, mv0, mv1)
+
+
+def merge_candidates(inter_map, mv_map, x: int, y: int, s: int, is_b: bool,
+                     col=None, hmvp=None):
+    """Merge list for the leaf at (x, y) size s; always MRG_MAX entries.
+
+    inter_map: (gh, gw, 2) bool; mv_map: (gh, gw, 2, 2) int32 — the
+    traversal-state maps (identical in both engines' walkers).
+    """
+    cands: list[tuple] = []
+
+    def push(c):
+        if c is not None and c not in cands and len(cands) < MRG_MAX:
+            cands.append(c)
+
+    g = 8
+    # spatial: A1 (left), B1 (above), B0 (above-right), A0 (below-left)
+    push(_cand_at(inter_map, mv_map, (x - 1) // g, (y + s - 1) // g))
+    push(_cand_at(inter_map, mv_map, (x + s - 1) // g, (y - 1) // g))
+    push(_cand_at(inter_map, mv_map, (x + s) // g, (y - 1) // g))
+    push(_cand_at(inter_map, mv_map, (x - 1) // g, (y + s) // g))
+    if len(cands) < 4:   # B2 (above-left) only when the list is short
+        push(_cand_at(inter_map, mv_map, (x - 1) // g, (y - 1) // g))
+
+    # TMVP: C0 bottom-right, fallback C1 centre
+    if col is not None:
+        gh, gw = col["avail"].shape
+        for cy, cx in (((y + s) // g, (x + s) // g),
+                       ((y + s // 2) // g, (x + s // 2) // g)):
+            if 0 <= cy < gh and 0 <= cx < gw and col["avail"][cy, cx]:
+                mv0 = (int(col["mv"][0][cy, cx, 0]),
+                       int(col["mv"][0][cy, cx, 1]))
+                if is_b and len(col["mv"]) > 1:
+                    mv1 = (int(col["mv"][1][cy, cx, 0]),
+                           int(col["mv"][1][cy, cx, 1]))
+                    push((2, mv0, mv1))
+                else:
+                    push((0, mv0, (0, 0)))
+                break
+
+    # HMVP: most recent first
+    if hmvp:
+        for c in reversed(hmvp):
+            push(c)
+
+    # pairwise average of the first two (per list where available)
+    if len(cands) >= 2 and len(cands) < MRG_MAX:
+        a, b = cands[0], cands[1]
+        al0, al1 = a[0] in (0, 2), a[0] in (1, 2)
+        bl0, bl1 = b[0] in (0, 2), b[0] in (1, 2)
+
+        def avg(p, q):
+            return ((p[0] + q[0] + 1) >> 1, (p[1] + q[1] + 1) >> 1)
+
+        mv0 = avg(a[1], b[1]) if (al0 and bl0) else (a[1] if al0 else
+                                                     (b[1] if bl0 else None))
+        mv1 = avg(a[2], b[2]) if (al1 and bl1) else (a[2] if al1 else
+                                                     (b[2] if bl1 else None))
+        has0, has1 = mv0 is not None, mv1 is not None
+        d = 2 if (has0 and has1) else (0 if has0 else 1)
+        push((d, mv0 or (0, 0), mv1 or (0, 0)))
+
+    zero = (2 if is_b else 0, (0, 0), (0, 0))
+    while len(cands) < MRG_MAX:
+        cands.append(zero)       # duplicates allowed in the fill tail
+    return cands
+
+
+def hmvp_push(hmvp: list, cand: tuple) -> None:
+    """FIFO update after each inter leaf (VTM: updateMotionCandList)."""
+    if cand in hmvp:
+        hmvp.remove(cand)
+    hmvp.append(cand)
+    if len(hmvp) > HMVP_MAX:
+        hmvp.pop(0)
+
+
+# ---------------------------------------------------------------------------
 # Integer motion estimation (encoder policy; numpy twin of coding/me.py)
 # ---------------------------------------------------------------------------
 ME_RANGE = 16   # +- integer-pel search window

@@ -98,6 +98,7 @@ def encode_sequence(frames: list[list[np.ndarray]], cfg: EncoderConfig,
     recons = [None] * len(frames)
     bits = [None] * len(frames)
     dpb = {}   # poc -> filtered recon (padded planes)
+    mot = {}   # poc -> motion_record (TMVP side table)
     plan = gop_plan(len(frames), cfg.intra_period, cfg.gop)
     if cfg.mctf:
         from . import mctf as mctfmod
@@ -113,6 +114,7 @@ def encode_sequence(frames: list[list[np.ndarray]], cfg: EncoderConfig,
             nals = list(ck["nals"].tolist())
             dpb = {int(k): [a for a in v]
                    for k, v in ck["dpb"].item().items()}
+            mot = {int(k): v for k, v in ck["mot"].item().items()}
             for poc_d, b, r0, r1, r2 in ck["done"].tolist():
                 recons[poc_d] = [r0, r1, r2]
                 bits[poc_d] = b
@@ -141,8 +143,10 @@ def encode_sequence(frames: list[list[np.ndarray]], cfg: EncoderConfig,
                              ref_pocs=ref_pocs)
         payload, recon = codec.encode_frame(
             planes, sps, pps, sh, dec,
-            refs=[dpb[rp] for rp in ref_pocs] if ref_pocs else None)
+            refs=[dpb[rp] for rp in ref_pocs] if ref_pocs else None,
+            col=codec.col_motion(mot, poc, ref_pocs))
         dpb[poc] = recon
+        mot[poc] = codec.motion_record(dec, ref_pocs)
         cropped = codec.crop_planes(recon, sps)
         nals.append(bs.NalUnit(
             bs.NAL_IDR_N_LP if stype == hls.SLICE_I else bs.NAL_TRAIL,
@@ -162,6 +166,8 @@ def encode_sequence(frames: list[list[np.ndarray]], cfg: EncoderConfig,
                      nals=np.asarray(nals, dtype=object),
                      dpb=np.asarray({k: v for k, v in dpb.items()},
                                     dtype=object),
+                     mot=np.asarray({k: v for k, v in mot.items()},
+                                    dtype=object),
                      done=np.asarray(done, dtype=object))
     return bs.write_annexb(nals), recons, bits
 
@@ -174,6 +180,7 @@ def decode_sequence(data: bytes, check_hash: bool = True):
     pending = None  # last decoded (cropped) frame awaiting its hash SEI
     pending_poc = -1
     dpb = {}
+    mot = {}
     for nal in bs.read_annexb(data):
         if nal.nal_type == bs.NAL_SPS:
             sps = hls.SPS.read(nal.payload)
@@ -182,9 +189,10 @@ def decode_sequence(data: bytes, check_hash: bool = True):
             pps_map[p.pps_id] = p
         elif nal.nal_type in (bs.NAL_IDR_N_LP, bs.NAL_IDR_W_RADL,
                               bs.NAL_TRAIL, bs.NAL_CRA):
-            recon, sh, _ = codec.decode_frame(nal.payload, sps, pps_map,
-                                              dpb=dpb)
+            recon, sh, ddec = codec.decode_frame(nal.payload, sps, pps_map,
+                                                 dpb=dpb, motion=mot)
             dpb[sh.poc] = recon
+            mot[sh.poc] = codec.motion_record(ddec, sh.ref_pocs)
             pending = codec.crop_planes(recon, sps)
             pending_poc = sh.poc
             frames[sh.poc] = pending
