@@ -34,7 +34,8 @@ def _enc(args) -> int:
             args.frames = fc.frames
         for a, v in (("qp", fc.qp), ("intra_period", fc.intra_period),
                      ("gop", fc.gop), ("bit_depth", fc.bit_depth),
-                     ("wpp", fc.wpp)):
+                     ("wpp", fc.wpp), ("mts", fc.mts), ("lfnst", fc.lfnst),
+                     ("alf", fc.alf), ("mctf", fc.mctf)):
             if ap_defaults.get(a) == getattr(args, a):
                 setattr(args, a, v)
     if not (args.input and args.bitstream and args.wdt and args.hgt):
@@ -48,7 +49,8 @@ def _enc(args) -> int:
         return 1
     cfg = seq.EncoderConfig(qp=args.qp, bit_depth=args.bit_depth,
                             intra_period=args.intra_period, wpp=args.wpp,
-                            gop=args.gop, mts=args.mts, alf=args.alf,
+                            gop=args.gop, mts=args.mts, lfnst=args.lfnst,
+                            alf=args.alf,
                             mctf=args.mctf,
                             rc_bits_per_frame=args.rc_bpf)
     if args.trace_file:
@@ -147,6 +149,8 @@ def main(argv=None) -> int:
                    help="motion-compensated temporal source prefilter")
     e.add_argument("--alf", action="store_true",
                    help="adaptive loop filter (luma Wiener, CTU flags)")
+    e.add_argument("--lfnst", action="store_true",
+                   help="LFNST secondary transform for intra luma")
     e.add_argument("--mts", action="store_true",
                    help="explicit MTS (DST7/DCT8) for intra luma")
     e.add_argument("--wpp", action="store_true",

@@ -109,6 +109,70 @@ def tr_matrix(kind: int, n: int) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# LFNST: low-frequency non-separable secondary transform
+# (role of VTM:CommonLib/Rom.cpp g_lfnst8x8/4x4 tables + TrQuant xFwdLfnst).
+# Kernels here are *generated*: the 16x16 non-separable matrix is the exact
+# rotation that maps the top-left 4x4 DCT-II coefficient subspace onto a
+# directional (DST-VII / DCT-VIII) basis pair — kron(A C4^T, B C4^T) with
+# orthonormal float bases, scaled by 128.  Near-orthogonal by construction,
+# so fwd/inv round-trip is tight; swap literal spec tables via
+# LFNST_MATRIX_OVERRIDE once a conformance oracle is available.
+# ---------------------------------------------------------------------------
+LFNST_SETS = 4
+LFNST_MATRIX_OVERRIDE: dict[tuple[int, int], np.ndarray] = {}
+
+_LFNST_SET_BASES = (
+    ((DST7, DST7), (DCT8, DCT8)),   # set 0: planar / DC
+    ((DST7, DCT8), (DST7, DST7)),   # set 1: near-horizontal
+    ((DCT8, DST7), (DCT8, DCT8)),   # set 2: diagonal-ish
+    ((DCT8, DST7), (DST7, DCT8)),   # set 3: near-vertical (pre-transpose)
+)
+
+
+def _float_basis(kind: int, n: int) -> np.ndarray:
+    k = np.arange(n)[:, None]
+    j = np.arange(n)[None, :]
+    if kind == DCT2:
+        eps = np.where(k == 0, 1.0 / math.sqrt(2.0), 1.0)
+        return math.sqrt(2.0 / n) * eps * np.cos(
+            math.pi * k * (2 * j + 1) / (2 * n))
+    if kind == DST7:
+        return math.sqrt(4.0 / (2 * n + 1)) * np.sin(
+            math.pi * (2 * k + 1) * (j + 1) / (2 * n + 1))
+    if kind == DCT8:
+        return math.sqrt(4.0 / (2 * n + 1)) * np.cos(
+            math.pi * (2 * k + 1) * (2 * j + 1) / (2 * (2 * n + 1)))
+    raise ValueError(kind)
+
+
+@functools.lru_cache(maxsize=None)
+def lfnst_matrix(set_idx: int, kernel_idx: int) -> np.ndarray:
+    """(16, 16) int32 forward kernel (inverse = transpose), scale 128."""
+    if (set_idx, kernel_idx) in LFNST_MATRIX_OVERRIDE:
+        return LFNST_MATRIX_OVERRIDE[(set_idx, kernel_idx)]
+    ka, kb = _LFNST_SET_BASES[set_idx][kernel_idx]
+    c4 = _float_basis(DCT2, 4)
+    a = _float_basis(ka, 4) @ c4.T
+    b = _float_basis(kb, 4) @ c4.T
+    m = np.kron(a, b)          # row-major vec convention: v = vec(rows)
+    return np.round(128.0 * m).astype(np.int32)
+
+
+def lfnst_set_for_mode(mode: int) -> tuple[int, bool]:
+    """(set index, transpose) from the intra luma mode (own mapping in the
+    shape of VTM's g_lfnstLut: fold >DIA modes onto <=DIA with transpose)."""
+    if mode <= DC_IDX:
+        return 0, False
+    tr = mode > DIA_IDX
+    m = mode if mode <= DIA_IDX else 68 - mode
+    if m <= 12:
+        return 1, tr
+    if m <= 23:
+        return 2, tr
+    return 3, tr
+
+
+# ---------------------------------------------------------------------------
 # Coefficient scan orders (diagonal, 4x4 coefficient groups)
 # ---------------------------------------------------------------------------
 CG_SIZE = 4

@@ -22,6 +22,7 @@ class AppConfig:
     wpp: bool = False             # EntropyCodingSyncEnabled / WaveFrontSynchro
     sao: bool = True              # SAO
     mts: bool = False             # MTS / MTSIntra
+    lfnst: bool = False           # LFNST
     alf: bool = False             # ALF
     mctf: bool = False            # TemporalFilter / MCTF
     rate_control: bool = False    # RateControl
@@ -46,6 +47,7 @@ _KEYMAP = {
     "sao": ("sao", lambda v: bool(int(v))),
     "mts": ("mts", lambda v: bool(int(v))),
     "mtsintra": ("mts", lambda v: bool(int(v))),
+    "lfnst": ("lfnst", lambda v: bool(int(v))),
     "alf": ("alf", lambda v: bool(int(v))),
     "temporalfilter": ("mctf", lambda v: bool(int(v))),
     "mctf": ("mctf", lambda v: bool(int(v))),

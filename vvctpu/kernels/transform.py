@@ -129,22 +129,89 @@ def level_rate_est_j(lev):
 def choose_mts_j(resi, s: int, qp, lam_rd, bd: int = 8):
     """Returns (idx int32, levels (s,s), recon_resi (s,s)) — RD-selected
     transform pair, first-min tie-breaking in MTS_SET order."""
-    costs = []
-    levs = []
-    recs = []
-    for k, (kh, kv) in enumerate(MTS_SET):
+    midx, _, lev, rec = choose_tx_j(resi, s, qp, lam_rd, jnp.int32(0), bd,
+                                    mts=True, lfnst=False)
+    return midx, lev, rec
+
+
+# ---------------------------------------------------------------------------
+# LFNST (device twin of spec/transform fwd_lfnst/inv_lfnst/choose_tx)
+# ---------------------------------------------------------------------------
+from ..spec.transform import LFNST_IDX_BITS, tx_candidates  # noqa: E402
+
+_LFNST_MATS = np.stack(
+    [[rom.lfnst_matrix(si, ki) for ki in range(2)]
+     for si in range(rom.LFNST_SETS)]).astype(np.int32)   # (4, 2, 16, 16)
+
+
+def _lfnst_set_j(mode):
+    """(set index int32, transpose bool) — twin of rom.lfnst_set_for_mode."""
+    tr = mode > rom.DIA_IDX
+    m = jnp.where(tr, 68 - mode, mode)
+    s = jnp.where(mode <= rom.DC_IDX, 0,
+                  jnp.where(m <= 12, 1, jnp.where(m <= 23, 2, 3)))
+    return s.astype(jnp.int32), tr & (mode > rom.DC_IDX)
+
+
+def fwd_lfnst_j(coef, kernel: int, mode):
+    """Forward secondary transform; kernel = lfnst_idx - 1 (static)."""
+    s_idx, tr = _lfnst_set_j(mode)
+    m = jnp.asarray(_LFNST_MATS)[s_idx, kernel]
+    sub = coef[:4, :4]
+    sub = jnp.where(tr, sub.T, sub)
+    t = (jnp.matmul(m, sub.reshape(16),
+                    preferred_element_type=jnp.int32) + 64) >> 7
+    out = jnp.zeros_like(coef)
+    return out.at[:4, :4].set(
+        jnp.clip(t, COEFF_MIN, COEFF_MAX).reshape(4, 4))
+
+
+def inv_lfnst_j(coef, kernel: int, mode):
+    s_idx, tr = _lfnst_set_j(mode)
+    m = jnp.asarray(_LFNST_MATS)[s_idx, kernel]
+    t = coef[:4, :4].reshape(16)
+    v = (jnp.matmul(m.T, t, preferred_element_type=jnp.int32) + 64) >> 7
+    sub = jnp.clip(v, COEFF_MIN, COEFF_MAX).reshape(4, 4)
+    sub = jnp.where(tr, sub.T, sub)
+    out = jnp.zeros_like(coef)
+    return out.at[:4, :4].set(sub)
+
+
+def inv_lfnst_switch_j(coef, lfnst_idx, mode):
+    """Traced-index inverse LFNST (0 = identity)."""
+    return jax.lax.switch(
+        jnp.clip(lfnst_idx, 0, 2),
+        [lambda: coef,
+         lambda: inv_lfnst_j(coef, 0, mode),
+         lambda: inv_lfnst_j(coef, 1, mode)])
+
+
+def choose_tx_j(resi, s: int, qp, lam_rd, mode, bd: int = 8,
+                mts: bool = True, lfnst: bool = False):
+    """Joint MTS/LFNST RD selection — twin of spec choose_tx.
+
+    Returns (mts_idx, lfnst_idx, levels, recon_resi); first-min
+    tie-breaking in tx_candidates order."""
+    cands = tx_candidates(mts, lfnst)
+    costs, levs, recs = [], [], []
+    for mk, lk in cands:
+        kh, kv = MTS_SET[mk]
         coef = forward_transform(resi, s, s, kh, kv, bd)
+        if lk:
+            coef = fwd_lfnst_j(coef, lk - 1, mode)
         lev = quantize(coef, s, s, qp, intra=True, bd=bd)
-        rec = inverse_transform(dequantize(lev, s, s, qp, bd), s, s, kh, kv,
-                                bd)
+        dq = dequantize(lev, s, s, qp, bd)
+        if lk:
+            dq = inv_lfnst_j(dq, lk - 1, mode)
+        rec = inverse_transform(dq, s, s, kh, kv, bd)
         dist = ((resi - rec) ** 2).sum()
-        rate = jnp.minimum(level_rate_est_j(lev) + MTS_IDX_BITS[k],
-                           1 << 14)
+        bits = (MTS_IDX_BITS[mk] if mts else 0) \
+            + (LFNST_IDX_BITS[lk] if (lfnst and mk == 0) else 0)
+        rate = jnp.minimum(level_rate_est_j(lev) + bits, 1 << 14)
         costs.append(dist + lam_rd * rate)
         levs.append(lev)
         recs.append(rec)
-    cost_v = jnp.stack(costs)
-    idx = jnp.argmin(cost_v).astype(jnp.int32)
-    lev = jnp.stack(levs)[idx]
-    rec = jnp.stack(recs)[idx]
-    return idx, lev, rec
+    idx = jnp.argmin(jnp.stack(costs)).astype(jnp.int32)
+    mts_idx = jnp.asarray([mk for mk, _ in cands], jnp.int32)[idx]
+    lfnst_idx = jnp.asarray([lk for _, lk in cands], jnp.int32)[idx]
+    return mts_idx, lfnst_idx, jnp.stack(levs)[idx], jnp.stack(recs)[idx]

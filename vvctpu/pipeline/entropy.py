@@ -127,18 +127,22 @@ class _Walker:
 
     # -- residual per component ------------------------------------------
     def _code_component(self, comp, x, y, s, cbf_ctx, mts_ok=False):
-        from ..spec.codec import _code_mts_idx
+        from ..spec.codec import _code_lfnst_idx, _code_mts_idx
         io = self.io
         plane = self.levels[comp]
         is_chroma = comp > 0
-        mts_ok = mts_ok and self.sps.mts_enabled
+        mts_on = mts_ok and self.sps.mts_enabled
+        lfnst_on = mts_ok and self.sps.lfnst_enabled
+        sl8 = np.s_[y // 8:(y + s) // 8, x // 8:(x + s) // 8]
         from ..cabac import native as cnative
         if io.decoding:
             cbf = io.bin(cbf_ctx)
-            if cbf and mts_ok:
+            midx = 0
+            if cbf and mts_on:
                 midx = _code_mts_idx(io, None)
-                self.dec.mts8[y // 8:(y + s) // 8,
-                              x // 8:(x + s) // 8] = midx
+                self.dec.mts8[sl8] = midx
+            if cbf and lfnst_on and midx == 0:
+                self.dec.lfnst8[sl8] = _code_lfnst_idx(io)
             if cbf:
                 if isinstance(io.c, cnative.NativeDecoder):
                     lev = cnative.native_parse_tb(io.c, _log2(s), _log2(s),
@@ -151,8 +155,11 @@ class _Walker:
             lev = plane[y:y + s, x:x + s]
             cbf = int(lev.any())
             io.bin(cbf_ctx, cbf)
-            if cbf and mts_ok:
-                _code_mts_idx(io, int(self.dec.mts8[y // 8, x // 8]))
+            midx = int(self.dec.mts8[y // 8, x // 8]) if mts_on else 0
+            if cbf and mts_on:
+                _code_mts_idx(io, midx)
+            if cbf and lfnst_on and midx == 0:
+                _code_lfnst_idx(io, int(self.dec.lfnst8[y // 8, x // 8]))
             trace.t_cbf(comp, x, y, s, cbf)
             if cbf:
                 if self.sink is not None:

@@ -45,11 +45,11 @@ def _component(buf, levels_io, src, pred, x, y, s, qp, bd, encode):
 
 def _make_leaf_fn(s: int, inter: bool, *, frame_w: int, frame_h: int,
                   n_ctu_x: int, qp, bd: int, encode: bool, refs,
-                  mts: bool = False, lam_rd=None):
+                  mts: bool = False, lfnst: bool = False, lam_rd=None):
     cs = s // 2
 
-    def leaf(carry, x, y, mode, mvx, mvy, mts_in):
-        (by, bcb, bcr, ly, lcb, lcr, sy, scb, scr, mtsp) = carry
+    def leaf(carry, x, y, mode, mvx, mvy, mts_in, lfnst_in):
+        (by, bcb, bcr, ly, lcb, lcr, sy, scb, scr, mtsp, lfnstp) = carry
         if inter:
             pred_y = mc.mc_luma_block(refs[0], x, y, s, mvx, mvy, bd)
             pred_cb = mc.mc_chroma_block(refs[1], x // 2, y // 2, cs,
@@ -74,35 +74,41 @@ def _make_leaf_fn(s: int, inter: bool, *, frame_w: int, frame_h: int,
                 n_ctu_x=n_ctu_x, bd=bd)
             pred_cr = intra_pred.predict(tcr, lcr_r, mode, s=cs,
                                          is_luma=False, bd=bd)
-        if mts and not inter:
-            # intra luma: RD-select the transform pair (device twin of
-            # spec choose_mts), signalised via the mts plane
+        if (mts or lfnst) and not inter:
+            # intra luma: RD-select the transform tools (device twin of
+            # spec choose_tx), signalised via the mts/lfnst planes
             if encode:
                 blk = jax.lax.dynamic_slice(sy, (y, x),
                                             (s, s)).astype(jnp.int32)
-                midx, lev, rres = transform.choose_mts_j(blk - pred_y, s,
-                                                         qp, lam_rd, bd)
+                midx, lidx, lev, rres = transform.choose_tx_j(
+                    blk - pred_y, s, qp, lam_rd, mode, bd, mts=mts,
+                    lfnst=lfnst)
                 ly = jax.lax.dynamic_update_slice(ly, lev, (y, x))
             else:
                 midx = mts_in
+                lidx = lfnst_in
                 lev = jax.lax.dynamic_slice(sy, (y, x), (s, s))
+                dq = transform.dequantize(lev, s, s, qp, bd)
+                if lfnst:
+                    dq = transform.inv_lfnst_switch_j(dq, lidx, mode)
                 branches_m = [
                     (lambda kh=kh, kv=kv: transform.inverse_transform(
-                        transform.dequantize(lev, s, s, qp, bd), s, s,
-                        kh, kv, bd))
+                        dq, s, s, kh, kv, bd))
                     for kh, kv in transform.MTS_SET]
                 rres = jax.lax.switch(midx, branches_m)
             rec = jnp.clip(pred_y + rres, 0, (1 << bd) - 1)
             by = jax.lax.dynamic_update_slice(by, rec, (y + 1, x + 1))
             mtsp = jax.lax.dynamic_update_slice(
                 mtsp, midx.reshape(1, 1), (y // 8, x // 8))
+            lfnstp = jax.lax.dynamic_update_slice(
+                lfnstp, lidx.reshape(1, 1), (y // 8, x // 8))
         else:
             by, ly = _component(by, ly, sy, pred_y, x, y, s, qp, bd, encode)
         bcb, lcb = _component(bcb, lcb, scb, pred_cb, x // 2, y // 2, cs,
                               qp, bd, encode)
         bcr, lcr = _component(bcr, lcr, scr, pred_cr, x // 2, y // 2, cs,
                               qp, bd, encode)
-        return (by, bcb, bcr, ly, lcb, lcr, sy, scb, scr, mtsp)
+        return (by, bcb, bcr, ly, lcb, lcr, sy, scb, scr, mtsp, lfnstp)
 
     return leaf
 
@@ -115,7 +121,7 @@ def _inter_batch_pass(carry, ib_slots, refs, s: int, qp, bd: int,
     invalid rows have x = y = 2^20 (positive out-of-bounds: their scatter
     indices are dropped).  refs: (l0_y, l0_cb, l0_cr, l1_y, l1_cb, l1_cr).
     """
-    (by, bcb, bcr, ly, lcb, lcr, sy, scb, scr, mtsp) = carry
+    (by, bcb, bcr, ly, lcb, lcr, sy, scb, scr, mtsp, lfnstp) = carry
     cs = s // 2
     mx = (1 << bd) - 1
 
@@ -166,18 +172,18 @@ def _inter_batch_pass(carry, ib_slots, refs, s: int, qp, bd: int,
         ly = scatter(ly, lvy, xs, ys, s, 0)
         lcb = scatter(lcb, lvcb, xs // 2, ys // 2, cs, 0)
         lcr = scatter(lcr, lvcr, xs // 2, ys // 2, cs, 0)
-    return (by, bcb, bcr, ly, lcb, lcr, sy, scb, scr, mtsp)
+    return (by, bcb, bcr, ly, lcb, lcr, sy, scb, scr, mtsp, lfnstp)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("frame_w", "frame_h", "bd", "encode",
-                                    "inter_enabled", "mts"))
+                                    "inter_enabled", "mts", "lfnst"))
 def frame_scan(slots, planes_y, planes_cb, planes_cr, *, frame_w: int,
                frame_h: int, qp, bd: int, encode: bool,
                inter_enabled: bool = False, ref_y=None, ref_cb=None,
                ref_cr=None, ref1_y=None, ref1_cb=None, ref1_cr=None,
                inter8=None, inter16=None, inter32=None,
-               mts: bool = False, lam_rd=0):
+               mts: bool = False, lfnst: bool = False, lam_rd=0):
     """Run the full-frame reconstruction scan.
 
     slots: (N, 6) int32 [op, x, y, mode, mvx, mvy] in coding order; op 0 =
@@ -198,6 +204,7 @@ def frame_scan(slots, planes_y, planes_cb, planes_cr, *, frame_w: int,
              jnp.zeros((h2, w2), jnp.int32),
              planes_y.astype(jnp.int32), planes_cb.astype(jnp.int32),
              planes_cr.astype(jnp.int32),
+             jnp.zeros((frame_h // 8, frame_w // 8), jnp.int32),
              jnp.zeros((frame_h // 8, frame_w // 8), jnp.int32))
 
     if ref1_y is None:
@@ -211,26 +218,27 @@ def frame_scan(slots, planes_y, planes_cb, planes_cr, *, frame_w: int,
 
     # phase B: intra leaves in coding order (inter slots are op=0 skips)
     kw = dict(frame_w=frame_w, frame_h=frame_h, n_ctu_x=n_ctu_x, qp=qp,
-              bd=bd, encode=encode, refs=refs, mts=mts,
+              bd=bd, encode=encode, refs=refs, mts=mts, lfnst=lfnst,
               lam_rd=jnp.asarray(lam_rd, jnp.int32))
-    branches = [lambda c, x, y, m, vx, vy, mt: c,
+    branches = [lambda c, x, y, m, vx, vy, mt, lf: c,
                 _make_leaf_fn(8, False, **kw), _make_leaf_fn(16, False, **kw),
                 _make_leaf_fn(32, False, **kw)]
 
     def step(carry, slot):
         mt = slot[6] if slot.shape[0] > 6 else jnp.int32(0)
+        lf = slot[7] if slot.shape[0] > 7 else jnp.int32(0)
         return jax.lax.switch(
             jnp.minimum(slot[0], 3), branches, carry,
-            slot[1], slot[2], slot[3], slot[4], slot[5], mt), None
+            slot[1], slot[2], slot[3], slot[4], slot[5], mt, lf), None
 
-    if slots.shape[1] < 7:
+    while slots.shape[1] < 8:
         slots = jnp.concatenate(
             [slots, jnp.zeros((slots.shape[0], 1), jnp.int32)], axis=1)
     carry, _ = jax.lax.scan(step, carry, slots)
     by, bcb, bcr, ly, lcb, lcr = carry[:6]
     return (by[1:frame_h + 1, 1:frame_w + 1],
             bcb[1:h2 + 1, 1:w2 + 1], bcr[1:h2 + 1, 1:w2 + 1],
-            ly, lcb, lcr, carry[9])
+            ly, lcb, lcr, carry[9], carry[10])
 
 
 def make_slots(dec: FrameDecisions, frame_h: int, frame_w: int) -> np.ndarray:
@@ -238,7 +246,9 @@ def make_slots(dec: FrameDecisions, frame_h: int, frame_w: int) -> np.ndarray:
                                                           frame_w)
     mts = dec.mts8[ys // 8, xs // 8].astype(np.int32) \
         if dec.mts8 is not None else np.zeros_like(op)
-    return np.stack([op, xs, ys, modes, mv0[:, 0], mv0[:, 1], mts],
+    lf = dec.lfnst8[ys // 8, xs // 8].astype(np.int32) \
+        if dec.lfnst8 is not None else np.zeros_like(op)
+    return np.stack([op, xs, ys, modes, mv0[:, 0], mv0[:, 1], mts, lf],
                     axis=1).astype(np.int32)
 
 
@@ -251,7 +261,9 @@ def make_slots_split(dec: FrameDecisions, frame_h: int, frame_w: int):
                                                           frame_w)
     mts = dec.mts8[ys // 8, xs // 8].astype(np.int32) \
         if dec.mts8 is not None else np.zeros_like(op)
-    slots = np.stack([op, xs, ys, modes, mv0[:, 0], mv0[:, 1], mts],
+    lf = dec.lfnst8[ys // 8, xs // 8].astype(np.int32) \
+        if dec.lfnst8 is not None else np.zeros_like(op)
+    slots = np.stack([op, xs, ys, modes, mv0[:, 0], mv0[:, 1], mts, lf],
                      axis=1).astype(np.int32)
     inter = {}
     for i, s in enumerate((8, 16, 32)):

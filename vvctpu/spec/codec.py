@@ -42,6 +42,7 @@ class FrameDecisions:
     mv8_l1: np.ndarray = None   # (H//8, W//8, 2) int32: L1 mv (B slices)
     dir8: np.ndarray = None     # (H//8, W//8) uint8: 0=L0, 1=L1, 2=BI
     mts8: np.ndarray = None     # (H//8, W//8) uint8: MTS index (intra luma)
+    lfnst8: np.ndarray = None   # (H//8, W//8) uint8: LFNST index (intra luma)
 
     @classmethod
     def empty(cls, h: int, w: int) -> "FrameDecisions":
@@ -51,6 +52,7 @@ class FrameDecisions:
                    np.zeros((h // 8, w // 8), np.uint8),
                    np.zeros((h // 8, w // 8, 2), np.int32),
                    np.zeros((h // 8, w // 8, 2), np.int32),
+                   np.zeros((h // 8, w // 8), np.uint8),
                    np.zeros((h // 8, w // 8), np.uint8),
                    np.zeros((h // 8, w // 8), np.uint8))
 
@@ -62,7 +64,8 @@ class FrameDecisions:
                 and np.array_equal(self.mv8, other.mv8)
                 and np.array_equal(self.mv8_l1, other.mv8_l1)
                 and np.array_equal(self.dir8, other.dir8)
-                and np.array_equal(self.mts8, other.mts8))
+                and np.array_equal(self.mts8, other.mts8)
+                and np.array_equal(self.lfnst8, other.lfnst8))
 
 
 @dataclass
@@ -184,6 +187,18 @@ def _code_mts_idx(io, idx):
     return idx
 
 
+def _code_lfnst_idx(io, idx=None):
+    """Truncated-unary LFNST index, ctx per bin (cmax 2)."""
+    if io.decoding:
+        if not io.bin(C.LFNST_IDX(0)):
+            return 0
+        return 2 if io.bin(C.LFNST_IDX(1)) else 1
+    io.bin(C.LFNST_IDX(0), int(idx > 0))
+    if idx > 0:
+        io.bin(C.LFNST_IDX(1), int(idx > 1))
+    return idx
+
+
 def _code_component(io, st: _FrameState, comp: int, x: int, y: int, s: int,
                     mode: int, cbf_ctx: int, pred=None,
                     mts_ok: bool = False, lev_pre=None) -> None:
@@ -194,20 +209,28 @@ def _code_component(io, st: _FrameState, comp: int, x: int, y: int, s: int,
         top, left = intra.build_references(plane, valid, x, y, s, s, bd)
         pred = intra.predict(top, left, mode, s, s, is_chroma, bd)
     qp = st.qp
-    mts_ok = mts_ok and st.sps.mts_enabled
+    mts_on = mts_ok and st.sps.mts_enabled
+    lfnst_on = mts_ok and st.sps.lfnst_enabled
     mts_idx = 0
+    lfnst_idx = 0
+    sl8 = np.s_[y // 8:(y + s) // 8, x // 8:(x + s) // 8]
     if io.decoding:
         cbf = io.bin(cbf_ctx)
-        if cbf and mts_ok:
+        if cbf and mts_on:
             mts_idx = _code_mts_idx(io, None)
-            st.dec.mts8[y // 8:(y + s) // 8, x // 8:(x + s) // 8] = mts_idx
+            st.dec.mts8[sl8] = mts_idx
+        if cbf and lfnst_on and mts_idx == 0:
+            lfnst_idx = _code_lfnst_idx(io)
+            st.dec.lfnst8[sl8] = lfnst_idx
         lev = code_tb(io, None, _log2(s), _log2(s), is_chroma) if cbf \
             else np.zeros((s, s), np.int32)
     else:
-        if mts_ok:
+        if mts_on or lfnst_on:
             resi = st.src[comp][y:y + s, x:x + s].astype(np.int32) - pred
-            mts_idx, lev = transform.choose_mts(resi, qp, bd)
-            st.dec.mts8[y // 8:(y + s) // 8, x // 8:(x + s) // 8] = mts_idx
+            mts_idx, lfnst_idx, lev = transform.choose_tx(
+                resi, qp, mode, bd, mts=mts_on, lfnst=lfnst_on)
+            st.dec.mts8[sl8] = mts_idx
+            st.dec.lfnst8[sl8] = lfnst_idx
         elif lev_pre is not None:
             lev = lev_pre
         else:
@@ -217,13 +240,16 @@ def _code_component(io, st: _FrameState, comp: int, x: int, y: int, s: int,
         cbf = int(lev.any())
         io.bin(cbf_ctx, cbf)
         if cbf:
-            if mts_ok:
+            if mts_on:
                 _code_mts_idx(io, mts_idx)
+            if lfnst_on and mts_idx == 0:
+                _code_lfnst_idx(io, lfnst_idx)
             code_tb(io, lev, _log2(s), _log2(s), is_chroma)
     trace.t_cbf(comp, x, y, s, cbf)
     kh, kv = transform.MTS_SET[mts_idx if cbf else 0]
-    plane[y:y + s, x:x + s] = transform.reconstruct(pred, lev, qp, kh, kv,
-                                                    bit_depth=bd)
+    plane[y:y + s, x:x + s] = transform.reconstruct(
+        pred, lev, qp, kh, kv, bit_depth=bd,
+        lfnst=lfnst_idx if cbf else 0, mode=mode)
     valid[y:y + s, x:x + s] = True
 
 

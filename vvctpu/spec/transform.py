@@ -84,13 +84,48 @@ def dequantize(level: np.ndarray, qp: int,
 
 def reconstruct(pred: np.ndarray, level: np.ndarray, qp: int,
                 kind_h: int = rom.DCT2, kind_v: int = rom.DCT2,
-                bit_depth: int = rom.BIT_DEPTH) -> np.ndarray:
-    """Shared enc/dec reconstruction: dequant -> inverse transform -> add-clip."""
+                bit_depth: int = rom.BIT_DEPTH, lfnst: int = 0,
+                mode: int = 0) -> np.ndarray:
+    """Shared enc/dec reconstruction: dequant -> (inv LFNST) -> inverse
+    transform -> add-clip."""
     if not level.any():
         return pred.astype(np.int32)
-    resi = inverse_transform(dequantize(level, qp, bit_depth), kind_h, kind_v,
-                             bit_depth)
+    coef = dequantize(level, qp, bit_depth)
+    if lfnst:
+        coef = inv_lfnst(coef, lfnst, mode)
+    resi = inverse_transform(coef, kind_h, kind_v, bit_depth)
     return np.clip(pred.astype(np.int32) + resi, 0, (1 << bit_depth) - 1)
+
+
+# ---------------------------------------------------------------------------
+# LFNST (secondary transform on the top-left 4x4 primary coefficients;
+# role of VTM:CommonLib/TrQuant.cpp xFwdLfnst/xInvLfnst)
+# ---------------------------------------------------------------------------
+
+def fwd_lfnst(coef: np.ndarray, lfnst_idx: int, mode: int) -> np.ndarray:
+    """Forward secondary transform: rotate the top-left 4x4, zero the rest."""
+    s, tr = rom.lfnst_set_for_mode(mode)
+    m = rom.lfnst_matrix(s, lfnst_idx - 1).astype(np.int64)
+    sub = coef[:4, :4].astype(np.int64)
+    if tr:
+        sub = sub.T
+    t = (m @ sub.reshape(16) + 64) >> 7
+    out = np.zeros_like(coef)
+    out[:4, :4] = np.clip(t, COEFF_MIN, COEFF_MAX).reshape(4, 4)
+    return out
+
+
+def inv_lfnst(coef: np.ndarray, lfnst_idx: int, mode: int) -> np.ndarray:
+    s, tr = rom.lfnst_set_for_mode(mode)
+    m = rom.lfnst_matrix(s, lfnst_idx - 1).astype(np.int64)
+    t = coef[:4, :4].astype(np.int64).reshape(16)
+    v = (m.T @ t + 64) >> 7
+    sub = np.clip(v, COEFF_MIN, COEFF_MAX).reshape(4, 4)
+    if tr:
+        sub = sub.T
+    out = np.zeros_like(coef)
+    out[:4, :4] = sub
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -122,15 +157,53 @@ def choose_mts(resi: np.ndarray, qp: int, bd: int = rom.BIT_DEPTH):
 
     cost = SSE(recon residual) + lambda * (level rate + idx bins);
     first-min tie-breaking in MTS_SET order."""
+    idx, _, lev = choose_tx(resi, qp, 0, bd, mts=True, lfnst=False)
+    return idx, lev
+
+
+LFNST_IDX_BITS = (1, 2, 2)           # truncated-unary, cmax 2
+
+
+def tx_candidates(mts: bool, lfnst: bool):
+    """(mts_idx, lfnst_idx) candidate list; (0, 0) is always first."""
+    out = [(0, 0)]
+    if mts:
+        out += [(k, 0) for k in range(1, len(MTS_SET))]
+    if lfnst:
+        out += [(0, 1), (0, 2)]
+    return out
+
+
+def choose_tx(resi: np.ndarray, qp: int, mode: int, bd: int = rom.BIT_DEPTH,
+              mts: bool = True, lfnst: bool = False):
+    """Joint MTS/LFNST RD selection for an intra luma TB.
+
+    Returns (mts_idx, lfnst_idx, levels); first-min tie-breaking in
+    tx_candidates order.  LFNST candidates ride on the primary DCT-II
+    (mts_idx 0), as in the standard."""
     lam = lambda_rd_int(qp)
+    dct2_coef = None
     best = None
-    for k, (kh, kv) in enumerate(MTS_SET):
-        coef = forward_transform(resi, kh, kv, bd)
+    for mk, lk in tx_candidates(mts, lfnst):
+        kh, kv = MTS_SET[mk]
+        if mk == 0:
+            if dct2_coef is None:
+                dct2_coef = forward_transform(resi, kh, kv, bd)
+            coef = dct2_coef
+        else:
+            coef = forward_transform(resi, kh, kv, bd)
+        if lk:
+            coef = fwd_lfnst(coef, lk, mode)
         lev = quantize(coef, qp, intra=True, bit_depth=bd)
-        rec = inverse_transform(dequantize(lev, qp, bd), kh, kv, bd)
+        dq = dequantize(lev, qp, bd)
+        if lk:
+            dq = inv_lfnst(dq, lk, mode)
+        rec = inverse_transform(dq, kh, kv, bd)
         dist = int(((resi.astype(np.int64) - rec) ** 2).sum())
-        rate = min(level_rate_est(lev) + MTS_IDX_BITS[k], 1 << 14)
+        bits = (MTS_IDX_BITS[mk] if mts else 0) \
+            + (LFNST_IDX_BITS[lk] if (lfnst and mk == 0) else 0)
+        rate = min(level_rate_est(lev) + bits, 1 << 14)
         cost = dist + lam * rate     # bounded: fits int32 (JAX twin)
         if best is None or cost < best[0]:
-            best = (cost, k, lev)
-    return best[1], best[2]
+            best = (cost, mk, lk, lev)
+    return best[1], best[2], best[3]
