@@ -35,7 +35,7 @@ def _enc(args) -> int:
         for a, v in (("qp", fc.qp), ("intra_period", fc.intra_period),
                      ("gop", fc.gop), ("bit_depth", fc.bit_depth),
                      ("wpp", fc.wpp), ("mts", fc.mts), ("lfnst", fc.lfnst),
-                     ("alf", fc.alf), ("mctf", fc.mctf)):
+                     ("cclm", fc.cclm), ("alf", fc.alf), ("mctf", fc.mctf)):
             if ap_defaults.get(a) == getattr(args, a):
                 setattr(args, a, v)
     if not (args.input and args.bitstream and args.wdt and args.hgt):
@@ -50,7 +50,7 @@ def _enc(args) -> int:
     cfg = seq.EncoderConfig(qp=args.qp, bit_depth=args.bit_depth,
                             intra_period=args.intra_period, wpp=args.wpp,
                             gop=args.gop, mts=args.mts, lfnst=args.lfnst,
-                            alf=args.alf,
+                            cclm=args.cclm, alf=args.alf,
                             mctf=args.mctf,
                             rc_bits_per_frame=args.rc_bpf)
     if args.trace_file:
@@ -151,6 +151,8 @@ def main(argv=None) -> int:
                    help="adaptive loop filter (luma Wiener, CTU flags)")
     e.add_argument("--lfnst", action="store_true",
                    help="LFNST secondary transform for intra luma")
+    e.add_argument("--cclm", action="store_true",
+                   help="CCLM chroma-from-luma prediction")
     e.add_argument("--mts", action="store_true",
                    help="explicit MTS (DST7/DCT8) for intra luma")
     e.add_argument("--wpp", action="store_true",

@@ -23,6 +23,7 @@ class AppConfig:
     sao: bool = True              # SAO
     mts: bool = False             # MTS / MTSIntra
     lfnst: bool = False           # LFNST
+    cclm: bool = False            # LMChroma / CCLM
     alf: bool = False             # ALF
     mctf: bool = False            # TemporalFilter / MCTF
     rate_control: bool = False    # RateControl
@@ -48,6 +49,8 @@ _KEYMAP = {
     "mts": ("mts", lambda v: bool(int(v))),
     "mtsintra": ("mts", lambda v: bool(int(v))),
     "lfnst": ("lfnst", lambda v: bool(int(v))),
+    "cclm": ("cclm", lambda v: bool(int(v))),
+    "lmchroma": ("cclm", lambda v: bool(int(v))),
     "alf": ("alf", lambda v: bool(int(v))),
     "temporalfilter": ("mctf", lambda v: bool(int(v))),
     "mctf": ("mctf", lambda v: bool(int(v))),

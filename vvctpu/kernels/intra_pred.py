@@ -230,3 +230,92 @@ def predict(top, left, mode, *, s: int, is_luma: bool, bd: int = 8):
     if is_luma:
         pred = _pdpc(pred, top_u, left_u, mode, s, bd)
     return jnp.clip(pred, 0, (1 << bd) - 1).astype(jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# CCLM — device twin of spec/intra.py cclm_predict (integer bit-exact)
+# ---------------------------------------------------------------------------
+from ..spec.intra import CCLM_AMAX, CCLM_SHIFT  # noqa: E402
+
+
+def _sort4_j(l, c):
+    """5-comparator sorting network on (luma, chroma) 4-vectors — identical
+    comparator sequence to spec/intra._sort4."""
+    for i, j in ((0, 1), (2, 3), (0, 2), (1, 3), (1, 2)):
+        sw = l[i] > l[j]
+        li = jnp.where(sw, l[j], l[i])
+        lj = jnp.where(sw, l[i], l[j])
+        ci = jnp.where(sw, c[j], c[i])
+        cj = jnp.where(sw, c[i], c[j])
+        l = l.at[i].set(li).at[j].set(lj)
+        c = c.at[i].set(ci).at[j].set(cj)
+    return l, c
+
+
+def cclm_predict_j(by, bc, cx, cy, *, cs: int, frame_w: int, frame_h: int,
+                   n_ctu_x: int, bd: int = 8):
+    """CCLM chroma prediction on device.  by/bc: luma/chroma recon buffers
+    with the +1 top-left offset; (cx, cy) chroma coords; returns (cs, cs)."""
+    half = 1 << (bd - 1)
+    mx = (1 << bd) - 1
+
+    def ds_from(win, cxv):
+        # win: (2r, 2cs+1) luma covering plane cols 2cx-1 .. 2cx+2cs-1
+        win = win.at[:, 0].set(jnp.where(cxv > 0, win[:, 0], win[:, 1]))
+        a, b = win[0::2], win[1::2]
+        return ((2 * a[:, 1:2 * cs:2] + a[:, 0:2 * cs - 1:2]
+                 + a[:, 2:2 * cs + 1:2]
+                 + 2 * b[:, 1:2 * cs:2] + b[:, 0:2 * cs - 1:2]
+                 + b[:, 2:2 * cs + 1:2] + 4) >> 3)
+
+    # interior block (luma rows 2cy.., buffer offset +1)
+    blk_win = jax.lax.dynamic_slice(by, (2 * cy + 1, 2 * cx),
+                                    (2 * cs, 2 * cs + 1))
+    ds = ds_from(blk_win, cx)
+
+    # above reference row (luma rows 2cy-2, 2cy-1)
+    ab_win = jax.lax.dynamic_slice(by, (2 * cy - 1, 2 * cx), (2, 2 * cs + 1))
+    a_ds = ds_from(ab_win, cx)[0]                       # (cs,)
+    # left reference column (luma cols 2cx-3 .. 2cx-1 -> buf 2cx-2 ..)
+    lf_win = jax.lax.dynamic_slice(by, (2 * cy + 1, 2 * cx - 2), (2 * cs, 3))
+    a2, b2 = lf_win[0::2], lf_win[1::2]
+    l_ds = ((2 * a2[:, 1] + a2[:, 0] + a2[:, 2]
+             + 2 * b2[:, 1] + b2[:, 0] + b2[:, 2] + 4) >> 3)   # (cs,)
+
+    # neighbour chroma samples
+    a_c = jax.lax.dynamic_slice(bc, (cy, cx + 1), (1, cs))[0]
+    l_c = jax.lax.dynamic_slice(bc, (cy + 1, cx), (cs, 1))[:, 0]
+
+    cur = morton8(2 * cx, 2 * cy, n_ctu_x)
+    above = (cy > 0) & (morton8(2 * cx, jnp.maximum(2 * cy - 2, 0),
+                                n_ctu_x) < cur)
+    left = (cx > 0) & (morton8(jnp.maximum(2 * cx - 2, 0), 2 * cy,
+                               n_ctu_x) < cur)
+
+    i2a, i2b = cs // 4, (3 * cs) // 4
+    i4 = tuple(((2 * k + 1) * cs) >> 3 for k in range(4))
+
+    def pick(arr_a, arr_l):
+        both = jnp.stack([arr_a[i2a], arr_a[i2b], arr_l[i2a], arr_l[i2b]])
+        only_a = jnp.stack([arr_a[i] for i in i4])
+        only_l = jnp.stack([arr_l[i] for i in i4])
+        return jnp.where(above & left, both,
+                         jnp.where(above, only_a, only_l))
+
+    pl = pick(a_ds, l_ds).astype(jnp.int32)
+    pc = pick(a_c, l_c).astype(jnp.int32)
+    pl, pc = _sort4_j(pl, pc)
+    lmin = (pl[0] + pl[1] + 1) >> 1
+    cmin = (pc[0] + pc[1] + 1) >> 1
+    lmax = (pl[2] + pl[3] + 1) >> 1
+    cmax = (pc[2] + pc[3] + 1) >> 1
+    d = lmax - lmin
+    dsafe = jnp.maximum(d, 1)
+    a = jnp.clip(((cmax - cmin) << CCLM_SHIFT) // dsafe,
+                 -CCLM_AMAX, CCLM_AMAX)
+    a = jnp.where(d == 0, 0, a)
+    b = jnp.where(d == 0, (cmin + cmax + 1) >> 1,
+                  cmin - ((a * lmin) >> CCLM_SHIFT))
+    pred = ((a * ds) >> CCLM_SHIFT) + b
+    pred = jnp.where(above | left, pred, half)
+    return jnp.clip(pred, 0, mx).astype(jnp.int32)

@@ -67,16 +67,19 @@ def encode_sequence(frames, cfg: sseq.EncoderConfig, decisions_fn=None,
                 r1 = recon.pad_refs(dpb[ref_pocs[1]])
                 ref_kw.update(ref1_y=r1[0], ref1_cb=r1[1], ref1_cr=r1[2])
         from ..spec.transform import lambda_rd_int
-        ry, rcb, rcr, ly, lcb, lcr, mtsp, lfnstp = recon.frame_scan(
+        ry, rcb, rcr, ly, lcb, lcr, mtsp, lfnstp, cmodep = recon.frame_scan(
             slots, padded[0], padded[1], padded[2], frame_w=sps.width,
             frame_h=sps.height, qp=qp, bd=cfg.bit_depth, encode=True,
             inter_enabled=not is_intra, mts=sps.mts_enabled,
-            lfnst=sps.lfnst_enabled, lam_rd=lambda_rd_int(qp), **ref_kw)
+            lfnst=sps.lfnst_enabled, cclm=sps.cclm_enabled,
+            lam_rd=lambda_rd_int(qp), **ref_kw)
         levels = [np.asarray(ly), np.asarray(lcb), np.asarray(lcr)]
         if sps.mts_enabled:
             dec.mts8[:] = np.asarray(mtsp).astype(np.uint8)
         if sps.lfnst_enabled:
             dec.lfnst8[:] = np.asarray(lfnstp).astype(np.uint8)
+        if sps.cclm_enabled:
+            dec.cmode8[:] = np.asarray(cmodep).astype(np.uint8)
         sh = hls.SliceHeader(poc=poc, slice_type=stype, qp_delta=qpd,
                              ref_pocs=ref_pocs)
         rec = [np.asarray(ry), np.asarray(rcb), np.asarray(rcr)]
@@ -153,7 +156,7 @@ def decode_sequence(data: bytes, check_hash: bool = True):
                 slots, levels[0], levels[1], levels[2], frame_w=sps.width,
                 frame_h=sps.height, qp=qp, bd=sps.bit_depth, encode=False,
                 inter_enabled=is_p, mts=sps.mts_enabled,
-                lfnst=sps.lfnst_enabled, **ref_kw)
+                lfnst=sps.lfnst_enabled, cclm=sps.cclm_enabled, **ref_kw)
             rec = [np.asarray(ry), np.asarray(rcb), np.asarray(rcr)]
             if sps.deblock_enabled:
                 from ..spec import deblock

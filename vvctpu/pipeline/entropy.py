@@ -316,6 +316,15 @@ class _Walker:
             mode = self._code_mode(x, y, s)
             trace.t_leaf_intra(x, y, s, mode)
             self._code_component(0, x, y, s, C.CBF_LUMA(0), mts_ok=True)
+            if self.sps.cclm_enabled:
+                io = self.io
+                sl8 = np.s_[y // 8:(y + s) // 8, x // 8:(x + s) // 8]
+                if io.decoding:
+                    self.dec.cmode8[sl8] = \
+                        1 - io.bin(C.INTRA_CHROMA_DM(0))
+                else:
+                    io.bin(C.INTRA_CHROMA_DM(0),
+                           int(self.dec.cmode8[y // 8, x // 8] == 0))
         self._code_component(1, cx, cy, cs, C.CBF_CB(0))
         self._code_component(2, cx, cy, cs, C.CBF_CR(0))
 

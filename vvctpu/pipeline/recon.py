@@ -45,11 +45,13 @@ def _component(buf, levels_io, src, pred, x, y, s, qp, bd, encode):
 
 def _make_leaf_fn(s: int, inter: bool, *, frame_w: int, frame_h: int,
                   n_ctu_x: int, qp, bd: int, encode: bool, refs,
-                  mts: bool = False, lfnst: bool = False, lam_rd=None):
+                  mts: bool = False, lfnst: bool = False, cclm: bool = False,
+                  lam_rd=None):
     cs = s // 2
 
-    def leaf(carry, x, y, mode, mvx, mvy, mts_in, lfnst_in):
-        (by, bcb, bcr, ly, lcb, lcr, sy, scb, scr, mtsp, lfnstp) = carry
+    def leaf(carry, x, y, mode, mvx, mvy, mts_in, lfnst_in, cmode_in):
+        (by, bcb, bcr, ly, lcb, lcr, sy, scb, scr, mtsp, lfnstp,
+         cmodep) = carry
         if inter:
             pred_y = mc.mc_luma_block(refs[0], x, y, s, mvx, mvy, bd)
             pred_cb = mc.mc_chroma_block(refs[1], x // 2, y // 2, cs,
@@ -104,11 +106,66 @@ def _make_leaf_fn(s: int, inter: bool, *, frame_w: int, frame_h: int,
                 lfnstp, lidx.reshape(1, 1), (y // 8, x // 8))
         else:
             by, ly = _component(by, ly, sy, pred_y, x, y, s, qp, bd, encode)
-        bcb, lcb = _component(bcb, lcb, scb, pred_cb, x // 2, y // 2, cs,
-                              qp, bd, encode)
-        bcr, lcr = _component(bcr, lcr, scr, pred_cr, x // 2, y // 2, cs,
-                              qp, bd, encode)
-        return (by, bcb, bcr, ly, lcb, lcr, sy, scb, scr, mtsp, lfnstp)
+        if cclm and not inter:
+            # joint DM-vs-CCLM chroma decision (twin of spec _code_leaf)
+            pcb_lm = intra_pred.cclm_predict_j(
+                by, bcb, x // 2, y // 2, cs=cs, frame_w=frame_w,
+                frame_h=frame_h, n_ctu_x=n_ctu_x, bd=bd)
+            pcr_lm = intra_pred.cclm_predict_j(
+                by, bcr, x // 2, y // 2, cs=cs, frame_w=frame_w,
+                frame_h=frame_h, n_ctu_x=n_ctu_x, bd=bd)
+            cx2, cy2 = x // 2, y // 2
+            mx = (1 << bd) - 1
+            if encode:
+                def ev(pred, src):
+                    blk = jax.lax.dynamic_slice(
+                        src, (cy2, cx2), (cs, cs)).astype(jnp.int32)
+                    resi = blk - pred
+                    coef = transform.forward_transform(resi, cs, cs, bd=bd)
+                    lev = transform.quantize(coef, cs, cs, qp, intra=True,
+                                             bd=bd)
+                    rr = transform.inverse_transform(
+                        transform.dequantize(lev, cs, cs, qp, bd), cs, cs,
+                        bd=bd)
+                    dist = ((resi - rr) ** 2).sum()
+                    rate = jnp.minimum(transform.level_rate_est_j(lev),
+                                       1 << 14)
+                    return lev, rr, dist + lam_rd * rate
+                ldm_cb, rdm_cb, cdm_cb = ev(pred_cb, scb)
+                ldm_cr, rdm_cr, cdm_cr = ev(pred_cr, scr)
+                llm_cb, rlm_cb, clm_cb = ev(pcb_lm, scb)
+                llm_cr, rlm_cr, clm_cr = ev(pcr_lm, scr)
+                use = (clm_cb + clm_cr) < (cdm_cb + cdm_cr)
+                lev_cb = jnp.where(use, llm_cb, ldm_cb)
+                lev_cr = jnp.where(use, llm_cr, ldm_cr)
+                rcbb = jnp.clip(jnp.where(use, pcb_lm + rlm_cb,
+                                          pred_cb + rdm_cb), 0, mx)
+                rcrb = jnp.clip(jnp.where(use, pcr_lm + rlm_cr,
+                                          pred_cr + rdm_cr), 0, mx)
+                lcb = jax.lax.dynamic_update_slice(lcb, lev_cb, (cy2, cx2))
+                lcr = jax.lax.dynamic_update_slice(lcr, lev_cr, (cy2, cx2))
+                cmodep = jax.lax.dynamic_update_slice(
+                    cmodep, use.astype(jnp.int32).reshape(1, 1),
+                    (y // 8, x // 8))
+            else:
+                use = cmode_in > 0
+                pcb = jnp.where(use, pcb_lm, pred_cb)
+                pcr = jnp.where(use, pcr_lm, pred_cr)
+                lev_cb = jax.lax.dynamic_slice(scb, (cy2, cx2), (cs, cs))
+                lev_cr = jax.lax.dynamic_slice(scr, (cy2, cx2), (cs, cs))
+                rcbb = transform.reconstruct(pcb, lev_cb, cs, cs, qp, bd=bd)
+                rcrb = transform.reconstruct(pcr, lev_cr, cs, cs, qp, bd=bd)
+            bcb = jax.lax.dynamic_update_slice(bcb, rcbb,
+                                               (cy2 + 1, cx2 + 1))
+            bcr = jax.lax.dynamic_update_slice(bcr, rcrb,
+                                               (cy2 + 1, cx2 + 1))
+        else:
+            bcb, lcb = _component(bcb, lcb, scb, pred_cb, x // 2, y // 2,
+                                  cs, qp, bd, encode)
+            bcr, lcr = _component(bcr, lcr, scr, pred_cr, x // 2, y // 2,
+                                  cs, qp, bd, encode)
+        return (by, bcb, bcr, ly, lcb, lcr, sy, scb, scr, mtsp, lfnstp,
+                cmodep)
 
     return leaf
 
@@ -121,7 +178,8 @@ def _inter_batch_pass(carry, ib_slots, refs, s: int, qp, bd: int,
     invalid rows have x = y = 2^20 (positive out-of-bounds: their scatter
     indices are dropped).  refs: (l0_y, l0_cb, l0_cr, l1_y, l1_cb, l1_cr).
     """
-    (by, bcb, bcr, ly, lcb, lcr, sy, scb, scr, mtsp, lfnstp) = carry
+    (by, bcb, bcr, ly, lcb, lcr, sy, scb, scr, mtsp, lfnstp,
+     cmodep) = carry
     cs = s // 2
     mx = (1 << bd) - 1
 
@@ -172,18 +230,20 @@ def _inter_batch_pass(carry, ib_slots, refs, s: int, qp, bd: int,
         ly = scatter(ly, lvy, xs, ys, s, 0)
         lcb = scatter(lcb, lvcb, xs // 2, ys // 2, cs, 0)
         lcr = scatter(lcr, lvcr, xs // 2, ys // 2, cs, 0)
-    return (by, bcb, bcr, ly, lcb, lcr, sy, scb, scr, mtsp, lfnstp)
+    return (by, bcb, bcr, ly, lcb, lcr, sy, scb, scr, mtsp, lfnstp, cmodep)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("frame_w", "frame_h", "bd", "encode",
-                                    "inter_enabled", "mts", "lfnst"))
+                                    "inter_enabled", "mts", "lfnst",
+                                    "cclm"))
 def frame_scan(slots, planes_y, planes_cb, planes_cr, *, frame_w: int,
                frame_h: int, qp, bd: int, encode: bool,
                inter_enabled: bool = False, ref_y=None, ref_cb=None,
                ref_cr=None, ref1_y=None, ref1_cb=None, ref1_cr=None,
                inter8=None, inter16=None, inter32=None,
-               mts: bool = False, lfnst: bool = False, lam_rd=0):
+               mts: bool = False, lfnst: bool = False, cclm: bool = False,
+               lam_rd=0):
     """Run the full-frame reconstruction scan.
 
     slots: (N, 6) int32 [op, x, y, mode, mvx, mvy] in coding order; op 0 =
@@ -205,6 +265,7 @@ def frame_scan(slots, planes_y, planes_cb, planes_cr, *, frame_w: int,
              planes_y.astype(jnp.int32), planes_cb.astype(jnp.int32),
              planes_cr.astype(jnp.int32),
              jnp.zeros((frame_h // 8, frame_w // 8), jnp.int32),
+             jnp.zeros((frame_h // 8, frame_w // 8), jnp.int32),
              jnp.zeros((frame_h // 8, frame_w // 8), jnp.int32))
 
     if ref1_y is None:
@@ -219,26 +280,27 @@ def frame_scan(slots, planes_y, planes_cb, planes_cr, *, frame_w: int,
     # phase B: intra leaves in coding order (inter slots are op=0 skips)
     kw = dict(frame_w=frame_w, frame_h=frame_h, n_ctu_x=n_ctu_x, qp=qp,
               bd=bd, encode=encode, refs=refs, mts=mts, lfnst=lfnst,
-              lam_rd=jnp.asarray(lam_rd, jnp.int32))
-    branches = [lambda c, x, y, m, vx, vy, mt, lf: c,
+              cclm=cclm, lam_rd=jnp.asarray(lam_rd, jnp.int32))
+    branches = [lambda c, x, y, m, vx, vy, mt, lf, cm: c,
                 _make_leaf_fn(8, False, **kw), _make_leaf_fn(16, False, **kw),
                 _make_leaf_fn(32, False, **kw)]
 
     def step(carry, slot):
         mt = slot[6] if slot.shape[0] > 6 else jnp.int32(0)
         lf = slot[7] if slot.shape[0] > 7 else jnp.int32(0)
+        cm = slot[8] if slot.shape[0] > 8 else jnp.int32(0)
         return jax.lax.switch(
             jnp.minimum(slot[0], 3), branches, carry,
-            slot[1], slot[2], slot[3], slot[4], slot[5], mt, lf), None
+            slot[1], slot[2], slot[3], slot[4], slot[5], mt, lf, cm), None
 
-    while slots.shape[1] < 8:
+    while slots.shape[1] < 9:
         slots = jnp.concatenate(
             [slots, jnp.zeros((slots.shape[0], 1), jnp.int32)], axis=1)
     carry, _ = jax.lax.scan(step, carry, slots)
     by, bcb, bcr, ly, lcb, lcr = carry[:6]
     return (by[1:frame_h + 1, 1:frame_w + 1],
             bcb[1:h2 + 1, 1:w2 + 1], bcr[1:h2 + 1, 1:w2 + 1],
-            ly, lcb, lcr, carry[9], carry[10])
+            ly, lcb, lcr, carry[9], carry[10], carry[11])
 
 
 def make_slots(dec: FrameDecisions, frame_h: int, frame_w: int) -> np.ndarray:
@@ -248,7 +310,9 @@ def make_slots(dec: FrameDecisions, frame_h: int, frame_w: int) -> np.ndarray:
         if dec.mts8 is not None else np.zeros_like(op)
     lf = dec.lfnst8[ys // 8, xs // 8].astype(np.int32) \
         if dec.lfnst8 is not None else np.zeros_like(op)
-    return np.stack([op, xs, ys, modes, mv0[:, 0], mv0[:, 1], mts, lf],
+    cm = dec.cmode8[ys // 8, xs // 8].astype(np.int32) \
+        if dec.cmode8 is not None else np.zeros_like(op)
+    return np.stack([op, xs, ys, modes, mv0[:, 0], mv0[:, 1], mts, lf, cm],
                     axis=1).astype(np.int32)
 
 
@@ -263,7 +327,9 @@ def make_slots_split(dec: FrameDecisions, frame_h: int, frame_w: int):
         if dec.mts8 is not None else np.zeros_like(op)
     lf = dec.lfnst8[ys // 8, xs // 8].astype(np.int32) \
         if dec.lfnst8 is not None else np.zeros_like(op)
-    slots = np.stack([op, xs, ys, modes, mv0[:, 0], mv0[:, 1], mts, lf],
+    cm = dec.cmode8[ys // 8, xs // 8].astype(np.int32) \
+        if dec.cmode8 is not None else np.zeros_like(op)
+    slots = np.stack([op, xs, ys, modes, mv0[:, 0], mv0[:, 1], mts, lf, cm],
                      axis=1).astype(np.int32)
     inter = {}
     for i, s in enumerate((8, 16, 32)):

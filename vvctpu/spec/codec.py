@@ -43,6 +43,7 @@ class FrameDecisions:
     dir8: np.ndarray = None     # (H//8, W//8) uint8: 0=L0, 1=L1, 2=BI
     mts8: np.ndarray = None     # (H//8, W//8) uint8: MTS index (intra luma)
     lfnst8: np.ndarray = None   # (H//8, W//8) uint8: LFNST index (intra luma)
+    cmode8: np.ndarray = None   # (H//8, W//8) uint8: 0 = DM, 1 = CCLM
 
     @classmethod
     def empty(cls, h: int, w: int) -> "FrameDecisions":
@@ -52,6 +53,7 @@ class FrameDecisions:
                    np.zeros((h // 8, w // 8), np.uint8),
                    np.zeros((h // 8, w // 8, 2), np.int32),
                    np.zeros((h // 8, w // 8, 2), np.int32),
+                   np.zeros((h // 8, w // 8), np.uint8),
                    np.zeros((h // 8, w // 8), np.uint8),
                    np.zeros((h // 8, w // 8), np.uint8),
                    np.zeros((h // 8, w // 8), np.uint8))
@@ -65,7 +67,8 @@ class FrameDecisions:
                 and np.array_equal(self.mv8_l1, other.mv8_l1)
                 and np.array_equal(self.dir8, other.dir8)
                 and np.array_equal(self.mts8, other.mts8)
-                and np.array_equal(self.lfnst8, other.lfnst8))
+                and np.array_equal(self.lfnst8, other.lfnst8)
+                and np.array_equal(self.cmode8, other.cmode8))
 
 
 @dataclass
@@ -493,10 +496,56 @@ def _code_leaf(io, st: _FrameState, x: int, y: int, s: int) -> None:
         st.dec.modes8[y // 8:(y + s) // 8, x // 8:(x + s) // 8] = mode
     _code_component(io, st, 0, x, y, s, mode, C.CBF_LUMA(0), mts_ok=True)
     st.mode_map[y // 4:(y + s) // 4, x // 4:(x + s) // 4] = mode
-    # chroma (4:2:0, derived DM mode)
+    # chroma (4:2:0): derived DM mode, or CCLM when enabled + RD-chosen
     cs, cx, cy = s // 2, x // 2, y // 2
-    _code_component(io, st, 1, cx, cy, cs, mode, C.CBF_CB(0))
-    _code_component(io, st, 2, cx, cy, cs, mode, C.CBF_CR(0))
+    if not st.sps.cclm_enabled:
+        _code_component(io, st, 1, cx, cy, cs, mode, C.CBF_CB(0))
+        _code_component(io, st, 2, cx, cy, cs, mode, C.CBF_CR(0))
+        return
+    bd = st.sps.bit_depth
+    sl8 = np.s_[y // 8:(y + s) // 8, x // 8:(x + s) // 8]
+
+    def chroma_pred(comp, use_cclm):
+        if use_cclm:
+            return intra.cclm_predict(st.recon[0], st.recon[comp],
+                                      st.valid[comp], cx, cy, cs, bd)
+        top, left = intra.build_references(st.recon[comp], st.valid[comp],
+                                           cx, cy, cs, cs, bd)
+        return intra.predict(top, left, mode, cs, cs, True, bd)
+
+    if io.decoding:
+        use_cclm = 1 - io.bin(C.INTRA_CHROMA_DM(0))
+        st.dec.cmode8[sl8] = use_cclm
+        _code_component(io, st, 1, cx, cy, cs, mode, C.CBF_CB(0),
+                        pred=chroma_pred(1, use_cclm))
+        _code_component(io, st, 2, cx, cy, cs, mode, C.CBF_CR(0),
+                        pred=chroma_pred(2, use_cclm))
+        return
+    # encoder: joint DM-vs-CCLM integer RD over both chroma components
+    lam = transform.lambda_rd_int(st.qp)
+    cands = []
+    for use_cclm in (0, 1):
+        preds, levs, cost = [], [], 0
+        for comp in (1, 2):
+            p = chroma_pred(comp, use_cclm)
+            resi = (st.src[comp][cy:cy + cs, cx:cx + cs].astype(np.int32)
+                    - p)
+            coef = transform.forward_transform(resi, bit_depth=bd)
+            lev = transform.quantize(coef, st.qp, intra=True, bit_depth=bd)
+            rec = transform.inverse_transform(
+                transform.dequantize(lev, st.qp, bd), bit_depth=bd)
+            dist = int(((resi.astype(np.int64) - rec) ** 2).sum())
+            cost += dist + lam * min(transform.level_rate_est(lev), 1 << 14)
+            preds.append(p)
+            levs.append(lev)
+        cands.append((cost, use_cclm, preds, levs))
+    _, use_cclm, preds, levs = min(cands, key=lambda t: t[0])
+    st.dec.cmode8[sl8] = use_cclm
+    io.bin(C.INTRA_CHROMA_DM(0), int(use_cclm == 0))
+    _code_component(io, st, 1, cx, cy, cs, mode, C.CBF_CB(0),
+                    pred=preds[0], lev_pre=levs[0])
+    _code_component(io, st, 2, cx, cy, cs, mode, C.CBF_CR(0),
+                    pred=preds[1], lev_pre=levs[1])
 
 
 def _code_qt(io, st: _FrameState, x: int, y: int, s: int, depth: int) -> None:

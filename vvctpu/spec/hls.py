@@ -31,6 +31,7 @@ class SPS:
     chroma_format: int = 1      # 1 = 4:2:0
     mts_enabled: bool = False
     lfnst_enabled: bool = False
+    cclm_enabled: bool = False
     sao_enabled: bool = False
     alf_enabled: bool = False
     deblock_enabled: bool = True
@@ -56,8 +57,8 @@ class SPS:
         w.ue(self.bit_depth - 8)
         w.ue(self.log2_ctu - 4)
         w.ue(self.chroma_format)
-        for f in (self.mts_enabled, self.lfnst_enabled, self.sao_enabled,
-                  self.alf_enabled, self.deblock_enabled):
+        for f in (self.mts_enabled, self.lfnst_enabled, self.cclm_enabled,
+                  self.sao_enabled, self.alf_enabled, self.deblock_enabled):
             w.u(int(f), 1)
         w.byte_align()
         return w.getvalue()
@@ -74,8 +75,8 @@ class SPS:
         s.bit_depth = r.ue() + 8
         s.log2_ctu = r.ue() + 4
         s.chroma_format = r.ue()
-        (s.mts_enabled, s.lfnst_enabled, s.sao_enabled, s.alf_enabled,
-         s.deblock_enabled) = (bool(r.u(1)) for _ in range(5))
+        (s.mts_enabled, s.lfnst_enabled, s.cclm_enabled, s.sao_enabled,
+         s.alf_enabled, s.deblock_enabled) = (bool(r.u(1)) for _ in range(6))
         return s
 
 

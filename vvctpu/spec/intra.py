@@ -228,6 +228,116 @@ def predict(top: np.ndarray, left: np.ndarray, mode: int, w: int, h: int,
 
 
 # ---------------------------------------------------------------------------
+# CCLM: chroma-from-luma linear model
+# (role of VTM:CommonLib/IntraPrediction.cpp predIntraChromaLM /
+#  xGetLumaRecPixels: min/max 4-pair derivation + 6-tap 4:2:0 downsample.
+#  Integer staging is this build's own — CCLM_SHIFT-bit slope, deterministic
+#  5-comparator sorting network — identical in the JAX twin.)
+# ---------------------------------------------------------------------------
+CCLM_SHIFT = 13
+CCLM_AMAX = 1 << 17
+
+
+def luma_ds(recon_y: np.ndarray, cx: int, cy: int, w: int, h: int):
+    """(h, w) downsampled luma for chroma block at (cx, cy) — 6-tap
+    {1 2 1; 1 2 1}/8 with left-edge clamp.  Coordinates on the chroma grid."""
+    ly, lx = 2 * cy, 2 * cx
+    rows = recon_y[ly:ly + 2 * h]
+    # columns lx-1 .. lx+2w-1 (clamp x = -1 to 0)
+    x_idx = np.clip(np.arange(lx - 1, lx + 2 * w), 0, recon_y.shape[1] - 1)
+    win = rows[:, x_idx].astype(np.int64)          # (2h, 2w+1)
+    a, b = win[0::2], win[1::2]
+    mid = slice(1, 2 * w, 2)
+    lft = slice(0, 2 * w - 1, 2)
+    rgt = slice(2, 2 * w + 1, 2)
+    return ((2 * a[:, mid] + a[:, lft] + a[:, rgt]
+             + 2 * b[:, mid] + b[:, lft] + b[:, rgt] + 4) >> 3)
+
+
+def _sort4(l, c):
+    """Deterministic 5-comparator sorting network on (luma, chroma) pairs;
+    swaps strictly-greater luma only (same network in the JAX twin)."""
+    l, c = list(l), list(c)
+    for i, j in ((0, 1), (2, 3), (0, 2), (1, 3), (1, 2)):
+        if l[i] > l[j]:
+            l[i], l[j] = l[j], l[i]
+            c[i], c[j] = c[j], c[i]
+    return l, c
+
+
+def cclm_alpha_beta(pl, pc, bd: int):
+    """Integer (a, b) from 4 (luma, chroma) pairs; pred = ((a*l)>>SH) + b."""
+    l, c = _sort4([int(v) for v in pl], [int(v) for v in pc])
+    lmin = (l[0] + l[1] + 1) >> 1
+    cmin = (c[0] + c[1] + 1) >> 1
+    lmax = (l[2] + l[3] + 1) >> 1
+    cmax = (c[2] + c[3] + 1) >> 1
+    d = lmax - lmin
+    if d == 0:
+        return 0, (cmin + cmax + 1) >> 1
+    a = ((cmax - cmin) << CCLM_SHIFT) // d
+    a = max(-CCLM_AMAX, min(CCLM_AMAX, a))
+    b = cmin - ((a * lmin) >> CCLM_SHIFT)
+    return a, b
+
+
+def cclm_predict(recon_y: np.ndarray, chroma_plane: np.ndarray,
+                 chroma_valid: np.ndarray, cx: int, cy: int, cs: int,
+                 bd: int) -> np.ndarray:
+    """CCLM prediction for the (cs, cs) chroma block at (cx, cy).
+
+    recon_y: current luma recon plane (the collocated block is already
+    reconstructed — chroma follows luma in the leaf).  Returns (cs, cs)."""
+    above = cy > 0 and bool(chroma_valid[cy - 1, cx])
+    left = cx > 0 and bool(chroma_valid[cy, cx - 1])
+    half = 1 << (bd - 1)
+    ds = luma_ds(recon_y, cx, cy, cs, cs)
+
+    if not (above or left):
+        pred = np.full((cs, cs), half, np.int64)
+        return np.clip(pred, 0, (1 << bd) - 1).astype(np.int32)
+
+    pl, pc = [], []
+    if above and left:
+        idxs = (cs // 4, (3 * cs) // 4)
+        a_ds = luma_ds(recon_y, cx, cy - 1, cs, 1)[0]
+        l_ds = _left_ds(recon_y, cx, cy, cs)
+        for i in idxs:
+            pl.append(int(a_ds[i]))
+            pc.append(int(chroma_plane[cy - 1, cx + i]))
+        for j in idxs:
+            pl.append(int(l_ds[j]))
+            pc.append(int(chroma_plane[cy + j, cx - 1]))
+    elif above:
+        a_ds = luma_ds(recon_y, cx, cy - 1, cs, 1)[0]
+        for k in range(4):
+            i = ((2 * k + 1) * cs) >> 3
+            pl.append(int(a_ds[i]))
+            pc.append(int(chroma_plane[cy - 1, cx + i]))
+    else:
+        l_ds = _left_ds(recon_y, cx, cy, cs)
+        for k in range(4):
+            j = ((2 * k + 1) * cs) >> 3
+            pl.append(int(l_ds[j]))
+            pc.append(int(chroma_plane[cy + j, cx - 1]))
+
+    a, b = cclm_alpha_beta(pl, pc, bd)
+    pred = ((a * ds) >> CCLM_SHIFT) + b
+    return np.clip(pred, 0, (1 << bd) - 1).astype(np.int32)
+
+
+def _left_ds(recon_y: np.ndarray, cx: int, cy: int, h: int) -> np.ndarray:
+    """(h,) downsampled luma column for the chroma column cx - 1."""
+    ly, lx = 2 * cy, 2 * (cx - 1)
+    rows = recon_y[ly:ly + 2 * h]
+    x_idx = np.clip(np.arange(lx - 1, lx + 2), 0, recon_y.shape[1] - 1)
+    win = rows[:, x_idx].astype(np.int64)          # (2h, 3)
+    a, b = win[0::2], win[1::2]
+    return ((2 * a[:, 1] + a[:, 0] + a[:, 2]
+             + 2 * b[:, 1] + b[:, 0] + b[:, 2] + 4) >> 3)
+
+
+# ---------------------------------------------------------------------------
 # MPM list (6 entries, planar always first)
 # ---------------------------------------------------------------------------
 

@@ -28,6 +28,7 @@ class EncoderConfig:
     gop: int = 1            # 1 = low-delay IPPP; >1 = hierarchical-B GOP
     mts: bool = False       # explicit MTS (DST7/DCT8) for intra luma
     lfnst: bool = False     # low-frequency non-separable secondary transform
+    cclm: bool = False      # cross-component linear-model chroma prediction
     alf: bool = False       # adaptive loop filter (luma Wiener, CTU flags)
     mctf: bool = False      # motion-compensated temporal source prefilter
     rc_bits_per_frame: int = 0   # >0 enables rate control
@@ -42,7 +43,8 @@ class EncoderConfig:
                        log2_ctu=int(self.ctu).bit_length() - 1,
                        deblock_enabled=self.deblock,
                        sao_enabled=self.sao, mts_enabled=self.mts,
-                       lfnst_enabled=self.lfnst, alf_enabled=self.alf)
+                       lfnst_enabled=self.lfnst, cclm_enabled=self.cclm,
+                       alf_enabled=self.alf)
 
 
 def gop_plan(n_frames: int, intra_period: int, gop: int):
