@@ -1,0 +1,87 @@
+"""RDOQ: quantizer properties, spec<->device parity, stream-level RD gain."""
+import numpy as np
+import pytest
+
+from vvctpu.spec import sequence as seq
+from vvctpu.spec import transform as st
+
+from test_inter_parity import motion_frames
+
+
+class TestQuantizer:
+    def test_levels_bracket_plain(self):
+        """RDOQ levels are always floor or floor+1 of the unbiased value."""
+        rng = np.random.default_rng(20)
+        coef = rng.integers(-8000, 8000, (16, 16)).astype(np.int32)
+        for qp in (22, 32, 45):
+            lev = st.quantize_rdoq(coef, qp, st.lambda_rd_int(qp))
+            plain_floor = st.quantize(coef, qp)  # rounded, close anchor
+            # magnitudes differ from the rounded quantizer by at most 1
+            assert np.abs(np.abs(lev) - np.abs(plain_floor)).max() <= 1
+
+    def test_zero_stays_zero(self):
+        lev = st.quantize_rdoq(np.zeros((8, 8), np.int32), 32, 100)
+        assert not lev.any()
+
+    def test_high_lambda_prefers_zero(self):
+        """With huge lambda the rate term dominates: small coefficients go
+        to zero even when floor+1 has lower distortion."""
+        coef = np.full((8, 8), 60, np.int32)
+        lev_lo = st.quantize_rdoq(coef, 32, 1)
+        lev_hi = st.quantize_rdoq(coef, 32, 1 << 20)
+        assert np.abs(lev_hi).sum() <= np.abs(lev_lo).sum()
+
+    def test_device_parity(self):
+        pytest.importorskip("jax")
+        import jax.numpy as jnp
+        from vvctpu.kernels import transform as jt
+        rng = np.random.default_rng(21)
+        for s in (4, 8, 16, 32):
+            for qp in (22, 32, 45, 51):
+                coef = rng.integers(-30000, 30000, (s, s)).astype(np.int32)
+                lam = st.lambda_rd_int(qp)
+                want = st.quantize_rdoq(coef, qp, lam)
+                got = np.asarray(jt.quantize_rdoq_j(
+                    jnp.asarray(coef), s, s, jnp.int32(qp),
+                    jnp.int32(lam)))
+                np.testing.assert_array_equal(got, want, err_msg=f"{s},{qp}")
+
+
+class TestStream:
+    def test_roundtrip_rdoq(self):
+        frames = motion_frames(2, 64, 96, seed=60)
+        cfg = seq.EncoderConfig(qp=32, intra_period=1, rdoq=True)
+        data, recons, _ = seq.encode_sequence(frames, cfg)
+        out, _ = seq.decode_sequence(data, check_hash=True)
+        for i in range(2):
+            for c in range(3):
+                assert np.array_equal(out[i][c], recons[i][c])
+
+    def test_rdoq_improves_rd(self):
+        """RDOQ must cut bits at near-equal quality (the RD win)."""
+        frames = motion_frames(2, 64, 96, seed=61)
+        cfg_on = seq.EncoderConfig(qp=32, intra_period=1, rdoq=True)
+        cfg_off = seq.EncoderConfig(qp=32, intra_period=1, rdoq=False)
+        _, rec_on, bits_on = seq.encode_sequence(frames, cfg_on)
+        _, rec_off, bits_off = seq.encode_sequence(frames, cfg_off)
+        assert sum(bits_on) < sum(bits_off)
+        psnr_on = np.mean([seq.psnr(frames[i][0], rec_on[i][0])
+                           for i in range(2)])
+        psnr_off = np.mean([seq.psnr(frames[i][0], rec_off[i][0])
+                            for i in range(2)])
+        assert psnr_on > psnr_off - 0.35    # quality held within a sliver
+
+    def test_engines_identical_rdoq(self):
+        pytest.importorskip("jax")
+        from vvctpu.pipeline import encoder as jenc
+        frames = motion_frames(3, 64, 96, seed=62)
+        cfg = seq.EncoderConfig(qp=32, intra_period=0, gop=2, rdoq=True,
+                                mts=True, lfnst=True, cclm=True)
+        sdata, _, _ = seq.encode_sequence(frames, cfg)
+        jdata, _, _ = jenc.encode_sequence(frames, cfg)
+        assert jdata == sdata
+        jout, _ = jenc.decode_sequence(sdata)
+        sout, _ = seq.decode_sequence(sdata)
+        for a, b in zip(jout, sout):
+            for c in range(3):
+                assert np.array_equal(a[c], b[c])

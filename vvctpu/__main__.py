@@ -38,6 +38,8 @@ def _enc(args) -> int:
                      ("cclm", fc.cclm), ("alf", fc.alf), ("mctf", fc.mctf)):
             if ap_defaults.get(a) == getattr(args, a):
                 setattr(args, a, v)
+        if not fc.rdoq:
+            args.no_rdoq = True
     if not (args.input and args.bitstream and args.wdt and args.hgt):
         print("missing input/bitstream/wdt/hgt (flags or cfg)",
               file=sys.stderr)
@@ -51,7 +53,7 @@ def _enc(args) -> int:
                             intra_period=args.intra_period, wpp=args.wpp,
                             gop=args.gop, mts=args.mts, lfnst=args.lfnst,
                             cclm=args.cclm, alf=args.alf,
-                            mctf=args.mctf,
+                            mctf=args.mctf, rdoq=not args.no_rdoq,
                             rc_bits_per_frame=args.rc_bpf)
     if args.trace_file:
         from .core import trace
@@ -153,6 +155,8 @@ def main(argv=None) -> int:
                    help="LFNST secondary transform for intra luma")
     e.add_argument("--cclm", action="store_true",
                    help="CCLM chroma-from-luma prediction")
+    e.add_argument("--no-rdoq", action="store_true",
+                   help="disable the RDOQ quantizer")
     e.add_argument("--mts", action="store_true",
                    help="explicit MTS (DST7/DCT8) for intra luma")
     e.add_argument("--wpp", action="store_true",

@@ -24,6 +24,7 @@ class AppConfig:
     mts: bool = False             # MTS / MTSIntra
     lfnst: bool = False           # LFNST
     cclm: bool = False            # LMChroma / CCLM
+    rdoq: bool = True             # RDOQ
     alf: bool = False             # ALF
     mctf: bool = False            # TemporalFilter / MCTF
     rate_control: bool = False    # RateControl
@@ -51,6 +52,7 @@ _KEYMAP = {
     "lfnst": ("lfnst", lambda v: bool(int(v))),
     "cclm": ("cclm", lambda v: bool(int(v))),
     "lmchroma": ("cclm", lambda v: bool(int(v))),
+    "rdoq": ("rdoq", lambda v: bool(int(v))),
     "alf": ("alf", lambda v: bool(int(v))),
     "temporalfilter": ("mctf", lambda v: bool(int(v))),
     "mctf": ("mctf", lambda v: bool(int(v))),

@@ -71,8 +71,11 @@ _Q_SCALES = np.asarray(rom.QUANT_SCALES, np.int32)
 _IQ_SCALES = np.asarray(rom.INV_QUANT_SCALES, np.int32)
 
 
-def quantize(coef, h: int, w: int, qp, intra: bool = True, bd: int = 8):
+def quantize(coef, h: int, w: int, qp, intra: bool = True, bd: int = 8,
+             rdoq: bool = False, lam_rd=0):
     """qp may be a traced int32 scalar (shift amounts are data on TPU)."""
+    if rdoq:
+        return quantize_rdoq_j(coef, h, w, qp, lam_rd, bd)
     qp = jnp.asarray(qp, jnp.int32)
     ts = rom.transform_shift(_log2(w), _log2(h), bd)
     q_bits = rom.QUANT_SHIFT + qp // 6 + ts
@@ -82,6 +85,45 @@ def quantize(coef, h: int, w: int, qp, intra: bool = True, bd: int = 8):
     level = jnp.right_shift(jnp.abs(c) * scale + f, q_bits)
     level = jnp.clip(level, 0, COEFF_MAX)
     return jnp.sign(c) * level
+
+
+def quantize_rdoq_j(coef, h: int, w: int, qp, lam_rd, bd: int = 8):
+    """Device twin of spec quantize_rdoq (bit-identical int math).
+
+    All in int32: the spec's int64 intermediates are bounded (err clipped
+    to 2^15, lam*rate < 2^27) so int32 agrees exactly."""
+    qp = jnp.asarray(qp, jnp.int32)
+    ts = rom.transform_shift(_log2(w), _log2(h), bd)
+    q_bits = rom.QUANT_SHIFT + qp // 6 + ts
+    scale = jnp.asarray(_Q_SCALES)[qp % 6]
+    dq_shift = bd + ((_log2(w) + _log2(h)) >> 1) - 9
+    dq_scale = jnp.left_shift(jnp.asarray(_IQ_SCALES)[qp % 6], qp // 6)
+    lam = jnp.minimum(jnp.left_shift(jnp.asarray(lam_rd, jnp.int32),
+                                     jnp.int32(max(2 * ts, 0))),
+                      1 << 25)
+
+    c = coef.astype(jnp.int32)
+    a = jnp.abs(c)
+    # a * scale fits int64-on-device? a <= 2^15, scale <= 2^15 -> 2^30 ok
+    l_a = jnp.clip(jnp.right_shift(a * scale, q_bits), 0, COEFF_MAX)
+    l_b = jnp.clip(l_a + 1, 0, COEFF_MAX)
+
+    def cost(lv):
+        # lv*dq_scale: lv floor-quantized so lv*dq_scale ~ |coef| scale,
+        # pre-clip keeps the product in range exactly as spec's int64 path
+        # does via the final clip (values beyond clip never win the argmin)
+        t = lv * dq_scale
+        deq = jnp.clip(jnp.right_shift(t + (1 << (dq_shift - 1)), dq_shift),
+                       COEFF_MIN, COEFF_MAX)
+        err = jnp.minimum(jnp.abs(a - deq), 30000)
+        bl = jnp.zeros_like(lv)
+        for k in range(15):
+            bl = bl + (lv >= (1 << k)).astype(jnp.int32)
+        rate = jnp.where(lv > 0, 2 + 2 * bl, 0)
+        return err * err + lam * rate
+
+    lev = jnp.where(cost(l_b) < cost(l_a), l_b, l_a)
+    return jnp.sign(c) * lev
 
 
 def dequantize(level, h: int, w: int, qp, bd: int = 8):
@@ -187,7 +229,7 @@ def inv_lfnst_switch_j(coef, lfnst_idx, mode):
 
 
 def choose_tx_j(resi, s: int, qp, lam_rd, mode, bd: int = 8,
-                mts: bool = True, lfnst: bool = False):
+                mts: bool = True, lfnst: bool = False, rdoq: bool = False):
     """Joint MTS/LFNST RD selection — twin of spec choose_tx.
 
     Returns (mts_idx, lfnst_idx, levels, recon_resi); first-min
@@ -199,7 +241,8 @@ def choose_tx_j(resi, s: int, qp, lam_rd, mode, bd: int = 8,
         coef = forward_transform(resi, s, s, kh, kv, bd)
         if lk:
             coef = fwd_lfnst_j(coef, lk - 1, mode)
-        lev = quantize(coef, s, s, qp, intra=True, bd=bd)
+        lev = quantize(coef, s, s, qp, intra=True, bd=bd, rdoq=rdoq,
+                       lam_rd=lam_rd)
         dq = dequantize(lev, s, s, qp, bd)
         if lk:
             dq = inv_lfnst_j(dq, lk - 1, mode)

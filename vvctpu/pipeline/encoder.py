@@ -71,7 +71,7 @@ def encode_sequence(frames, cfg: sseq.EncoderConfig, decisions_fn=None,
             slots, padded[0], padded[1], padded[2], frame_w=sps.width,
             frame_h=sps.height, qp=qp, bd=cfg.bit_depth, encode=True,
             inter_enabled=not is_intra, mts=sps.mts_enabled,
-            lfnst=sps.lfnst_enabled, cclm=sps.cclm_enabled,
+            lfnst=sps.lfnst_enabled, cclm=sps.cclm_enabled, rdoq=cfg.rdoq,
             lam_rd=lambda_rd_int(qp), **ref_kw)
         levels = [np.asarray(ly), np.asarray(lcb), np.asarray(lcr)]
         if sps.mts_enabled:

@@ -29,12 +29,14 @@ from . import plan as planmod
 MARGIN = intra_pred.MARGIN
 
 
-def _component(buf, levels_io, src, pred, x, y, s, qp, bd, encode):
+def _component(buf, levels_io, src, pred, x, y, s, qp, bd, encode,
+               rdoq=False, lam_rd=0):
     """Shared residual+recon for one component block with given prediction."""
     if encode:
         blk = jax.lax.dynamic_slice(src, (y, x), (s, s)).astype(jnp.int32)
         coef = transform.forward_transform(blk - pred, s, s, bd=bd)
-        lev = transform.quantize(coef, s, s, qp, intra=True, bd=bd)
+        lev = transform.quantize(coef, s, s, qp, intra=True, bd=bd,
+                                 rdoq=rdoq, lam_rd=lam_rd)
         levels_io = jax.lax.dynamic_update_slice(levels_io, lev, (y, x))
     else:
         lev = jax.lax.dynamic_slice(src, (y, x), (s, s))  # parsed levels
@@ -46,7 +48,7 @@ def _component(buf, levels_io, src, pred, x, y, s, qp, bd, encode):
 def _make_leaf_fn(s: int, inter: bool, *, frame_w: int, frame_h: int,
                   n_ctu_x: int, qp, bd: int, encode: bool, refs,
                   mts: bool = False, lfnst: bool = False, cclm: bool = False,
-                  lam_rd=None):
+                  rdoq: bool = False, lam_rd=None):
     cs = s // 2
 
     def leaf(carry, x, y, mode, mvx, mvy, mts_in, lfnst_in, cmode_in):
@@ -84,7 +86,7 @@ def _make_leaf_fn(s: int, inter: bool, *, frame_w: int, frame_h: int,
                                             (s, s)).astype(jnp.int32)
                 midx, lidx, lev, rres = transform.choose_tx_j(
                     blk - pred_y, s, qp, lam_rd, mode, bd, mts=mts,
-                    lfnst=lfnst)
+                    lfnst=lfnst, rdoq=rdoq)
                 ly = jax.lax.dynamic_update_slice(ly, lev, (y, x))
             else:
                 midx = mts_in
@@ -105,7 +107,8 @@ def _make_leaf_fn(s: int, inter: bool, *, frame_w: int, frame_h: int,
             lfnstp = jax.lax.dynamic_update_slice(
                 lfnstp, lidx.reshape(1, 1), (y // 8, x // 8))
         else:
-            by, ly = _component(by, ly, sy, pred_y, x, y, s, qp, bd, encode)
+            by, ly = _component(by, ly, sy, pred_y, x, y, s, qp, bd, encode,
+                                rdoq, lam_rd)
         if cclm and not inter:
             # joint DM-vs-CCLM chroma decision (twin of spec _code_leaf)
             pcb_lm = intra_pred.cclm_predict_j(
@@ -123,7 +126,8 @@ def _make_leaf_fn(s: int, inter: bool, *, frame_w: int, frame_h: int,
                     resi = blk - pred
                     coef = transform.forward_transform(resi, cs, cs, bd=bd)
                     lev = transform.quantize(coef, cs, cs, qp, intra=True,
-                                             bd=bd)
+                                             bd=bd, rdoq=rdoq,
+                                             lam_rd=lam_rd)
                     rr = transform.inverse_transform(
                         transform.dequantize(lev, cs, cs, qp, bd), cs, cs,
                         bd=bd)
@@ -161,9 +165,9 @@ def _make_leaf_fn(s: int, inter: bool, *, frame_w: int, frame_h: int,
                                                (cy2 + 1, cx2 + 1))
         else:
             bcb, lcb = _component(bcb, lcb, scb, pred_cb, x // 2, y // 2,
-                                  cs, qp, bd, encode)
+                                  cs, qp, bd, encode, rdoq, lam_rd)
             bcr, lcr = _component(bcr, lcr, scr, pred_cr, x // 2, y // 2,
-                                  cs, qp, bd, encode)
+                                  cs, qp, bd, encode, rdoq, lam_rd)
         return (by, bcb, bcr, ly, lcb, lcr, sy, scb, scr, mtsp, lfnstp,
                 cmodep)
 
@@ -171,7 +175,8 @@ def _make_leaf_fn(s: int, inter: bool, *, frame_w: int, frame_h: int,
 
 
 def _inter_batch_pass(carry, ib_slots, refs, s: int, qp, bd: int,
-                      encode: bool, frame_w: int, frame_h: int):
+                      encode: bool, frame_w: int, frame_h: int,
+                      rdoq: bool = False, lam_rd=0):
     """Phase A: all inter s-leaves at once (no intra-frame dependency).
 
     ib_slots: (B, 8) int32 [x, y, mv0x, mv0y, mv1x, mv1y, dir, _pad];
@@ -203,7 +208,8 @@ def _inter_batch_pass(carry, ib_slots, refs, s: int, qp, bd: int,
                 blk = jax.lax.dynamic_slice(src, (cy, cx),
                                             (sz, sz)).astype(jnp.int32)
                 coef = transform.forward_transform(blk - pred, sz, sz, bd=bd)
-                lev = transform.quantize(coef, sz, sz, qp, intra=True, bd=bd)
+                lev = transform.quantize(coef, sz, sz, qp, intra=True, bd=bd,
+                                         rdoq=rdoq, lam_rd=lam_rd)
             else:
                 lev = jax.lax.dynamic_slice(src, (cy, cx), (sz, sz))
             rec = transform.reconstruct(pred, lev, sz, sz, qp, bd=bd)
@@ -236,14 +242,14 @@ def _inter_batch_pass(carry, ib_slots, refs, s: int, qp, bd: int,
 @functools.partial(jax.jit,
                    static_argnames=("frame_w", "frame_h", "bd", "encode",
                                     "inter_enabled", "mts", "lfnst",
-                                    "cclm"))
+                                    "cclm", "rdoq"))
 def frame_scan(slots, planes_y, planes_cb, planes_cr, *, frame_w: int,
                frame_h: int, qp, bd: int, encode: bool,
                inter_enabled: bool = False, ref_y=None, ref_cb=None,
                ref_cr=None, ref1_y=None, ref1_cb=None, ref1_cr=None,
                inter8=None, inter16=None, inter32=None,
                mts: bool = False, lfnst: bool = False, cclm: bool = False,
-               lam_rd=0):
+               rdoq: bool = False, lam_rd=0):
     """Run the full-frame reconstruction scan.
 
     slots: (N, 6) int32 [op, x, y, mode, mvx, mvy] in coding order; op 0 =
@@ -275,12 +281,13 @@ def frame_scan(slots, planes_y, planes_cb, planes_cr, *, frame_w: int,
         # phase A: every inter leaf at once (no intra-frame dependency)
         for s_sz, ib in ((8, inter8), (16, inter16), (32, inter32)):
             carry = _inter_batch_pass(carry, ib, refs, s_sz, qp, bd, encode,
-                                      frame_w, frame_h)
+                                      frame_w, frame_h, rdoq,
+                                      jnp.asarray(lam_rd, jnp.int32))
 
     # phase B: intra leaves in coding order (inter slots are op=0 skips)
     kw = dict(frame_w=frame_w, frame_h=frame_h, n_ctu_x=n_ctu_x, qp=qp,
               bd=bd, encode=encode, refs=refs, mts=mts, lfnst=lfnst,
-              cclm=cclm, lam_rd=jnp.asarray(lam_rd, jnp.int32))
+              cclm=cclm, rdoq=rdoq, lam_rd=jnp.asarray(lam_rd, jnp.int32))
     branches = [lambda c, x, y, m, vx, vy, mt, lf, cm: c,
                 _make_leaf_fn(8, False, **kw), _make_leaf_fn(16, False, **kw),
                 _make_leaf_fn(32, False, **kw)]

@@ -87,9 +87,11 @@ class _FrameState:
     mv_map: np.ndarray | None = None      # (H//8, W//8, 2) int32
     col: dict | None = None               # scaled TMVP field (inter.build_col_motion)
     hmvp: list = field(default_factory=list)  # history merge FIFO (per CTU row)
+    rdoq: bool = False                    # encoder RDOQ quantizer
 
     @classmethod
-    def make(cls, sps, qp, encoding, decisions, src, refs=None, col=None):
+    def make(cls, sps, qp, encoding, decisions, src, refs=None, col=None,
+             rdoq=False):
         h, w = sps.height, sps.width
         st = cls(sps, qp, encoding, decisions, src)
         st.recon = [np.zeros((h, w), np.int32),
@@ -109,6 +111,7 @@ class _FrameState:
         st.inter_map = np.zeros((h // 8, w // 8, 2), bool)
         st.mv_map = np.zeros((h // 8, w // 8, 2, 2), np.int32)
         st.col = col
+        st.rdoq = rdoq
         return st
 
 
@@ -231,7 +234,8 @@ def _code_component(io, st: _FrameState, comp: int, x: int, y: int, s: int,
         if mts_on or lfnst_on:
             resi = st.src[comp][y:y + s, x:x + s].astype(np.int32) - pred
             mts_idx, lfnst_idx, lev = transform.choose_tx(
-                resi, qp, mode, bd, mts=mts_on, lfnst=lfnst_on)
+                resi, qp, mode, bd, mts=mts_on, lfnst=lfnst_on,
+                rdoq=st.rdoq)
             st.dec.mts8[sl8] = mts_idx
             st.dec.lfnst8[sl8] = lfnst_idx
         elif lev_pre is not None:
@@ -239,7 +243,9 @@ def _code_component(io, st: _FrameState, comp: int, x: int, y: int, s: int,
         else:
             resi = st.src[comp][y:y + s, x:x + s].astype(np.int32) - pred
             coef = transform.forward_transform(resi, bit_depth=bd)
-            lev = transform.quantize(coef, qp, intra=True, bit_depth=bd)
+            lev = transform.quantize(coef, qp, intra=True, bit_depth=bd,
+                                     rdoq=st.rdoq,
+                                     lam_rd=transform.lambda_rd_int(qp))
         cbf = int(lev.any())
         io.bin(cbf_ctx, cbf)
         if cbf:
@@ -383,8 +389,9 @@ def _prep_inter_enc(st: _FrameState, x: int, y: int, s: int) -> dict:
         resi = (st.src[comp][py:py + sz, px:px + sz].astype(np.int32)
                 - preds[comp])
         coef = transform.forward_transform(resi, bit_depth=bd)
-        levs.append(transform.quantize(coef, st.qp, intra=True,
-                                       bit_depth=bd))
+        levs.append(transform.quantize(
+            coef, st.qp, intra=True, bit_depth=bd, rdoq=st.rdoq,
+            lam_rd=transform.lambda_rd_int(st.qp)))
     all_zero = not any(lv.any() for lv in levs)
     return dict(d=d, mv0=mv0, mv1=mv1, midx=midx, preds=preds, levs=levs,
                 all_zero=all_zero)
@@ -531,7 +538,8 @@ def _code_leaf(io, st: _FrameState, x: int, y: int, s: int) -> None:
             resi = (st.src[comp][cy:cy + cs, cx:cx + cs].astype(np.int32)
                     - p)
             coef = transform.forward_transform(resi, bit_depth=bd)
-            lev = transform.quantize(coef, st.qp, intra=True, bit_depth=bd)
+            lev = transform.quantize(coef, st.qp, intra=True, bit_depth=bd,
+                                     rdoq=st.rdoq, lam_rd=lam)
             rec = transform.inverse_transform(
                 transform.dequantize(lev, st.qp, bd), bit_depth=bd)
             dist = int(((resi.astype(np.int64) - rec) ** 2).sum())
@@ -633,14 +641,14 @@ def col_motion(motion: dict | None, poc: int, ref_pocs):
 
 def encode_frame(src_planes: list[np.ndarray], sps: hls.SPS, pps: hls.PPS,
                  sh: hls.SliceHeader, decisions: FrameDecisions, refs=None,
-                 col=None):
+                 col=None, rdoq: bool = False):
     """Returns (slice_rbsp, recon_planes [padded]).  refs: previous filtered
     recon [Y, Cb, Cr] (padded frame size) for P slices; col: scaled TMVP
-    field (col_motion)."""
+    field (col_motion); rdoq: encoder RDOQ quantizer."""
     qp = pps.init_qp + sh.qp_delta
     trace.set_poc(sh.poc)
     st = _FrameState.make(sps, qp, True, decisions,
-                          pad_planes(src_planes, sps), refs, col)
+                          pad_planes(src_planes, sps), refs, col, rdoq)
     ctu = 1 << sps.log2_ctu
     n_x, n_y = sps.width // ctu, sps.height // ctu
     wpp = pps.entropy_sync and n_y > 1

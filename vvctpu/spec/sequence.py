@@ -29,6 +29,7 @@ class EncoderConfig:
     mts: bool = False       # explicit MTS (DST7/DCT8) for intra luma
     lfnst: bool = False     # low-frequency non-separable secondary transform
     cclm: bool = False      # cross-component linear-model chroma prediction
+    rdoq: bool = True       # encoder RDOQ quantizer (decoder-transparent)
     alf: bool = False       # adaptive loop filter (luma Wiener, CTU flags)
     mctf: bool = False      # motion-compensated temporal source prefilter
     rc_bits_per_frame: int = 0   # >0 enables rate control
@@ -147,7 +148,7 @@ def encode_sequence(frames: list[list[np.ndarray]], cfg: EncoderConfig,
         payload, recon = codec.encode_frame(
             planes, sps, pps, sh, dec,
             refs=[dpb[rp] for rp in ref_pocs] if ref_pocs else None,
-            col=codec.col_motion(mot, poc, ref_pocs))
+            col=codec.col_motion(mot, poc, ref_pocs), rdoq=cfg.rdoq)
         dpb[poc] = recon
         mot[poc] = codec.motion_record(dec, ref_pocs)
         cropped = codec.crop_planes(recon, sps)

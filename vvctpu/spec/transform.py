@@ -61,7 +61,10 @@ def inverse_transform(coef: np.ndarray, kind_h: int = rom.DCT2,
 
 
 def quantize(coef: np.ndarray, qp: int, intra: bool = True,
-             bit_depth: int = rom.BIT_DEPTH) -> np.ndarray:
+             bit_depth: int = rom.BIT_DEPTH, rdoq: bool = False,
+             lam_rd: int = 0) -> np.ndarray:
+    if rdoq:
+        return quantize_rdoq(coef, qp, lam_rd, intra, bit_depth)
     h, w = coef.shape
     ts = rom.transform_shift(_log2(w), _log2(h), bit_depth)
     q_bits = rom.QUANT_SHIFT + qp // 6 + ts
@@ -71,6 +74,46 @@ def quantize(coef: np.ndarray, qp: int, intra: bool = True,
     level = (np.abs(c) * scale + f) >> q_bits
     level = np.clip(level, 0, COEFF_MAX)
     return (np.sign(c) * level).astype(np.int32)
+
+
+def quantize_rdoq(coef: np.ndarray, qp: int, lam_rd: int,
+                  intra: bool = True,
+                  bit_depth: int = rom.BIT_DEPTH) -> np.ndarray:
+    """Rate-distortion optimized quantization (vectorized RDOQ-lite).
+
+    Role of VTM:CommonLib/QuantRDOQ.cpp, redesigned batched (SURVEY.md
+    §7.3.2): per coefficient the floor / floor+1 levels are costed as
+    coefficient-domain SSE + lambda * rate-proxy and the cheaper wins
+    (ties keep floor).  lambda is mapped from the pixel domain by the
+    2*transform_shift energy scaling; the rate proxy matches
+    level_rate_est's per-level term.  No trellis state — the decoder's
+    scalar dequant is unchanged, so any choice is conformant."""
+    h, w = coef.shape
+    ts = rom.transform_shift(_log2(w), _log2(h), bit_depth)
+    q_bits = rom.QUANT_SHIFT + qp // 6 + ts
+    scale = int(rom.QUANT_SCALES[qp % 6])
+    dq_shift = bit_depth + ((_log2(w) + _log2(h)) >> 1) - 9
+    dq_scale = int(rom.INV_QUANT_SCALES[qp % 6]) << (qp // 6)
+    # caps keep cost < 2^31 so the int32 device twin is bit-identical
+    lam = min(int(lam_rd) << max(2 * ts, 0), 1 << 25)
+
+    c = coef.astype(np.int64)
+    a = np.abs(c)
+    l_a = np.clip((a * scale) >> q_bits, 0, COEFF_MAX)
+    l_b = np.clip(l_a + 1, 0, COEFF_MAX)
+
+    def cost(lv):
+        deq = np.clip((lv * dq_scale + (1 << (dq_shift - 1))) >> dq_shift,
+                      COEFF_MIN, COEFF_MAX)
+        err = np.minimum(np.abs(a - deq), 30000)
+        bl = np.zeros_like(lv)
+        for k in range(15):
+            bl += (lv >= (1 << k)).astype(np.int64)
+        rate = np.where(lv > 0, 2 + 2 * bl, 0)
+        return err * err + lam * rate
+
+    lev = np.where(cost(l_b) < cost(l_a), l_b, l_a)
+    return (np.sign(c) * lev).astype(np.int32)
 
 
 def dequantize(level: np.ndarray, qp: int,
@@ -175,7 +218,7 @@ def tx_candidates(mts: bool, lfnst: bool):
 
 
 def choose_tx(resi: np.ndarray, qp: int, mode: int, bd: int = rom.BIT_DEPTH,
-              mts: bool = True, lfnst: bool = False):
+              mts: bool = True, lfnst: bool = False, rdoq: bool = False):
     """Joint MTS/LFNST RD selection for an intra luma TB.
 
     Returns (mts_idx, lfnst_idx, levels); first-min tie-breaking in
@@ -194,7 +237,8 @@ def choose_tx(resi: np.ndarray, qp: int, mode: int, bd: int = rom.BIT_DEPTH,
             coef = forward_transform(resi, kh, kv, bd)
         if lk:
             coef = fwd_lfnst(coef, lk, mode)
-        lev = quantize(coef, qp, intra=True, bit_depth=bd)
+        lev = quantize(coef, qp, intra=True, bit_depth=bd, rdoq=rdoq,
+                       lam_rd=lam)
         dq = dequantize(lev, qp, bd)
         if lk:
             dq = inv_lfnst(dq, lk, mode)
