@@ -28,11 +28,26 @@ class TestAlfCore:
         p = alf.derive_alf(orig, orig.copy(), qp=32)
         assert not p.enabled
 
+    def test_classify_shapes_and_ranges(self):
+        rec = synth_frame(64, 128, seed=104)[0]
+        cls, tr = alf.classify(rec)
+        assert cls.shape == (16, 32) and tr.shape == (16, 32)
+        assert cls.min() >= 0 and cls.max() < alf.N_CLASSES
+        assert tr.min() >= 0 and tr.max() < 4
+
+    def test_transpose_perms_are_permutations(self):
+        for t in range(4):
+            assert sorted(alf.TRANS_PERMS[t]) == list(range(alf.N_COEFF))
+        assert (alf.TRANS_PERMS[0] == np.arange(alf.N_COEFF)).all()
+
     def test_syntax_roundtrip(self):
         rng = np.random.default_rng(5)
-        p = alf.AlfParams(enabled=True,
-                          coeff=rng.integers(-200, 200,
-                                             alf.N_COEFF).astype(np.int32),
+        present = rng.integers(0, 2, alf.N_CLASSES).astype(np.uint8)
+        present[0] = 1
+        coeff = rng.integers(-200, 200,
+                             (alf.N_CLASSES, alf.N_COEFF)).astype(np.int32)
+        coeff *= present[:, None]
+        p = alf.AlfParams(enabled=True, coeff=coeff, present=present,
                           ctu_on=rng.integers(0, 2, (2, 3)).astype(np.uint8))
         enc = CabacEncoder(C.make_ctx_state(2, 32))
         alf.code_alf_params(EncIO(enc), p, 2, 3)

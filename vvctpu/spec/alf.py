@@ -1,16 +1,19 @@
-"""Adaptive loop filter — Wiener-derived 7x7 diamond, CTU on/off flags.
+"""Adaptive loop filter — 25-class Wiener 7x7 diamond with geometric
+transposes and CTU on/off flags.
 
-Role of VTM:CommonLib/AdaptiveLoopFilter.cpp + EncoderLib/
-EncAdaptiveLoopFilter.cpp (SURVEY.md §2.5): the encoder derives filter
-coefficients by least squares against the source (covariance accumulation +
-solve), signals them in the slice-tail section, and decides per-CTU on/off
-by SSE; the decoder applies the parsed filter identically.
+Role of VTM:CommonLib/AdaptiveLoopFilter.cpp (deriveClassification,
+filterBlk) + EncoderLib/EncAdaptiveLoopFilter.cpp (covariance accumulation,
+solve, RD decisions) — SURVEY.md §2.5.  As in the standard, the 4x4-block
+classification (5 direction bins x 5 activity bins) and the transpose index
+are derived from the *reconstruction*, so nothing per-block is signalled;
+the encoder signals up to 25 filters (per-class presence flags) and per-CTU
+on/off.
 
-Round-1 simplifications (documented; structure matches the reference's):
-single filter class (no 25-class gradient classification yet), luma only,
-difference-form linear taps (no clipping nonlinearity).  The filter is
-DC-neutral by construction: out = p + (sum c_i * (p_i + p_mirror_i - 2p)
-+ 64) >> 7, so only the 12 symmetric tap weights are signalled.
+Own-design details (documented; encoder and decoder share this code):
+gradient ratios use the 2x-dominance rule for weak/strong bins, activity is
+quantised by the standard 16->5 table, and the transpose index is
+(sumV > sumH) + 2*(sumD1 > sumD0).  The filter is DC-neutral difference
+form: out = p + (sum c_i * (p_{T(o_i)} + p_{-T(o_i)} - 2p) + 64) >> 7.
 """
 from __future__ import annotations
 
@@ -24,19 +27,48 @@ from ..cabac import contexts as C
 DIAMOND = [(-3, 0), (-2, -1), (-2, 0), (-2, 1), (-1, -2), (-1, -1),
            (-1, 0), (-1, 1), (-1, 2), (0, -3), (0, -2), (0, -1)]
 N_COEFF = len(DIAMOND)
+N_CLASSES = 25
 COEFF_MAX = 1023          # 10-bit signed, scale 128 = 1.0
+
+# activity quantisation (VVC's 16 -> 5 mapping)
+_ACT_TABLE = np.array([0, 1, 2, 2, 2, 2, 2, 3, 3, 3, 3, 3, 3, 3, 3, 4],
+                      np.int32)
+
+
+def _transpose_perms() -> np.ndarray:
+    """(4, N_COEFF) permutations of the diamond for the 4 geometric
+    transposes (identity, xy-swap, vflip, both); features are symmetric so
+    o and -o are interchangeable."""
+    index = {}
+    for i, o in enumerate(DIAMOND):
+        index[o] = i
+        index[(-o[0], -o[1])] = i
+    perms = np.empty((4, N_COEFF), np.int32)
+    for t in range(4):
+        for i, (dy, dx) in enumerate(DIAMOND):
+            o = (dx, dy) if t & 1 else (dy, dx)
+            if t & 2:
+                o = (-o[0], o[1])
+            perms[t, i] = index[o]
+    return perms
+
+
+TRANS_PERMS = _transpose_perms()
 
 
 @dataclass
 class AlfParams:
     enabled: bool = False
     coeff: np.ndarray = field(
-        default_factory=lambda: np.zeros(N_COEFF, np.int32))
+        default_factory=lambda: np.zeros((N_CLASSES, N_COEFF), np.int32))
+    present: np.ndarray = field(
+        default_factory=lambda: np.zeros(N_CLASSES, np.uint8))
     ctu_on: np.ndarray = None      # (nY, nX) uint8
 
     def equal(self, o: "AlfParams") -> bool:
         return (self.enabled == o.enabled
                 and np.array_equal(self.coeff, o.coeff)
+                and np.array_equal(self.present, o.present)
                 and (not self.enabled
                      or np.array_equal(self.ctu_on, o.ctu_on)))
 
@@ -54,16 +86,69 @@ def _features(plane: np.ndarray) -> np.ndarray:
     return out
 
 
+def classify(plane: np.ndarray, bd: int = 8):
+    """Per-4x4-block (class, transpose) from the reconstruction.
+
+    Returns (cls (H//4, W//4) int32 in [0, 25), tr (H//4, W//4) int32 in
+    [0, 4)).  Derived from recon only — decoder recomputes identically
+    (VTM AdaptiveLoopFilter::deriveClassification).
+    """
+    p = plane.astype(np.int64)
+    z = np.pad(p, 1, mode="edge")
+    h, w = p.shape
+    gv = np.abs(2 * p - z[:-2, 1:-1] - z[2:, 1:-1])
+    gh = np.abs(2 * p - z[1:-1, :-2] - z[1:-1, 2:])
+    gd0 = np.abs(2 * p - z[:-2, :-2] - z[2:, 2:])
+    gd1 = np.abs(2 * p - z[:-2, 2:] - z[2:, :-2])
+
+    def bsum(g):
+        return g.reshape(h // 4, 4, w // 4, 4).sum(axis=(1, 3))
+
+    sv, sh_, sd0, sd1 = bsum(gv), bsum(gh), bsum(gd0), bsum(gd1)
+    hv1 = np.maximum(sv, sh_)
+    hv0 = np.minimum(sv, sh_)
+    d1 = np.maximum(sd0, sd1)
+    d0 = np.minimum(sd0, sd1)
+
+    strong_hv = hv1 > 2 * hv0
+    strong_d = d1 > 2 * d0
+    diag_main = d1 * hv0 > hv1 * d0
+    dir_idx = np.where(~strong_hv & ~strong_d, 0,
+                       np.where(diag_main,
+                                np.where(strong_d, 4, 3),
+                                np.where(strong_hv, 2, 1))).astype(np.int32)
+
+    act = sv + sh_
+    # 16 activity bins over the 4x4 sum (scaled by bit depth), then 16->5
+    a16 = np.clip((act * 16) >> (3 + bd), 0, 15).astype(np.int32)
+    act_idx = _ACT_TABLE[a16]
+    cls = dir_idx * 5 + act_idx
+    tr = ((sv > sh_).astype(np.int32)
+          + 2 * (sd1 > sd0).astype(np.int32))
+    return cls, tr
+
+
+def _coeff_planes(params: AlfParams, cls, tr, h: int, w: int) -> np.ndarray:
+    """(12, H, W) per-pixel effective coefficients: the class filter with
+    its block transpose permutation applied."""
+    eff = params.coeff[:, TRANS_PERMS]          # (25, 4, 12)
+    eff = eff * params.present[:, None, None]   # absent class -> identity
+    per_block = eff[cls, tr]                    # (H//4, W//4, 12)
+    per_pix = np.repeat(np.repeat(per_block, 4, axis=0), 4, axis=1)
+    return per_pix[:h, :w].transpose(2, 0, 1).astype(np.int64)
+
+
 def apply_alf(plane: np.ndarray, params: AlfParams, ctu: int = 64,
               bd: int = 8) -> np.ndarray:
     """Filter the luma plane with per-CTU on/off (shared enc/dec)."""
     if not params.enabled:
         return plane
-    f = _features(plane)
-    c = params.coeff.astype(np.int64)
-    delta = (np.tensordot(c, f, axes=(0, 0)) + 64) >> 7
-    filtered = np.clip(plane.astype(np.int64) + delta, 0, (1 << bd) - 1)
     h, w = plane.shape
+    cls, tr = classify(plane, bd)
+    f = _features(plane)
+    cpl = _coeff_planes(params, cls, tr, h, w)
+    delta = ((cpl * f).sum(axis=0) + 64) >> 7
+    filtered = np.clip(plane.astype(np.int64) + delta, 0, (1 << bd) - 1)
     on = np.kron(params.ctu_on.astype(bool),
                  np.ones((ctu, ctu), bool))[:h, :w]
     return np.where(on, filtered, plane).astype(np.int32)
@@ -71,37 +156,64 @@ def apply_alf(plane: np.ndarray, params: AlfParams, ctu: int = 64,
 
 def derive_alf(orig: np.ndarray, rec: np.ndarray, qp: int, ctu: int = 64,
                bd: int = 8) -> AlfParams:
-    """Wiener solve + integer quantisation + per-CTU RD on/off."""
+    """Per-class Wiener solve + integer quantisation + RD decisions."""
     h, w = rec.shape
     n_y, n_x = h // ctu, w // ctu
     params = AlfParams(ctu_on=np.zeros((n_y, n_x), np.uint8))
+    cls, tr = classify(rec, bd)
     f = _features(rec)
-    err = (orig.astype(np.int64) - rec).reshape(-1).astype(np.float64)
-    fm = f.reshape(N_COEFF, -1).astype(np.float64)
-    gram = fm @ fm.T
-    rhs = fm @ err
-    # ridge for numerical safety on flat content
-    gram += np.eye(N_COEFF) * (1.0 + gram.trace() * 1e-9)
-    sol = np.linalg.solve(gram, rhs)
-    coeff = np.clip(np.round(sol * 128.0), -COEFF_MAX, COEFF_MAX)
-    coeff = coeff.astype(np.int32)
-    if not coeff.any():
-        return params
-    params.coeff = coeff
-    params.enabled = True
-    # per-CTU decision by SSE (+ small lambda * flag bit)
-    delta = (np.tensordot(coeff.astype(np.int64), f, axes=(0, 0)) + 64) >> 7
-    filt = np.clip(rec.astype(np.int64) + delta, 0, (1 << bd) - 1)
-    e_off = ((orig.astype(np.int64) - rec) ** 2)
-    e_on = ((orig.astype(np.int64) - filt) ** 2)
+    # per-pixel transposed feature vectors: fT[i] = f[perm_tr(block)[i]]
+    perm_pix = TRANS_PERMS[tr]                       # (H//4, W//4, 12)
+    perm_pix = np.repeat(np.repeat(perm_pix, 4, axis=0), 4, axis=1)[:h, :w]
+    fT = np.take_along_axis(
+        f.transpose(1, 2, 0), perm_pix, axis=2)      # (H, W, 12)
+    err = (orig.astype(np.int64) - rec)
+    cls_pix = np.repeat(np.repeat(cls, 4, axis=0), 4, axis=1)[:h, :w]
+
     lam = max(1, int(round(0.57 * 2.0 ** ((qp - 12) / 3.0))))
+    flat_f = fT.reshape(-1, N_COEFF).astype(np.float64)
+    flat_e = err.reshape(-1).astype(np.float64)
+    flat_c = cls_pix.reshape(-1)
+    for k in range(N_CLASSES):
+        m = flat_c == k
+        npix = int(m.sum())
+        if npix < 64:
+            continue
+        fm = flat_f[m]
+        gram = fm.T @ fm
+        rhs = fm.T @ flat_e[m]
+        gram += np.eye(N_COEFF) * (1.0 + gram.trace() * 1e-9)
+        sol = np.linalg.solve(gram, rhs)
+        coeff = np.clip(np.round(sol * 128.0), -COEFF_MAX,
+                        COEFF_MAX).astype(np.int32)
+        if coeff.any():
+            params.coeff[k] = coeff
+            params.present[k] = 1
+    if not params.present.any():
+        return params
+    params.enabled = True
+
+    # per-CTU decision by SSE gain (+ lambda * flag bit)
+    cpl = _coeff_planes(params, cls, tr, h, w)
+    delta = ((cpl * f).sum(axis=0) + 64) >> 7
+    filt = np.clip(rec.astype(np.int64) + delta, 0, (1 << bd) - 1)
+    e_off = err * err
+    e_on = (orig.astype(np.int64) - filt) ** 2
+    total_gain = 0
     for cy in range(n_y):
         for cx in range(n_x):
             sl = np.s_[cy * ctu:(cy + 1) * ctu, cx * ctu:(cx + 1) * ctu]
             gain = int(e_off[sl].sum()) - int(e_on[sl].sum())
-            params.ctu_on[cy, cx] = 1 if gain > lam else 0
-    if not params.ctu_on.any():
+            if gain > lam:
+                params.ctu_on[cy, cx] = 1
+                total_gain += gain
+    # frame-level decision must also pay for the filter-coefficient bits
+    coeff_bits = 26 + int(params.present.sum()) * N_COEFF * 7
+    if not params.ctu_on.any() or total_gain <= lam * coeff_bits:
         params.enabled = False
+        params.ctu_on[:] = 0
+        params.present[:] = 0
+        params.coeff[:] = 0
     return params
 
 
@@ -147,10 +259,17 @@ def code_alf_params(io, params: AlfParams | None, n_y: int,
         out.enabled = bool(on)
     if not on:
         return out
-    for i in range(N_COEFF):
-        v = _eg3(io, None if dec else int(out.coeff[i]))
+    for k in range(N_CLASSES):
+        pr = io.bin(C.ALF_CTB_FLAG(2),
+                    None if dec else int(out.present[k]))
         if dec:
-            out.coeff[i] = v
+            out.present[k] = pr
+        if not pr:
+            continue
+        for i in range(N_COEFF):
+            v = _eg3(io, None if dec else int(out.coeff[k, i]))
+            if dec:
+                out.coeff[k, i] = v
     for cy in range(n_y):
         for cx in range(n_x):
             b = io.bin(C.ALF_CTB_FLAG(1),
