@@ -58,6 +58,45 @@ class TestAlfCore:
         assert q.equal(p)
 
 
+class TestChromaAlf:
+    def test_frame_derive_apply_improves_chroma(self):
+        rng = np.random.default_rng(7)
+        planes = synth_frame(128, 128, seed=105)
+        rec = [np.clip(p + rng.integers(-6, 7, p.shape), 0,
+                       255).astype(np.int32) for p in planes]
+        params = alf.derive_alf_frame(planes, rec, qp=40)
+        out = alf.apply_alf_frame(rec, params, 64, 8)
+        for c in (1, 2):
+            e0 = ((planes[c] - rec[c]) ** 2).sum()
+            e1 = ((planes[c] - out[c]) ** 2).sum()
+            assert e1 <= e0
+
+    def test_syntax_roundtrip_with_chroma(self):
+        rng = np.random.default_rng(8)
+        present = np.zeros(alf.N_CLASSES, np.uint8)
+        present[3] = 1
+        coeff = np.zeros((alf.N_CLASSES, alf.N_COEFF), np.int32)
+        coeff[3] = rng.integers(-100, 100, alf.N_COEFF)
+        p = alf.AlfParams(
+            enabled=True, coeff=coeff, present=present,
+            ctu_on=rng.integers(0, 2, (2, 2)).astype(np.uint8),
+            c_enabled=np.array([1, 0], np.uint8),
+            c_coeff=np.stack([rng.integers(-50, 50, alf.N_COEFF_C),
+                              np.zeros(alf.N_COEFF_C)]).astype(np.int32),
+            cc_present=np.array([1, 0], np.uint8),
+            cc_coeff=np.stack([rng.integers(-20, 20, alf.N_COEFF_CC),
+                               np.zeros(alf.N_COEFF_CC)]).astype(np.int32),
+            ctu_on_c=np.stack([rng.integers(0, 2, (2, 2)),
+                               np.zeros((2, 2))]).astype(np.uint8))
+        enc = CabacEncoder(C.make_ctx_state(2, 32))
+        alf.code_alf_params(EncIO(enc), p, 2, 2)
+        enc.terminate(1)
+        dec = CabacDecoder(C.make_ctx_state(2, 32), enc.finish())
+        q = alf.code_alf_params(DecIO(dec), None, 2, 2)
+        assert dec.terminate() == 1
+        assert q.equal(p)
+
+
 class TestAlfCodec:
     def test_roundtrip_and_gain(self):
         planes = synth_frame(128, 128, seed=100)

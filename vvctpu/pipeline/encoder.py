@@ -95,10 +95,10 @@ def encode_sequence(frames, cfg: sseq.EncoderConfig, decisions_fn=None,
         alf_params = None
         if sps.alf_enabled:
             from ..spec import alf as alfmod
-            alf_params = alfmod.derive_alf(padded[0], rec[0], qp, cfg.ctu,
-                                           cfg.bit_depth)
-            rec[0] = alfmod.apply_alf(rec[0], alf_params, cfg.ctu,
-                                      cfg.bit_depth)
+            alf_params = alfmod.derive_alf_frame(padded, rec, qp, cfg.ctu,
+                                                 cfg.bit_depth)
+            rec = alfmod.apply_alf_frame(rec, alf_params, cfg.ctu,
+                                         cfg.bit_depth)
         payload = entropy.encode_frame_syntax(
             sps, pps, sh, dec, levels, sao_params, alf_params,
             col=scodec.col_motion(mot, poc, ref_pocs))
@@ -167,8 +167,9 @@ def decode_sequence(data: bytes, check_hash: bool = True):
                                        1 << sps.log2_ctu, sps.bit_depth)
             if alf_params is not None:
                 from ..spec import alf as alfmod
-                rec[0] = alfmod.apply_alf(rec[0], alf_params,
-                                          1 << sps.log2_ctu, sps.bit_depth)
+                rec = alfmod.apply_alf_frame(rec, alf_params,
+                                             1 << sps.log2_ctu,
+                                             sps.bit_depth)
             dpb[sh.poc] = rec
             mot[sh.poc] = scodec.motion_record(dec, sh.ref_pocs)
             pending = scodec.crop_planes(rec, sps)

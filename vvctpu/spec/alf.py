@@ -56,6 +56,16 @@ def _transpose_perms() -> np.ndarray:
 TRANS_PERMS = _transpose_perms()
 
 
+# 5x5 diamond for chroma: 6 symmetric (dy, dx) offset pairs
+DIAMOND_C = [(-2, 0), (-1, -1), (-1, 0), (-1, 1), (0, -2), (0, -1)]
+N_COEFF_C = len(DIAMOND_C)
+# CC-ALF: 8 luma taps (difference to the collocated luma sample)
+CC_OFFSETS = [(-1, 0), (0, -1), (0, 1), (1, -1), (1, 0), (1, 1),
+              (2, 0), (-2, 0)]
+N_COEFF_CC = len(CC_OFFSETS)
+CC_MAX = 127
+
+
 @dataclass
 class AlfParams:
     enabled: bool = False
@@ -64,13 +74,29 @@ class AlfParams:
     present: np.ndarray = field(
         default_factory=lambda: np.zeros(N_CLASSES, np.uint8))
     ctu_on: np.ndarray = None      # (nY, nX) uint8
+    # chroma ALF (5x5) + CC-ALF, per component (Cb, Cr)
+    c_enabled: np.ndarray = field(
+        default_factory=lambda: np.zeros(2, np.uint8))
+    c_coeff: np.ndarray = field(
+        default_factory=lambda: np.zeros((2, N_COEFF_C), np.int32))
+    cc_present: np.ndarray = field(
+        default_factory=lambda: np.zeros(2, np.uint8))
+    cc_coeff: np.ndarray = field(
+        default_factory=lambda: np.zeros((2, N_COEFF_CC), np.int32))
+    ctu_on_c: np.ndarray = None    # (2, nY, nX) uint8
 
     def equal(self, o: "AlfParams") -> bool:
         return (self.enabled == o.enabled
                 and np.array_equal(self.coeff, o.coeff)
                 and np.array_equal(self.present, o.present)
                 and (not self.enabled
-                     or np.array_equal(self.ctu_on, o.ctu_on)))
+                     or np.array_equal(self.ctu_on, o.ctu_on))
+                and np.array_equal(self.c_enabled, o.c_enabled)
+                and np.array_equal(self.c_coeff, o.c_coeff)
+                and np.array_equal(self.cc_present, o.cc_present)
+                and np.array_equal(self.cc_coeff, o.cc_coeff)
+                and ((not self.c_enabled.any())
+                     or np.array_equal(self.ctu_on_c, o.ctu_on_c)))
 
 
 def _features(plane: np.ndarray) -> np.ndarray:
@@ -152,6 +178,121 @@ def apply_alf(plane: np.ndarray, params: AlfParams, ctu: int = 64,
     on = np.kron(params.ctu_on.astype(bool),
                  np.ones((ctu, ctu), bool))[:h, :w]
     return np.where(on, filtered, plane).astype(np.int32)
+
+
+def _features_c(plane: np.ndarray) -> np.ndarray:
+    """(6, H, W) chroma difference features over the 5x5 diamond."""
+    p = plane.astype(np.int64)
+    z = np.pad(p, 2, mode="edge")
+    h, w = p.shape
+    out = np.empty((N_COEFF_C, h, w), np.int64)
+    for i, (dy, dx) in enumerate(DIAMOND_C):
+        a = z[2 + dy:2 + dy + h, 2 + dx:2 + dx + w]
+        b = z[2 - dy:2 - dy + h, 2 - dx:2 - dx + w]
+        out[i] = a + b - 2 * p
+    return out
+
+
+def _features_cc(luma: np.ndarray, ch: int, cw: int) -> np.ndarray:
+    """(8, cH, cW) CC-ALF features: collocated-luma differences on the
+    chroma grid (luma sample (2y, 2x) is the collocated centre)."""
+    p = luma.astype(np.int64)
+    z = np.pad(p, 2, mode="edge")
+    ctr = z[2:2 + 2 * ch:2, 2:2 + 2 * cw:2]
+    out = np.empty((N_COEFF_CC, ch, cw), np.int64)
+    for i, (dy, dx) in enumerate(CC_OFFSETS):
+        out[i] = z[2 + dy:2 + dy + 2 * ch:2,
+                   2 + dx:2 + dx + 2 * cw:2] - ctr
+    return out
+
+
+def apply_alf_frame(planes, params: AlfParams, ctu: int = 64,
+                    bd: int = 8):
+    """Filter [Y, Cb, Cr]: 25-class luma ALF, 5x5 chroma ALF + CC-ALF
+    (CC-ALF taps the pre-ALF luma, as in the standard's SAO-output tap)."""
+    luma_in = planes[0]
+    out = [apply_alf(planes[0], params, ctu, bd)]
+    cctu = ctu // 2
+    mx = (1 << bd) - 1
+    for c in (0, 1):
+        base = planes[c + 1]
+        if not params.c_enabled[c]:
+            out.append(base)
+            continue
+        ch, cw = base.shape
+        delta = np.zeros((ch, cw), np.int64)
+        if params.c_coeff[c].any():
+            fc = _features_c(base)
+            delta += (np.tensordot(params.c_coeff[c].astype(np.int64), fc,
+                                   axes=(0, 0)) + 64) >> 7
+        if params.cc_present[c]:
+            fcc = _features_cc(luma_in, ch, cw)
+            delta += (np.tensordot(params.cc_coeff[c].astype(np.int64), fcc,
+                                   axes=(0, 0)) + 64) >> 7
+        filt = np.clip(base.astype(np.int64) + delta, 0, mx)
+        on = np.kron(params.ctu_on_c[c].astype(bool),
+                     np.ones((cctu, cctu), bool))[:ch, :cw]
+        out.append(np.where(on, filt, base).astype(np.int32))
+    return out
+
+
+def derive_alf_frame(orig_planes, rec_planes, qp: int, ctu: int = 64,
+                     bd: int = 8) -> AlfParams:
+    """Full-frame derivation: luma 25-class + chroma 5x5 + CC-ALF."""
+    params = derive_alf(orig_planes[0], rec_planes[0], qp, ctu, bd)
+    lam = max(1, int(round(0.57 * 2.0 ** ((qp - 12) / 3.0))))
+    n_y, n_x = rec_planes[0].shape[0] // ctu, rec_planes[0].shape[1] // ctu
+    params.ctu_on_c = np.zeros((2, n_y, n_x), np.uint8)
+    cctu = ctu // 2
+    mx = (1 << bd) - 1
+    for c in (0, 1):
+        base = rec_planes[c + 1]
+        o = orig_planes[c + 1].astype(np.int64)
+        ch, cw = base.shape
+        err = (o - base).reshape(-1).astype(np.float64)
+        fc = _features_c(base)
+        fm = fc.reshape(N_COEFF_C, -1).astype(np.float64)
+        gram = fm @ fm.T
+        gram += np.eye(N_COEFF_C) * (1.0 + gram.trace() * 1e-9)
+        sol = np.linalg.solve(gram, fm @ err)
+        ccoef = np.clip(np.round(sol * 128.0), -COEFF_MAX,
+                        COEFF_MAX).astype(np.int32)
+        delta = (np.tensordot(ccoef.astype(np.int64), fc,
+                              axes=(0, 0)) + 64) >> 7
+        # CC-ALF Wiener on the residual left after chroma ALF
+        fcc = _features_cc(rec_planes[0], ch, cw)
+        fmc = fcc.reshape(N_COEFF_CC, -1).astype(np.float64)
+        err2 = err - delta.reshape(-1).astype(np.float64)
+        gram2 = fmc @ fmc.T
+        gram2 += np.eye(N_COEFF_CC) * (1.0 + gram2.trace() * 1e-9)
+        sol2 = np.linalg.solve(gram2, fmc @ err2)
+        cccoef = np.clip(np.round(sol2 * 128.0), -CC_MAX,
+                         CC_MAX).astype(np.int32)
+        if not ccoef.any() and not cccoef.any():
+            continue
+        delta2 = delta + ((np.tensordot(cccoef.astype(np.int64), fcc,
+                                        axes=(0, 0)) + 64) >> 7)
+        filt = np.clip(base.astype(np.int64) + delta2, 0, mx)
+        e_off = (o - base) ** 2
+        e_on = (o - filt) ** 2
+        total_gain = 0
+        on_map = np.zeros((n_y, n_x), np.uint8)
+        for cy in range(n_y):
+            for cx in range(n_x):
+                sl = np.s_[cy * cctu:(cy + 1) * cctu,
+                           cx * cctu:(cx + 1) * cctu]
+                gain = int(e_off[sl].sum()) - int(e_on[sl].sum())
+                if gain > lam:
+                    on_map[cy, cx] = 1
+                    total_gain += gain
+        coeff_bits = 8 + (N_COEFF_C + N_COEFF_CC) * 7
+        if on_map.any() and total_gain > lam * coeff_bits:
+            params.c_enabled[c] = 1
+            params.c_coeff[c] = ccoef
+            params.cc_present[c] = 1 if cccoef.any() else 0
+            params.cc_coeff[c] = cccoef if cccoef.any() else 0
+            params.ctu_on_c[c] = on_map
+    return params
 
 
 def derive_alf(orig: np.ndarray, rec: np.ndarray, qp: int, ctu: int = 64,
@@ -252,28 +393,57 @@ def _eg3(io, v):
 def code_alf_params(io, params: AlfParams | None, n_y: int,
                     n_x: int) -> AlfParams:
     out = params if params is not None else AlfParams(
-        ctu_on=np.zeros((n_y, n_x), np.uint8))
+        ctu_on=np.zeros((n_y, n_x), np.uint8),
+        ctu_on_c=np.zeros((2, n_y, n_x), np.uint8))
+    if out.ctu_on_c is None:
+        out.ctu_on_c = np.zeros((2, n_y, n_x), np.uint8)
     dec = io.decoding
     on = io.bin(C.ALF_CTB_FLAG(0), None if dec else int(out.enabled))
     if dec:
         out.enabled = bool(on)
-    if not on:
-        return out
-    for k in range(N_CLASSES):
-        pr = io.bin(C.ALF_CTB_FLAG(2),
-                    None if dec else int(out.present[k]))
+    if on:
+        for k in range(N_CLASSES):
+            pr = io.bin(C.ALF_CTB_FLAG(2),
+                        None if dec else int(out.present[k]))
+            if dec:
+                out.present[k] = pr
+            if not pr:
+                continue
+            for i in range(N_COEFF):
+                v = _eg3(io, None if dec else int(out.coeff[k, i]))
+                if dec:
+                    out.coeff[k, i] = v
+        for cy in range(n_y):
+            for cx in range(n_x):
+                b = io.bin(C.ALF_CTB_FLAG(1),
+                           None if dec else int(out.ctu_on[cy, cx]))
+                if dec:
+                    out.ctu_on[cy, cx] = b
+    # chroma ALF (5x5) + CC-ALF per component
+    for c in (0, 1):
+        con = io.bin(C.ALF_CTB_FLAG(3 + c),
+                     None if dec else int(out.c_enabled[c]))
         if dec:
-            out.present[k] = pr
-        if not pr:
+            out.c_enabled[c] = con
+        if not con:
             continue
-        for i in range(N_COEFF):
-            v = _eg3(io, None if dec else int(out.coeff[k, i]))
+        for i in range(N_COEFF_C):
+            v = _eg3(io, None if dec else int(out.c_coeff[c, i]))
             if dec:
-                out.coeff[k, i] = v
-    for cy in range(n_y):
-        for cx in range(n_x):
-            b = io.bin(C.ALF_CTB_FLAG(1),
-                       None if dec else int(out.ctu_on[cy, cx]))
-            if dec:
-                out.ctu_on[cy, cx] = b
+                out.c_coeff[c, i] = v
+        ccp = io.bin(C.ALF_CTB_FLAG(5 + c),
+                     None if dec else int(out.cc_present[c]))
+        if dec:
+            out.cc_present[c] = ccp
+        if ccp:
+            for i in range(N_COEFF_CC):
+                v = _eg3(io, None if dec else int(out.cc_coeff[c, i]))
+                if dec:
+                    out.cc_coeff[c, i] = v
+        for cy in range(n_y):
+            for cx in range(n_x):
+                b = io.bin(C.ALF_CTB_FLAG(7),
+                           None if dec else int(out.ctu_on_c[c, cy, cx]))
+                if dec:
+                    out.ctu_on_c[c, cy, cx] = b
     return out

@@ -673,9 +673,10 @@ def encode_frame(src_planes: list[np.ndarray], sps: hls.SPS, pps: hls.PPS,
             recon = sao.apply_sao(recon, params, ctu, sps.bit_depth)
         if sps.alf_enabled:
             from . import alf
-            ap = alf.derive_alf(st.src[0], recon[0], qp, ctu, sps.bit_depth)
+            ap = alf.derive_alf_frame(st.src, recon, qp, ctu,
+                                      sps.bit_depth)
             alf.code_alf_params(io, ap, n_y, n_x)
-            recon[0] = alf.apply_alf(recon[0], ap, ctu, sps.bit_depth)
+            recon = alf.apply_alf_frame(recon, ap, ctu, sps.bit_depth)
         enc.terminate(1)
         w = sh.write()
         w.write_bytes(enc.finish())
@@ -709,10 +710,10 @@ def encode_frame(src_planes: list[np.ndarray], sps: hls.SPS, pps: hls.PPS,
                 recon = sao.apply_sao(recon, params, ctu, sps.bit_depth)
             if sps.alf_enabled:
                 from . import alf
-                ap = alf.derive_alf(st.src[0], recon[0], qp, ctu,
-                                    sps.bit_depth)
+                ap = alf.derive_alf_frame(st.src, recon, qp, ctu,
+                                          sps.bit_depth)
                 alf.code_alf_params(io, ap, n_y, n_x)
-                recon[0] = alf.apply_alf(recon[0], ap, ctu, sps.bit_depth)
+                recon = alf.apply_alf_frame(recon, ap, ctu, sps.bit_depth)
         enc.terminate(1)
         payloads.append(enc.finish())
     w = sh.write()
@@ -790,8 +791,8 @@ def decode_frame(slice_rbsp: bytes, sps: hls.SPS, pps_map: dict[int, hls.PPS],
                                   sps.bit_depth)
         if sps.alf_enabled:
             from . import alf
-            recon[0] = alf.apply_alf(recon[0], alf_params_parsed, ctu,
-                                     sps.bit_depth)
+            recon = alf.apply_alf_frame(recon, alf_params_parsed, ctu,
+                                        sps.bit_depth)
         return recon, sh, decisions
     dec = CabacDecoder(C.make_ctx_state(sh.slice_type, qp),
                        r.remaining_bytes())
@@ -813,7 +814,7 @@ def decode_frame(slice_rbsp: bytes, sps: hls.SPS, pps_map: dict[int, hls.PPS],
     if sps.alf_enabled:
         from . import alf
         ap = alf.code_alf_params(io, None, n_y, n_x)
-        recon[0] = alf.apply_alf(recon[0], ap, ctu, sps.bit_depth)
+        recon = alf.apply_alf_frame(recon, ap, ctu, sps.bit_depth)
     if dec.terminate() != 1:
         raise ValueError("missing end_of_slice")
     return recon, sh, decisions
