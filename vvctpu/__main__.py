@@ -35,7 +35,8 @@ def _enc(args) -> int:
         for a, v in (("qp", fc.qp), ("intra_period", fc.intra_period),
                      ("gop", fc.gop), ("bit_depth", fc.bit_depth),
                      ("wpp", fc.wpp), ("mts", fc.mts), ("lfnst", fc.lfnst),
-                     ("cclm", fc.cclm), ("alf", fc.alf), ("mctf", fc.mctf)):
+                     ("cclm", fc.cclm), ("alf", fc.alf), ("mctf", fc.mctf),
+                     ("lmcs", fc.lmcs)):
             if ap_defaults.get(a) == getattr(args, a):
                 setattr(args, a, v)
         if not fc.rdoq:
@@ -52,7 +53,7 @@ def _enc(args) -> int:
     cfg = seq.EncoderConfig(qp=args.qp, bit_depth=args.bit_depth,
                             intra_period=args.intra_period, wpp=args.wpp,
                             gop=args.gop, mts=args.mts, lfnst=args.lfnst,
-                            cclm=args.cclm, alf=args.alf,
+                            cclm=args.cclm, alf=args.alf, lmcs=args.lmcs,
                             mctf=args.mctf, rdoq=not args.no_rdoq,
                             rc_bits_per_frame=args.rc_bpf)
     if args.trace_file:
@@ -121,7 +122,8 @@ def _dec(args) -> int:
 
 
 ap_defaults = {"qp": 32, "intra_period": 1, "gop": 1, "bit_depth": 8,
-               "wpp": False}
+               "wpp": False, "mts": False, "lfnst": False, "cclm": False,
+               "alf": False, "mctf": False, "lmcs": False}
 
 
 def main(argv=None) -> int:
@@ -157,6 +159,8 @@ def main(argv=None) -> int:
                    help="CCLM chroma-from-luma prediction")
     e.add_argument("--no-rdoq", action="store_true",
                    help="disable the RDOQ quantizer")
+    e.add_argument("--lmcs", action="store_true",
+                   help="LMCS luma mapping (reshaper)")
     e.add_argument("--mts", action="store_true",
                    help="explicit MTS (DST7/DCT8) for intra luma")
     e.add_argument("--wpp", action="store_true",

@@ -25,6 +25,7 @@ class AppConfig:
     lfnst: bool = False           # LFNST
     cclm: bool = False            # LMChroma / CCLM
     rdoq: bool = True             # RDOQ
+    lmcs: bool = False            # LMCSEnable / LMCS
     alf: bool = False             # ALF
     mctf: bool = False            # TemporalFilter / MCTF
     rate_control: bool = False    # RateControl
@@ -53,6 +54,8 @@ _KEYMAP = {
     "cclm": ("cclm", lambda v: bool(int(v))),
     "lmchroma": ("cclm", lambda v: bool(int(v))),
     "rdoq": ("rdoq", lambda v: bool(int(v))),
+    "lmcs": ("lmcs", lambda v: bool(int(v))),
+    "lmcsenable": ("lmcs", lambda v: bool(int(v))),
     "alf": ("alf", lambda v: bool(int(v))),
     "temporalfilter": ("mctf", lambda v: bool(int(v))),
     "mctf": ("mctf", lambda v: bool(int(v))),

@@ -9,6 +9,11 @@ from __future__ import annotations
 import numpy as np
 
 from ..coding import decide as jdecide
+
+
+def jnp_asarray(a):
+    import jax.numpy as jnp
+    return jnp.asarray(a)
 from ..core import bitstream as bs
 from ..spec import codec as scodec
 from ..spec import hls
@@ -55,6 +60,14 @@ def encode_sequence(frames, cfg: sseq.EncoderConfig, decisions_fn=None,
                                          cfg.bit_depth)
         if decisions_out is not None:
             decisions_out.append(dec)
+        lmcs_cw = ()
+        fwd_lut = inv_lut = None
+        scan_y = padded[0]
+        if sps.lmcs_enabled:
+            from ..spec import lmcs as lmcsmod
+            lmcs_cw = lmcsmod.derive_model(padded[0], cfg.bit_depth)
+            fwd_lut, inv_lut = lmcsmod.build_luts(lmcs_cw, cfg.bit_depth)
+            scan_y = fwd_lut[padded[0]]
         if is_intra:
             slots = recon.make_slots(dec, sps.height, sps.width)
             ref_kw = {}
@@ -68,10 +81,12 @@ def encode_sequence(frames, cfg: sseq.EncoderConfig, decisions_fn=None,
                 ref_kw.update(ref1_y=r1[0], ref1_cb=r1[1], ref1_cr=r1[2])
         from ..spec.transform import lambda_rd_int
         ry, rcb, rcr, ly, lcb, lcr, mtsp, lfnstp, cmodep = recon.frame_scan(
-            slots, padded[0], padded[1], padded[2], frame_w=sps.width,
+            slots, scan_y, padded[1], padded[2], frame_w=sps.width,
             frame_h=sps.height, qp=qp, bd=cfg.bit_depth, encode=True,
             inter_enabled=not is_intra, mts=sps.mts_enabled,
             lfnst=sps.lfnst_enabled, cclm=sps.cclm_enabled, rdoq=cfg.rdoq,
+            lmcs=sps.lmcs_enabled,
+            fwd_lut=None if fwd_lut is None else jnp_asarray(fwd_lut),
             lam_rd=lambda_rd_int(qp), **ref_kw)
         levels = [np.asarray(ly), np.asarray(lcb), np.asarray(lcr)]
         if sps.mts_enabled:
@@ -81,8 +96,10 @@ def encode_sequence(frames, cfg: sseq.EncoderConfig, decisions_fn=None,
         if sps.cclm_enabled:
             dec.cmode8[:] = np.asarray(cmodep).astype(np.uint8)
         sh = hls.SliceHeader(poc=poc, slice_type=stype, qp_delta=qpd,
-                             ref_pocs=ref_pocs)
+                             ref_pocs=ref_pocs, lmcs_cw=lmcs_cw)
         rec = [np.asarray(ry), np.asarray(rcb), np.asarray(rcr)]
+        if inv_lut is not None:
+            rec[0] = inv_lut[rec[0]]
         if sps.deblock_enabled:
             from ..spec import deblock
             rec = deblock.deblock_frame(rec, dec, qp, cfg.bit_depth)
@@ -137,6 +154,11 @@ def decode_sequence(data: bytes, check_hash: bool = True):
                 entropy.parse_frame_syntax(nal.payload, sps, pps_map,
                                            motion=mot)
             qp = pps_map[sh.pps_id].init_qp + sh.qp_delta
+            fwd_lut = inv_lut = None
+            if sh.lmcs_cw:
+                from ..spec import lmcs as lmcsmod
+                fwd_lut, inv_lut = lmcsmod.build_luts(sh.lmcs_cw,
+                                                      sps.bit_depth)
             slots = recon.make_slots(dec, sps.height, sps.width)
             is_p = sh.slice_type != hls.SLICE_I
             if is_p:
@@ -156,8 +178,13 @@ def decode_sequence(data: bytes, check_hash: bool = True):
                 slots, levels[0], levels[1], levels[2], frame_w=sps.width,
                 frame_h=sps.height, qp=qp, bd=sps.bit_depth, encode=False,
                 inter_enabled=is_p, mts=sps.mts_enabled,
-                lfnst=sps.lfnst_enabled, cclm=sps.cclm_enabled, **ref_kw)
+                lfnst=sps.lfnst_enabled, cclm=sps.cclm_enabled,
+                lmcs=fwd_lut is not None,
+                fwd_lut=None if fwd_lut is None else jnp_asarray(fwd_lut),
+                **ref_kw)
             rec = [np.asarray(ry), np.asarray(rcb), np.asarray(rcr)]
+            if inv_lut is not None:
+                rec[0] = inv_lut[rec[0]]
             if sps.deblock_enabled:
                 from ..spec import deblock
                 rec = deblock.deblock_frame(rec, dec, qp, sps.bit_depth)

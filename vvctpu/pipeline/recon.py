@@ -176,7 +176,7 @@ def _make_leaf_fn(s: int, inter: bool, *, frame_w: int, frame_h: int,
 
 def _inter_batch_pass(carry, ib_slots, refs, s: int, qp, bd: int,
                       encode: bool, frame_w: int, frame_h: int,
-                      rdoq: bool = False, lam_rd=0):
+                      rdoq: bool = False, lam_rd=0, fwd_lut=None):
     """Phase A: all inter s-leaves at once (no intra-frame dependency).
 
     ib_slots: (B, 8) int32 [x, y, mv0x, mv0y, mv1x, mv1y, dir, _pad];
@@ -200,6 +200,10 @@ def _inter_batch_pass(carry, ib_slots, refs, s: int, qp, bd: int,
             return jnp.where(d == 0, p0, jnp.where(d == 1, p1, avg))
 
         pred_y = bipred(refs[0], refs[3], x, y, s, True)
+        if fwd_lut is not None:
+            # LMCS: the final luma prediction is forward-mapped (intra and
+            # residual coding run in the mapped domain)
+            pred_y = jnp.take(fwd_lut, pred_y)
         pred_cb = bipred(refs[1], refs[4], x // 2, y // 2, cs, False)
         pred_cr = bipred(refs[2], refs[5], x // 2, y // 2, cs, False)
 
@@ -242,14 +246,15 @@ def _inter_batch_pass(carry, ib_slots, refs, s: int, qp, bd: int,
 @functools.partial(jax.jit,
                    static_argnames=("frame_w", "frame_h", "bd", "encode",
                                     "inter_enabled", "mts", "lfnst",
-                                    "cclm", "rdoq"))
+                                    "cclm", "rdoq", "lmcs"))
 def frame_scan(slots, planes_y, planes_cb, planes_cr, *, frame_w: int,
                frame_h: int, qp, bd: int, encode: bool,
                inter_enabled: bool = False, ref_y=None, ref_cb=None,
                ref_cr=None, ref1_y=None, ref1_cb=None, ref1_cr=None,
                inter8=None, inter16=None, inter32=None,
                mts: bool = False, lfnst: bool = False, cclm: bool = False,
-               rdoq: bool = False, lam_rd=0):
+               rdoq: bool = False, lmcs: bool = False, lam_rd=0,
+               fwd_lut=None):
     """Run the full-frame reconstruction scan.
 
     slots: (N, 6) int32 [op, x, y, mode, mvx, mvy] in coding order; op 0 =
@@ -282,7 +287,8 @@ def frame_scan(slots, planes_y, planes_cb, planes_cr, *, frame_w: int,
         for s_sz, ib in ((8, inter8), (16, inter16), (32, inter32)):
             carry = _inter_batch_pass(carry, ib, refs, s_sz, qp, bd, encode,
                                       frame_w, frame_h, rdoq,
-                                      jnp.asarray(lam_rd, jnp.int32))
+                                      jnp.asarray(lam_rd, jnp.int32),
+                                      fwd_lut if lmcs else None)
 
     # phase B: intra leaves in coding order (inter slots are op=0 skips)
     kw = dict(frame_w=frame_w, frame_h=frame_h, n_ctu_x=n_ctu_x, qp=qp,

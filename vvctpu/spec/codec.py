@@ -88,6 +88,8 @@ class _FrameState:
     col: dict | None = None               # scaled TMVP field (inter.build_col_motion)
     hmvp: list = field(default_factory=list)  # history merge FIFO (per CTU row)
     rdoq: bool = False                    # encoder RDOQ quantizer
+    lmcs: tuple | None = None             # (fwd, inv) luma-mapping LUTs
+    src_orig_y: np.ndarray | None = None  # unmapped source luma (filters)
 
     @classmethod
     def make(cls, sps, qp, encoding, decisions, src, refs=None, col=None,
@@ -360,8 +362,11 @@ def _inter_pred(st: _FrameState, x: int, y: int, s: int, d: int, mv0, mv1):
             return np.minimum((outs[0] + outs[1] + 1) >> 1, mx)
         return outs[0]
 
-    return [pred_for(0, x, y, s), pred_for(1, x // 2, y // 2, s // 2),
-            pred_for(2, x // 2, y // 2, s // 2)]
+    out = [pred_for(0, x, y, s), pred_for(1, x // 2, y // 2, s // 2),
+           pred_for(2, x // 2, y // 2, s // 2)]
+    if st.lmcs is not None:
+        out[0] = st.lmcs[0][out[0]]
+    return out
 
 
 def _prep_inter_enc(st: _FrameState, x: int, y: int, s: int) -> dict:
@@ -607,6 +612,13 @@ def crop_planes(planes: list[np.ndarray], sps: hls.SPS) -> list[np.ndarray]:
     return out
 
 
+def _filter_src(st: _FrameState):
+    """Source planes for SAO/ALF derivation — original (unmapped) domain."""
+    if st.src_orig_y is None:
+        return st.src
+    return [st.src_orig_y, st.src[1], st.src[2]]
+
+
 def _seed_state(slice_type, qp, snap):
     st = C.make_ctx_state(slice_type, qp)
     if snap is not None:
@@ -649,6 +661,11 @@ def encode_frame(src_planes: list[np.ndarray], sps: hls.SPS, pps: hls.PPS,
     trace.set_poc(sh.poc)
     st = _FrameState.make(sps, qp, True, decisions,
                           pad_planes(src_planes, sps), refs, col, rdoq)
+    if sh.lmcs_cw:
+        from . import lmcs as lmcsmod
+        st.lmcs = lmcsmod.build_luts(sh.lmcs_cw, sps.bit_depth)
+        st.src_orig_y = st.src[0]
+        st.src = [st.lmcs[0][st.src[0]], st.src[1], st.src[2]]
     ctu = 1 << sps.log2_ctu
     n_x, n_y = sps.width // ctu, sps.height // ctu
     wpp = pps.entropy_sync and n_y > 1
@@ -662,18 +679,21 @@ def encode_frame(src_planes: list[np.ndarray], sps: hls.SPS, pps: hls.PPS,
                 _code_ctu(io, st, ix * ctu, iy * ctu)
                 enc.terminate(0)
         recon = st.recon
+        if st.lmcs is not None:
+            recon[0] = st.lmcs[1][recon[0]]
         if sps.deblock_enabled:
             from . import deblock
             recon = deblock.deblock_frame(recon, decisions, qp,
                                           sps.bit_depth)
         if sps.sao_enabled:
             from . import sao
-            params = sao.decide_sao(st.src, recon, qp, ctu, sps.bit_depth)
+            params = sao.decide_sao(_filter_src(st), recon, qp, ctu,
+                                    sps.bit_depth)
             sao.code_sao_params(io, params, n_y, n_x)
             recon = sao.apply_sao(recon, params, ctu, sps.bit_depth)
         if sps.alf_enabled:
             from . import alf
-            ap = alf.derive_alf_frame(st.src, recon, qp, ctu,
+            ap = alf.derive_alf_frame(_filter_src(st), recon, qp, ctu,
                                       sps.bit_depth)
             alf.code_alf_params(io, ap, n_y, n_x)
             recon = alf.apply_alf_frame(recon, ap, ctu, sps.bit_depth)
@@ -698,19 +718,21 @@ def encode_frame(src_planes: list[np.ndarray], sps: hls.SPS, pps: hls.PPS,
                 snap = (enc.ctx.p0.copy(), enc.ctx.p1.copy())
         if iy == n_y - 1:
             recon = st.recon
+            if st.lmcs is not None:
+                recon[0] = st.lmcs[1][recon[0]]
             if sps.deblock_enabled:
                 from . import deblock
                 recon = deblock.deblock_frame(recon, decisions, qp,
                                               sps.bit_depth)
             if sps.sao_enabled:
                 from . import sao
-                params = sao.decide_sao(st.src, recon, qp, ctu,
+                params = sao.decide_sao(_filter_src(st), recon, qp, ctu,
                                         sps.bit_depth)
                 sao.code_sao_params(io, params, n_y, n_x)
                 recon = sao.apply_sao(recon, params, ctu, sps.bit_depth)
             if sps.alf_enabled:
                 from . import alf
-                ap = alf.derive_alf_frame(st.src, recon, qp, ctu,
+                ap = alf.derive_alf_frame(_filter_src(st), recon, qp, ctu,
                                           sps.bit_depth)
                 alf.code_alf_params(io, ap, n_y, n_x)
                 recon = alf.apply_alf_frame(recon, ap, ctu, sps.bit_depth)
@@ -745,6 +767,9 @@ def decode_frame(slice_rbsp: bytes, sps: hls.SPS, pps_map: dict[int, hls.PPS],
         refs = [dpb[rp] for rp in sh.ref_pocs]
         col = col_motion(motion, sh.poc, sh.ref_pocs)
     st = _FrameState.make(sps, qp, False, decisions, None, refs, col)
+    if sh.lmcs_cw:
+        from . import lmcs as lmcsmod
+        st.lmcs = lmcsmod.build_luts(sh.lmcs_cw, sps.bit_depth)
     ctu = 1 << sps.log2_ctu
     n_x, n_y = sps.width // ctu, sps.height // ctu
     wpp = pps.entropy_sync and n_y > 1
@@ -781,6 +806,8 @@ def decode_frame(slice_rbsp: bytes, sps: hls.SPS, pps_map: dict[int, hls.PPS],
             if dec.terminate() != 1:
                 raise ValueError("missing end_of_substream")
         recon = st.recon
+        if st.lmcs is not None:
+            recon[0] = st.lmcs[1][recon[0]]
         if sps.deblock_enabled:
             from . import deblock
             recon = deblock.deblock_frame(recon, decisions, qp,
@@ -804,6 +831,8 @@ def decode_frame(slice_rbsp: bytes, sps: hls.SPS, pps_map: dict[int, hls.PPS],
             if dec.terminate() != 0:
                 raise ValueError("unexpected end_of_slice")
     recon = st.recon
+    if st.lmcs is not None:
+        recon[0] = st.lmcs[1][recon[0]]
     if sps.deblock_enabled:
         from . import deblock
         recon = deblock.deblock_frame(recon, decisions, qp, sps.bit_depth)

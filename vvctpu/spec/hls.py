@@ -32,6 +32,7 @@ class SPS:
     mts_enabled: bool = False
     lfnst_enabled: bool = False
     cclm_enabled: bool = False
+    lmcs_enabled: bool = False
     sao_enabled: bool = False
     alf_enabled: bool = False
     deblock_enabled: bool = True
@@ -58,7 +59,8 @@ class SPS:
         w.ue(self.log2_ctu - 4)
         w.ue(self.chroma_format)
         for f in (self.mts_enabled, self.lfnst_enabled, self.cclm_enabled,
-                  self.sao_enabled, self.alf_enabled, self.deblock_enabled):
+                  self.lmcs_enabled, self.sao_enabled, self.alf_enabled,
+                  self.deblock_enabled):
             w.u(int(f), 1)
         w.byte_align()
         return w.getvalue()
@@ -75,8 +77,9 @@ class SPS:
         s.bit_depth = r.ue() + 8
         s.log2_ctu = r.ue() + 4
         s.chroma_format = r.ue()
-        (s.mts_enabled, s.lfnst_enabled, s.cclm_enabled, s.sao_enabled,
-         s.alf_enabled, s.deblock_enabled) = (bool(r.u(1)) for _ in range(6))
+        (s.mts_enabled, s.lfnst_enabled, s.cclm_enabled, s.lmcs_enabled,
+         s.sao_enabled, s.alf_enabled,
+         s.deblock_enabled) = (bool(r.u(1)) for _ in range(7))
         return s
 
 
@@ -120,6 +123,7 @@ class SliceHeader:
     poc: int = 0
     qp_delta: int = 0
     ref_pocs: tuple = ()     # reference POCs: (l0,) for P, (l0, l1) for B
+    lmcs_cw: tuple = ()      # LMCS codeword model (16 bins) or empty
 
     def write(self) -> bs.BitWriter:
         w = bs.BitWriter()
@@ -131,6 +135,10 @@ class SliceHeader:
             w.ue(len(self.ref_pocs))
             for rp in self.ref_pocs:
                 w.se(self.poc - rp)     # delta, positive = past
+        w.u(int(bool(self.lmcs_cw)), 1)
+        if self.lmcs_cw:
+            from . import lmcs as _lmcs
+            _lmcs.code_model(w, self.lmcs_cw)
         w.byte_align()
         return w
 
@@ -144,6 +152,9 @@ class SliceHeader:
         if s.slice_type != SLICE_I:
             n = r.ue()
             s.ref_pocs = tuple(s.poc - r.se() for _ in range(n))
+        if r.u(1):
+            from . import lmcs as _lmcs
+            s.lmcs_cw = _lmcs.parse_model(r)
         r.byte_align()
         return s
 

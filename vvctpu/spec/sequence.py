@@ -30,6 +30,7 @@ class EncoderConfig:
     lfnst: bool = False     # low-frequency non-separable secondary transform
     cclm: bool = False      # cross-component linear-model chroma prediction
     rdoq: bool = True       # encoder RDOQ quantizer (decoder-transparent)
+    lmcs: bool = False      # luma mapping (reshaper)
     alf: bool = False       # adaptive loop filter (luma Wiener, CTU flags)
     mctf: bool = False      # motion-compensated temporal source prefilter
     rc_bits_per_frame: int = 0   # >0 enables rate control
@@ -45,7 +46,7 @@ class EncoderConfig:
                        deblock_enabled=self.deblock,
                        sao_enabled=self.sao, mts_enabled=self.mts,
                        lfnst_enabled=self.lfnst, cclm_enabled=self.cclm,
-                       alf_enabled=self.alf)
+                       lmcs_enabled=self.lmcs, alf_enabled=self.alf)
 
 
 def gop_plan(n_frames: int, intra_period: int, gop: int):
@@ -145,6 +146,9 @@ def encode_sequence(frames: list[list[np.ndarray]], cfg: EncoderConfig,
             decisions_out.append(dec)
         sh = hls.SliceHeader(poc=poc, slice_type=stype, qp_delta=qpd,
                              ref_pocs=ref_pocs)
+        if cfg.lmcs:
+            from . import lmcs as lmcsmod
+            sh.lmcs_cw = lmcsmod.derive_model(padded_y, cfg.bit_depth)
         payload, recon = codec.encode_frame(
             planes, sps, pps, sh, dec,
             refs=[dpb[rp] for rp in ref_pocs] if ref_pocs else None,
