@@ -36,7 +36,7 @@ def _enc(args) -> int:
                      ("gop", fc.gop), ("bit_depth", fc.bit_depth),
                      ("wpp", fc.wpp), ("mts", fc.mts), ("lfnst", fc.lfnst),
                      ("cclm", fc.cclm), ("alf", fc.alf), ("mctf", fc.mctf),
-                     ("lmcs", fc.lmcs)):
+                     ("lmcs", fc.lmcs), ("mip", fc.mip)):
             if ap_defaults.get(a) == getattr(args, a):
                 setattr(args, a, v)
         if not fc.rdoq:
@@ -54,6 +54,7 @@ def _enc(args) -> int:
                             intra_period=args.intra_period, wpp=args.wpp,
                             gop=args.gop, mts=args.mts, lfnst=args.lfnst,
                             cclm=args.cclm, alf=args.alf, lmcs=args.lmcs,
+                            mip=args.mip,
                             mctf=args.mctf, rdoq=not args.no_rdoq,
                             rc_bits_per_frame=args.rc_bpf)
     if args.trace_file:
@@ -123,7 +124,7 @@ def _dec(args) -> int:
 
 ap_defaults = {"qp": 32, "intra_period": 1, "gop": 1, "bit_depth": 8,
                "wpp": False, "mts": False, "lfnst": False, "cclm": False,
-               "alf": False, "mctf": False, "lmcs": False}
+               "alf": False, "mctf": False, "lmcs": False, "mip": False}
 
 
 def main(argv=None) -> int:
@@ -161,6 +162,8 @@ def main(argv=None) -> int:
                    help="disable the RDOQ quantizer")
     e.add_argument("--lmcs", action="store_true",
                    help="LMCS luma mapping (reshaper)")
+    e.add_argument("--mip", action="store_true",
+                   help="matrix intra prediction (generated weights)")
     e.add_argument("--mts", action="store_true",
                    help="explicit MTS (DST7/DCT8) for intra luma")
     e.add_argument("--wpp", action="store_true",

@@ -43,9 +43,10 @@ def _satd(diff, s: int):
 
 
 @functools.partial(jax.jit, static_argnames=("s", "frame_w", "frame_h",
-                                             "bd"))
-def size_pass(buf, lam, *, s: int, frame_w: int, frame_h: int, bd: int = 8):
-    """Best (cost, mode) per s-block over all 67 modes.
+                                             "bd", "mip"))
+def size_pass(buf, lam, *, s: int, frame_w: int, frame_h: int, bd: int = 8,
+              mip: bool = False):
+    """Best (cost, mode) per s-block over all 67 modes (+16 MIP ids).
 
     buf: margin-padded original luma plane (as in pipeline/recon buffers).
     Returns (best_cost (nby, nbx) int32, best_mode (nby, nbx) int32).
@@ -56,7 +57,7 @@ def size_pass(buf, lam, *, s: int, frame_w: int, frame_h: int, bd: int = 8):
     gx, gy = jnp.meshgrid(xs, ys)
     coords = jnp.stack([gx.ravel(), gy.ravel()], axis=1)
     modes = jnp.arange(rom.NUM_LUMA_MODE, dtype=jnp.int32)
-    bit_cost = jnp.asarray(_MODE_BITS) * jnp.asarray(lam, jnp.int32)
+    bits = jnp.asarray(_MODE_BITS) * jnp.asarray(lam, jnp.int32)
 
     def per_block(xy):
         x, y = xy[0], xy[1]
@@ -70,7 +71,15 @@ def size_pass(buf, lam, *, s: int, frame_w: int, frame_h: int, bd: int = 8):
             return _satd(blk - pred, s)
 
         satds = jax.vmap(per_mode)(modes)
-        costs = (satds << 8) + bit_cost
+        costs = (satds << 8) + bits[:rom.NUM_LUMA_MODE]
+        if mip:
+            def per_mip(m):
+                pred = intra_pred.mip_predict_j(top, left, m, s=s, bd=bd)
+                return _satd(blk - pred, s)
+            msatds = jax.vmap(per_mip)(
+                jnp.arange(2 * rom.NUM_MIP_MODES, dtype=jnp.int32))
+            costs = jnp.concatenate(
+                [costs, (msatds << 8) + bits[rom.NUM_LUMA_MODE:]])
         best = jnp.argmin(costs)
         return costs[best], best.astype(jnp.int32)
 
@@ -78,7 +87,8 @@ def size_pass(buf, lam, *, s: int, frame_w: int, frame_h: int, bd: int = 8):
     return cost.reshape(nby, nbx), mode.reshape(nby, nbx)
 
 
-def decide_frame(orig_y: np.ndarray, qp: int, bd: int = 8) -> FrameDecisions:
+def decide_frame(orig_y: np.ndarray, qp: int, bd: int = 8,
+                 mip: bool = False) -> FrameDecisions:
     """Device-batched decisions for a padded luma plane (host assembly)."""
     h, w = orig_y.shape
     lam = lambda_satd_fp(qp)
@@ -88,7 +98,7 @@ def decide_frame(orig_y: np.ndarray, qp: int, bd: int = 8) -> FrameDecisions:
     jbuf = jnp.asarray(buf)
 
     res = {s: size_pass(jbuf, np.int32(lam), s=s, frame_w=w, frame_h=h,
-                        bd=bd)
+                        bd=bd, mip=mip)
            for s in (8, 16, 32)}
     best8_cost = np.asarray(res[8][0]).astype(np.int64)
     best8_mode = np.asarray(res[8][1])
@@ -121,7 +131,7 @@ def decide_frame(orig_y: np.ndarray, qp: int, bd: int = 8) -> FrameDecisions:
 
 
 def decide_frame_p(orig_y: np.ndarray, ref_y: np.ndarray, qp: int,
-                   bd: int = 8) -> FrameDecisions:
+                   bd: int = 8, mip: bool = False) -> FrameDecisions:
     """Device-batched P-frame decisions (twin of spec decide_frame_p)."""
     from ..spec.inter import ME_RANGE
     from . import me as jme
@@ -142,7 +152,7 @@ def decide_frame_p(orig_y: np.ndarray, ref_y: np.ndarray, qp: int,
     size_data = {}
     for s in (8, 16, 32):
         icost, imode = size_pass(jbuf, np.int32(lam), s=s, frame_w=w,
-                                 frame_h=h, bd=bd)
+                                 frame_h=h, bd=bd, mip=mip)
         icost = np.asarray(icost).astype(np.int64)
         imode = np.asarray(imode)
         rcost, rmv = jme.refine_pass(jorig, refp80, memaps[s][1],
@@ -197,7 +207,8 @@ def decide_frame_p(orig_y: np.ndarray, ref_y: np.ndarray, qp: int,
 
 
 def decide_frame_b(orig_y: np.ndarray, ref0_y: np.ndarray,
-                   ref1_y: np.ndarray, qp: int, bd: int = 8):
+                   ref1_y: np.ndarray, qp: int, bd: int = 8,
+                   mip: bool = False):
     """Device-batched B-frame decisions (twin of spec decide_frame_b)."""
     from ..spec.inter import ME_RANGE, REF_MARGIN
     from . import me as jme
@@ -219,7 +230,7 @@ def decide_frame_b(orig_y: np.ndarray, ref0_y: np.ndarray,
     size_data = {}
     for s in (8, 16, 32):
         icost, imode = size_pass(jbuf, np.int32(lam), s=s, frame_w=w,
-                                 frame_h=h, bd=bd)
+                                 frame_h=h, bd=bd, mip=mip)
         icost = np.asarray(icost).astype(np.int64)
         imode = np.asarray(imode)
         ucost, umv = [], []

@@ -314,6 +314,70 @@ def mc_filter_chroma() -> np.ndarray:
     return taps.astype(np.int32)
 
 
+# ---------------------------------------------------------------------------
+# MIP: matrix intra prediction weights
+# (role of VTM:CommonLib/MipData.h — trained int weight matrices.  Here the
+# matrices are *generated*: each mode is the LMMSE (Wiener) predictor of the
+# reduced block from the 8 downsampled boundary samples under an anisotropic
+# first-order Markov image model stretched along one of 8 orientations —
+# the statistical model the trained VVC weights approximate.  Rows are
+# renormalised to sum 64 so a flat boundary reproduces exactly.  Swap literal
+# spec tables via MIP_WEIGHT_OVERRIDE once a conformance oracle is available.)
+# ---------------------------------------------------------------------------
+NUM_MIP_MODES = 8                 # per size class; x2 for the transpose flag
+MIP_SHIFT = 6                     # weight scale 64
+MIP_REDUCED = {8: 4, 16: 8, 32: 8}   # block size -> reduced prediction size
+MIP_WEIGHT_OVERRIDE: dict[int, np.ndarray] = {}
+
+# (anisotropy along direction?, angle degrees) per mode: planar-like
+# isotropic short range, DC-like isotropic long range, then 6 orientations.
+_MIP_MODELS = ((False, 0.0), (False, 90.0), (True, 0.0), (True, 30.0),
+               (True, 45.0), (True, 60.0), (True, 90.0), (True, 135.0))
+
+
+@functools.lru_cache(maxsize=None)
+def mip_weights(rs: int) -> np.ndarray:
+    """(NUM_MIP_MODES, rs*rs, 8) int32 weights, scale 2^MIP_SHIFT.
+
+    Input layout: [top0..top3, left0..left3] downsampled boundary."""
+    if rs in MIP_WEIGHT_OVERRIDE:
+        return MIP_WEIGHT_OVERRIDE[rs]
+    u4 = rs // 4
+    # boundary sample positions (x, y): 4 top at y=-1, 4 left at x=-1
+    bpos = [((k * u4) + (u4 - 1) / 2.0, -1.0) for k in range(4)] + \
+           [(-1.0, (k * u4) + (u4 - 1) / 2.0) for k in range(4)]
+    ppos = [(float(x), float(y)) for y in range(rs) for x in range(rs)]
+
+    def corr(p, q, aniso, theta):
+        dx, dy = p[0] - q[0], p[1] - q[1]
+        if aniso:
+            th = math.radians(theta)
+            a = dx * math.cos(th) + dy * math.sin(th)
+            b = -dx * math.sin(th) + dy * math.cos(th)
+            d = math.sqrt((a / 4.0) ** 2 + b * b)
+        else:
+            d = math.sqrt(dx * dx + dy * dy) / (3.0 if theta > 0 else 1.0)
+        return 0.9 ** d
+
+    out = np.zeros((NUM_MIP_MODES, rs * rs, 8), np.int32)
+    for m, (aniso, theta) in enumerate(_MIP_MODELS):
+        cbb = np.array([[corr(p, q, aniso, theta) for q in bpos]
+                        for p in bpos])
+        cpb = np.array([[corr(p, q, aniso, theta) for q in bpos]
+                        for p in ppos])
+        w = cpb @ np.linalg.inv(cbb + 1e-3 * np.eye(8))
+        q = np.round(w * (1 << MIP_SHIFT)).astype(np.int64)
+        # renormalise rows to sum 64: spread the residue, largest tap last
+        for r in range(rs * rs):
+            res = (1 << MIP_SHIFT) - int(q[r].sum())
+            step = 1 if res > 0 else -1
+            order = np.argsort(-np.abs(q[r]))
+            for i in range(abs(res)):
+                q[r, order[i % 8]] += step
+        out[m] = q
+    return out
+
+
 def qp_to_lambda(qp: int, intra: bool = True) -> float:
     """RD lambda from QP (the classic 0.57*2^((qp-12)/3) family,
 

@@ -24,6 +24,7 @@ class AppConfig:
     mts: bool = False             # MTS / MTSIntra
     lfnst: bool = False           # LFNST
     cclm: bool = False            # LMChroma / CCLM
+    mip: bool = False             # MIP
     rdoq: bool = True             # RDOQ
     lmcs: bool = False            # LMCSEnable / LMCS
     alf: bool = False             # ALF
@@ -53,6 +54,7 @@ _KEYMAP = {
     "lfnst": ("lfnst", lambda v: bool(int(v))),
     "cclm": ("cclm", lambda v: bool(int(v))),
     "lmchroma": ("cclm", lambda v: bool(int(v))),
+    "mip": ("mip", lambda v: bool(int(v))),
     "rdoq": ("rdoq", lambda v: bool(int(v))),
     "lmcs": ("lmcs", lambda v: bool(int(v))),
     "lmcsenable": ("lmcs", lambda v: bool(int(v))),

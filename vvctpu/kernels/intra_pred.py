@@ -233,6 +233,53 @@ def predict(top, left, mode, *, s: int, is_luma: bool, bd: int = 8):
 
 
 # ---------------------------------------------------------------------------
+# MIP — device twin of spec/intra.mip_predict (integer bit-exact).  The
+# matrix multiply is the MXU-native core (SURVEY.md §2.9 "MIP matmul").
+# ---------------------------------------------------------------------------
+_MIP_W = {rs: jnp.asarray(np.asarray(rom.mip_weights(rs)), jnp.int32)
+          for rs in (4, 8)}
+
+
+@functools.partial(jax.jit, static_argnames=("s", "bd"))
+def mip_predict_j(top, left, mode16, *, s: int, bd: int = 8):
+    """MIP prediction, traced mode16 = 2 * matrix_mode + transpose."""
+    from ..spec.intra import _mip_upsample_idx
+    rs = rom.MIP_REDUCED[s]
+    mode16 = jnp.clip(jnp.asarray(mode16, jnp.int32), 0,
+                      2 * rom.NUM_MIP_MODES - 1)
+    m, tr = mode16 >> 1, (mode16 & 1) > 0
+    w = _MIP_W[rs][m]
+    mx = (1 << bd) - 1
+    r4 = s // 4
+    lr4 = int(r4).bit_length() - 1
+    t = top[1:s + 1]
+    l = left[1:s + 1]
+    b_t = (t.reshape(4, r4).sum(axis=1) + (r4 >> 1)) >> lr4
+    b_l = (l.reshape(4, r4).sum(axis=1) + (r4 >> 1)) >> lr4
+    b = jnp.where(tr, jnp.concatenate([b_l, b_t]),
+                  jnp.concatenate([b_t, b_l])).astype(jnp.int32)
+    red = jnp.clip((jnp.matmul(w, b, preferred_element_type=jnp.int32)
+                    + (1 << (rom.MIP_SHIFT - 1))) >> rom.MIP_SHIFT,
+                   0, mx).reshape(rs, rs)
+    red = jnp.where(tr, red.T, red)
+    if rs == s:
+        return red.astype(jnp.int32)
+    k0_np, d_np, u = _mip_upsample_idx(s, rs)
+    lu = int(u).bit_length() - 1
+    k0 = jnp.asarray(k0_np, jnp.int32)
+    d = jnp.asarray(d_np, jnp.int32)
+    lrow = b_l[jnp.asarray((np.arange(rs) * 4) // rs, jnp.int32)]
+    a = jnp.where(k0[None, :] >= 0, red[:, jnp.maximum(k0, 0)],
+                  lrow[:, None])
+    bb = red[:, jnp.minimum(k0 + 1, rs - 1)]
+    hor = ((u - d)[None, :] * a + d[None, :] * bb + (u >> 1)) >> lu
+    a2 = jnp.where(k0[:, None] >= 0, hor[jnp.maximum(k0, 0)], t[None, :])
+    b2 = hor[jnp.minimum(k0 + 1, rs - 1)]
+    out = ((u - d)[:, None] * a2 + d[:, None] * b2 + (u >> 1)) >> lu
+    return jnp.clip(out, 0, mx).astype(jnp.int32)
+
+
+# ---------------------------------------------------------------------------
 # CCLM — device twin of spec/intra.py cclm_predict (integer bit-exact)
 # ---------------------------------------------------------------------------
 from ..spec.intra import CCLM_AMAX, CCLM_SHIFT  # noqa: E402

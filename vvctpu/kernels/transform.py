@@ -229,13 +229,19 @@ def inv_lfnst_switch_j(coef, lfnst_idx, mode):
 
 
 def choose_tx_j(resi, s: int, qp, lam_rd, mode, bd: int = 8,
-                mts: bool = True, lfnst: bool = False, rdoq: bool = False):
+                mts: bool = True, lfnst: bool = False, rdoq: bool = False,
+                allow=None):
     """Joint MTS/LFNST RD selection — twin of spec choose_tx.
 
     Returns (mts_idx, lfnst_idx, levels, recon_resi); first-min
-    tie-breaking in tx_candidates order."""
+    tie-breaking in tx_candidates order.  ``allow`` (traced bool, optional)
+    masks all non-DCT2 candidates when False — used for MIP leaves, whose
+    spec path bypasses choose_tx entirely (candidate (0,0) computes the
+    identical plain quantize, so levels match bit-for-bit)."""
     cands = tx_candidates(mts, lfnst)
     costs, levs, recs = [], [], []
+    big = jnp.int32(0) if allow is None else \
+        jnp.where(jnp.asarray(allow), jnp.int32(0), jnp.int32(1 << 29))
     for mk, lk in cands:
         kh, kv = MTS_SET[mk]
         coef = forward_transform(resi, s, s, kh, kv, bd)
@@ -251,7 +257,8 @@ def choose_tx_j(resi, s: int, qp, lam_rd, mode, bd: int = 8,
         bits = (MTS_IDX_BITS[mk] if mts else 0) \
             + (LFNST_IDX_BITS[lk] if (lfnst and mk == 0) else 0)
         rate = jnp.minimum(level_rate_est_j(lev) + bits, 1 << 14)
-        costs.append(dist + lam_rd * rate)
+        pen = jnp.int32(0) if (mk, lk) == (0, 0) else big
+        costs.append(dist + lam_rd * rate + pen)
         levs.append(lev)
         recs.append(rec)
     idx = jnp.argmin(jnp.stack(costs)).astype(jnp.int32)

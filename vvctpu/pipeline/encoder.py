@@ -50,14 +50,15 @@ def encode_sequence(frames, cfg: sseq.EncoderConfig, decisions_fn=None,
             dec = decisions_fn(poc, planes, sps, cfg)
         elif is_intra:
             # device-batched decision pass (bit-identical to spec decide)
-            dec = jdecide.decide_frame(padded[0], qp, cfg.bit_depth)
+            dec = jdecide.decide_frame(padded[0], qp, cfg.bit_depth,
+                                       mip=sps.mip_enabled)
         elif stype == hls.SLICE_P:
             dec = jdecide.decide_frame_p(padded[0], dpb[ref_pocs[0]][0], qp,
-                                         cfg.bit_depth)
+                                         cfg.bit_depth, mip=sps.mip_enabled)
         else:
             dec = jdecide.decide_frame_b(padded[0], dpb[ref_pocs[0]][0],
                                          dpb[ref_pocs[1]][0], qp,
-                                         cfg.bit_depth)
+                                         cfg.bit_depth, mip=sps.mip_enabled)
         if decisions_out is not None:
             decisions_out.append(dec)
         lmcs_cw = ()
@@ -85,7 +86,7 @@ def encode_sequence(frames, cfg: sseq.EncoderConfig, decisions_fn=None,
             frame_h=sps.height, qp=qp, bd=cfg.bit_depth, encode=True,
             inter_enabled=not is_intra, mts=sps.mts_enabled,
             lfnst=sps.lfnst_enabled, cclm=sps.cclm_enabled, rdoq=cfg.rdoq,
-            lmcs=sps.lmcs_enabled,
+            lmcs=sps.lmcs_enabled, mip=sps.mip_enabled,
             fwd_lut=None if fwd_lut is None else jnp_asarray(fwd_lut),
             lam_rd=lambda_rd_int(qp), **ref_kw)
         levels = [np.asarray(ly), np.asarray(lcb), np.asarray(lcr)]
@@ -179,7 +180,7 @@ def decode_sequence(data: bytes, check_hash: bool = True):
                 frame_h=sps.height, qp=qp, bd=sps.bit_depth, encode=False,
                 inter_enabled=is_p, mts=sps.mts_enabled,
                 lfnst=sps.lfnst_enabled, cclm=sps.cclm_enabled,
-                lmcs=fwd_lut is not None,
+                lmcs=fwd_lut is not None, mip=sps.mip_enabled,
                 fwd_lut=None if fwd_lut is None else jnp_asarray(fwd_lut),
                 **ref_kw)
             rec = [np.asarray(ry), np.asarray(rcb), np.asarray(rcr)]

@@ -76,10 +76,24 @@ class _Walker:
         if x < 0 or y < 0:
             return rom.PLANAR_IDX
         m = int(self.mode_map[y // 4, x // 4])
+        if m >= rom.NUM_LUMA_MODE:   # MIP neighbours count as planar (MPM)
+            return rom.PLANAR_IDX
         return m if m >= 0 else rom.PLANAR_IDX
 
     def _code_mode(self, x, y, s):
         io = self.io
+        if self.sps.mip_enabled:
+            from ..spec.codec import code_mip_mode
+            mode = code_mip_mode(io, self, x, y, s,
+                                 None if io.decoding
+                                 else int(self.dec.modes8[y // 8, x // 8]))
+            if mode is not None:
+                if io.decoding:
+                    self.dec.modes8[y // 8:(y + s) // 8,
+                                    x // 8:(x + s) // 8] = mode
+                self.mode_map[y // 4:(y + s) // 4,
+                              x // 4:(x + s) // 4] = mode
+                return mode
         mpm = intra.mpm_list(self._neighbor_mode(x - 1, y + s - 1),
                              self._neighbor_mode(x + s - 1, y - 1))
         if io.decoding:
@@ -315,7 +329,8 @@ class _Walker:
         else:
             mode = self._code_mode(x, y, s)
             trace.t_leaf_intra(x, y, s, mode)
-            self._code_component(0, x, y, s, C.CBF_LUMA(0), mts_ok=True)
+            self._code_component(0, x, y, s, C.CBF_LUMA(0),
+                                 mts_ok=mode < rom.NUM_LUMA_MODE)
             if self.sps.cclm_enabled:
                 io = self.io
                 sl8 = np.s_[y // 8:(y + s) // 8, x // 8:(x + s) // 8]

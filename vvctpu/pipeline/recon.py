@@ -48,8 +48,9 @@ def _component(buf, levels_io, src, pred, x, y, s, qp, bd, encode,
 def _make_leaf_fn(s: int, inter: bool, *, frame_w: int, frame_h: int,
                   n_ctu_x: int, qp, bd: int, encode: bool, refs,
                   mts: bool = False, lfnst: bool = False, cclm: bool = False,
-                  rdoq: bool = False, lam_rd=None):
+                  rdoq: bool = False, lam_rd=None, mip: bool = False):
     cs = s // 2
+    num_reg = rom.NUM_LUMA_MODE
 
     def leaf(carry, x, y, mode, mvx, mvy, mts_in, lfnst_in, cmode_in):
         (by, bcb, bcr, ly, lcb, lcr, sy, scb, scr, mtsp, lfnstp,
@@ -64,19 +65,30 @@ def _make_leaf_fn(s: int, inter: bool, *, frame_w: int, frame_h: int,
             top, left = intra_pred.build_references(
                 by, x, y, s=s, is_luma=True, frame_w=frame_w,
                 frame_h=frame_h, n_ctu_x=n_ctu_x, bd=bd)
-            pred_y = intra_pred.predict(top, left, mode, s=s, is_luma=True,
-                                        bd=bd)
+            mode_reg = jnp.minimum(mode, num_reg - 1)
+            pred_y = intra_pred.predict(top, left, mode_reg, s=s,
+                                        is_luma=True, bd=bd)
+            if mip:
+                pred_y = jnp.where(
+                    mode >= num_reg,
+                    intra_pred.mip_predict_j(top, left, mode - num_reg,
+                                             s=s, bd=bd),
+                    pred_y)
+                mode_dm = jnp.where(mode >= num_reg,
+                                    jnp.int32(rom.PLANAR_IDX), mode)
+            else:
+                mode_dm = mode
             tcb, lcb_r = intra_pred.build_references(
                 bcb, x // 2, y // 2, s=cs, is_luma=False,
                 frame_w=frame_w // 2, frame_h=frame_h // 2,
                 n_ctu_x=n_ctu_x, bd=bd)
-            pred_cb = intra_pred.predict(tcb, lcb_r, mode, s=cs,
+            pred_cb = intra_pred.predict(tcb, lcb_r, mode_dm, s=cs,
                                          is_luma=False, bd=bd)
             tcr, lcr_r = intra_pred.build_references(
                 bcr, x // 2, y // 2, s=cs, is_luma=False,
                 frame_w=frame_w // 2, frame_h=frame_h // 2,
                 n_ctu_x=n_ctu_x, bd=bd)
-            pred_cr = intra_pred.predict(tcr, lcr_r, mode, s=cs,
+            pred_cr = intra_pred.predict(tcr, lcr_r, mode_dm, s=cs,
                                          is_luma=False, bd=bd)
         if (mts or lfnst) and not inter:
             # intra luma: RD-select the transform tools (device twin of
@@ -85,8 +97,10 @@ def _make_leaf_fn(s: int, inter: bool, *, frame_w: int, frame_h: int,
                 blk = jax.lax.dynamic_slice(sy, (y, x),
                                             (s, s)).astype(jnp.int32)
                 midx, lidx, lev, rres = transform.choose_tx_j(
-                    blk - pred_y, s, qp, lam_rd, mode, bd, mts=mts,
-                    lfnst=lfnst, rdoq=rdoq)
+                    blk - pred_y, s, qp, lam_rd,
+                    jnp.minimum(mode, num_reg - 1), bd, mts=mts,
+                    lfnst=lfnst, rdoq=rdoq,
+                    allow=(mode < num_reg) if mip else None)
                 ly = jax.lax.dynamic_update_slice(ly, lev, (y, x))
             else:
                 midx = mts_in
@@ -94,7 +108,8 @@ def _make_leaf_fn(s: int, inter: bool, *, frame_w: int, frame_h: int,
                 lev = jax.lax.dynamic_slice(sy, (y, x), (s, s))
                 dq = transform.dequantize(lev, s, s, qp, bd)
                 if lfnst:
-                    dq = transform.inv_lfnst_switch_j(dq, lidx, mode)
+                    dq = transform.inv_lfnst_switch_j(
+                        dq, lidx, jnp.minimum(mode, num_reg - 1))
                 branches_m = [
                     (lambda kh=kh, kv=kv: transform.inverse_transform(
                         dq, s, s, kh, kv, bd))
@@ -246,7 +261,7 @@ def _inter_batch_pass(carry, ib_slots, refs, s: int, qp, bd: int,
 @functools.partial(jax.jit,
                    static_argnames=("frame_w", "frame_h", "bd", "encode",
                                     "inter_enabled", "mts", "lfnst",
-                                    "cclm", "rdoq", "lmcs"))
+                                    "cclm", "rdoq", "lmcs", "mip"))
 def frame_scan(slots, planes_y, planes_cb, planes_cr, *, frame_w: int,
                frame_h: int, qp, bd: int, encode: bool,
                inter_enabled: bool = False, ref_y=None, ref_cb=None,
@@ -254,7 +269,7 @@ def frame_scan(slots, planes_y, planes_cb, planes_cr, *, frame_w: int,
                inter8=None, inter16=None, inter32=None,
                mts: bool = False, lfnst: bool = False, cclm: bool = False,
                rdoq: bool = False, lmcs: bool = False, lam_rd=0,
-               fwd_lut=None):
+               fwd_lut=None, mip: bool = False):
     """Run the full-frame reconstruction scan.
 
     slots: (N, 6) int32 [op, x, y, mode, mvx, mvy] in coding order; op 0 =
@@ -293,7 +308,8 @@ def frame_scan(slots, planes_y, planes_cb, planes_cr, *, frame_w: int,
     # phase B: intra leaves in coding order (inter slots are op=0 skips)
     kw = dict(frame_w=frame_w, frame_h=frame_h, n_ctu_x=n_ctu_x, qp=qp,
               bd=bd, encode=encode, refs=refs, mts=mts, lfnst=lfnst,
-              cclm=cclm, rdoq=rdoq, lam_rd=jnp.asarray(lam_rd, jnp.int32))
+              cclm=cclm, rdoq=rdoq, lam_rd=jnp.asarray(lam_rd, jnp.int32),
+              mip=mip)
     branches = [lambda c, x, y, m, vx, vy, mt, lf, cm: c,
                 _make_leaf_fn(8, False, **kw), _make_leaf_fn(16, False, **kw),
                 _make_leaf_fn(32, False, **kw)]

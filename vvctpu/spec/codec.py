@@ -125,10 +125,48 @@ def _neighbor_mode(st: _FrameState, x: int, y: int) -> int:
     if x < 0 or y < 0:
         return rom.PLANAR_IDX
     m = int(st.mode_map[y // 4, x // 4])
+    if m >= rom.NUM_LUMA_MODE:      # MIP neighbours count as planar (MPM)
+        return rom.PLANAR_IDX
     return m if m >= 0 else rom.PLANAR_IDX
 
 
+def _neighbor_is_mip(st: _FrameState, x: int, y: int) -> int:
+    if x < 0 or y < 0:
+        return 0
+    return int(st.mode_map[y // 4, x // 4] >= rom.NUM_LUMA_MODE)
+
+
+def code_mip_mode(io, st, x: int, y: int, s: int, mode=None):
+    """intra_mip_flag (+ transpose / matrix mode when set).
+
+    Returns the full mode id (>= NUM_LUMA_MODE for MIP) on decode, or None
+    when the regular mode path must follow; on encode returns ``mode`` if it
+    was a MIP id else None.  Shared by both engines."""
+    ctx = C.MIP_FLAG(min(2, _neighbor_is_mip(st, x - 1, y)
+                         + _neighbor_is_mip(st, x, y - 1)))
+    if io.decoding:
+        if not io.bin(ctx):
+            return None
+        t = io.byp()
+        m = io.byp_n(n=3)
+        return rom.NUM_LUMA_MODE + 2 * m + t
+    is_mip = mode >= rom.NUM_LUMA_MODE
+    io.bin(ctx, int(is_mip))
+    if not is_mip:
+        return None
+    v = mode - rom.NUM_LUMA_MODE
+    io.byp(v & 1)
+    io.byp_n(v >> 1, 3)
+    return mode
+
+
 def _code_intra_mode(io, st: _FrameState, x: int, y: int, s: int) -> int:
+    if st.sps.mip_enabled:
+        mode = code_mip_mode(io, st, x, y, s,
+                             None if io.decoding
+                             else int(st.dec.modes8[y // 8, x // 8]))
+        if mode is not None:
+            return mode
     left = _neighbor_mode(st, x - 1, y + s - 1)
     above = _neighbor_mode(st, x + s - 1, y - 1)
     mpm = intra.mpm_list(left, above)
@@ -215,7 +253,11 @@ def _code_component(io, st: _FrameState, comp: int, x: int, y: int, s: int,
     bd = st.sps.bit_depth
     if pred is None:
         top, left = intra.build_references(plane, valid, x, y, s, s, bd)
-        pred = intra.predict(top, left, mode, s, s, is_chroma, bd)
+        if mode >= rom.NUM_LUMA_MODE:
+            pred = intra.mip_predict(top, left, mode - rom.NUM_LUMA_MODE,
+                                     s, bd)
+        else:
+            pred = intra.predict(top, left, mode, s, s, is_chroma, bd)
     qp = st.qp
     mts_on = mts_ok and st.sps.mts_enabled
     lfnst_on = mts_ok and st.sps.lfnst_enabled
@@ -506,13 +548,15 @@ def _code_leaf(io, st: _FrameState, x: int, y: int, s: int) -> None:
     trace.t_leaf_intra(x, y, s, mode)
     if io.decoding:
         st.dec.modes8[y // 8:(y + s) // 8, x // 8:(x + s) // 8] = mode
-    _code_component(io, st, 0, x, y, s, mode, C.CBF_LUMA(0), mts_ok=True)
+    _code_component(io, st, 0, x, y, s, mode, C.CBF_LUMA(0),
+                    mts_ok=mode < rom.NUM_LUMA_MODE)
     st.mode_map[y // 4:(y + s) // 4, x // 4:(x + s) // 4] = mode
-    # chroma (4:2:0): derived DM mode, or CCLM when enabled + RD-chosen
+    # chroma (4:2:0): derived DM mode (planar for MIP), or CCLM
+    dm = mode if mode < rom.NUM_LUMA_MODE else rom.PLANAR_IDX
     cs, cx, cy = s // 2, x // 2, y // 2
     if not st.sps.cclm_enabled:
-        _code_component(io, st, 1, cx, cy, cs, mode, C.CBF_CB(0))
-        _code_component(io, st, 2, cx, cy, cs, mode, C.CBF_CR(0))
+        _code_component(io, st, 1, cx, cy, cs, dm, C.CBF_CB(0))
+        _code_component(io, st, 2, cx, cy, cs, dm, C.CBF_CR(0))
         return
     bd = st.sps.bit_depth
     sl8 = np.s_[y // 8:(y + s) // 8, x // 8:(x + s) // 8]
@@ -523,14 +567,14 @@ def _code_leaf(io, st: _FrameState, x: int, y: int, s: int) -> None:
                                       st.valid[comp], cx, cy, cs, bd)
         top, left = intra.build_references(st.recon[comp], st.valid[comp],
                                            cx, cy, cs, cs, bd)
-        return intra.predict(top, left, mode, cs, cs, True, bd)
+        return intra.predict(top, left, dm, cs, cs, True, bd)
 
     if io.decoding:
         use_cclm = 1 - io.bin(C.INTRA_CHROMA_DM(0))
         st.dec.cmode8[sl8] = use_cclm
-        _code_component(io, st, 1, cx, cy, cs, mode, C.CBF_CB(0),
+        _code_component(io, st, 1, cx, cy, cs, dm, C.CBF_CB(0),
                         pred=chroma_pred(1, use_cclm))
-        _code_component(io, st, 2, cx, cy, cs, mode, C.CBF_CR(0),
+        _code_component(io, st, 2, cx, cy, cs, dm, C.CBF_CR(0),
                         pred=chroma_pred(2, use_cclm))
         return
     # encoder: joint DM-vs-CCLM integer RD over both chroma components
@@ -555,9 +599,9 @@ def _code_leaf(io, st: _FrameState, x: int, y: int, s: int) -> None:
     _, use_cclm, preds, levs = min(cands, key=lambda t: t[0])
     st.dec.cmode8[sl8] = use_cclm
     io.bin(C.INTRA_CHROMA_DM(0), int(use_cclm == 0))
-    _code_component(io, st, 1, cx, cy, cs, mode, C.CBF_CB(0),
+    _code_component(io, st, 1, cx, cy, cs, dm, C.CBF_CB(0),
                     pred=preds[0], lev_pre=levs[0])
-    _code_component(io, st, 2, cx, cy, cs, mode, C.CBF_CR(0),
+    _code_component(io, st, 2, cx, cy, cs, dm, C.CBF_CR(0),
                     pred=preds[1], lev_pre=levs[1])
 
 

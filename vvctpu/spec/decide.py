@@ -23,12 +23,15 @@ from ..core import rom
 from . import intra
 from .codec import FrameDecisions
 
-# mode-cost bit estimates (flat; MPM outcome unknown at batch-decision time)
-MODE_BITS = np.full(rom.NUM_LUMA_MODE, 7, np.int64)
+# mode-cost bit estimates (flat; MPM outcome unknown at batch-decision time).
+# Ids >= NUM_LUMA_MODE are the 16 MIP candidates (8 matrices x transpose).
+NUM_MIP_IDS = 2 * rom.NUM_MIP_MODES
+MODE_BITS = np.full(rom.NUM_LUMA_MODE + NUM_MIP_IDS, 7, np.int64)
 MODE_BITS[rom.PLANAR_IDX] = 2
 MODE_BITS[rom.DC_IDX] = 3
 for m in (rom.HOR_IDX, rom.VER_IDX, rom.DIA_IDX, 2, 66):
     MODE_BITS[m] = 5
+MODE_BITS[rom.NUM_LUMA_MODE:] = 6    # mip_flag + transpose + 3-bit matrix id
 SPLIT_BITS = 2
 
 
@@ -64,22 +67,30 @@ def block_satd(diff: np.ndarray) -> int:
 
 
 def _mode_costs_for_block(orig: np.ndarray, x: int, y: int, s: int,
-                          lam: int, bit_depth: int) -> np.ndarray:
-    """(67,) int64 cost per mode for the block at (x, y) size s."""
+                          lam: int, bit_depth: int,
+                          mip: bool = False) -> np.ndarray:
+    """(67 [+16],) int64 cost per mode for the block at (x, y) size s;
+    ids >= NUM_LUMA_MODE are the MIP candidates when enabled."""
     h, w = orig.shape
     valid = np.ones((h, w), bool)
     top, left = intra.build_references(orig, valid, x, y, s, s, bit_depth)
     blk = orig[y:y + s, x:x + s].astype(np.int64)
-    costs = np.empty(rom.NUM_LUMA_MODE, np.int64)
-    for mode in range(rom.NUM_LUMA_MODE):
-        pred = intra.predict(top, left, mode, s, s, False, bit_depth)
+    n = rom.NUM_LUMA_MODE + (NUM_MIP_IDS if mip else 0)
+    costs = np.empty(n, np.int64)
+    for mode in range(n):
+        if mode < rom.NUM_LUMA_MODE:
+            pred = intra.predict(top, left, mode, s, s, False, bit_depth)
+        else:
+            pred = intra.mip_predict(top, left, mode - rom.NUM_LUMA_MODE,
+                                     s, bit_depth)
         satd = block_satd(blk - pred)
         costs[mode] = (satd << 8) + MODE_BITS[mode] * lam
     return costs
 
 
 def decide_frame(orig_y: np.ndarray, qp: int,
-                 bit_depth: int = rom.BIT_DEPTH) -> FrameDecisions:
+                 bit_depth: int = rom.BIT_DEPTH,
+                 mip: bool = False) -> FrameDecisions:
     """Compute partition + modes for a padded luma plane (H, W)."""
     h, w = orig_y.shape
     lam = lambda_satd_fp(qp)
@@ -98,19 +109,19 @@ def decide_frame(orig_y: np.ndarray, qp: int,
     for by in range(n8y):
         for bx in range(n8x):
             c = _mode_costs_for_block(orig_y, bx * 8, by * 8, 8, lam,
-                                      bit_depth)
+                                      bit_depth, mip)
             best8_mode[by, bx] = int(np.argmin(c))
             best8_cost[by, bx] = int(c.min())
     for by in range(n16y):
         for bx in range(n16x):
             c = _mode_costs_for_block(orig_y, bx * 16, by * 16, 16, lam,
-                                      bit_depth)
+                                      bit_depth, mip)
             best16_mode[by, bx] = int(np.argmin(c))
             best16_cost[by, bx] = int(c.min())
     for by in range(n32y):
         for bx in range(n32x):
             c = _mode_costs_for_block(orig_y, bx * 32, by * 32, 32, lam,
-                                      bit_depth)
+                                      bit_depth, mip)
             best32_mode[by, bx] = int(np.argmin(c))
             best32_cost[by, bx] = int(c.min())
 
@@ -175,7 +186,8 @@ def me_size_pass(orig: np.ndarray, ref: np.ndarray, s: int, lam: int):
 
 
 def decide_frame_p(orig_y: np.ndarray, ref_y: np.ndarray, qp: int,
-                   bit_depth: int = rom.BIT_DEPTH) -> FrameDecisions:
+                   bit_depth: int = rom.BIT_DEPTH,
+                   mip: bool = False) -> FrameDecisions:
     """Decisions for a P frame: per-size intra-vs-inter, then QT bottom-up."""
     h, w = orig_y.shape
     lam = lambda_satd_fp(qp)
@@ -189,7 +201,7 @@ def decide_frame_p(orig_y: np.ndarray, ref_y: np.ndarray, qp: int,
         for by in range(nby):
             for bx in range(nbx):
                 c = _mode_costs_for_block(orig_y, bx * s, by * s, s, lam,
-                                          bit_depth)
+                                          bit_depth, mip)
                 imode[by, bx] = int(np.argmin(c))
                 icost[by, bx] = int(c.min())
         mcost, mv = me_size_pass(orig_y, ref_y, s, lam)
@@ -280,7 +292,8 @@ def refine_size_pass(orig: np.ndarray, refp: np.ndarray, int_mv: np.ndarray,
 
 def decide_frame_b(orig_y: np.ndarray, ref0_y: np.ndarray,
                    ref1_y: np.ndarray, qp: int,
-                   bit_depth: int = rom.BIT_DEPTH) -> FrameDecisions:
+                   bit_depth: int = rom.BIT_DEPTH,
+                   mip: bool = False) -> FrameDecisions:
     """B-frame decisions: per-size best of {intra, L0, L1, BI}, QT bottom-up.
 
     BI cost: SAD of the averaged refined uni-predictions plus both MV rates
@@ -300,7 +313,7 @@ def decide_frame_b(orig_y: np.ndarray, ref0_y: np.ndarray,
         for by in range(nby):
             for bx in range(nbx):
                 c = _mode_costs_for_block(orig_y, bx * s, by * s, s, lam,
-                                          bit_depth)
+                                          bit_depth, mip)
                 imode[by, bx] = int(np.argmin(c))
                 icost[by, bx] = int(c.min())
         ucost, umv = [], []

@@ -31,6 +31,7 @@ class SPS:
     chroma_format: int = 1      # 1 = 4:2:0
     mts_enabled: bool = False
     lfnst_enabled: bool = False
+    mip_enabled: bool = False
     cclm_enabled: bool = False
     lmcs_enabled: bool = False
     sao_enabled: bool = False
@@ -60,7 +61,7 @@ class SPS:
         w.ue(self.chroma_format)
         for f in (self.mts_enabled, self.lfnst_enabled, self.cclm_enabled,
                   self.lmcs_enabled, self.sao_enabled, self.alf_enabled,
-                  self.deblock_enabled):
+                  self.deblock_enabled, self.mip_enabled):
             w.u(int(f), 1)
         w.byte_align()
         return w.getvalue()
@@ -78,8 +79,8 @@ class SPS:
         s.log2_ctu = r.ue() + 4
         s.chroma_format = r.ue()
         (s.mts_enabled, s.lfnst_enabled, s.cclm_enabled, s.lmcs_enabled,
-         s.sao_enabled, s.alf_enabled,
-         s.deblock_enabled) = (bool(r.u(1)) for _ in range(7))
+         s.sao_enabled, s.alf_enabled, s.deblock_enabled,
+         s.mip_enabled) = (bool(r.u(1)) for _ in range(8))
         return s
 
 

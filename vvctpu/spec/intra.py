@@ -228,6 +228,60 @@ def predict(top: np.ndarray, left: np.ndarray, mode: int, w: int, h: int,
 
 
 # ---------------------------------------------------------------------------
+# MIP: matrix intra prediction
+# (role of VTM:CommonLib/MatrixIntraPrediction.cpp — boundary downsample ->
+#  int matrix multiply -> linear upsample, with a transpose variant.  The
+#  weight matrices are generated LMMSE predictors, see core/rom.mip_weights.
+#  Identical integer algorithm in the JAX twin kernels/intra_pred.py.)
+# ---------------------------------------------------------------------------
+
+def _mip_upsample_idx(s: int, rs: int):
+    """Static upsample gather: (k0, d) per output position 0..s-1, anchors
+    at positions (k+1)*u - 1; k0 = -1 selects the boundary line."""
+    u = s // rs
+    xs = np.arange(s)
+    k0 = (xs + 1) // u - 1
+    d = xs - ((k0 + 1) * u - 1)
+    return k0, d, u
+
+
+def mip_predict(top: np.ndarray, left: np.ndarray, mode16: int, s: int,
+                bd: int) -> np.ndarray:
+    """MIP prediction for an (s, s) luma block from reference arrays.
+
+    mode16 = 2 * matrix_mode + transpose (0..15)."""
+    rs = rom.MIP_REDUCED[s]
+    m, tr = mode16 >> 1, mode16 & 1
+    w = rom.mip_weights(rs)[m].astype(np.int64)
+    mx = (1 << bd) - 1
+    r4 = s // 4
+    lr4 = int(r4).bit_length() - 1
+    t = top[1:s + 1].astype(np.int64)
+    l = left[1:s + 1].astype(np.int64)
+    b_t = (t.reshape(4, r4).sum(axis=1) + (r4 >> 1)) >> lr4
+    b_l = (l.reshape(4, r4).sum(axis=1) + (r4 >> 1)) >> lr4
+    b = np.concatenate([b_l, b_t] if tr else [b_t, b_l])
+    red = np.clip((w @ b + (1 << (rom.MIP_SHIFT - 1))) >> rom.MIP_SHIFT,
+                  0, mx).reshape(rs, rs)
+    if tr:
+        red = red.T
+    if rs == s:
+        return red.astype(np.int32)
+    # upsample: horizontal (left boundary = downsampled left), then vertical
+    # (top boundary = full-resolution top row) — integer linear interpolation
+    k0, d, u = _mip_upsample_idx(s, rs)
+    lu = int(u).bit_length() - 1
+    lrow = b_l[(np.arange(rs) * 4) // rs]                    # (rs,)
+    a = np.where(k0[None, :] >= 0, red[:, np.maximum(k0, 0)], lrow[:, None])
+    bb = red[:, np.minimum(k0 + 1, rs - 1)]
+    hor = ((u - d)[None, :] * a + d[None, :] * bb + (u >> 1)) >> lu  # (rs, s)
+    a2 = np.where(k0[:, None] >= 0, hor[np.maximum(k0, 0)], t[None, :])
+    b2 = hor[np.minimum(k0 + 1, rs - 1)]
+    out = ((u - d)[:, None] * a2 + d[:, None] * b2 + (u >> 1)) >> lu
+    return np.clip(out, 0, mx).astype(np.int32)
+
+
+# ---------------------------------------------------------------------------
 # CCLM: chroma-from-luma linear model
 # (role of VTM:CommonLib/IntraPrediction.cpp predIntraChromaLM /
 #  xGetLumaRecPixels: min/max 4-pair derivation + 6-tap 4:2:0 downsample.

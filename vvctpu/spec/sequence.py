@@ -27,6 +27,7 @@ class EncoderConfig:
     wpp: bool = False       # wavefront entropy lanes (one per CTU row)
     gop: int = 1            # 1 = low-delay IPPP; >1 = hierarchical-B GOP
     mts: bool = False       # explicit MTS (DST7/DCT8) for intra luma
+    mip: bool = False       # matrix intra prediction (generated weights)
     lfnst: bool = False     # low-frequency non-separable secondary transform
     cclm: bool = False      # cross-component linear-model chroma prediction
     rdoq: bool = True       # encoder RDOQ quantizer (decoder-transparent)
@@ -46,7 +47,8 @@ class EncoderConfig:
                        deblock_enabled=self.deblock,
                        sao_enabled=self.sao, mts_enabled=self.mts,
                        lfnst_enabled=self.lfnst, cclm_enabled=self.cclm,
-                       lmcs_enabled=self.lmcs, alf_enabled=self.alf)
+                       lmcs_enabled=self.lmcs, alf_enabled=self.alf,
+                       mip_enabled=self.mip)
 
 
 def gop_plan(n_frames: int, intra_period: int, gop: int):
@@ -134,14 +136,15 @@ def encode_sequence(frames: list[list[np.ndarray]], cfg: EncoderConfig,
         if decisions_fn is not None:
             dec = decisions_fn(poc, planes, sps, cfg)
         elif stype == hls.SLICE_I:
-            dec = decide.decide_frame(padded_y, qp, cfg.bit_depth)
+            dec = decide.decide_frame(padded_y, qp, cfg.bit_depth,
+                                      mip=cfg.mip)
         elif stype == hls.SLICE_P:
             dec = decide.decide_frame_p(padded_y, dpb[ref_pocs[0]][0], qp,
-                                        cfg.bit_depth)
+                                        cfg.bit_depth, mip=cfg.mip)
         else:
             dec = decide.decide_frame_b(padded_y, dpb[ref_pocs[0]][0],
                                         dpb[ref_pocs[1]][0], qp,
-                                        cfg.bit_depth)
+                                        cfg.bit_depth, mip=cfg.mip)
         if decisions_out is not None:
             decisions_out.append(dec)
         sh = hls.SliceHeader(poc=poc, slice_type=stype, qp_delta=qpd,
