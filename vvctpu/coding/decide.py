@@ -43,13 +43,14 @@ def _satd(diff, s: int):
 
 
 @functools.partial(jax.jit, static_argnames=("s", "frame_w", "frame_h",
-                                             "bd", "mip"))
+                                             "bd", "mip", "mrl"))
 def size_pass(buf, lam, *, s: int, frame_w: int, frame_h: int, bd: int = 8,
-              mip: bool = False):
-    """Best (cost, mode) per s-block over all 67 modes (+16 MIP ids).
+              mip: bool = False, mrl: bool = False):
+    """Best (cost, mode, mrl) per s-block over all 67 modes (+16 MIP ids,
+    + two-stage MRL refinement of the winner — twin of spec _block_decision).
 
     buf: margin-padded original luma plane (as in pipeline/recon buffers).
-    Returns (best_cost (nby, nbx) int32, best_mode (nby, nbx) int32).
+    Returns int32 (nby, nbx) arrays (cost, mode, mrl).
     """
     nby, nbx = frame_h // s, frame_w // s
     xs = (jnp.arange(nbx, dtype=jnp.int32) * s)
@@ -57,7 +58,8 @@ def size_pass(buf, lam, *, s: int, frame_w: int, frame_h: int, bd: int = 8,
     gx, gy = jnp.meshgrid(xs, ys)
     coords = jnp.stack([gx.ravel(), gy.ravel()], axis=1)
     modes = jnp.arange(rom.NUM_LUMA_MODE, dtype=jnp.int32)
-    bits = jnp.asarray(_MODE_BITS) * jnp.asarray(lam, jnp.int32)
+    lam32 = jnp.asarray(lam, jnp.int32)
+    bits = jnp.asarray(_MODE_BITS) * lam32
 
     def per_block(xy):
         x, y = xy[0], xy[1]
@@ -72,6 +74,8 @@ def size_pass(buf, lam, *, s: int, frame_w: int, frame_h: int, bd: int = 8,
 
         satds = jax.vmap(per_mode)(modes)
         costs = (satds << 8) + bits[:rom.NUM_LUMA_MODE]
+        if mrl:
+            costs = costs + lam32          # the mrl=0 TU bin
         if mip:
             def per_mip(m):
                 pred = intra_pred.mip_predict_j(top, left, m, s=s, bd=bd)
@@ -81,14 +85,36 @@ def size_pass(buf, lam, *, s: int, frame_w: int, frame_h: int, bd: int = 8,
             costs = jnp.concatenate(
                 [costs, (msatds << 8) + bits[rom.NUM_LUMA_MODE:]])
         best = jnp.argmin(costs)
-        return costs[best], best.astype(jnp.int32)
+        bcost = costs[best]
+        best = best.astype(jnp.int32)
+        if not mrl:
+            return bcost, best, jnp.int32(0)
+        eligible = (best >= 2) & (best < rom.NUM_LUMA_MODE)
+        mode_c = jnp.clip(best, 2, rom.NUM_LUMA_MODE - 1)
 
-    cost, mode = jax.vmap(per_block)(coords)
-    return cost.reshape(nby, nbx), mode.reshape(nby, nbx)
+        def mrl_cost(k):
+            tk, lk = intra_pred.build_references(
+                buf, x, y, s=s, is_luma=True, frame_w=frame_w,
+                frame_h=frame_h, n_ctu_x=frame_w // 64, bd=bd,
+                in_frame_only=True, ref_line=k)
+            pred = intra_pred.predict(tk, lk, mode_c, s=s, is_luma=True,
+                                      bd=bd, ref_line=k)
+            c = (_satd(blk - pred, s) << 8) \
+                + (jnp.asarray(_MODE_BITS)[mode_c] + 2) * lam32
+            return jnp.where(eligible, c, jnp.int32(1 << 30))
+
+        cands = jnp.stack([bcost, mrl_cost(jnp.int32(1)),
+                           mrl_cost(jnp.int32(2))])
+        k = jnp.argmin(cands).astype(jnp.int32)
+        return cands[k], best, k
+
+    cost, mode, mrlv = jax.vmap(per_block)(coords)
+    return (cost.reshape(nby, nbx), mode.reshape(nby, nbx),
+            mrlv.reshape(nby, nbx))
 
 
 def decide_frame(orig_y: np.ndarray, qp: int, bd: int = 8,
-                 mip: bool = False) -> FrameDecisions:
+                 mip: bool = False, mrl: bool = False) -> FrameDecisions:
     """Device-batched decisions for a padded luma plane (host assembly)."""
     h, w = orig_y.shape
     lam = lambda_satd_fp(qp)
@@ -98,14 +124,17 @@ def decide_frame(orig_y: np.ndarray, qp: int, bd: int = 8,
     jbuf = jnp.asarray(buf)
 
     res = {s: size_pass(jbuf, np.int32(lam), s=s, frame_w=w, frame_h=h,
-                        bd=bd, mip=mip)
+                        bd=bd, mip=mip, mrl=mrl)
            for s in (8, 16, 32)}
     best8_cost = np.asarray(res[8][0]).astype(np.int64)
     best8_mode = np.asarray(res[8][1])
+    best8_mrl = np.asarray(res[8][2])
     best16_cost = np.asarray(res[16][0]).astype(np.int64)
     best16_mode = np.asarray(res[16][1])
+    best16_mrl = np.asarray(res[16][2])
     best32_cost = np.asarray(res[32][0]).astype(np.int64)
     best32_mode = np.asarray(res[32][1])
+    best32_mrl = np.asarray(res[32][2])
 
     dec = FrameDecisions.empty(h, w)
     n16y, n16x = h // 16, w // 16
@@ -127,11 +156,16 @@ def decide_frame(orig_y: np.ndarray, qp: int, bd: int = 8,
     m = np.where(use16, m16, m)
     use8 = np.kron(dec.split16.astype(bool), np.ones((2, 2), bool))
     dec.modes8[:] = np.where(use8, best8_mode, m)
+    k = np.kron(best32_mrl, np.ones((4, 4), np.int32))
+    k = np.where(use16, np.kron(best16_mrl, np.ones((2, 2), np.int32)), k)
+    k = np.where(use8, best8_mrl, k)
+    dec.mrl8[:] = k.astype(np.uint8)
     return dec
 
 
 def decide_frame_p(orig_y: np.ndarray, ref_y: np.ndarray, qp: int,
-                   bd: int = 8, mip: bool = False) -> FrameDecisions:
+                   bd: int = 8, mip: bool = False,
+                   mrl: bool = False) -> FrameDecisions:
     """Device-batched P-frame decisions (twin of spec decide_frame_p)."""
     from ..spec.inter import ME_RANGE
     from . import me as jme
@@ -151,10 +185,11 @@ def decide_frame_p(orig_y: np.ndarray, ref_y: np.ndarray, qp: int,
 
     size_data = {}
     for s in (8, 16, 32):
-        icost, imode = size_pass(jbuf, np.int32(lam), s=s, frame_w=w,
-                                 frame_h=h, bd=bd, mip=mip)
+        icost, imode, imrl = size_pass(jbuf, np.int32(lam), s=s, frame_w=w,
+                                       frame_h=h, bd=bd, mip=mip, mrl=mrl)
         icost = np.asarray(icost).astype(np.int64)
         imode = np.asarray(imode)
+        imrl = np.asarray(imrl)
         rcost, rmv = jme.refine_pass(jorig, refp80, memaps[s][1],
                                      np.int32(lam), s=s, frame_w=w,
                                      frame_h=h, bd=bd)
@@ -162,12 +197,12 @@ def decide_frame_p(orig_y: np.ndarray, ref_y: np.ndarray, qp: int,
         rmv = np.asarray(rmv)
         use_inter = rcost < icost
         cost = np.where(use_inter, rcost, icost)
-        size_data[s] = (cost, imode, use_inter, rmv)
+        size_data[s] = (cost, imode, use_inter, rmv, imrl)
 
     dec = FrameDecisions.empty(h, w)
-    cost8, imode8, inter8, mv8 = size_data[8]
-    cost16, imode16, inter16, mv16 = size_data[16]
-    cost32, imode32, inter32, mv32 = size_data[32]
+    cost8, imode8, inter8, mv8, mrl8 = size_data[8]
+    cost16, imode16, inter16, mv16, mrl16 = size_data[16]
+    cost32, imode32, inter32, mv32, mrl32 = size_data[32]
     n16y, n16x = h // 16, w // 16
     n32y, n32x = h // 32, w // 32
     sum8 = (cost8.reshape(n16y, 2, n16x, 2).sum(axis=(1, 3))
@@ -190,6 +225,9 @@ def decide_frame_p(orig_y: np.ndarray, ref_y: np.ndarray, qp: int,
     mode = up(imode32, 4)
     mode = np.where(use16, up(imode16, 2), mode)
     mode = np.where(use8, imode8, mode)
+    mrlv = up(mrl32, 4)
+    mrlv = np.where(use16, up(mrl16, 2), mrlv)
+    mrlv = np.where(use8, mrl8, mrlv)
     itf = up(inter32.astype(np.uint8), 4).astype(bool)
     itf = np.where(use16, up(inter16.astype(np.uint8), 2).astype(bool), itf)
     itf = np.where(use8, inter8, itf)
@@ -201,6 +239,7 @@ def decide_frame_p(orig_y: np.ndarray, ref_y: np.ndarray, qp: int,
     mvy = np.where(use8, mv8[..., 1], mvy)
     dec.inter8[:] = itf.astype(np.uint8)
     dec.modes8[:] = np.where(itf, 0, mode)
+    dec.mrl8[:] = np.where(itf, 0, mrlv).astype(np.uint8)
     dec.mv8[..., 0] = np.where(itf, mvx, 0)   # already 1/16-pel
     dec.mv8[..., 1] = np.where(itf, mvy, 0)
     return dec
@@ -208,7 +247,7 @@ def decide_frame_p(orig_y: np.ndarray, ref_y: np.ndarray, qp: int,
 
 def decide_frame_b(orig_y: np.ndarray, ref0_y: np.ndarray,
                    ref1_y: np.ndarray, qp: int, bd: int = 8,
-                   mip: bool = False):
+                   mip: bool = False, mrl: bool = False):
     """Device-batched B-frame decisions (twin of spec decide_frame_b)."""
     from ..spec.inter import ME_RANGE, REF_MARGIN
     from . import me as jme
@@ -229,10 +268,11 @@ def decide_frame_b(orig_y: np.ndarray, ref0_y: np.ndarray,
 
     size_data = {}
     for s in (8, 16, 32):
-        icost, imode = size_pass(jbuf, np.int32(lam), s=s, frame_w=w,
-                                 frame_h=h, bd=bd, mip=mip)
+        icost, imode, imrl = size_pass(jbuf, np.int32(lam), s=s, frame_w=w,
+                                       frame_h=h, bd=bd, mip=mip, mrl=mrl)
         icost = np.asarray(icost).astype(np.int64)
         imode = np.asarray(imode)
+        imrl = np.asarray(imrl)
         ucost, umv = [], []
         for lst in range(2):
             rc, rmv = jme.refine_pass(jorig, refp80[lst], memaps[lst][s][1],
@@ -247,13 +287,13 @@ def decide_frame_b(orig_y: np.ndarray, ref0_y: np.ndarray,
         costs = np.stack([icost, ucost[0], ucost[1], bcost])
         kind = np.argmin(costs, axis=0).astype(np.int32)
         cost = np.min(costs, axis=0)
-        size_data[s] = (cost, imode, kind, umv[0], umv[1])
+        size_data[s] = (cost, imode, kind, umv[0], umv[1], imrl)
 
     from ..spec.codec import FrameDecisions as FD
     dec = FD.empty(h, w)
-    c8, im8, k8, mva8, mvb8 = size_data[8]
-    c16, im16, k16, mva16, mvb16 = size_data[16]
-    c32, im32, k32, mva32, mvb32 = size_data[32]
+    c8, im8, k8, mva8, mvb8, mrl8a = size_data[8]
+    c16, im16, k16, mva16, mvb16, mrl16a = size_data[16]
+    c32, im32, k32, mva32, mvb32, mrl32a = size_data[32]
     n16y, n16x = h // 16, w // 16
     n32y, n32x = h // 32, w // 32
     sum8 = (c8.reshape(n16y, 2, n16x, 2).sum(axis=(1, 3))
@@ -285,11 +325,13 @@ def decide_frame_b(orig_y: np.ndarray, ref0_y: np.ndarray,
 
     kind = sel(k32, k16, k8)
     mode = sel(im32, im16, im8)
+    mrlv = sel(mrl32a, mrl16a, mrl8a)
     mv0 = sel(mva32, mva16, mva8)
     mv1 = sel(mvb32, mvb16, mvb8)
     itf = kind > 0
     dec.inter8[:] = itf.astype(np.uint8)
     dec.modes8[:] = np.where(itf, 0, mode)
+    dec.mrl8[:] = np.where(itf, 0, mrlv).astype(np.uint8)
     dec.dir8[:] = np.where(itf, np.where(kind == 3, 2, kind - 1),
                            0).astype(np.uint8)
     use0 = itf & ((kind == 1) | (kind == 3))

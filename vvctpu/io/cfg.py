@@ -25,6 +25,7 @@ class AppConfig:
     lfnst: bool = False           # LFNST
     cclm: bool = False            # LMChroma / CCLM
     mip: bool = False             # MIP
+    mrl: bool = False             # MRL
     rdoq: bool = True             # RDOQ
     lmcs: bool = False            # LMCSEnable / LMCS
     alf: bool = False             # ALF
@@ -55,6 +56,7 @@ _KEYMAP = {
     "cclm": ("cclm", lambda v: bool(int(v))),
     "lmchroma": ("cclm", lambda v: bool(int(v))),
     "mip": ("mip", lambda v: bool(int(v))),
+    "mrl": ("mrl", lambda v: bool(int(v))),
     "rdoq": ("rdoq", lambda v: bool(int(v))),
     "lmcs": ("lmcs", lambda v: bool(int(v))),
     "lmcsenable": ("lmcs", lambda v: bool(int(v))),

@@ -47,29 +47,40 @@ def morton8(x, y, n_ctu_x: int):
                                              "in_frame_only"))
 def build_references(buf, x, y, *, s: int, is_luma: bool, frame_w: int,
                      frame_h: int, n_ctu_x: int, bd: int = 8,
-                     in_frame_only: bool = False):
+                     in_frame_only: bool = False, ref_line=0):
     """Gather + substitute reference samples for a square s-block at (x, y).
 
     ``buf`` is the (frame_h + 1 + MARGIN, frame_w + 1 + MARGIN) recon buffer
     with a 1-sample top/left offset (buf[y+1, x+1] = plane[y, x]).
     Returns (top, left): int32 arrays of length 2s+1 (index 0 = corner).
+    ref_line (traced, MRL) gathers the k-th further line, corner-aligned —
+    twin of spec/intra.build_references(ref_line=k).
     """
     half = 1 << (bd - 1)
     n = 2 * s
-    # raw gathers (offset +1 built into the buffer indexing)
-    top_raw = jax.lax.dynamic_slice(buf, (y, x), (1, n + 1))[0]
-    left_raw = jax.lax.dynamic_slice(buf, (y, x), (n + 1, 1))[:, 0]
+    k = jnp.asarray(ref_line, jnp.int32)
+    # raw gathers (offset +1 built into the buffer indexing).  A negative
+    # start (y-k / x-k at the frame edge) must be clamped explicitly —
+    # dynamic_slice would wrap it to the end — and the in-frame samples
+    # shifted back by roll; the wrapped entries all have sy/sx < 0 and are
+    # substituted away by the availability mask.
+    ys0 = jnp.maximum(y - k, 0)
+    xs0 = jnp.maximum(x - k, 0)
+    top_raw = jax.lax.dynamic_slice(buf, (ys0, xs0), (1, n + 1))[0]
+    top_raw = jnp.roll(top_raw, jnp.maximum(k - x, 0))
+    left_raw = jax.lax.dynamic_slice(buf, (ys0, xs0), (n + 1, 1))[:, 0]
+    left_raw = jnp.roll(left_raw, jnp.maximum(k - y, 0))
 
     # L-scan order: left bottom-to-top (j = n..1), corner, top (i = 1..n)
     scan_vals = jnp.concatenate([left_raw[1:][::-1], top_raw])  # len 2n+1
 
     # availability of each scan sample, by geometry
     j_idx = jnp.arange(n, 0, -1)
-    left_sx = jnp.full((n,), -1, jnp.int32) + x          # x - 1
-    left_sy = y - 1 + j_idx
+    left_sx = jnp.full((n,), -1, jnp.int32) + x - k      # x - 1 - k
+    left_sy = y - 1 - k + j_idx
     top_i = jnp.arange(0, n + 1)
-    top_sx = x - 1 + top_i
-    top_sy = jnp.full((n + 1,), -1, jnp.int32) + y       # y - 1
+    top_sx = x - 1 - k + top_i
+    top_sy = jnp.full((n + 1,), -1, jnp.int32) + y - k   # y - 1 - k
     sx = jnp.concatenate([left_sx, top_sx])
     sy = jnp.concatenate([left_sy, top_sy])
     scale = 1 if is_luma else 2
@@ -141,7 +152,7 @@ def _dc(top, left, s: int):
     return jnp.full((s, s), v, jnp.int32)
 
 
-def _angular(top, left, mode, s: int, is_luma: bool):
+def _angular(top, left, mode, s: int, is_luma: bool, ref_line=0):
     angle = _ANGLE[mode]
     inv_angle = _INV_ANGLE[mode]
     vertical = mode >= rom.DIA_IDX
@@ -160,12 +171,13 @@ def _angular(top, left, mode, s: int, is_luma: bool):
     neg = angle < 0
     ext = ext.at[:off].set(jnp.where(neg, proj, ext[:off]))
 
+    rl = jnp.asarray(ref_line, jnp.int32)
     ys = jnp.arange(1, s + 1, dtype=jnp.int32)
-    pos = ys * angle
+    pos = (ys + rl) * angle
     i_idx = pos >> 5
     i_fact = pos & 31
     xs = jnp.arange(s, dtype=jnp.int32)
-    base = off + 1 + xs[None, :] + i_idx[:, None]
+    base = off + 1 + rl + xs[None, :] + i_idx[:, None]
 
     integer_slope = (angle % 32) == 0
     a = ext[jnp.clip(base, 0, ext_len - 1)]
@@ -173,7 +185,7 @@ def _angular(top, left, mode, s: int, is_luma: bool):
     two_tap = ((32 - i_fact)[:, None] * a + i_fact[:, None] * b + 16) >> 5
 
     if is_luma:
-        filt = _ref_filter_flag(mode, s)
+        filt = _ref_filter_flag(mode, s) & (rl == 0)
         taps = jnp.where(filt, _TAPS_SMOOTH[i_fact], _TAPS_SHARP[i_fact])
         four = jnp.zeros((s, s), jnp.int32)
         for t in range(4):
@@ -206,11 +218,15 @@ def _pdpc(pred, top, left, mode, s: int, bd: int):
 
 
 @functools.partial(jax.jit, static_argnames=("s", "is_luma", "bd"))
-def predict(top, left, mode, *, s: int, is_luma: bool, bd: int = 8):
-    """Predict an (s, s) block.  top/left: (2s+1,) int32; mode traced."""
+def predict(top, left, mode, *, s: int, is_luma: bool, bd: int = 8,
+            ref_line=0):
+    """Predict an (s, s) block.  top/left: (2s+1,) int32; mode traced.
+    ref_line (traced, MRL): smoothing and PDPC gated off when > 0, angular
+    ray intersection shifted — twin of spec/intra.predict(ref_line=k)."""
     mode = jnp.asarray(mode, jnp.int32)
+    rl = jnp.asarray(ref_line, jnp.int32)
     if is_luma:
-        filt = _ref_filter_flag(mode, s)
+        filt = _ref_filter_flag(mode, s) & (rl == 0)
         angle = _ANGLE[mode]
         smooth_now = filt & ((mode == rom.PLANAR_IDX) | ((angle % 32) == 0))
         ts, ls = _smooth(top, left)
@@ -226,9 +242,11 @@ def predict(top, left, mode, *, s: int, is_luma: bool, bd: int = 8):
         jnp.minimum(mode, 2),
         [lambda: _planar(top_u, left_u, s),
          lambda: _dc(top_u, left_u, s),
-         lambda: _angular(top_u, left_u, jnp.maximum(mode, 2), s, is_luma)])
+         lambda: _angular(top_u, left_u, jnp.maximum(mode, 2), s, is_luma,
+                          rl)])
     if is_luma:
-        pred = _pdpc(pred, top_u, left_u, mode, s, bd)
+        pred = jnp.where(rl == 0,
+                         _pdpc(pred, top_u, left_u, mode, s, bd), pred)
     return jnp.clip(pred, 0, (1 << bd) - 1).astype(jnp.int32)
 
 

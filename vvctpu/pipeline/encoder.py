@@ -51,14 +51,17 @@ def encode_sequence(frames, cfg: sseq.EncoderConfig, decisions_fn=None,
         elif is_intra:
             # device-batched decision pass (bit-identical to spec decide)
             dec = jdecide.decide_frame(padded[0], qp, cfg.bit_depth,
-                                       mip=sps.mip_enabled)
+                                       mip=sps.mip_enabled,
+                                       mrl=sps.mrl_enabled)
         elif stype == hls.SLICE_P:
             dec = jdecide.decide_frame_p(padded[0], dpb[ref_pocs[0]][0], qp,
-                                         cfg.bit_depth, mip=sps.mip_enabled)
+                                         cfg.bit_depth, mip=sps.mip_enabled,
+                                         mrl=sps.mrl_enabled)
         else:
             dec = jdecide.decide_frame_b(padded[0], dpb[ref_pocs[0]][0],
                                          dpb[ref_pocs[1]][0], qp,
-                                         cfg.bit_depth, mip=sps.mip_enabled)
+                                         cfg.bit_depth, mip=sps.mip_enabled,
+                                         mrl=sps.mrl_enabled)
         if decisions_out is not None:
             decisions_out.append(dec)
         lmcs_cw = ()

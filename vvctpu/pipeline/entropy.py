@@ -94,6 +94,11 @@ class _Walker:
                 self.mode_map[y // 4:(y + s) // 4,
                               x // 4:(x + s) // 4] = mode
                 return mode
+        if self.sps.mrl_enabled:
+            from ..spec.codec import code_mrl_idx
+            code_mrl_idx(io, self, x, y,
+                         None if io.decoding
+                         else int(self.dec.mrl8[y // 8, x // 8]))
         mpm = intra.mpm_list(self._neighbor_mode(x - 1, y + s - 1),
                              self._neighbor_mode(x + s - 1, y - 1))
         if io.decoding:
@@ -329,6 +334,11 @@ class _Walker:
         else:
             mode = self._code_mode(x, y, s)
             trace.t_leaf_intra(x, y, s, mode)
+            if (self.sps.mrl_enabled and io.decoding
+                    and mode < rom.NUM_LUMA_MODE):
+                mrlv = self.dec.mrl8[y // 8, x // 8]
+                self.dec.mrl8[y // 8:(y + s) // 8,
+                              x // 8:(x + s) // 8] = mrlv
             self._code_component(0, x, y, s, C.CBF_LUMA(0),
                                  mts_ok=mode < rom.NUM_LUMA_MODE)
             if self.sps.cclm_enabled:

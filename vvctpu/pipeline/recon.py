@@ -52,7 +52,8 @@ def _make_leaf_fn(s: int, inter: bool, *, frame_w: int, frame_h: int,
     cs = s // 2
     num_reg = rom.NUM_LUMA_MODE
 
-    def leaf(carry, x, y, mode, mvx, mvy, mts_in, lfnst_in, cmode_in):
+    def leaf(carry, x, y, mode, mvx, mvy, mts_in, lfnst_in, cmode_in,
+             mrl_in):
         (by, bcb, bcr, ly, lcb, lcr, sy, scb, scr, mtsp, lfnstp,
          cmodep) = carry
         if inter:
@@ -64,10 +65,11 @@ def _make_leaf_fn(s: int, inter: bool, *, frame_w: int, frame_h: int,
         else:
             top, left = intra_pred.build_references(
                 by, x, y, s=s, is_luma=True, frame_w=frame_w,
-                frame_h=frame_h, n_ctu_x=n_ctu_x, bd=bd)
+                frame_h=frame_h, n_ctu_x=n_ctu_x, bd=bd, ref_line=mrl_in)
             mode_reg = jnp.minimum(mode, num_reg - 1)
             pred_y = intra_pred.predict(top, left, mode_reg, s=s,
-                                        is_luma=True, bd=bd)
+                                        is_luma=True, bd=bd,
+                                        ref_line=mrl_in)
             if mip:
                 pred_y = jnp.where(
                     mode >= num_reg,
@@ -310,7 +312,7 @@ def frame_scan(slots, planes_y, planes_cb, planes_cr, *, frame_w: int,
               bd=bd, encode=encode, refs=refs, mts=mts, lfnst=lfnst,
               cclm=cclm, rdoq=rdoq, lam_rd=jnp.asarray(lam_rd, jnp.int32),
               mip=mip)
-    branches = [lambda c, x, y, m, vx, vy, mt, lf, cm: c,
+    branches = [lambda c, x, y, m, vx, vy, mt, lf, cm, mr: c,
                 _make_leaf_fn(8, False, **kw), _make_leaf_fn(16, False, **kw),
                 _make_leaf_fn(32, False, **kw)]
 
@@ -318,11 +320,13 @@ def frame_scan(slots, planes_y, planes_cb, planes_cr, *, frame_w: int,
         mt = slot[6] if slot.shape[0] > 6 else jnp.int32(0)
         lf = slot[7] if slot.shape[0] > 7 else jnp.int32(0)
         cm = slot[8] if slot.shape[0] > 8 else jnp.int32(0)
+        mr = slot[9] if slot.shape[0] > 9 else jnp.int32(0)
         return jax.lax.switch(
             jnp.minimum(slot[0], 3), branches, carry,
-            slot[1], slot[2], slot[3], slot[4], slot[5], mt, lf, cm), None
+            slot[1], slot[2], slot[3], slot[4], slot[5], mt, lf, cm,
+            mr), None
 
-    while slots.shape[1] < 9:
+    while slots.shape[1] < 10:
         slots = jnp.concatenate(
             [slots, jnp.zeros((slots.shape[0], 1), jnp.int32)], axis=1)
     carry, _ = jax.lax.scan(step, carry, slots)
@@ -341,8 +345,10 @@ def make_slots(dec: FrameDecisions, frame_h: int, frame_w: int) -> np.ndarray:
         if dec.lfnst8 is not None else np.zeros_like(op)
     cm = dec.cmode8[ys // 8, xs // 8].astype(np.int32) \
         if dec.cmode8 is not None else np.zeros_like(op)
-    return np.stack([op, xs, ys, modes, mv0[:, 0], mv0[:, 1], mts, lf, cm],
-                    axis=1).astype(np.int32)
+    mr = dec.mrl8[ys // 8, xs // 8].astype(np.int32) \
+        if dec.mrl8 is not None else np.zeros_like(op)
+    return np.stack([op, xs, ys, modes, mv0[:, 0], mv0[:, 1], mts, lf, cm,
+                     mr], axis=1).astype(np.int32)
 
 
 def make_slots_split(dec: FrameDecisions, frame_h: int, frame_w: int):
@@ -358,8 +364,10 @@ def make_slots_split(dec: FrameDecisions, frame_h: int, frame_w: int):
         if dec.lfnst8 is not None else np.zeros_like(op)
     cm = dec.cmode8[ys // 8, xs // 8].astype(np.int32) \
         if dec.cmode8 is not None else np.zeros_like(op)
-    slots = np.stack([op, xs, ys, modes, mv0[:, 0], mv0[:, 1], mts, lf, cm],
-                     axis=1).astype(np.int32)
+    mr = dec.mrl8[ys // 8, xs // 8].astype(np.int32) \
+        if dec.mrl8 is not None else np.zeros_like(op)
+    slots = np.stack([op, xs, ys, modes, mv0[:, 0], mv0[:, 1], mts, lf, cm,
+                      mr], axis=1).astype(np.int32)
     inter = {}
     for i, s in enumerate((8, 16, 32)):
         opv = i + 4

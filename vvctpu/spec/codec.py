@@ -44,6 +44,7 @@ class FrameDecisions:
     mts8: np.ndarray = None     # (H//8, W//8) uint8: MTS index (intra luma)
     lfnst8: np.ndarray = None   # (H//8, W//8) uint8: LFNST index (intra luma)
     cmode8: np.ndarray = None   # (H//8, W//8) uint8: 0 = DM, 1 = CCLM
+    mrl8: np.ndarray = None     # (H//8, W//8) uint8: MRL reference line 0..2
 
     @classmethod
     def empty(cls, h: int, w: int) -> "FrameDecisions":
@@ -53,6 +54,7 @@ class FrameDecisions:
                    np.zeros((h // 8, w // 8), np.uint8),
                    np.zeros((h // 8, w // 8, 2), np.int32),
                    np.zeros((h // 8, w // 8, 2), np.int32),
+                   np.zeros((h // 8, w // 8), np.uint8),
                    np.zeros((h // 8, w // 8), np.uint8),
                    np.zeros((h // 8, w // 8), np.uint8),
                    np.zeros((h // 8, w // 8), np.uint8),
@@ -68,7 +70,8 @@ class FrameDecisions:
                 and np.array_equal(self.dir8, other.dir8)
                 and np.array_equal(self.mts8, other.mts8)
                 and np.array_equal(self.lfnst8, other.lfnst8)
-                and np.array_equal(self.cmode8, other.cmode8))
+                and np.array_equal(self.cmode8, other.cmode8)
+                and np.array_equal(self.mrl8, other.mrl8))
 
 
 @dataclass
@@ -160,13 +163,31 @@ def code_mip_mode(io, st, x: int, y: int, s: int, mode=None):
     return mode
 
 
+def code_mrl_idx(io, st, x: int, y: int, k=None) -> int:
+    """intra_luma_ref_idx: truncated-unary cmax 2, ctx per bin (MRL)."""
+    if io.decoding:
+        k = 0
+        if io.bin(C.MRL_IDX(0)):
+            k = 2 if io.bin(C.MRL_IDX(1)) else 1
+        st.dec.mrl8[y // 8, x // 8] = k
+        return k
+    io.bin(C.MRL_IDX(0), int(k > 0))
+    if k > 0:
+        io.bin(C.MRL_IDX(1), int(k > 1))
+    return k
+
+
 def _code_intra_mode(io, st: _FrameState, x: int, y: int, s: int) -> int:
     if st.sps.mip_enabled:
         mode = code_mip_mode(io, st, x, y, s,
                              None if io.decoding
                              else int(st.dec.modes8[y // 8, x // 8]))
         if mode is not None:
-            return mode
+            return mode     # MRL is regular-mode only
+    if st.sps.mrl_enabled:
+        code_mrl_idx(io, st, x, y,
+                     None if io.decoding
+                     else int(st.dec.mrl8[y // 8, x // 8]))
     left = _neighbor_mode(st, x - 1, y + s - 1)
     above = _neighbor_mode(st, x + s - 1, y - 1)
     mpm = intra.mpm_list(left, above)
@@ -247,17 +268,20 @@ def _code_lfnst_idx(io, idx=None):
 
 def _code_component(io, st: _FrameState, comp: int, x: int, y: int, s: int,
                     mode: int, cbf_ctx: int, pred=None,
-                    mts_ok: bool = False, lev_pre=None) -> None:
+                    mts_ok: bool = False, lev_pre=None,
+                    mrl: int = 0) -> None:
     plane, valid = st.recon[comp], st.valid[comp]
     is_chroma = comp > 0
     bd = st.sps.bit_depth
     if pred is None:
-        top, left = intra.build_references(plane, valid, x, y, s, s, bd)
+        top, left = intra.build_references(plane, valid, x, y, s, s, bd,
+                                           ref_line=mrl)
         if mode >= rom.NUM_LUMA_MODE:
             pred = intra.mip_predict(top, left, mode - rom.NUM_LUMA_MODE,
                                      s, bd)
         else:
-            pred = intra.predict(top, left, mode, s, s, is_chroma, bd)
+            pred = intra.predict(top, left, mode, s, s, is_chroma, bd,
+                                 ref_line=mrl)
     qp = st.qp
     mts_on = mts_ok and st.sps.mts_enabled
     lfnst_on = mts_ok and st.sps.lfnst_enabled
@@ -548,8 +572,12 @@ def _code_leaf(io, st: _FrameState, x: int, y: int, s: int) -> None:
     trace.t_leaf_intra(x, y, s, mode)
     if io.decoding:
         st.dec.modes8[y // 8:(y + s) // 8, x // 8:(x + s) // 8] = mode
+    mrl = (int(st.dec.mrl8[y // 8, x // 8])
+           if st.sps.mrl_enabled and mode < rom.NUM_LUMA_MODE else 0)
+    if io.decoding and mode < rom.NUM_LUMA_MODE:
+        st.dec.mrl8[y // 8:(y + s) // 8, x // 8:(x + s) // 8] = mrl
     _code_component(io, st, 0, x, y, s, mode, C.CBF_LUMA(0),
-                    mts_ok=mode < rom.NUM_LUMA_MODE)
+                    mts_ok=mode < rom.NUM_LUMA_MODE, mrl=mrl)
     st.mode_map[y // 4:(y + s) // 4, x // 4:(x + s) // 4] = mode
     # chroma (4:2:0): derived DM mode (planar for MIP), or CCLM
     dm = mode if mode < rom.NUM_LUMA_MODE else rom.PLANAR_IDX

@@ -68,9 +68,11 @@ def block_satd(diff: np.ndarray) -> int:
 
 def _mode_costs_for_block(orig: np.ndarray, x: int, y: int, s: int,
                           lam: int, bit_depth: int,
-                          mip: bool = False) -> np.ndarray:
+                          mip: bool = False,
+                          mrl: bool = False) -> np.ndarray:
     """(67 [+16],) int64 cost per mode for the block at (x, y) size s;
-    ids >= NUM_LUMA_MODE are the MIP candidates when enabled."""
+    ids >= NUM_LUMA_MODE are the MIP candidates when enabled.  When MRL is
+    on, regular modes carry the extra mrl=0 TU bin."""
     h, w = orig.shape
     valid = np.ones((h, w), bool)
     top, left = intra.build_references(orig, valid, x, y, s, s, bit_depth)
@@ -84,13 +86,40 @@ def _mode_costs_for_block(orig: np.ndarray, x: int, y: int, s: int,
             pred = intra.mip_predict(top, left, mode - rom.NUM_LUMA_MODE,
                                      s, bit_depth)
         satd = block_satd(blk - pred)
-        costs[mode] = (satd << 8) + MODE_BITS[mode] * lam
+        bits = MODE_BITS[mode] + (1 if mrl and mode < rom.NUM_LUMA_MODE
+                                  else 0)
+        costs[mode] = (satd << 8) + bits * lam
     return costs
+
+
+def _block_decision(orig: np.ndarray, x: int, y: int, s: int, lam: int,
+                    bit_depth: int, mip: bool = False, mrl: bool = False):
+    """(cost, mode, mrl_idx) for one block: argmin over modes, then a
+    two-stage MRL refinement of the winner (angular non-MIP modes only,
+    lines 1/2; extra TU bin costed; first-min tie-breaking k=0,1,2)."""
+    c = _mode_costs_for_block(orig, x, y, s, lam, bit_depth, mip, mrl)
+    mode = int(np.argmin(c))
+    cost = int(c.min())
+    if not mrl or mode >= rom.NUM_LUMA_MODE or mode < 2:
+        return cost, mode, 0
+    h, w = orig.shape
+    valid = np.ones((h, w), bool)
+    blk = orig[y:y + s, x:x + s].astype(np.int64)
+    cands = [cost]
+    for k in (1, 2):
+        top, left = intra.build_references(orig, valid, x, y, s, s,
+                                           bit_depth, ref_line=k)
+        pred = intra.predict(top, left, mode, s, s, False, bit_depth,
+                             ref_line=k)
+        satd = block_satd(blk - pred)
+        cands.append((satd << 8) + (MODE_BITS[mode] + 2) * lam)
+    kbest = int(np.argmin(cands))
+    return int(cands[kbest]), mode, kbest
 
 
 def decide_frame(orig_y: np.ndarray, qp: int,
                  bit_depth: int = rom.BIT_DEPTH,
-                 mip: bool = False) -> FrameDecisions:
+                 mip: bool = False, mrl: bool = False) -> FrameDecisions:
     """Compute partition + modes for a padded luma plane (H, W)."""
     h, w = orig_y.shape
     lam = lambda_satd_fp(qp)
@@ -99,31 +128,27 @@ def decide_frame(orig_y: np.ndarray, qp: int,
     n8y, n8x = h // 8, w // 8
     best8_cost = np.zeros((n8y, n8x), np.int64)
     best8_mode = np.zeros((n8y, n8x), np.int32)
+    best8_mrl = np.zeros((n8y, n8x), np.int32)
     n16y, n16x = h // 16, w // 16
     best16_cost = np.zeros((n16y, n16x), np.int64)
     best16_mode = np.zeros((n16y, n16x), np.int32)
+    best16_mrl = np.zeros((n16y, n16x), np.int32)
     n32y, n32x = h // 32, w // 32
     best32_cost = np.zeros((n32y, n32x), np.int64)
     best32_mode = np.zeros((n32y, n32x), np.int32)
+    best32_mrl = np.zeros((n32y, n32x), np.int32)
 
-    for by in range(n8y):
-        for bx in range(n8x):
-            c = _mode_costs_for_block(orig_y, bx * 8, by * 8, 8, lam,
-                                      bit_depth, mip)
-            best8_mode[by, bx] = int(np.argmin(c))
-            best8_cost[by, bx] = int(c.min())
-    for by in range(n16y):
-        for bx in range(n16x):
-            c = _mode_costs_for_block(orig_y, bx * 16, by * 16, 16, lam,
-                                      bit_depth, mip)
-            best16_mode[by, bx] = int(np.argmin(c))
-            best16_cost[by, bx] = int(c.min())
-    for by in range(n32y):
-        for bx in range(n32x):
-            c = _mode_costs_for_block(orig_y, bx * 32, by * 32, 32, lam,
-                                      bit_depth, mip)
-            best32_mode[by, bx] = int(np.argmin(c))
-            best32_cost[by, bx] = int(c.min())
+    for grid, (bc, bm, bk) in ((8, (best8_cost, best8_mode, best8_mrl)),
+                               (16, (best16_cost, best16_mode, best16_mrl)),
+                               (32, (best32_cost, best32_mode, best32_mrl))):
+        for by in range(h // grid):
+            for bx in range(w // grid):
+                cost, mode, k = _block_decision(orig_y, bx * grid,
+                                                by * grid, grid, lam,
+                                                bit_depth, mip, mrl)
+                bc[by, bx] = cost
+                bm[by, bx] = mode
+                bk[by, bx] = k
 
     # bottom-up partition: cost of coding a 16 as 4x8 leaves vs one leaf
     sum8 = (best8_cost.reshape(n16y, 2, n16x, 2).sum(axis=(1, 3))
@@ -147,6 +172,10 @@ def decide_frame(orig_y: np.ndarray, qp: int,
     use8 = np.kron(dec.split16.astype(bool), np.ones((2, 2), bool))
     m = np.where(use8, best8_mode, m)
     dec.modes8[:] = m
+    k = np.kron(best32_mrl, np.ones((4, 4), np.int32))
+    k = np.where(use16, np.kron(best16_mrl, np.ones((2, 2), np.int32)), k)
+    k = np.where(use8, best8_mrl, k)
+    dec.mrl8[:] = k.astype(np.uint8)
     return dec
 
 
@@ -187,7 +216,7 @@ def me_size_pass(orig: np.ndarray, ref: np.ndarray, s: int, lam: int):
 
 def decide_frame_p(orig_y: np.ndarray, ref_y: np.ndarray, qp: int,
                    bit_depth: int = rom.BIT_DEPTH,
-                   mip: bool = False) -> FrameDecisions:
+                   mip: bool = False, mrl: bool = False) -> FrameDecisions:
     """Decisions for a P frame: per-size intra-vs-inter, then QT bottom-up."""
     h, w = orig_y.shape
     lam = lambda_satd_fp(qp)
@@ -198,22 +227,24 @@ def decide_frame_p(orig_y: np.ndarray, ref_y: np.ndarray, qp: int,
         nby, nbx = h // s, w // s
         icost = np.zeros((nby, nbx), np.int64)
         imode = np.zeros((nby, nbx), np.int32)
+        imrl = np.zeros((nby, nbx), np.int32)
         for by in range(nby):
             for bx in range(nbx):
-                c = _mode_costs_for_block(orig_y, bx * s, by * s, s, lam,
-                                          bit_depth, mip)
-                imode[by, bx] = int(np.argmin(c))
-                icost[by, bx] = int(c.min())
+                cc, mm, kk = _block_decision(orig_y, bx * s, by * s, s, lam,
+                                             bit_depth, mip, mrl)
+                imode[by, bx] = mm
+                icost[by, bx] = cc
+                imrl[by, bx] = kk
         mcost, mv = me_size_pass(orig_y, ref_y, s, lam)
         refp = _inter.pad_reference(ref_y)
         rcost, rmv = refine_size_pass(orig_y, refp, mv, s, lam)
         use_inter = rcost < icost
         cost = np.where(use_inter, rcost, icost)
-        size_data[s] = (cost, imode, use_inter, rmv)
+        size_data[s] = (cost, imode, use_inter, rmv, imrl)
 
-    cost8, imode8, inter8, mv8 = size_data[8]
-    cost16, imode16, inter16, mv16 = size_data[16]
-    cost32, imode32, inter32, mv32 = size_data[32]
+    cost8, imode8, inter8, mv8, mrl8 = size_data[8]
+    cost16, imode16, inter16, mv16, mrl16 = size_data[16]
+    cost32, imode32, inter32, mv32, mrl32 = size_data[32]
     n16y, n16x = h // 16, w // 16
     n32y, n32x = h // 32, w // 32
     sum8 = (cost8.reshape(n16y, 2, n16x, 2).sum(axis=(1, 3))
@@ -236,6 +267,9 @@ def decide_frame_p(orig_y: np.ndarray, ref_y: np.ndarray, qp: int,
     mode = up(imode32, 4)
     mode = np.where(use16, up(imode16, 2), mode)
     mode = np.where(use8, imode8, mode)
+    mrlv = up(mrl32, 4)
+    mrlv = np.where(use16, up(mrl16, 2), mrlv)
+    mrlv = np.where(use8, mrl8, mrlv)
     itf = up(inter32.astype(np.uint8), 4).astype(bool)
     itf = np.where(use16, up(inter16.astype(np.uint8), 2).astype(bool), itf)
     itf = np.where(use8, inter8, itf)
@@ -248,6 +282,7 @@ def decide_frame_p(orig_y: np.ndarray, ref_y: np.ndarray, qp: int,
 
     dec.inter8[:] = itf.astype(np.uint8)
     dec.modes8[:] = np.where(itf, 0, mode)
+    dec.mrl8[:] = np.where(itf, 0, mrlv).astype(np.uint8)
     dec.mv8[..., 0] = np.where(itf, mvx, 0)   # already 1/16-pel
     dec.mv8[..., 1] = np.where(itf, mvy, 0)
     return dec
@@ -293,7 +328,7 @@ def refine_size_pass(orig: np.ndarray, refp: np.ndarray, int_mv: np.ndarray,
 def decide_frame_b(orig_y: np.ndarray, ref0_y: np.ndarray,
                    ref1_y: np.ndarray, qp: int,
                    bit_depth: int = rom.BIT_DEPTH,
-                   mip: bool = False) -> FrameDecisions:
+                   mip: bool = False, mrl: bool = False) -> FrameDecisions:
     """B-frame decisions: per-size best of {intra, L0, L1, BI}, QT bottom-up.
 
     BI cost: SAD of the averaged refined uni-predictions plus both MV rates
@@ -310,12 +345,14 @@ def decide_frame_b(orig_y: np.ndarray, ref0_y: np.ndarray,
         nby, nbx = h // s, w // s
         icost = np.zeros((nby, nbx), np.int64)
         imode = np.zeros((nby, nbx), np.int32)
+        imrl = np.zeros((nby, nbx), np.int32)
         for by in range(nby):
             for bx in range(nbx):
-                c = _mode_costs_for_block(orig_y, bx * s, by * s, s, lam,
-                                          bit_depth, mip)
-                imode[by, bx] = int(np.argmin(c))
-                icost[by, bx] = int(c.min())
+                cc, mm, kk = _block_decision(orig_y, bx * s, by * s, s, lam,
+                                             bit_depth, mip, mrl)
+                imode[by, bx] = mm
+                icost[by, bx] = cc
+                imrl[by, bx] = kk
         ucost, umv = [], []
         for lst, ref in enumerate((ref0_y, ref1_y)):
             mc_, mv_ = me_size_pass(orig_y, ref, s, lam)
@@ -342,11 +379,11 @@ def decide_frame_b(orig_y: np.ndarray, ref0_y: np.ndarray,
         costs = np.stack([icost, ucost[0], ucost[1], bcost])  # (4,nby,nbx)
         kind = np.argmin(costs, axis=0).astype(np.int32)      # first-min
         cost = np.min(costs, axis=0)
-        size_data[s] = (cost, imode, kind, umv[0], umv[1])
+        size_data[s] = (cost, imode, kind, umv[0], umv[1], imrl)
 
-    c8, im8, k8, mva8, mvb8 = size_data[8]
-    c16, im16, k16, mva16, mvb16 = size_data[16]
-    c32, im32, k32, mva32, mvb32 = size_data[32]
+    c8, im8, k8, mva8, mvb8, mrl8a = size_data[8]
+    c16, im16, k16, mva16, mvb16, mrl16a = size_data[16]
+    c32, im32, k32, mva32, mvb32, mrl32a = size_data[32]
     n16y, n16x = h // 16, w // 16
     n32y, n32x = h // 32, w // 32
     sum8 = (c8.reshape(n16y, 2, n16x, 2).sum(axis=(1, 3))
@@ -378,11 +415,13 @@ def decide_frame_b(orig_y: np.ndarray, ref0_y: np.ndarray,
 
     kind = sel(k32, k16, k8)
     mode = sel(im32, im16, im8)
+    mrlv = sel(mrl32a, mrl16a, mrl8a)
     mv0 = sel(mva32, mva16, mva8)
     mv1 = sel(mvb32, mvb16, mvb8)
     itf = kind > 0
     dec.inter8[:] = itf.astype(np.uint8)
     dec.modes8[:] = np.where(itf, 0, mode)
+    dec.mrl8[:] = np.where(itf, 0, mrlv).astype(np.uint8)
     dec.dir8[:] = np.where(itf, np.where(kind == 3, 2, kind - 1),
                            0).astype(np.uint8)
     use0 = itf & ((kind == 1) | (kind == 3))

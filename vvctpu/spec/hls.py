@@ -32,6 +32,7 @@ class SPS:
     mts_enabled: bool = False
     lfnst_enabled: bool = False
     mip_enabled: bool = False
+    mrl_enabled: bool = False
     cclm_enabled: bool = False
     lmcs_enabled: bool = False
     sao_enabled: bool = False
@@ -61,7 +62,8 @@ class SPS:
         w.ue(self.chroma_format)
         for f in (self.mts_enabled, self.lfnst_enabled, self.cclm_enabled,
                   self.lmcs_enabled, self.sao_enabled, self.alf_enabled,
-                  self.deblock_enabled, self.mip_enabled):
+                  self.deblock_enabled, self.mip_enabled,
+                  self.mrl_enabled):
             w.u(int(f), 1)
         w.byte_align()
         return w.getvalue()
@@ -79,8 +81,8 @@ class SPS:
         s.log2_ctu = r.ue() + 4
         s.chroma_format = r.ue()
         (s.mts_enabled, s.lfnst_enabled, s.cclm_enabled, s.lmcs_enabled,
-         s.sao_enabled, s.alf_enabled, s.deblock_enabled,
-         s.mip_enabled) = (bool(r.u(1)) for _ in range(8))
+         s.sao_enabled, s.alf_enabled, s.deblock_enabled, s.mip_enabled,
+         s.mrl_enabled) = (bool(r.u(1)) for _ in range(9))
         return s
 
 

@@ -30,27 +30,32 @@ P, DC, HOR, DIA, VER = (rom.PLANAR_IDX, rom.DC_IDX, rom.HOR_IDX, rom.DIA_IDX,
 # ---------------------------------------------------------------------------
 
 def build_references(plane: np.ndarray, valid: np.ndarray, x: int, y: int,
-                     w: int, h: int, bit_depth: int = rom.BIT_DEPTH):
-    """Return (top, left) int32 reference arrays of length w+h+1 each."""
+                     w: int, h: int, bit_depth: int = rom.BIT_DEPTH,
+                     ref_line: int = 0):
+    """Return (top, left) int32 reference arrays of length w+h+1 each.
+
+    ref_line k > 0 (MRL) gathers the k-th further line with corner
+    alignment: top[i] = p(x-1-k+i, y-1-k), left[j] = p(x-1-k, y-1-k+j)."""
     fh, fw = plane.shape
     n = w + h
     half = 1 << (bit_depth - 1)
+    k = ref_line
 
     # gather raw samples + availability, in substitution scan order:
     # left column bottom-to-top, then corner, then top row left-to-right.
     coords = []
     for j in range(n, 0, -1):
-        coords.append((x - 1, y - 1 + j))
-    coords.append((x - 1, y - 1))
+        coords.append((x - 1 - k, y - 1 - k + j))
+    coords.append((x - 1 - k, y - 1 - k))
     for i in range(1, n + 1):
-        coords.append((x - 1 + i, y - 1))
+        coords.append((x - 1 - k + i, y - 1 - k))
 
     vals = np.empty(len(coords), np.int32)
     avail = np.zeros(len(coords), bool)
-    for k, (cx, cy) in enumerate(coords):
+    for i, (cx, cy) in enumerate(coords):
         if 0 <= cx < fw and 0 <= cy < fh and valid[cy, cx]:
-            vals[k] = plane[cy, cx]
-            avail[k] = True
+            vals[i] = plane[cy, cx]
+            avail[i] = True
 
     if not avail.any():
         vals[:] = half
@@ -58,9 +63,9 @@ def build_references(plane: np.ndarray, valid: np.ndarray, x: int, y: int,
         # substitute: first entry from first available, then carry forward
         first = int(np.argmax(avail))
         vals[:first + 1][~avail[:first + 1]] = vals[first]
-        for k in range(first + 1, len(coords)):
-            if not avail[k]:
-                vals[k] = vals[k - 1]
+        for i in range(first + 1, len(coords)):
+            if not avail[i]:
+                vals[i] = vals[i - 1]
 
     left = vals[:n + 1][::-1].copy()   # left[0]=corner, left[j]=p(x-1,y-1+j)
     top = vals[n:].copy()              # top[0]=corner, top[i]=p(x-1+i,y-1)
@@ -125,9 +130,11 @@ def _dc(top, left, w, h):
                    np.int64)
 
 
-def _angular(top, left, mode, w, h, is_chroma, filt):
+def _angular(top, left, mode, w, h, is_chroma, filt, ref_line=0):
     """Angular modes 2..66.  Modes >= DIA predict from the top reference;
-    modes < DIA are the transpose (predict from left)."""
+    modes < DIA are the transpose (predict from left).  ref_line k shifts
+    the ray intersection: pos = (row + k) * angle, index offset +k (exact
+    extension of the corner-aligned MRL reference geometry)."""
     vertical = mode >= DIA
     angle = int(rom.INTRA_PRED_ANGLE[mode])
     inv_angle = int(rom.INTRA_INV_ANGLE[mode])
@@ -153,13 +160,13 @@ def _angular(top, left, mode, w, h, is_chroma, filt):
             ext[off - k] = side[sidx]
 
     ys = np.arange(1, n_orth + 1)
-    pos = ys * angle
+    pos = (ys + ref_line) * angle
     i_idx = (pos >> 5)
     i_fact = pos & 31
 
     xs = np.arange(n_pred)
-    # sample index per (row y, col x): off + x + 1 + i_idx[y]
-    base = off + 1 + xs[None, :] + i_idx[:, None]
+    # sample index per (row y, col x): off + x + 1 + k + i_idx[y]
+    base = off + 1 + ref_line + xs[None, :] + i_idx[:, None]
 
     if is_chroma or (angle % 32) == 0:
         if (angle % 32) == 0:
@@ -206,9 +213,12 @@ def _pdpc(pred, top, left, mode, w, h, bit_depth):
 
 def predict(top: np.ndarray, left: np.ndarray, mode: int, w: int, h: int,
             is_chroma: bool = False,
-            bit_depth: int = rom.BIT_DEPTH) -> np.ndarray:
-    """Intra prediction from reference arrays.  Returns (h, w) int32."""
-    filt = (not is_chroma) and ref_filter_flag(mode, w, h)
+            bit_depth: int = rom.BIT_DEPTH, ref_line: int = 0) -> np.ndarray:
+    """Intra prediction from reference arrays.  Returns (h, w) int32.
+
+    ref_line > 0 (MRL): reference smoothing and PDPC are disabled, as in
+    the standard; arrays must be built with the same ref_line."""
+    filt = (not is_chroma) and ref_line == 0 and ref_filter_flag(mode, w, h)
     if filt and (mode == P or (rom.INTRA_PRED_ANGLE[mode] % 32) == 0):
         top, left = _smooth_refs(top, left)
         smoothed_interp = False
@@ -220,9 +230,10 @@ def predict(top: np.ndarray, left: np.ndarray, mode: int, w: int, h: int,
     elif mode == DC:
         pred = _dc(top, left, w, h)
     else:
-        pred = _angular(top, left, mode, w, h, is_chroma, smoothed_interp)
+        pred = _angular(top, left, mode, w, h, is_chroma, smoothed_interp,
+                        ref_line)
 
-    if not is_chroma and mode in (P, DC, HOR, VER):
+    if not is_chroma and ref_line == 0 and mode in (P, DC, HOR, VER):
         pred = _pdpc(pred, top, left, mode, w, h, bit_depth)
     return np.clip(pred, 0, (1 << bit_depth) - 1).astype(np.int32)
 

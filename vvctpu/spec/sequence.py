@@ -28,6 +28,7 @@ class EncoderConfig:
     gop: int = 1            # 1 = low-delay IPPP; >1 = hierarchical-B GOP
     mts: bool = False       # explicit MTS (DST7/DCT8) for intra luma
     mip: bool = False       # matrix intra prediction (generated weights)
+    mrl: bool = False       # multi-reference-line intra (lines 0/1/2)
     lfnst: bool = False     # low-frequency non-separable secondary transform
     cclm: bool = False      # cross-component linear-model chroma prediction
     rdoq: bool = True       # encoder RDOQ quantizer (decoder-transparent)
@@ -48,7 +49,7 @@ class EncoderConfig:
                        sao_enabled=self.sao, mts_enabled=self.mts,
                        lfnst_enabled=self.lfnst, cclm_enabled=self.cclm,
                        lmcs_enabled=self.lmcs, alf_enabled=self.alf,
-                       mip_enabled=self.mip)
+                       mip_enabled=self.mip, mrl_enabled=self.mrl)
 
 
 def gop_plan(n_frames: int, intra_period: int, gop: int):
@@ -137,14 +138,16 @@ def encode_sequence(frames: list[list[np.ndarray]], cfg: EncoderConfig,
             dec = decisions_fn(poc, planes, sps, cfg)
         elif stype == hls.SLICE_I:
             dec = decide.decide_frame(padded_y, qp, cfg.bit_depth,
-                                      mip=cfg.mip)
+                                      mip=cfg.mip, mrl=cfg.mrl)
         elif stype == hls.SLICE_P:
             dec = decide.decide_frame_p(padded_y, dpb[ref_pocs[0]][0], qp,
-                                        cfg.bit_depth, mip=cfg.mip)
+                                        cfg.bit_depth, mip=cfg.mip,
+                                        mrl=cfg.mrl)
         else:
             dec = decide.decide_frame_b(padded_y, dpb[ref_pocs[0]][0],
                                         dpb[ref_pocs[1]][0], qp,
-                                        cfg.bit_depth, mip=cfg.mip)
+                                        cfg.bit_depth, mip=cfg.mip,
+                                        mrl=cfg.mrl)
         if decisions_out is not None:
             decisions_out.append(dec)
         sh = hls.SliceHeader(poc=poc, slice_type=stype, qp_delta=qpd,
