@@ -91,7 +91,7 @@ GT3_FLAG = R.add("abs_level_gt3_flag", 20, init=(LOW,) * 3)
 TS_SIG = R.add("ts_sig_coeff_flag", 3)            # transform-skip (reserved)
 
 # --- transforms / tools --------------------------------------------------
-MTS_IDX = R.add("mts_idx", 4)
+MTS_IDX = R.add("mts_idx", 5)   # TU cmax 5; index 5 = transform skip
 LFNST_IDX = R.add("lfnst_idx", 3)
 
 # --- loop filters (CTU-level flags; reserved until SAO/ALF land) ---------

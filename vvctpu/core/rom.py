@@ -57,7 +57,7 @@ def transform_shift(log2_w: int, log2_h: int, bit_depth: int = BIT_DEPTH) -> int
 # ---------------------------------------------------------------------------
 # Transform matrices
 # ---------------------------------------------------------------------------
-DCT2, DST7, DCT8 = 0, 1, 2
+DCT2, DST7, DCT8, IDT = 0, 1, 2, 3   # IDT = transform skip (identity)
 TR_SIZES = (4, 8, 16, 32, 64)
 MTS_SIZES = (4, 8, 16, 32)   # DST7/DCT8 defined for 4..32 only
 

@@ -26,6 +26,7 @@ class AppConfig:
     cclm: bool = False            # LMChroma / CCLM
     mip: bool = False             # MIP
     mrl: bool = False             # MRL
+    tskip: bool = False           # TransformSkip / TSM
     rdoq: bool = True             # RDOQ
     lmcs: bool = False            # LMCSEnable / LMCS
     alf: bool = False             # ALF
@@ -57,6 +58,8 @@ _KEYMAP = {
     "lmchroma": ("cclm", lambda v: bool(int(v))),
     "mip": ("mip", lambda v: bool(int(v))),
     "mrl": ("mrl", lambda v: bool(int(v))),
+    "transformskip": ("tskip", lambda v: bool(int(v))),
+    "tsm": ("tskip", lambda v: bool(int(v))),
     "rdoq": ("rdoq", lambda v: bool(int(v))),
     "lmcs": ("lmcs", lambda v: bool(int(v))),
     "lmcsenable": ("lmcs", lambda v: bool(int(v))),

@@ -42,6 +42,9 @@ def _mat(kind: int, n: int):
 
 def forward_transform(resi, h: int, w: int, kind_h: int = rom.DCT2,
                       kind_v: int = rom.DCT2, bd: int = 8):
+    if kind_h == rom.IDT:     # transform skip (twin of spec IDT path)
+        ts = rom.transform_shift(_log2(w), _log2(h), bd)
+        return jnp.clip(resi.astype(jnp.int32) << ts, COEFF_MIN, COEFF_MAX)
     mh = _mat(kind_v, h)
     mw = _mat(kind_h, w)
     st1 = _log2(w) + bd - 9
@@ -56,6 +59,12 @@ def forward_transform(resi, h: int, w: int, kind_h: int = rom.DCT2,
 
 def inverse_transform(coef, h: int, w: int, kind_h: int = rom.DCT2,
                       kind_v: int = rom.DCT2, bd: int = 8):
+    if kind_h == rom.IDT:     # transform skip
+        ts = rom.transform_shift(_log2(w), _log2(h), bd)
+        c = coef.astype(jnp.int32)
+        if ts > 0:
+            c = (c + (1 << (ts - 1))) >> ts
+        return jnp.clip(c, COEFF_MIN, COEFF_MAX)
     mh = _mat(kind_v, h)
     mw = _mat(kind_h, w)
     st2 = 20 - bd
@@ -230,7 +239,7 @@ def inv_lfnst_switch_j(coef, lfnst_idx, mode):
 
 def choose_tx_j(resi, s: int, qp, lam_rd, mode, bd: int = 8,
                 mts: bool = True, lfnst: bool = False, rdoq: bool = False,
-                allow=None):
+                allow=None, ts: bool = False):
     """Joint MTS/LFNST RD selection — twin of spec choose_tx.
 
     Returns (mts_idx, lfnst_idx, levels, recon_resi); first-min
@@ -238,7 +247,7 @@ def choose_tx_j(resi, s: int, qp, lam_rd, mode, bd: int = 8,
     masks all non-DCT2 candidates when False — used for MIP leaves, whose
     spec path bypasses choose_tx entirely (candidate (0,0) computes the
     identical plain quantize, so levels match bit-for-bit)."""
-    cands = tx_candidates(mts, lfnst)
+    cands = tx_candidates(mts, lfnst, ts)
     costs, levs, recs = [], [], []
     big = jnp.int32(0) if allow is None else \
         jnp.where(jnp.asarray(allow), jnp.int32(0), jnp.int32(1 << 29))
@@ -254,7 +263,7 @@ def choose_tx_j(resi, s: int, qp, lam_rd, mode, bd: int = 8,
             dq = inv_lfnst_j(dq, lk - 1, mode)
         rec = inverse_transform(dq, s, s, kh, kv, bd)
         dist = ((resi - rec) ** 2).sum()
-        bits = (MTS_IDX_BITS[mk] if mts else 0) \
+        bits = (MTS_IDX_BITS[mk] if (mts or ts) else 0) \
             + (LFNST_IDX_BITS[lk] if (lfnst and mk == 0) else 0)
         rate = jnp.minimum(level_rate_est_j(lev) + bits, 1 << 14)
         pen = jnp.int32(0) if (mk, lk) == (0, 0) else big

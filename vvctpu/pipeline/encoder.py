@@ -90,6 +90,7 @@ def encode_sequence(frames, cfg: sseq.EncoderConfig, decisions_fn=None,
             inter_enabled=not is_intra, mts=sps.mts_enabled,
             lfnst=sps.lfnst_enabled, cclm=sps.cclm_enabled, rdoq=cfg.rdoq,
             lmcs=sps.lmcs_enabled, mip=sps.mip_enabled,
+            tskip=sps.ts_enabled,
             fwd_lut=None if fwd_lut is None else jnp_asarray(fwd_lut),
             lam_rd=lambda_rd_int(qp), **ref_kw)
         levels = [np.asarray(ly), np.asarray(lcb), np.asarray(lcr)]
@@ -184,6 +185,7 @@ def decode_sequence(data: bytes, check_hash: bool = True):
                 inter_enabled=is_p, mts=sps.mts_enabled,
                 lfnst=sps.lfnst_enabled, cclm=sps.cclm_enabled,
                 lmcs=fwd_lut is not None, mip=sps.mip_enabled,
+                tskip=sps.ts_enabled,
                 fwd_lut=None if fwd_lut is None else jnp_asarray(fwd_lut),
                 **ref_kw)
             rec = [np.asarray(ry), np.asarray(rcb), np.asarray(rcr)]

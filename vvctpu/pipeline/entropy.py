@@ -150,7 +150,7 @@ class _Walker:
         io = self.io
         plane = self.levels[comp]
         is_chroma = comp > 0
-        mts_on = mts_ok and self.sps.mts_enabled
+        mts_on = mts_ok and (self.sps.mts_enabled or self.sps.ts_enabled)
         lfnst_on = mts_ok and self.sps.lfnst_enabled
         sl8 = np.s_[y // 8:(y + s) // 8, x // 8:(x + s) // 8]
         from ..cabac import native as cnative

@@ -48,7 +48,8 @@ def _component(buf, levels_io, src, pred, x, y, s, qp, bd, encode,
 def _make_leaf_fn(s: int, inter: bool, *, frame_w: int, frame_h: int,
                   n_ctu_x: int, qp, bd: int, encode: bool, refs,
                   mts: bool = False, lfnst: bool = False, cclm: bool = False,
-                  rdoq: bool = False, lam_rd=None, mip: bool = False):
+                  rdoq: bool = False, lam_rd=None, mip: bool = False,
+                  tskip: bool = False):
     cs = s // 2
     num_reg = rom.NUM_LUMA_MODE
 
@@ -92,7 +93,7 @@ def _make_leaf_fn(s: int, inter: bool, *, frame_w: int, frame_h: int,
                 n_ctu_x=n_ctu_x, bd=bd)
             pred_cr = intra_pred.predict(tcr, lcr_r, mode_dm, s=cs,
                                          is_luma=False, bd=bd)
-        if (mts or lfnst) and not inter:
+        if (mts or lfnst or tskip) and not inter:
             # intra luma: RD-select the transform tools (device twin of
             # spec choose_tx), signalised via the mts/lfnst planes
             if encode:
@@ -102,7 +103,7 @@ def _make_leaf_fn(s: int, inter: bool, *, frame_w: int, frame_h: int,
                     blk - pred_y, s, qp, lam_rd,
                     jnp.minimum(mode, num_reg - 1), bd, mts=mts,
                     lfnst=lfnst, rdoq=rdoq,
-                    allow=(mode < num_reg) if mip else None)
+                    allow=(mode < num_reg) if mip else None, ts=tskip)
                 ly = jax.lax.dynamic_update_slice(ly, lev, (y, x))
             else:
                 midx = mts_in
@@ -263,7 +264,8 @@ def _inter_batch_pass(carry, ib_slots, refs, s: int, qp, bd: int,
 @functools.partial(jax.jit,
                    static_argnames=("frame_w", "frame_h", "bd", "encode",
                                     "inter_enabled", "mts", "lfnst",
-                                    "cclm", "rdoq", "lmcs", "mip"))
+                                    "cclm", "rdoq", "lmcs", "mip",
+                                    "tskip"))
 def frame_scan(slots, planes_y, planes_cb, planes_cr, *, frame_w: int,
                frame_h: int, qp, bd: int, encode: bool,
                inter_enabled: bool = False, ref_y=None, ref_cb=None,
@@ -271,7 +273,7 @@ def frame_scan(slots, planes_y, planes_cb, planes_cr, *, frame_w: int,
                inter8=None, inter16=None, inter32=None,
                mts: bool = False, lfnst: bool = False, cclm: bool = False,
                rdoq: bool = False, lmcs: bool = False, lam_rd=0,
-               fwd_lut=None, mip: bool = False):
+               fwd_lut=None, mip: bool = False, tskip: bool = False):
     """Run the full-frame reconstruction scan.
 
     slots: (N, 6) int32 [op, x, y, mode, mvx, mvy] in coding order; op 0 =
@@ -311,7 +313,7 @@ def frame_scan(slots, planes_y, planes_cb, planes_cr, *, frame_w: int,
     kw = dict(frame_w=frame_w, frame_h=frame_h, n_ctu_x=n_ctu_x, qp=qp,
               bd=bd, encode=encode, refs=refs, mts=mts, lfnst=lfnst,
               cclm=cclm, rdoq=rdoq, lam_rd=jnp.asarray(lam_rd, jnp.int32),
-              mip=mip)
+              mip=mip, tskip=tskip)
     branches = [lambda c, x, y, m, vx, vy, mt, lf, cm, mr: c,
                 _make_leaf_fn(8, False, **kw), _make_leaf_fn(16, False, **kw),
                 _make_leaf_fn(32, False, **kw)]

@@ -241,15 +241,15 @@ def _log2(n: int) -> int:
 
 
 def _code_mts_idx(io, idx):
-    """Truncated-unary MTS index, ctx per bin (cmax 4)."""
+    """Truncated-unary MTS index, ctx per bin (cmax 5; 5 = transform skip)."""
     v = 0
     if io.decoding:
-        while v < 4 and io.bin(C.MTS_IDX(v)):
+        while v < 5 and io.bin(C.MTS_IDX(v)):
             v += 1
         return v
-    for i in range(min(idx, 4)):
+    for i in range(min(idx, 5)):
         io.bin(C.MTS_IDX(i), 1)
-    if idx < 4:
+    if idx < 5:
         io.bin(C.MTS_IDX(idx), 0)
     return idx
 
@@ -283,7 +283,7 @@ def _code_component(io, st: _FrameState, comp: int, x: int, y: int, s: int,
             pred = intra.predict(top, left, mode, s, s, is_chroma, bd,
                                  ref_line=mrl)
     qp = st.qp
-    mts_on = mts_ok and st.sps.mts_enabled
+    mts_on = mts_ok and (st.sps.mts_enabled or st.sps.ts_enabled)
     lfnst_on = mts_ok and st.sps.lfnst_enabled
     mts_idx = 0
     lfnst_idx = 0
@@ -302,8 +302,9 @@ def _code_component(io, st: _FrameState, comp: int, x: int, y: int, s: int,
         if mts_on or lfnst_on:
             resi = st.src[comp][y:y + s, x:x + s].astype(np.int32) - pred
             mts_idx, lfnst_idx, lev = transform.choose_tx(
-                resi, qp, mode, bd, mts=mts_on, lfnst=lfnst_on,
-                rdoq=st.rdoq)
+                resi, qp, mode, bd, mts=st.sps.mts_enabled and mts_ok,
+                lfnst=lfnst_on, rdoq=st.rdoq,
+                ts=st.sps.ts_enabled and mts_ok)
             st.dec.mts8[sl8] = mts_idx
             st.dec.lfnst8[sl8] = lfnst_idx
         elif lev_pre is not None:

@@ -33,6 +33,7 @@ class SPS:
     lfnst_enabled: bool = False
     mip_enabled: bool = False
     mrl_enabled: bool = False
+    ts_enabled: bool = False    # transform skip (unified tx index 5)
     cclm_enabled: bool = False
     lmcs_enabled: bool = False
     sao_enabled: bool = False
@@ -63,7 +64,7 @@ class SPS:
         for f in (self.mts_enabled, self.lfnst_enabled, self.cclm_enabled,
                   self.lmcs_enabled, self.sao_enabled, self.alf_enabled,
                   self.deblock_enabled, self.mip_enabled,
-                  self.mrl_enabled):
+                  self.mrl_enabled, self.ts_enabled):
             w.u(int(f), 1)
         w.byte_align()
         return w.getvalue()
@@ -82,7 +83,7 @@ class SPS:
         s.chroma_format = r.ue()
         (s.mts_enabled, s.lfnst_enabled, s.cclm_enabled, s.lmcs_enabled,
          s.sao_enabled, s.alf_enabled, s.deblock_enabled, s.mip_enabled,
-         s.mrl_enabled) = (bool(r.u(1)) for _ in range(9))
+         s.mrl_enabled, s.ts_enabled) = (bool(r.u(1)) for _ in range(10))
         return s
 
 

@@ -29,6 +29,7 @@ class EncoderConfig:
     mts: bool = False       # explicit MTS (DST7/DCT8) for intra luma
     mip: bool = False       # matrix intra prediction (generated weights)
     mrl: bool = False       # multi-reference-line intra (lines 0/1/2)
+    tskip: bool = False     # transform skip (unified tx index 5)
     lfnst: bool = False     # low-frequency non-separable secondary transform
     cclm: bool = False      # cross-component linear-model chroma prediction
     rdoq: bool = True       # encoder RDOQ quantizer (decoder-transparent)
@@ -49,7 +50,8 @@ class EncoderConfig:
                        sao_enabled=self.sao, mts_enabled=self.mts,
                        lfnst_enabled=self.lfnst, cclm_enabled=self.cclm,
                        lmcs_enabled=self.lmcs, alf_enabled=self.alf,
-                       mip_enabled=self.mip, mrl_enabled=self.mrl)
+                       mip_enabled=self.mip, mrl_enabled=self.mrl,
+                       ts_enabled=self.tskip)
 
 
 def gop_plan(n_frames: int, intra_period: int, gop: int):

@@ -34,8 +34,16 @@ def _log2(n: int) -> int:
 def forward_transform(resi: np.ndarray, kind_h: int = rom.DCT2,
                       kind_v: int = rom.DCT2,
                       bit_depth: int = rom.BIT_DEPTH) -> np.ndarray:
-    """resi (H, W) int -> coefficients (H, W) int (16-bit range)."""
+    """resi (H, W) int -> coefficients (H, W) int (16-bit range).
+
+    kind IDT (both dims) is transform skip: residual scaled by the
+    transform shift so the shared quantiser sees the standard dynamic
+    range (VTM:CommonLib/TrQuant.cpp xTransformSkip)."""
     h, w = resi.shape
+    if kind_h == rom.IDT:
+        ts = rom.transform_shift(_log2(w), _log2(h), bit_depth)
+        return np.clip(resi.astype(np.int64) << ts,
+                       COEFF_MIN, COEFF_MAX).astype(np.int32)
     mh = rom.tr_matrix(kind_v, h)
     mw = rom.tr_matrix(kind_h, w)
     st1 = _log2(w) + bit_depth - 9
@@ -50,6 +58,12 @@ def inverse_transform(coef: np.ndarray, kind_h: int = rom.DCT2,
                       kind_v: int = rom.DCT2,
                       bit_depth: int = rom.BIT_DEPTH) -> np.ndarray:
     h, w = coef.shape
+    if kind_h == rom.IDT:
+        ts = rom.transform_shift(_log2(w), _log2(h), bit_depth)
+        c = coef.astype(np.int64)
+        if ts > 0:
+            c = (c + (1 << (ts - 1))) >> ts
+        return np.clip(c, COEFF_MIN, COEFF_MAX).astype(np.int32)
     mh = rom.tr_matrix(kind_v, h)
     mw = rom.tr_matrix(kind_h, w)
     st2 = 20 - bit_depth
@@ -176,8 +190,11 @@ def inv_lfnst(coef: np.ndarray, lfnst_idx: int, mode: int) -> np.ndarray:
 # ---------------------------------------------------------------------------
 MTS_SET = ((rom.DCT2, rom.DCT2), (rom.DST7, rom.DST7),
            (rom.DST7, rom.DCT8), (rom.DCT8, rom.DST7),
-           (rom.DCT8, rom.DCT8))
-MTS_IDX_BITS = (1, 2, 3, 4, 4)       # truncated-unary bin counts
+           (rom.DCT8, rom.DCT8), (rom.IDT, rom.IDT))
+MTS_IDX_BITS = (1, 2, 3, 4, 5, 5)    # truncated-unary bin counts (cmax 5);
+# index 5 = transform skip, folded into the unified candidate set (the
+# reference signals a separate transform_skip_flag — VTM TrQuant.cpp; this
+# build's single TU index is the TPU-first simplification, both engines)
 
 
 def lambda_rd_int(qp: int) -> int:
@@ -207,19 +224,22 @@ def choose_mts(resi: np.ndarray, qp: int, bd: int = rom.BIT_DEPTH):
 LFNST_IDX_BITS = (1, 2, 2)           # truncated-unary, cmax 2
 
 
-def tx_candidates(mts: bool, lfnst: bool):
+def tx_candidates(mts: bool, lfnst: bool, ts: bool = False):
     """(mts_idx, lfnst_idx) candidate list; (0, 0) is always first."""
     out = [(0, 0)]
     if mts:
-        out += [(k, 0) for k in range(1, len(MTS_SET))]
+        out += [(k, 0) for k in range(1, 5)]
+    if ts:
+        out += [(5, 0)]
     if lfnst:
         out += [(0, 1), (0, 2)]
     return out
 
 
 def choose_tx(resi: np.ndarray, qp: int, mode: int, bd: int = rom.BIT_DEPTH,
-              mts: bool = True, lfnst: bool = False, rdoq: bool = False):
-    """Joint MTS/LFNST RD selection for an intra luma TB.
+              mts: bool = True, lfnst: bool = False, rdoq: bool = False,
+              ts: bool = False):
+    """Joint MTS/TS/LFNST RD selection for an intra luma TB.
 
     Returns (mts_idx, lfnst_idx, levels); first-min tie-breaking in
     tx_candidates order.  LFNST candidates ride on the primary DCT-II
@@ -227,7 +247,7 @@ def choose_tx(resi: np.ndarray, qp: int, mode: int, bd: int = rom.BIT_DEPTH,
     lam = lambda_rd_int(qp)
     dct2_coef = None
     best = None
-    for mk, lk in tx_candidates(mts, lfnst):
+    for mk, lk in tx_candidates(mts, lfnst, ts):
         kh, kv = MTS_SET[mk]
         if mk == 0:
             if dct2_coef is None:
@@ -244,7 +264,7 @@ def choose_tx(resi: np.ndarray, qp: int, mode: int, bd: int = rom.BIT_DEPTH,
             dq = inv_lfnst(dq, lk, mode)
         rec = inverse_transform(dq, kh, kv, bd)
         dist = int(((resi.astype(np.int64) - rec) ** 2).sum())
-        bits = (MTS_IDX_BITS[mk] if mts else 0) \
+        bits = (MTS_IDX_BITS[mk] if (mts or ts) else 0) \
             + (LFNST_IDX_BITS[lk] if (lfnst and mk == 0) else 0)
         rate = min(level_rate_est(lev) + bits, 1 << 14)
         cost = dist + lam * rate     # bounded: fits int32 (JAX twin)
