@@ -37,7 +37,8 @@ def _enc(args) -> int:
                      ("wpp", fc.wpp), ("mts", fc.mts), ("lfnst", fc.lfnst),
                      ("cclm", fc.cclm), ("alf", fc.alf), ("mctf", fc.mctf),
                      ("lmcs", fc.lmcs), ("mip", fc.mip),
-                     ("mrl", fc.mrl), ("tskip", fc.tskip)):
+                     ("mrl", fc.mrl), ("tskip", fc.tskip),
+                     ("jccr", fc.jccr)):
             if ap_defaults.get(a) == getattr(args, a):
                 setattr(args, a, v)
         if not fc.rdoq:
@@ -56,6 +57,7 @@ def _enc(args) -> int:
                             gop=args.gop, mts=args.mts, lfnst=args.lfnst,
                             cclm=args.cclm, alf=args.alf, lmcs=args.lmcs,
                             mip=args.mip, mrl=args.mrl, tskip=args.tskip,
+                            jccr=args.jccr,
                             mctf=args.mctf, rdoq=not args.no_rdoq,
                             rc_bits_per_frame=args.rc_bpf)
     if args.trace_file:
@@ -126,7 +128,7 @@ def _dec(args) -> int:
 ap_defaults = {"qp": 32, "intra_period": 1, "gop": 1, "bit_depth": 8,
                "wpp": False, "mts": False, "lfnst": False, "cclm": False,
                "alf": False, "mctf": False, "lmcs": False, "mip": False,
-               "mrl": False, "tskip": False}
+               "mrl": False, "tskip": False, "jccr": False}
 
 
 def main(argv=None) -> int:
@@ -170,6 +172,8 @@ def main(argv=None) -> int:
                    help="multi-reference-line intra (lines 0/1/2)")
     e.add_argument("--tskip", action="store_true",
                    help="transform skip (unified tx candidate index 5)")
+    e.add_argument("--jccr", action="store_true",
+                   help="joint Cb-Cr residual coding")
     e.add_argument("--mts", action="store_true",
                    help="explicit MTS (DST7/DCT8) for intra luma")
     e.add_argument("--wpp", action="store_true",

@@ -68,6 +68,9 @@ INTER_DIR = R.add("inter_dir", 1)                  # bi-prediction flag
 MERGE_FLAG = R.add("merge_flag", 1)
 MERGE_IDX = R.add("merge_idx", 1)
 SKIP_FLAG = R.add("cu_skip_flag", 1)               # merge + zero residual
+MMVD_FLAG = R.add("mmvd_merge_flag", 1)
+MMVD_BASE = R.add("mmvd_cand_flag", 1)
+MMVD_DIST = R.add("mmvd_distance_idx", 1)
 
 # --- intra mode ----------------------------------------------------------
 INTRA_MPM_FLAG = R.add("intra_luma_mpm_flag", 1, init=(HIGH,) * 3)
@@ -92,6 +95,7 @@ TS_SIG = R.add("ts_sig_coeff_flag", 3)            # transform-skip (reserved)
 
 # --- transforms / tools --------------------------------------------------
 MTS_IDX = R.add("mts_idx", 5)   # TU cmax 5; index 5 = transform skip
+JCCR_FLAG = R.add("tu_joint_cbcr_flag", 3)
 LFNST_IDX = R.add("lfnst_idx", 3)
 
 # --- loop filters (CTU-level flags; reserved until SAO/ALF land) ---------

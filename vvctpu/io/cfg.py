@@ -27,6 +27,7 @@ class AppConfig:
     mip: bool = False             # MIP
     mrl: bool = False             # MRL
     tskip: bool = False           # TransformSkip / TSM
+    jccr: bool = False            # JointCbCr
     rdoq: bool = True             # RDOQ
     lmcs: bool = False            # LMCSEnable / LMCS
     alf: bool = False             # ALF
@@ -60,6 +61,7 @@ _KEYMAP = {
     "mrl": ("mrl", lambda v: bool(int(v))),
     "transformskip": ("tskip", lambda v: bool(int(v))),
     "tsm": ("tskip", lambda v: bool(int(v))),
+    "jointcbcr": ("jccr", lambda v: bool(int(v))),
     "rdoq": ("rdoq", lambda v: bool(int(v))),
     "lmcs": ("lmcs", lambda v: bool(int(v))),
     "lmcsenable": ("lmcs", lambda v: bool(int(v))),

@@ -84,13 +84,14 @@ def encode_sequence(frames, cfg: sseq.EncoderConfig, decisions_fn=None,
                 r1 = recon.pad_refs(dpb[ref_pocs[1]])
                 ref_kw.update(ref1_y=r1[0], ref1_cb=r1[1], ref1_cr=r1[2])
         from ..spec.transform import lambda_rd_int
-        ry, rcb, rcr, ly, lcb, lcr, mtsp, lfnstp, cmodep = recon.frame_scan(
+        (ry, rcb, rcr, ly, lcb, lcr, mtsp, lfnstp, cmodep,
+         jccrp) = recon.frame_scan(
             slots, scan_y, padded[1], padded[2], frame_w=sps.width,
             frame_h=sps.height, qp=qp, bd=cfg.bit_depth, encode=True,
             inter_enabled=not is_intra, mts=sps.mts_enabled,
             lfnst=sps.lfnst_enabled, cclm=sps.cclm_enabled, rdoq=cfg.rdoq,
             lmcs=sps.lmcs_enabled, mip=sps.mip_enabled,
-            tskip=sps.ts_enabled,
+            tskip=sps.ts_enabled, jccr=sps.jccr_enabled,
             fwd_lut=None if fwd_lut is None else jnp_asarray(fwd_lut),
             lam_rd=lambda_rd_int(qp), **ref_kw)
         levels = [np.asarray(ly), np.asarray(lcb), np.asarray(lcr)]
@@ -100,6 +101,8 @@ def encode_sequence(frames, cfg: sseq.EncoderConfig, decisions_fn=None,
             dec.lfnst8[:] = np.asarray(lfnstp).astype(np.uint8)
         if sps.cclm_enabled:
             dec.cmode8[:] = np.asarray(cmodep).astype(np.uint8)
+        if sps.jccr_enabled:
+            dec.jccr8[:] = np.asarray(jccrp).astype(np.uint8)
         sh = hls.SliceHeader(poc=poc, slice_type=stype, qp_delta=qpd,
                              ref_pocs=ref_pocs, lmcs_cw=lmcs_cw)
         rec = [np.asarray(ry), np.asarray(rcb), np.asarray(rcr)]
@@ -185,7 +188,7 @@ def decode_sequence(data: bytes, check_hash: bool = True):
                 inter_enabled=is_p, mts=sps.mts_enabled,
                 lfnst=sps.lfnst_enabled, cclm=sps.cclm_enabled,
                 lmcs=fwd_lut is not None, mip=sps.mip_enabled,
-                tskip=sps.ts_enabled,
+                tskip=sps.ts_enabled, jccr=sps.jccr_enabled,
                 fwd_lut=None if fwd_lut is None else jnp_asarray(fwd_lut),
                 **ref_kw)
             rec = [np.asarray(ry), np.asarray(rcb), np.asarray(rcr)]

@@ -341,17 +341,61 @@ class _Walker:
                               x // 8:(x + s) // 8] = mrlv
             self._code_component(0, x, y, s, C.CBF_LUMA(0),
                                  mts_ok=mode < rom.NUM_LUMA_MODE)
+            io = self.io
+            sl8 = np.s_[y // 8:(y + s) // 8, x // 8:(x + s) // 8]
             if self.sps.cclm_enabled:
-                io = self.io
-                sl8 = np.s_[y // 8:(y + s) // 8, x // 8:(x + s) // 8]
                 if io.decoding:
                     self.dec.cmode8[sl8] = \
                         1 - io.bin(C.INTRA_CHROMA_DM(0))
                 else:
                     io.bin(C.INTRA_CHROMA_DM(0),
                            int(self.dec.cmode8[y // 8, x // 8] == 0))
+            if self.sps.jccr_enabled:
+                if io.decoding:
+                    joint = io.bin(C.JCCR_FLAG(0))
+                    self.dec.jccr8[sl8] = joint
+                else:
+                    joint = int(self.dec.jccr8[y // 8, x // 8])
+                    io.bin(C.JCCR_FLAG(0), joint)
+                if joint:
+                    self._code_joint_component(cx, cy, cs)
+                    return
         self._code_component(1, cx, cy, cs, C.CBF_CB(0))
         self._code_component(2, cx, cy, cs, C.CBF_CR(0))
+
+    def _code_joint_component(self, cx, cy, cs):
+        """One joint Cb-Cr TB (JCCR): cbf (CBF_CB ctx) + residual into the
+        Cb level plane; the Cr plane stays zero (twin of spec
+        _code_joint_chroma)."""
+        from ..cabac import native as cnative
+        io = self.io
+        plane = self.levels[1]
+        if io.decoding:
+            cbf = io.bin(C.CBF_CB(0))
+            if cbf:
+                if isinstance(io.c, cnative.NativeDecoder):
+                    lev = cnative.native_parse_tb(io.c, _log2(cs),
+                                                  _log2(cs), True)
+                else:
+                    lev = code_tb(io, None, _log2(cs), _log2(cs), True)
+                plane[cy:cy + cs, cx:cx + cs] = lev
+        else:
+            lev = plane[cy:cy + cs, cx:cx + cs]
+            cbf = int(lev.any())
+            io.bin(C.CBF_CB(0), cbf)
+            if cbf:
+                if self.sink is not None:
+                    if cnative.available():
+                        self.sink._chunks.append(
+                            cnative.tb_bins_c(lev, _log2(cs), _log2(cs),
+                                              True))
+                    else:
+                        binarize.tb_bins(self.sink, lev, _log2(cs),
+                                         _log2(cs), True)
+                else:
+                    code_tb(io, lev, _log2(cs), _log2(cs), True)
+        trace.t_cbf(1, cx, cy, cs, cbf)
+        trace.t_cbf(2, cx, cy, cs, 0)
 
     def _code_qt(self, x, y, s, depth):
         io = self.io

@@ -49,14 +49,14 @@ def _make_leaf_fn(s: int, inter: bool, *, frame_w: int, frame_h: int,
                   n_ctu_x: int, qp, bd: int, encode: bool, refs,
                   mts: bool = False, lfnst: bool = False, cclm: bool = False,
                   rdoq: bool = False, lam_rd=None, mip: bool = False,
-                  tskip: bool = False):
+                  tskip: bool = False, jccr: bool = False):
     cs = s // 2
     num_reg = rom.NUM_LUMA_MODE
 
     def leaf(carry, x, y, mode, mvx, mvy, mts_in, lfnst_in, cmode_in,
-             mrl_in):
+             mrl_in, jccr_in):
         (by, bcb, bcr, ly, lcb, lcr, sy, scb, scr, mtsp, lfnstp,
-         cmodep) = carry
+         cmodep, jccrp) = carry
         if inter:
             pred_y = mc.mc_luma_block(refs[0], x, y, s, mvx, mvy, bd)
             pred_cb = mc.mc_chroma_block(refs[1], x // 2, y // 2, cs,
@@ -127,21 +127,28 @@ def _make_leaf_fn(s: int, inter: bool, *, frame_w: int, frame_h: int,
         else:
             by, ly = _component(by, ly, sy, pred_y, x, y, s, qp, bd, encode,
                                 rdoq, lam_rd)
-        if cclm and not inter:
-            # joint DM-vs-CCLM chroma decision (twin of spec _code_leaf)
-            pcb_lm = intra_pred.cclm_predict_j(
-                by, bcb, x // 2, y // 2, cs=cs, frame_w=frame_w,
-                frame_h=frame_h, n_ctu_x=n_ctu_x, bd=bd)
-            pcr_lm = intra_pred.cclm_predict_j(
-                by, bcr, x // 2, y // 2, cs=cs, frame_w=frame_w,
-                frame_h=frame_h, n_ctu_x=n_ctu_x, bd=bd)
+        if (cclm or jccr) and not inter:
+            # unified (DM vs CCLM) x (separate vs JCCR) chroma decision —
+            # twin of spec _code_leaf; candidate order and strict-less
+            # first-min match the spec loop exactly
             cx2, cy2 = x // 2, y // 2
             mx = (1 << bd) - 1
+            pred_opts = [(pred_cb, pred_cr)]
+            if cclm:
+                pred_opts.append((
+                    intra_pred.cclm_predict_j(
+                        by, bcb, cx2, cy2, cs=cs, frame_w=frame_w,
+                        frame_h=frame_h, n_ctu_x=n_ctu_x, bd=bd),
+                    intra_pred.cclm_predict_j(
+                        by, bcr, cx2, cy2, cs=cs, frame_w=frame_w,
+                        frame_h=frame_h, n_ctu_x=n_ctu_x, bd=bd)))
             if encode:
-                def ev(pred, src):
-                    blk = jax.lax.dynamic_slice(
-                        src, (cy2, cx2), (cs, cs)).astype(jnp.int32)
-                    resi = blk - pred
+                bcbk = jax.lax.dynamic_slice(scb, (cy2, cx2),
+                                             (cs, cs)).astype(jnp.int32)
+                bcrk = jax.lax.dynamic_slice(scr, (cy2, cx2),
+                                             (cs, cs)).astype(jnp.int32)
+
+                def q_rr(resi):
                     coef = transform.forward_transform(resi, cs, cs, bd=bd)
                     lev = transform.quantize(coef, cs, cs, qp, intra=True,
                                              bd=bd, rdoq=rdoq,
@@ -149,34 +156,69 @@ def _make_leaf_fn(s: int, inter: bool, *, frame_w: int, frame_h: int,
                     rr = transform.inverse_transform(
                         transform.dequantize(lev, cs, cs, qp, bd), cs, cs,
                         bd=bd)
-                    dist = ((resi - rr) ** 2).sum()
                     rate = jnp.minimum(transform.level_rate_est_j(lev),
                                        1 << 14)
-                    return lev, rr, dist + lam_rd * rate
-                ldm_cb, rdm_cb, cdm_cb = ev(pred_cb, scb)
-                ldm_cr, rdm_cr, cdm_cr = ev(pred_cr, scr)
-                llm_cb, rlm_cb, clm_cb = ev(pcb_lm, scb)
-                llm_cr, rlm_cr, clm_cr = ev(pcr_lm, scr)
-                use = (clm_cb + clm_cr) < (cdm_cb + cdm_cr)
-                lev_cb = jnp.where(use, llm_cb, ldm_cb)
-                lev_cr = jnp.where(use, llm_cr, ldm_cr)
-                rcbb = jnp.clip(jnp.where(use, pcb_lm + rlm_cb,
-                                          pred_cb + rdm_cb), 0, mx)
-                rcrb = jnp.clip(jnp.where(use, pcr_lm + rlm_cr,
-                                          pred_cr + rdm_cr), 0, mx)
+                    return lev, rr, rate
+
+                zero = jnp.zeros((cs, cs), jnp.int32)
+                best = None
+                for ci, (pcb, pcr) in enumerate(pred_opts):
+                    rcbr = bcbk - pcb
+                    rcrr = bcrk - pcr
+                    for j in ((0, 1) if jccr else (0,)):
+                        if j == 0:
+                            lvb, rrb, rb = q_rr(rcbr)
+                            lvr, rrr, rr2 = q_rr(rcrr)
+                            cost = (((rcbr - rrb) ** 2).sum()
+                                    + ((rcrr - rrr) ** 2).sum()
+                                    + lam_rd * rb + lam_rd * rr2)
+                            cand = (cost, lvb, lvr,
+                                    jnp.clip(pcb + rrb, 0, mx),
+                                    jnp.clip(pcr + rrr, 0, mx),
+                                    jnp.int32(ci), jnp.int32(0))
+                        else:
+                            rj = (rcbr - rcrr) >> 1
+                            lvj, rrj, rj_rate = q_rr(rj)
+                            cost = (((rcbr - rrj) ** 2).sum()
+                                    + ((rcrr + rrj) ** 2).sum()
+                                    + lam_rd * rj_rate)
+                            cand = (cost, lvj, zero,
+                                    jnp.clip(pcb + rrj, 0, mx),
+                                    jnp.clip(pcr - rrj, 0, mx),
+                                    jnp.int32(ci), jnp.int32(1))
+                        if best is None:
+                            best = cand
+                        else:
+                            better = cand[0] < best[0]
+                            best = tuple(jnp.where(better, c, b)
+                                         for c, b in zip(cand, best))
+                (_, lev_cb, lev_cr, rcbb, rcrb, use_c, use_j) = best
                 lcb = jax.lax.dynamic_update_slice(lcb, lev_cb, (cy2, cx2))
                 lcr = jax.lax.dynamic_update_slice(lcr, lev_cr, (cy2, cx2))
                 cmodep = jax.lax.dynamic_update_slice(
-                    cmodep, use.astype(jnp.int32).reshape(1, 1),
-                    (y // 8, x // 8))
+                    cmodep, use_c.reshape(1, 1), (y // 8, x // 8))
+                jccrp = jax.lax.dynamic_update_slice(
+                    jccrp, use_j.reshape(1, 1), (y // 8, x // 8))
             else:
-                use = cmode_in > 0
-                pcb = jnp.where(use, pcb_lm, pred_cb)
-                pcr = jnp.where(use, pcr_lm, pred_cr)
+                if cclm:
+                    use = cmode_in > 0
+                    pcb = jnp.where(use, pred_opts[1][0], pred_opts[0][0])
+                    pcr = jnp.where(use, pred_opts[1][1], pred_opts[0][1])
+                else:
+                    pcb, pcr = pred_opts[0]
                 lev_cb = jax.lax.dynamic_slice(scb, (cy2, cx2), (cs, cs))
                 lev_cr = jax.lax.dynamic_slice(scr, (cy2, cx2), (cs, cs))
-                rcbb = transform.reconstruct(pcb, lev_cb, cs, cs, qp, bd=bd)
-                rcrb = transform.reconstruct(pcr, lev_cr, cs, cs, qp, bd=bd)
+                rrj = transform.inverse_transform(
+                    transform.dequantize(lev_cb, cs, cs, qp, bd), cs, cs,
+                    bd=bd)
+                rcbb = jnp.clip(pcb + rrj, 0, mx)
+                rcr_sep = transform.reconstruct(pcr, lev_cr, cs, cs, qp,
+                                                bd=bd)
+                if jccr:
+                    rcrb = jnp.where(jccr_in > 0,
+                                     jnp.clip(pcr - rrj, 0, mx), rcr_sep)
+                else:
+                    rcrb = rcr_sep
             bcb = jax.lax.dynamic_update_slice(bcb, rcbb,
                                                (cy2 + 1, cx2 + 1))
             bcr = jax.lax.dynamic_update_slice(bcr, rcrb,
@@ -187,7 +229,7 @@ def _make_leaf_fn(s: int, inter: bool, *, frame_w: int, frame_h: int,
             bcr, lcr = _component(bcr, lcr, scr, pred_cr, x // 2, y // 2,
                                   cs, qp, bd, encode, rdoq, lam_rd)
         return (by, bcb, bcr, ly, lcb, lcr, sy, scb, scr, mtsp, lfnstp,
-                cmodep)
+                cmodep, jccrp)
 
     return leaf
 
@@ -202,7 +244,7 @@ def _inter_batch_pass(carry, ib_slots, refs, s: int, qp, bd: int,
     indices are dropped).  refs: (l0_y, l0_cb, l0_cr, l1_y, l1_cb, l1_cr).
     """
     (by, bcb, bcr, ly, lcb, lcr, sy, scb, scr, mtsp, lfnstp,
-     cmodep) = carry
+     cmodep, jccrp) = carry
     cs = s // 2
     mx = (1 << bd) - 1
 
@@ -258,14 +300,15 @@ def _inter_batch_pass(carry, ib_slots, refs, s: int, qp, bd: int,
         ly = scatter(ly, lvy, xs, ys, s, 0)
         lcb = scatter(lcb, lvcb, xs // 2, ys // 2, cs, 0)
         lcr = scatter(lcr, lvcr, xs // 2, ys // 2, cs, 0)
-    return (by, bcb, bcr, ly, lcb, lcr, sy, scb, scr, mtsp, lfnstp, cmodep)
+    return (by, bcb, bcr, ly, lcb, lcr, sy, scb, scr, mtsp, lfnstp, cmodep,
+            jccrp)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("frame_w", "frame_h", "bd", "encode",
                                     "inter_enabled", "mts", "lfnst",
                                     "cclm", "rdoq", "lmcs", "mip",
-                                    "tskip"))
+                                    "tskip", "jccr"))
 def frame_scan(slots, planes_y, planes_cb, planes_cr, *, frame_w: int,
                frame_h: int, qp, bd: int, encode: bool,
                inter_enabled: bool = False, ref_y=None, ref_cb=None,
@@ -273,7 +316,8 @@ def frame_scan(slots, planes_y, planes_cb, planes_cr, *, frame_w: int,
                inter8=None, inter16=None, inter32=None,
                mts: bool = False, lfnst: bool = False, cclm: bool = False,
                rdoq: bool = False, lmcs: bool = False, lam_rd=0,
-               fwd_lut=None, mip: bool = False, tskip: bool = False):
+               fwd_lut=None, mip: bool = False, tskip: bool = False,
+               jccr: bool = False):
     """Run the full-frame reconstruction scan.
 
     slots: (N, 6) int32 [op, x, y, mode, mvx, mvy] in coding order; op 0 =
@@ -296,6 +340,7 @@ def frame_scan(slots, planes_y, planes_cb, planes_cr, *, frame_w: int,
              planes_cr.astype(jnp.int32),
              jnp.zeros((frame_h // 8, frame_w // 8), jnp.int32),
              jnp.zeros((frame_h // 8, frame_w // 8), jnp.int32),
+             jnp.zeros((frame_h // 8, frame_w // 8), jnp.int32),
              jnp.zeros((frame_h // 8, frame_w // 8), jnp.int32))
 
     if ref1_y is None:
@@ -313,8 +358,8 @@ def frame_scan(slots, planes_y, planes_cb, planes_cr, *, frame_w: int,
     kw = dict(frame_w=frame_w, frame_h=frame_h, n_ctu_x=n_ctu_x, qp=qp,
               bd=bd, encode=encode, refs=refs, mts=mts, lfnst=lfnst,
               cclm=cclm, rdoq=rdoq, lam_rd=jnp.asarray(lam_rd, jnp.int32),
-              mip=mip, tskip=tskip)
-    branches = [lambda c, x, y, m, vx, vy, mt, lf, cm, mr: c,
+              mip=mip, tskip=tskip, jccr=jccr)
+    branches = [lambda c, x, y, m, vx, vy, mt, lf, cm, mr, jc: c,
                 _make_leaf_fn(8, False, **kw), _make_leaf_fn(16, False, **kw),
                 _make_leaf_fn(32, False, **kw)]
 
@@ -323,19 +368,20 @@ def frame_scan(slots, planes_y, planes_cb, planes_cr, *, frame_w: int,
         lf = slot[7] if slot.shape[0] > 7 else jnp.int32(0)
         cm = slot[8] if slot.shape[0] > 8 else jnp.int32(0)
         mr = slot[9] if slot.shape[0] > 9 else jnp.int32(0)
+        jc = slot[10] if slot.shape[0] > 10 else jnp.int32(0)
         return jax.lax.switch(
             jnp.minimum(slot[0], 3), branches, carry,
             slot[1], slot[2], slot[3], slot[4], slot[5], mt, lf, cm,
-            mr), None
+            mr, jc), None
 
-    while slots.shape[1] < 10:
+    while slots.shape[1] < 11:
         slots = jnp.concatenate(
             [slots, jnp.zeros((slots.shape[0], 1), jnp.int32)], axis=1)
     carry, _ = jax.lax.scan(step, carry, slots)
     by, bcb, bcr, ly, lcb, lcr = carry[:6]
     return (by[1:frame_h + 1, 1:frame_w + 1],
             bcb[1:h2 + 1, 1:w2 + 1], bcr[1:h2 + 1, 1:w2 + 1],
-            ly, lcb, lcr, carry[9], carry[10], carry[11])
+            ly, lcb, lcr, carry[9], carry[10], carry[11], carry[12])
 
 
 def make_slots(dec: FrameDecisions, frame_h: int, frame_w: int) -> np.ndarray:
@@ -349,8 +395,10 @@ def make_slots(dec: FrameDecisions, frame_h: int, frame_w: int) -> np.ndarray:
         if dec.cmode8 is not None else np.zeros_like(op)
     mr = dec.mrl8[ys // 8, xs // 8].astype(np.int32) \
         if dec.mrl8 is not None else np.zeros_like(op)
+    jc = dec.jccr8[ys // 8, xs // 8].astype(np.int32) \
+        if dec.jccr8 is not None else np.zeros_like(op)
     return np.stack([op, xs, ys, modes, mv0[:, 0], mv0[:, 1], mts, lf, cm,
-                     mr], axis=1).astype(np.int32)
+                     mr, jc], axis=1).astype(np.int32)
 
 
 def make_slots_split(dec: FrameDecisions, frame_h: int, frame_w: int):
@@ -368,8 +416,10 @@ def make_slots_split(dec: FrameDecisions, frame_h: int, frame_w: int):
         if dec.cmode8 is not None else np.zeros_like(op)
     mr = dec.mrl8[ys // 8, xs // 8].astype(np.int32) \
         if dec.mrl8 is not None else np.zeros_like(op)
+    jc = dec.jccr8[ys // 8, xs // 8].astype(np.int32) \
+        if dec.jccr8 is not None else np.zeros_like(op)
     slots = np.stack([op, xs, ys, modes, mv0[:, 0], mv0[:, 1], mts, lf, cm,
-                      mr], axis=1).astype(np.int32)
+                      mr, jc], axis=1).astype(np.int32)
     inter = {}
     for i, s in enumerate((8, 16, 32)):
         opv = i + 4

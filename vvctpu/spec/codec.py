@@ -45,6 +45,7 @@ class FrameDecisions:
     lfnst8: np.ndarray = None   # (H//8, W//8) uint8: LFNST index (intra luma)
     cmode8: np.ndarray = None   # (H//8, W//8) uint8: 0 = DM, 1 = CCLM
     mrl8: np.ndarray = None     # (H//8, W//8) uint8: MRL reference line 0..2
+    jccr8: np.ndarray = None    # (H//8, W//8) uint8: joint Cb-Cr residual
 
     @classmethod
     def empty(cls, h: int, w: int) -> "FrameDecisions":
@@ -54,6 +55,7 @@ class FrameDecisions:
                    np.zeros((h // 8, w // 8), np.uint8),
                    np.zeros((h // 8, w // 8, 2), np.int32),
                    np.zeros((h // 8, w // 8, 2), np.int32),
+                   np.zeros((h // 8, w // 8), np.uint8),
                    np.zeros((h // 8, w // 8), np.uint8),
                    np.zeros((h // 8, w // 8), np.uint8),
                    np.zeros((h // 8, w // 8), np.uint8),
@@ -71,7 +73,8 @@ class FrameDecisions:
                 and np.array_equal(self.mts8, other.mts8)
                 and np.array_equal(self.lfnst8, other.lfnst8)
                 and np.array_equal(self.cmode8, other.cmode8)
-                and np.array_equal(self.mrl8, other.mrl8))
+                and np.array_equal(self.mrl8, other.mrl8)
+                and np.array_equal(self.jccr8, other.jccr8))
 
 
 @dataclass
@@ -583,7 +586,7 @@ def _code_leaf(io, st: _FrameState, x: int, y: int, s: int) -> None:
     # chroma (4:2:0): derived DM mode (planar for MIP), or CCLM
     dm = mode if mode < rom.NUM_LUMA_MODE else rom.PLANAR_IDX
     cs, cx, cy = s // 2, x // 2, y // 2
-    if not st.sps.cclm_enabled:
+    if not (st.sps.cclm_enabled or st.sps.jccr_enabled):
         _code_component(io, st, 1, cx, cy, cs, dm, C.CBF_CB(0))
         _code_component(io, st, 2, cx, cy, cs, dm, C.CBF_CR(0))
         return
@@ -599,39 +602,112 @@ def _code_leaf(io, st: _FrameState, x: int, y: int, s: int) -> None:
         return intra.predict(top, left, dm, cs, cs, True, bd)
 
     if io.decoding:
-        use_cclm = 1 - io.bin(C.INTRA_CHROMA_DM(0))
-        st.dec.cmode8[sl8] = use_cclm
+        use_cclm = 0
+        if st.sps.cclm_enabled:
+            use_cclm = 1 - io.bin(C.INTRA_CHROMA_DM(0))
+            st.dec.cmode8[sl8] = use_cclm
+        joint = 0
+        if st.sps.jccr_enabled:
+            joint = io.bin(C.JCCR_FLAG(0))
+            st.dec.jccr8[sl8] = joint
+        if joint:
+            _code_joint_chroma(io, st, cx, cy, cs,
+                               (chroma_pred(1, use_cclm),
+                                chroma_pred(2, use_cclm)))
+            return
         _code_component(io, st, 1, cx, cy, cs, dm, C.CBF_CB(0),
                         pred=chroma_pred(1, use_cclm))
         _code_component(io, st, 2, cx, cy, cs, dm, C.CBF_CR(0),
                         pred=chroma_pred(2, use_cclm))
         return
-    # encoder: joint DM-vs-CCLM integer RD over both chroma components
+    # encoder: joint (DM vs CCLM) x (separate vs JCCR) integer RD
     lam = transform.lambda_rd_int(st.qp)
+    cclm_opts = (0, 1) if st.sps.cclm_enabled else (0,)
+    joint_opts = (0, 1) if st.sps.jccr_enabled else (0,)
     cands = []
-    for use_cclm in (0, 1):
-        preds, levs, cost = [], [], 0
-        for comp in (1, 2):
-            p = chroma_pred(comp, use_cclm)
-            resi = (st.src[comp][cy:cy + cs, cx:cx + cs].astype(np.int32)
-                    - p)
-            coef = transform.forward_transform(resi, bit_depth=bd)
-            lev = transform.quantize(coef, st.qp, intra=True, bit_depth=bd,
-                                     rdoq=st.rdoq, lam_rd=lam)
-            rec = transform.inverse_transform(
-                transform.dequantize(lev, st.qp, bd), bit_depth=bd)
-            dist = int(((resi.astype(np.int64) - rec) ** 2).sum())
-            cost += dist + lam * min(transform.level_rate_est(lev), 1 << 14)
-            preds.append(p)
-            levs.append(lev)
-        cands.append((cost, use_cclm, preds, levs))
-    _, use_cclm, preds, levs = min(cands, key=lambda t: t[0])
+    for use_cclm in cclm_opts:
+        preds = [chroma_pred(1, use_cclm), chroma_pred(2, use_cclm)]
+        resis = [(st.src[c][cy:cy + cs, cx:cx + cs].astype(np.int32)
+                  - preds[c - 1]) for c in (1, 2)]
+        for joint in joint_opts:
+            if joint:
+                # JCCR (mode-2 analog, CSign = -1): code one TB C with
+                # resCb = C, resCr = -C (VTM:CommonLib/TrQuant.cpp
+                # xGetJointResidual); C derived as (resCb - resCr) >> 1
+                rj = (resis[0] - resis[1]) >> 1
+                coef = transform.forward_transform(rj, bit_depth=bd)
+                lev = transform.quantize(coef, st.qp, intra=True,
+                                         bit_depth=bd, rdoq=st.rdoq,
+                                         lam_rd=lam)
+                rec = transform.inverse_transform(
+                    transform.dequantize(lev, st.qp, bd), bit_depth=bd)
+                dist = int(((resis[0].astype(np.int64) - rec) ** 2).sum()
+                           + ((resis[1].astype(np.int64) + rec) ** 2).sum())
+                cost = dist + lam * min(transform.level_rate_est(lev),
+                                        1 << 14)
+                cands.append((cost, use_cclm, 1, preds, [lev]))
+            else:
+                levs, cost = [], 0
+                for c in (1, 2):
+                    coef = transform.forward_transform(resis[c - 1],
+                                                       bit_depth=bd)
+                    lev = transform.quantize(coef, st.qp, intra=True,
+                                             bit_depth=bd, rdoq=st.rdoq,
+                                             lam_rd=lam)
+                    rec = transform.inverse_transform(
+                        transform.dequantize(lev, st.qp, bd), bit_depth=bd)
+                    dist = int(((resis[c - 1].astype(np.int64) - rec) ** 2
+                                ).sum())
+                    cost += dist + lam * min(transform.level_rate_est(lev),
+                                             1 << 14)
+                    levs.append(lev)
+                cands.append((cost, use_cclm, 0, preds, levs))
+    best = cands[0]
+    for cnd in cands[1:]:
+        if cnd[0] < best[0]:
+            best = cnd
+    _, use_cclm, joint, preds, levs = best
     st.dec.cmode8[sl8] = use_cclm
-    io.bin(C.INTRA_CHROMA_DM(0), int(use_cclm == 0))
+    st.dec.jccr8[sl8] = joint
+    if st.sps.cclm_enabled:
+        io.bin(C.INTRA_CHROMA_DM(0), int(use_cclm == 0))
+    if st.sps.jccr_enabled:
+        io.bin(C.JCCR_FLAG(0), joint)
+    if joint:
+        _code_joint_chroma(io, st, cx, cy, cs, preds, lev=levs[0])
+        return
     _code_component(io, st, 1, cx, cy, cs, dm, C.CBF_CB(0),
                     pred=preds[0], lev_pre=levs[0])
     _code_component(io, st, 2, cx, cy, cs, dm, C.CBF_CR(0),
                     pred=preds[1], lev_pre=levs[1])
+
+
+def _code_joint_chroma(io, st: _FrameState, cx: int, cy: int, cs: int,
+                       preds, lev=None) -> None:
+    """One joint Cb-Cr TB: cbf (CBF_CB ctx) + residual; recon
+    Cb = pred + r, Cr = pred - r (CSign = -1)."""
+    bd = st.sps.bit_depth
+    mx = (1 << bd) - 1
+    if io.decoding:
+        cbf = io.bin(C.CBF_CB(0))
+        lev = code_tb(io, None, _log2(cs), _log2(cs), True) if cbf \
+            else np.zeros((cs, cs), np.int32)
+    else:
+        cbf = int(lev.any())
+        io.bin(C.CBF_CB(0), cbf)
+        if cbf:
+            code_tb(io, lev, _log2(cs), _log2(cs), True)
+    trace.t_cbf(1, cx, cy, cs, cbf)
+    trace.t_cbf(2, cx, cy, cs, 0)
+    if cbf:
+        resi = transform.inverse_transform(
+            transform.dequantize(lev, st.qp, bd), bit_depth=bd)
+    else:
+        resi = 0
+    st.recon[1][cy:cy + cs, cx:cx + cs] = np.clip(preds[0] + resi, 0, mx)
+    st.recon[2][cy:cy + cs, cx:cx + cs] = np.clip(preds[1] - resi, 0, mx)
+    st.valid[1][cy:cy + cs, cx:cx + cs] = True
+    st.valid[2][cy:cy + cs, cx:cx + cs] = True
 
 
 def _code_qt(io, st: _FrameState, x: int, y: int, s: int, depth: int) -> None:

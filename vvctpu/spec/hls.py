@@ -34,6 +34,8 @@ class SPS:
     mip_enabled: bool = False
     mrl_enabled: bool = False
     ts_enabled: bool = False    # transform skip (unified tx index 5)
+    jccr_enabled: bool = False  # joint Cb-Cr residual (CSign = -1)
+    mmvd_enabled: bool = False  # merge with MVD
     cclm_enabled: bool = False
     lmcs_enabled: bool = False
     sao_enabled: bool = False
@@ -64,7 +66,8 @@ class SPS:
         for f in (self.mts_enabled, self.lfnst_enabled, self.cclm_enabled,
                   self.lmcs_enabled, self.sao_enabled, self.alf_enabled,
                   self.deblock_enabled, self.mip_enabled,
-                  self.mrl_enabled, self.ts_enabled):
+                  self.mrl_enabled, self.ts_enabled, self.jccr_enabled,
+                  self.mmvd_enabled):
             w.u(int(f), 1)
         w.byte_align()
         return w.getvalue()
@@ -83,7 +86,8 @@ class SPS:
         s.chroma_format = r.ue()
         (s.mts_enabled, s.lfnst_enabled, s.cclm_enabled, s.lmcs_enabled,
          s.sao_enabled, s.alf_enabled, s.deblock_enabled, s.mip_enabled,
-         s.mrl_enabled, s.ts_enabled) = (bool(r.u(1)) for _ in range(10))
+         s.mrl_enabled, s.ts_enabled, s.jccr_enabled,
+         s.mmvd_enabled) = (bool(r.u(1)) for _ in range(12))
         return s
 
 

@@ -265,6 +265,41 @@ def merge_candidates(inter_map, mv_map, x: int, y: int, s: int, is_b: bool,
     return cands
 
 
+# ---------------------------------------------------------------------------
+# MMVD: merge with MVD (role of VTM:CommonLib/UnitTools.cpp
+# PU::getInterMMVDMergeCandidates + InterPrediction MMVD expansion):
+# base = one of the first 2 merge candidates, plus a signalled offset of
+# 8 distances x 4 directions; for BI the L1 offset is mirrored.
+# ---------------------------------------------------------------------------
+MMVD_STEPS = (1, 2, 4, 8, 16, 32, 64, 128)   # quarter-pel distances
+MMVD_DIRS = ((1, 0), (-1, 0), (0, 1), (0, -1))
+MMVD_BASES = 2
+
+
+def mmvd_derive(cand: tuple, dist_idx: int, dir_idx: int) -> tuple:
+    """Expand a merge candidate by the MMVD offset (normalized tuple)."""
+    d, mv0, mv1 = cand
+    off = MMVD_STEPS[dist_idx] << 2              # quarter -> 1/16 pel
+    dx, dy = MMVD_DIRS[dir_idx]
+    ox, oy = dx * off, dy * off
+    if d == 0:
+        return (0, (mv0[0] + ox, mv0[1] + oy), (0, 0))
+    if d == 1:
+        return (1, (0, 0), (mv1[0] + ox, mv1[1] + oy))
+    return (2, (mv0[0] + ox, mv0[1] + oy), (mv1[0] - ox, mv1[1] - oy))
+
+
+def mmvd_match(cands: list, me: tuple):
+    """Encoder-side exact match of the ME result against the MMVD pattern
+    set; returns (base, dist_idx, dir_idx) or None (first match wins)."""
+    for b in range(min(MMVD_BASES, len(cands))):
+        for di in range(len(MMVD_STEPS)):
+            for dd in range(len(MMVD_DIRS)):
+                if mmvd_derive(cands[b], di, dd) == me:
+                    return (b, di, dd)
+    return None
+
+
 def hmvp_push(hmvp: list, cand: tuple) -> None:
     """FIFO update after each inter leaf (VTM: updateMotionCandList)."""
     if cand in hmvp:

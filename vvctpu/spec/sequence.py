@@ -30,6 +30,8 @@ class EncoderConfig:
     mip: bool = False       # matrix intra prediction (generated weights)
     mrl: bool = False       # multi-reference-line intra (lines 0/1/2)
     tskip: bool = False     # transform skip (unified tx index 5)
+    jccr: bool = False      # joint Cb-Cr residual coding
+    mmvd: bool = False      # merge with MVD
     lfnst: bool = False     # low-frequency non-separable secondary transform
     cclm: bool = False      # cross-component linear-model chroma prediction
     rdoq: bool = True       # encoder RDOQ quantizer (decoder-transparent)
@@ -51,7 +53,8 @@ class EncoderConfig:
                        lfnst_enabled=self.lfnst, cclm_enabled=self.cclm,
                        lmcs_enabled=self.lmcs, alf_enabled=self.alf,
                        mip_enabled=self.mip, mrl_enabled=self.mrl,
-                       ts_enabled=self.tskip)
+                       ts_enabled=self.tskip, jccr_enabled=self.jccr,
+                       mmvd_enabled=self.mmvd)
 
 
 def gop_plan(n_frames: int, intra_period: int, gop: int):
