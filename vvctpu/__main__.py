@@ -38,7 +38,7 @@ def _enc(args) -> int:
                      ("cclm", fc.cclm), ("alf", fc.alf), ("mctf", fc.mctf),
                      ("lmcs", fc.lmcs), ("mip", fc.mip),
                      ("mrl", fc.mrl), ("tskip", fc.tskip),
-                     ("jccr", fc.jccr)):
+                     ("jccr", fc.jccr), ("mmvd", fc.mmvd)):
             if ap_defaults.get(a) == getattr(args, a):
                 setattr(args, a, v)
         if not fc.rdoq:
@@ -57,7 +57,7 @@ def _enc(args) -> int:
                             gop=args.gop, mts=args.mts, lfnst=args.lfnst,
                             cclm=args.cclm, alf=args.alf, lmcs=args.lmcs,
                             mip=args.mip, mrl=args.mrl, tskip=args.tskip,
-                            jccr=args.jccr,
+                            jccr=args.jccr, mmvd=args.mmvd,
                             mctf=args.mctf, rdoq=not args.no_rdoq,
                             rc_bits_per_frame=args.rc_bpf)
     if args.trace_file:
@@ -128,7 +128,7 @@ def _dec(args) -> int:
 ap_defaults = {"qp": 32, "intra_period": 1, "gop": 1, "bit_depth": 8,
                "wpp": False, "mts": False, "lfnst": False, "cclm": False,
                "alf": False, "mctf": False, "lmcs": False, "mip": False,
-               "mrl": False, "tskip": False, "jccr": False}
+               "mrl": False, "tskip": False, "jccr": False, "mmvd": False}
 
 
 def main(argv=None) -> int:
@@ -174,6 +174,8 @@ def main(argv=None) -> int:
                    help="transform skip (unified tx candidate index 5)")
     e.add_argument("--jccr", action="store_true",
                    help="joint Cb-Cr residual coding")
+    e.add_argument("--mmvd", action="store_true",
+                   help="merge with MVD (8 distances x 4 directions)")
     e.add_argument("--mts", action="store_true",
                    help="explicit MTS (DST7/DCT8) for intra luma")
     e.add_argument("--wpp", action="store_true",

@@ -28,6 +28,7 @@ class AppConfig:
     mrl: bool = False             # MRL
     tskip: bool = False           # TransformSkip / TSM
     jccr: bool = False            # JointCbCr
+    mmvd: bool = False            # MMVD
     rdoq: bool = True             # RDOQ
     lmcs: bool = False            # LMCSEnable / LMCS
     alf: bool = False             # ALF
@@ -62,6 +63,7 @@ _KEYMAP = {
     "transformskip": ("tskip", lambda v: bool(int(v))),
     "tsm": ("tskip", lambda v: bool(int(v))),
     "jointcbcr": ("jccr", lambda v: bool(int(v))),
+    "mmvd": ("mmvd", lambda v: bool(int(v))),
     "rdoq": ("rdoq", lambda v: bool(int(v))),
     "lmcs": ("lmcs", lambda v: bool(int(v))),
     "lmcsenable": ("lmcs", lambda v: bool(int(v))),

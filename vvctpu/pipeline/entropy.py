@@ -226,7 +226,9 @@ class _Walker:
                                       self.is_b, self.col, self.hmvp)
         me = (d, mv0, mv1)
         midx = cands.index(me) if me in cands else None
-        return d, mv0, mv1, midx
+        mmvd = (imod.mmvd_match(cands, me)
+                if midx is None and self.sps.mmvd_enabled else None)
+        return d, mv0, mv1, midx, mmvd
 
     def _leaf_levels_zero(self, x, y, s):
         cs, cx, cy = s // 2, x // 2, y // 2
@@ -236,17 +238,22 @@ class _Walker:
 
     def _code_inter(self, x, y, s, skip, enc_mot=None):
         from ..spec import inter as imod
-        from ..spec.codec import _code_merge_idx
+        from ..spec.codec import _code_merge_idx, _code_mmvd
         io = self.io
         gy, gx = y // 8, x // 8
         if io.decoding:
             merge = True if skip else bool(io.bin(C.MERGE_FLAG(0)))
             if merge:
-                midx = _code_merge_idx(io)
+                mmvd = _code_mmvd(io) if self.sps.mmvd_enabled else None
                 cands = imod.merge_candidates(self.inter_map, self.mv_map,
                                               x, y, s, self.is_b, self.col,
                                               self.hmvp)
-                d, mv0, mv1 = cands[midx]
+                if mmvd is not None:
+                    d, mv0, mv1 = imod.mmvd_derive(cands[mmvd[0]], mmvd[1],
+                                                   mmvd[2])
+                else:
+                    midx = _code_merge_idx(io)
+                    d, mv0, mv1 = cands[midx]
             else:
                 if self.is_b:
                     bi = io.bin(C.INTER_DIR(0))
@@ -266,13 +273,21 @@ class _Walker:
             self.dec.mv8[sl] = mv0
             self.dec.mv8_l1[sl] = mv1
         else:
-            d, mv0, mv1, midx = enc_mot
-            if skip:
-                _code_merge_idx(io, midx)
-            else:
-                io.bin(C.MERGE_FLAG(0), int(midx is not None))
+            d, mv0, mv1, midx, mmvd = enc_mot
+            merged = midx is not None or mmvd is not None
+
+            def code_merge_data():
+                if self.sps.mmvd_enabled:
+                    _code_mmvd(io, None if midx is not None else mmvd)
                 if midx is not None:
                     _code_merge_idx(io, midx)
+
+            if skip:
+                code_merge_data()
+            else:
+                io.bin(C.MERGE_FLAG(0), int(merged))
+                if merged:
+                    code_merge_data()
                 else:
                     if self.is_b:
                         io.bin(C.INTER_DIR(0), int(d == 2))
@@ -308,7 +323,8 @@ class _Walker:
                 is_inter = int(self.dec.inter8[y // 8, x // 8])
                 if is_inter:
                     enc_mot = self._enc_motion(x, y, s)
-                    skip = (enc_mot[3] is not None
+                    skip = ((enc_mot[3] is not None
+                             or enc_mot[4] is not None)
                             and self._leaf_levels_zero(x, y, s))
                     io.bin(C.SKIP_FLAG(0), int(skip))
                     if skip:

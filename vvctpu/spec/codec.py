@@ -410,6 +410,35 @@ def _code_merge_idx(io, idx=None) -> int:
     return idx
 
 
+def _code_mmvd(io, mmvd=None):
+    """mmvd_merge_flag + (base, distance TU cmax 7, direction 2 bins).
+
+    Returns the (base, dist_idx, dir_idx) triple or None (regular merge)."""
+    if io.decoding:
+        if not io.bin(C.MMVD_FLAG(0)):
+            return None
+        b = io.bin(C.MMVD_BASE(0))
+        di = 0
+        if io.bin(C.MMVD_DIST(0)):
+            di = 1
+            while di < 7 and io.byp():
+                di += 1
+        dd = io.byp_n(n=2)
+        return (b, di, dd)
+    io.bin(C.MMVD_FLAG(0), int(mmvd is not None))
+    if mmvd is None:
+        return None
+    b, di, dd = mmvd
+    io.bin(C.MMVD_BASE(0), b)
+    io.bin(C.MMVD_DIST(0), int(di > 0))
+    for _ in range(1, di):
+        io.byp(1)
+    if 0 < di < 7:
+        io.byp(0)
+    io.byp_n(dd, 2)
+    return mmvd
+
+
 def _inter_pred(st: _FrameState, x: int, y: int, s: int, d: int, mv0, mv1):
     """[Y, Cb, Cr] motion-compensated predictions for the leaf."""
     from . import inter as imod
@@ -455,6 +484,8 @@ def _prep_inter_enc(st: _FrameState, x: int, y: int, s: int) -> dict:
                                   st.col, st.hmvp)
     me = (d, mv0, mv1)
     midx = cands.index(me) if me in cands else None
+    mmvd = (imod.mmvd_match(cands, me)
+            if midx is None and st.sps.mmvd_enabled else None)
     preds = _inter_pred(st, x, y, s, d, mv0, mv1)
     bd = st.sps.bit_depth
     levs = []
@@ -468,8 +499,8 @@ def _prep_inter_enc(st: _FrameState, x: int, y: int, s: int) -> dict:
             coef, st.qp, intra=True, bit_depth=bd, rdoq=st.rdoq,
             lam_rd=transform.lambda_rd_int(st.qp)))
     all_zero = not any(lv.any() for lv in levs)
-    return dict(d=d, mv0=mv0, mv1=mv1, midx=midx, preds=preds, levs=levs,
-                all_zero=all_zero)
+    return dict(d=d, mv0=mv0, mv1=mv1, midx=midx, mmvd=mmvd, preds=preds,
+                levs=levs, all_zero=all_zero)
 
 
 def _code_inter_leaf(io, st: _FrameState, x: int, y: int, s: int,
@@ -481,10 +512,15 @@ def _code_inter_leaf(io, st: _FrameState, x: int, y: int, s: int,
     if io.decoding:
         merge = True if skip else bool(io.bin(C.MERGE_FLAG(0)))
         if merge:
-            midx = _code_merge_idx(io)
+            mmvd = _code_mmvd(io) if st.sps.mmvd_enabled else None
             cands = imod.merge_candidates(st.inter_map, st.mv_map, x, y, s,
                                           is_b, st.col, st.hmvp)
-            d, mv0, mv1 = cands[midx]
+            if mmvd is not None:
+                d, mv0, mv1 = imod.mmvd_derive(cands[mmvd[0]], mmvd[1],
+                                               mmvd[2])
+            else:
+                midx = _code_merge_idx(io)
+                d, mv0, mv1 = cands[midx]
         else:
             if is_b:
                 bi = io.bin(C.INTER_DIR(0))
@@ -507,12 +543,21 @@ def _code_inter_leaf(io, st: _FrameState, x: int, y: int, s: int,
     else:
         d, mv0, mv1 = pre["d"], pre["mv0"], pre["mv1"]
         midx, preds = pre["midx"], pre["preds"]
-        if skip:
-            _code_merge_idx(io, midx)
-        else:
-            io.bin(C.MERGE_FLAG(0), int(midx is not None))
+        mmvd = pre["mmvd"]
+        merged = midx is not None or mmvd is not None
+
+        def code_merge_data():
+            if st.sps.mmvd_enabled:
+                _code_mmvd(io, None if midx is not None else mmvd)
             if midx is not None:
                 _code_merge_idx(io, midx)
+
+        if skip:
+            code_merge_data()
+        else:
+            io.bin(C.MERGE_FLAG(0), int(merged))
+            if merged:
+                code_merge_data()
             else:
                 if is_b:
                     io.bin(C.INTER_DIR(0), int(d == 2))
@@ -564,7 +609,8 @@ def _code_leaf(io, st: _FrameState, x: int, y: int, s: int) -> None:
         else:
             if st.dec.inter8[y // 8, x // 8]:
                 pre = _prep_inter_enc(st, x, y, s)
-                skip = pre["midx"] is not None and pre["all_zero"]
+                skip = ((pre["midx"] is not None
+                         or pre["mmvd"] is not None) and pre["all_zero"])
                 io.bin(C.SKIP_FLAG(0), int(skip))
                 if not skip:
                     io.bin(C.PRED_MODE(0), 1)
