@@ -38,7 +38,8 @@ def _enc(args) -> int:
                      ("cclm", fc.cclm), ("alf", fc.alf), ("mctf", fc.mctf),
                      ("lmcs", fc.lmcs), ("mip", fc.mip),
                      ("mrl", fc.mrl), ("tskip", fc.tskip),
-                     ("jccr", fc.jccr), ("mmvd", fc.mmvd)):
+                     ("jccr", fc.jccr), ("mmvd", fc.mmvd),
+                     ("dmvr", fc.dmvr), ("bdof", fc.bdof)):
             if ap_defaults.get(a) == getattr(args, a):
                 setattr(args, a, v)
         if not fc.rdoq:
@@ -58,6 +59,7 @@ def _enc(args) -> int:
                             cclm=args.cclm, alf=args.alf, lmcs=args.lmcs,
                             mip=args.mip, mrl=args.mrl, tskip=args.tskip,
                             jccr=args.jccr, mmvd=args.mmvd,
+                            dmvr=args.dmvr, bdof=args.bdof,
                             mctf=args.mctf, rdoq=not args.no_rdoq,
                             rc_bits_per_frame=args.rc_bpf)
     if args.trace_file:
@@ -128,7 +130,8 @@ def _dec(args) -> int:
 ap_defaults = {"qp": 32, "intra_period": 1, "gop": 1, "bit_depth": 8,
                "wpp": False, "mts": False, "lfnst": False, "cclm": False,
                "alf": False, "mctf": False, "lmcs": False, "mip": False,
-               "mrl": False, "tskip": False, "jccr": False, "mmvd": False}
+               "mrl": False, "tskip": False, "jccr": False, "mmvd": False,
+               "dmvr": False, "bdof": False}
 
 
 def main(argv=None) -> int:
@@ -176,6 +179,10 @@ def main(argv=None) -> int:
                    help="joint Cb-Cr residual coding")
     e.add_argument("--mmvd", action="store_true",
                    help="merge with MVD (8 distances x 4 directions)")
+    e.add_argument("--dmvr", action="store_true",
+                   help="decoder-side MV refinement (BI merge leaves)")
+    e.add_argument("--bdof", action="store_true",
+                   help="bi-directional optical flow (BI leaves)")
     e.add_argument("--mts", action="store_true",
                    help="explicit MTS (DST7/DCT8) for intra luma")
     e.add_argument("--wpp", action="store_true",

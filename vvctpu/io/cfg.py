@@ -29,6 +29,8 @@ class AppConfig:
     tskip: bool = False           # TransformSkip / TSM
     jccr: bool = False            # JointCbCr
     mmvd: bool = False            # MMVD
+    dmvr: bool = False            # DMVR
+    bdof: bool = False            # BIO / BDOF
     rdoq: bool = True             # RDOQ
     lmcs: bool = False            # LMCSEnable / LMCS
     alf: bool = False             # ALF
@@ -64,6 +66,9 @@ _KEYMAP = {
     "tsm": ("tskip", lambda v: bool(int(v))),
     "jointcbcr": ("jccr", lambda v: bool(int(v))),
     "mmvd": ("mmvd", lambda v: bool(int(v))),
+    "dmvr": ("dmvr", lambda v: bool(int(v))),
+    "bio": ("bdof", lambda v: bool(int(v))),
+    "bdof": ("bdof", lambda v: bool(int(v))),
     "rdoq": ("rdoq", lambda v: bool(int(v))),
     "lmcs": ("lmcs", lambda v: bool(int(v))),
     "lmcsenable": ("lmcs", lambda v: bool(int(v))),

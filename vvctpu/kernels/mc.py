@@ -40,6 +40,79 @@ def mc_luma_block(ref_pad, x, y, s: int, mvx, mvy, bd: int = 8,
     return jnp.clip((acc + 2048) >> 12, 0, (1 << bd) - 1)
 
 
+_DMVR_OFFS = np.asarray([(dx, dy) for dy in range(-2, 3)
+                         for dx in range(-2, 3)], np.int32)
+
+
+def dmvr_offset_j(ref0_pad, ref1_pad, x, y, sub: int, m0x, m0y, m1x, m1y,
+                  margin: int = REF_MARGIN):
+    """Device twin of spec.inter.dmvr_offset: best mirrored integer offset
+    (dx, dy) by 25-point SAD on integer-aligned windows; jnp.argmin picks
+    the first minimum, matching the spec's strict-less row-major scan."""
+    r = 2
+    x00 = x + (m0x >> MV_FRAC_BITS) + margin - r
+    y00 = y + (m0y >> MV_FRAC_BITS) + margin - r
+    x10 = x + (m1x >> MV_FRAC_BITS) + margin - r
+    y10 = y + (m1y >> MV_FRAC_BITS) + margin - r
+    w0 = jax.lax.dynamic_slice(ref0_pad, (y00, x00),
+                               (sub + 2 * r, sub + 2 * r)).astype(jnp.int32)
+    w1 = jax.lax.dynamic_slice(ref1_pad, (y10, x10),
+                               (sub + 2 * r, sub + 2 * r)).astype(jnp.int32)
+    costs = []
+    for dy in range(-r, r + 1):
+        for dx in range(-r, r + 1):
+            a = w0[r + dy:r + dy + sub, r + dx:r + dx + sub]
+            b = w1[r - dy:r - dy + sub, r - dx:r - dx + sub]
+            sad = jnp.abs(a - b).sum()
+            if dy == 0 and dx == 0:
+                sad = sad - (sad >> 2)
+            costs.append(sad)
+    k = jnp.argmin(jnp.stack(costs))
+    off = jnp.asarray(_DMVR_OFFS)[k]
+    return off[0], off[1]
+
+
+def _floor_log2_j(v):
+    out = jnp.zeros_like(v)
+    for k in range(1, 21):
+        out = out + ((v >> k) > 0).astype(v.dtype)
+    return out
+
+
+def bdof_blend_j(p0e, p1e, bd: int):
+    """Device twin of spec.inter.bdof_blend on (s+2, s+2) ring-extended
+    predictions (identical integer formulas; see the spec docstring)."""
+    s = p0e.shape[0] - 2
+    p0 = p0e[1:-1, 1:-1].astype(jnp.int32)
+    p1 = p1e[1:-1, 1:-1].astype(jnp.int32)
+    gx0 = (p0e[1:-1, 2:].astype(jnp.int32) - p0e[1:-1, :-2]) >> 1
+    gy0 = (p0e[2:, 1:-1].astype(jnp.int32) - p0e[:-2, 1:-1]) >> 1
+    gx1 = (p1e[1:-1, 2:].astype(jnp.int32) - p1e[1:-1, :-2]) >> 1
+    gy1 = (p1e[2:, 1:-1].astype(jnp.int32) - p1e[:-2, 1:-1]) >> 1
+    diff = p1 - p0
+    th = gx0 + gx1
+    tv = gy0 + gy1
+
+    def sum44(a):
+        return a.reshape(s // 4, 4, s // 4, 4).sum(axis=(1, 3))
+
+    def vcomp(sg, sdi):
+        fl = _floor_log2_j(jnp.maximum(sg, 1))
+        mag = jax.lax.shift_right_logical(jnp.abs(sdi) << 5, fl)
+        v = -jnp.sign(sdi) * mag
+        clip = jnp.clip(v, -31, 31)      # BDOF_CLIP
+        return jnp.where(sg > 0, clip, 0)
+
+    vx = jnp.repeat(jnp.repeat(vcomp(sum44(jnp.abs(th)),
+                                     sum44(diff * jnp.sign(th))), 4, 0),
+                    4, 1)
+    vy = jnp.repeat(jnp.repeat(vcomp(sum44(jnp.abs(tv)),
+                                     sum44(diff * jnp.sign(tv))), 4, 0),
+                    4, 1)
+    b = (vx * (gx0 - gx1) + vy * (gy0 - gy1) + 32) >> 6
+    return jnp.clip(((p0 + p1 + 1) >> 1) + b, 0, (1 << bd) - 1)
+
+
 def mc_chroma_block(ref_pad, x, y, s: int, mvx, mvy, bd: int = 8,
                     margin: int = REF_MARGIN // 2):
     ix = mvx >> 5

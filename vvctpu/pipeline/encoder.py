@@ -84,6 +84,8 @@ def encode_sequence(frames, cfg: sseq.EncoderConfig, decisions_fn=None,
                 r1 = recon.pad_refs(dpb[ref_pocs[1]])
                 ref_kw.update(ref1_y=r1[0], ref1_cb=r1[1], ref1_cr=r1[2])
         from ..spec.transform import lambda_rd_int
+        sym = (len(ref_pocs) == 2 and ref_pocs[0] < poc < ref_pocs[1]
+               and poc - ref_pocs[0] == ref_pocs[1] - poc)
         (ry, rcb, rcr, ly, lcb, lcr, mtsp, lfnstp, cmodep,
          jccrp) = recon.frame_scan(
             slots, scan_y, padded[1], padded[2], frame_w=sps.width,
@@ -92,6 +94,7 @@ def encode_sequence(frames, cfg: sseq.EncoderConfig, decisions_fn=None,
             lfnst=sps.lfnst_enabled, cclm=sps.cclm_enabled, rdoq=cfg.rdoq,
             lmcs=sps.lmcs_enabled, mip=sps.mip_enabled,
             tskip=sps.ts_enabled, jccr=sps.jccr_enabled,
+            dmvr=sps.dmvr_enabled and sym, bdof=sps.bdof_enabled and sym,
             fwd_lut=None if fwd_lut is None else jnp_asarray(fwd_lut),
             lam_rd=lambda_rd_int(qp), **ref_kw)
         levels = [np.asarray(ly), np.asarray(lcb), np.asarray(lcr)]
@@ -182,6 +185,7 @@ def decode_sequence(data: bytes, check_hash: bool = True):
                                   ref1_cr=r1[2])
             else:
                 ref_kw = {}
+            from ..spec.codec import bi_sym
             ry, rcb, rcr, *_ = recon.frame_scan(
                 slots, levels[0], levels[1], levels[2], frame_w=sps.width,
                 frame_h=sps.height, qp=qp, bd=sps.bit_depth, encode=False,
@@ -189,6 +193,8 @@ def decode_sequence(data: bytes, check_hash: bool = True):
                 lfnst=sps.lfnst_enabled, cclm=sps.cclm_enabled,
                 lmcs=fwd_lut is not None, mip=sps.mip_enabled,
                 tskip=sps.ts_enabled, jccr=sps.jccr_enabled,
+                dmvr=sps.dmvr_enabled and bi_sym(sh),
+                bdof=sps.bdof_enabled and bi_sym(sh),
                 fwd_lut=None if fwd_lut is None else jnp_asarray(fwd_lut),
                 **ref_kw)
             rec = [np.asarray(ry), np.asarray(rcb), np.asarray(rcr)]

@@ -236,7 +236,8 @@ def _make_leaf_fn(s: int, inter: bool, *, frame_w: int, frame_h: int,
 
 def _inter_batch_pass(carry, ib_slots, refs, s: int, qp, bd: int,
                       encode: bool, frame_w: int, frame_h: int,
-                      rdoq: bool = False, lam_rd=0, fwd_lut=None):
+                      rdoq: bool = False, lam_rd=0, fwd_lut=None,
+                      dmvr: bool = False, bdof: bool = False):
     """Phase A: all inter s-leaves at once (no intra-frame dependency).
 
     ib_slots: (B, 8) int32 [x, y, mv0x, mv0y, mv1x, mv1y, dir, _pad];
@@ -259,13 +260,69 @@ def _inter_batch_pass(carry, ib_slots, refs, s: int, qp, bd: int,
             avg = jnp.minimum((p0 + p1 + 1) >> 1, mx)
             return jnp.where(d == 0, p0, jnp.where(d == 1, p1, avg))
 
-        pred_y = bipred(refs[0], refs[3], x, y, s, True)
+        if dmvr or bdof:
+            # BI refinement path (twin of spec _inter_pred's DMVR/BDOF
+            # branch): per-16x16 mirrored-SAD MV offset, per-4x4 optical
+            # flow; offsets masked to zero for uni-predicted leaves.
+            from ..spec.inter import DMVR_SUB, MV_FRAC_BITS
+            sub = DMVR_SUB if (dmvr and s >= DMVR_SUB) else s
+            pred_y = jnp.zeros((s, s), jnp.int32)
+            pred_cb = jnp.zeros((cs, cs), jnp.int32)
+            pred_cr = jnp.zeros((cs, cs), jnp.int32)
+            for sy0 in range(0, s, sub):
+                for sx0 in range(0, s, sub):
+                    a0x, a0y, a1x, a1y = m0x, m0y, m1x, m1y
+                    if dmvr and s >= DMVR_SUB:
+                        odx, ody = mc.dmvr_offset_j(
+                            refs[0], refs[3], x + sx0, y + sy0, sub,
+                            m0x, m0y, m1x, m1y)
+                        odx = jnp.where(d == 2, odx, 0)
+                        ody = jnp.where(d == 2, ody, 0)
+                        a0x = m0x + (odx << MV_FRAC_BITS)
+                        a0y = m0y + (ody << MV_FRAC_BITS)
+                        a1x = m1x - (odx << MV_FRAC_BITS)
+                        a1y = m1y - (ody << MV_FRAC_BITS)
+                    p0e = mc.mc_luma_block(refs[0], x + sx0 - 1,
+                                           y + sy0 - 1, sub + 2, a0x, a0y,
+                                           bd)
+                    p1e = mc.mc_luma_block(refs[3], x + sx0 - 1,
+                                           y + sy0 - 1, sub + 2, a1x, a1y,
+                                           bd)
+                    p0c = p0e[1:-1, 1:-1]
+                    p1c = p1e[1:-1, 1:-1]
+                    if bdof:
+                        bi = mc.bdof_blend_j(p0e, p1e, bd)
+                    else:
+                        bi = jnp.minimum((p0c + p1c + 1) >> 1, mx)
+                    blk = jnp.where(d == 0, p0c, jnp.where(d == 1, p1c, bi))
+                    pred_y = jax.lax.dynamic_update_slice(pred_y, blk,
+                                                          (sy0, sx0))
+                    cs2 = sub // 2
+                    for ci, (r0c, r1c) in enumerate(((refs[1], refs[4]),
+                                                     (refs[2], refs[5]))):
+                        c0 = mc.mc_chroma_block(r0c, (x + sx0) // 2,
+                                                (y + sy0) // 2, cs2, a0x,
+                                                a0y, bd)
+                        c1 = mc.mc_chroma_block(r1c, (x + sx0) // 2,
+                                                (y + sy0) // 2, cs2, a1x,
+                                                a1y, bd)
+                        cavg = jnp.minimum((c0 + c1 + 1) >> 1, mx)
+                        cblk = jnp.where(d == 0, c0,
+                                         jnp.where(d == 1, c1, cavg))
+                        if ci == 0:
+                            pred_cb = jax.lax.dynamic_update_slice(
+                                pred_cb, cblk, (sy0 // 2, sx0 // 2))
+                        else:
+                            pred_cr = jax.lax.dynamic_update_slice(
+                                pred_cr, cblk, (sy0 // 2, sx0 // 2))
+        else:
+            pred_y = bipred(refs[0], refs[3], x, y, s, True)
+            pred_cb = bipred(refs[1], refs[4], x // 2, y // 2, cs, False)
+            pred_cr = bipred(refs[2], refs[5], x // 2, y // 2, cs, False)
         if fwd_lut is not None:
             # LMCS: the final luma prediction is forward-mapped (intra and
             # residual coding run in the mapped domain)
             pred_y = jnp.take(fwd_lut, pred_y)
-        pred_cb = bipred(refs[1], refs[4], x // 2, y // 2, cs, False)
-        pred_cr = bipred(refs[2], refs[5], x // 2, y // 2, cs, False)
 
         def comp(src, pred, cx, cy, sz):
             if encode:
@@ -308,7 +365,7 @@ def _inter_batch_pass(carry, ib_slots, refs, s: int, qp, bd: int,
                    static_argnames=("frame_w", "frame_h", "bd", "encode",
                                     "inter_enabled", "mts", "lfnst",
                                     "cclm", "rdoq", "lmcs", "mip",
-                                    "tskip", "jccr"))
+                                    "tskip", "jccr", "dmvr", "bdof"))
 def frame_scan(slots, planes_y, planes_cb, planes_cr, *, frame_w: int,
                frame_h: int, qp, bd: int, encode: bool,
                inter_enabled: bool = False, ref_y=None, ref_cb=None,
@@ -317,7 +374,7 @@ def frame_scan(slots, planes_y, planes_cb, planes_cr, *, frame_w: int,
                mts: bool = False, lfnst: bool = False, cclm: bool = False,
                rdoq: bool = False, lmcs: bool = False, lam_rd=0,
                fwd_lut=None, mip: bool = False, tskip: bool = False,
-               jccr: bool = False):
+               jccr: bool = False, dmvr: bool = False, bdof: bool = False):
     """Run the full-frame reconstruction scan.
 
     slots: (N, 6) int32 [op, x, y, mode, mvx, mvy] in coding order; op 0 =
@@ -352,7 +409,8 @@ def frame_scan(slots, planes_y, planes_cb, planes_cr, *, frame_w: int,
             carry = _inter_batch_pass(carry, ib, refs, s_sz, qp, bd, encode,
                                       frame_w, frame_h, rdoq,
                                       jnp.asarray(lam_rd, jnp.int32),
-                                      fwd_lut if lmcs else None)
+                                      fwd_lut if lmcs else None,
+                                      dmvr=dmvr, bdof=bdof)
 
     # phase B: intra leaves in coding order (inter slots are op=0 skips)
     kw = dict(frame_w=frame_w, frame_h=frame_h, n_ctu_x=n_ctu_x, qp=qp,

@@ -96,6 +96,8 @@ class _FrameState:
     rdoq: bool = False                    # encoder RDOQ quantizer
     lmcs: tuple | None = None             # (fwd, inv) luma-mapping LUTs
     src_orig_y: np.ndarray | None = None  # unmapped source luma (filters)
+    dmvr: bool = False                    # DMVR active (BI + symmetric refs)
+    bdof: bool = False                    # BDOF active (BI + symmetric refs)
 
     @classmethod
     def make(cls, sps, qp, encoding, decisions, src, refs=None, col=None,
@@ -440,10 +442,57 @@ def _code_mmvd(io, mmvd=None):
 
 
 def _inter_pred(st: _FrameState, x: int, y: int, s: int, d: int, mv0, mv1):
-    """[Y, Cb, Cr] motion-compensated predictions for the leaf."""
+    """[Y, Cb, Cr] motion-compensated predictions for the leaf.
+
+    BI leaves run DMVR (per 16x16 subblock, refs symmetric) and BDOF
+    (per 4x4 optical flow) when enabled — decoder-side refinements with no
+    syntax (spec/inter.py dmvr_offset / bdof_blend)."""
     from . import inter as imod
     bd = st.sps.bit_depth
     mx = (1 << bd) - 1
+
+    if d == 2 and (st.dmvr or st.bdof):
+        sub = imod.DMVR_SUB if (st.dmvr and s >= imod.DMVR_SUB) else s
+        out_y = np.zeros((s, s), np.int32)
+        out_cb = np.zeros((s // 2, s // 2), np.int32)
+        out_cr = np.zeros((s // 2, s // 2), np.int32)
+        for sy in range(0, s, sub):
+            for sx in range(0, s, sub):
+                m0, m1 = mv0, mv1
+                if st.dmvr and s >= imod.DMVR_SUB:
+                    dx, dy = imod.dmvr_offset(st.refs[0][0], st.refs[1][0],
+                                              x + sx, y + sy, sub, mv0, mv1)
+                    o = (dx << imod.MV_FRAC_BITS, dy << imod.MV_FRAC_BITS)
+                    m0 = (mv0[0] + o[0], mv0[1] + o[1])
+                    m1 = (mv1[0] - o[0], mv1[1] - o[1])
+                if st.bdof:
+                    p0e = imod.mc_luma(st.refs[0][0], x + sx - 1, y + sy - 1,
+                                       sub + 2, sub + 2, m0[0], m0[1], bd)
+                    p1e = imod.mc_luma(st.refs[1][0], x + sx - 1, y + sy - 1,
+                                       sub + 2, sub + 2, m1[0], m1[1], bd)
+                    blk = imod.bdof_blend(p0e, p1e, bd)
+                else:
+                    p0 = imod.mc_luma(st.refs[0][0], x + sx, y + sy, sub,
+                                      sub, m0[0], m0[1], bd)
+                    p1 = imod.mc_luma(st.refs[1][0], x + sx, y + sy, sub,
+                                      sub, m1[0], m1[1], bd)
+                    blk = np.minimum((p0 + p1 + 1) >> 1, mx)
+                out_y[sy:sy + sub, sx:sx + sub] = blk
+                cs2 = sub // 2
+                cpx, cpy = (x + sx) // 2, (y + sy) // 2
+                for comp, tgt in ((1, out_cb), (2, out_cr)):
+                    c0 = imod.mc_chroma(st.refs[0][comp], cpx, cpy, cs2, cs2,
+                                        m0[0], m0[1], bd,
+                                        imod.REF_MARGIN // 2)
+                    c1 = imod.mc_chroma(st.refs[1][comp], cpx, cpy, cs2, cs2,
+                                        m1[0], m1[1], bd,
+                                        imod.REF_MARGIN // 2)
+                    tgt[sy // 2:sy // 2 + cs2, sx // 2:sx // 2 + cs2] = \
+                        np.minimum((c0 + c1 + 1) >> 1, mx)
+        out = [out_y, out_cb, out_cr]
+        if st.lmcs is not None:
+            out[0] = st.lmcs[0][out[0]]
+        return out
 
     def pred_for(comp, px, py, sz):
         outs = []
@@ -822,6 +871,14 @@ def _seed_state(slice_type, qp, snap):
     return st
 
 
+def bi_sym(sh) -> bool:
+    """True when the two references are POC-symmetric around the current
+    picture — the condition gating DMVR/BDOF (both engines)."""
+    return (len(sh.ref_pocs) == 2
+            and sh.ref_pocs[0] < sh.poc < sh.ref_pocs[1]
+            and sh.poc - sh.ref_pocs[0] == sh.ref_pocs[1] - sh.poc)
+
+
 def motion_record(decisions: FrameDecisions, ref_pocs) -> dict:
     """Snapshot of a picture's motion field for the DPB side table (TMVP
     source; role of VTM's per-picture MotionInfo grid)."""
@@ -856,6 +913,8 @@ def encode_frame(src_planes: list[np.ndarray], sps: hls.SPS, pps: hls.PPS,
     trace.set_poc(sh.poc)
     st = _FrameState.make(sps, qp, True, decisions,
                           pad_planes(src_planes, sps), refs, col, rdoq)
+    st.dmvr = sps.dmvr_enabled and bi_sym(sh)
+    st.bdof = sps.bdof_enabled and bi_sym(sh)
     if sh.lmcs_cw:
         from . import lmcs as lmcsmod
         st.lmcs = lmcsmod.build_luts(sh.lmcs_cw, sps.bit_depth)
@@ -962,6 +1021,8 @@ def decode_frame(slice_rbsp: bytes, sps: hls.SPS, pps_map: dict[int, hls.PPS],
         refs = [dpb[rp] for rp in sh.ref_pocs]
         col = col_motion(motion, sh.poc, sh.ref_pocs)
     st = _FrameState.make(sps, qp, False, decisions, None, refs, col)
+    st.dmvr = sps.dmvr_enabled and bi_sym(sh)
+    st.bdof = sps.bdof_enabled and bi_sym(sh)
     if sh.lmcs_cw:
         from . import lmcs as lmcsmod
         st.lmcs = lmcsmod.build_luts(sh.lmcs_cw, sps.bit_depth)

@@ -36,6 +36,8 @@ class SPS:
     ts_enabled: bool = False    # transform skip (unified tx index 5)
     jccr_enabled: bool = False  # joint Cb-Cr residual (CSign = -1)
     mmvd_enabled: bool = False  # merge with MVD
+    dmvr_enabled: bool = False  # decoder-side MV refinement (BI, no syntax)
+    bdof_enabled: bool = False  # bi-directional optical flow (BI, no syntax)
     cclm_enabled: bool = False
     lmcs_enabled: bool = False
     sao_enabled: bool = False
@@ -67,7 +69,7 @@ class SPS:
                   self.lmcs_enabled, self.sao_enabled, self.alf_enabled,
                   self.deblock_enabled, self.mip_enabled,
                   self.mrl_enabled, self.ts_enabled, self.jccr_enabled,
-                  self.mmvd_enabled):
+                  self.mmvd_enabled, self.dmvr_enabled, self.bdof_enabled):
             w.u(int(f), 1)
         w.byte_align()
         return w.getvalue()
@@ -86,8 +88,9 @@ class SPS:
         s.chroma_format = r.ue()
         (s.mts_enabled, s.lfnst_enabled, s.cclm_enabled, s.lmcs_enabled,
          s.sao_enabled, s.alf_enabled, s.deblock_enabled, s.mip_enabled,
-         s.mrl_enabled, s.ts_enabled, s.jccr_enabled,
-         s.mmvd_enabled) = (bool(r.u(1)) for _ in range(12))
+         s.mrl_enabled, s.ts_enabled, s.jccr_enabled, s.mmvd_enabled,
+         s.dmvr_enabled, s.bdof_enabled) = (bool(r.u(1))
+                                            for _ in range(14))
         return s
 
 

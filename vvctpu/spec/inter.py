@@ -310,6 +310,108 @@ def hmvp_push(hmvp: list, cand: tuple) -> None:
 
 
 # ---------------------------------------------------------------------------
+# DMVR: decoder-side MV refinement (role of VTM:CommonLib/InterPrediction.cpp
+# xProcessDMVR / xDMVRCost).  Applied to bi-predicted leaves whose two
+# references are POC-symmetric around the current picture; both engines run
+# the identical integer search, so no syntax is needed.  Documented
+# simplifications vs VTM: the 25-point SAD runs on integer-aligned reference
+# windows (fractional MV part dropped for the search; VTM uses bilinear
+# taps), and the parametric sub-pel step is omitted.
+# ---------------------------------------------------------------------------
+DMVR_SUB = 16      # refinement granularity (VTM: 16x16 subblocks)
+DMVR_RANGE = 2     # +- integer-pel search
+
+
+def dmvr_offset(ref0_pad: np.ndarray, ref1_pad: np.ndarray, x: int, y: int,
+                sub: int, mv0, mv1, margin: int = REF_MARGIN):
+    """Best mirrored integer offset (dx, dy) for one subblock.
+
+    Row-major (dy, dx) scan with strict-less running min; the zero offset
+    gets a 25% SAD discount (VTM centre bias) so tiny gains don't move MVs.
+    """
+    r = DMVR_RANGE
+    x00 = x + (mv0[0] >> MV_FRAC_BITS) + margin
+    y00 = y + (mv0[1] >> MV_FRAC_BITS) + margin
+    x10 = x + (mv1[0] >> MV_FRAC_BITS) + margin
+    y10 = y + (mv1[1] >> MV_FRAC_BITS) + margin
+    w0 = ref0_pad[y00 - r:y00 + sub + r, x00 - r:x00 + sub + r].astype(
+        np.int64)
+    w1 = ref1_pad[y10 - r:y10 + sub + r, x10 - r:x10 + sub + r].astype(
+        np.int64)
+    best = None
+    for dy in range(-r, r + 1):
+        for dx in range(-r, r + 1):
+            a = w0[r + dy:r + dy + sub, r + dx:r + dx + sub]
+            b = w1[r - dy:r - dy + sub, r - dx:r - dx + sub]
+            sad = int(np.abs(a - b).sum())
+            if dy == 0 and dx == 0:
+                sad -= sad >> 2
+            if best is None or sad < best[0]:
+                best = (sad, dx, dy)
+    return best[1], best[2]
+
+
+# ---------------------------------------------------------------------------
+# BDOF: bi-directional optical flow (role of VTM:CommonLib/InterPrediction
+# applyBiOptFlow / xCalcBIOPar).  Per-4x4 gradient-based correction of the
+# bi-prediction average; no syntax, identical integer math in both engines.
+# Simplifications vs VTM: sums run over the 4x4 itself (VTM: 6x6 window),
+# the vy cross term is dropped, gradients come from a 1-pel MC ring, and
+# the per-subblock SAD early-skip is omitted.
+# ---------------------------------------------------------------------------
+BDOF_CLIP = 31     # displacement clip, 1/16-pel fixed point
+
+
+def _floor_log2_arr(v):
+    """Elementwise floor(log2(v)) for v >= 1 via threshold sums (identical
+    formula in the JAX twin)."""
+    out = np.zeros_like(v)
+    for k in range(1, 21):
+        out += (v >> k) > 0
+    return out
+
+
+def bdof_blend(p0e: np.ndarray, p1e: np.ndarray, bd: int) -> np.ndarray:
+    """Corrected bi average from (s+2, s+2) ring-extended predictions.
+
+    v = argmin of the optical-flow residual per 4x4 (L1 normal-equation
+    approximation, shift division as in VTM); correction
+    b = (vx*(gx0-gx1) + vy*(gy0-gy1)) / 64 on top of the rounded average
+    (v is 1/16-pel fixed point, and the flow model contributes /4).
+    """
+    p0 = p0e[1:-1, 1:-1].astype(np.int64)
+    p1 = p1e[1:-1, 1:-1].astype(np.int64)
+    s = p0.shape[0]
+    gx0 = (p0e[1:-1, 2:].astype(np.int64) - p0e[1:-1, :-2]) >> 1
+    gy0 = (p0e[2:, 1:-1].astype(np.int64) - p0e[:-2, 1:-1]) >> 1
+    gx1 = (p1e[1:-1, 2:].astype(np.int64) - p1e[1:-1, :-2]) >> 1
+    gy1 = (p1e[2:, 1:-1].astype(np.int64) - p1e[:-2, 1:-1]) >> 1
+    diff = p1 - p0
+    th = gx0 + gx1
+    tv = gy0 + gy1
+
+    def sum44(a):
+        return a.reshape(s // 4, 4, s // 4, 4).sum(axis=(1, 3))
+
+    sgx = sum44(np.abs(th))
+    sgy = sum44(np.abs(tv))
+    sgxdi = sum44(diff * np.sign(th))
+    sgydi = sum44(diff * np.sign(tv))
+
+    def vcomp(sg, sdi):
+        fl = _floor_log2_arr(np.maximum(sg, 1))
+        mag = (np.abs(sdi) << 5) >> fl
+        v = -np.sign(sdi) * mag
+        return np.where(sg > 0, np.clip(v, -BDOF_CLIP, BDOF_CLIP), 0)
+
+    vx = np.kron(vcomp(sgx, sgxdi), np.ones((4, 4), np.int64))
+    vy = np.kron(vcomp(sgy, sgydi), np.ones((4, 4), np.int64))
+    b = (vx * (gx0 - gx1) + vy * (gy0 - gy1) + 32) >> 6
+    mx = (1 << bd) - 1
+    return np.clip(((p0 + p1 + 1) >> 1) + b, 0, mx).astype(np.int32)
+
+
+# ---------------------------------------------------------------------------
 # Integer motion estimation (encoder policy; numpy twin of coding/me.py)
 # ---------------------------------------------------------------------------
 ME_RANGE = 16   # +- integer-pel search window

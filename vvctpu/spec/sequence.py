@@ -32,6 +32,8 @@ class EncoderConfig:
     tskip: bool = False     # transform skip (unified tx index 5)
     jccr: bool = False      # joint Cb-Cr residual coding
     mmvd: bool = False      # merge with MVD
+    dmvr: bool = False      # decoder-side MV refinement (BI leaves)
+    bdof: bool = False      # bi-directional optical flow (BI leaves)
     lfnst: bool = False     # low-frequency non-separable secondary transform
     cclm: bool = False      # cross-component linear-model chroma prediction
     rdoq: bool = True       # encoder RDOQ quantizer (decoder-transparent)
@@ -54,7 +56,8 @@ class EncoderConfig:
                        lmcs_enabled=self.lmcs, alf_enabled=self.alf,
                        mip_enabled=self.mip, mrl_enabled=self.mrl,
                        ts_enabled=self.tskip, jccr_enabled=self.jccr,
-                       mmvd_enabled=self.mmvd)
+                       mmvd_enabled=self.mmvd, dmvr_enabled=self.dmvr,
+                       bdof_enabled=self.bdof)
 
 
 def gop_plan(n_frames: int, intra_period: int, gop: int):
