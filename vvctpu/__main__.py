@@ -39,7 +39,9 @@ def _enc(args) -> int:
                      ("lmcs", fc.lmcs), ("mip", fc.mip),
                      ("mrl", fc.mrl), ("tskip", fc.tskip),
                      ("jccr", fc.jccr), ("mmvd", fc.mmvd),
-                     ("dmvr", fc.dmvr), ("bdof", fc.bdof)):
+                     ("dmvr", fc.dmvr), ("bdof", fc.bdof),
+                     ("bcw", fc.bcw), ("amvr", fc.amvr),
+                     ("smvd", fc.smvd)):
             if ap_defaults.get(a) == getattr(args, a):
                 setattr(args, a, v)
         if not fc.rdoq:
@@ -59,7 +61,8 @@ def _enc(args) -> int:
                             cclm=args.cclm, alf=args.alf, lmcs=args.lmcs,
                             mip=args.mip, mrl=args.mrl, tskip=args.tskip,
                             jccr=args.jccr, mmvd=args.mmvd,
-                            dmvr=args.dmvr, bdof=args.bdof,
+                            dmvr=args.dmvr, bdof=args.bdof, bcw=args.bcw,
+                            amvr=args.amvr, smvd=args.smvd,
                             mctf=args.mctf, rdoq=not args.no_rdoq,
                             rc_bits_per_frame=args.rc_bpf)
     if args.trace_file:
@@ -131,7 +134,8 @@ ap_defaults = {"qp": 32, "intra_period": 1, "gop": 1, "bit_depth": 8,
                "wpp": False, "mts": False, "lfnst": False, "cclm": False,
                "alf": False, "mctf": False, "lmcs": False, "mip": False,
                "mrl": False, "tskip": False, "jccr": False, "mmvd": False,
-               "dmvr": False, "bdof": False}
+               "dmvr": False, "bdof": False, "bcw": False, "amvr": False,
+               "smvd": False}
 
 
 def main(argv=None) -> int:
@@ -183,6 +187,12 @@ def main(argv=None) -> int:
                    help="decoder-side MV refinement (BI merge leaves)")
     e.add_argument("--bdof", action="store_true",
                    help="bi-directional optical flow (BI leaves)")
+    e.add_argument("--bcw", action="store_true",
+                   help="bi-prediction with CU weights {3,4,5}/8")
+    e.add_argument("--amvr", action="store_true",
+                   help="adaptive MVD resolution (1/4, 1, 4 pel)")
+    e.add_argument("--smvd", action="store_true",
+                   help="symmetric MVD for BI leaves (symmetric refs)")
     e.add_argument("--mts", action="store_true",
                    help="explicit MTS (DST7/DCT8) for intra luma")
     e.add_argument("--wpp", action="store_true",

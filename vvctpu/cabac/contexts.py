@@ -71,6 +71,10 @@ SKIP_FLAG = R.add("cu_skip_flag", 1)               # merge + zero residual
 MMVD_FLAG = R.add("mmvd_merge_flag", 1)
 MMVD_BASE = R.add("mmvd_cand_flag", 1)
 MMVD_DIST = R.add("mmvd_distance_idx", 1)
+BCW_IDX = R.add("bcw_idx", 1)                      # CU-level bi-pred weight
+AMVR_FLAG = R.add("amvr_flag", 1)                  # MVD precision != 1/4 pel
+AMVR_PREC = R.add("amvr_precision_idx", 1)         # integer vs 4-pel
+SMVD_FLAG = R.add("sym_mvd_flag", 1)               # mirrored single MVD
 
 # --- intra mode ----------------------------------------------------------
 INTRA_MPM_FLAG = R.add("intra_luma_mpm_flag", 1, init=(HIGH,) * 3)

@@ -247,8 +247,10 @@ def decide_frame_p(orig_y: np.ndarray, ref_y: np.ndarray, qp: int,
 
 def decide_frame_b(orig_y: np.ndarray, ref0_y: np.ndarray,
                    ref1_y: np.ndarray, qp: int, bd: int = 8,
-                   mip: bool = False, mrl: bool = False):
+                   mip: bool = False, mrl: bool = False,
+                   bcw: bool = False):
     """Device-batched B-frame decisions (twin of spec decide_frame_b)."""
+    from ..spec.inter import BCW_DEFAULT
     from ..spec.inter import ME_RANGE, REF_MARGIN
     from . import me as jme
     h, w = orig_y.shape
@@ -280,20 +282,22 @@ def decide_frame_b(orig_y: np.ndarray, ref0_y: np.ndarray,
                                       frame_h=h, bd=bd)
             ucost.append(np.asarray(rc).astype(np.int64))
             umv.append(np.asarray(rmv))
-        bcost = np.asarray(jme.bi_cost_pass(
+        bcost, bwidx = jme.bi_cost_pass(
             jorig, refp80[0], refp80[1], jnp.asarray(umv[0]),
             jnp.asarray(umv[1]), np.int32(lam), s=s, frame_w=w, frame_h=h,
-            bd=bd)).astype(np.int64)
+            bd=bd, bcw=bcw)
+        bcost = np.asarray(bcost).astype(np.int64)
+        bwidx = np.asarray(bwidx)
         costs = np.stack([icost, ucost[0], ucost[1], bcost])
         kind = np.argmin(costs, axis=0).astype(np.int32)
         cost = np.min(costs, axis=0)
-        size_data[s] = (cost, imode, kind, umv[0], umv[1], imrl)
+        size_data[s] = (cost, imode, kind, umv[0], umv[1], imrl, bwidx)
 
     from ..spec.codec import FrameDecisions as FD
     dec = FD.empty(h, w)
-    c8, im8, k8, mva8, mvb8, mrl8a = size_data[8]
-    c16, im16, k16, mva16, mvb16, mrl16a = size_data[16]
-    c32, im32, k32, mva32, mvb32, mrl32a = size_data[32]
+    c8, im8, k8, mva8, mvb8, mrl8a, bw8 = size_data[8]
+    c16, im16, k16, mva16, mvb16, mrl16a, bw16 = size_data[16]
+    c32, im32, k32, mva32, mvb32, mrl32a, bw32 = size_data[32]
     n16y, n16x = h // 16, w // 16
     n32y, n32x = h // 32, w // 32
     sum8 = (c8.reshape(n16y, 2, n16x, 2).sum(axis=(1, 3))
@@ -340,4 +344,8 @@ def decide_frame_b(orig_y: np.ndarray, ref0_y: np.ndarray,
     dec.mv8[..., 1] = np.where(use0, mv0[..., 1], 0)
     dec.mv8_l1[..., 0] = np.where(use1, mv1[..., 0], 0)
     dec.mv8_l1[..., 1] = np.where(use1, mv1[..., 1], 0)
+    if bcw:
+        bw = sel(bw32, bw16, bw8)
+        dec.bcw8[:] = np.where(itf & (kind == 3), bw,
+                               BCW_DEFAULT).astype(np.uint8)
     return dec

@@ -132,12 +132,17 @@ def refine_pass(orig, refp_margin, int_mv, lam, *, s: int, frame_w: int,
 
 
 @functools.partial(jax.jit, static_argnames=("s", "frame_w", "frame_h",
-                                             "bd"))
+                                             "bd", "bcw"))
 def bi_cost_pass(orig, refp0, refp1, mv0, mv1, lam, *, s: int, frame_w: int,
-                 frame_h: int, bd: int = 8):
+                 frame_h: int, bd: int = 8, bcw: bool = False):
     """BI cost per s-block: SAD of the averaged refined uni predictions plus
-    both quarter-pel MV rates (twin of the numpy loop in decide_frame_b)."""
+    both quarter-pel MV rates (twin of the numpy loop in decide_frame_b).
+
+    With ``bcw``, each of the three {3,4,5}/8 weighted averages is costed
+    (+ its bcw_idx rate) and the winner index returned alongside the cost.
+    Returns (cost, widx), both (nby, nbx)."""
     from ..kernels import mc as jmc
+    from ..spec.inter import BCW_DEFAULT, BCW_IDX_BITS, BCW_W
     h, w = frame_h, frame_w
     nby, nbx = h // s, w // s
     xs = jnp.arange(nbx, dtype=jnp.int32) * s
@@ -149,16 +154,24 @@ def bi_cost_pass(orig, refp0, refp1, mv0, mv1, lam, *, s: int, frame_w: int,
     lam = jnp.asarray(lam, jnp.int32)
     mx = (1 << bd) - 1
     orig = orig.astype(jnp.int32)
+    widxs = (0, 1, 2) if bcw else (BCW_DEFAULT,)
 
     def one(xy, a, b):
         p0 = jmc.mc_luma_block(refp0, xy[0], xy[1], s, a[0], a[1], bd)
         p1 = jmc.mc_luma_block(refp1, xy[0], xy[1], s, b[0], b[1], bd)
-        pb = jnp.minimum((p0 + p1 + 1) >> 1, mx)
         blk = jax.lax.dynamic_slice(orig, (xy[1], xy[0]), (s, s))
-        sad = jnp.abs(blk - pb).sum()
         bits = (_mv_bits_q(a[0] >> 2, a[1] >> 2)
                 + _mv_bits_q(b[0] >> 2, b[1] >> 2))
-        return (sad << 8) + lam * bits
+        cs = []
+        for wi in widxs:
+            wv = BCW_W[wi]
+            pb = jnp.clip((wv * p0 + (8 - wv) * p1 + 4) >> 3, 0, mx)
+            sad = jnp.abs(blk - pb).sum()
+            wb = BCW_IDX_BITS[wi] if bcw else 0
+            cs.append((sad << 8) + lam * (bits + wb))
+        cv = jnp.stack(cs)
+        wi = jnp.argmin(cv).astype(jnp.int32)
+        return cv[wi], (wi if bcw else jnp.int32(BCW_DEFAULT))
 
-    cost = jax.vmap(one)(coords, m0, m1)
-    return cost.reshape(nby, nbx)
+    cost, widx = jax.vmap(one)(coords, m0, m1)
+    return cost.reshape(nby, nbx), widx.reshape(nby, nbx)

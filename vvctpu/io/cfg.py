@@ -30,6 +30,9 @@ class AppConfig:
     jccr: bool = False            # JointCbCr
     mmvd: bool = False            # MMVD
     dmvr: bool = False            # DMVR
+    bcw: bool = False             # BCW / GBi
+    amvr: bool = False            # AMVR / IMV
+    smvd: bool = False            # SMVD
     bdof: bool = False            # BIO / BDOF
     rdoq: bool = True             # RDOQ
     lmcs: bool = False            # LMCSEnable / LMCS
@@ -67,6 +70,11 @@ _KEYMAP = {
     "jointcbcr": ("jccr", lambda v: bool(int(v))),
     "mmvd": ("mmvd", lambda v: bool(int(v))),
     "dmvr": ("dmvr", lambda v: bool(int(v))),
+    "bcw": ("bcw", lambda v: bool(int(v))),
+    "gbi": ("bcw", lambda v: bool(int(v))),
+    "amvr": ("amvr", lambda v: bool(int(v))),
+    "imv": ("amvr", lambda v: bool(int(v))),
+    "smvd": ("smvd", lambda v: bool(int(v))),
     "bio": ("bdof", lambda v: bool(int(v))),
     "bdof": ("bdof", lambda v: bool(int(v))),
     "rdoq": ("rdoq", lambda v: bool(int(v))),

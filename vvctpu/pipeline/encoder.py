@@ -61,7 +61,8 @@ def encode_sequence(frames, cfg: sseq.EncoderConfig, decisions_fn=None,
             dec = jdecide.decide_frame_b(padded[0], dpb[ref_pocs[0]][0],
                                          dpb[ref_pocs[1]][0], qp,
                                          cfg.bit_depth, mip=sps.mip_enabled,
-                                         mrl=sps.mrl_enabled)
+                                         mrl=sps.mrl_enabled,
+                                         bcw=sps.bcw_enabled)
         if decisions_out is not None:
             decisions_out.append(dec)
         lmcs_cw = ()

@@ -54,7 +54,7 @@ class RecordIO:
 class _Walker:
     def __init__(self, sps: hls.SPS, dec: FrameDecisions, levels, io,
                  sink=None, is_p: bool = False, is_b: bool = False,
-                 col=None):
+                 col=None, sym: bool = False):
         self.sps = sps
         self.dec = dec
         self.levels = levels      # [ly, lcb, lcr] numpy planes
@@ -62,6 +62,7 @@ class _Walker:
         self.sink = sink          # encode fast path: vectorised binarise
         self.is_p = is_p          # any inter slice (P or B)
         self.is_b = is_b
+        self.smvd = sps.smvd_enabled and sym
         self.col = col            # scaled TMVP field (codec.col_motion)
         self.hmvp = []            # history merge FIFO (reset per CTU row)
         self.mode_map = np.full((sps.height // 4, sps.width // 4), -1,
@@ -192,25 +193,10 @@ class _Walker:
                 else:
                     code_tb(io, lev, _log2(s), _log2(s), is_chroma)
 
-    def _code_mv_list(self, x, y, s, lst, mv_enc=None):
-        from ..spec import inter as imod
-        from ..spec.codec import _code_mvd_comp
-        io = self.io
-        cands = imod.mvp_candidates(self.mv_map[:, :, lst],
-                                    self.inter_map[:, :, lst], x, y, s)
-        if io.decoding:
-            idx = io.byp()
-            mvd_x = _code_mvd_comp(io, None)
-            mvd_y = _code_mvd_comp(io, None)
-            return (cands[idx][0] + (mvd_x << 2),
-                    cands[idx][1] + (mvd_y << 2))
-        mv = mv_enc
-        costs = [abs(mv[0] - c[0]) + abs(mv[1] - c[1]) for c in cands]
-        idx = int(np.argmin(costs))
-        io.byp(idx)
-        _code_mvd_comp(io, (mv[0] - cands[idx][0]) >> 2)
-        _code_mvd_comp(io, (mv[1] - cands[idx][1]) >> 2)
-        return mv
+    def _code_mv_list(self, x, y, s, lst, mv_enc=None, shift=2):
+        from ..spec.codec import code_mv_list
+        return code_mv_list(self.io, self.mv_map, self.inter_map, x, y, s,
+                            lst, mv_enc, shift)
 
     def _enc_motion(self, x, y, s):
         """Encoder-side (d, mv0, mv1, merge_idx) from the decision maps."""
@@ -222,13 +208,17 @@ class _Walker:
         mv1 = ((int(self.dec.mv8_l1[gy, gx, 0]),
                 int(self.dec.mv8_l1[gy, gx, 1]))
                if d in (1, 2) else (0, 0))
+        widx = (int(self.dec.bcw8[gy, gx])
+                if self.sps.bcw_enabled and d == 2 else imod.BCW_DEFAULT)
         cands = imod.merge_candidates(self.inter_map, self.mv_map, x, y, s,
                                       self.is_b, self.col, self.hmvp)
         me = (d, mv0, mv1)
-        midx = cands.index(me) if me in cands else None
+        midx = (cands.index(me)
+                if me in cands and widx == imod.BCW_DEFAULT else None)
         mmvd = (imod.mmvd_match(cands, me)
-                if midx is None and self.sps.mmvd_enabled else None)
-        return d, mv0, mv1, midx, mmvd
+                if midx is None and widx == imod.BCW_DEFAULT
+                and self.sps.mmvd_enabled else None)
+        return d, mv0, mv1, midx, mmvd, widx
 
     def _leaf_levels_zero(self, x, y, s):
         cs, cx, cy = s // 2, x // 2, y // 2
@@ -238,10 +228,11 @@ class _Walker:
 
     def _code_inter(self, x, y, s, skip, enc_mot=None):
         from ..spec import inter as imod
-        from ..spec.codec import _code_merge_idx, _code_mmvd
+        from ..spec.codec import _code_bcw_idx, _code_merge_idx, _code_mmvd
         io = self.io
         gy, gx = y // 8, x // 8
         if io.decoding:
+            widx = imod.BCW_DEFAULT
             merge = True if skip else bool(io.bin(C.MERGE_FLAG(0)))
             if merge:
                 mmvd = _code_mmvd(io) if self.sps.mmvd_enabled else None
@@ -255,25 +246,38 @@ class _Walker:
                     midx = _code_merge_idx(io)
                     d, mv0, mv1 = cands[midx]
             else:
+                from ..spec.codec import code_amvr
                 if self.is_b:
                     bi = io.bin(C.INTER_DIR(0))
                     d = 2 if bi else io.byp()
                 else:
                     d = 0
+                shift = imod.AMVR_SHIFTS[code_amvr(io)] \
+                    if self.sps.amvr_enabled else 2
+                smvd = bool(io.bin(C.SMVD_FLAG(0))) \
+                    if d == 2 and self.smvd else False
                 mv0 = mv1 = (0, 0)
-                if d in (0, 2):
-                    mv0 = self._code_mv_list(x, y, s, 0)
-                if d in (1, 2):
-                    mv1 = self._code_mv_list(x, y, s, 1)
-                if d == 1:
-                    mv0 = (0, 0)
+                if smvd:
+                    from ..spec.codec import code_mv_smvd
+                    mv0, mv1 = code_mv_smvd(io, self.mv_map, self.inter_map,
+                                            x, y, s, shift=shift)
+                else:
+                    if d in (0, 2):
+                        mv0 = self._code_mv_list(x, y, s, 0, shift=shift)
+                    if d in (1, 2):
+                        mv1 = self._code_mv_list(x, y, s, 1, shift=shift)
+                    if d == 1:
+                        mv0 = (0, 0)
+                if self.is_b and d == 2 and self.sps.bcw_enabled:
+                    widx = _code_bcw_idx(io)
             sl = np.s_[gy:(y + s) // 8, gx:(x + s) // 8]
             self.dec.inter8[sl] = 1
             self.dec.dir8[sl] = d
             self.dec.mv8[sl] = mv0
             self.dec.mv8_l1[sl] = mv1
+            self.dec.bcw8[sl] = widx
         else:
-            d, mv0, mv1, midx, mmvd = enc_mot
+            d, mv0, mv1, midx, mmvd, widx = enc_mot
             merged = midx is not None or mmvd is not None
 
             def code_merge_data():
@@ -289,14 +293,30 @@ class _Walker:
                 if merged:
                     code_merge_data()
                 else:
+                    from ..spec.codec import _amvr_for_leaf, code_mv_smvd
                     if self.is_b:
                         io.bin(C.INTER_DIR(0), int(d == 2))
                         if d != 2:
                             io.byp(d)
-                    if d in (0, 2):
-                        self._code_mv_list(x, y, s, 0, mv0)
-                    if d in (1, 2):
-                        self._code_mv_list(x, y, s, 1, mv1)
+                    prec = _amvr_for_leaf(io, self.mv_map, self.inter_map,
+                                          x, y, s, d, mv0, mv1,
+                                          self.sps.amvr_enabled)
+                    shift = imod.AMVR_SHIFTS[prec]
+                    i1 = imod.smvd_match(self.mv_map, self.inter_map, x, y,
+                                         s, mv0, mv1, shift) \
+                        if d == 2 and self.smvd else None
+                    if d == 2 and self.smvd:
+                        io.bin(C.SMVD_FLAG(0), int(i1 is not None))
+                    if i1 is not None:
+                        code_mv_smvd(io, self.mv_map, self.inter_map, x, y,
+                                     s, mv0, i1, shift=shift)
+                    else:
+                        if d in (0, 2):
+                            self._code_mv_list(x, y, s, 0, mv0, shift=shift)
+                        if d in (1, 2):
+                            self._code_mv_list(x, y, s, 1, mv1, shift=shift)
+                    if self.is_b and d == 2 and self.sps.bcw_enabled:
+                        _code_bcw_idx(io, widx)
         trace.t_leaf_inter(x, y, s, mv0 if d != 1 else mv1)
         sl = np.s_[gy:(y + s) // 8, gx:(x + s) // 8]
         if d in (0, 2):
@@ -491,8 +511,9 @@ def encode_frame_syntax_wpp(sps: hls.SPS, pps: hls.PPS, sh: hls.SliceHeader,
 
     rows = []          # (bin_array, first_ctu_end_index)
     sink = binarize.BinSink()
+    from ..spec.codec import bi_sym
     walker = _Walker(sps, dec, levels, RecordIO(sink), sink=sink, is_p=is_p,
-                     is_b=is_b, col=col)
+                     is_b=is_b, col=col, sym=bi_sym(sh))
     for iy in range(n_y):
         first_end = None
         walker.hmvp = []
@@ -560,11 +581,13 @@ def parse_frame_syntax_wpp(slice_rbsp: bytes, sps: hls.SPS,
               np.zeros((sps.height // 2, sps.width // 2), np.int32),
               np.zeros((sps.height // 2, sps.width // 2), np.int32)]
     from ..spec.codec import col_motion
+    from ..spec.codec import bi_sym
     walker = _Walker(sps, decisions, levels, None,
                      is_p=sh.slice_type != hls.SLICE_I,
                      is_b=sh.slice_type == hls.SLICE_B,
                      col=col_motion(motion, sh.poc, sh.ref_pocs)
-                     if sh.slice_type != hls.SLICE_I else None)
+                     if sh.slice_type != hls.SLICE_I else None,
+                     sym=bi_sym(sh))
     sao_params = None
     alf_params = None
     snap = None
@@ -611,8 +634,9 @@ def encode_frame_syntax(sps: hls.SPS, pps: hls.PPS, sh: hls.SliceHeader,
     if fast:
         sink = binarize.BinSink()
         io = RecordIO(sink)
+        from ..spec.codec import bi_sym
         walker = _Walker(sps, dec, levels, io, sink=sink, is_p=is_p,
-                         is_b=is_b, col=col)
+                         is_b=is_b, col=col, sym=bi_sym(sh))
         walker.walk(lambda last: sink.term(0))
         if sao_params is not None:
             saomod.code_sao_params(io, sao_params, n_y, n_x)
@@ -625,7 +649,7 @@ def encode_frame_syntax(sps: hls.SPS, pps: hls.PPS, sh: hls.SliceHeader,
         enc = CabacEncoder(C.make_ctx_state(sh.slice_type, qp))
         io = EncIO(enc)
         walker = _Walker(sps, dec, levels, io, is_p=is_p, is_b=is_b,
-                         col=col)
+                         col=col, sym=bi_sym(sh))
         walker.walk(lambda last: enc.terminate(0))
         if sao_params is not None:
             saomod.code_sao_params(io, sao_params, n_y, n_x)
@@ -684,11 +708,13 @@ def parse_frame_syntax(slice_rbsp: bytes, sps: hls.SPS,
                           r.remaining_bytes())
     from ..spec.codec import col_motion
     io = DecIO(cab)
+    from ..spec.codec import bi_sym
     walker = _Walker(sps, decisions, levels, io,
                      is_p=sh.slice_type != hls.SLICE_I,
                      is_b=sh.slice_type == hls.SLICE_B,
                      col=col_motion(motion, sh.poc, sh.ref_pocs)
-                     if sh.slice_type != hls.SLICE_I else None)
+                     if sh.slice_type != hls.SLICE_I else None,
+                     sym=bi_sym(sh))
 
     def term(last):
         if cab.terminate() != 0:

@@ -23,7 +23,7 @@ import numpy as np
 from ..core import rom
 from ..kernels import intra_pred, mc, transform
 from ..spec.codec import FrameDecisions
-from ..spec.inter import REF_MARGIN
+from ..spec.inter import BCW_DEFAULT, REF_MARGIN
 from . import plan as planmod
 
 MARGIN = intra_pred.MARGIN
@@ -240,25 +240,31 @@ def _inter_batch_pass(carry, ib_slots, refs, s: int, qp, bd: int,
                       dmvr: bool = False, bdof: bool = False):
     """Phase A: all inter s-leaves at once (no intra-frame dependency).
 
-    ib_slots: (B, 8) int32 [x, y, mv0x, mv0y, mv1x, mv1y, dir, _pad];
+    ib_slots: (B, 8) int32 [x, y, mv0x, mv0y, mv1x, mv1y, dir, bcw_idx];
     invalid rows have x = y = 2^20 (positive out-of-bounds: their scatter
     indices are dropped).  refs: (l0_y, l0_cb, l0_cr, l1_y, l1_cb, l1_cr).
     """
+    from ..spec.inter import BCW_DEFAULT, BCW_W
     (by, bcb, bcr, ly, lcb, lcr, sy, scb, scr, mtsp, lfnstp,
      cmodep, jccrp) = carry
     cs = s // 2
     mx = (1 << bd) - 1
+    bcw_w = jnp.asarray(np.asarray(BCW_W, np.int32))
 
     def one(slot):
         x, y = slot[0], slot[1]
         m0x, m0y, m1x, m1y, d = slot[2], slot[3], slot[4], slot[5], slot[6]
+        w = bcw_w[jnp.clip(slot[7], 0, 2)]
+        eqw = slot[7] == BCW_DEFAULT
+
+        def wavg(p0, p1):
+            return jnp.clip((w * p0 + (8 - w) * p1 + 4) >> 3, 0, mx)
 
         def bipred(ref0, ref1, px, py, sz, luma):
             f = mc.mc_luma_block if luma else mc.mc_chroma_block
             p0 = f(ref0, px, py, sz, m0x, m0y, bd)
             p1 = f(ref1, px, py, sz, m1x, m1y, bd)
-            avg = jnp.minimum((p0 + p1 + 1) >> 1, mx)
-            return jnp.where(d == 0, p0, jnp.where(d == 1, p1, avg))
+            return jnp.where(d == 0, p0, jnp.where(d == 1, p1, wavg(p0, p1)))
 
         if dmvr or bdof:
             # BI refinement path (twin of spec _inter_pred's DMVR/BDOF
@@ -276,8 +282,8 @@ def _inter_batch_pass(carry, ib_slots, refs, s: int, qp, bd: int,
                         odx, ody = mc.dmvr_offset_j(
                             refs[0], refs[3], x + sx0, y + sy0, sub,
                             m0x, m0y, m1x, m1y)
-                        odx = jnp.where(d == 2, odx, 0)
-                        ody = jnp.where(d == 2, ody, 0)
+                        odx = jnp.where((d == 2) & eqw, odx, 0)
+                        ody = jnp.where((d == 2) & eqw, ody, 0)
                         a0x = m0x + (odx << MV_FRAC_BITS)
                         a0y = m0y + (ody << MV_FRAC_BITS)
                         a1x = m1x - (odx << MV_FRAC_BITS)
@@ -290,10 +296,13 @@ def _inter_batch_pass(carry, ib_slots, refs, s: int, qp, bd: int,
                                            bd)
                     p0c = p0e[1:-1, 1:-1]
                     p1c = p1e[1:-1, 1:-1]
+                    # unequal BCW weights disable the BDOF blend (spec
+                    # _inter_pred takes the plain weighted-average path)
                     if bdof:
-                        bi = mc.bdof_blend_j(p0e, p1e, bd)
+                        bi = jnp.where(eqw, mc.bdof_blend_j(p0e, p1e, bd),
+                                       wavg(p0c, p1c))
                     else:
-                        bi = jnp.minimum((p0c + p1c + 1) >> 1, mx)
+                        bi = wavg(p0c, p1c)
                     blk = jnp.where(d == 0, p0c, jnp.where(d == 1, p1c, bi))
                     pred_y = jax.lax.dynamic_update_slice(pred_y, blk,
                                                           (sy0, sx0))
@@ -306,9 +315,8 @@ def _inter_batch_pass(carry, ib_slots, refs, s: int, qp, bd: int,
                         c1 = mc.mc_chroma_block(r1c, (x + sx0) // 2,
                                                 (y + sy0) // 2, cs2, a1x,
                                                 a1y, bd)
-                        cavg = jnp.minimum((c0 + c1 + 1) >> 1, mx)
                         cblk = jnp.where(d == 0, c0,
-                                         jnp.where(d == 1, c1, cavg))
+                                         jnp.where(d == 1, c1, wavg(c0, c1)))
                         if ci == 0:
                             pred_cb = jax.lax.dynamic_update_slice(
                                 pred_cb, cblk, (sy0 // 2, sx0 // 2))
@@ -494,7 +502,10 @@ def make_slots_split(dec: FrameDecisions, frame_h: int, frame_w: int):
         arr[:k, 4] = mv1[m, 0]
         arr[:k, 5] = mv1[m, 1]
         arr[:k, 6] = dirs[m]
+        arr[:k, 7] = (dec.bcw8[ys[m] // 8, xs[m] // 8].astype(np.int32)
+                      if dec.bcw8 is not None else BCW_DEFAULT)
         arr[k:, 2:] = 0
+        arr[k:, 7] = BCW_DEFAULT
         inter[s] = arr
     scan_slots = slots.copy()
     scan_slots[scan_slots[:, 0] > 3, 0] = 0

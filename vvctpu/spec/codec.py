@@ -46,9 +46,11 @@ class FrameDecisions:
     cmode8: np.ndarray = None   # (H//8, W//8) uint8: 0 = DM, 1 = CCLM
     mrl8: np.ndarray = None     # (H//8, W//8) uint8: MRL reference line 0..2
     jccr8: np.ndarray = None    # (H//8, W//8) uint8: joint Cb-Cr residual
+    bcw8: np.ndarray = None     # (H//8, W//8) uint8: BCW weight idx (1=equal)
 
     @classmethod
     def empty(cls, h: int, w: int) -> "FrameDecisions":
+        from .inter import BCW_DEFAULT
         return cls(np.zeros((h // 32, w // 32), np.uint8),
                    np.zeros((h // 16, w // 16), np.uint8),
                    np.zeros((h // 8, w // 8), np.int32),
@@ -60,7 +62,8 @@ class FrameDecisions:
                    np.zeros((h // 8, w // 8), np.uint8),
                    np.zeros((h // 8, w // 8), np.uint8),
                    np.zeros((h // 8, w // 8), np.uint8),
-                   np.zeros((h // 8, w // 8), np.uint8))
+                   np.zeros((h // 8, w // 8), np.uint8),
+                   np.full((h // 8, w // 8), BCW_DEFAULT, np.uint8))
 
     def equal(self, other: "FrameDecisions") -> bool:
         return (np.array_equal(self.split32, other.split32)
@@ -74,7 +77,8 @@ class FrameDecisions:
                 and np.array_equal(self.lfnst8, other.lfnst8)
                 and np.array_equal(self.cmode8, other.cmode8)
                 and np.array_equal(self.mrl8, other.mrl8)
-                and np.array_equal(self.jccr8, other.jccr8))
+                and np.array_equal(self.jccr8, other.jccr8)
+                and np.array_equal(self.bcw8, other.bcw8))
 
 
 @dataclass
@@ -98,6 +102,7 @@ class _FrameState:
     src_orig_y: np.ndarray | None = None  # unmapped source luma (filters)
     dmvr: bool = False                    # DMVR active (BI + symmetric refs)
     bdof: bool = False                    # BDOF active (BI + symmetric refs)
+    smvd: bool = False                    # SMVD active (BI + symmetric refs)
 
     @classmethod
     def make(cls, sps, qp, encoding, decisions, src, refs=None, col=None,
@@ -373,25 +378,96 @@ def _code_mvd_comp(io, v) -> int:
     return v
 
 
-def _code_mv_list(io, st: _FrameState, x: int, y: int, s: int, lst: int,
-                  mv_enc=None):
-    """mvp_idx + MVD for one reference list; returns the (reconstructed)
-    MV for that list."""
+def code_mv_list(io, mv_map, inter_map, x: int, y: int, s: int, lst: int,
+                 mv_enc=None, shift: int = 2):
+    """mvp_idx + MVD for one reference list at the given AMVR precision
+    (shift in 1/16-pel units; 2 = quarter-pel default).  AMVP candidates
+    are rounded to the precision grid, so the MVD is always exact.
+    Shared by the spec traversal and the pipeline entropy walker."""
     from . import inter as imod
-    cands = imod.mvp_candidates(st.mv_map[:, :, lst], st.inter_map[:, :, lst],
+    cands = imod.mvp_candidates(mv_map[:, :, lst], inter_map[:, :, lst],
                                 x, y, s)
+    rc = [(imod.round_mv_prec(c[0], shift), imod.round_mv_prec(c[1], shift))
+          for c in cands]
     if io.decoding:
         idx = io.byp()
         mvd_x = _code_mvd_comp(io, None)
         mvd_y = _code_mvd_comp(io, None)
-        return (cands[idx][0] + (mvd_x << 2), cands[idx][1] + (mvd_y << 2))
+        return (rc[idx][0] + (mvd_x << shift),
+                rc[idx][1] + (mvd_y << shift))
     mv = mv_enc
-    costs = [abs(mv[0] - c[0]) + abs(mv[1] - c[1]) for c in cands]
+    costs = [abs(mv[0] - c[0]) + abs(mv[1] - c[1]) for c in rc]
     idx = int(np.argmin(costs))
     io.byp(idx)
-    _code_mvd_comp(io, (mv[0] - cands[idx][0]) >> 2)
-    _code_mvd_comp(io, (mv[1] - cands[idx][1]) >> 2)
+    _code_mvd_comp(io, (mv[0] - rc[idx][0]) >> shift)
+    _code_mvd_comp(io, (mv[1] - rc[idx][1]) >> shift)
     return mv
+
+
+def _code_mv_list(io, st: _FrameState, x: int, y: int, s: int, lst: int,
+                  mv_enc=None, shift: int = 2):
+    return code_mv_list(io, st.mv_map, st.inter_map, x, y, s, lst, mv_enc,
+                        shift)
+
+
+def code_mv_smvd(io, mv_map, inter_map, x: int, y: int, s: int,
+                 mv0_enc=None, i1_enc=None, shift: int = 2):
+    """SMVD motion data: mvp_idx L0 + one MVD + mvp_idx L1; the L1 MV is
+    the L1 predictor minus the mirrored MVD.  Returns (mv0, mv1)."""
+    from . import inter as imod
+    c0 = imod.mvp_candidates(mv_map[:, :, 0], inter_map[:, :, 0], x, y, s)
+    c1 = imod.mvp_candidates(mv_map[:, :, 1], inter_map[:, :, 1], x, y, s)
+    rc0 = [(imod.round_mv_prec(c[0], shift), imod.round_mv_prec(c[1], shift))
+           for c in c0]
+    rc1 = [(imod.round_mv_prec(c[0], shift), imod.round_mv_prec(c[1], shift))
+           for c in c1]
+    if io.decoding:
+        i0 = io.byp()
+        mvd_x = _code_mvd_comp(io, None) << shift
+        mvd_y = _code_mvd_comp(io, None) << shift
+        i1 = io.byp()
+        return ((rc0[i0][0] + mvd_x, rc0[i0][1] + mvd_y),
+                (rc1[i1][0] - mvd_x, rc1[i1][1] - mvd_y))
+    mv0 = mv0_enc
+    costs = [abs(mv0[0] - c[0]) + abs(mv0[1] - c[1]) for c in rc0]
+    i0 = int(np.argmin(costs))
+    io.byp(i0)
+    _code_mvd_comp(io, (mv0[0] - rc0[i0][0]) >> shift)
+    _code_mvd_comp(io, (mv0[1] - rc0[i0][1]) >> shift)
+    io.byp(i1_enc)
+    return mv0, (rc1[i1_enc][0] - (mv0[0] - rc0[i0][0]),
+                 rc1[i1_enc][1] - (mv0[1] - rc0[i0][1]))
+
+
+def code_amvr(io, prec=None) -> int:
+    """amvr_flag (+ one-bin precision idx): 0 quarter, 1 integer, 2 4-pel."""
+    if io.decoding:
+        if not io.bin(C.AMVR_FLAG(0)):
+            return 0
+        return 1 + io.bin(C.AMVR_PREC(0))
+    io.bin(C.AMVR_FLAG(0), int(prec > 0))
+    if prec > 0:
+        io.bin(C.AMVR_PREC(0), prec - 1)
+    return prec
+
+
+def _amvr_for_leaf(io, mv_map, inter_map, x, y, s, d, mv0, mv1,
+                   enabled: bool) -> int:
+    """Shared encode-side AMVR decision + syntax for one explicit leaf."""
+    from . import inter as imod
+    if not enabled:
+        return 0
+    mvs, lists = [], []
+    if d in (0, 2):
+        mvs.append(mv0)
+        lists.append(imod.mvp_candidates(mv_map[:, :, 0],
+                                         inter_map[:, :, 0], x, y, s))
+    if d in (1, 2):
+        mvs.append(mv1)
+        lists.append(imod.mvp_candidates(mv_map[:, :, 1],
+                                         inter_map[:, :, 1], x, y, s))
+    prec = imod.amvr_choose(mvs, lists, True)
+    return code_amvr(io, prec)
 
 
 def _code_merge_idx(io, idx=None) -> int:
@@ -441,17 +517,32 @@ def _code_mmvd(io, mmvd=None):
     return mmvd
 
 
-def _inter_pred(st: _FrameState, x: int, y: int, s: int, d: int, mv0, mv1):
+def _code_bcw_idx(io, widx=None) -> int:
+    """bcw_idx: first bin ctx-coded (unequal weight?), bypass picks 3 vs 5."""
+    from .inter import BCW_DEFAULT
+    if io.decoding:
+        if not io.bin(C.BCW_IDX(0)):
+            return BCW_DEFAULT
+        return 2 if io.byp() else 0
+    io.bin(C.BCW_IDX(0), int(widx != BCW_DEFAULT))
+    if widx != BCW_DEFAULT:
+        io.byp(int(widx == 2))
+    return widx
+
+
+def _inter_pred(st: _FrameState, x: int, y: int, s: int, d: int, mv0, mv1,
+                widx: int = 1):
     """[Y, Cb, Cr] motion-compensated predictions for the leaf.
 
     BI leaves run DMVR (per 16x16 subblock, refs symmetric) and BDOF
     (per 4x4 optical flow) when enabled — decoder-side refinements with no
-    syntax (spec/inter.py dmvr_offset / bdof_blend)."""
+    syntax (spec/inter.py dmvr_offset / bdof_blend).  widx: BCW weight
+    index (unequal weights disable DMVR/BDOF, as in VVC)."""
     from . import inter as imod
     bd = st.sps.bit_depth
     mx = (1 << bd) - 1
 
-    if d == 2 and (st.dmvr or st.bdof):
+    if d == 2 and widx == imod.BCW_DEFAULT and (st.dmvr or st.bdof):
         sub = imod.DMVR_SUB if (st.dmvr and s >= imod.DMVR_SUB) else s
         out_y = np.zeros((s, s), np.int32)
         out_cb = np.zeros((s // 2, s // 2), np.int32)
@@ -507,7 +598,7 @@ def _inter_pred(st: _FrameState, x: int, y: int, s: int, d: int, mv0, mv1):
                 outs.append(imod.mc_chroma(ref, px, py, sz, sz, mv[0],
                                            mv[1], bd, imod.REF_MARGIN // 2))
         if len(outs) == 2:
-            return np.minimum((outs[0] + outs[1] + 1) >> 1, mx)
+            return imod.bcw_average(outs[0], outs[1], widx, bd)
         return outs[0]
 
     out = [pred_for(0, x, y, s), pred_for(1, x // 2, y // 2, s // 2),
@@ -529,13 +620,19 @@ def _prep_inter_enc(st: _FrameState, x: int, y: int, s: int) -> dict:
            if d in (0, 2) else (0, 0))
     mv1 = ((int(st.dec.mv8_l1[gy, gx, 0]), int(st.dec.mv8_l1[gy, gx, 1]))
            if d in (1, 2) else (0, 0))
+    widx = (int(st.dec.bcw8[gy, gx])
+            if st.sps.bcw_enabled and d == 2 else imod.BCW_DEFAULT)
     cands = imod.merge_candidates(st.inter_map, st.mv_map, x, y, s, is_b,
                                   st.col, st.hmvp)
     me = (d, mv0, mv1)
-    midx = cands.index(me) if me in cands else None
+    # merge leaves always use the equal weight, so an unequal-BCW leaf
+    # must be coded explicitly
+    midx = (cands.index(me)
+            if me in cands and widx == imod.BCW_DEFAULT else None)
     mmvd = (imod.mmvd_match(cands, me)
-            if midx is None and st.sps.mmvd_enabled else None)
-    preds = _inter_pred(st, x, y, s, d, mv0, mv1)
+            if midx is None and widx == imod.BCW_DEFAULT
+            and st.sps.mmvd_enabled else None)
+    preds = _inter_pred(st, x, y, s, d, mv0, mv1, widx)
     bd = st.sps.bit_depth
     levs = []
     for comp, (px, py, sz) in enumerate(((x, y, s),
@@ -549,7 +646,7 @@ def _prep_inter_enc(st: _FrameState, x: int, y: int, s: int) -> dict:
             lam_rd=transform.lambda_rd_int(st.qp)))
     all_zero = not any(lv.any() for lv in levs)
     return dict(d=d, mv0=mv0, mv1=mv1, midx=midx, mmvd=mmvd, preds=preds,
-                levs=levs, all_zero=all_zero)
+                levs=levs, all_zero=all_zero, widx=widx)
 
 
 def _code_inter_leaf(io, st: _FrameState, x: int, y: int, s: int,
@@ -559,6 +656,7 @@ def _code_inter_leaf(io, st: _FrameState, x: int, y: int, s: int,
     is_b = st.refs is not None and len(st.refs) == 2
 
     if io.decoding:
+        widx = imod.BCW_DEFAULT
         merge = True if skip else bool(io.bin(C.MERGE_FLAG(0)))
         if merge:
             mmvd = _code_mmvd(io) if st.sps.mmvd_enabled else None
@@ -576,23 +674,35 @@ def _code_inter_leaf(io, st: _FrameState, x: int, y: int, s: int,
                 d = 2 if bi else io.byp()
             else:
                 d = 0
+            shift = imod.AMVR_SHIFTS[code_amvr(io)] \
+                if st.sps.amvr_enabled else 2
+            smvd = bool(io.bin(C.SMVD_FLAG(0))) \
+                if d == 2 and st.smvd else False
             mv0 = mv1 = (0, 0)
-            if d in (0, 2):
-                mv0 = _code_mv_list(io, st, x, y, s, 0)
-            if d in (1, 2):
-                mv1 = _code_mv_list(io, st, x, y, s, 1)
-            if d == 1:
-                mv0 = (0, 0)
-        preds = _inter_pred(st, x, y, s, d, mv0, mv1)
+            if smvd:
+                mv0, mv1 = code_mv_smvd(io, st.mv_map, st.inter_map, x, y,
+                                        s, shift=shift)
+            else:
+                if d in (0, 2):
+                    mv0 = _code_mv_list(io, st, x, y, s, 0, shift=shift)
+                if d in (1, 2):
+                    mv1 = _code_mv_list(io, st, x, y, s, 1, shift=shift)
+                if d == 1:
+                    mv0 = (0, 0)
+            if is_b and d == 2 and st.sps.bcw_enabled:
+                widx = _code_bcw_idx(io)
+        preds = _inter_pred(st, x, y, s, d, mv0, mv1, widx)
         sl = np.s_[gy:(y + s) // 8, gx:(x + s) // 8]
         st.dec.inter8[sl] = 1
         st.dec.dir8[sl] = d
         st.dec.mv8[sl] = mv0
         st.dec.mv8_l1[sl] = mv1
+        st.dec.bcw8[sl] = widx
     else:
         d, mv0, mv1 = pre["d"], pre["mv0"], pre["mv1"]
         midx, preds = pre["midx"], pre["preds"]
         mmvd = pre["mmvd"]
+        widx = pre["widx"]
         merged = midx is not None or mmvd is not None
 
         def code_merge_data():
@@ -612,10 +722,25 @@ def _code_inter_leaf(io, st: _FrameState, x: int, y: int, s: int,
                     io.bin(C.INTER_DIR(0), int(d == 2))
                     if d != 2:
                         io.byp(d)
-                if d in (0, 2):
-                    _code_mv_list(io, st, x, y, s, 0, mv0)
-                if d in (1, 2):
-                    _code_mv_list(io, st, x, y, s, 1, mv1)
+                prec = _amvr_for_leaf(io, st.mv_map, st.inter_map, x, y,
+                                      s, d, mv0, mv1,
+                                      st.sps.amvr_enabled)
+                shift = imod.AMVR_SHIFTS[prec]
+                i1 = imod.smvd_match(st.mv_map, st.inter_map, x, y, s,
+                                     mv0, mv1, shift) \
+                    if d == 2 and st.smvd else None
+                if d == 2 and st.smvd:
+                    io.bin(C.SMVD_FLAG(0), int(i1 is not None))
+                if i1 is not None:
+                    code_mv_smvd(io, st.mv_map, st.inter_map, x, y, s,
+                                 mv0, i1, shift=shift)
+                else:
+                    if d in (0, 2):
+                        _code_mv_list(io, st, x, y, s, 0, mv0, shift=shift)
+                    if d in (1, 2):
+                        _code_mv_list(io, st, x, y, s, 1, mv1, shift=shift)
+                if is_b and d == 2 and st.sps.bcw_enabled:
+                    _code_bcw_idx(io, widx)
 
     trace.t_leaf_inter(x, y, s, mv0 if d != 1 else mv1)
     bd = st.sps.bit_depth
@@ -915,6 +1040,7 @@ def encode_frame(src_planes: list[np.ndarray], sps: hls.SPS, pps: hls.PPS,
                           pad_planes(src_planes, sps), refs, col, rdoq)
     st.dmvr = sps.dmvr_enabled and bi_sym(sh)
     st.bdof = sps.bdof_enabled and bi_sym(sh)
+    st.smvd = sps.smvd_enabled and bi_sym(sh)
     if sh.lmcs_cw:
         from . import lmcs as lmcsmod
         st.lmcs = lmcsmod.build_luts(sh.lmcs_cw, sps.bit_depth)
@@ -1023,6 +1149,7 @@ def decode_frame(slice_rbsp: bytes, sps: hls.SPS, pps_map: dict[int, hls.PPS],
     st = _FrameState.make(sps, qp, False, decisions, None, refs, col)
     st.dmvr = sps.dmvr_enabled and bi_sym(sh)
     st.bdof = sps.bdof_enabled and bi_sym(sh)
+    st.smvd = sps.smvd_enabled and bi_sym(sh)
     if sh.lmcs_cw:
         from . import lmcs as lmcsmod
         st.lmcs = lmcsmod.build_luts(sh.lmcs_cw, sps.bit_depth)

@@ -328,12 +328,15 @@ def refine_size_pass(orig: np.ndarray, refp: np.ndarray, int_mv: np.ndarray,
 def decide_frame_b(orig_y: np.ndarray, ref0_y: np.ndarray,
                    ref1_y: np.ndarray, qp: int,
                    bit_depth: int = rom.BIT_DEPTH,
-                   mip: bool = False, mrl: bool = False) -> FrameDecisions:
+                   mip: bool = False, mrl: bool = False,
+                   bcw: bool = False) -> FrameDecisions:
     """B-frame decisions: per-size best of {intra, L0, L1, BI}, QT bottom-up.
 
     BI cost: SAD of the averaged refined uni-predictions plus both MV rates
     (VTM:EncoderLib/InterSearch predInterSearch bi-iteration, simplified to
-    one pass over the two uni winners)."""
+    one pass over the two uni winners).  With ``bcw`` the BI average is
+    additionally tried with the unequal {3,5}/8 weights (VTM BCW/GBi
+    search) and the per-leaf winner index recorded in ``dec.bcw8``."""
     h, w = orig_y.shape
     lam = lambda_satd_fp(qp)
     dec = FrameDecisions.empty(h, w)
@@ -359,8 +362,10 @@ def decide_frame_b(orig_y: np.ndarray, ref0_y: np.ndarray,
             rc, rmv = refine_size_pass(orig_y, refp[lst], mv_, s, lam)
             ucost.append(rc)
             umv.append(rmv)
-        # BI evaluation with the two refined winners
+        # BI evaluation with the two refined winners (per-weight when BCW)
         bcost = np.empty((nby, nbx), np.int64)
+        bwidx = np.full((nby, nbx), _inter.BCW_DEFAULT, np.int32)
+        widxs = (0, 1, 2) if bcw else (_inter.BCW_DEFAULT,)
         for by in range(nby):
             for bx in range(nbx):
                 m0 = umv[0][by, bx]
@@ -369,21 +374,28 @@ def decide_frame_b(orig_y: np.ndarray, ref0_y: np.ndarray,
                                     int(m0[0]), int(m0[1]), bit_depth)
                 p1 = _inter.mc_luma(refp[1], bx * s, by * s, s, s,
                                     int(m1[0]), int(m1[1]), bit_depth)
-                pb = (p0.astype(np.int64) + p1 + 1) >> 1
-                sad = int(np.abs(o64[by * s:(by + 1) * s,
-                                     bx * s:(bx + 1) * s] - pb).sum())
                 bits = (_inter.mv_bits_q(int(m0[0]) >> 2, int(m0[1]) >> 2)
                         + _inter.mv_bits_q(int(m1[0]) >> 2,
                                            int(m1[1]) >> 2))
-                bcost[by, bx] = (sad << 8) + lam * bits
+                best = None
+                ob = o64[by * s:(by + 1) * s, bx * s:(bx + 1) * s]
+                for wi in widxs:
+                    pb = _inter.bcw_average(p0, p1, wi, bit_depth)
+                    sad = int(np.abs(ob - pb).sum())
+                    wb = _inter.BCW_IDX_BITS[wi] if bcw else 0
+                    c = (sad << 8) + lam * (bits + wb)
+                    if best is None or c < best[0]:
+                        best = (c, wi)
+                bcost[by, bx] = best[0]
+                bwidx[by, bx] = best[1]
         costs = np.stack([icost, ucost[0], ucost[1], bcost])  # (4,nby,nbx)
         kind = np.argmin(costs, axis=0).astype(np.int32)      # first-min
         cost = np.min(costs, axis=0)
-        size_data[s] = (cost, imode, kind, umv[0], umv[1], imrl)
+        size_data[s] = (cost, imode, kind, umv[0], umv[1], imrl, bwidx)
 
-    c8, im8, k8, mva8, mvb8, mrl8a = size_data[8]
-    c16, im16, k16, mva16, mvb16, mrl16a = size_data[16]
-    c32, im32, k32, mva32, mvb32, mrl32a = size_data[32]
+    c8, im8, k8, mva8, mvb8, mrl8a, bw8 = size_data[8]
+    c16, im16, k16, mva16, mvb16, mrl16a, bw16 = size_data[16]
+    c32, im32, k32, mva32, mvb32, mrl32a, bw32 = size_data[32]
     n16y, n16x = h // 16, w // 16
     n32y, n32x = h // 32, w // 32
     sum8 = (c8.reshape(n16y, 2, n16x, 2).sum(axis=(1, 3))
@@ -430,4 +442,8 @@ def decide_frame_b(orig_y: np.ndarray, ref0_y: np.ndarray,
     dec.mv8[..., 1] = np.where(use0, mv0[..., 1], 0)
     dec.mv8_l1[..., 0] = np.where(use1, mv1[..., 0], 0)
     dec.mv8_l1[..., 1] = np.where(use1, mv1[..., 1], 0)
+    if bcw:
+        bw = sel(bw32, bw16, bw8)
+        dec.bcw8[:] = np.where(itf & (kind == 3), bw,
+                               _inter.BCW_DEFAULT).astype(np.uint8)
     return dec

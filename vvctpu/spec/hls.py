@@ -36,6 +36,9 @@ class SPS:
     ts_enabled: bool = False    # transform skip (unified tx index 5)
     jccr_enabled: bool = False  # joint Cb-Cr residual (CSign = -1)
     mmvd_enabled: bool = False  # merge with MVD
+    bcw_enabled: bool = False   # bi-prediction with CU weights {3,4,5}/8
+    amvr_enabled: bool = False  # adaptive MVD resolution (1/4, 1, 4 pel)
+    smvd_enabled: bool = False  # symmetric MVD (BI, POC-symmetric refs)
     dmvr_enabled: bool = False  # decoder-side MV refinement (BI, no syntax)
     bdof_enabled: bool = False  # bi-directional optical flow (BI, no syntax)
     cclm_enabled: bool = False
@@ -69,7 +72,9 @@ class SPS:
                   self.lmcs_enabled, self.sao_enabled, self.alf_enabled,
                   self.deblock_enabled, self.mip_enabled,
                   self.mrl_enabled, self.ts_enabled, self.jccr_enabled,
-                  self.mmvd_enabled, self.dmvr_enabled, self.bdof_enabled):
+                  self.mmvd_enabled, self.dmvr_enabled, self.bdof_enabled,
+                  self.bcw_enabled, self.amvr_enabled,
+                  self.smvd_enabled):
             w.u(int(f), 1)
         w.byte_align()
         return w.getvalue()
@@ -89,8 +94,9 @@ class SPS:
         (s.mts_enabled, s.lfnst_enabled, s.cclm_enabled, s.lmcs_enabled,
          s.sao_enabled, s.alf_enabled, s.deblock_enabled, s.mip_enabled,
          s.mrl_enabled, s.ts_enabled, s.jccr_enabled, s.mmvd_enabled,
-         s.dmvr_enabled, s.bdof_enabled) = (bool(r.u(1))
-                                            for _ in range(14))
+         s.dmvr_enabled, s.bdof_enabled, s.bcw_enabled,
+         s.amvr_enabled, s.smvd_enabled) = (bool(r.u(1))
+                                            for _ in range(17))
         return s
 
 

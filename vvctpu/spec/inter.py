@@ -310,6 +310,109 @@ def hmvp_push(hmvp: list, cand: tuple) -> None:
 
 
 # ---------------------------------------------------------------------------
+# AMVR: adaptive MV resolution (role of VTM's amvr_flag/amvr_precision_idx,
+# CommonLib/Mv.h roundToAmvrSignalPrec + EncoderLib/InterSearch AMVR loop).
+# Per explicit-inter leaf the MVD is signalled at quarter-, integer- or
+# 4-pel precision; AMVP candidates are rounded to that grid.  The default
+# quarter-pel rounding also guards against non-aligned candidates (TMVP
+# scaling produces arbitrary 1/16-pel values).
+# ---------------------------------------------------------------------------
+AMVR_SHIFTS = (2, 4, 6)    # MVD shift in 1/16-pel units per precision index
+AMVR_BITS = (1, 2, 2)      # signalling cost of each precision index
+
+
+def round_mv_prec(v: int, shift: int) -> int:
+    """Round one MV component to the precision grid, half away from zero."""
+    a = abs(int(v))
+    r = ((a + (1 << (shift - 1))) >> shift) << shift
+    return r if v >= 0 else -r
+
+
+def mvd_est_bits(v: int) -> int:
+    """Decision-time rate of one MVD component (mvd_coding shape)."""
+    a = abs(int(v))
+    if a == 0:
+        return 1
+    if a == 1:
+        return 3
+    return 4 + 2 * bitlen_int(a - 1)
+
+
+def amvr_choose(mvs, cand_lists, enabled: bool) -> int:
+    """Precision index for one explicit leaf: the cheapest precision whose
+    grid holds every used MV component (identical pure-int math in both
+    engines; the reconstructed MV is exact for every eligible precision,
+    so this is a rate-only decision)."""
+    if not enabled:
+        return 0
+    best = None
+    for pi, sh in enumerate(AMVR_SHIFTS):
+        unit = 1 << sh
+        if any(c % unit for mv in mvs for c in mv):
+            continue
+        bits = AMVR_BITS[pi]
+        for mv, cands in zip(mvs, cand_lists):
+            rc = [(round_mv_prec(c[0], sh), round_mv_prec(c[1], sh))
+                  for c in cands]
+            costs = [abs(mv[0] - c[0]) + abs(mv[1] - c[1]) for c in rc]
+            i = int(np.argmin(costs))
+            bits += (mvd_est_bits((mv[0] - rc[i][0]) >> sh)
+                     + mvd_est_bits((mv[1] - rc[i][1]) >> sh))
+        if best is None or bits < best[0]:
+            best = (bits, pi)
+    return best[1]
+
+
+# ---------------------------------------------------------------------------
+# SMVD: symmetric MVD (role of VTM's sym_mvd_flag, CommonLib/UnitTools
+# PU::... + EncoderLib/InterSearch symmetric ME).  For explicit BI leaves
+# with POC-symmetric references, one MVD is signalled and mirrored onto
+# L1: mv1 = mvp1 - mvd.  Encoder side: exact pattern match of the chosen
+# (mv0, mv1) pair against the mirrored form.
+# ---------------------------------------------------------------------------
+
+def smvd_match(mv_map, inter_map, x: int, y: int, s: int, mv0, mv1,
+               shift: int = 2):
+    """L1 mvp index making (mv0, mv1) SMVD-expressible at the given AMVR
+    precision, or None.  Uses the same rounded-candidate argmin as
+    code_mv_list, so the coded MVs reconstruct exactly."""
+    c0 = mvp_candidates(mv_map[:, :, 0], inter_map[:, :, 0], x, y, s)
+    c1 = mvp_candidates(mv_map[:, :, 1], inter_map[:, :, 1], x, y, s)
+    rc0 = [(round_mv_prec(c[0], shift), round_mv_prec(c[1], shift))
+           for c in c0]
+    rc1 = [(round_mv_prec(c[0], shift), round_mv_prec(c[1], shift))
+           for c in c1]
+    costs = [abs(mv0[0] - c[0]) + abs(mv0[1] - c[1]) for c in rc0]
+    i0 = int(np.argmin(costs))
+    mvd = (mv0[0] - rc0[i0][0], mv0[1] - rc0[i0][1])
+    for i1, c in enumerate(rc1):
+        if (c[0] - mvd[0], c[1] - mvd[1]) == tuple(mv1):
+            return i1
+    return None
+
+
+# ---------------------------------------------------------------------------
+# BCW: bi-prediction with CU-level weights (role of VTM:CommonLib/
+# InterPrediction.cpp xWeightedAverage + the bcw_idx syntax).  This build
+# uses the 3-weight RA set {3, 4, 5}/8; index 1 (equal weight) is the
+# default, merge leaves always use it, and DMVR/BDOF are disabled for
+# unequal weights (as in VVC).
+# ---------------------------------------------------------------------------
+BCW_W = (3, 4, 5)          # w/8 applied to L0; L1 gets (8 - w)/8
+BCW_DEFAULT = 1            # index of the equal weight
+BCW_IDX_BITS = (2, 1, 2)   # decision-time rate of each index
+
+
+def bcw_average(p0: np.ndarray, p1: np.ndarray, widx: int,
+                bd: int) -> np.ndarray:
+    """Weighted bi average: clip((w*P0 + (8-w)*P1 + 4) >> 3); w = 4 is the
+    plain rounded average bit-for-bit."""
+    w = BCW_W[widx]
+    return np.clip((w * p0.astype(np.int64) + (8 - w) * p1 + 4) >> 3, 0,
+                   (1 << bd) - 1).astype(np.int32)
+
+
+# ---------------------------------------------------------------------------
 # DMVR: decoder-side MV refinement (role of VTM:CommonLib/InterPrediction.cpp
 # xProcessDMVR / xDMVRCost).  Applied to bi-predicted leaves whose two
 # references are POC-symmetric around the current picture; both engines run

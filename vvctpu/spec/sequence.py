@@ -33,6 +33,9 @@ class EncoderConfig:
     jccr: bool = False      # joint Cb-Cr residual coding
     mmvd: bool = False      # merge with MVD
     dmvr: bool = False      # decoder-side MV refinement (BI leaves)
+    bcw: bool = False       # bi-prediction with CU weights {3,4,5}/8
+    amvr: bool = False      # adaptive MVD resolution (1/4, 1, 4 pel)
+    smvd: bool = False      # symmetric MVD (BI leaves, symmetric refs)
     bdof: bool = False      # bi-directional optical flow (BI leaves)
     lfnst: bool = False     # low-frequency non-separable secondary transform
     cclm: bool = False      # cross-component linear-model chroma prediction
@@ -57,7 +60,8 @@ class EncoderConfig:
                        mip_enabled=self.mip, mrl_enabled=self.mrl,
                        ts_enabled=self.tskip, jccr_enabled=self.jccr,
                        mmvd_enabled=self.mmvd, dmvr_enabled=self.dmvr,
-                       bdof_enabled=self.bdof)
+                       bdof_enabled=self.bdof, bcw_enabled=self.bcw,
+                       amvr_enabled=self.amvr, smvd_enabled=self.smvd)
 
 
 def gop_plan(n_frames: int, intra_period: int, gop: int):
@@ -155,7 +159,7 @@ def encode_sequence(frames: list[list[np.ndarray]], cfg: EncoderConfig,
             dec = decide.decide_frame_b(padded_y, dpb[ref_pocs[0]][0],
                                         dpb[ref_pocs[1]][0], qp,
                                         cfg.bit_depth, mip=cfg.mip,
-                                        mrl=cfg.mrl)
+                                        mrl=cfg.mrl, bcw=cfg.bcw)
         if decisions_out is not None:
             decisions_out.append(dec)
         sh = hls.SliceHeader(poc=poc, slice_type=stype, qp_delta=qpd,
