@@ -75,6 +75,7 @@ BCW_IDX = R.add("bcw_idx", 1)                      # CU-level bi-pred weight
 AMVR_FLAG = R.add("amvr_flag", 1)                  # MVD precision != 1/4 pel
 AMVR_PREC = R.add("amvr_precision_idx", 1)         # integer vs 4-pel
 SMVD_FLAG = R.add("sym_mvd_flag", 1)               # mirrored single MVD
+CIIP_FLAG = R.add("ciip_flag", 1)                  # inter + planar blend
 
 # --- intra mode ----------------------------------------------------------
 INTRA_MPM_FLAG = R.add("intra_luma_mpm_flag", 1, init=(HIGH,) * 3)

@@ -113,6 +113,52 @@ def size_pass(buf, lam, *, s: int, frame_w: int, frame_h: int, bd: int = 8,
             mrlv.reshape(nby, nbx))
 
 
+@functools.partial(jax.jit, static_argnames=("s", "frame_w", "frame_h",
+                                             "bd"))
+def ciip_pass(buf, refp0, refp1, kind, mv0, mv1, bwidx, *, s: int,
+              frame_w: int, frame_h: int, bd: int = 8):
+    """CIIP refinement SADs per s-block — twin of spec ciip_sad_pass.
+
+    buf: margin-padded original luma; refp0/refp1: REF_MARGIN-padded
+    references; kind (nby, nbx) int32 (0 intra, 1 L0, 2 L1, 3 BI);
+    mv0/mv1 (nby, nbx, 2) 1/16-pel.  Returns (sad_mc, sad_blend) int32."""
+    from ..kernels import mc
+    from ..spec.inter import BCW_W
+    nby, nbx = frame_h // s, frame_w // s
+    mx = (1 << bd) - 1
+    bcw_w = jnp.asarray(np.asarray(BCW_W, np.int32))
+    xs = jnp.arange(nbx, dtype=jnp.int32) * s
+    ys = jnp.arange(nby, dtype=jnp.int32) * s
+    gx, gy = jnp.meshgrid(xs, ys)
+    flat = jnp.stack([gx.ravel(), gy.ravel(),
+                      kind.ravel().astype(jnp.int32),
+                      mv0[..., 0].ravel(), mv0[..., 1].ravel(),
+                      mv1[..., 0].ravel(), mv1[..., 1].ravel(),
+                      bwidx.ravel().astype(jnp.int32)], axis=1)
+
+    def per_block(row):
+        x, y, k = row[0], row[1], row[2]
+        p0 = mc.mc_luma_block(refp0, x, y, s, row[3], row[4], bd)
+        p1 = mc.mc_luma_block(refp1, x, y, s, row[5], row[6], bd)
+        w = bcw_w[jnp.clip(row[7], 0, 2)]
+        pb = jnp.clip((w * p0 + (8 - w) * p1 + 4) >> 3, 0, mx)
+        p = jnp.where(k == 1, p0, jnp.where(k == 2, p1, pb))
+        top, left = intra_pred.build_references(
+            buf, x, y, s=s, is_luma=True, frame_w=frame_w, frame_h=frame_h,
+            n_ctu_x=frame_w // 64, bd=bd, in_frame_only=True)
+        pl = intra_pred.predict(top, left, jnp.int32(rom.PLANAR_IDX), s=s,
+                                is_luma=True, bd=bd)
+        blend = jnp.clip((p + pl + 1) >> 1, 0, mx)
+        ob = jax.lax.dynamic_slice(buf, (y + 1, x + 1), (s, s))
+        sadm = jnp.abs(ob - p).sum()
+        sadb = jnp.abs(ob - blend).sum()
+        return (jnp.where(k > 0, sadm, 0).astype(jnp.int32),
+                jnp.where(k > 0, sadb, 0).astype(jnp.int32))
+
+    sadm, sadb = jax.vmap(per_block)(flat)
+    return sadm.reshape(nby, nbx), sadb.reshape(nby, nbx)
+
+
 def decide_frame(orig_y: np.ndarray, qp: int, bd: int = 8,
                  mip: bool = False, mrl: bool = False) -> FrameDecisions:
     """Device-batched decisions for a padded luma plane (host assembly)."""
@@ -165,7 +211,7 @@ def decide_frame(orig_y: np.ndarray, qp: int, bd: int = 8,
 
 def decide_frame_p(orig_y: np.ndarray, ref_y: np.ndarray, qp: int,
                    bd: int = 8, mip: bool = False,
-                   mrl: bool = False) -> FrameDecisions:
+                   mrl: bool = False, ciip: bool = False) -> FrameDecisions:
     """Device-batched P-frame decisions (twin of spec decide_frame_p)."""
     from ..spec.inter import ME_RANGE
     from . import me as jme
@@ -197,12 +243,24 @@ def decide_frame_p(orig_y: np.ndarray, ref_y: np.ndarray, qp: int,
         rmv = np.asarray(rmv)
         use_inter = rcost < icost
         cost = np.where(use_inter, rcost, icost)
-        size_data[s] = (cost, imode, use_inter, rmv, imrl)
+        cflag = np.zeros(use_inter.shape, bool)
+        if ciip:
+            jmv = jnp.asarray(rmv)
+            sadm, sadb = ciip_pass(
+                jbuf, refp80, refp80,
+                jnp.asarray(use_inter.astype(np.int32)), jmv, jmv,
+                jnp.ones(use_inter.shape, jnp.int32), s=s, frame_w=w,
+                frame_h=h, bd=bd)
+            sadm = np.asarray(sadm).astype(np.int64)
+            sadb = np.asarray(sadb).astype(np.int64)
+            cflag = use_inter & (sadb < sadm)
+            cost = np.where(cflag, cost + ((sadb - sadm) << 8), cost)
+        size_data[s] = (cost, imode, use_inter, rmv, imrl, cflag)
 
     dec = FrameDecisions.empty(h, w)
-    cost8, imode8, inter8, mv8, mrl8 = size_data[8]
-    cost16, imode16, inter16, mv16, mrl16 = size_data[16]
-    cost32, imode32, inter32, mv32, mrl32 = size_data[32]
+    cost8, imode8, inter8, mv8, mrl8, cf8 = size_data[8]
+    cost16, imode16, inter16, mv16, mrl16, cf16 = size_data[16]
+    cost32, imode32, inter32, mv32, mrl32, cf32 = size_data[32]
     n16y, n16x = h // 16, w // 16
     n32y, n32x = h // 32, w // 32
     sum8 = (cost8.reshape(n16y, 2, n16x, 2).sum(axis=(1, 3))
@@ -242,13 +300,18 @@ def decide_frame_p(orig_y: np.ndarray, ref_y: np.ndarray, qp: int,
     dec.mrl8[:] = np.where(itf, 0, mrlv).astype(np.uint8)
     dec.mv8[..., 0] = np.where(itf, mvx, 0)   # already 1/16-pel
     dec.mv8[..., 1] = np.where(itf, mvy, 0)
+    if ciip:
+        cf = up(cf32.astype(np.uint8), 4)
+        cf = np.where(use16, up(cf16.astype(np.uint8), 2), cf)
+        cf = np.where(use8, cf8.astype(np.uint8), cf)
+        dec.ciip8[:] = np.where(itf, cf, 0).astype(np.uint8)
     return dec
 
 
 def decide_frame_b(orig_y: np.ndarray, ref0_y: np.ndarray,
                    ref1_y: np.ndarray, qp: int, bd: int = 8,
                    mip: bool = False, mrl: bool = False,
-                   bcw: bool = False):
+                   bcw: bool = False, ciip: bool = False):
     """Device-batched B-frame decisions (twin of spec decide_frame_b)."""
     from ..spec.inter import BCW_DEFAULT
     from ..spec.inter import ME_RANGE, REF_MARGIN
@@ -291,13 +354,24 @@ def decide_frame_b(orig_y: np.ndarray, ref0_y: np.ndarray,
         costs = np.stack([icost, ucost[0], ucost[1], bcost])
         kind = np.argmin(costs, axis=0).astype(np.int32)
         cost = np.min(costs, axis=0)
-        size_data[s] = (cost, imode, kind, umv[0], umv[1], imrl, bwidx)
+        cflag = np.zeros(kind.shape, bool)
+        if ciip:
+            sadm, sadb = ciip_pass(
+                jbuf, refp80[0], refp80[1], jnp.asarray(kind),
+                jnp.asarray(umv[0]), jnp.asarray(umv[1]),
+                jnp.asarray(bwidx), s=s, frame_w=w, frame_h=h, bd=bd)
+            sadm = np.asarray(sadm).astype(np.int64)
+            sadb = np.asarray(sadb).astype(np.int64)
+            cflag = (kind > 0) & (sadb < sadm)
+            cost = np.where(cflag, cost + ((sadb - sadm) << 8), cost)
+        size_data[s] = (cost, imode, kind, umv[0], umv[1], imrl, bwidx,
+                        cflag)
 
     from ..spec.codec import FrameDecisions as FD
     dec = FD.empty(h, w)
-    c8, im8, k8, mva8, mvb8, mrl8a, bw8 = size_data[8]
-    c16, im16, k16, mva16, mvb16, mrl16a, bw16 = size_data[16]
-    c32, im32, k32, mva32, mvb32, mrl32a, bw32 = size_data[32]
+    c8, im8, k8, mva8, mvb8, mrl8a, bw8, cf8 = size_data[8]
+    c16, im16, k16, mva16, mvb16, mrl16a, bw16, cf16 = size_data[16]
+    c32, im32, k32, mva32, mvb32, mrl32a, bw32, cf32 = size_data[32]
     n16y, n16x = h // 16, w // 16
     n32y, n32x = h // 32, w // 32
     sum8 = (c8.reshape(n16y, 2, n16x, 2).sum(axis=(1, 3))
@@ -348,4 +422,8 @@ def decide_frame_b(orig_y: np.ndarray, ref0_y: np.ndarray,
         bw = sel(bw32, bw16, bw8)
         dec.bcw8[:] = np.where(itf & (kind == 3), bw,
                                BCW_DEFAULT).astype(np.uint8)
+    if ciip:
+        cf = sel(cf32.astype(np.uint8), cf16.astype(np.uint8),
+                 cf8.astype(np.uint8))
+        dec.ciip8[:] = np.where(itf, cf, 0).astype(np.uint8)
     return dec

@@ -54,7 +54,8 @@ def _block_costs(bufs, coords, lam, *, s: int, frame_w: int, frame_h: int,
     coords: (NB, 2) block origins (sharded over tile).
     """
     modes = jnp.arange(67, dtype=jnp.int32)
-    bit_cost = jnp.asarray(jdecide._MODE_BITS) * jnp.asarray(lam, jnp.int32)
+    bit_cost = (jnp.asarray(jdecide._MODE_BITS[:67])
+                * jnp.asarray(lam, jnp.int32))
 
     def per_frame(buf):
         def per_block(xy):

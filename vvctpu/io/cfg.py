@@ -33,6 +33,7 @@ class AppConfig:
     bcw: bool = False             # BCW / GBi
     amvr: bool = False            # AMVR / IMV
     smvd: bool = False            # SMVD
+    ciip: bool = False            # CIIP
     bdof: bool = False            # BIO / BDOF
     rdoq: bool = True             # RDOQ
     lmcs: bool = False            # LMCSEnable / LMCS
@@ -75,6 +76,7 @@ _KEYMAP = {
     "amvr": ("amvr", lambda v: bool(int(v))),
     "imv": ("amvr", lambda v: bool(int(v))),
     "smvd": ("smvd", lambda v: bool(int(v))),
+    "ciip": ("ciip", lambda v: bool(int(v))),
     "bio": ("bdof", lambda v: bool(int(v))),
     "bdof": ("bdof", lambda v: bool(int(v))),
     "rdoq": ("rdoq", lambda v: bool(int(v))),

@@ -56,13 +56,15 @@ def encode_sequence(frames, cfg: sseq.EncoderConfig, decisions_fn=None,
         elif stype == hls.SLICE_P:
             dec = jdecide.decide_frame_p(padded[0], dpb[ref_pocs[0]][0], qp,
                                          cfg.bit_depth, mip=sps.mip_enabled,
-                                         mrl=sps.mrl_enabled)
+                                         mrl=sps.mrl_enabled,
+                                         ciip=sps.ciip_enabled)
         else:
             dec = jdecide.decide_frame_b(padded[0], dpb[ref_pocs[0]][0],
                                          dpb[ref_pocs[1]][0], qp,
                                          cfg.bit_depth, mip=sps.mip_enabled,
                                          mrl=sps.mrl_enabled,
-                                         bcw=sps.bcw_enabled)
+                                         bcw=sps.bcw_enabled,
+                                         ciip=sps.ciip_enabled)
         if decisions_out is not None:
             decisions_out.append(dec)
         lmcs_cw = ()
@@ -96,6 +98,7 @@ def encode_sequence(frames, cfg: sseq.EncoderConfig, decisions_fn=None,
             lmcs=sps.lmcs_enabled, mip=sps.mip_enabled,
             tskip=sps.ts_enabled, jccr=sps.jccr_enabled,
             dmvr=sps.dmvr_enabled and sym, bdof=sps.bdof_enabled and sym,
+            ciip=sps.ciip_enabled,
             fwd_lut=None if fwd_lut is None else jnp_asarray(fwd_lut),
             lam_rd=lambda_rd_int(qp), **ref_kw)
         levels = [np.asarray(ly), np.asarray(lcb), np.asarray(lcr)]
@@ -196,6 +199,7 @@ def decode_sequence(data: bytes, check_hash: bool = True):
                 tskip=sps.ts_enabled, jccr=sps.jccr_enabled,
                 dmvr=sps.dmvr_enabled and bi_sym(sh),
                 bdof=sps.bdof_enabled and bi_sym(sh),
+                ciip=sps.ciip_enabled,
                 fwd_lut=None if fwd_lut is None else jnp_asarray(fwd_lut),
                 **ref_kw)
             rec = [np.asarray(ry), np.asarray(rcb), np.asarray(rcr)]

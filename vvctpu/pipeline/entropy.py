@@ -218,7 +218,9 @@ class _Walker:
         mmvd = (imod.mmvd_match(cands, me)
                 if midx is None and widx == imod.BCW_DEFAULT
                 and self.sps.mmvd_enabled else None)
-        return d, mv0, mv1, midx, mmvd, widx
+        ciip = (bool(self.dec.ciip8[gy, gx])
+                if self.sps.ciip_enabled else False)
+        return d, mv0, mv1, midx, mmvd, widx, ciip
 
     def _leaf_levels_zero(self, x, y, s):
         cs, cx, cy = s // 2, x // 2, y // 2
@@ -233,6 +235,7 @@ class _Walker:
         gy, gx = y // 8, x // 8
         if io.decoding:
             widx = imod.BCW_DEFAULT
+            ciip = False
             merge = True if skip else bool(io.bin(C.MERGE_FLAG(0)))
             if merge:
                 mmvd = _code_mmvd(io) if self.sps.mmvd_enabled else None
@@ -270,14 +273,17 @@ class _Walker:
                         mv0 = (0, 0)
                 if self.is_b and d == 2 and self.sps.bcw_enabled:
                     widx = _code_bcw_idx(io)
+            if self.sps.ciip_enabled and not skip:
+                ciip = bool(io.bin(C.CIIP_FLAG(0)))
             sl = np.s_[gy:(y + s) // 8, gx:(x + s) // 8]
             self.dec.inter8[sl] = 1
             self.dec.dir8[sl] = d
             self.dec.mv8[sl] = mv0
             self.dec.mv8_l1[sl] = mv1
             self.dec.bcw8[sl] = widx
+            self.dec.ciip8[sl] = ciip
         else:
-            d, mv0, mv1, midx, mmvd, widx = enc_mot
+            d, mv0, mv1, midx, mmvd, widx, ciip = enc_mot
             merged = midx is not None or mmvd is not None
 
             def code_merge_data():
@@ -317,6 +323,8 @@ class _Walker:
                             self._code_mv_list(x, y, s, 1, mv1, shift=shift)
                     if self.is_b and d == 2 and self.sps.bcw_enabled:
                         _code_bcw_idx(io, widx)
+                if self.sps.ciip_enabled:
+                    io.bin(C.CIIP_FLAG(0), int(ciip))
         trace.t_leaf_inter(x, y, s, mv0 if d != 1 else mv1)
         sl = np.s_[gy:(y + s) // 8, gx:(x + s) // 8]
         if d in (0, 2):
@@ -345,7 +353,8 @@ class _Walker:
                     enc_mot = self._enc_motion(x, y, s)
                     skip = ((enc_mot[3] is not None
                              or enc_mot[4] is not None)
-                            and self._leaf_levels_zero(x, y, s))
+                            and self._leaf_levels_zero(x, y, s)
+                            and not enc_mot[6])
                     io.bin(C.SKIP_FLAG(0), int(skip))
                     if skip:
                         self._code_inter(x, y, s, True, enc_mot)

@@ -28,7 +28,8 @@ def leaf_plan(dec: FrameDecisions, height: int, width: int,
               ctu: int = 64):
     """Returns (op, x, y, mode, mv0, mv1, dir) arrays, length n_ctu * 64.
 
-    op: 0 skip, 1/2/3 intra leaf 8/16/32, 4/5/6 inter leaf 8/16/32;
+    op: 0 skip, 1/2/3 intra leaf 8/16/32, 4/5/6 inter leaf 8/16/32,
+    7/8/9 CIIP inter leaf 8/16/32 (sequential: reads recon neighbours);
     mv0/mv1: (n, 2) int32; dir: 0 = L0, 1 = L1, 2 = BI."""
     n_cx, n_cy = width // ctu, height // ctu
     n = n_cx * n_cy * 64
@@ -55,7 +56,8 @@ def leaf_plan(dec: FrameDecisions, height: int, width: int,
                     o = OP_LEAF8
                 if o != OP_SKIP and dec.inter8 is not None \
                         and dec.inter8[py // 8, px // 8]:
-                    o += 3
+                    o += 6 if (dec.ciip8 is not None
+                               and dec.ciip8[py // 8, px // 8]) else 3
                     mv0[i] = dec.mv8[py // 8, px // 8]
                     if dec.mv8_l1 is not None:
                         mv1[i] = dec.mv8_l1[py // 8, px // 8]
@@ -72,6 +74,5 @@ def plan_leaves_list(dec: FrameDecisions, height: int, width: int,
                      ctu: int = 64):
     """Python list of (x, y, size, mode) leaves in coding order (host use)."""
     op, xs, ys, modes, _, _, _ = leaf_plan(dec, height, width, ctu)
-    return [(int(x), int(y), _SIZE_OF_OP[int(o) - 3 if int(o) > 3
-                                         else int(o)], int(md))
+    return [(int(x), int(y), _SIZE_OF_OP[(int(o) - 1) % 3 + 1], int(md))
             for o, x, y, md in zip(op, xs, ys, modes) if o != OP_SKIP]

@@ -54,7 +54,7 @@ def _make_leaf_fn(s: int, inter: bool, *, frame_w: int, frame_h: int,
     num_reg = rom.NUM_LUMA_MODE
 
     def leaf(carry, x, y, mode, mvx, mvy, mts_in, lfnst_in, cmode_in,
-             mrl_in, jccr_in):
+             mrl_in, jccr_in, m1x, m1y, dd, wdx):
         (by, bcb, bcr, ly, lcb, lcr, sy, scb, scr, mtsp, lfnstp,
          cmodep, jccrp) = carry
         if inter:
@@ -234,6 +234,61 @@ def _make_leaf_fn(s: int, inter: bool, *, frame_w: int, frame_h: int,
     return leaf
 
 
+def _make_ciip_fn(s: int, *, frame_w: int, frame_h: int, n_ctu_x: int, qp,
+                  bd: int, encode: bool, refs, rdoq: bool = False,
+                  lam_rd=None, fwd_lut=None, **_unused):
+    """CIIP leaf: sequential phase-B reconstruction (intra dependency) —
+    MC (BCW-weighted average for BI) blended equally with planar intra from
+    the reconstructed neighbours; twin of spec _ciip_blend + _inter_pred's
+    ciip branch."""
+    from ..spec.inter import BCW_W
+    cs = s // 2
+    mx = (1 << bd) - 1
+    bcw_w = jnp.asarray(np.asarray(BCW_W, np.int32))
+
+    def leaf(carry, x, y, mode, mvx, mvy, mts_in, lfnst_in, cmode_in,
+             mrl_in, jccr_in, m1x, m1y, dd, wdx):
+        (by, bcb, bcr, ly, lcb, lcr, sy, scb, scr, mtsp, lfnstp,
+         cmodep, jccrp) = carry
+        w = bcw_w[jnp.clip(wdx, 0, 2)]
+
+        def mcpred(r0, r1, px, py, sz, luma):
+            f = mc.mc_luma_block if luma else mc.mc_chroma_block
+            p0 = f(r0, px, py, sz, mvx, mvy, bd)
+            p1 = f(r1, px, py, sz, m1x, m1y, bd)
+            avg = jnp.clip((w * p0 + (8 - w) * p1 + 4) >> 3, 0, mx)
+            return jnp.where(dd == 0, p0, jnp.where(dd == 1, p1, avg))
+
+        def blend(mc_p, buf, px, py, sz, luma):
+            top, left = intra_pred.build_references(
+                buf, px, py, s=sz, is_luma=luma,
+                frame_w=frame_w if luma else frame_w // 2,
+                frame_h=frame_h if luma else frame_h // 2,
+                n_ctu_x=n_ctu_x, bd=bd)
+            pl = intra_pred.predict(top, left, jnp.int32(rom.PLANAR_IDX),
+                                    s=sz, is_luma=luma, bd=bd)
+            return jnp.clip((mc_p + pl + 1) >> 1, 0, mx)
+
+        pred_y = mcpred(refs[0], refs[3], x, y, s, True)
+        if fwd_lut is not None:
+            pred_y = jnp.take(fwd_lut, pred_y)
+        pred_y = blend(pred_y, by, x, y, s, True)
+        pred_cb = blend(mcpred(refs[1], refs[4], x // 2, y // 2, cs, False),
+                        bcb, x // 2, y // 2, cs, False)
+        pred_cr = blend(mcpred(refs[2], refs[5], x // 2, y // 2, cs, False),
+                        bcr, x // 2, y // 2, cs, False)
+        by, ly = _component(by, ly, sy, pred_y, x, y, s, qp, bd, encode,
+                            rdoq, lam_rd)
+        bcb, lcb = _component(bcb, lcb, scb, pred_cb, x // 2, y // 2, cs,
+                              qp, bd, encode, rdoq, lam_rd)
+        bcr, lcr = _component(bcr, lcr, scr, pred_cr, x // 2, y // 2, cs,
+                              qp, bd, encode, rdoq, lam_rd)
+        return (by, bcb, bcr, ly, lcb, lcr, sy, scb, scr, mtsp, lfnstp,
+                cmodep, jccrp)
+
+    return leaf
+
+
 def _inter_batch_pass(carry, ib_slots, refs, s: int, qp, bd: int,
                       encode: bool, frame_w: int, frame_h: int,
                       rdoq: bool = False, lam_rd=0, fwd_lut=None,
@@ -373,7 +428,8 @@ def _inter_batch_pass(carry, ib_slots, refs, s: int, qp, bd: int,
                    static_argnames=("frame_w", "frame_h", "bd", "encode",
                                     "inter_enabled", "mts", "lfnst",
                                     "cclm", "rdoq", "lmcs", "mip",
-                                    "tskip", "jccr", "dmvr", "bdof"))
+                                    "tskip", "jccr", "dmvr", "bdof",
+                                    "ciip"))
 def frame_scan(slots, planes_y, planes_cb, planes_cr, *, frame_w: int,
                frame_h: int, qp, bd: int, encode: bool,
                inter_enabled: bool = False, ref_y=None, ref_cb=None,
@@ -382,11 +438,13 @@ def frame_scan(slots, planes_y, planes_cb, planes_cr, *, frame_w: int,
                mts: bool = False, lfnst: bool = False, cclm: bool = False,
                rdoq: bool = False, lmcs: bool = False, lam_rd=0,
                fwd_lut=None, mip: bool = False, tskip: bool = False,
-               jccr: bool = False, dmvr: bool = False, bdof: bool = False):
+               jccr: bool = False, dmvr: bool = False, bdof: bool = False,
+               ciip: bool = False):
     """Run the full-frame reconstruction scan.
 
     slots: (N, 6) int32 [op, x, y, mode, mvx, mvy] in coding order; op 0 =
-    skip, 1/2/3 intra 8/16/32, 4/5/6 inter 8/16/32.
+    skip, 1/2/3 intra 8/16/32, 4/5/6 CIIP inter 8/16/32 (sequential
+    phase-B leaves; plain inter leaves run in the phase-A batch).
     planes_*: encode -> source planes; decode -> parsed level planes.
     ref_*: margin-padded reference planes (P slices).
     Returns (recon_y, recon_cb, recon_cr, levels_y, levels_cb, levels_cr).
@@ -425,9 +483,17 @@ def frame_scan(slots, planes_y, planes_cb, planes_cr, *, frame_w: int,
               bd=bd, encode=encode, refs=refs, mts=mts, lfnst=lfnst,
               cclm=cclm, rdoq=rdoq, lam_rd=jnp.asarray(lam_rd, jnp.int32),
               mip=mip, tskip=tskip, jccr=jccr)
-    branches = [lambda c, x, y, m, vx, vy, mt, lf, cm, mr, jc: c,
+    branches = [lambda c, *a: c,
                 _make_leaf_fn(8, False, **kw), _make_leaf_fn(16, False, **kw),
                 _make_leaf_fn(32, False, **kw)]
+    if ciip and inter_enabled:
+        ckw = dict(frame_w=frame_w, frame_h=frame_h, n_ctu_x=n_ctu_x, qp=qp,
+                   bd=bd, encode=encode, refs=refs, rdoq=rdoq,
+                   lam_rd=jnp.asarray(lam_rd, jnp.int32),
+                   fwd_lut=fwd_lut if lmcs else None)
+        branches += [_make_ciip_fn(8, **ckw), _make_ciip_fn(16, **ckw),
+                     _make_ciip_fn(32, **ckw)]
+    n_br = len(branches) - 1
 
     def step(carry, slot):
         mt = slot[6] if slot.shape[0] > 6 else jnp.int32(0)
@@ -435,12 +501,16 @@ def frame_scan(slots, planes_y, planes_cb, planes_cr, *, frame_w: int,
         cm = slot[8] if slot.shape[0] > 8 else jnp.int32(0)
         mr = slot[9] if slot.shape[0] > 9 else jnp.int32(0)
         jc = slot[10] if slot.shape[0] > 10 else jnp.int32(0)
+        m1x = slot[11] if slot.shape[0] > 11 else jnp.int32(0)
+        m1y = slot[12] if slot.shape[0] > 12 else jnp.int32(0)
+        dd = slot[13] if slot.shape[0] > 13 else jnp.int32(0)
+        wdx = slot[14] if slot.shape[0] > 14 else jnp.int32(BCW_DEFAULT)
         return jax.lax.switch(
-            jnp.minimum(slot[0], 3), branches, carry,
+            jnp.minimum(slot[0], n_br), branches, carry,
             slot[1], slot[2], slot[3], slot[4], slot[5], mt, lf, cm,
-            mr, jc), None
+            mr, jc, m1x, m1y, dd, wdx), None
 
-    while slots.shape[1] < 11:
+    while slots.shape[1] < 15:
         slots = jnp.concatenate(
             [slots, jnp.zeros((slots.shape[0], 1), jnp.int32)], axis=1)
     carry, _ = jax.lax.scan(step, carry, slots)
@@ -484,8 +554,12 @@ def make_slots_split(dec: FrameDecisions, frame_h: int, frame_w: int):
         if dec.mrl8 is not None else np.zeros_like(op)
     jc = dec.jccr8[ys // 8, xs // 8].astype(np.int32) \
         if dec.jccr8 is not None else np.zeros_like(op)
+    widx = (dec.bcw8[ys // 8, xs // 8].astype(np.int32)
+            if dec.bcw8 is not None
+            else np.full_like(op, BCW_DEFAULT))
     slots = np.stack([op, xs, ys, modes, mv0[:, 0], mv0[:, 1], mts, lf, cm,
-                      mr, jc], axis=1).astype(np.int32)
+                      mr, jc, mv1[:, 0], mv1[:, 1], dirs, widx],
+                     axis=1).astype(np.int32)
     inter = {}
     for i, s in enumerate((8, 16, 32)):
         opv = i + 4
@@ -508,7 +582,10 @@ def make_slots_split(dec: FrameDecisions, frame_h: int, frame_w: int):
         arr[k:, 7] = BCW_DEFAULT
         inter[s] = arr
     scan_slots = slots.copy()
-    scan_slots[scan_slots[:, 0] > 3, 0] = 0
+    is_batch = (scan_slots[:, 0] > 3) & (scan_slots[:, 0] <= 6)
+    scan_slots[is_batch, 0] = 0
+    # CIIP leaves (ops 7/8/9) stay sequential: branch indices 4/5/6
+    scan_slots[scan_slots[:, 0] > 6, 0] -= 3
     return scan_slots, inter
 
 

@@ -47,6 +47,7 @@ class FrameDecisions:
     mrl8: np.ndarray = None     # (H//8, W//8) uint8: MRL reference line 0..2
     jccr8: np.ndarray = None    # (H//8, W//8) uint8: joint Cb-Cr residual
     bcw8: np.ndarray = None     # (H//8, W//8) uint8: BCW weight idx (1=equal)
+    ciip8: np.ndarray = None    # (H//8, W//8) uint8: CIIP (inter+planar)
 
     @classmethod
     def empty(cls, h: int, w: int) -> "FrameDecisions":
@@ -63,7 +64,8 @@ class FrameDecisions:
                    np.zeros((h // 8, w // 8), np.uint8),
                    np.zeros((h // 8, w // 8), np.uint8),
                    np.zeros((h // 8, w // 8), np.uint8),
-                   np.full((h // 8, w // 8), BCW_DEFAULT, np.uint8))
+                   np.full((h // 8, w // 8), BCW_DEFAULT, np.uint8),
+                   np.zeros((h // 8, w // 8), np.uint8))
 
     def equal(self, other: "FrameDecisions") -> bool:
         return (np.array_equal(self.split32, other.split32)
@@ -78,7 +80,8 @@ class FrameDecisions:
                 and np.array_equal(self.cmode8, other.cmode8)
                 and np.array_equal(self.mrl8, other.mrl8)
                 and np.array_equal(self.jccr8, other.jccr8)
-                and np.array_equal(self.bcw8, other.bcw8))
+                and np.array_equal(self.bcw8, other.bcw8)
+                and np.array_equal(self.ciip8, other.ciip8))
 
 
 @dataclass
@@ -530,19 +533,34 @@ def _code_bcw_idx(io, widx=None) -> int:
     return widx
 
 
+def _ciip_blend(st: _FrameState, mc_pred: np.ndarray, comp: int, px: int,
+                py: int, sz: int) -> np.ndarray:
+    """CIIP: equal blend of the MC prediction with planar intra from the
+    reconstructed neighbours (role of VTM CIIP; documented simplification:
+    the neighbour-adaptive {1,2,3}/4 weight is fixed at the 2/4
+    midpoint)."""
+    bd = st.sps.bit_depth
+    top, left = intra.build_references(st.recon[comp], st.valid[comp],
+                                       px, py, sz, sz, bd)
+    pl = intra.predict(top, left, rom.PLANAR_IDX, sz, sz, comp > 0, bd)
+    return np.clip((mc_pred + pl + 1) >> 1, 0, (1 << bd) - 1)
+
+
 def _inter_pred(st: _FrameState, x: int, y: int, s: int, d: int, mv0, mv1,
-                widx: int = 1):
+                widx: int = 1, ciip: bool = False):
     """[Y, Cb, Cr] motion-compensated predictions for the leaf.
 
     BI leaves run DMVR (per 16x16 subblock, refs symmetric) and BDOF
     (per 4x4 optical flow) when enabled — decoder-side refinements with no
     syntax (spec/inter.py dmvr_offset / bdof_blend).  widx: BCW weight
-    index (unequal weights disable DMVR/BDOF, as in VVC)."""
+    index (unequal weights disable DMVR/BDOF, as in VVC); ciip blends the
+    final prediction with planar intra (also disables DMVR/BDOF)."""
     from . import inter as imod
     bd = st.sps.bit_depth
     mx = (1 << bd) - 1
 
-    if d == 2 and widx == imod.BCW_DEFAULT and (st.dmvr or st.bdof):
+    if d == 2 and widx == imod.BCW_DEFAULT and not ciip \
+            and (st.dmvr or st.bdof):
         sub = imod.DMVR_SUB if (st.dmvr and s >= imod.DMVR_SUB) else s
         out_y = np.zeros((s, s), np.int32)
         out_cb = np.zeros((s // 2, s // 2), np.int32)
@@ -605,6 +623,10 @@ def _inter_pred(st: _FrameState, x: int, y: int, s: int, d: int, mv0, mv1,
            pred_for(2, x // 2, y // 2, s // 2)]
     if st.lmcs is not None:
         out[0] = st.lmcs[0][out[0]]
+    if ciip:
+        out = [_ciip_blend(st, out[0], 0, x, y, s),
+               _ciip_blend(st, out[1], 1, x // 2, y // 2, s // 2),
+               _ciip_blend(st, out[2], 2, x // 2, y // 2, s // 2)]
     return out
 
 
@@ -632,7 +654,8 @@ def _prep_inter_enc(st: _FrameState, x: int, y: int, s: int) -> dict:
     mmvd = (imod.mmvd_match(cands, me)
             if midx is None and widx == imod.BCW_DEFAULT
             and st.sps.mmvd_enabled else None)
-    preds = _inter_pred(st, x, y, s, d, mv0, mv1, widx)
+    ciip = bool(st.dec.ciip8[gy, gx]) if st.sps.ciip_enabled else False
+    preds = _inter_pred(st, x, y, s, d, mv0, mv1, widx, ciip)
     bd = st.sps.bit_depth
     levs = []
     for comp, (px, py, sz) in enumerate(((x, y, s),
@@ -646,7 +669,7 @@ def _prep_inter_enc(st: _FrameState, x: int, y: int, s: int) -> dict:
             lam_rd=transform.lambda_rd_int(st.qp)))
     all_zero = not any(lv.any() for lv in levs)
     return dict(d=d, mv0=mv0, mv1=mv1, midx=midx, mmvd=mmvd, preds=preds,
-                levs=levs, all_zero=all_zero, widx=widx)
+                levs=levs, all_zero=all_zero, widx=widx, ciip=ciip)
 
 
 def _code_inter_leaf(io, st: _FrameState, x: int, y: int, s: int,
@@ -657,6 +680,7 @@ def _code_inter_leaf(io, st: _FrameState, x: int, y: int, s: int,
 
     if io.decoding:
         widx = imod.BCW_DEFAULT
+        ciip = False
         merge = True if skip else bool(io.bin(C.MERGE_FLAG(0)))
         if merge:
             mmvd = _code_mmvd(io) if st.sps.mmvd_enabled else None
@@ -691,13 +715,16 @@ def _code_inter_leaf(io, st: _FrameState, x: int, y: int, s: int,
                     mv0 = (0, 0)
             if is_b and d == 2 and st.sps.bcw_enabled:
                 widx = _code_bcw_idx(io)
-        preds = _inter_pred(st, x, y, s, d, mv0, mv1, widx)
+        if st.sps.ciip_enabled and not skip:
+            ciip = bool(io.bin(C.CIIP_FLAG(0)))
+        preds = _inter_pred(st, x, y, s, d, mv0, mv1, widx, ciip)
         sl = np.s_[gy:(y + s) // 8, gx:(x + s) // 8]
         st.dec.inter8[sl] = 1
         st.dec.dir8[sl] = d
         st.dec.mv8[sl] = mv0
         st.dec.mv8_l1[sl] = mv1
         st.dec.bcw8[sl] = widx
+        st.dec.ciip8[sl] = ciip
     else:
         d, mv0, mv1 = pre["d"], pre["mv0"], pre["mv1"]
         midx, preds = pre["midx"], pre["preds"]
@@ -741,6 +768,8 @@ def _code_inter_leaf(io, st: _FrameState, x: int, y: int, s: int,
                         _code_mv_list(io, st, x, y, s, 1, mv1, shift=shift)
                 if is_b and d == 2 and st.sps.bcw_enabled:
                     _code_bcw_idx(io, widx)
+            if st.sps.ciip_enabled:
+                io.bin(C.CIIP_FLAG(0), int(pre["ciip"]))
 
     trace.t_leaf_inter(x, y, s, mv0 if d != 1 else mv1)
     bd = st.sps.bit_depth
@@ -784,7 +813,8 @@ def _code_leaf(io, st: _FrameState, x: int, y: int, s: int) -> None:
             if st.dec.inter8[y // 8, x // 8]:
                 pre = _prep_inter_enc(st, x, y, s)
                 skip = ((pre["midx"] is not None
-                         or pre["mmvd"] is not None) and pre["all_zero"])
+                         or pre["mmvd"] is not None) and pre["all_zero"]
+                        and not pre["ciip"])
                 io.bin(C.SKIP_FLAG(0), int(skip))
                 if not skip:
                     io.bin(C.PRED_MODE(0), 1)

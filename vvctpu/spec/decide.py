@@ -187,6 +187,57 @@ def decide_frame(orig_y: np.ndarray, qp: int,
 from . import inter as _inter  # noqa: E402
 
 
+def ciip_sad_pass(orig: np.ndarray, refp: list, kind: np.ndarray,
+                  mv0: np.ndarray, mv1: np.ndarray, bwidx: np.ndarray,
+                  s: int, bit_depth: int):
+    """CIIP refinement SADs per s-block (role of VTM:EncoderLib/EncCu.cpp
+    xCheckRDCostMerge2Nx2N's CIIP candidate loop, as a dense pass).
+
+    For each inter-winning block (kind: 0 intra, 1 L0, 2 L1, 3 BI) compute
+    the SAD of the winner MC prediction and of its equal blend with planar
+    intra from ORIGINAL neighbours (decision-pass policy, same references
+    as _block_decision).  Returns (sad_mc, sad_blend) int64 (nby, nbx);
+    kind == 0 rows are zeros.  The JAX twin (coding/decide.py ciip_pass)
+    matches bit-for-bit."""
+    h, w = orig.shape
+    nby, nbx = h // s, w // s
+    valid = np.ones((h, w), bool)
+    mx = (1 << bit_depth) - 1
+    sadm = np.zeros((nby, nbx), np.int64)
+    sadb = np.zeros((nby, nbx), np.int64)
+    o64 = orig.astype(np.int64)
+    for by in range(nby):
+        for bx in range(nbx):
+            k = int(kind[by, bx])
+            if k == 0:
+                continue
+            x, y = bx * s, by * s
+            if k == 1:
+                p = _inter.mc_luma(refp[0], x, y, s, s, int(mv0[by, bx, 0]),
+                                   int(mv0[by, bx, 1]), bit_depth)
+            elif k == 2:
+                p = _inter.mc_luma(refp[1], x, y, s, s, int(mv1[by, bx, 0]),
+                                   int(mv1[by, bx, 1]), bit_depth)
+            else:
+                p0 = _inter.mc_luma(refp[0], x, y, s, s,
+                                    int(mv0[by, bx, 0]),
+                                    int(mv0[by, bx, 1]), bit_depth)
+                p1 = _inter.mc_luma(refp[1], x, y, s, s,
+                                    int(mv1[by, bx, 0]),
+                                    int(mv1[by, bx, 1]), bit_depth)
+                p = _inter.bcw_average(p0, p1, int(bwidx[by, bx]),
+                                       bit_depth)
+            top, left = intra.build_references(orig, valid, x, y, s, s,
+                                               bit_depth)
+            pl = intra.predict(top, left, rom.PLANAR_IDX, s, s, False,
+                               bit_depth)
+            blend = np.clip((p + pl + 1) >> 1, 0, mx)
+            ob = o64[y:y + s, x:x + s]
+            sadm[by, bx] = int(np.abs(ob - p).sum())
+            sadb[by, bx] = int(np.abs(ob - blend).sum())
+    return sadm, sadb
+
+
 def me_size_pass(orig: np.ndarray, ref: np.ndarray, s: int, lam: int):
     """Best integer MV per s-block over a +-ME_RANGE full search.
 
@@ -216,7 +267,8 @@ def me_size_pass(orig: np.ndarray, ref: np.ndarray, s: int, lam: int):
 
 def decide_frame_p(orig_y: np.ndarray, ref_y: np.ndarray, qp: int,
                    bit_depth: int = rom.BIT_DEPTH,
-                   mip: bool = False, mrl: bool = False) -> FrameDecisions:
+                   mip: bool = False, mrl: bool = False,
+                   ciip: bool = False) -> FrameDecisions:
     """Decisions for a P frame: per-size intra-vs-inter, then QT bottom-up."""
     h, w = orig_y.shape
     lam = lambda_satd_fp(qp)
@@ -240,11 +292,19 @@ def decide_frame_p(orig_y: np.ndarray, ref_y: np.ndarray, qp: int,
         rcost, rmv = refine_size_pass(orig_y, refp, mv, s, lam)
         use_inter = rcost < icost
         cost = np.where(use_inter, rcost, icost)
-        size_data[s] = (cost, imode, use_inter, rmv, imrl)
+        cflag = np.zeros((nby, nbx), bool)
+        if ciip:
+            sadm, sadb = ciip_sad_pass(orig_y, [refp, refp],
+                                       use_inter.astype(np.int32), rmv, rmv,
+                                       np.full((nby, nbx), 1, np.int32), s,
+                                       bit_depth)
+            cflag = use_inter & (sadb < sadm)
+            cost = np.where(cflag, cost + ((sadb - sadm) << 8), cost)
+        size_data[s] = (cost, imode, use_inter, rmv, imrl, cflag)
 
-    cost8, imode8, inter8, mv8, mrl8 = size_data[8]
-    cost16, imode16, inter16, mv16, mrl16 = size_data[16]
-    cost32, imode32, inter32, mv32, mrl32 = size_data[32]
+    cost8, imode8, inter8, mv8, mrl8, cf8 = size_data[8]
+    cost16, imode16, inter16, mv16, mrl16, cf16 = size_data[16]
+    cost32, imode32, inter32, mv32, mrl32, cf32 = size_data[32]
     n16y, n16x = h // 16, w // 16
     n32y, n32x = h // 32, w // 32
     sum8 = (cost8.reshape(n16y, 2, n16x, 2).sum(axis=(1, 3))
@@ -285,6 +345,11 @@ def decide_frame_p(orig_y: np.ndarray, ref_y: np.ndarray, qp: int,
     dec.mrl8[:] = np.where(itf, 0, mrlv).astype(np.uint8)
     dec.mv8[..., 0] = np.where(itf, mvx, 0)   # already 1/16-pel
     dec.mv8[..., 1] = np.where(itf, mvy, 0)
+    if ciip:
+        cf = up(cf32.astype(np.uint8), 4)
+        cf = np.where(use16, up(cf16.astype(np.uint8), 2), cf)
+        cf = np.where(use8, cf8.astype(np.uint8), cf)
+        dec.ciip8[:] = np.where(itf, cf, 0).astype(np.uint8)
     return dec
 
 
@@ -329,7 +394,7 @@ def decide_frame_b(orig_y: np.ndarray, ref0_y: np.ndarray,
                    ref1_y: np.ndarray, qp: int,
                    bit_depth: int = rom.BIT_DEPTH,
                    mip: bool = False, mrl: bool = False,
-                   bcw: bool = False) -> FrameDecisions:
+                   bcw: bool = False, ciip: bool = False) -> FrameDecisions:
     """B-frame decisions: per-size best of {intra, L0, L1, BI}, QT bottom-up.
 
     BI cost: SAD of the averaged refined uni-predictions plus both MV rates
@@ -391,11 +456,18 @@ def decide_frame_b(orig_y: np.ndarray, ref0_y: np.ndarray,
         costs = np.stack([icost, ucost[0], ucost[1], bcost])  # (4,nby,nbx)
         kind = np.argmin(costs, axis=0).astype(np.int32)      # first-min
         cost = np.min(costs, axis=0)
-        size_data[s] = (cost, imode, kind, umv[0], umv[1], imrl, bwidx)
+        cflag = np.zeros((nby, nbx), bool)
+        if ciip:
+            sadm, sadb = ciip_sad_pass(orig_y, refp, kind, umv[0], umv[1],
+                                       bwidx, s, bit_depth)
+            cflag = (kind > 0) & (sadb < sadm)
+            cost = np.where(cflag, cost + ((sadb - sadm) << 8), cost)
+        size_data[s] = (cost, imode, kind, umv[0], umv[1], imrl, bwidx,
+                        cflag)
 
-    c8, im8, k8, mva8, mvb8, mrl8a, bw8 = size_data[8]
-    c16, im16, k16, mva16, mvb16, mrl16a, bw16 = size_data[16]
-    c32, im32, k32, mva32, mvb32, mrl32a, bw32 = size_data[32]
+    c8, im8, k8, mva8, mvb8, mrl8a, bw8, cf8 = size_data[8]
+    c16, im16, k16, mva16, mvb16, mrl16a, bw16, cf16 = size_data[16]
+    c32, im32, k32, mva32, mvb32, mrl32a, bw32, cf32 = size_data[32]
     n16y, n16x = h // 16, w // 16
     n32y, n32x = h // 32, w // 32
     sum8 = (c8.reshape(n16y, 2, n16x, 2).sum(axis=(1, 3))
@@ -446,4 +518,8 @@ def decide_frame_b(orig_y: np.ndarray, ref0_y: np.ndarray,
         bw = sel(bw32, bw16, bw8)
         dec.bcw8[:] = np.where(itf & (kind == 3), bw,
                                _inter.BCW_DEFAULT).astype(np.uint8)
+    if ciip:
+        cf = sel(cf32.astype(np.uint8), cf16.astype(np.uint8),
+                 cf8.astype(np.uint8))
+        dec.ciip8[:] = np.where(itf, cf, 0).astype(np.uint8)
     return dec

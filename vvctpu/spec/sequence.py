@@ -36,6 +36,7 @@ class EncoderConfig:
     bcw: bool = False       # bi-prediction with CU weights {3,4,5}/8
     amvr: bool = False      # adaptive MVD resolution (1/4, 1, 4 pel)
     smvd: bool = False      # symmetric MVD (BI leaves, symmetric refs)
+    ciip: bool = False      # combined inter-intra prediction
     bdof: bool = False      # bi-directional optical flow (BI leaves)
     lfnst: bool = False     # low-frequency non-separable secondary transform
     cclm: bool = False      # cross-component linear-model chroma prediction
@@ -61,7 +62,8 @@ class EncoderConfig:
                        ts_enabled=self.tskip, jccr_enabled=self.jccr,
                        mmvd_enabled=self.mmvd, dmvr_enabled=self.dmvr,
                        bdof_enabled=self.bdof, bcw_enabled=self.bcw,
-                       amvr_enabled=self.amvr, smvd_enabled=self.smvd)
+                       amvr_enabled=self.amvr, smvd_enabled=self.smvd,
+                       ciip_enabled=self.ciip)
 
 
 def gop_plan(n_frames: int, intra_period: int, gop: int):
@@ -154,12 +156,13 @@ def encode_sequence(frames: list[list[np.ndarray]], cfg: EncoderConfig,
         elif stype == hls.SLICE_P:
             dec = decide.decide_frame_p(padded_y, dpb[ref_pocs[0]][0], qp,
                                         cfg.bit_depth, mip=cfg.mip,
-                                        mrl=cfg.mrl)
+                                        mrl=cfg.mrl, ciip=cfg.ciip)
         else:
             dec = decide.decide_frame_b(padded_y, dpb[ref_pocs[0]][0],
                                         dpb[ref_pocs[1]][0], qp,
                                         cfg.bit_depth, mip=cfg.mip,
-                                        mrl=cfg.mrl, bcw=cfg.bcw)
+                                        mrl=cfg.mrl, bcw=cfg.bcw,
+                                        ciip=cfg.ciip)
         if decisions_out is not None:
             decisions_out.append(dec)
         sh = hls.SliceHeader(poc=poc, slice_type=stype, qp_delta=qpd,
