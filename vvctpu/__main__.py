@@ -41,7 +41,8 @@ def _enc(args) -> int:
                      ("jccr", fc.jccr), ("mmvd", fc.mmvd),
                      ("dmvr", fc.dmvr), ("bdof", fc.bdof),
                      ("bcw", fc.bcw), ("amvr", fc.amvr),
-                     ("smvd", fc.smvd), ("ciip", fc.ciip)):
+                     ("smvd", fc.smvd), ("ciip", fc.ciip),
+                     ("sbt", fc.sbt)):
             if ap_defaults.get(a) == getattr(args, a):
                 setattr(args, a, v)
         if not fc.rdoq:
@@ -63,7 +64,7 @@ def _enc(args) -> int:
                             jccr=args.jccr, mmvd=args.mmvd,
                             dmvr=args.dmvr, bdof=args.bdof, bcw=args.bcw,
                             amvr=args.amvr, smvd=args.smvd,
-                            ciip=args.ciip,
+                            ciip=args.ciip, sbt=args.sbt,
                             mctf=args.mctf, rdoq=not args.no_rdoq,
                             rc_bits_per_frame=args.rc_bpf)
     if args.trace_file:
@@ -136,7 +137,7 @@ ap_defaults = {"qp": 32, "intra_period": 1, "gop": 1, "bit_depth": 8,
                "alf": False, "mctf": False, "lmcs": False, "mip": False,
                "mrl": False, "tskip": False, "jccr": False, "mmvd": False,
                "dmvr": False, "bdof": False, "bcw": False, "amvr": False,
-               "smvd": False, "ciip": False}
+               "smvd": False, "ciip": False, "sbt": False}
 
 
 def main(argv=None) -> int:
@@ -196,6 +197,8 @@ def main(argv=None) -> int:
                    help="symmetric MVD for BI leaves (symmetric refs)")
     e.add_argument("--ciip", action="store_true",
                    help="combined inter-intra prediction (planar blend)")
+    e.add_argument("--sbt", action="store_true",
+                   help="sub-block transform for inter luma residual")
     e.add_argument("--mts", action="store_true",
                    help="explicit MTS (DST7/DCT8) for intra luma")
     e.add_argument("--wpp", action="store_true",

@@ -76,6 +76,7 @@ AMVR_FLAG = R.add("amvr_flag", 1)                  # MVD precision != 1/4 pel
 AMVR_PREC = R.add("amvr_precision_idx", 1)         # integer vs 4-pel
 SMVD_FLAG = R.add("sym_mvd_flag", 1)               # mirrored single MVD
 CIIP_FLAG = R.add("ciip_flag", 1)                  # inter + planar blend
+SBT_FLAG = R.add("sbt_flag", 1)                    # sub-block transform
 
 # --- intra mode ----------------------------------------------------------
 INTRA_MPM_FLAG = R.add("intra_luma_mpm_flag", 1, init=(HIGH,) * 3)

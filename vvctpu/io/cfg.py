@@ -34,6 +34,7 @@ class AppConfig:
     amvr: bool = False            # AMVR / IMV
     smvd: bool = False            # SMVD
     ciip: bool = False            # CIIP
+    sbt: bool = False             # SBT
     bdof: bool = False            # BIO / BDOF
     rdoq: bool = True             # RDOQ
     lmcs: bool = False            # LMCSEnable / LMCS
@@ -77,6 +78,7 @@ _KEYMAP = {
     "imv": ("amvr", lambda v: bool(int(v))),
     "smvd": ("smvd", lambda v: bool(int(v))),
     "ciip": ("ciip", lambda v: bool(int(v))),
+    "sbt": ("sbt", lambda v: bool(int(v))),
     "bio": ("bdof", lambda v: bool(int(v))),
     "bdof": ("bdof", lambda v: bool(int(v))),
     "rdoq": ("rdoq", lambda v: bool(int(v))),

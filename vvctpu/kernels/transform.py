@@ -237,6 +237,60 @@ def inv_lfnst_switch_j(coef, lfnst_idx, mode):
          lambda: inv_lfnst_j(coef, 1, mode)])
 
 
+# ---------------------------------------------------------------------------
+# SBT (device twin of spec/transform choose_sbt / sbt_reconstruct)
+# ---------------------------------------------------------------------------
+from ..spec.transform import (SBT_IDX_BITS, sbt_kernels,  # noqa: E402
+                              sbt_region)
+
+
+def choose_sbt_j(resi, s: int, qp, lam_rd, bd: int = 8, rdoq: bool = False):
+    """(sbt_idx int32, levels_full, recon_resi) — RD over full DCT-II vs
+    the 4 half transforms; twin of spec choose_sbt (first-min argmin,
+    all-zero winner collapses to idx 0)."""
+    costs, levs, recs = [], [], []
+    for idx in range(5):
+        x0, y0, w, h = sbt_region(idx, s)
+        kh, kv = sbt_kernels(idx)
+        sub = resi[y0:y0 + h, x0:x0 + w]
+        coef = forward_transform(sub, h, w, kh, kv, bd)
+        lev_s = quantize(coef, h, w, qp, intra=True, bd=bd, rdoq=rdoq,
+                         lam_rd=lam_rd)
+        lev = jnp.zeros((s, s), jnp.int32).at[y0:y0 + h,
+                                              x0:x0 + w].set(lev_s)
+        rec_s = inverse_transform(dequantize(lev_s, h, w, qp, bd), h, w,
+                                  kh, kv, bd)
+        rec = jnp.zeros((s, s), jnp.int32).at[y0:y0 + h,
+                                              x0:x0 + w].set(rec_s)
+        dist = ((resi - rec) ** 2).sum()
+        rate = (jnp.minimum(level_rate_est_j(lev), 1 << 14)
+                + SBT_IDX_BITS[idx])
+        costs.append(dist + lam_rd * rate)
+        levs.append(lev)
+        recs.append(rec)
+    i = jnp.argmin(jnp.stack(costs)).astype(jnp.int32)
+    lev = jnp.stack(levs)[i]
+    rec = jnp.stack(recs)[i]
+    i = jnp.where(lev.any(), i, 0).astype(jnp.int32)
+    return i, lev, rec
+
+
+def sbt_resi_j(lev_full, sbt_idx, s: int, qp, bd: int = 8):
+    """Traced-index SBT residual: dequant + inverse-transform the sub-area
+    per sbt_idx (0 = full DCT-II) — twin of spec sbt_reconstruct."""
+    def br(idx):
+        def f():
+            x0, y0, w, h = sbt_region(idx, s)
+            kh, kv = sbt_kernels(idx)
+            sub = lev_full[y0:y0 + h, x0:x0 + w]
+            r = inverse_transform(dequantize(sub, h, w, qp, bd), h, w,
+                                  kh, kv, bd)
+            return jnp.zeros((s, s), jnp.int32).at[y0:y0 + h,
+                                                   x0:x0 + w].set(r)
+        return f
+    return jax.lax.switch(jnp.clip(sbt_idx, 0, 4), [br(i) for i in range(5)])
+
+
 def choose_tx_j(resi, s: int, qp, lam_rd, mode, bd: int = 8,
                 mts: bool = True, lfnst: bool = False, rdoq: bool = False,
                 allow=None, ts: bool = False):

@@ -90,7 +90,7 @@ def encode_sequence(frames, cfg: sseq.EncoderConfig, decisions_fn=None,
         sym = (len(ref_pocs) == 2 and ref_pocs[0] < poc < ref_pocs[1]
                and poc - ref_pocs[0] == ref_pocs[1] - poc)
         (ry, rcb, rcr, ly, lcb, lcr, mtsp, lfnstp, cmodep,
-         jccrp) = recon.frame_scan(
+         jccrp, sbtp) = recon.frame_scan(
             slots, scan_y, padded[1], padded[2], frame_w=sps.width,
             frame_h=sps.height, qp=qp, bd=cfg.bit_depth, encode=True,
             inter_enabled=not is_intra, mts=sps.mts_enabled,
@@ -98,7 +98,7 @@ def encode_sequence(frames, cfg: sseq.EncoderConfig, decisions_fn=None,
             lmcs=sps.lmcs_enabled, mip=sps.mip_enabled,
             tskip=sps.ts_enabled, jccr=sps.jccr_enabled,
             dmvr=sps.dmvr_enabled and sym, bdof=sps.bdof_enabled and sym,
-            ciip=sps.ciip_enabled,
+            ciip=sps.ciip_enabled, sbt=sps.sbt_enabled,
             fwd_lut=None if fwd_lut is None else jnp_asarray(fwd_lut),
             lam_rd=lambda_rd_int(qp), **ref_kw)
         levels = [np.asarray(ly), np.asarray(lcb), np.asarray(lcr)]
@@ -110,6 +110,8 @@ def encode_sequence(frames, cfg: sseq.EncoderConfig, decisions_fn=None,
             dec.cmode8[:] = np.asarray(cmodep).astype(np.uint8)
         if sps.jccr_enabled:
             dec.jccr8[:] = np.asarray(jccrp).astype(np.uint8)
+        if sps.sbt_enabled:
+            dec.sbt8[:] = np.asarray(sbtp).astype(np.uint8)
         sh = hls.SliceHeader(poc=poc, slice_type=stype, qp_delta=qpd,
                              ref_pocs=ref_pocs, lmcs_cw=lmcs_cw)
         rec = [np.asarray(ry), np.asarray(rcb), np.asarray(rcr)]
@@ -199,7 +201,7 @@ def decode_sequence(data: bytes, check_hash: bool = True):
                 tskip=sps.ts_enabled, jccr=sps.jccr_enabled,
                 dmvr=sps.dmvr_enabled and bi_sym(sh),
                 bdof=sps.bdof_enabled and bi_sym(sh),
-                ciip=sps.ciip_enabled,
+                ciip=sps.ciip_enabled, sbt=sps.sbt_enabled,
                 fwd_lut=None if fwd_lut is None else jnp_asarray(fwd_lut),
                 **ref_kw)
             rec = [np.asarray(ry), np.asarray(rcb), np.asarray(rcr)]

@@ -230,7 +230,8 @@ class _Walker:
 
     def _code_inter(self, x, y, s, skip, enc_mot=None):
         from ..spec import inter as imod
-        from ..spec.codec import _code_bcw_idx, _code_merge_idx, _code_mmvd
+        from ..spec.codec import (_code_bcw_idx, _code_merge_idx,
+                                  _code_mmvd, _code_sbt_idx)
         io = self.io
         gy, gx = y // 8, x // 8
         if io.decoding:
@@ -275,6 +276,8 @@ class _Walker:
                     widx = _code_bcw_idx(io)
             if self.sps.ciip_enabled and not skip:
                 ciip = bool(io.bin(C.CIIP_FLAG(0)))
+            sbt = _code_sbt_idx(io) \
+                if self.sps.sbt_enabled and not skip and not ciip else 0
             sl = np.s_[gy:(y + s) // 8, gx:(x + s) // 8]
             self.dec.inter8[sl] = 1
             self.dec.dir8[sl] = d
@@ -282,6 +285,7 @@ class _Walker:
             self.dec.mv8_l1[sl] = mv1
             self.dec.bcw8[sl] = widx
             self.dec.ciip8[sl] = ciip
+            self.dec.sbt8[sl] = sbt
         else:
             d, mv0, mv1, midx, mmvd, widx, ciip = enc_mot
             merged = midx is not None or mmvd is not None
@@ -325,6 +329,8 @@ class _Walker:
                         _code_bcw_idx(io, widx)
                 if self.sps.ciip_enabled:
                     io.bin(C.CIIP_FLAG(0), int(ciip))
+                if self.sps.sbt_enabled and not ciip:
+                    _code_sbt_idx(io, int(self.dec.sbt8[gy, gx]))
         trace.t_leaf_inter(x, y, s, mv0 if d != 1 else mv1)
         sl = np.s_[gy:(y + s) // 8, gx:(x + s) // 8]
         if d in (0, 2):

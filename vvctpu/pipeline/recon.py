@@ -56,7 +56,7 @@ def _make_leaf_fn(s: int, inter: bool, *, frame_w: int, frame_h: int,
     def leaf(carry, x, y, mode, mvx, mvy, mts_in, lfnst_in, cmode_in,
              mrl_in, jccr_in, m1x, m1y, dd, wdx):
         (by, bcb, bcr, ly, lcb, lcr, sy, scb, scr, mtsp, lfnstp,
-         cmodep, jccrp) = carry
+         cmodep, jccrp, sbtp) = carry
         if inter:
             pred_y = mc.mc_luma_block(refs[0], x, y, s, mvx, mvy, bd)
             pred_cb = mc.mc_chroma_block(refs[1], x // 2, y // 2, cs,
@@ -229,7 +229,7 @@ def _make_leaf_fn(s: int, inter: bool, *, frame_w: int, frame_h: int,
             bcr, lcr = _component(bcr, lcr, scr, pred_cr, x // 2, y // 2,
                                   cs, qp, bd, encode, rdoq, lam_rd)
         return (by, bcb, bcr, ly, lcb, lcr, sy, scb, scr, mtsp, lfnstp,
-                cmodep, jccrp)
+                cmodep, jccrp, sbtp)
 
     return leaf
 
@@ -249,7 +249,7 @@ def _make_ciip_fn(s: int, *, frame_w: int, frame_h: int, n_ctu_x: int, qp,
     def leaf(carry, x, y, mode, mvx, mvy, mts_in, lfnst_in, cmode_in,
              mrl_in, jccr_in, m1x, m1y, dd, wdx):
         (by, bcb, bcr, ly, lcb, lcr, sy, scb, scr, mtsp, lfnstp,
-         cmodep, jccrp) = carry
+         cmodep, jccrp, sbtp) = carry
         w = bcw_w[jnp.clip(wdx, 0, 2)]
 
         def mcpred(r0, r1, px, py, sz, luma):
@@ -284,7 +284,7 @@ def _make_ciip_fn(s: int, *, frame_w: int, frame_h: int, n_ctu_x: int, qp,
         bcr, lcr = _component(bcr, lcr, scr, pred_cr, x // 2, y // 2, cs,
                               qp, bd, encode, rdoq, lam_rd)
         return (by, bcb, bcr, ly, lcb, lcr, sy, scb, scr, mtsp, lfnstp,
-                cmodep, jccrp)
+                cmodep, jccrp, sbtp)
 
     return leaf
 
@@ -292,16 +292,17 @@ def _make_ciip_fn(s: int, *, frame_w: int, frame_h: int, n_ctu_x: int, qp,
 def _inter_batch_pass(carry, ib_slots, refs, s: int, qp, bd: int,
                       encode: bool, frame_w: int, frame_h: int,
                       rdoq: bool = False, lam_rd=0, fwd_lut=None,
-                      dmvr: bool = False, bdof: bool = False):
+                      dmvr: bool = False, bdof: bool = False,
+                      sbt: bool = False):
     """Phase A: all inter s-leaves at once (no intra-frame dependency).
 
-    ib_slots: (B, 8) int32 [x, y, mv0x, mv0y, mv1x, mv1y, dir, bcw_idx];
-    invalid rows have x = y = 2^20 (positive out-of-bounds: their scatter
-    indices are dropped).  refs: (l0_y, l0_cb, l0_cr, l1_y, l1_cb, l1_cr).
+    ib_slots: (B, 9) int32 [x, y, mv0x, mv0y, mv1x, mv1y, dir, bcw_idx,
+    sbt_idx]; invalid rows have x = y = 2^20 (positive out-of-bounds: their
+    scatter indices are dropped).  refs: (l0_y, ..., l1_cr).
     """
     from ..spec.inter import BCW_DEFAULT, BCW_W
     (by, bcb, bcr, ly, lcb, lcr, sy, scb, scr, mtsp, lfnstp,
-     cmodep, jccrp) = carry
+     cmodep, jccrp, sbtp) = carry
     cs = s // 2
     mx = (1 << bd) - 1
     bcw_w = jnp.asarray(np.asarray(BCW_W, np.int32))
@@ -399,12 +400,27 @@ def _inter_batch_pass(carry, ib_slots, refs, s: int, qp, bd: int,
             rec = transform.reconstruct(pred, lev, sz, sz, qp, bd=bd)
             return rec, lev
 
-        ry, lvy = comp(sy, pred_y, x, y, s)
+        if sbt:
+            # SBT RD / reconstruct on the luma TB (twin of spec
+            # _prep_inter_enc's choose_sbt + _code_component's SBT path)
+            if encode:
+                blk = jax.lax.dynamic_slice(sy, (y, x),
+                                            (s, s)).astype(jnp.int32)
+                sidx, lvy, rres = transform.choose_sbt_j(
+                    blk - pred_y, s, qp, lam_rd, bd=bd, rdoq=rdoq)
+            else:
+                sidx = slot[8]
+                lvy = jax.lax.dynamic_slice(sy, (y, x), (s, s))
+                rres = transform.sbt_resi_j(lvy, sidx, s, qp, bd)
+            ry = jnp.clip(pred_y + rres, 0, mx)
+        else:
+            sidx = jnp.int32(0)
+            ry, lvy = comp(sy, pred_y, x, y, s)
         rcb, lvcb = comp(scb, pred_cb, x // 2, y // 2, cs)
         rcr, lvcr = comp(scr, pred_cr, x // 2, y // 2, cs)
-        return ry, rcb, rcr, lvy, lvcb, lvcr
+        return ry, rcb, rcr, lvy, lvcb, lvcr, sidx
 
-    ry, rcb, rcr, lvy, lvcb, lvcr = jax.vmap(one)(ib_slots)
+    ry, rcb, rcr, lvy, lvcb, lvcr, sidxs = jax.vmap(one)(ib_slots)
 
     def scatter(buf, blocks, xs0, ys0, sz, off):
         b = blocks.shape[0]
@@ -420,8 +436,10 @@ def _inter_batch_pass(carry, ib_slots, refs, s: int, qp, bd: int,
         ly = scatter(ly, lvy, xs, ys, s, 0)
         lcb = scatter(lcb, lvcb, xs // 2, ys // 2, cs, 0)
         lcr = scatter(lcr, lvcr, xs // 2, ys // 2, cs, 0)
+        if sbt:
+            sbtp = sbtp.at[ys // 8, xs // 8].set(sidxs, mode="drop")
     return (by, bcb, bcr, ly, lcb, lcr, sy, scb, scr, mtsp, lfnstp, cmodep,
-            jccrp)
+            jccrp, sbtp)
 
 
 @functools.partial(jax.jit,
@@ -429,7 +447,7 @@ def _inter_batch_pass(carry, ib_slots, refs, s: int, qp, bd: int,
                                     "inter_enabled", "mts", "lfnst",
                                     "cclm", "rdoq", "lmcs", "mip",
                                     "tskip", "jccr", "dmvr", "bdof",
-                                    "ciip"))
+                                    "ciip", "sbt"))
 def frame_scan(slots, planes_y, planes_cb, planes_cr, *, frame_w: int,
                frame_h: int, qp, bd: int, encode: bool,
                inter_enabled: bool = False, ref_y=None, ref_cb=None,
@@ -439,7 +457,7 @@ def frame_scan(slots, planes_y, planes_cb, planes_cr, *, frame_w: int,
                rdoq: bool = False, lmcs: bool = False, lam_rd=0,
                fwd_lut=None, mip: bool = False, tskip: bool = False,
                jccr: bool = False, dmvr: bool = False, bdof: bool = False,
-               ciip: bool = False):
+               ciip: bool = False, sbt: bool = False):
     """Run the full-frame reconstruction scan.
 
     slots: (N, 6) int32 [op, x, y, mode, mvx, mvy] in coding order; op 0 =
@@ -464,6 +482,7 @@ def frame_scan(slots, planes_y, planes_cb, planes_cr, *, frame_w: int,
              jnp.zeros((frame_h // 8, frame_w // 8), jnp.int32),
              jnp.zeros((frame_h // 8, frame_w // 8), jnp.int32),
              jnp.zeros((frame_h // 8, frame_w // 8), jnp.int32),
+             jnp.zeros((frame_h // 8, frame_w // 8), jnp.int32),
              jnp.zeros((frame_h // 8, frame_w // 8), jnp.int32))
 
     if ref1_y is None:
@@ -476,7 +495,7 @@ def frame_scan(slots, planes_y, planes_cb, planes_cr, *, frame_w: int,
                                       frame_w, frame_h, rdoq,
                                       jnp.asarray(lam_rd, jnp.int32),
                                       fwd_lut if lmcs else None,
-                                      dmvr=dmvr, bdof=bdof)
+                                      dmvr=dmvr, bdof=bdof, sbt=sbt)
 
     # phase B: intra leaves in coding order (inter slots are op=0 skips)
     kw = dict(frame_w=frame_w, frame_h=frame_h, n_ctu_x=n_ctu_x, qp=qp,
@@ -517,7 +536,8 @@ def frame_scan(slots, planes_y, planes_cb, planes_cr, *, frame_w: int,
     by, bcb, bcr, ly, lcb, lcr = carry[:6]
     return (by[1:frame_h + 1, 1:frame_w + 1],
             bcb[1:h2 + 1, 1:w2 + 1], bcr[1:h2 + 1, 1:w2 + 1],
-            ly, lcb, lcr, carry[9], carry[10], carry[11], carry[12])
+            ly, lcb, lcr, carry[9], carry[10], carry[11], carry[12],
+            carry[13])
 
 
 def make_slots(dec: FrameDecisions, frame_h: int, frame_w: int) -> np.ndarray:
@@ -566,7 +586,7 @@ def make_slots_split(dec: FrameDecisions, frame_h: int, frame_w: int):
         cap = (frame_h // s) * (frame_w // s)
         # dummy coordinate must be positive-out-of-bounds: jnp .at[] wraps
         # negative indices instead of dropping them
-        arr = np.full((cap, 8), 1 << 20, np.int32)
+        arr = np.full((cap, 9), 1 << 20, np.int32)
         m = op == opv
         k = int(m.sum())
         arr[:k, 0] = xs[m]
@@ -578,6 +598,8 @@ def make_slots_split(dec: FrameDecisions, frame_h: int, frame_w: int):
         arr[:k, 6] = dirs[m]
         arr[:k, 7] = (dec.bcw8[ys[m] // 8, xs[m] // 8].astype(np.int32)
                       if dec.bcw8 is not None else BCW_DEFAULT)
+        arr[:k, 8] = (dec.sbt8[ys[m] // 8, xs[m] // 8].astype(np.int32)
+                      if dec.sbt8 is not None else 0)
         arr[k:, 2:] = 0
         arr[k:, 7] = BCW_DEFAULT
         inter[s] = arr

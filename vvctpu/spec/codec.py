@@ -48,6 +48,7 @@ class FrameDecisions:
     jccr8: np.ndarray = None    # (H//8, W//8) uint8: joint Cb-Cr residual
     bcw8: np.ndarray = None     # (H//8, W//8) uint8: BCW weight idx (1=equal)
     ciip8: np.ndarray = None    # (H//8, W//8) uint8: CIIP (inter+planar)
+    sbt8: np.ndarray = None     # (H//8, W//8) uint8: SBT idx 0..4 (inter)
 
     @classmethod
     def empty(cls, h: int, w: int) -> "FrameDecisions":
@@ -65,6 +66,7 @@ class FrameDecisions:
                    np.zeros((h // 8, w // 8), np.uint8),
                    np.zeros((h // 8, w // 8), np.uint8),
                    np.full((h // 8, w // 8), BCW_DEFAULT, np.uint8),
+                   np.zeros((h // 8, w // 8), np.uint8),
                    np.zeros((h // 8, w // 8), np.uint8))
 
     def equal(self, other: "FrameDecisions") -> bool:
@@ -81,7 +83,8 @@ class FrameDecisions:
                 and np.array_equal(self.mrl8, other.mrl8)
                 and np.array_equal(self.jccr8, other.jccr8)
                 and np.array_equal(self.bcw8, other.bcw8)
-                and np.array_equal(self.ciip8, other.ciip8))
+                and np.array_equal(self.ciip8, other.ciip8)
+                and np.array_equal(self.sbt8, other.sbt8))
 
 
 @dataclass
@@ -282,7 +285,7 @@ def _code_lfnst_idx(io, idx=None):
 def _code_component(io, st: _FrameState, comp: int, x: int, y: int, s: int,
                     mode: int, cbf_ctx: int, pred=None,
                     mts_ok: bool = False, lev_pre=None,
-                    mrl: int = 0) -> None:
+                    mrl: int = 0, sbt: int = 0) -> None:
     plane, valid = st.recon[comp], st.valid[comp]
     is_chroma = comp > 0
     bd = st.sps.bit_depth
@@ -337,10 +340,15 @@ def _code_component(io, st: _FrameState, comp: int, x: int, y: int, s: int,
                 _code_lfnst_idx(io, lfnst_idx)
             code_tb(io, lev, _log2(s), _log2(s), is_chroma)
     trace.t_cbf(comp, x, y, s, cbf)
-    kh, kv = transform.MTS_SET[mts_idx if cbf else 0]
-    plane[y:y + s, x:x + s] = transform.reconstruct(
-        pred, lev, qp, kh, kv, bit_depth=bd,
-        lfnst=lfnst_idx if cbf else 0, mode=mode)
+    if sbt and cbf:
+        resi = transform.sbt_reconstruct(lev, sbt, qp, bd)
+        plane[y:y + s, x:x + s] = np.clip(
+            pred.astype(np.int32) + resi, 0, (1 << bd) - 1)
+    else:
+        kh, kv = transform.MTS_SET[mts_idx if cbf else 0]
+        plane[y:y + s, x:x + s] = transform.reconstruct(
+            pred, lev, qp, kh, kv, bit_depth=bd,
+            lfnst=lfnst_idx if cbf else 0, mode=mode)
     valid[y:y + s, x:x + s] = True
 
 
@@ -533,6 +541,22 @@ def _code_bcw_idx(io, widx=None) -> int:
     return widx
 
 
+def _code_sbt_idx(io, idx=None) -> int:
+    """SBT index: ctx-coded sbt_flag + (dir, pos) bypass bins.
+    idx: 0 none, 1 V-left, 2 V-right, 3 H-top, 4 H-bottom."""
+    if io.decoding:
+        if not io.bin(C.SBT_FLAG(0)):
+            return 0
+        hor = io.byp()
+        pos = io.byp()
+        return 1 + 2 * hor + pos
+    io.bin(C.SBT_FLAG(0), int(idx > 0))
+    if idx > 0:
+        io.byp((idx - 1) >> 1)
+        io.byp((idx - 1) & 1)
+    return idx
+
+
 def _ciip_blend(st: _FrameState, mc_pred: np.ndarray, comp: int, px: int,
                 py: int, sz: int) -> np.ndarray:
     """CIIP: equal blend of the MC prediction with planar intra from the
@@ -658,18 +682,26 @@ def _prep_inter_enc(st: _FrameState, x: int, y: int, s: int) -> dict:
     preds = _inter_pred(st, x, y, s, d, mv0, mv1, widx, ciip)
     bd = st.sps.bit_depth
     levs = []
+    sbt = 0
     for comp, (px, py, sz) in enumerate(((x, y, s),
                                          (x // 2, y // 2, s // 2),
                                          (x // 2, y // 2, s // 2))):
         resi = (st.src[comp][py:py + sz, px:px + sz].astype(np.int32)
                 - preds[comp])
+        if comp == 0 and st.sps.sbt_enabled and not ciip:
+            # SBT is mutually exclusive with CIIP (as in VVC): the blended
+            # prediction has no single motion boundary to align a half to
+            sbt, lev = transform.choose_sbt(resi, st.qp, bd, rdoq=st.rdoq)
+            levs.append(lev)
+            continue
         coef = transform.forward_transform(resi, bit_depth=bd)
         levs.append(transform.quantize(
             coef, st.qp, intra=True, bit_depth=bd, rdoq=st.rdoq,
             lam_rd=transform.lambda_rd_int(st.qp)))
     all_zero = not any(lv.any() for lv in levs)
     return dict(d=d, mv0=mv0, mv1=mv1, midx=midx, mmvd=mmvd, preds=preds,
-                levs=levs, all_zero=all_zero, widx=widx, ciip=ciip)
+                levs=levs, all_zero=all_zero, widx=widx, ciip=ciip,
+                sbt=sbt)
 
 
 def _code_inter_leaf(io, st: _FrameState, x: int, y: int, s: int,
@@ -717,6 +749,8 @@ def _code_inter_leaf(io, st: _FrameState, x: int, y: int, s: int,
                 widx = _code_bcw_idx(io)
         if st.sps.ciip_enabled and not skip:
             ciip = bool(io.bin(C.CIIP_FLAG(0)))
+        sbt = _code_sbt_idx(io) \
+            if st.sps.sbt_enabled and not skip and not ciip else 0
         preds = _inter_pred(st, x, y, s, d, mv0, mv1, widx, ciip)
         sl = np.s_[gy:(y + s) // 8, gx:(x + s) // 8]
         st.dec.inter8[sl] = 1
@@ -725,6 +759,7 @@ def _code_inter_leaf(io, st: _FrameState, x: int, y: int, s: int,
         st.dec.mv8_l1[sl] = mv1
         st.dec.bcw8[sl] = widx
         st.dec.ciip8[sl] = ciip
+        st.dec.sbt8[sl] = sbt
     else:
         d, mv0, mv1 = pre["d"], pre["mv0"], pre["mv1"]
         midx, preds = pre["midx"], pre["preds"]
@@ -770,6 +805,11 @@ def _code_inter_leaf(io, st: _FrameState, x: int, y: int, s: int,
                     _code_bcw_idx(io, widx)
             if st.sps.ciip_enabled:
                 io.bin(C.CIIP_FLAG(0), int(pre["ciip"]))
+            if st.sps.sbt_enabled and not pre["ciip"]:
+                _code_sbt_idx(io, pre["sbt"])
+        sbt = pre["sbt"] if not skip else 0
+        sl = np.s_[gy:(y + s) // 8, gx:(x + s) // 8]
+        st.dec.sbt8[sl] = sbt
 
     trace.t_leaf_inter(x, y, s, mv0 if d != 1 else mv1)
     bd = st.sps.bit_depth
@@ -785,7 +825,7 @@ def _code_inter_leaf(io, st: _FrameState, x: int, y: int, s: int,
     else:
         levs = (None, None, None) if io.decoding else pre["levs"]
         _code_component(io, st, 0, x, y, s, 0, C.CBF_LUMA(0),
-                        pred=preds[0], lev_pre=levs[0])
+                        pred=preds[0], lev_pre=levs[0], sbt=sbt)
         _code_component(io, st, 1, cx, cy, cs, 0, C.CBF_CB(0),
                         pred=preds[1], lev_pre=levs[1])
         _code_component(io, st, 2, cx, cy, cs, 0, C.CBF_CR(0),

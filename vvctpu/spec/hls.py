@@ -40,6 +40,7 @@ class SPS:
     amvr_enabled: bool = False  # adaptive MVD resolution (1/4, 1, 4 pel)
     smvd_enabled: bool = False  # symmetric MVD (BI, POC-symmetric refs)
     ciip_enabled: bool = False  # combined inter-intra (planar blend)
+    sbt_enabled: bool = False   # sub-block transform (inter luma residual)
     dmvr_enabled: bool = False  # decoder-side MV refinement (BI, no syntax)
     bdof_enabled: bool = False  # bi-directional optical flow (BI, no syntax)
     cclm_enabled: bool = False
@@ -75,7 +76,7 @@ class SPS:
                   self.mrl_enabled, self.ts_enabled, self.jccr_enabled,
                   self.mmvd_enabled, self.dmvr_enabled, self.bdof_enabled,
                   self.bcw_enabled, self.amvr_enabled,
-                  self.smvd_enabled, self.ciip_enabled):
+                  self.smvd_enabled, self.ciip_enabled, self.sbt_enabled):
             w.u(int(f), 1)
         w.byte_align()
         return w.getvalue()
@@ -96,8 +97,8 @@ class SPS:
          s.sao_enabled, s.alf_enabled, s.deblock_enabled, s.mip_enabled,
          s.mrl_enabled, s.ts_enabled, s.jccr_enabled, s.mmvd_enabled,
          s.dmvr_enabled, s.bdof_enabled, s.bcw_enabled,
-         s.amvr_enabled, s.smvd_enabled, s.ciip_enabled) = (
-             bool(r.u(1)) for _ in range(18))
+         s.amvr_enabled, s.smvd_enabled, s.ciip_enabled,
+         s.sbt_enabled) = (bool(r.u(1)) for _ in range(19))
         return s
 
 

@@ -37,6 +37,7 @@ class EncoderConfig:
     amvr: bool = False      # adaptive MVD resolution (1/4, 1, 4 pel)
     smvd: bool = False      # symmetric MVD (BI leaves, symmetric refs)
     ciip: bool = False      # combined inter-intra prediction
+    sbt: bool = False       # sub-block transform (inter luma residual)
     bdof: bool = False      # bi-directional optical flow (BI leaves)
     lfnst: bool = False     # low-frequency non-separable secondary transform
     cclm: bool = False      # cross-component linear-model chroma prediction
@@ -63,7 +64,7 @@ class EncoderConfig:
                        mmvd_enabled=self.mmvd, dmvr_enabled=self.dmvr,
                        bdof_enabled=self.bdof, bcw_enabled=self.bcw,
                        amvr_enabled=self.amvr, smvd_enabled=self.smvd,
-                       ciip_enabled=self.ciip)
+                       ciip_enabled=self.ciip, sbt_enabled=self.sbt)
 
 
 def gop_plan(n_frames: int, intra_period: int, gop: int):

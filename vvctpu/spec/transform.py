@@ -236,6 +236,84 @@ def tx_candidates(mts: bool, lfnst: bool, ts: bool = False):
     return out
 
 
+# ---------------------------------------------------------------------------
+# SBT (sub-block transform: transform only half of the inter luma residual,
+# implicit DST7/DCT8 kernel pair by position; role of VTM:CommonLib/
+# TrQuant.cpp SBT paths + EncoderLib InterSearch SBT loop).  Documented
+# simplifications: half-splits only (no quarter), luma only, and the levels
+# live in the full-size TB plane with the untransformed half zeroed (the
+# residual coder codes the full TB; zeros are cheap).
+# ---------------------------------------------------------------------------
+# idx: 0 none, 1 V-left, 2 V-right, 3 H-top, 4 H-bottom
+SBT_IDX_BITS = (1, 3, 3, 3, 3)   # sbt_flag + (dir, pos) bypass
+
+
+def sbt_region(idx: int, s: int):
+    """(x0, y0, w, h) of the transformed half within the s x s block."""
+    hs = s // 2
+    return ((0, 0, s, s), (0, 0, hs, s), (hs, 0, hs, s),
+            (0, 0, s, hs), (0, hs, s, hs))[idx]
+
+
+def sbt_kernels(idx: int):
+    """Implicit (kind_h, kind_v) per SBT position (position-adaptive like
+    the standard: the kernel with its high-energy end at the prediction
+    boundary)."""
+    return ((rom.DCT2, rom.DCT2), (rom.DCT8, rom.DST7),
+            (rom.DST7, rom.DST7), (rom.DST7, rom.DCT8),
+            (rom.DST7, rom.DST7))[idx]
+
+
+def sbt_reconstruct(lev_full: np.ndarray, sbt_idx: int, qp: int,
+                    bd: int = rom.BIT_DEPTH) -> np.ndarray:
+    """Residual of an SBT TB: dequant + inverse-transform the sub-area,
+    zero elsewhere.  lev_full: full-size level plane (sub-area holds the
+    sub-TB levels)."""
+    s = lev_full.shape[0]
+    x0, y0, w, h = sbt_region(sbt_idx, s)
+    kh, kv = sbt_kernels(sbt_idx)
+    sub = lev_full[y0:y0 + h, x0:x0 + w]
+    resi = np.zeros((s, s), np.int32)
+    if sub.any():
+        resi[y0:y0 + h, x0:x0 + w] = inverse_transform(
+            dequantize(sub, qp, bd), kh, kv, bd)
+    return resi
+
+
+def choose_sbt(resi: np.ndarray, qp: int, bd: int = rom.BIT_DEPTH,
+               rdoq: bool = False):
+    """RD-select SBT for an inter luma TB: full DCT-II vs the 4 half
+    transforms (dropped half costs its residual energy).  Returns
+    (sbt_idx, levels_full); first-min tie-breaking in index order; an
+    all-zero winner collapses to idx 0 (identical recon, fewer bins)."""
+    s = resi.shape[0]
+    lam = lambda_rd_int(qp)
+    r64 = resi.astype(np.int64)
+    best = None
+    for idx in range(5):
+        x0, y0, w, h = sbt_region(idx, s)
+        kh, kv = sbt_kernels(idx)
+        sub = resi[y0:y0 + h, x0:x0 + w]
+        coef = forward_transform(sub, kh, kv, bd)
+        lev_s = quantize(coef, qp, intra=True, bit_depth=bd, rdoq=rdoq,
+                         lam_rd=lam)
+        lev = np.zeros((s, s), np.int32)
+        lev[y0:y0 + h, x0:x0 + w] = lev_s
+        rec = np.zeros((s, s), np.int64)
+        if lev_s.any():
+            rec[y0:y0 + h, x0:x0 + w] = inverse_transform(
+                dequantize(lev_s, qp, bd), kh, kv, bd)
+        dist = int(((r64 - rec) ** 2).sum())
+        rate = min(level_rate_est(lev), 1 << 14) + SBT_IDX_BITS[idx]
+        cost = dist + lam * rate
+        if best is None or cost < best[0]:
+            best = (cost, idx, lev)
+    idx, lev = best[1], best[2]
+    if idx and not lev.any():
+        idx = 0
+    return idx, lev
+
+
 def choose_tx(resi: np.ndarray, qp: int, mode: int, bd: int = rom.BIT_DEPTH,
               mts: bool = True, lfnst: bool = False, rdoq: bool = False,
               ts: bool = False):
