@@ -89,3 +89,57 @@ class TestStream:
         sdata, _, _ = seq.encode_sequence(frames, cfg)
         jdata, _, _ = jenc.encode_sequence(frames, cfg)
         assert jdata == sdata
+
+
+def test_crs_lut_properties():
+    """CRS scale LUT: identity model -> unity slope everywhere; slopes
+    follow the codeword allocation and honour the [1/4x, 4x] clamp."""
+    import numpy as np
+    from vvctpu.spec import lmcs
+    ident = (16,) * 16
+    lut = lmcs.build_crs_lut(ident, 8)
+    assert (lut == 1 << lmcs.SCALE_SHIFT).all()
+    skew = (4,) * 8 + (28,) * 8          # sums to 256
+    lut = lmcs.build_crs_lut(skew, 8)
+    assert lut.min() >= lmcs.CRS_MIN and lut.max() <= lmcs.CRS_MAX
+    # fwd/inv are inverse-ish: inv(fwd(x)) within one step of x
+    rng = np.random.default_rng(0)
+    res = rng.integers(-200, 200, (8, 8)).astype(np.int32)
+    for sc in (512, 1024, 2048, 4096, 8192):
+        back = lmcs.crs_inv(lmcs.crs_fwd(res, sc), sc)
+        assert np.abs(back - res).max() <= max(1, sc >> lmcs.SCALE_SHIFT)
+
+
+def test_crs_inter_roundtrip_and_parity():
+    """Inter frames under LMCS exercise chroma residual scaling: hash-
+    verified roundtrip and byte parity between engines, with chroma
+    content that actually produces residuals."""
+    import numpy as np
+    from vvctpu.pipeline import encoder as jenc
+    from vvctpu.spec import sequence
+    rng = np.random.default_rng(31)
+    h, w = 64, 96
+    ybase = rng.integers(10, 240, (h, w * 2)).astype(np.int32)
+    frames = []
+    for t in range(3):
+        y = ybase[:, t * 2:t * 2 + w]
+        cb = (128 + 30 * np.sin((np.mgrid[0:h // 2, 0:w // 2][1] + 7 * t)
+                                / 5.0)).astype(np.int32)
+        cr = (128 - 25 * np.cos((np.mgrid[0:h // 2, 0:w // 2][0] - 4 * t)
+                                / 6.0)).astype(np.int32)
+        frames.append([y, np.clip(cb, 0, 255), np.clip(cr, 0, 255)])
+    cfg = sequence.EncoderConfig(qp=30, sao=False, deblock=False,
+                                 intra_period=0, gop=2, lmcs=True,
+                                 ciip=True, sbt=True)
+    ref_stream, recons, _ = sequence.encode_sequence(list(frames), cfg)
+    out, sps = sequence.decode_sequence(ref_stream)
+    assert sps.lmcs_enabled
+    for poc in range(3):
+        for a, b in zip(out[poc], recons[poc]):
+            assert np.array_equal(a, b)
+    got_stream, _, _ = jenc.encode_sequence(list(frames), cfg)
+    assert ref_stream == got_stream
+    jout, _ = jenc.decode_sequence(got_stream)
+    for poc in range(3):
+        for a, b in zip(jout[poc], out[poc]):
+            assert np.array_equal(a, b)

@@ -68,12 +68,13 @@ def encode_sequence(frames, cfg: sseq.EncoderConfig, decisions_fn=None,
         if decisions_out is not None:
             decisions_out.append(dec)
         lmcs_cw = ()
-        fwd_lut = inv_lut = None
+        fwd_lut = inv_lut = crs_lut = None
         scan_y = padded[0]
         if sps.lmcs_enabled:
             from ..spec import lmcs as lmcsmod
             lmcs_cw = lmcsmod.derive_model(padded[0], cfg.bit_depth)
             fwd_lut, inv_lut = lmcsmod.build_luts(lmcs_cw, cfg.bit_depth)
+            crs_lut = lmcsmod.build_crs_lut(lmcs_cw, cfg.bit_depth)
             scan_y = fwd_lut[padded[0]]
         if is_intra:
             slots = recon.make_slots(dec, sps.height, sps.width)
@@ -100,6 +101,7 @@ def encode_sequence(frames, cfg: sseq.EncoderConfig, decisions_fn=None,
             dmvr=sps.dmvr_enabled and sym, bdof=sps.bdof_enabled and sym,
             ciip=sps.ciip_enabled, sbt=sps.sbt_enabled,
             fwd_lut=None if fwd_lut is None else jnp_asarray(fwd_lut),
+            crs_lut=None if crs_lut is None else jnp_asarray(crs_lut),
             lam_rd=lambda_rd_int(qp), **ref_kw)
         levels = [np.asarray(ly), np.asarray(lcb), np.asarray(lcr)]
         if sps.mts_enabled:
@@ -171,11 +173,12 @@ def decode_sequence(data: bytes, check_hash: bool = True):
                 entropy.parse_frame_syntax(nal.payload, sps, pps_map,
                                            motion=mot)
             qp = pps_map[sh.pps_id].init_qp + sh.qp_delta
-            fwd_lut = inv_lut = None
+            fwd_lut = inv_lut = crs_lut = None
             if sh.lmcs_cw:
                 from ..spec import lmcs as lmcsmod
                 fwd_lut, inv_lut = lmcsmod.build_luts(sh.lmcs_cw,
                                                       sps.bit_depth)
+                crs_lut = lmcsmod.build_crs_lut(sh.lmcs_cw, sps.bit_depth)
             slots = recon.make_slots(dec, sps.height, sps.width)
             is_p = sh.slice_type != hls.SLICE_I
             if is_p:
@@ -203,6 +206,7 @@ def decode_sequence(data: bytes, check_hash: bool = True):
                 bdof=sps.bdof_enabled and bi_sym(sh),
                 ciip=sps.ciip_enabled, sbt=sps.sbt_enabled,
                 fwd_lut=None if fwd_lut is None else jnp_asarray(fwd_lut),
+                crs_lut=None if crs_lut is None else jnp_asarray(crs_lut),
                 **ref_kw)
             rec = [np.asarray(ry), np.asarray(rcb), np.asarray(rcr)]
             if inv_lut is not None:

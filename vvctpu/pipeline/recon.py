@@ -30,17 +30,29 @@ MARGIN = intra_pred.MARGIN
 
 
 def _component(buf, levels_io, src, pred, x, y, s, qp, bd, encode,
-               rdoq=False, lam_rd=0):
-    """Shared residual+recon for one component block with given prediction."""
+               rdoq=False, lam_rd=0, crs_sc=None):
+    """Shared residual+recon for one component block with given prediction.
+
+    crs_sc (traced 1.11-fp scale): LMCS chroma residual scaling — forward
+    divide before the transform, inverse multiply after (twin of spec
+    lmcs.crs_fwd/crs_inv)."""
     if encode:
         blk = jax.lax.dynamic_slice(src, (y, x), (s, s)).astype(jnp.int32)
-        coef = transform.forward_transform(blk - pred, s, s, bd=bd)
+        resi = blk - pred
+        if crs_sc is not None:
+            resi = (resi << 11) // crs_sc
+        coef = transform.forward_transform(resi, s, s, bd=bd)
         lev = transform.quantize(coef, s, s, qp, intra=True, bd=bd,
                                  rdoq=rdoq, lam_rd=lam_rd)
         levels_io = jax.lax.dynamic_update_slice(levels_io, lev, (y, x))
     else:
         lev = jax.lax.dynamic_slice(src, (y, x), (s, s))  # parsed levels
-    rec = transform.reconstruct(pred, lev, s, s, qp, bd=bd)
+    if crs_sc is not None:
+        r = transform.inverse_transform(
+            transform.dequantize(lev, s, s, qp, bd), s, s, bd=bd)
+        rec = jnp.clip(pred + ((r * crs_sc) >> 11), 0, (1 << bd) - 1)
+    else:
+        rec = transform.reconstruct(pred, lev, s, s, qp, bd=bd)
     buf = jax.lax.dynamic_update_slice(buf, rec, (y + 1, x + 1))
     return buf, levels_io
 
@@ -236,7 +248,7 @@ def _make_leaf_fn(s: int, inter: bool, *, frame_w: int, frame_h: int,
 
 def _make_ciip_fn(s: int, *, frame_w: int, frame_h: int, n_ctu_x: int, qp,
                   bd: int, encode: bool, refs, rdoq: bool = False,
-                  lam_rd=None, fwd_lut=None, **_unused):
+                  lam_rd=None, fwd_lut=None, crs_lut=None, **_unused):
     """CIIP leaf: sequential phase-B reconstruction (intra dependency) —
     MC (BCW-weighted average for BI) blended equally with planar intra from
     the reconstructed neighbours; twin of spec _ciip_blend + _inter_pred's
@@ -279,21 +291,28 @@ def _make_ciip_fn(s: int, *, frame_w: int, frame_h: int, n_ctu_x: int, qp,
                         bcr, x // 2, y // 2, cs, False)
         by, ly = _component(by, ly, sy, pred_y, x, y, s, qp, bd, encode,
                             rdoq, lam_rd)
+        sc = None
+        if crs_lut is not None:
+            lr = jax.lax.dynamic_slice(by, (y + 1, x + 1), (s, s))
+            sc = crs_lut[lr.sum() >> _CRS_SHIFT[s]]
         bcb, lcb = _component(bcb, lcb, scb, pred_cb, x // 2, y // 2, cs,
-                              qp, bd, encode, rdoq, lam_rd)
+                              qp, bd, encode, rdoq, lam_rd, crs_sc=sc)
         bcr, lcr = _component(bcr, lcr, scr, pred_cr, x // 2, y // 2, cs,
-                              qp, bd, encode, rdoq, lam_rd)
+                              qp, bd, encode, rdoq, lam_rd, crs_sc=sc)
         return (by, bcb, bcr, ly, lcb, lcr, sy, scb, scr, mtsp, lfnstp,
                 cmodep, jccrp, sbtp)
 
     return leaf
 
 
+_CRS_SHIFT = {8: 6, 16: 8, 32: 10}   # 2 * log2(s)
+
+
 def _inter_batch_pass(carry, ib_slots, refs, s: int, qp, bd: int,
                       encode: bool, frame_w: int, frame_h: int,
                       rdoq: bool = False, lam_rd=0, fwd_lut=None,
                       dmvr: bool = False, bdof: bool = False,
-                      sbt: bool = False):
+                      sbt: bool = False, crs_lut=None):
     """Phase A: all inter s-leaves at once (no intra-frame dependency).
 
     ib_slots: (B, 9) int32 [x, y, mv0x, mv0y, mv1x, mv1y, dir, bcw_idx,
@@ -388,16 +407,24 @@ def _inter_batch_pass(carry, ib_slots, refs, s: int, qp, bd: int,
             # residual coding run in the mapped domain)
             pred_y = jnp.take(fwd_lut, pred_y)
 
-        def comp(src, pred, cx, cy, sz):
+        def comp(src, pred, cx, cy, sz, sc=None):
             if encode:
                 blk = jax.lax.dynamic_slice(src, (cy, cx),
                                             (sz, sz)).astype(jnp.int32)
-                coef = transform.forward_transform(blk - pred, sz, sz, bd=bd)
+                resi = blk - pred
+                if sc is not None:
+                    resi = (resi << 11) // sc
+                coef = transform.forward_transform(resi, sz, sz, bd=bd)
                 lev = transform.quantize(coef, sz, sz, qp, intra=True, bd=bd,
                                          rdoq=rdoq, lam_rd=lam_rd)
             else:
                 lev = jax.lax.dynamic_slice(src, (cy, cx), (sz, sz))
-            rec = transform.reconstruct(pred, lev, sz, sz, qp, bd=bd)
+            if sc is not None:
+                r = transform.inverse_transform(
+                    transform.dequantize(lev, sz, sz, qp, bd), sz, sz, bd=bd)
+                rec = jnp.clip(pred + ((r * sc) >> 11), 0, mx)
+            else:
+                rec = transform.reconstruct(pred, lev, sz, sz, qp, bd=bd)
             return rec, lev
 
         if sbt:
@@ -416,8 +443,12 @@ def _inter_batch_pass(carry, ib_slots, refs, s: int, qp, bd: int,
         else:
             sidx = jnp.int32(0)
             ry, lvy = comp(sy, pred_y, x, y, s)
-        rcb, lvcb = comp(scb, pred_cb, x // 2, y // 2, cs)
-        rcr, lvcr = comp(scr, pred_cr, x // 2, y // 2, cs)
+        sc = None
+        if crs_lut is not None:
+            # CRS: slope at the leaf's avg reconstructed mapped luma
+            sc = crs_lut[ry.sum() >> _CRS_SHIFT[s]]
+        rcb, lvcb = comp(scb, pred_cb, x // 2, y // 2, cs, sc)
+        rcr, lvcr = comp(scr, pred_cr, x // 2, y // 2, cs, sc)
         return ry, rcb, rcr, lvy, lvcb, lvcr, sidx
 
     ry, rcb, rcr, lvy, lvcb, lvcr, sidxs = jax.vmap(one)(ib_slots)
@@ -457,7 +488,7 @@ def frame_scan(slots, planes_y, planes_cb, planes_cr, *, frame_w: int,
                rdoq: bool = False, lmcs: bool = False, lam_rd=0,
                fwd_lut=None, mip: bool = False, tskip: bool = False,
                jccr: bool = False, dmvr: bool = False, bdof: bool = False,
-               ciip: bool = False, sbt: bool = False):
+               ciip: bool = False, sbt: bool = False, crs_lut=None):
     """Run the full-frame reconstruction scan.
 
     slots: (N, 6) int32 [op, x, y, mode, mvx, mvy] in coding order; op 0 =
@@ -495,7 +526,8 @@ def frame_scan(slots, planes_y, planes_cb, planes_cr, *, frame_w: int,
                                       frame_w, frame_h, rdoq,
                                       jnp.asarray(lam_rd, jnp.int32),
                                       fwd_lut if lmcs else None,
-                                      dmvr=dmvr, bdof=bdof, sbt=sbt)
+                                      dmvr=dmvr, bdof=bdof, sbt=sbt,
+                                      crs_lut=crs_lut if lmcs else None)
 
     # phase B: intra leaves in coding order (inter slots are op=0 skips)
     kw = dict(frame_w=frame_w, frame_h=frame_h, n_ctu_x=n_ctu_x, qp=qp,
@@ -509,7 +541,8 @@ def frame_scan(slots, planes_y, planes_cb, planes_cr, *, frame_w: int,
         ckw = dict(frame_w=frame_w, frame_h=frame_h, n_ctu_x=n_ctu_x, qp=qp,
                    bd=bd, encode=encode, refs=refs, rdoq=rdoq,
                    lam_rd=jnp.asarray(lam_rd, jnp.int32),
-                   fwd_lut=fwd_lut if lmcs else None)
+                   fwd_lut=fwd_lut if lmcs else None,
+                   crs_lut=crs_lut if lmcs else None)
         branches += [_make_ciip_fn(8, **ckw), _make_ciip_fn(16, **ckw),
                      _make_ciip_fn(32, **ckw)]
     n_br = len(branches) - 1

@@ -105,6 +105,7 @@ class _FrameState:
     hmvp: list = field(default_factory=list)  # history merge FIFO (per CTU row)
     rdoq: bool = False                    # encoder RDOQ quantizer
     lmcs: tuple | None = None             # (fwd, inv) luma-mapping LUTs
+    crs: np.ndarray | None = None         # CRS scale LUT (inter chroma)
     src_orig_y: np.ndarray | None = None  # unmapped source luma (filters)
     dmvr: bool = False                    # DMVR active (BI + symmetric refs)
     bdof: bool = False                    # BDOF active (BI + symmetric refs)
@@ -282,10 +283,20 @@ def _code_lfnst_idx(io, idx=None):
     return idx
 
 
+def _crs_scale(st: _FrameState, x: int, y: int, s: int):
+    """CRS scale for the leaf: slope LUT at the average reconstructed
+    mapped luma of the leaf (spec/lmcs.py build_crs_lut); None if CRS off.
+    Requires the leaf's luma to be reconstructed already."""
+    if st.crs is None:
+        return None
+    avg = int(st.recon[0][y:y + s, x:x + s].sum()) >> (2 * _log2(s))
+    return int(st.crs[avg])
+
+
 def _code_component(io, st: _FrameState, comp: int, x: int, y: int, s: int,
                     mode: int, cbf_ctx: int, pred=None,
                     mts_ok: bool = False, lev_pre=None,
-                    mrl: int = 0, sbt: int = 0) -> None:
+                    mrl: int = 0, sbt: int = 0, crs_sc=None) -> None:
     plane, valid = st.recon[comp], st.valid[comp]
     is_chroma = comp > 0
     bd = st.sps.bit_depth
@@ -327,6 +338,9 @@ def _code_component(io, st: _FrameState, comp: int, x: int, y: int, s: int,
             lev = lev_pre
         else:
             resi = st.src[comp][y:y + s, x:x + s].astype(np.int32) - pred
+            if crs_sc is not None:
+                from . import lmcs as lmcsmod
+                resi = lmcsmod.crs_fwd(resi, crs_sc)
             coef = transform.forward_transform(resi, bit_depth=bd)
             lev = transform.quantize(coef, qp, intra=True, bit_depth=bd,
                                      rdoq=st.rdoq,
@@ -344,6 +358,14 @@ def _code_component(io, st: _FrameState, comp: int, x: int, y: int, s: int,
         resi = transform.sbt_reconstruct(lev, sbt, qp, bd)
         plane[y:y + s, x:x + s] = np.clip(
             pred.astype(np.int32) + resi, 0, (1 << bd) - 1)
+    elif crs_sc is not None:
+        from . import lmcs as lmcsmod
+        resi = transform.inverse_transform(
+            transform.dequantize(lev, qp, bd), bit_depth=bd) \
+            if cbf else np.zeros((s, s), np.int32)
+        plane[y:y + s, x:x + s] = np.clip(
+            pred.astype(np.int32) + lmcsmod.crs_inv(resi, crs_sc), 0,
+            (1 << bd) - 1)
     else:
         kh, kv = transform.MTS_SET[mts_idx if cbf else 0]
         plane[y:y + s, x:x + s] = transform.reconstruct(
@@ -683,11 +705,30 @@ def _prep_inter_enc(st: _FrameState, x: int, y: int, s: int) -> dict:
     bd = st.sps.bit_depth
     levs = []
     sbt = 0
+    crs_sc = None
     for comp, (px, py, sz) in enumerate(((x, y, s),
                                          (x // 2, y // 2, s // 2),
                                          (x // 2, y // 2, s // 2))):
         resi = (st.src[comp][py:py + sz, px:px + sz].astype(np.int32)
                 - preds[comp])
+        if comp == 1 and st.crs is not None:
+            # CRS: scale by the slope at the leaf's avg reconstructed
+            # mapped luma (twin of the recon-side _crs_scale; the luma
+            # recon here equals what _code_component will write)
+            from . import lmcs as lmcsmod
+            if sbt:
+                lr = np.clip(
+                    preds[0] + transform.sbt_reconstruct(levs[0], sbt,
+                                                         st.qp, bd),
+                    0, (1 << bd) - 1)
+            else:
+                lr = transform.reconstruct(preds[0], levs[0], st.qp,
+                                           bit_depth=bd)
+            avg = int(lr.sum()) >> (2 * _log2(s))
+            crs_sc = int(st.crs[avg])
+        if comp > 0 and crs_sc is not None:
+            from . import lmcs as lmcsmod
+            resi = lmcsmod.crs_fwd(resi, crs_sc)
         if comp == 0 and st.sps.sbt_enabled and not ciip:
             # SBT is mutually exclusive with CIIP (as in VVC): the blended
             # prediction has no single motion boundary to align a half to
@@ -826,10 +867,11 @@ def _code_inter_leaf(io, st: _FrameState, x: int, y: int, s: int,
         levs = (None, None, None) if io.decoding else pre["levs"]
         _code_component(io, st, 0, x, y, s, 0, C.CBF_LUMA(0),
                         pred=preds[0], lev_pre=levs[0], sbt=sbt)
+        crs_sc = _crs_scale(st, x, y, s)
         _code_component(io, st, 1, cx, cy, cs, 0, C.CBF_CB(0),
-                        pred=preds[1], lev_pre=levs[1])
+                        pred=preds[1], lev_pre=levs[1], crs_sc=crs_sc)
         _code_component(io, st, 2, cx, cy, cs, 0, C.CBF_CR(0),
-                        pred=preds[2], lev_pre=levs[2])
+                        pred=preds[2], lev_pre=levs[2], crs_sc=crs_sc)
     sl = np.s_[gy:(y + s) // 8, gx:(x + s) // 8]
     if d in (0, 2):
         st.inter_map[:, :, 0][sl] = True
@@ -1114,6 +1156,7 @@ def encode_frame(src_planes: list[np.ndarray], sps: hls.SPS, pps: hls.PPS,
     if sh.lmcs_cw:
         from . import lmcs as lmcsmod
         st.lmcs = lmcsmod.build_luts(sh.lmcs_cw, sps.bit_depth)
+        st.crs = lmcsmod.build_crs_lut(sh.lmcs_cw, sps.bit_depth)
         st.src_orig_y = st.src[0]
         st.src = [st.lmcs[0][st.src[0]], st.src[1], st.src[2]]
     ctu = 1 << sps.log2_ctu
@@ -1223,6 +1266,7 @@ def decode_frame(slice_rbsp: bytes, sps: hls.SPS, pps_map: dict[int, hls.PPS],
     if sh.lmcs_cw:
         from . import lmcs as lmcsmod
         st.lmcs = lmcsmod.build_luts(sh.lmcs_cw, sps.bit_depth)
+        st.crs = lmcsmod.build_crs_lut(sh.lmcs_cw, sps.bit_depth)
     ctu = 1 << sps.log2_ctu
     n_x, n_y = sps.width // ctu, sps.height // ctu
     wpp = pps.entropy_sync and n_y > 1

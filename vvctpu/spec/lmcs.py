@@ -8,8 +8,11 @@ identical integer LUTs: intra coding runs in the mapped domain, inter
 predictions are forward-mapped, and the reconstruction is inverse-mapped
 before the loop filters (the standard's dataflow).
 
-Chroma residual scaling is not implemented this round (documented; the
-chroma path codes unscaled residuals).
+Chroma residual scaling (CRS) is applied to INTER (and CIIP) chroma
+residuals: the scale is the per-bin luma slope at the leaf's average
+reconstructed mapped luma (build_crs_lut; no syntax — decoder re-derives).
+Intra chroma codes unscaled residuals this round (documented
+simplification: the mapped-domain CCLM/JCCR RD loop stays scale-free).
 """
 from __future__ import annotations
 
@@ -76,6 +79,34 @@ def build_luts(cw, bd: int = 8):
                       + (sc >> 1)) // sc
     inv = np.clip(inv, 0, rng - 1).astype(np.int32)
     return fwd, inv
+
+
+CRS_MIN, CRS_MAX = 512, 8192     # slope clamp: 1/4x .. 4x (11-bit fp)
+
+
+def build_crs_lut(cw, bd: int = 8) -> np.ndarray:
+    """CRS scale (1.11 fixed point) per MAPPED luma value: the slope of
+    the codeword bin containing the value, clamped to [1/4x, 4x].  Both
+    engines index it with the leaf's average reconstructed mapped luma."""
+    rng = 1 << bd
+    org = rng // N_BINS
+    cw = np.asarray(cw, np.int64)
+    pivots = np.concatenate([[0], np.cumsum(cw)])
+    scale = (cw << SCALE_SHIFT) // org
+    y = np.arange(rng, dtype=np.int64)
+    yb = np.clip(np.searchsorted(pivots, y, side="right") - 1, 0,
+                 N_BINS - 1)
+    return np.clip(scale[yb], CRS_MIN, CRS_MAX).astype(np.int32)
+
+
+def crs_fwd(res: np.ndarray, sc: int) -> np.ndarray:
+    """Forward residual scaling (encoder): divide by the slope (floor)."""
+    return ((res.astype(np.int64) << SCALE_SHIFT) // sc).astype(np.int32)
+
+
+def crs_inv(r: np.ndarray, sc: int) -> np.ndarray:
+    """Inverse residual scaling (shared recon): multiply by the slope."""
+    return ((r.astype(np.int64) * sc) >> SCALE_SHIFT).astype(np.int32)
 
 
 def code_model(w, cw) -> None:
