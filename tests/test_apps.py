@@ -138,3 +138,26 @@ class TestMctf:
         jdata, _, _ = jenc.encode_sequence(frames, cfg)
         assert jdata == sdata
         seq.decode_sequence(sdata, check_hash=True)
+
+
+def test_bitstats_accounting():
+    """Decode-side bin statistics (DecoderAnalyser role): tallies per
+    syntax class, present for the coded tools, and decoding is unchanged."""
+    import numpy as np
+    from vvctpu.spec import sequence
+    rng = np.random.default_rng(7)
+    frames = [[rng.integers(0, 255, (64, 64)).astype(np.int32),
+               np.full((32, 32), 128, np.int32),
+               np.full((32, 32), 128, np.int32)] for _ in range(2)]
+    cfg = sequence.EncoderConfig(qp=32, sao=False, deblock=False,
+                                 intra_period=0)
+    data, recons, _ = sequence.encode_sequence(list(frames), cfg)
+    stats = {}
+    out, _ = sequence.decode_sequence(data, stats=stats)
+    for poc in range(2):
+        for a, b in zip(out[poc], recons[poc]):
+            assert np.array_equal(a, b)
+    assert stats.get("sig_coeff_flag", 0) > 0
+    assert stats.get("cu_skip_flag", 0) > 0       # P frame coded
+    assert stats.get("(bypass)", 0) > 0
+    assert sum(stats.values()) > 1000

@@ -122,13 +122,20 @@ def _dec(args) -> int:
     with open(args.bitstream, "rb") as f:
         data = f.read()
     t0 = time.time()
-    frames, sps = seq.decode_sequence(data, check_hash=not args.no_hash)
+    stats = {} if args.bitstats else None
+    frames, sps = seq.decode_sequence(data, check_hash=not args.no_hash,
+                                      stats=stats)
     dt = time.time() - t0
     yuv.write_yuv(args.output, frames, sps.bit_depth)
     print(f"decoded {len(frames)} frames "
           f"{frames[0][0].shape[1]}x{frames[0][0].shape[0]} in {dt:.2f} s "
           f"({len(frames) / max(dt, 1e-9):.3f} fps)"
           + ("" if args.no_hash else "; all picture hashes verified"))
+    if stats is not None:
+        total = sum(stats.values())
+        print(f"bin statistics ({total} bins):")
+        for name, cnt in sorted(stats.items(), key=lambda kv: -kv[1]):
+            print(f"  {name:28s} {cnt:10d}  {100.0 * cnt / total:5.1f}%")
     return 0
 
 
@@ -213,6 +220,9 @@ def main(argv=None) -> int:
     d.add_argument("-o", "--output", required=True)
     d.add_argument("--no-hash", action="store_true",
                    help="skip decoded-picture-hash verification")
+    d.add_argument("--bitstats", action="store_true",
+                   help="print CABAC bin counts per syntax class "
+                        "(DecoderAnalyser role)")
     d.add_argument("--trace-file", help="syntax trace output (dtrace equiv)")
     d.add_argument("--trace-rule", default="D_SYNTAX,D_MODE,D_RESID:poc>=0")
     d.set_defaults(fn=_dec)

@@ -57,6 +57,19 @@ class _Registry:
 
 R = _Registry()
 
+_NAMES = None
+
+
+def name_of(idx: int) -> str:
+    """Syntax-class name owning a flat context index (bit statistics)."""
+    global _NAMES
+    if _NAMES is None or len(_NAMES) < R.total:
+        _NAMES = [""] * R.total
+        for cs, _, _ in R._sets:
+            for i in range(cs.size):
+                _NAMES[cs.offset + i] = cs.name
+    return _NAMES[idx]
+
 # --- coding tree ---------------------------------------------------------
 SPLIT_QT_FLAG = R.add("split_qt_flag", 3, init=(NEUTRAL, NEUTRAL, HIGH))
 SPLIT_CU_FLAG = R.add("split_cu_flag", 3)          # MTT split (reserved)

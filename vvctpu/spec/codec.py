@@ -1243,11 +1243,36 @@ def encode_frame(src_planes: list[np.ndarray], sps: hls.SPS, pps: hls.PPS,
     return w.getvalue(), recon
 
 
+class StatsIO:
+    """Bit-accounting io wrapper (role of VTM:App/DecoderAnalyserApp +
+    CommonLib/CodingStatistics): tallies regular bins per syntax class and
+    bypass bins into a shared dict, then delegates."""
+
+    def __init__(self, io, stats: dict):
+        self._io = io
+        self.decoding = io.decoding
+        self._st = stats
+
+    def bin(self, ctx, v=None):
+        n = C.name_of(ctx)
+        self._st[n] = self._st.get(n, 0) + 1
+        return self._io.bin(ctx, v)
+
+    def byp(self, v=None):
+        self._st["(bypass)"] = self._st.get("(bypass)", 0) + 1
+        return self._io.byp(v)
+
+    def byp_n(self, v=None, n=0):
+        self._st["(bypass)"] = self._st.get("(bypass)", 0) + n
+        return self._io.byp_n(v, n)
+
+
 def decode_frame(slice_rbsp: bytes, sps: hls.SPS, pps_map: dict[int, hls.PPS],
-                 dpb=None, motion=None):
+                 dpb=None, motion=None, stats=None):
     """Returns (recon_planes [padded], SliceHeader, FrameDecisions).
     dpb: {poc: filtered recon planes} for resolving sh.ref_pocs;
-    motion: {poc: motion_record} side table for TMVP."""
+    motion: {poc: motion_record} side table for TMVP;
+    stats: optional dict tallying bins per syntax class (StatsIO)."""
     r = bs.BitReader(slice_rbsp)
     sh = hls.SliceHeader.read(r)
     pps = pps_map[sh.pps_id]
@@ -1288,7 +1313,7 @@ def decode_frame(slice_rbsp: bytes, sps: hls.SPS, pps_map: dict[int, hls.PPS],
         for iy in range(n_y):
             dec = CabacDecoder(_seed_state(sh.slice_type, qp, snap),
                                subs[iy])
-            io = DecIO(dec)
+            io = DecIO(dec) if stats is None else StatsIO(DecIO(dec), stats)
             st.hmvp = []
             for ix in range(n_x):
                 _code_ctu(io, st, ix * ctu, iy * ctu)
@@ -1320,7 +1345,7 @@ def decode_frame(slice_rbsp: bytes, sps: hls.SPS, pps_map: dict[int, hls.PPS],
         return recon, sh, decisions
     dec = CabacDecoder(C.make_ctx_state(sh.slice_type, qp),
                        r.remaining_bytes())
-    io = DecIO(dec)
+    io = DecIO(dec) if stats is None else StatsIO(DecIO(dec), stats)
     for iy in range(n_y):
         st.hmvp = []
         for ix in range(n_x):

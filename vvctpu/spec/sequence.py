@@ -202,8 +202,10 @@ def encode_sequence(frames: list[list[np.ndarray]], cfg: EncoderConfig,
     return bs.write_annexb(nals), recons, bits
 
 
-def decode_sequence(data: bytes, check_hash: bool = True):
-    """Returns (frames [cropped planes], sps).  Raises on hash mismatch."""
+def decode_sequence(data: bytes, check_hash: bool = True, stats=None):
+    """Returns (frames [cropped planes], sps).  Raises on hash mismatch.
+    stats: optional dict tallying CABAC bins per syntax class (the
+    DecoderAnalyser role — SURVEY.md §2.8 CodingStatistics)."""
     sps = None
     pps_map: dict[int, hls.PPS] = {}
     frames = {}     # poc -> cropped planes
@@ -220,7 +222,8 @@ def decode_sequence(data: bytes, check_hash: bool = True):
         elif nal.nal_type in (bs.NAL_IDR_N_LP, bs.NAL_IDR_W_RADL,
                               bs.NAL_TRAIL, bs.NAL_CRA):
             recon, sh, ddec = codec.decode_frame(nal.payload, sps, pps_map,
-                                                 dpb=dpb, motion=mot)
+                                                 dpb=dpb, motion=mot,
+                                                 stats=stats)
             dpb[sh.poc] = recon
             mot[sh.poc] = codec.motion_record(ddec, sh.ref_pocs)
             pending = codec.crop_planes(recon, sps)
