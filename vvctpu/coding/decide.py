@@ -42,16 +42,35 @@ def _satd(diff, s: int):
     return per_tile.sum()
 
 
+_H4 = np.array([[1, 1, 1, 1], [1, -1, 1, -1],
+                [1, 1, -1, -1], [1, -1, -1, 1]], np.int32)
+
+
+def _satd4_rect(diff, w: int, h: int):
+    """Tiled 4x4 Hadamard SATD of an (h, w) diff — twin of spec
+    block_satd4 (ISP stripes)."""
+    th, tw = h // 4, w // 4
+    d = diff.reshape(th, 4, tw, 4).transpose(0, 2, 1, 3).reshape(th * tw,
+                                                                 4, 4)
+    h4 = jnp.asarray(_H4)
+    x = jnp.matmul(h4, d.astype(jnp.int32), preferred_element_type=jnp.int32)
+    x = jnp.matmul(x, h4, preferred_element_type=jnp.int32)
+    per_tile = (jnp.abs(x).sum(axis=(1, 2)) + 2) >> 2
+    return per_tile.sum()
+
+
 @functools.partial(jax.jit, static_argnames=("s", "frame_w", "frame_h",
-                                             "bd", "mip", "mrl"))
+                                             "bd", "mip", "mrl", "isp"))
 def size_pass(buf, lam, *, s: int, frame_w: int, frame_h: int, bd: int = 8,
-              mip: bool = False, mrl: bool = False):
-    """Best (cost, mode, mrl) per s-block over all 67 modes (+16 MIP ids,
-    + two-stage MRL refinement of the winner — twin of spec _block_decision).
+              mip: bool = False, mrl: bool = False, isp: bool = False):
+    """Best (cost, mode, mrl, isp) per s-block over all 67 modes (+16 MIP
+    ids), then the winner refined over the 5-candidate list [base, MRL 1,
+    MRL 2, ISP-H, ISP-V] — twin of spec _block_decision.
 
     buf: margin-padded original luma plane (as in pipeline/recon buffers).
-    Returns int32 (nby, nbx) arrays (cost, mode, mrl).
+    Returns int32 (nby, nbx) arrays (cost, mode, mrl, isp).
     """
+    from ..spec.codec import isp_parts
     nby, nbx = frame_h // s, frame_w // s
     xs = (jnp.arange(nbx, dtype=jnp.int32) * s)
     ys = (jnp.arange(nby, dtype=jnp.int32) * s)
@@ -59,7 +78,9 @@ def size_pass(buf, lam, *, s: int, frame_w: int, frame_h: int, bd: int = 8,
     coords = jnp.stack([gx.ravel(), gy.ravel()], axis=1)
     modes = jnp.arange(rom.NUM_LUMA_MODE, dtype=jnp.int32)
     lam32 = jnp.asarray(lam, jnp.int32)
+    extra = (1 if mrl else 0) + (1 if isp else 0)
     bits = jnp.asarray(_MODE_BITS) * lam32
+    SENT = jnp.int32(1 << 30)
 
     def per_block(xy):
         x, y = xy[0], xy[1]
@@ -73,9 +94,7 @@ def size_pass(buf, lam, *, s: int, frame_w: int, frame_h: int, bd: int = 8,
             return _satd(blk - pred, s)
 
         satds = jax.vmap(per_mode)(modes)
-        costs = (satds << 8) + bits[:rom.NUM_LUMA_MODE]
-        if mrl:
-            costs = costs + lam32          # the mrl=0 TU bin
+        costs = (satds << 8) + bits[:rom.NUM_LUMA_MODE] + extra * lam32
         if mip:
             def per_mip(m):
                 pred = intra_pred.mip_predict_j(top, left, m, s=s, bd=bd)
@@ -87,10 +106,11 @@ def size_pass(buf, lam, *, s: int, frame_w: int, frame_h: int, bd: int = 8,
         best = jnp.argmin(costs)
         bcost = costs[best]
         best = best.astype(jnp.int32)
-        if not mrl:
-            return bcost, best, jnp.int32(0)
-        eligible = (best >= 2) & (best < rom.NUM_LUMA_MODE)
+        if not (mrl or isp):
+            return bcost, best, jnp.int32(0), jnp.int32(0)
+        is_reg = best < rom.NUM_LUMA_MODE
         mode_c = jnp.clip(best, 2, rom.NUM_LUMA_MODE - 1)
+        mode_r = jnp.minimum(best, rom.NUM_LUMA_MODE - 1)
 
         def mrl_cost(k):
             tk, lk = intra_pred.build_references(
@@ -101,16 +121,37 @@ def size_pass(buf, lam, *, s: int, frame_w: int, frame_h: int, bd: int = 8,
                                       bd=bd, ref_line=k)
             c = (_satd(blk - pred, s) << 8) \
                 + (jnp.asarray(_MODE_BITS)[mode_c] + 2) * lam32
-            return jnp.where(eligible, c, jnp.int32(1 << 30))
+            return jnp.where(is_reg & (best >= 2), c, SENT)
 
-        cands = jnp.stack([bcost, mrl_cost(jnp.int32(1)),
-                           mrl_cost(jnp.int32(2))])
-        k = jnp.argmin(cands).astype(jnp.int32)
-        return cands[k], best, k
+        def isp_cost(d):
+            total = jnp.int32(0)
+            for (dx, dy, w_st, h_st) in isp_parts(s, d):
+                tk, lk = intra_pred.build_references_rect(
+                    buf, x + dx, y + dy, w=w_st, h=h_st, is_luma=True,
+                    frame_w=frame_w, frame_h=frame_h,
+                    n_ctu_x=frame_w // 64, bd=bd, in_frame_only=True)
+                pred = intra_pred.predict_rect(tk, lk, mode_r, w=w_st,
+                                               h=h_st, is_luma=True, bd=bd)
+                bs = jax.lax.dynamic_slice(buf, (y + dy + 1, x + dx + 1),
+                                           (h_st, w_st))
+                total = total + _satd4_rect(bs - pred, w_st, h_st)
+            ibits = (jnp.asarray(_MODE_BITS)[mode_r]
+                     + (1 if mrl else 0) + 2) * lam32
+            return jnp.where(is_reg, (total << 8) + ibits, SENT)
 
-    cost, mode, mrlv = jax.vmap(per_block)(coords)
+        cands = [bcost]
+        cands += [mrl_cost(jnp.int32(1)), mrl_cost(jnp.int32(2))] \
+            if mrl else [SENT, SENT]
+        cands += [isp_cost(1), isp_cost(2)] if isp else [SENT, SENT]
+        arr = jnp.stack(cands)
+        k = jnp.argmin(arr).astype(jnp.int32)
+        mrl_out = jnp.where(k <= 2, k, 0)
+        isp_out = jnp.where(k <= 2, 0, k - 2)
+        return arr[k], best, mrl_out, isp_out
+
+    cost, mode, mrlv, ispv = jax.vmap(per_block)(coords)
     return (cost.reshape(nby, nbx), mode.reshape(nby, nbx),
-            mrlv.reshape(nby, nbx))
+            mrlv.reshape(nby, nbx), ispv.reshape(nby, nbx))
 
 
 @functools.partial(jax.jit, static_argnames=("s", "frame_w", "frame_h",
@@ -160,7 +201,8 @@ def ciip_pass(buf, refp0, refp1, kind, mv0, mv1, bwidx, *, s: int,
 
 
 def decide_frame(orig_y: np.ndarray, qp: int, bd: int = 8,
-                 mip: bool = False, mrl: bool = False) -> FrameDecisions:
+                 mip: bool = False, mrl: bool = False,
+                 isp: bool = False) -> FrameDecisions:
     """Device-batched decisions for a padded luma plane (host assembly)."""
     h, w = orig_y.shape
     lam = lambda_satd_fp(qp)
@@ -170,17 +212,20 @@ def decide_frame(orig_y: np.ndarray, qp: int, bd: int = 8,
     jbuf = jnp.asarray(buf)
 
     res = {s: size_pass(jbuf, np.int32(lam), s=s, frame_w=w, frame_h=h,
-                        bd=bd, mip=mip, mrl=mrl)
+                        bd=bd, mip=mip, mrl=mrl, isp=isp)
            for s in (8, 16, 32)}
     best8_cost = np.asarray(res[8][0]).astype(np.int64)
     best8_mode = np.asarray(res[8][1])
     best8_mrl = np.asarray(res[8][2])
+    best8_isp = np.asarray(res[8][3])
     best16_cost = np.asarray(res[16][0]).astype(np.int64)
     best16_mode = np.asarray(res[16][1])
     best16_mrl = np.asarray(res[16][2])
+    best16_isp = np.asarray(res[16][3])
     best32_cost = np.asarray(res[32][0]).astype(np.int64)
     best32_mode = np.asarray(res[32][1])
     best32_mrl = np.asarray(res[32][2])
+    best32_isp = np.asarray(res[32][3])
 
     dec = FrameDecisions.empty(h, w)
     n16y, n16x = h // 16, w // 16
@@ -206,12 +251,17 @@ def decide_frame(orig_y: np.ndarray, qp: int, bd: int = 8,
     k = np.where(use16, np.kron(best16_mrl, np.ones((2, 2), np.int32)), k)
     k = np.where(use8, best8_mrl, k)
     dec.mrl8[:] = k.astype(np.uint8)
+    di = np.kron(best32_isp, np.ones((4, 4), np.int32))
+    di = np.where(use16, np.kron(best16_isp, np.ones((2, 2), np.int32)), di)
+    di = np.where(use8, best8_isp, di)
+    dec.isp8[:] = di.astype(np.uint8)
     return dec
 
 
 def decide_frame_p(orig_y: np.ndarray, ref_y: np.ndarray, qp: int,
                    bd: int = 8, mip: bool = False,
-                   mrl: bool = False, ciip: bool = False) -> FrameDecisions:
+                   mrl: bool = False, ciip: bool = False,
+                   isp: bool = False) -> FrameDecisions:
     """Device-batched P-frame decisions (twin of spec decide_frame_p)."""
     from ..spec.inter import ME_RANGE
     from . import me as jme
@@ -231,11 +281,13 @@ def decide_frame_p(orig_y: np.ndarray, ref_y: np.ndarray, qp: int,
 
     size_data = {}
     for s in (8, 16, 32):
-        icost, imode, imrl = size_pass(jbuf, np.int32(lam), s=s, frame_w=w,
-                                       frame_h=h, bd=bd, mip=mip, mrl=mrl)
+        icost, imode, imrl, iisp = size_pass(jbuf, np.int32(lam), s=s,
+                                             frame_w=w, frame_h=h, bd=bd,
+                                             mip=mip, mrl=mrl, isp=isp)
         icost = np.asarray(icost).astype(np.int64)
         imode = np.asarray(imode)
         imrl = np.asarray(imrl)
+        iisp = np.asarray(iisp)
         rcost, rmv = jme.refine_pass(jorig, refp80, memaps[s][1],
                                      np.int32(lam), s=s, frame_w=w,
                                      frame_h=h, bd=bd)
@@ -255,12 +307,12 @@ def decide_frame_p(orig_y: np.ndarray, ref_y: np.ndarray, qp: int,
             sadb = np.asarray(sadb).astype(np.int64)
             cflag = use_inter & (sadb < sadm)
             cost = np.where(cflag, cost + ((sadb - sadm) << 8), cost)
-        size_data[s] = (cost, imode, use_inter, rmv, imrl, cflag)
+        size_data[s] = (cost, imode, use_inter, rmv, imrl, cflag, iisp)
 
     dec = FrameDecisions.empty(h, w)
-    cost8, imode8, inter8, mv8, mrl8, cf8 = size_data[8]
-    cost16, imode16, inter16, mv16, mrl16, cf16 = size_data[16]
-    cost32, imode32, inter32, mv32, mrl32, cf32 = size_data[32]
+    cost8, imode8, inter8, mv8, mrl8, cf8, isp8a = size_data[8]
+    cost16, imode16, inter16, mv16, mrl16, cf16, isp16a = size_data[16]
+    cost32, imode32, inter32, mv32, mrl32, cf32, isp32a = size_data[32]
     n16y, n16x = h // 16, w // 16
     n32y, n32x = h // 32, w // 32
     sum8 = (cost8.reshape(n16y, 2, n16x, 2).sum(axis=(1, 3))
@@ -298,6 +350,10 @@ def decide_frame_p(orig_y: np.ndarray, ref_y: np.ndarray, qp: int,
     dec.inter8[:] = itf.astype(np.uint8)
     dec.modes8[:] = np.where(itf, 0, mode)
     dec.mrl8[:] = np.where(itf, 0, mrlv).astype(np.uint8)
+    ispv = up(isp32a, 4)
+    ispv = np.where(use16, up(isp16a, 2), ispv)
+    ispv = np.where(use8, isp8a, ispv)
+    dec.isp8[:] = np.where(itf, 0, ispv).astype(np.uint8)
     dec.mv8[..., 0] = np.where(itf, mvx, 0)   # already 1/16-pel
     dec.mv8[..., 1] = np.where(itf, mvy, 0)
     if ciip:
@@ -311,7 +367,8 @@ def decide_frame_p(orig_y: np.ndarray, ref_y: np.ndarray, qp: int,
 def decide_frame_b(orig_y: np.ndarray, ref0_y: np.ndarray,
                    ref1_y: np.ndarray, qp: int, bd: int = 8,
                    mip: bool = False, mrl: bool = False,
-                   bcw: bool = False, ciip: bool = False):
+                   bcw: bool = False, ciip: bool = False,
+                   isp: bool = False):
     """Device-batched B-frame decisions (twin of spec decide_frame_b)."""
     from ..spec.inter import BCW_DEFAULT
     from ..spec.inter import ME_RANGE, REF_MARGIN
@@ -333,11 +390,13 @@ def decide_frame_b(orig_y: np.ndarray, ref0_y: np.ndarray,
 
     size_data = {}
     for s in (8, 16, 32):
-        icost, imode, imrl = size_pass(jbuf, np.int32(lam), s=s, frame_w=w,
-                                       frame_h=h, bd=bd, mip=mip, mrl=mrl)
+        icost, imode, imrl, iisp = size_pass(jbuf, np.int32(lam), s=s,
+                                             frame_w=w, frame_h=h, bd=bd,
+                                             mip=mip, mrl=mrl, isp=isp)
         icost = np.asarray(icost).astype(np.int64)
         imode = np.asarray(imode)
         imrl = np.asarray(imrl)
+        iisp = np.asarray(iisp)
         ucost, umv = [], []
         for lst in range(2):
             rc, rmv = jme.refine_pass(jorig, refp80[lst], memaps[lst][s][1],
@@ -365,13 +424,13 @@ def decide_frame_b(orig_y: np.ndarray, ref0_y: np.ndarray,
             cflag = (kind > 0) & (sadb < sadm)
             cost = np.where(cflag, cost + ((sadb - sadm) << 8), cost)
         size_data[s] = (cost, imode, kind, umv[0], umv[1], imrl, bwidx,
-                        cflag)
+                        cflag, iisp)
 
     from ..spec.codec import FrameDecisions as FD
     dec = FD.empty(h, w)
-    c8, im8, k8, mva8, mvb8, mrl8a, bw8, cf8 = size_data[8]
-    c16, im16, k16, mva16, mvb16, mrl16a, bw16, cf16 = size_data[16]
-    c32, im32, k32, mva32, mvb32, mrl32a, bw32, cf32 = size_data[32]
+    c8, im8, k8, mva8, mvb8, mrl8a, bw8, cf8, isp8a = size_data[8]
+    c16, im16, k16, mva16, mvb16, mrl16a, bw16, cf16, isp16a = size_data[16]
+    c32, im32, k32, mva32, mvb32, mrl32a, bw32, cf32, isp32a = size_data[32]
     n16y, n16x = h // 16, w // 16
     n32y, n32x = h // 32, w // 32
     sum8 = (c8.reshape(n16y, 2, n16x, 2).sum(axis=(1, 3))
@@ -404,12 +463,14 @@ def decide_frame_b(orig_y: np.ndarray, ref0_y: np.ndarray,
     kind = sel(k32, k16, k8)
     mode = sel(im32, im16, im8)
     mrlv = sel(mrl32a, mrl16a, mrl8a)
+    ispv = sel(isp32a, isp16a, isp8a)
     mv0 = sel(mva32, mva16, mva8)
     mv1 = sel(mvb32, mvb16, mvb8)
     itf = kind > 0
     dec.inter8[:] = itf.astype(np.uint8)
     dec.modes8[:] = np.where(itf, 0, mode)
     dec.mrl8[:] = np.where(itf, 0, mrlv).astype(np.uint8)
+    dec.isp8[:] = np.where(itf, 0, ispv).astype(np.uint8)
     dec.dir8[:] = np.where(itf, np.where(kind == 3, 2, kind - 1),
                            0).astype(np.uint8)
     use0 = itf & ((kind == 1) | (kind == 3))

@@ -35,6 +35,7 @@ class AppConfig:
     smvd: bool = False            # SMVD
     ciip: bool = False            # CIIP
     sbt: bool = False             # SBT
+    isp: bool = False             # ISP
     bdof: bool = False            # BIO / BDOF
     rdoq: bool = True             # RDOQ
     lmcs: bool = False            # LMCSEnable / LMCS
@@ -78,6 +79,7 @@ _KEYMAP = {
     "imv": ("amvr", lambda v: bool(int(v))),
     "smvd": ("smvd", lambda v: bool(int(v))),
     "ciip": ("ciip", lambda v: bool(int(v))),
+    "isp": ("isp", lambda v: bool(int(v))),
     "sbt": ("sbt", lambda v: bool(int(v))),
     "bio": ("bdof", lambda v: bool(int(v))),
     "bdof": ("bdof", lambda v: bool(int(v))),

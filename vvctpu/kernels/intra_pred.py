@@ -251,6 +251,200 @@ def predict(top, left, mode, *, s: int, is_luma: bool, bd: int = 8,
 
 
 # ---------------------------------------------------------------------------
+# Rectangular-block prediction — device twin of spec/intra.py's (w, h) paths.
+# Used by ISP stripes and rectangular (BT) leaves.  ref_line is always 0.
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("w", "h", "is_luma", "frame_w",
+                                             "frame_h", "n_ctu_x", "bd",
+                                             "in_frame_only", "leaf_w",
+                                             "leaf_h"))
+def build_references_rect(buf, x, y, *, w: int, h: int, is_luma: bool,
+                          frame_w: int, frame_h: int, n_ctu_x: int,
+                          bd: int = 8, in_frame_only: bool = False,
+                          leaf_x=None, leaf_y=None, leaf_w: int = 0,
+                          leaf_h: int = 0):
+    """(top, left) references of length w+h+1 for a (w, h) block at (x, y).
+
+    leaf_x/leaf_y (+ static leaf_w/leaf_h): optional enclosing-leaf rect in
+    which every sample above/left of the block counts as already coded —
+    the ISP-stripe availability rule (previous stripes of the same leaf are
+    reconstructed although their 8x8-granule Morton index equals the
+    leaf's)."""
+    half = 1 << (bd - 1)
+    n = w + h
+    top_raw = jax.lax.dynamic_slice(buf, (y, x), (1, n + 1))[0]
+    left_raw = jax.lax.dynamic_slice(buf, (y, x), (n + 1, 1))[:, 0]
+
+    scan_vals = jnp.concatenate([left_raw[1:][::-1], top_raw])  # len 2n+1
+
+    j_idx = jnp.arange(n, 0, -1)
+    left_sx = jnp.full((n,), -1, jnp.int32) + x
+    left_sy = y - 1 + j_idx
+    top_i = jnp.arange(0, n + 1)
+    top_sx = x - 1 + top_i
+    top_sy = jnp.full((n + 1,), -1, jnp.int32) + y
+    sx = jnp.concatenate([left_sx, top_sx])
+    sy = jnp.concatenate([left_sy, top_sy])
+    scale = 1 if is_luma else 2
+    in_frame = (sx >= 0) & (sy >= 0) & (sx < frame_w) & (sy < frame_h)
+    if in_frame_only:
+        avail = in_frame
+    else:
+        cur = morton8(x * scale, y * scale, n_ctu_x)
+        coded = morton8(jnp.maximum(sx, 0) * scale,
+                        jnp.maximum(sy, 0) * scale, n_ctu_x) < cur
+        if leaf_x is not None:
+            inside = ((sx >= leaf_x) & (sx < leaf_x + leaf_w)
+                      & (sy >= leaf_y) & (sy < leaf_y + leaf_h))
+            coded = coded | inside
+        avail = in_frame & coded
+
+    idx = jnp.arange(2 * n + 1)
+    last_avail = jax.lax.cummax(jnp.where(avail, idx, -1))
+    first_avail = jnp.argmax(avail)
+    src = jnp.where(last_avail >= 0, last_avail, first_avail)
+    filled = scan_vals[src]
+    filled = jnp.where(avail.any(), filled, half).astype(jnp.int32)
+
+    left = jnp.concatenate([filled[n:n + 1], filled[:n][::-1]])
+    top = filled[n:]
+    return top, left
+
+
+_SMOOTH_THRES_BY_LOG2 = {2: 64, 3: 14, 4: 2, 5: 0, 6: 0}
+
+
+def _ref_filter_flag_rect(mode, w: int, h: int):
+    log2s = ((int(w).bit_length() - 1) + (int(h).bit_length() - 1)) >> 1
+    thres = _SMOOTH_THRES_BY_LOG2.get(log2s, 0)
+    dist = jnp.minimum(jnp.abs(mode - rom.HOR_IDX),
+                       jnp.abs(mode - rom.VER_IDX))
+    is_special = (mode == rom.DC_IDX) | (mode == rom.HOR_IDX) | \
+        (mode == rom.VER_IDX)
+    planar_f = (mode == rom.PLANAR_IDX) & (w * h > 32)
+    ang_f = (mode >= 2) & (dist > thres)
+    return jnp.where(is_special, False, planar_f | ang_f)
+
+
+def _planar_rect(top, left, w: int, h: int):
+    lw, lh = int(w).bit_length() - 1, int(h).bit_length() - 1
+    xs = jnp.arange(w, dtype=jnp.int32)
+    ys = jnp.arange(h, dtype=jnp.int32)
+    t = top[1:w + 1]
+    l = left[1:h + 1]
+    tr = top[w + 1]
+    bl = left[h + 1]
+    pv = (h - 1 - ys)[:, None] * t[None, :] + (ys + 1)[:, None] * bl
+    ph = (w - 1 - xs)[None, :] * l[:, None] + (xs + 1)[None, :] * tr
+    return ((pv << lw) + (ph << lh) + w * h) >> (lw + lh + 1)
+
+
+def _dc_rect(top, left, w: int, h: int):
+    if w == h:
+        ssum = top[1:w + 1].sum() + left[1:h + 1].sum()
+        v = (ssum + ((w + h) >> 1)) // (w + h)
+    elif w > h:
+        v = (top[1:w + 1].sum() + (w >> 1)) >> (int(w).bit_length() - 1)
+    else:
+        v = (left[1:h + 1].sum() + (h >> 1)) >> (int(h).bit_length() - 1)
+    return jnp.full((h, w), v, jnp.int32)
+
+
+def _angular_rect(top, left, mode, w: int, h: int, is_luma: bool, filt):
+    angle = _ANGLE[mode]
+    inv_angle = _INV_ANGLE[mode]
+
+    def one(main, side, n_pred: int, n_orth: int):
+        ext_len = 2 * (n_pred + n_orth) + 2
+        off = n_orth
+        ln = min(w + h, 2 * n_pred + 1)
+        i_main = jnp.clip(jnp.arange(ext_len) - off, 0, ln)
+        ext = main[i_main]
+        k = off - jnp.arange(off)
+        sidx = jnp.clip((k * inv_angle + 256) >> 9, 0, w + h)
+        proj = side[sidx]
+        neg = angle < 0
+        ext = ext.at[:off].set(jnp.where(neg, proj, ext[:off]))
+        ys = jnp.arange(1, n_orth + 1, dtype=jnp.int32)
+        pos = ys * angle
+        i_idx = pos >> 5
+        i_fact = pos & 31
+        xs = jnp.arange(n_pred, dtype=jnp.int32)
+        base = off + 1 + xs[None, :] + i_idx[:, None]
+        integer_slope = (angle % 32) == 0
+        a = ext[jnp.clip(base, 0, ext_len - 1)]
+        b = ext[jnp.clip(base + 1, 0, ext_len - 1)]
+        two_tap = ((32 - i_fact)[:, None] * a
+                   + i_fact[:, None] * b + 16) >> 5
+        if not is_luma:
+            return jnp.where(integer_slope, a, two_tap)
+        taps = jnp.where(filt, _TAPS_SMOOTH[i_fact], _TAPS_SHARP[i_fact])
+        four = jnp.zeros((n_orth, n_pred), jnp.int32)
+        for t in range(4):
+            four = four + taps[:, t][:, None] * ext[
+                jnp.clip(base + t - 1, 0, ext_len - 1)]
+        four = (four + 32) >> 6
+        return jnp.where(integer_slope, a, four)
+
+    if w == h:
+        vertical = mode >= rom.DIA_IDX
+        main = jnp.where(vertical, top, left)
+        side = jnp.where(vertical, left, top)
+        pred = one(main, side, w, h)
+        return jnp.where(vertical, pred, pred.T)
+    return jax.lax.cond(mode >= rom.DIA_IDX,
+                        lambda: one(top, left, w, h),
+                        lambda: one(left, top, h, w).T)
+
+
+def _pdpc_rect(pred, top, left, mode, w: int, h: int, bd: int):
+    scale = ((int(w).bit_length() - 1) + (int(h).bit_length() - 1) - 2) >> 2
+    xs = jnp.arange(w, dtype=jnp.int32)
+    ys = jnp.arange(h, dtype=jnp.int32)
+    wl = (32 >> jnp.minimum(31, (xs * 2) >> scale))[None, :]
+    wt = (32 >> jnp.minimum(31, (ys * 2) >> scale))[:, None]
+    t = top[1:w + 1][None, :]
+    l = left[1:h + 1][:, None]
+    corner = top[0]
+    mx = (1 << bd) - 1
+    plain = (wl * l + wt * t + (64 - wl - wt) * pred + 32) >> 6
+    ver = jnp.clip(pred + ((wl * (l - corner) + 32) >> 6), 0, mx)
+    hor = jnp.clip(pred + ((wt * (t - corner) + 32) >> 6), 0, mx)
+    return jnp.where((mode == rom.PLANAR_IDX) | (mode == rom.DC_IDX), plain,
+                     jnp.where(mode == rom.VER_IDX, ver,
+                               jnp.where(mode == rom.HOR_IDX, hor, pred)))
+
+
+@functools.partial(jax.jit, static_argnames=("w", "h", "is_luma", "bd"))
+def predict_rect(top, left, mode, *, w: int, h: int, is_luma: bool,
+                 bd: int = 8):
+    """Predict an (h, w) block from length-(w+h+1) references; twin of
+    spec/intra.predict for rectangular shapes (ref_line 0 only)."""
+    mode = jnp.asarray(mode, jnp.int32)
+    if is_luma:
+        filt = _ref_filter_flag_rect(mode, w, h)
+        angle = _ANGLE[mode]
+        smooth_now = filt & ((mode == rom.PLANAR_IDX) | ((angle % 32) == 0))
+        ts, ls = _smooth(top, left)
+        top_u = jnp.where(smooth_now, ts, top)
+        left_u = jnp.where(smooth_now, ls, left)
+    else:
+        filt = jnp.asarray(False)
+        top_u, left_u = top, left
+
+    pred = jax.lax.switch(
+        jnp.minimum(mode, 2),
+        [lambda: _planar_rect(top_u, left_u, w, h),
+         lambda: _dc_rect(top_u, left_u, w, h),
+         lambda: _angular_rect(top_u, left_u, jnp.maximum(mode, 2), w, h,
+                               is_luma, filt)])
+    if is_luma:
+        pred = _pdpc_rect(pred, top_u, left_u, mode, w, h, bd)
+    return jnp.clip(pred, 0, (1 << bd) - 1).astype(jnp.int32)
+
+
+# ---------------------------------------------------------------------------
 # MIP — device twin of spec/intra.mip_predict (integer bit-exact).  The
 # matrix multiply is the MXU-native core (SURVEY.md §2.9 "MIP matmul").
 # ---------------------------------------------------------------------------

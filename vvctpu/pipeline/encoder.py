@@ -52,19 +52,22 @@ def encode_sequence(frames, cfg: sseq.EncoderConfig, decisions_fn=None,
             # device-batched decision pass (bit-identical to spec decide)
             dec = jdecide.decide_frame(padded[0], qp, cfg.bit_depth,
                                        mip=sps.mip_enabled,
-                                       mrl=sps.mrl_enabled)
+                                       mrl=sps.mrl_enabled,
+                                       isp=sps.isp_enabled)
         elif stype == hls.SLICE_P:
             dec = jdecide.decide_frame_p(padded[0], dpb[ref_pocs[0]][0], qp,
                                          cfg.bit_depth, mip=sps.mip_enabled,
                                          mrl=sps.mrl_enabled,
-                                         ciip=sps.ciip_enabled)
+                                         ciip=sps.ciip_enabled,
+                                         isp=sps.isp_enabled)
         else:
             dec = jdecide.decide_frame_b(padded[0], dpb[ref_pocs[0]][0],
                                          dpb[ref_pocs[1]][0], qp,
                                          cfg.bit_depth, mip=sps.mip_enabled,
                                          mrl=sps.mrl_enabled,
                                          bcw=sps.bcw_enabled,
-                                         ciip=sps.ciip_enabled)
+                                         ciip=sps.ciip_enabled,
+                                         isp=sps.isp_enabled)
         if decisions_out is not None:
             decisions_out.append(dec)
         lmcs_cw = ()
@@ -100,6 +103,7 @@ def encode_sequence(frames, cfg: sseq.EncoderConfig, decisions_fn=None,
             tskip=sps.ts_enabled, jccr=sps.jccr_enabled,
             dmvr=sps.dmvr_enabled and sym, bdof=sps.bdof_enabled and sym,
             ciip=sps.ciip_enabled, sbt=sps.sbt_enabled,
+            isp=sps.isp_enabled,
             fwd_lut=None if fwd_lut is None else jnp_asarray(fwd_lut),
             crs_lut=None if crs_lut is None else jnp_asarray(crs_lut),
             lam_rd=lambda_rd_int(qp), **ref_kw)
@@ -205,6 +209,7 @@ def decode_sequence(data: bytes, check_hash: bool = True):
                 dmvr=sps.dmvr_enabled and bi_sym(sh),
                 bdof=sps.bdof_enabled and bi_sym(sh),
                 ciip=sps.ciip_enabled, sbt=sps.sbt_enabled,
+                isp=sps.isp_enabled,
                 fwd_lut=None if fwd_lut is None else jnp_asarray(fwd_lut),
                 crs_lut=None if crs_lut is None else jnp_asarray(crs_lut),
                 **ref_kw)

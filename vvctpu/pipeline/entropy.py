@@ -100,6 +100,8 @@ class _Walker:
             code_mrl_idx(io, self, x, y,
                          None if io.decoding
                          else int(self.dec.mrl8[y // 8, x // 8]))
+        from ..spec.codec import code_isp_flags
+        code_isp_flags(io, self.dec, self.sps, x, y, s)
         mpm = intra.mpm_list(self._neighbor_mode(x - 1, y + s - 1),
                              self._neighbor_mode(x + s - 1, y - 1))
         if io.decoding:
@@ -192,6 +194,43 @@ class _Walker:
                                          _log2(s), is_chroma)
                 else:
                     code_tb(io, lev, _log2(s), _log2(s), is_chroma)
+
+    def _code_isp_component(self, x, y, s, d):
+        """ISP luma stripes: per-stripe cbf (CBF_LUMA ctx 1) + rect TB,
+        levels at their natural positions in the luma plane (twin of spec
+        _code_isp_luma syntax)."""
+        from ..cabac import native as cnative
+        from ..spec.codec import isp_parts
+        io = self.io
+        plane = self.levels[0]
+        for (dx, dy, w_st, h_st) in isp_parts(s, d):
+            px, py = x + dx, y + dy
+            if io.decoding:
+                cbf = io.bin(C.CBF_LUMA(1))
+                if cbf:
+                    if isinstance(io.c, cnative.NativeDecoder):
+                        lev = cnative.native_parse_tb(io.c, _log2(w_st),
+                                                      _log2(h_st), False)
+                    else:
+                        lev = code_tb(io, None, _log2(w_st), _log2(h_st),
+                                      False)
+                    plane[py:py + h_st, px:px + w_st] = lev
+            else:
+                lev = plane[py:py + h_st, px:px + w_st]
+                cbf = int(lev.any())
+                io.bin(C.CBF_LUMA(1), cbf)
+                if cbf:
+                    if self.sink is not None:
+                        if cnative.available():
+                            self.sink._chunks.append(
+                                cnative.tb_bins_c(lev, _log2(w_st),
+                                                  _log2(h_st), False))
+                        else:
+                            binarize.tb_bins(self.sink, lev, _log2(w_st),
+                                             _log2(h_st), False)
+                    else:
+                        code_tb(io, lev, _log2(w_st), _log2(h_st), False)
+            trace.t_cbf(0, px, py, w_st, cbf)
 
     def _code_mv_list(self, x, y, s, lst, mv_enc=None, shift=2):
         from ..spec.codec import code_mv_list
@@ -390,8 +429,16 @@ class _Walker:
                 mrlv = self.dec.mrl8[y // 8, x // 8]
                 self.dec.mrl8[y // 8:(y + s) // 8,
                               x // 8:(x + s) // 8] = mrlv
-            self._code_component(0, x, y, s, C.CBF_LUMA(0),
-                                 mts_ok=mode < rom.NUM_LUMA_MODE)
+            mrl0 = (int(self.dec.mrl8[y // 8, x // 8]) == 0
+                    if self.sps.mrl_enabled else True)
+            ispv = (int(self.dec.isp8[y // 8, x // 8])
+                    if (self.sps.isp_enabled and mrl0
+                        and mode < rom.NUM_LUMA_MODE) else 0)
+            if ispv:
+                self._code_isp_component(x, y, s, ispv)
+            else:
+                self._code_component(0, x, y, s, C.CBF_LUMA(0),
+                                     mts_ok=mode < rom.NUM_LUMA_MODE)
             io = self.io
             sl8 = np.s_[y // 8:(y + s) // 8, x // 8:(x + s) // 8]
             if self.sps.cclm_enabled:

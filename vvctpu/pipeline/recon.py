@@ -61,12 +61,13 @@ def _make_leaf_fn(s: int, inter: bool, *, frame_w: int, frame_h: int,
                   n_ctu_x: int, qp, bd: int, encode: bool, refs,
                   mts: bool = False, lfnst: bool = False, cclm: bool = False,
                   rdoq: bool = False, lam_rd=None, mip: bool = False,
-                  tskip: bool = False, jccr: bool = False):
+                  tskip: bool = False, jccr: bool = False,
+                  isp: bool = False):
     cs = s // 2
     num_reg = rom.NUM_LUMA_MODE
 
     def leaf(carry, x, y, mode, mvx, mvy, mts_in, lfnst_in, cmode_in,
-             mrl_in, jccr_in, m1x, m1y, dd, wdx):
+             mrl_in, jccr_in, m1x, m1y, dd, wdx, isp_in):
         (by, bcb, bcr, ly, lcb, lcr, sy, scb, scr, mtsp, lfnstp,
          cmodep, jccrp, sbtp) = carry
         if inter:
@@ -105,40 +106,89 @@ def _make_leaf_fn(s: int, inter: bool, *, frame_w: int, frame_h: int,
                 n_ctu_x=n_ctu_x, bd=bd)
             pred_cr = intra_pred.predict(tcr, lcr_r, mode_dm, s=cs,
                                          is_luma=False, bd=bd)
-        if (mts or lfnst or tskip) and not inter:
-            # intra luma: RD-select the transform tools (device twin of
-            # spec choose_tx), signalised via the mts/lfnst planes
-            if encode:
-                blk = jax.lax.dynamic_slice(sy, (y, x),
-                                            (s, s)).astype(jnp.int32)
-                midx, lidx, lev, rres = transform.choose_tx_j(
-                    blk - pred_y, s, qp, lam_rd,
-                    jnp.minimum(mode, num_reg - 1), bd, mts=mts,
-                    lfnst=lfnst, rdoq=rdoq,
-                    allow=(mode < num_reg) if mip else None, ts=tskip)
-                ly = jax.lax.dynamic_update_slice(ly, lev, (y, x))
-            else:
-                midx = mts_in
-                lidx = lfnst_in
-                lev = jax.lax.dynamic_slice(sy, (y, x), (s, s))
-                dq = transform.dequantize(lev, s, s, qp, bd)
-                if lfnst:
-                    dq = transform.inv_lfnst_switch_j(
-                        dq, lidx, jnp.minimum(mode, num_reg - 1))
-                branches_m = [
-                    (lambda kh=kh, kv=kv: transform.inverse_transform(
-                        dq, s, s, kh, kv, bd))
-                    for kh, kv in transform.MTS_SET]
-                rres = jax.lax.switch(midx, branches_m)
-            rec = jnp.clip(pred_y + rres, 0, (1 << bd) - 1)
-            by = jax.lax.dynamic_update_slice(by, rec, (y + 1, x + 1))
-            mtsp = jax.lax.dynamic_update_slice(
-                mtsp, midx.reshape(1, 1), (y // 8, x // 8))
-            lfnstp = jax.lax.dynamic_update_slice(
-                lfnstp, lidx.reshape(1, 1), (y // 8, x // 8))
+        def luma_regular(by, ly):
+            if (mts or lfnst or tskip) and not inter:
+                # intra luma: RD-select the transform tools (device twin of
+                # spec choose_tx), signalised via the mts/lfnst planes
+                if encode:
+                    blk = jax.lax.dynamic_slice(sy, (y, x),
+                                                (s, s)).astype(jnp.int32)
+                    midx, lidx, lev, rres = transform.choose_tx_j(
+                        blk - pred_y, s, qp, lam_rd,
+                        jnp.minimum(mode, num_reg - 1), bd, mts=mts,
+                        lfnst=lfnst, rdoq=rdoq,
+                        allow=(mode < num_reg) if mip else None, ts=tskip)
+                    ly = jax.lax.dynamic_update_slice(ly, lev, (y, x))
+                else:
+                    midx = mts_in
+                    lidx = lfnst_in
+                    lev = jax.lax.dynamic_slice(sy, (y, x), (s, s))
+                    dq = transform.dequantize(lev, s, s, qp, bd)
+                    if lfnst:
+                        dq = transform.inv_lfnst_switch_j(
+                            dq, lidx, jnp.minimum(mode, num_reg - 1))
+                    branches_m = [
+                        (lambda kh=kh, kv=kv: transform.inverse_transform(
+                            dq, s, s, kh, kv, bd))
+                        for kh, kv in transform.MTS_SET]
+                    rres = jax.lax.switch(midx, branches_m)
+                rec = jnp.clip(pred_y + rres, 0, (1 << bd) - 1)
+                by = jax.lax.dynamic_update_slice(by, rec, (y + 1, x + 1))
+                return by, ly, midx, lidx
+            by2, ly2 = _component(by, ly, sy, pred_y, x, y, s, qp, bd,
+                                  encode, rdoq, lam_rd)
+            return by2, ly2, jnp.int32(0), jnp.int32(0)
+
+        if isp and not inter:
+            from ..spec.codec import isp_kernels, isp_parts
+            mode_reg2 = jnp.minimum(mode, num_reg - 1)
+
+            def luma_isp(d):
+                def f(by, ly):
+                    # stripes sequential: each predicts from the recon
+                    # buffer updated by the previous stripe (in-leaf
+                    # availability via the leaf rect override)
+                    for (dx2, dy2, w_st, h_st) in isp_parts(s, d):
+                        px, py = x + dx2, y + dy2
+                        tk, lk = intra_pred.build_references_rect(
+                            by, px, py, w=w_st, h=h_st, is_luma=True,
+                            frame_w=frame_w, frame_h=frame_h,
+                            n_ctu_x=n_ctu_x, bd=bd, leaf_x=x, leaf_y=y,
+                            leaf_w=s, leaf_h=s)
+                        pred = intra_pred.predict_rect(
+                            tk, lk, mode_reg2, w=w_st, h=h_st,
+                            is_luma=True, bd=bd)
+                        kh, kv = isp_kernels(w_st, h_st)
+                        if encode:
+                            blk = jax.lax.dynamic_slice(
+                                sy, (py, px), (h_st, w_st)).astype(jnp.int32)
+                            coef = transform.forward_transform(
+                                blk - pred, h_st, w_st, kh, kv, bd)
+                            lev = transform.quantize(
+                                coef, h_st, w_st, qp, intra=True, bd=bd,
+                                rdoq=rdoq, lam_rd=lam_rd)
+                            ly = jax.lax.dynamic_update_slice(ly, lev,
+                                                              (py, px))
+                        else:
+                            lev = jax.lax.dynamic_slice(sy, (py, px),
+                                                        (h_st, w_st))
+                        rec = transform.reconstruct(pred, lev, h_st, w_st,
+                                                    qp, kh, kv, bd)
+                        by = jax.lax.dynamic_update_slice(by, rec,
+                                                          (py + 1, px + 1))
+                    return by, ly, jnp.int32(0), jnp.int32(0)
+                return f
+
+            by, ly, midx_o, lidx_o = jax.lax.switch(
+                jnp.clip(isp_in, 0, 2),
+                [luma_regular, luma_isp(1), luma_isp(2)], by, ly)
         else:
-            by, ly = _component(by, ly, sy, pred_y, x, y, s, qp, bd, encode,
-                                rdoq, lam_rd)
+            by, ly, midx_o, lidx_o = luma_regular(by, ly)
+        if (mts or lfnst or tskip) and not inter:
+            mtsp = jax.lax.dynamic_update_slice(
+                mtsp, midx_o.reshape(1, 1), (y // 8, x // 8))
+            lfnstp = jax.lax.dynamic_update_slice(
+                lfnstp, lidx_o.reshape(1, 1), (y // 8, x // 8))
         if (cclm or jccr) and not inter:
             # unified (DM vs CCLM) x (separate vs JCCR) chroma decision —
             # twin of spec _code_leaf; candidate order and strict-less
@@ -259,7 +309,7 @@ def _make_ciip_fn(s: int, *, frame_w: int, frame_h: int, n_ctu_x: int, qp,
     bcw_w = jnp.asarray(np.asarray(BCW_W, np.int32))
 
     def leaf(carry, x, y, mode, mvx, mvy, mts_in, lfnst_in, cmode_in,
-             mrl_in, jccr_in, m1x, m1y, dd, wdx):
+             mrl_in, jccr_in, m1x, m1y, dd, wdx, isp_in):
         (by, bcb, bcr, ly, lcb, lcr, sy, scb, scr, mtsp, lfnstp,
          cmodep, jccrp, sbtp) = carry
         w = bcw_w[jnp.clip(wdx, 0, 2)]
@@ -478,7 +528,7 @@ def _inter_batch_pass(carry, ib_slots, refs, s: int, qp, bd: int,
                                     "inter_enabled", "mts", "lfnst",
                                     "cclm", "rdoq", "lmcs", "mip",
                                     "tskip", "jccr", "dmvr", "bdof",
-                                    "ciip", "sbt"))
+                                    "ciip", "sbt", "isp"))
 def frame_scan(slots, planes_y, planes_cb, planes_cr, *, frame_w: int,
                frame_h: int, qp, bd: int, encode: bool,
                inter_enabled: bool = False, ref_y=None, ref_cb=None,
@@ -488,7 +538,8 @@ def frame_scan(slots, planes_y, planes_cb, planes_cr, *, frame_w: int,
                rdoq: bool = False, lmcs: bool = False, lam_rd=0,
                fwd_lut=None, mip: bool = False, tskip: bool = False,
                jccr: bool = False, dmvr: bool = False, bdof: bool = False,
-               ciip: bool = False, sbt: bool = False, crs_lut=None):
+               ciip: bool = False, sbt: bool = False, crs_lut=None,
+               isp: bool = False):
     """Run the full-frame reconstruction scan.
 
     slots: (N, 6) int32 [op, x, y, mode, mvx, mvy] in coding order; op 0 =
@@ -533,7 +584,7 @@ def frame_scan(slots, planes_y, planes_cb, planes_cr, *, frame_w: int,
     kw = dict(frame_w=frame_w, frame_h=frame_h, n_ctu_x=n_ctu_x, qp=qp,
               bd=bd, encode=encode, refs=refs, mts=mts, lfnst=lfnst,
               cclm=cclm, rdoq=rdoq, lam_rd=jnp.asarray(lam_rd, jnp.int32),
-              mip=mip, tskip=tskip, jccr=jccr)
+              mip=mip, tskip=tskip, jccr=jccr, isp=isp)
     branches = [lambda c, *a: c,
                 _make_leaf_fn(8, False, **kw), _make_leaf_fn(16, False, **kw),
                 _make_leaf_fn(32, False, **kw)]
@@ -557,12 +608,13 @@ def frame_scan(slots, planes_y, planes_cb, planes_cr, *, frame_w: int,
         m1y = slot[12] if slot.shape[0] > 12 else jnp.int32(0)
         dd = slot[13] if slot.shape[0] > 13 else jnp.int32(0)
         wdx = slot[14] if slot.shape[0] > 14 else jnp.int32(BCW_DEFAULT)
+        ip = slot[15] if slot.shape[0] > 15 else jnp.int32(0)
         return jax.lax.switch(
             jnp.minimum(slot[0], n_br), branches, carry,
             slot[1], slot[2], slot[3], slot[4], slot[5], mt, lf, cm,
-            mr, jc, m1x, m1y, dd, wdx), None
+            mr, jc, m1x, m1y, dd, wdx, ip), None
 
-    while slots.shape[1] < 15:
+    while slots.shape[1] < 16:
         slots = jnp.concatenate(
             [slots, jnp.zeros((slots.shape[0], 1), jnp.int32)], axis=1)
     carry, _ = jax.lax.scan(step, carry, slots)
@@ -586,8 +638,11 @@ def make_slots(dec: FrameDecisions, frame_h: int, frame_w: int) -> np.ndarray:
         if dec.mrl8 is not None else np.zeros_like(op)
     jc = dec.jccr8[ys // 8, xs // 8].astype(np.int32) \
         if dec.jccr8 is not None else np.zeros_like(op)
+    ip = dec.isp8[ys // 8, xs // 8].astype(np.int32) \
+        if dec.isp8 is not None else np.zeros_like(op)
+    z = np.zeros_like(op)
     return np.stack([op, xs, ys, modes, mv0[:, 0], mv0[:, 1], mts, lf, cm,
-                     mr, jc], axis=1).astype(np.int32)
+                     mr, jc, z, z, z, z, ip], axis=1).astype(np.int32)
 
 
 def make_slots_split(dec: FrameDecisions, frame_h: int, frame_w: int):
@@ -610,8 +665,10 @@ def make_slots_split(dec: FrameDecisions, frame_h: int, frame_w: int):
     widx = (dec.bcw8[ys // 8, xs // 8].astype(np.int32)
             if dec.bcw8 is not None
             else np.full_like(op, BCW_DEFAULT))
+    ip = dec.isp8[ys // 8, xs // 8].astype(np.int32) \
+        if dec.isp8 is not None else np.zeros_like(op)
     slots = np.stack([op, xs, ys, modes, mv0[:, 0], mv0[:, 1], mts, lf, cm,
-                      mr, jc, mv1[:, 0], mv1[:, 1], dirs, widx],
+                      mr, jc, mv1[:, 0], mv1[:, 1], dirs, widx, ip],
                      axis=1).astype(np.int32)
     inter = {}
     for i, s in enumerate((8, 16, 32)):

@@ -49,6 +49,7 @@ class FrameDecisions:
     bcw8: np.ndarray = None     # (H//8, W//8) uint8: BCW weight idx (1=equal)
     ciip8: np.ndarray = None    # (H//8, W//8) uint8: CIIP (inter+planar)
     sbt8: np.ndarray = None     # (H//8, W//8) uint8: SBT idx 0..4 (inter)
+    isp8: np.ndarray = None     # (H//8, W//8) uint8: ISP 0 off / 1 H / 2 V
 
     @classmethod
     def empty(cls, h: int, w: int) -> "FrameDecisions":
@@ -67,6 +68,7 @@ class FrameDecisions:
                    np.zeros((h // 8, w // 8), np.uint8),
                    np.full((h // 8, w // 8), BCW_DEFAULT, np.uint8),
                    np.zeros((h // 8, w // 8), np.uint8),
+                   np.zeros((h // 8, w // 8), np.uint8),
                    np.zeros((h // 8, w // 8), np.uint8))
 
     def equal(self, other: "FrameDecisions") -> bool:
@@ -84,7 +86,8 @@ class FrameDecisions:
                 and np.array_equal(self.jccr8, other.jccr8)
                 and np.array_equal(self.bcw8, other.bcw8)
                 and np.array_equal(self.ciip8, other.ciip8)
-                and np.array_equal(self.sbt8, other.sbt8))
+                and np.array_equal(self.sbt8, other.sbt8)
+                and np.array_equal(self.isp8, other.isp8))
 
 
 @dataclass
@@ -194,6 +197,54 @@ def code_mrl_idx(io, st, x: int, y: int, k=None) -> int:
     return k
 
 
+def isp_parts(s: int, d: int):
+    """ISP stripe rects [(dx, dy, w, h)] for an s x s leaf; d: 1 = horizontal
+    split (full-width stripes), 2 = vertical.  8x8 leaves use 2 partitions
+    (VVC's 4x8/8x4 rule adapted to this build's min-4 TB dimension — the
+    reference's 8x2 partitions need 2-wide TBs); 16/32 use 4
+    (VTM:CommonLib/UnitTools.cpp CU::getISPSplitDim role)."""
+    k = 2 if s == 8 else 4
+    if d == 1:
+        hs = s // k
+        return [(0, i * hs, s, hs) for i in range(k)]
+    ws = s // k
+    return [(i * ws, 0, ws, s) for i in range(k)]
+
+
+def isp_kernels(w: int, h: int):
+    """Implicit (kind_h, kind_v) for an ISP stripe TB: DST-VII for dims
+    <= 16, DCT-II above (the VVC implicit-MTS rule for ISP)."""
+    return (rom.DST7 if w <= 16 else rom.DCT2,
+            rom.DST7 if h <= 16 else rom.DCT2)
+
+
+def code_isp_flags(io, dec: FrameDecisions, sps, x: int, y: int,
+                   s: int) -> int:
+    """intra_subpartitions mode flag (+ split-dimension flag) for a
+    regular-mode intra leaf; only on reference line 0, never after MIP.
+    Reads/writes dec.isp8; shared by the spec traversal and the pipeline
+    entropy walker."""
+    if not sps.isp_enabled:
+        return 0
+    k = int(dec.mrl8[y // 8, x // 8]) if sps.mrl_enabled else 0
+    sl8 = np.s_[y // 8:(y + s) // 8, x // 8:(x + s) // 8]
+    if k != 0:
+        if io.decoding:
+            dec.isp8[sl8] = 0
+        return 0
+    if io.decoding:
+        isp = 0
+        if io.bin(C.ISP_MODE(0)):
+            isp = 1 + io.bin(C.ISP_MODE(1))
+        dec.isp8[sl8] = isp
+        return isp
+    isp = int(dec.isp8[y // 8, x // 8])
+    io.bin(C.ISP_MODE(0), int(isp > 0))
+    if isp:
+        io.bin(C.ISP_MODE(1), isp - 1)
+    return isp
+
+
 def _code_intra_mode(io, st: _FrameState, x: int, y: int, s: int) -> int:
     if st.sps.mip_enabled:
         mode = code_mip_mode(io, st, x, y, s,
@@ -205,6 +256,7 @@ def _code_intra_mode(io, st: _FrameState, x: int, y: int, s: int) -> int:
         code_mrl_idx(io, st, x, y,
                      None if io.decoding
                      else int(st.dec.mrl8[y // 8, x // 8]))
+    code_isp_flags(io, st.dec, st.sps, x, y, s)
     left = _neighbor_mode(st, x - 1, y + s - 1)
     above = _neighbor_mode(st, x + s - 1, y - 1)
     mpm = intra.mpm_list(left, above)
@@ -372,6 +424,46 @@ def _code_component(io, st: _FrameState, comp: int, x: int, y: int, s: int,
             pred, lev, qp, kh, kv, bit_depth=bd,
             lfnst=lfnst_idx if cbf else 0, mode=mode)
     valid[y:y + s, x:x + s] = True
+
+
+def _code_isp_luma(io, st: _FrameState, x: int, y: int, s: int, mode: int,
+                   d: int) -> None:
+    """ISP luma: stripes coded sequentially, each predicted from the
+    reconstructed neighbours (previous stripes included), implicit DST-VII
+    kernels, per-stripe cbf (CBF_LUMA ctx 1); no MTS/LFNST syntax
+    (role of VTM:EncoderLib/IntraSearch.cpp ISP loops + DecCu xReconIntraQT
+    stripe recursion)."""
+    bd = st.sps.bit_depth
+    lam = transform.lambda_rd_int(st.qp)
+    for (dx, dy, w_st, h_st) in isp_parts(s, d):
+        px, py = x + dx, y + dy
+        top, left = intra.build_references(st.recon[0], st.valid[0], px, py,
+                                           w_st, h_st, bd)
+        pred = intra.predict(top, left, mode, w_st, h_st, False, bd)
+        kh, kv = isp_kernels(w_st, h_st)
+        if io.decoding:
+            cbf = io.bin(C.CBF_LUMA(1))
+            lev = code_tb(io, None, _log2(w_st), _log2(h_st), False) if cbf \
+                else np.zeros((h_st, w_st), np.int32)
+        else:
+            resi = (st.src[0][py:py + h_st, px:px + w_st].astype(np.int32)
+                    - pred)
+            coef = transform.forward_transform(resi, kh, kv, bd)
+            lev = transform.quantize(coef, st.qp, intra=True, bit_depth=bd,
+                                     rdoq=st.rdoq, lam_rd=lam)
+            cbf = int(lev.any())
+            io.bin(C.CBF_LUMA(1), cbf)
+            if cbf:
+                code_tb(io, lev, _log2(w_st), _log2(h_st), False)
+        trace.t_cbf(0, px, py, w_st, cbf)
+        if cbf:
+            r = transform.inverse_transform(
+                transform.dequantize(lev, st.qp, bd), kh, kv, bd)
+        else:
+            r = 0
+        st.recon[0][py:py + h_st, px:px + w_st] = np.clip(
+            pred.astype(np.int32) + r, 0, (1 << bd) - 1)
+        st.valid[0][py:py + h_st, px:px + w_st] = True
 
 
 def _eg_k(io, val, k: int):
@@ -912,8 +1004,14 @@ def _code_leaf(io, st: _FrameState, x: int, y: int, s: int) -> None:
            if st.sps.mrl_enabled and mode < rom.NUM_LUMA_MODE else 0)
     if io.decoding and mode < rom.NUM_LUMA_MODE:
         st.dec.mrl8[y // 8:(y + s) // 8, x // 8:(x + s) // 8] = mrl
-    _code_component(io, st, 0, x, y, s, mode, C.CBF_LUMA(0),
-                    mts_ok=mode < rom.NUM_LUMA_MODE, mrl=mrl)
+    isp = (int(st.dec.isp8[y // 8, x // 8])
+           if st.sps.isp_enabled and mode < rom.NUM_LUMA_MODE and mrl == 0
+           else 0)
+    if isp:
+        _code_isp_luma(io, st, x, y, s, mode, isp)
+    else:
+        _code_component(io, st, 0, x, y, s, mode, C.CBF_LUMA(0),
+                        mts_ok=mode < rom.NUM_LUMA_MODE, mrl=mrl)
     st.mode_map[y // 4:(y + s) // 4, x // 4:(x + s) // 4] = mode
     # chroma (4:2:0): derived DM mode (planar for MIP), or CCLM
     dm = mode if mode < rom.NUM_LUMA_MODE else rom.PLANAR_IDX

@@ -48,6 +48,7 @@ def _hadamard_matrix(n: int) -> np.ndarray:
 
 
 _H8 = _hadamard_matrix(8)
+_H4 = _hadamard_matrix(4)
 
 
 def satd8x8(diff: np.ndarray) -> int:
@@ -66,13 +67,25 @@ def block_satd(diff: np.ndarray) -> int:
     return total
 
 
+def block_satd4(diff: np.ndarray) -> int:
+    """SATD of an (h, w) diff via 4x4 Hadamard tiling (rect stripes)."""
+    h, w = diff.shape
+    total = 0
+    for y in range(0, h, 4):
+        for x in range(0, w, 4):
+            t = _H4 @ diff[y:y + 4, x:x + 4].astype(np.int64) @ _H4
+            total += int((np.abs(t).sum() + 2) >> 2)
+    return total
+
+
 def _mode_costs_for_block(orig: np.ndarray, x: int, y: int, s: int,
                           lam: int, bit_depth: int,
                           mip: bool = False,
-                          mrl: bool = False) -> np.ndarray:
+                          mrl: bool = False, isp: bool = False) -> np.ndarray:
     """(67 [+16],) int64 cost per mode for the block at (x, y) size s;
     ids >= NUM_LUMA_MODE are the MIP candidates when enabled.  When MRL is
-    on, regular modes carry the extra mrl=0 TU bin."""
+    on, regular modes carry the extra mrl=0 TU bin; when ISP is on, the
+    extra isp_flag=0 bin."""
     h, w = orig.shape
     valid = np.ones((h, w), bool)
     top, left = intra.build_references(orig, valid, x, y, s, s, bit_depth)
@@ -86,40 +99,63 @@ def _mode_costs_for_block(orig: np.ndarray, x: int, y: int, s: int,
             pred = intra.mip_predict(top, left, mode - rom.NUM_LUMA_MODE,
                                      s, bit_depth)
         satd = block_satd(blk - pred)
-        bits = MODE_BITS[mode] + (1 if mrl and mode < rom.NUM_LUMA_MODE
-                                  else 0)
+        bits = MODE_BITS[mode] + ((int(mrl) + int(isp))
+                                  if mode < rom.NUM_LUMA_MODE else 0)
         costs[mode] = (satd << 8) + bits * lam
     return costs
 
 
+_SENTINEL = 1 << 30
+
+
 def _block_decision(orig: np.ndarray, x: int, y: int, s: int, lam: int,
-                    bit_depth: int, mip: bool = False, mrl: bool = False):
-    """(cost, mode, mrl_idx) for one block: argmin over modes, then a
-    two-stage MRL refinement of the winner (angular non-MIP modes only,
-    lines 1/2; extra TU bin costed; first-min tie-breaking k=0,1,2)."""
-    c = _mode_costs_for_block(orig, x, y, s, lam, bit_depth, mip, mrl)
+                    bit_depth: int, mip: bool = False, mrl: bool = False,
+                    isp: bool = False):
+    """(cost, mode, mrl_idx, isp_d) for one block: argmin over modes, then a
+    refinement of the winner over the 5-candidate list [base, MRL line 1,
+    MRL line 2, ISP-H, ISP-V] (sentinel-masked, first-min tie-breaking) —
+    identical list in the JAX twin (coding/decide.py size_pass)."""
+    c = _mode_costs_for_block(orig, x, y, s, lam, bit_depth, mip, mrl, isp)
     mode = int(np.argmin(c))
     cost = int(c.min())
-    if not mrl or mode >= rom.NUM_LUMA_MODE or mode < 2:
-        return cost, mode, 0
+    if mode >= rom.NUM_LUMA_MODE:
+        return cost, mode, 0, 0
     h, w = orig.shape
     valid = np.ones((h, w), bool)
     blk = orig[y:y + s, x:x + s].astype(np.int64)
-    cands = [cost]
-    for k in (1, 2):
-        top, left = intra.build_references(orig, valid, x, y, s, s,
-                                           bit_depth, ref_line=k)
-        pred = intra.predict(top, left, mode, s, s, False, bit_depth,
-                             ref_line=k)
-        satd = block_satd(blk - pred)
-        cands.append((satd << 8) + (MODE_BITS[mode] + 2) * lam)
+    cands = [cost, _SENTINEL, _SENTINEL, _SENTINEL, _SENTINEL]
+    if mrl and mode >= 2:
+        for k in (1, 2):
+            top, left = intra.build_references(orig, valid, x, y, s, s,
+                                               bit_depth, ref_line=k)
+            pred = intra.predict(top, left, mode, s, s, False, bit_depth,
+                                 ref_line=k)
+            satd = block_satd(blk - pred)
+            cands[k] = (satd << 8) + (MODE_BITS[mode] + 2) * lam
+    if isp:
+        from .codec import isp_parts
+        ibits = MODE_BITS[mode] + int(mrl) + 2
+        for d in (1, 2):
+            satd = 0
+            for (dx, dy, w_st, h_st) in isp_parts(s, d):
+                top, left = intra.build_references(orig, valid, x + dx,
+                                                   y + dy, w_st, h_st,
+                                                   bit_depth)
+                pred = intra.predict(top, left, mode, w_st, h_st, False,
+                                     bit_depth)
+                satd += block_satd4(
+                    blk[dy:dy + h_st, dx:dx + w_st] - pred)
+            cands[2 + d] = (satd << 8) + ibits * lam
     kbest = int(np.argmin(cands))
-    return int(cands[kbest]), mode, kbest
+    mrl_k = kbest if kbest <= 2 else 0
+    isp_d = 0 if kbest <= 2 else kbest - 2
+    return int(cands[kbest]), mode, mrl_k, isp_d
 
 
 def decide_frame(orig_y: np.ndarray, qp: int,
                  bit_depth: int = rom.BIT_DEPTH,
-                 mip: bool = False, mrl: bool = False) -> FrameDecisions:
+                 mip: bool = False, mrl: bool = False,
+                 isp: bool = False) -> FrameDecisions:
     """Compute partition + modes for a padded luma plane (H, W)."""
     h, w = orig_y.shape
     lam = lambda_satd_fp(qp)
@@ -129,26 +165,32 @@ def decide_frame(orig_y: np.ndarray, qp: int,
     best8_cost = np.zeros((n8y, n8x), np.int64)
     best8_mode = np.zeros((n8y, n8x), np.int32)
     best8_mrl = np.zeros((n8y, n8x), np.int32)
+    best8_isp = np.zeros((n8y, n8x), np.int32)
     n16y, n16x = h // 16, w // 16
     best16_cost = np.zeros((n16y, n16x), np.int64)
     best16_mode = np.zeros((n16y, n16x), np.int32)
     best16_mrl = np.zeros((n16y, n16x), np.int32)
+    best16_isp = np.zeros((n16y, n16x), np.int32)
     n32y, n32x = h // 32, w // 32
     best32_cost = np.zeros((n32y, n32x), np.int64)
     best32_mode = np.zeros((n32y, n32x), np.int32)
     best32_mrl = np.zeros((n32y, n32x), np.int32)
+    best32_isp = np.zeros((n32y, n32x), np.int32)
 
-    for grid, (bc, bm, bk) in ((8, (best8_cost, best8_mode, best8_mrl)),
-                               (16, (best16_cost, best16_mode, best16_mrl)),
-                               (32, (best32_cost, best32_mode, best32_mrl))):
+    for grid, (bc, bm, bk, bi) in (
+            (8, (best8_cost, best8_mode, best8_mrl, best8_isp)),
+            (16, (best16_cost, best16_mode, best16_mrl, best16_isp)),
+            (32, (best32_cost, best32_mode, best32_mrl, best32_isp))):
         for by in range(h // grid):
             for bx in range(w // grid):
-                cost, mode, k = _block_decision(orig_y, bx * grid,
-                                                by * grid, grid, lam,
-                                                bit_depth, mip, mrl)
+                cost, mode, k, di = _block_decision(orig_y, bx * grid,
+                                                    by * grid, grid, lam,
+                                                    bit_depth, mip, mrl,
+                                                    isp)
                 bc[by, bx] = cost
                 bm[by, bx] = mode
                 bk[by, bx] = k
+                bi[by, bx] = di
 
     # bottom-up partition: cost of coding a 16 as 4x8 leaves vs one leaf
     sum8 = (best8_cost.reshape(n16y, 2, n16x, 2).sum(axis=(1, 3))
@@ -176,6 +218,10 @@ def decide_frame(orig_y: np.ndarray, qp: int,
     k = np.where(use16, np.kron(best16_mrl, np.ones((2, 2), np.int32)), k)
     k = np.where(use8, best8_mrl, k)
     dec.mrl8[:] = k.astype(np.uint8)
+    di = np.kron(best32_isp, np.ones((4, 4), np.int32))
+    di = np.where(use16, np.kron(best16_isp, np.ones((2, 2), np.int32)), di)
+    di = np.where(use8, best8_isp, di)
+    dec.isp8[:] = di.astype(np.uint8)
     return dec
 
 
@@ -268,7 +314,7 @@ def me_size_pass(orig: np.ndarray, ref: np.ndarray, s: int, lam: int):
 def decide_frame_p(orig_y: np.ndarray, ref_y: np.ndarray, qp: int,
                    bit_depth: int = rom.BIT_DEPTH,
                    mip: bool = False, mrl: bool = False,
-                   ciip: bool = False) -> FrameDecisions:
+                   ciip: bool = False, isp: bool = False) -> FrameDecisions:
     """Decisions for a P frame: per-size intra-vs-inter, then QT bottom-up."""
     h, w = orig_y.shape
     lam = lambda_satd_fp(qp)
@@ -280,13 +326,16 @@ def decide_frame_p(orig_y: np.ndarray, ref_y: np.ndarray, qp: int,
         icost = np.zeros((nby, nbx), np.int64)
         imode = np.zeros((nby, nbx), np.int32)
         imrl = np.zeros((nby, nbx), np.int32)
+        iisp = np.zeros((nby, nbx), np.int32)
         for by in range(nby):
             for bx in range(nbx):
-                cc, mm, kk = _block_decision(orig_y, bx * s, by * s, s, lam,
-                                             bit_depth, mip, mrl)
+                cc, mm, kk, di = _block_decision(orig_y, bx * s, by * s, s,
+                                                 lam, bit_depth, mip, mrl,
+                                                 isp)
                 imode[by, bx] = mm
                 icost[by, bx] = cc
                 imrl[by, bx] = kk
+                iisp[by, bx] = di
         mcost, mv = me_size_pass(orig_y, ref_y, s, lam)
         refp = _inter.pad_reference(ref_y)
         rcost, rmv = refine_size_pass(orig_y, refp, mv, s, lam)
@@ -300,11 +349,11 @@ def decide_frame_p(orig_y: np.ndarray, ref_y: np.ndarray, qp: int,
                                        bit_depth)
             cflag = use_inter & (sadb < sadm)
             cost = np.where(cflag, cost + ((sadb - sadm) << 8), cost)
-        size_data[s] = (cost, imode, use_inter, rmv, imrl, cflag)
+        size_data[s] = (cost, imode, use_inter, rmv, imrl, cflag, iisp)
 
-    cost8, imode8, inter8, mv8, mrl8, cf8 = size_data[8]
-    cost16, imode16, inter16, mv16, mrl16, cf16 = size_data[16]
-    cost32, imode32, inter32, mv32, mrl32, cf32 = size_data[32]
+    cost8, imode8, inter8, mv8, mrl8, cf8, isp8a = size_data[8]
+    cost16, imode16, inter16, mv16, mrl16, cf16, isp16a = size_data[16]
+    cost32, imode32, inter32, mv32, mrl32, cf32, isp32a = size_data[32]
     n16y, n16x = h // 16, w // 16
     n32y, n32x = h // 32, w // 32
     sum8 = (cost8.reshape(n16y, 2, n16x, 2).sum(axis=(1, 3))
@@ -343,6 +392,10 @@ def decide_frame_p(orig_y: np.ndarray, ref_y: np.ndarray, qp: int,
     dec.inter8[:] = itf.astype(np.uint8)
     dec.modes8[:] = np.where(itf, 0, mode)
     dec.mrl8[:] = np.where(itf, 0, mrlv).astype(np.uint8)
+    ispv = up(isp32a, 4)
+    ispv = np.where(use16, up(isp16a, 2), ispv)
+    ispv = np.where(use8, isp8a, ispv)
+    dec.isp8[:] = np.where(itf, 0, ispv).astype(np.uint8)
     dec.mv8[..., 0] = np.where(itf, mvx, 0)   # already 1/16-pel
     dec.mv8[..., 1] = np.where(itf, mvy, 0)
     if ciip:
@@ -394,7 +447,8 @@ def decide_frame_b(orig_y: np.ndarray, ref0_y: np.ndarray,
                    ref1_y: np.ndarray, qp: int,
                    bit_depth: int = rom.BIT_DEPTH,
                    mip: bool = False, mrl: bool = False,
-                   bcw: bool = False, ciip: bool = False) -> FrameDecisions:
+                   bcw: bool = False, ciip: bool = False,
+                   isp: bool = False) -> FrameDecisions:
     """B-frame decisions: per-size best of {intra, L0, L1, BI}, QT bottom-up.
 
     BI cost: SAD of the averaged refined uni-predictions plus both MV rates
@@ -414,13 +468,16 @@ def decide_frame_b(orig_y: np.ndarray, ref0_y: np.ndarray,
         icost = np.zeros((nby, nbx), np.int64)
         imode = np.zeros((nby, nbx), np.int32)
         imrl = np.zeros((nby, nbx), np.int32)
+        iisp = np.zeros((nby, nbx), np.int32)
         for by in range(nby):
             for bx in range(nbx):
-                cc, mm, kk = _block_decision(orig_y, bx * s, by * s, s, lam,
-                                             bit_depth, mip, mrl)
+                cc, mm, kk, di = _block_decision(orig_y, bx * s, by * s, s,
+                                                 lam, bit_depth, mip, mrl,
+                                                 isp)
                 imode[by, bx] = mm
                 icost[by, bx] = cc
                 imrl[by, bx] = kk
+                iisp[by, bx] = di
         ucost, umv = [], []
         for lst, ref in enumerate((ref0_y, ref1_y)):
             mc_, mv_ = me_size_pass(orig_y, ref, s, lam)
@@ -463,11 +520,11 @@ def decide_frame_b(orig_y: np.ndarray, ref0_y: np.ndarray,
             cflag = (kind > 0) & (sadb < sadm)
             cost = np.where(cflag, cost + ((sadb - sadm) << 8), cost)
         size_data[s] = (cost, imode, kind, umv[0], umv[1], imrl, bwidx,
-                        cflag)
+                        cflag, iisp)
 
-    c8, im8, k8, mva8, mvb8, mrl8a, bw8, cf8 = size_data[8]
-    c16, im16, k16, mva16, mvb16, mrl16a, bw16, cf16 = size_data[16]
-    c32, im32, k32, mva32, mvb32, mrl32a, bw32, cf32 = size_data[32]
+    c8, im8, k8, mva8, mvb8, mrl8a, bw8, cf8, isp8a = size_data[8]
+    c16, im16, k16, mva16, mvb16, mrl16a, bw16, cf16, isp16a = size_data[16]
+    c32, im32, k32, mva32, mvb32, mrl32a, bw32, cf32, isp32a = size_data[32]
     n16y, n16x = h // 16, w // 16
     n32y, n32x = h // 32, w // 32
     sum8 = (c8.reshape(n16y, 2, n16x, 2).sum(axis=(1, 3))
@@ -500,12 +557,14 @@ def decide_frame_b(orig_y: np.ndarray, ref0_y: np.ndarray,
     kind = sel(k32, k16, k8)
     mode = sel(im32, im16, im8)
     mrlv = sel(mrl32a, mrl16a, mrl8a)
+    ispv = sel(isp32a, isp16a, isp8a)
     mv0 = sel(mva32, mva16, mva8)
     mv1 = sel(mvb32, mvb16, mvb8)
     itf = kind > 0
     dec.inter8[:] = itf.astype(np.uint8)
     dec.modes8[:] = np.where(itf, 0, mode)
     dec.mrl8[:] = np.where(itf, 0, mrlv).astype(np.uint8)
+    dec.isp8[:] = np.where(itf, 0, ispv).astype(np.uint8)
     dec.dir8[:] = np.where(itf, np.where(kind == 3, 2, kind - 1),
                            0).astype(np.uint8)
     use0 = itf & ((kind == 1) | (kind == 3))

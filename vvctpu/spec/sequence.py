@@ -39,6 +39,7 @@ class EncoderConfig:
     ciip: bool = False      # combined inter-intra prediction
     sbt: bool = False       # sub-block transform (inter luma residual)
     bdof: bool = False      # bi-directional optical flow (BI leaves)
+    isp: bool = False       # intra sub-partitions (2/4 stripe TBs per leaf)
     lfnst: bool = False     # low-frequency non-separable secondary transform
     cclm: bool = False      # cross-component linear-model chroma prediction
     rdoq: bool = True       # encoder RDOQ quantizer (decoder-transparent)
@@ -64,7 +65,8 @@ class EncoderConfig:
                        mmvd_enabled=self.mmvd, dmvr_enabled=self.dmvr,
                        bdof_enabled=self.bdof, bcw_enabled=self.bcw,
                        amvr_enabled=self.amvr, smvd_enabled=self.smvd,
-                       ciip_enabled=self.ciip, sbt_enabled=self.sbt)
+                       ciip_enabled=self.ciip, sbt_enabled=self.sbt,
+                       isp_enabled=self.isp)
 
 
 def gop_plan(n_frames: int, intra_period: int, gop: int):
@@ -153,17 +155,19 @@ def encode_sequence(frames: list[list[np.ndarray]], cfg: EncoderConfig,
             dec = decisions_fn(poc, planes, sps, cfg)
         elif stype == hls.SLICE_I:
             dec = decide.decide_frame(padded_y, qp, cfg.bit_depth,
-                                      mip=cfg.mip, mrl=cfg.mrl)
+                                      mip=cfg.mip, mrl=cfg.mrl,
+                                      isp=cfg.isp)
         elif stype == hls.SLICE_P:
             dec = decide.decide_frame_p(padded_y, dpb[ref_pocs[0]][0], qp,
                                         cfg.bit_depth, mip=cfg.mip,
-                                        mrl=cfg.mrl, ciip=cfg.ciip)
+                                        mrl=cfg.mrl, ciip=cfg.ciip,
+                                        isp=cfg.isp)
         else:
             dec = decide.decide_frame_b(padded_y, dpb[ref_pocs[0]][0],
                                         dpb[ref_pocs[1]][0], qp,
                                         cfg.bit_depth, mip=cfg.mip,
                                         mrl=cfg.mrl, bcw=cfg.bcw,
-                                        ciip=cfg.ciip)
+                                        ciip=cfg.ciip, isp=cfg.isp)
         if decisions_out is not None:
             decisions_out.append(dec)
         sh = hls.SliceHeader(poc=poc, slice_type=stype, qp_delta=qpd,
