@@ -121,6 +121,7 @@ LFNST_IDX = R.add("lfnst_idx", 3)
 SAO_MERGE = R.add("sao_merge_flag", 1)
 SAO_TYPE = R.add("sao_type_idx", 1)
 ALF_CTB_FLAG = R.add("alf_ctb_flag", 9)
+GPM_FLAG = R.add("gpm_flag", 1)          # geometric partitioning (B leaves)
 
 NUM_CTX = R.total
 

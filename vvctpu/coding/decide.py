@@ -200,6 +200,43 @@ def ciip_pass(buf, refp0, refp1, kind, mv0, mv1, bwidx, *, s: int,
     return sadm.reshape(nby, nbx), sadb.reshape(nby, nbx)
 
 
+@functools.partial(jax.jit, static_argnames=("s", "frame_w", "frame_h",
+                                             "bd"))
+def gpm_pass(orig, refp0, refp1, mv0, mv1, *, s: int, frame_w: int,
+             frame_h: int, bd: int = 8):
+    """Best GPM partition per s-block (twin of spec gpm_sad_pass):
+    all-64-mask blend of the two refined uni predictions, SAD argmin.
+    Returns (sad, idx) int32 (nby, nbx)."""
+    from ..kernels import mc as jmc
+    nby, nbx = frame_h // s, frame_w // s
+    mx = (1 << bd) - 1
+    masks = jnp.asarray(rom.gpm_masks_all(s), jnp.int32)     # (64, s, s)
+    xs = jnp.arange(nbx, dtype=jnp.int32) * s
+    ys = jnp.arange(nby, dtype=jnp.int32) * s
+    gx, gy = jnp.meshgrid(xs, ys)
+    coords = jnp.stack([gx.ravel(), gy.ravel()], axis=1)
+    orig = orig.astype(jnp.int32)
+
+    def one(xy, a, b):
+        p0 = jmc.mc_luma_block(refp0, xy[0], xy[1], s, a[0], a[1], bd)
+        p1 = jmc.mc_luma_block(refp1, xy[0], xy[1], s, b[0], b[1], bd)
+        pb = jnp.clip((masks * p0[None] + (8 - masks) * p1[None] + 4) >> 3,
+                      0, mx)
+        ob = jax.lax.dynamic_slice(orig, (xy[1], xy[0]), (s, s))
+        sads = jnp.abs(ob[None] - pb).sum(axis=(1, 2))
+        k = jnp.argmin(sads).astype(jnp.int32)
+        return sads[k].astype(jnp.int32), k
+
+    sad, idx = jax.vmap(one)(coords, mv0.reshape(-1, 2), mv1.reshape(-1, 2))
+    return sad.reshape(nby, nbx), idx.reshape(nby, nbx)
+
+
+def _bitlen_arr(v: np.ndarray) -> np.ndarray:
+    """Vectorised threshold-sum bit length == spec inter.bitlen_int."""
+    a = np.abs(v.astype(np.int64))
+    return sum((a >= (1 << k)).astype(np.int64) for k in range(15))
+
+
 def decide_frame(orig_y: np.ndarray, qp: int, bd: int = 8,
                  mip: bool = False, mrl: bool = False,
                  isp: bool = False) -> FrameDecisions:
@@ -368,7 +405,7 @@ def decide_frame_b(orig_y: np.ndarray, ref0_y: np.ndarray,
                    ref1_y: np.ndarray, qp: int, bd: int = 8,
                    mip: bool = False, mrl: bool = False,
                    bcw: bool = False, ciip: bool = False,
-                   isp: bool = False):
+                   isp: bool = False, gpm: bool = False):
     """Device-batched B-frame decisions (twin of spec decide_frame_b)."""
     from ..spec.inter import BCW_DEFAULT
     from ..spec.inter import ME_RANGE, REF_MARGIN
@@ -423,14 +460,35 @@ def decide_frame_b(orig_y: np.ndarray, ref0_y: np.ndarray,
             sadb = np.asarray(sadb).astype(np.int64)
             cflag = (kind > 0) & (sadb < sadm)
             cost = np.where(cflag, cost + ((sadb - sadm) << 8), cost)
+        gval = np.zeros(kind.shape, np.int32)
+        if gpm:
+            from ..spec.decide import GPM_BITS
+            gsad, gidx = gpm_pass(jorig, refp80[0], refp80[1],
+                                  jnp.asarray(umv[0]), jnp.asarray(umv[1]),
+                                  s=s, frame_w=w, frame_h=h, bd=bd)
+            gsad = np.asarray(gsad).astype(np.int64)
+            gidx = np.asarray(gidx)
+            gbits = (4 + 2 * _bitlen_arr(umv[0][..., 0] >> 2)
+                     + 2 * _bitlen_arr(umv[0][..., 1] >> 2)
+                     + 2 * _bitlen_arr(umv[1][..., 0] >> 2)
+                     + 2 * _bitlen_arr(umv[1][..., 1] >> 2) + GPM_BITS)
+            gcost = (gsad << 8) + lam * gbits
+            guse = gcost < cost
+            cost = np.where(guse, gcost, cost)
+            kind = np.where(guse, 3, kind).astype(np.int32)
+            cflag = cflag & ~guse
+            bwidx = np.where(guse, BCW_DEFAULT, bwidx)
+            gval = np.where(guse, gidx + 1, 0).astype(np.int32)
         size_data[s] = (cost, imode, kind, umv[0], umv[1], imrl, bwidx,
-                        cflag, iisp)
+                        cflag, iisp, gval)
 
     from ..spec.codec import FrameDecisions as FD
     dec = FD.empty(h, w)
-    c8, im8, k8, mva8, mvb8, mrl8a, bw8, cf8, isp8a = size_data[8]
-    c16, im16, k16, mva16, mvb16, mrl16a, bw16, cf16, isp16a = size_data[16]
-    c32, im32, k32, mva32, mvb32, mrl32a, bw32, cf32, isp32a = size_data[32]
+    (c8, im8, k8, mva8, mvb8, mrl8a, bw8, cf8, isp8a, g8) = size_data[8]
+    (c16, im16, k16, mva16, mvb16, mrl16a, bw16, cf16, isp16a,
+     g16) = size_data[16]
+    (c32, im32, k32, mva32, mvb32, mrl32a, bw32, cf32, isp32a,
+     g32) = size_data[32]
     n16y, n16x = h // 16, w // 16
     n32y, n32x = h // 32, w // 32
     sum8 = (c8.reshape(n16y, 2, n16x, 2).sum(axis=(1, 3))
@@ -487,4 +545,7 @@ def decide_frame_b(orig_y: np.ndarray, ref0_y: np.ndarray,
         cf = sel(cf32.astype(np.uint8), cf16.astype(np.uint8),
                  cf8.astype(np.uint8))
         dec.ciip8[:] = np.where(itf, cf, 0).astype(np.uint8)
+    if gpm:
+        gv = sel(g32, g16, g8)
+        dec.gpm8[:] = np.where(itf & (kind == 3), gv, 0).astype(np.uint8)
     return dec

@@ -378,6 +378,43 @@ def mip_weights(rs: int) -> np.ndarray:
     return out
 
 
+# ---------------------------------------------------------------------------
+# GPM: geometric partitioning blend masks
+# (role of VTM:CommonLib/Rom.cpp g_geoParams / g_globalGeoWeights +
+#  InterPrediction::weightedGeoBlk.  64 partitions = 8 angles x 4 offsets x
+#  2 inversions, generated from the closed-form signed-distance ramp the
+#  standard tables encode; weights 0..8, ramp ~±2 px around the edge.)
+# ---------------------------------------------------------------------------
+GPM_PARTITIONS = 64
+_GPM_ANGLES = ((8, 0), (7, 3), (6, 6), (3, 7),
+               (0, 8), (-3, 7), (-6, 6), (-7, 3))
+
+
+@functools.lru_cache(maxsize=None)
+def gpm_mask(s: int, idx: int) -> np.ndarray:
+    """(s, s) int32 luma weight mask (0..8) for partition ``idx`` (0..63).
+
+    idx = (angle << 3) | (offset << 1) | inversion.  The prediction is
+    (w * P0 + (8 - w) * P1 + 4) >> 3."""
+    a = (idx >> 3) & 7
+    dist = (idx >> 1) & 3
+    inv = idx & 1
+    nx, ny = _GPM_ANGLES[a]
+    u = 2 * np.arange(s) - s + 1              # odd-grid coords (x2 pixels)
+    d = (nx * u[None, :] + ny * u[:, None]
+         - (2 * dist - 3) * s * 2)
+    w = np.clip(((d + 4) >> 3) + 4, 0, 8)
+    if inv:
+        w = 8 - w
+    return w.astype(np.int32)
+
+
+@functools.lru_cache(maxsize=None)
+def gpm_masks_all(s: int) -> np.ndarray:
+    """(64, s, s) stacked luma masks (device constant for the JAX engine)."""
+    return np.stack([gpm_mask(s, i) for i in range(GPM_PARTITIONS)])
+
+
 def qp_to_lambda(qp: int, intra: bool = True) -> float:
     """RD lambda from QP (the classic 0.57*2^((qp-12)/3) family,
 

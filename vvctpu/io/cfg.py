@@ -36,6 +36,7 @@ class AppConfig:
     ciip: bool = False            # CIIP
     sbt: bool = False             # SBT
     isp: bool = False             # ISP
+    gpm: bool = False             # Geo / GPM
     bdof: bool = False            # BIO / BDOF
     rdoq: bool = True             # RDOQ
     lmcs: bool = False            # LMCSEnable / LMCS
@@ -80,6 +81,8 @@ _KEYMAP = {
     "smvd": ("smvd", lambda v: bool(int(v))),
     "ciip": ("ciip", lambda v: bool(int(v))),
     "isp": ("isp", lambda v: bool(int(v))),
+    "geo": ("gpm", lambda v: bool(int(v))),
+    "gpm": ("gpm", lambda v: bool(int(v))),
     "sbt": ("sbt", lambda v: bool(int(v))),
     "bio": ("bdof", lambda v: bool(int(v))),
     "bdof": ("bdof", lambda v: bool(int(v))),

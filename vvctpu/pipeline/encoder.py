@@ -67,7 +67,8 @@ def encode_sequence(frames, cfg: sseq.EncoderConfig, decisions_fn=None,
                                          mrl=sps.mrl_enabled,
                                          bcw=sps.bcw_enabled,
                                          ciip=sps.ciip_enabled,
-                                         isp=sps.isp_enabled)
+                                         isp=sps.isp_enabled,
+                                         gpm=sps.gpm_enabled)
         if decisions_out is not None:
             decisions_out.append(dec)
         lmcs_cw = ()
@@ -103,7 +104,7 @@ def encode_sequence(frames, cfg: sseq.EncoderConfig, decisions_fn=None,
             tskip=sps.ts_enabled, jccr=sps.jccr_enabled,
             dmvr=sps.dmvr_enabled and sym, bdof=sps.bdof_enabled and sym,
             ciip=sps.ciip_enabled, sbt=sps.sbt_enabled,
-            isp=sps.isp_enabled,
+            isp=sps.isp_enabled, gpm=sps.gpm_enabled,
             fwd_lut=None if fwd_lut is None else jnp_asarray(fwd_lut),
             crs_lut=None if crs_lut is None else jnp_asarray(crs_lut),
             lam_rd=lambda_rd_int(qp), **ref_kw)
@@ -209,7 +210,7 @@ def decode_sequence(data: bytes, check_hash: bool = True):
                 dmvr=sps.dmvr_enabled and bi_sym(sh),
                 bdof=sps.bdof_enabled and bi_sym(sh),
                 ciip=sps.ciip_enabled, sbt=sps.sbt_enabled,
-                isp=sps.isp_enabled,
+                isp=sps.isp_enabled, gpm=sps.gpm_enabled,
                 fwd_lut=None if fwd_lut is None else jnp_asarray(fwd_lut),
                 crs_lut=None if crs_lut is None else jnp_asarray(crs_lut),
                 **ref_kw)

@@ -259,7 +259,10 @@ class _Walker:
                 and self.sps.mmvd_enabled else None)
         ciip = (bool(self.dec.ciip8[gy, gx])
                 if self.sps.ciip_enabled else False)
-        return d, mv0, mv1, midx, mmvd, widx, ciip
+        gpm = (int(self.dec.gpm8[gy, gx])
+               if (self.sps.gpm_enabled and self.is_b and d == 2
+                   and not ciip) else 0)
+        return d, mv0, mv1, midx, mmvd, widx, ciip, gpm
 
     def _leaf_levels_zero(self, x, y, s):
         cs, cx, cy = s // 2, x // 2, y // 2
@@ -315,6 +318,11 @@ class _Walker:
                     widx = _code_bcw_idx(io)
             if self.sps.ciip_enabled and not skip:
                 ciip = bool(io.bin(C.CIIP_FLAG(0)))
+            gpm = 0
+            if (self.sps.gpm_enabled and self.is_b and not skip
+                    and not ciip and d == 2):
+                if io.bin(C.GPM_FLAG(0)):
+                    gpm = 1 + io.byp_n(n=6)
             sbt = _code_sbt_idx(io) \
                 if self.sps.sbt_enabled and not skip and not ciip else 0
             sl = np.s_[gy:(y + s) // 8, gx:(x + s) // 8]
@@ -325,8 +333,9 @@ class _Walker:
             self.dec.bcw8[sl] = widx
             self.dec.ciip8[sl] = ciip
             self.dec.sbt8[sl] = sbt
+            self.dec.gpm8[sl] = gpm
         else:
-            d, mv0, mv1, midx, mmvd, widx, ciip = enc_mot
+            d, mv0, mv1, midx, mmvd, widx, ciip, gpm = enc_mot
             merged = midx is not None or mmvd is not None
 
             def code_merge_data():
@@ -368,6 +377,11 @@ class _Walker:
                         _code_bcw_idx(io, widx)
                 if self.sps.ciip_enabled:
                     io.bin(C.CIIP_FLAG(0), int(ciip))
+                if (self.sps.gpm_enabled and self.is_b and not ciip
+                        and d == 2):
+                    io.bin(C.GPM_FLAG(0), int(gpm > 0))
+                    if gpm:
+                        io.byp_n(gpm - 1, 6)
                 if self.sps.sbt_enabled and not ciip:
                     _code_sbt_idx(io, int(self.dec.sbt8[gy, gx]))
         trace.t_leaf_inter(x, y, s, mv0 if d != 1 else mv1)
@@ -399,7 +413,7 @@ class _Walker:
                     skip = ((enc_mot[3] is not None
                              or enc_mot[4] is not None)
                             and self._leaf_levels_zero(x, y, s)
-                            and not enc_mot[6])
+                            and not enc_mot[6] and not enc_mot[7])
                     io.bin(C.SKIP_FLAG(0), int(skip))
                     if skip:
                         self._code_inter(x, y, s, True, enc_mot)

@@ -362,34 +362,56 @@ def _inter_batch_pass(carry, ib_slots, refs, s: int, qp, bd: int,
                       encode: bool, frame_w: int, frame_h: int,
                       rdoq: bool = False, lam_rd=0, fwd_lut=None,
                       dmvr: bool = False, bdof: bool = False,
-                      sbt: bool = False, crs_lut=None):
+                      sbt: bool = False, crs_lut=None, gpm: bool = False):
     """Phase A: all inter s-leaves at once (no intra-frame dependency).
 
-    ib_slots: (B, 9) int32 [x, y, mv0x, mv0y, mv1x, mv1y, dir, bcw_idx,
-    sbt_idx]; invalid rows have x = y = 2^20 (positive out-of-bounds: their
-    scatter indices are dropped).  refs: (l0_y, ..., l1_cr).
-    """
+    ib_slots: (B, 10) int32 [x, y, mv0x, mv0y, mv1x, mv1y, dir, bcw_idx,
+    sbt_idx, gpm_idx]; invalid rows have x = y = 2^20 (positive
+    out-of-bounds: their scatter indices are dropped).  refs: (l0_y, ...,
+    l1_cr)."""
     from ..spec.inter import BCW_DEFAULT, BCW_W
     (by, bcb, bcr, ly, lcb, lcr, sy, scb, scr, mtsp, lfnstp,
      cmodep, jccrp, sbtp) = carry
     cs = s // 2
     mx = (1 << bd) - 1
     bcw_w = jnp.asarray(np.asarray(BCW_W, np.int32))
+    if gpm:
+        # (65, s, s): index 0 unused (gpm off), 1..64 = partition masks
+        gmask_np = np.concatenate([np.zeros((1, s, s), np.int32),
+                                   rom.gpm_masks_all(s)])
+        gmask = jnp.asarray(gmask_np)
 
     def one(slot):
         x, y = slot[0], slot[1]
         m0x, m0y, m1x, m1y, d = slot[2], slot[3], slot[4], slot[5], slot[6]
         w = bcw_w[jnp.clip(slot[7], 0, 2)]
         eqw = slot[7] == BCW_DEFAULT
+        gv = slot[9] if gpm else jnp.int32(0)
+        if gpm:
+            gw_l = gmask[jnp.clip(gv, 0, 64)]
+            gw_c = gw_l[::2, ::2]
 
         def wavg(p0, p1):
             return jnp.clip((w * p0 + (8 - w) * p1 + 4) >> 3, 0, mx)
+
+        def bi_blend(p0, p1, luma, oy: int = 0, ox: int = 0, sub=None):
+            """BI combination: BCW weighted average, or the GPM mask blend
+            for GPM leaves (sub-rect of the mask for DMVR subblocks)."""
+            avg = wavg(p0, p1)
+            if not gpm:
+                return avg
+            gwm = gw_l if luma else gw_c
+            if sub is not None:
+                gwm = gwm[oy:oy + sub, ox:ox + sub]
+            gb = jnp.clip((gwm * p0 + (8 - gwm) * p1 + 4) >> 3, 0, mx)
+            return jnp.where(gv > 0, gb, avg)
 
         def bipred(ref0, ref1, px, py, sz, luma):
             f = mc.mc_luma_block if luma else mc.mc_chroma_block
             p0 = f(ref0, px, py, sz, m0x, m0y, bd)
             p1 = f(ref1, px, py, sz, m1x, m1y, bd)
-            return jnp.where(d == 0, p0, jnp.where(d == 1, p1, wavg(p0, p1)))
+            return jnp.where(d == 0, p0,
+                             jnp.where(d == 1, p1, bi_blend(p0, p1, luma)))
 
         if dmvr or bdof:
             # BI refinement path (twin of spec _inter_pred's DMVR/BDOF
@@ -407,8 +429,8 @@ def _inter_batch_pass(carry, ib_slots, refs, s: int, qp, bd: int,
                         odx, ody = mc.dmvr_offset_j(
                             refs[0], refs[3], x + sx0, y + sy0, sub,
                             m0x, m0y, m1x, m1y)
-                        odx = jnp.where((d == 2) & eqw, odx, 0)
-                        ody = jnp.where((d == 2) & eqw, ody, 0)
+                        odx = jnp.where((d == 2) & eqw & (gv == 0), odx, 0)
+                        ody = jnp.where((d == 2) & eqw & (gv == 0), ody, 0)
                         a0x = m0x + (odx << MV_FRAC_BITS)
                         a0y = m0y + (ody << MV_FRAC_BITS)
                         a1x = m1x - (odx << MV_FRAC_BITS)
@@ -421,13 +443,15 @@ def _inter_batch_pass(carry, ib_slots, refs, s: int, qp, bd: int,
                                            bd)
                     p0c = p0e[1:-1, 1:-1]
                     p1c = p1e[1:-1, 1:-1]
-                    # unequal BCW weights disable the BDOF blend (spec
-                    # _inter_pred takes the plain weighted-average path)
+                    # unequal BCW weights and GPM leaves disable the BDOF
+                    # blend (spec _inter_pred takes the mask-blend path)
+                    fallback = bi_blend(p0c, p1c, True, sy0, sx0, sub)
                     if bdof:
-                        bi = jnp.where(eqw, mc.bdof_blend_j(p0e, p1e, bd),
-                                       wavg(p0c, p1c))
+                        bi = jnp.where(eqw & (gv == 0),
+                                       mc.bdof_blend_j(p0e, p1e, bd),
+                                       fallback)
                     else:
-                        bi = wavg(p0c, p1c)
+                        bi = fallback
                     blk = jnp.where(d == 0, p0c, jnp.where(d == 1, p1c, bi))
                     pred_y = jax.lax.dynamic_update_slice(pred_y, blk,
                                                           (sy0, sx0))
@@ -440,8 +464,11 @@ def _inter_batch_pass(carry, ib_slots, refs, s: int, qp, bd: int,
                         c1 = mc.mc_chroma_block(r1c, (x + sx0) // 2,
                                                 (y + sy0) // 2, cs2, a1x,
                                                 a1y, bd)
-                        cblk = jnp.where(d == 0, c0,
-                                         jnp.where(d == 1, c1, wavg(c0, c1)))
+                        cblk = jnp.where(
+                            d == 0, c0,
+                            jnp.where(d == 1, c1,
+                                      bi_blend(c0, c1, False, sy0 // 2,
+                                               sx0 // 2, cs2)))
                         if ci == 0:
                             pred_cb = jax.lax.dynamic_update_slice(
                                 pred_cb, cblk, (sy0 // 2, sx0 // 2))
@@ -528,7 +555,7 @@ def _inter_batch_pass(carry, ib_slots, refs, s: int, qp, bd: int,
                                     "inter_enabled", "mts", "lfnst",
                                     "cclm", "rdoq", "lmcs", "mip",
                                     "tskip", "jccr", "dmvr", "bdof",
-                                    "ciip", "sbt", "isp"))
+                                    "ciip", "sbt", "isp", "gpm"))
 def frame_scan(slots, planes_y, planes_cb, planes_cr, *, frame_w: int,
                frame_h: int, qp, bd: int, encode: bool,
                inter_enabled: bool = False, ref_y=None, ref_cb=None,
@@ -539,7 +566,7 @@ def frame_scan(slots, planes_y, planes_cb, planes_cr, *, frame_w: int,
                fwd_lut=None, mip: bool = False, tskip: bool = False,
                jccr: bool = False, dmvr: bool = False, bdof: bool = False,
                ciip: bool = False, sbt: bool = False, crs_lut=None,
-               isp: bool = False):
+               isp: bool = False, gpm: bool = False):
     """Run the full-frame reconstruction scan.
 
     slots: (N, 6) int32 [op, x, y, mode, mvx, mvy] in coding order; op 0 =
@@ -578,7 +605,8 @@ def frame_scan(slots, planes_y, planes_cb, planes_cr, *, frame_w: int,
                                       jnp.asarray(lam_rd, jnp.int32),
                                       fwd_lut if lmcs else None,
                                       dmvr=dmvr, bdof=bdof, sbt=sbt,
-                                      crs_lut=crs_lut if lmcs else None)
+                                      crs_lut=crs_lut if lmcs else None,
+                                      gpm=gpm)
 
     # phase B: intra leaves in coding order (inter slots are op=0 skips)
     kw = dict(frame_w=frame_w, frame_h=frame_h, n_ctu_x=n_ctu_x, qp=qp,
@@ -676,7 +704,7 @@ def make_slots_split(dec: FrameDecisions, frame_h: int, frame_w: int):
         cap = (frame_h // s) * (frame_w // s)
         # dummy coordinate must be positive-out-of-bounds: jnp .at[] wraps
         # negative indices instead of dropping them
-        arr = np.full((cap, 9), 1 << 20, np.int32)
+        arr = np.full((cap, 10), 1 << 20, np.int32)
         m = op == opv
         k = int(m.sum())
         arr[:k, 0] = xs[m]
@@ -690,6 +718,8 @@ def make_slots_split(dec: FrameDecisions, frame_h: int, frame_w: int):
                       if dec.bcw8 is not None else BCW_DEFAULT)
         arr[:k, 8] = (dec.sbt8[ys[m] // 8, xs[m] // 8].astype(np.int32)
                       if dec.sbt8 is not None else 0)
+        arr[:k, 9] = (dec.gpm8[ys[m] // 8, xs[m] // 8].astype(np.int32)
+                      if dec.gpm8 is not None else 0)
         arr[k:, 2:] = 0
         arr[k:, 7] = BCW_DEFAULT
         inter[s] = arr

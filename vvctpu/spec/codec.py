@@ -50,6 +50,7 @@ class FrameDecisions:
     ciip8: np.ndarray = None    # (H//8, W//8) uint8: CIIP (inter+planar)
     sbt8: np.ndarray = None     # (H//8, W//8) uint8: SBT idx 0..4 (inter)
     isp8: np.ndarray = None     # (H//8, W//8) uint8: ISP 0 off / 1 H / 2 V
+    gpm8: np.ndarray = None     # (H//8, W//8) uint8: GPM 0 off / idx + 1
 
     @classmethod
     def empty(cls, h: int, w: int) -> "FrameDecisions":
@@ -67,6 +68,7 @@ class FrameDecisions:
                    np.zeros((h // 8, w // 8), np.uint8),
                    np.zeros((h // 8, w // 8), np.uint8),
                    np.full((h // 8, w // 8), BCW_DEFAULT, np.uint8),
+                   np.zeros((h // 8, w // 8), np.uint8),
                    np.zeros((h // 8, w // 8), np.uint8),
                    np.zeros((h // 8, w // 8), np.uint8),
                    np.zeros((h // 8, w // 8), np.uint8))
@@ -87,7 +89,8 @@ class FrameDecisions:
                 and np.array_equal(self.bcw8, other.bcw8)
                 and np.array_equal(self.ciip8, other.ciip8)
                 and np.array_equal(self.sbt8, other.sbt8)
-                and np.array_equal(self.isp8, other.isp8))
+                and np.array_equal(self.isp8, other.isp8)
+                and np.array_equal(self.gpm8, other.gpm8))
 
 
 @dataclass
@@ -685,17 +688,43 @@ def _ciip_blend(st: _FrameState, mc_pred: np.ndarray, comp: int, px: int,
 
 
 def _inter_pred(st: _FrameState, x: int, y: int, s: int, d: int, mv0, mv1,
-                widx: int = 1, ciip: bool = False):
+                widx: int = 1, ciip: bool = False, gpm: int = 0):
     """[Y, Cb, Cr] motion-compensated predictions for the leaf.
 
     BI leaves run DMVR (per 16x16 subblock, refs symmetric) and BDOF
     (per 4x4 optical flow) when enabled — decoder-side refinements with no
     syntax (spec/inter.py dmvr_offset / bdof_blend).  widx: BCW weight
     index (unequal weights disable DMVR/BDOF, as in VVC); ciip blends the
-    final prediction with planar intra (also disables DMVR/BDOF)."""
+    final prediction with planar intra (also disables DMVR/BDOF); gpm
+    (partition idx + 1) blends the two uni predictions with the geometric
+    mask (role of VTM InterPrediction::motionCompensationGeo; masks
+    rom.gpm_mask; disables DMVR/BDOF/BCW)."""
     from . import inter as imod
     bd = st.sps.bit_depth
     mx = (1 << bd) - 1
+
+    if gpm:
+        w = rom.gpm_mask(s, gpm - 1)
+        wc = w[::2, ::2]
+        out = []
+        for comp, (px, py, sz, wm, mrg) in enumerate(
+                ((x, y, s, w, imod.REF_MARGIN),
+                 (x // 2, y // 2, s // 2, wc, imod.REF_MARGIN // 2),
+                 (x // 2, y // 2, s // 2, wc, imod.REF_MARGIN // 2))):
+            if comp == 0:
+                p0 = imod.mc_luma(st.refs[0][0], px, py, sz, sz, mv0[0],
+                                  mv0[1], bd)
+                p1 = imod.mc_luma(st.refs[1][0], px, py, sz, sz, mv1[0],
+                                  mv1[1], bd)
+            else:
+                p0 = imod.mc_chroma(st.refs[0][comp], px, py, sz, sz,
+                                    mv0[0], mv0[1], bd, mrg)
+                p1 = imod.mc_chroma(st.refs[1][comp], px, py, sz, sz,
+                                    mv1[0], mv1[1], bd, mrg)
+            out.append(np.clip((wm * p0 + (8 - wm) * p1 + 4) >> 3, 0, mx))
+        if st.lmcs is not None:
+            out[0] = st.lmcs[0][out[0]]
+        return out
 
     if d == 2 and widx == imod.BCW_DEFAULT and not ciip \
             and (st.dmvr or st.bdof):
@@ -793,7 +822,9 @@ def _prep_inter_enc(st: _FrameState, x: int, y: int, s: int) -> dict:
             if midx is None and widx == imod.BCW_DEFAULT
             and st.sps.mmvd_enabled else None)
     ciip = bool(st.dec.ciip8[gy, gx]) if st.sps.ciip_enabled else False
-    preds = _inter_pred(st, x, y, s, d, mv0, mv1, widx, ciip)
+    gpm = (int(st.dec.gpm8[gy, gx])
+           if (st.sps.gpm_enabled and is_b and d == 2 and not ciip) else 0)
+    preds = _inter_pred(st, x, y, s, d, mv0, mv1, widx, ciip, gpm)
     bd = st.sps.bit_depth
     levs = []
     sbt = 0
@@ -834,7 +865,7 @@ def _prep_inter_enc(st: _FrameState, x: int, y: int, s: int) -> dict:
     all_zero = not any(lv.any() for lv in levs)
     return dict(d=d, mv0=mv0, mv1=mv1, midx=midx, mmvd=mmvd, preds=preds,
                 levs=levs, all_zero=all_zero, widx=widx, ciip=ciip,
-                sbt=sbt)
+                sbt=sbt, gpm=gpm)
 
 
 def _code_inter_leaf(io, st: _FrameState, x: int, y: int, s: int,
@@ -882,9 +913,14 @@ def _code_inter_leaf(io, st: _FrameState, x: int, y: int, s: int,
                 widx = _code_bcw_idx(io)
         if st.sps.ciip_enabled and not skip:
             ciip = bool(io.bin(C.CIIP_FLAG(0)))
+        gpm = 0
+        if (st.sps.gpm_enabled and is_b and not skip and not ciip
+                and d == 2):
+            if io.bin(C.GPM_FLAG(0)):
+                gpm = 1 + io.byp_n(n=6)
         sbt = _code_sbt_idx(io) \
             if st.sps.sbt_enabled and not skip and not ciip else 0
-        preds = _inter_pred(st, x, y, s, d, mv0, mv1, widx, ciip)
+        preds = _inter_pred(st, x, y, s, d, mv0, mv1, widx, ciip, gpm)
         sl = np.s_[gy:(y + s) // 8, gx:(x + s) // 8]
         st.dec.inter8[sl] = 1
         st.dec.dir8[sl] = d
@@ -893,6 +929,7 @@ def _code_inter_leaf(io, st: _FrameState, x: int, y: int, s: int,
         st.dec.bcw8[sl] = widx
         st.dec.ciip8[sl] = ciip
         st.dec.sbt8[sl] = sbt
+        st.dec.gpm8[sl] = gpm
     else:
         d, mv0, mv1 = pre["d"], pre["mv0"], pre["mv1"]
         midx, preds = pre["midx"], pre["preds"]
@@ -938,6 +975,11 @@ def _code_inter_leaf(io, st: _FrameState, x: int, y: int, s: int,
                     _code_bcw_idx(io, widx)
             if st.sps.ciip_enabled:
                 io.bin(C.CIIP_FLAG(0), int(pre["ciip"]))
+            if (st.sps.gpm_enabled and is_b and not pre["ciip"]
+                    and d == 2):
+                io.bin(C.GPM_FLAG(0), int(pre["gpm"] > 0))
+                if pre["gpm"]:
+                    io.byp_n(pre["gpm"] - 1, 6)
             if st.sps.sbt_enabled and not pre["ciip"]:
                 _code_sbt_idx(io, pre["sbt"])
         sbt = pre["sbt"] if not skip else 0
@@ -988,7 +1030,7 @@ def _code_leaf(io, st: _FrameState, x: int, y: int, s: int) -> None:
                 pre = _prep_inter_enc(st, x, y, s)
                 skip = ((pre["midx"] is not None
                          or pre["mmvd"] is not None) and pre["all_zero"]
-                        and not pre["ciip"])
+                        and not pre["ciip"] and not pre["gpm"])
                 io.bin(C.SKIP_FLAG(0), int(skip))
                 if not skip:
                     io.bin(C.PRED_MODE(0), 1)

@@ -284,6 +284,39 @@ def ciip_sad_pass(orig: np.ndarray, refp: list, kind: np.ndarray,
     return sadm, sadb
 
 
+def gpm_sad_pass(orig: np.ndarray, refp: list, mv0: np.ndarray,
+                 mv1: np.ndarray, s: int, bit_depth: int):
+    """Best GPM partition per s-block: blend the two refined uni
+    predictions with each of the 64 masks, SAD against the original
+    (role of VTM:EncoderLib/EncCu.cpp xCheckRDCostMergeGeo2Nx2N as a dense
+    pass).  Returns (sad (nby,nbx) int64, idx (nby,nbx) int32); the JAX
+    twin (coding/decide.py gpm_pass) matches bit-for-bit."""
+    h, w = orig.shape
+    nby, nbx = h // s, w // s
+    mx = (1 << bit_depth) - 1
+    o64 = orig.astype(np.int64)
+    masks = rom.gpm_masks_all(s).astype(np.int64)          # (64, s, s)
+    best_sad = np.zeros((nby, nbx), np.int64)
+    best_idx = np.zeros((nby, nbx), np.int32)
+    for by in range(nby):
+        for bx in range(nbx):
+            x, y = bx * s, by * s
+            p0 = _inter.mc_luma(refp[0], x, y, s, s, int(mv0[by, bx, 0]),
+                                int(mv0[by, bx, 1]), bit_depth)
+            p1 = _inter.mc_luma(refp[1], x, y, s, s, int(mv1[by, bx, 0]),
+                                int(mv1[by, bx, 1]), bit_depth)
+            pb = np.clip((masks * p0 + (8 - masks) * p1 + 4) >> 3, 0, mx)
+            ob = o64[y:y + s, x:x + s]
+            sads = np.abs(ob[None] - pb).sum(axis=(1, 2))
+            k = int(np.argmin(sads))
+            best_sad[by, bx] = int(sads[k])
+            best_idx[by, bx] = k
+    return best_sad, best_idx
+
+
+GPM_BITS = 8      # gpm_flag + 6-bin partition idx + rounding slack
+
+
 def me_size_pass(orig: np.ndarray, ref: np.ndarray, s: int, lam: int):
     """Best integer MV per s-block over a +-ME_RANGE full search.
 
@@ -448,7 +481,7 @@ def decide_frame_b(orig_y: np.ndarray, ref0_y: np.ndarray,
                    bit_depth: int = rom.BIT_DEPTH,
                    mip: bool = False, mrl: bool = False,
                    bcw: bool = False, ciip: bool = False,
-                   isp: bool = False) -> FrameDecisions:
+                   isp: bool = False, gpm: bool = False) -> FrameDecisions:
     """B-frame decisions: per-size best of {intra, L0, L1, BI}, QT bottom-up.
 
     BI cost: SAD of the averaged refined uni-predictions plus both MV rates
@@ -519,12 +552,34 @@ def decide_frame_b(orig_y: np.ndarray, ref0_y: np.ndarray,
                                        bwidx, s, bit_depth)
             cflag = (kind > 0) & (sadb < sadm)
             cost = np.where(cflag, cost + ((sadb - sadm) << 8), cost)
+        gval = np.zeros((nby, nbx), np.int32)
+        if gpm:
+            gsad, gidx = gpm_sad_pass(orig_y, refp, umv[0], umv[1], s,
+                                      bit_depth)
+            gbits = np.zeros((nby, nbx), np.int64)
+            for by in range(nby):
+                for bx in range(nbx):
+                    gbits[by, bx] = (
+                        _inter.mv_bits_q(int(umv[0][by, bx, 0]) >> 2,
+                                         int(umv[0][by, bx, 1]) >> 2)
+                        + _inter.mv_bits_q(int(umv[1][by, bx, 0]) >> 2,
+                                           int(umv[1][by, bx, 1]) >> 2)
+                        + GPM_BITS)
+            gcost = (gsad << 8) + lam * gbits
+            guse = gcost < cost
+            cost = np.where(guse, gcost, cost)
+            kind = np.where(guse, 3, kind).astype(np.int32)
+            cflag = cflag & ~guse
+            bwidx = np.where(guse, _inter.BCW_DEFAULT, bwidx)
+            gval = np.where(guse, gidx + 1, 0).astype(np.int32)
         size_data[s] = (cost, imode, kind, umv[0], umv[1], imrl, bwidx,
-                        cflag, iisp)
+                        cflag, iisp, gval)
 
-    c8, im8, k8, mva8, mvb8, mrl8a, bw8, cf8, isp8a = size_data[8]
-    c16, im16, k16, mva16, mvb16, mrl16a, bw16, cf16, isp16a = size_data[16]
-    c32, im32, k32, mva32, mvb32, mrl32a, bw32, cf32, isp32a = size_data[32]
+    (c8, im8, k8, mva8, mvb8, mrl8a, bw8, cf8, isp8a, g8) = size_data[8]
+    (c16, im16, k16, mva16, mvb16, mrl16a, bw16, cf16, isp16a,
+     g16) = size_data[16]
+    (c32, im32, k32, mva32, mvb32, mrl32a, bw32, cf32, isp32a,
+     g32) = size_data[32]
     n16y, n16x = h // 16, w // 16
     n32y, n32x = h // 32, w // 32
     sum8 = (c8.reshape(n16y, 2, n16x, 2).sum(axis=(1, 3))
@@ -581,4 +636,7 @@ def decide_frame_b(orig_y: np.ndarray, ref0_y: np.ndarray,
         cf = sel(cf32.astype(np.uint8), cf16.astype(np.uint8),
                  cf8.astype(np.uint8))
         dec.ciip8[:] = np.where(itf, cf, 0).astype(np.uint8)
+    if gpm:
+        gv = sel(g32, g16, g8)
+        dec.gpm8[:] = np.where(itf & (kind == 3), gv, 0).astype(np.uint8)
     return dec

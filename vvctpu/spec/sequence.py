@@ -40,6 +40,7 @@ class EncoderConfig:
     sbt: bool = False       # sub-block transform (inter luma residual)
     bdof: bool = False      # bi-directional optical flow (BI leaves)
     isp: bool = False       # intra sub-partitions (2/4 stripe TBs per leaf)
+    gpm: bool = False       # geometric partitioning (B leaves, 64 masks)
     lfnst: bool = False     # low-frequency non-separable secondary transform
     cclm: bool = False      # cross-component linear-model chroma prediction
     rdoq: bool = True       # encoder RDOQ quantizer (decoder-transparent)
@@ -66,7 +67,7 @@ class EncoderConfig:
                        bdof_enabled=self.bdof, bcw_enabled=self.bcw,
                        amvr_enabled=self.amvr, smvd_enabled=self.smvd,
                        ciip_enabled=self.ciip, sbt_enabled=self.sbt,
-                       isp_enabled=self.isp)
+                       isp_enabled=self.isp, gpm_enabled=self.gpm)
 
 
 def gop_plan(n_frames: int, intra_period: int, gop: int):
@@ -167,7 +168,8 @@ def encode_sequence(frames: list[list[np.ndarray]], cfg: EncoderConfig,
                                         dpb[ref_pocs[1]][0], qp,
                                         cfg.bit_depth, mip=cfg.mip,
                                         mrl=cfg.mrl, bcw=cfg.bcw,
-                                        ciip=cfg.ciip, isp=cfg.isp)
+                                        ciip=cfg.ciip, isp=cfg.isp,
+                                        gpm=cfg.gpm)
         if decisions_out is not None:
             decisions_out.append(dec)
         sh = hls.SliceHeader(poc=poc, slice_type=stype, qp_delta=qpd,
