@@ -43,7 +43,7 @@ def _enc(args) -> int:
                      ("bcw", fc.bcw), ("amvr", fc.amvr),
                      ("smvd", fc.smvd), ("ciip", fc.ciip),
                      ("sbt", fc.sbt), ("isp", fc.isp),
-                     ("gpm", fc.gpm)):
+                     ("gpm", fc.gpm), ("affine", fc.affine)):
             if ap_defaults.get(a) == getattr(args, a):
                 setattr(args, a, v)
         if not fc.rdoq:
@@ -66,7 +66,7 @@ def _enc(args) -> int:
                             dmvr=args.dmvr, bdof=args.bdof, bcw=args.bcw,
                             amvr=args.amvr, smvd=args.smvd,
                             ciip=args.ciip, sbt=args.sbt, isp=args.isp,
-                            gpm=args.gpm,
+                            gpm=args.gpm, affine=args.affine,
                             mctf=args.mctf, rdoq=not args.no_rdoq,
                             rc_bits_per_frame=args.rc_bpf)
     if args.trace_file:
@@ -147,7 +147,7 @@ ap_defaults = {"qp": 32, "intra_period": 1, "gop": 1, "bit_depth": 8,
                "mrl": False, "tskip": False, "jccr": False, "mmvd": False,
                "dmvr": False, "bdof": False, "bcw": False, "amvr": False,
                "smvd": False, "ciip": False, "sbt": False, "isp": False,
-               "gpm": False}
+               "gpm": False, "affine": False}
 
 
 def main(argv=None) -> int:
@@ -205,6 +205,8 @@ def main(argv=None) -> int:
                    help="intra sub-partitions (stripe TBs, implicit DST7)")
     e.add_argument("--gpm", action="store_true",
                    help="geometric partitioning (64 blend masks, B leaves)")
+    e.add_argument("--affine", action="store_true",
+                   help="4-parameter affine motion + PROF (16/32 leaves)")
     e.add_argument("--amvr", action="store_true",
                    help="adaptive MVD resolution (1/4, 1, 4 pel)")
     e.add_argument("--smvd", action="store_true",

@@ -237,6 +237,52 @@ def _bitlen_arr(v: np.ndarray) -> np.ndarray:
     return sum((a >= (1 << k)).astype(np.int64) for k in range(15))
 
 
+def _bitlen_j(v):
+    a = jnp.abs(v)
+    return sum((a >= (1 << k)).astype(jnp.int32) for k in range(15))
+
+
+@functools.partial(jax.jit, static_argnames=("s", "frame_w", "frame_h",
+                                             "bd"))
+def affine_pass(orig, refp, base_mv, lam, *, s: int, frame_w: int,
+                frame_h: int, bd: int = 8):
+    """Best affine dmv per s-block — twin of spec affine_sad_pass (same
+    grid order, (0,0) sentinel-masked, prediction without PROF).
+    Returns (cost, dmv) int32, dmv (nby, nbx, 2)."""
+    from ..kernels import mc as jmc
+    from ..spec.inter import AFF_BITS, AFF_DELTAS, mv_bits_q
+    nby, nbx = frame_h // s, frame_w // s
+    deltas = [(dx_, dy_) for dy_ in AFF_DELTAS for dx_ in AFF_DELTAS]
+    lam32 = jnp.asarray(lam, jnp.int32)
+    SENT = jnp.int32(1 << 30)
+    xs = jnp.arange(nbx, dtype=jnp.int32) * s
+    ys = jnp.arange(nby, dtype=jnp.int32) * s
+    gx, gy = jnp.meshgrid(xs, ys)
+    coords = jnp.stack([gx.ravel(), gy.ravel()], axis=1)
+    orig = orig.astype(jnp.int32)
+    darr = jnp.asarray(np.asarray(deltas, np.int32))
+
+    def one(xy, b):
+        bbits = 2 + 2 * _bitlen_j(b[0] >> 2) + 2 * _bitlen_j(b[1] >> 2)
+        ob = jax.lax.dynamic_slice(orig, (xy[1], xy[0]), (s, s))
+        costs = []
+        for (dx_, dy_) in deltas:
+            if dx_ == 0 and dy_ == 0:
+                costs.append(SENT)
+                continue
+            pred = jmc.affine_pred_luma_j(refp, xy[0], xy[1], s, b[0],
+                                          b[1], dx_, dy_, bd, prof=False)
+            sad = jnp.abs(ob - pred).sum()
+            bits = bbits + mv_bits_q(dx_ >> 2, dy_ >> 2) + AFF_BITS
+            costs.append((sad << 8) + lam32 * bits)
+        arr = jnp.stack(costs)
+        k = jnp.argmin(arr).astype(jnp.int32)
+        return arr[k], darr[k]
+
+    cost, dmv = jax.vmap(one)(coords, base_mv.reshape(-1, 2))
+    return cost.reshape(nby, nbx), dmv.reshape(nby, nbx, 2)
+
+
 def decide_frame(orig_y: np.ndarray, qp: int, bd: int = 8,
                  mip: bool = False, mrl: bool = False,
                  isp: bool = False) -> FrameDecisions:
@@ -298,7 +344,8 @@ def decide_frame(orig_y: np.ndarray, qp: int, bd: int = 8,
 def decide_frame_p(orig_y: np.ndarray, ref_y: np.ndarray, qp: int,
                    bd: int = 8, mip: bool = False,
                    mrl: bool = False, ciip: bool = False,
-                   isp: bool = False) -> FrameDecisions:
+                   isp: bool = False,
+                   affine: bool = False) -> FrameDecisions:
     """Device-batched P-frame decisions (twin of spec decide_frame_p)."""
     from ..spec.inter import ME_RANGE
     from . import me as jme
@@ -330,26 +377,42 @@ def decide_frame_p(orig_y: np.ndarray, ref_y: np.ndarray, qp: int,
                                      frame_h=h, bd=bd)
         rcost = np.asarray(rcost).astype(np.int64)
         rmv = np.asarray(rmv)
-        use_inter = rcost < icost
-        cost = np.where(use_inter, rcost, icost)
+        from ..spec.inter import AFF_MIN_SIZE
+        acost = np.full(rcost.shape, np.int64(1) << 60, np.int64)
+        admv = np.zeros(rcost.shape + (2,), np.int32)
+        if affine and s >= AFF_MIN_SIZE:
+            ac, ad = affine_pass(jorig, refp80, jnp.asarray(rmv),
+                                 np.int32(lam), s=s, frame_w=w, frame_h=h,
+                                 bd=bd)
+            acost = np.asarray(ac).astype(np.int64)
+            admv = np.asarray(ad)
+        k3 = np.argmin(np.stack([icost, rcost, acost]),
+                       axis=0).astype(np.int32)
+        use_inter = k3 > 0
+        affu = k3 == 2
+        cost = np.min(np.stack([icost, rcost, acost]), axis=0)
         cflag = np.zeros(use_inter.shape, bool)
         if ciip:
             jmv = jnp.asarray(rmv)
             sadm, sadb = ciip_pass(
                 jbuf, refp80, refp80,
-                jnp.asarray(use_inter.astype(np.int32)), jmv, jmv,
+                jnp.asarray((k3 == 1).astype(np.int32)), jmv, jmv,
                 jnp.ones(use_inter.shape, jnp.int32), s=s, frame_w=w,
                 frame_h=h, bd=bd)
             sadm = np.asarray(sadm).astype(np.int64)
             sadb = np.asarray(sadb).astype(np.int64)
-            cflag = use_inter & (sadb < sadm)
+            cflag = (k3 == 1) & (sadb < sadm)
             cost = np.where(cflag, cost + ((sadb - sadm) << 8), cost)
-        size_data[s] = (cost, imode, use_inter, rmv, imrl, cflag, iisp)
+        size_data[s] = (cost, imode, use_inter, rmv, imrl, cflag, iisp,
+                        affu, admv)
 
     dec = FrameDecisions.empty(h, w)
-    cost8, imode8, inter8, mv8, mrl8, cf8, isp8a = size_data[8]
-    cost16, imode16, inter16, mv16, mrl16, cf16, isp16a = size_data[16]
-    cost32, imode32, inter32, mv32, mrl32, cf32, isp32a = size_data[32]
+    (cost8, imode8, inter8, mv8, mrl8, cf8, isp8a, af8,
+     adm8) = size_data[8]
+    (cost16, imode16, inter16, mv16, mrl16, cf16, isp16a, af16,
+     adm16) = size_data[16]
+    (cost32, imode32, inter32, mv32, mrl32, cf32, isp32a, af32,
+     adm32) = size_data[32]
     n16y, n16x = h // 16, w // 16
     n32y, n32x = h // 32, w // 32
     sum8 = (cost8.reshape(n16y, 2, n16x, 2).sum(axis=(1, 3))
@@ -398,6 +461,18 @@ def decide_frame_p(orig_y: np.ndarray, ref_y: np.ndarray, qp: int,
         cf = np.where(use16, up(cf16.astype(np.uint8), 2), cf)
         cf = np.where(use8, cf8.astype(np.uint8), cf)
         dec.ciip8[:] = np.where(itf, cf, 0).astype(np.uint8)
+    if affine:
+        af = up(af32.astype(np.uint8), 4)
+        af = np.where(use16, up(af16.astype(np.uint8), 2), af)
+        af = np.where(use8, af8.astype(np.uint8), af)
+        dec.aff8[:] = np.where(itf, af, 0).astype(np.uint8)
+
+        def up3(a, f):
+            return np.kron(a, np.ones((f, f, 1), a.dtype))
+        adm = up3(adm32, 4)
+        adm = np.where(use16[..., None], up3(adm16, 2), adm)
+        adm = np.where(use8[..., None], adm8, adm)
+        dec.admv8[:] = np.where((itf & (af > 0))[..., None], adm, 0)
     return dec
 
 
@@ -405,7 +480,8 @@ def decide_frame_b(orig_y: np.ndarray, ref0_y: np.ndarray,
                    ref1_y: np.ndarray, qp: int, bd: int = 8,
                    mip: bool = False, mrl: bool = False,
                    bcw: bool = False, ciip: bool = False,
-                   isp: bool = False, gpm: bool = False):
+                   isp: bool = False, gpm: bool = False,
+                   affine: bool = False):
     """Device-batched B-frame decisions (twin of spec decide_frame_b)."""
     from ..spec.inter import BCW_DEFAULT
     from ..spec.inter import ME_RANGE, REF_MARGIN
@@ -447,18 +523,36 @@ def decide_frame_b(orig_y: np.ndarray, ref0_y: np.ndarray,
             bd=bd, bcw=bcw)
         bcost = np.asarray(bcost).astype(np.int64)
         bwidx = np.asarray(bwidx)
-        costs = np.stack([icost, ucost[0], ucost[1], bcost])
+        from ..spec.inter import AFF_MIN_SIZE
+        sent = np.full(icost.shape, np.int64(1) << 60, np.int64)
+        a0cost, a1cost = sent, sent
+        admv0 = np.zeros(icost.shape + (2,), np.int32)
+        admv1 = np.zeros(icost.shape + (2,), np.int32)
+        if affine and s >= AFF_MIN_SIZE:
+            ac0, ad0 = affine_pass(jorig, refp80[0], jnp.asarray(umv[0]),
+                                   np.int32(lam), s=s, frame_w=w,
+                                   frame_h=h, bd=bd)
+            ac1, ad1 = affine_pass(jorig, refp80[1], jnp.asarray(umv[1]),
+                                   np.int32(lam), s=s, frame_w=w,
+                                   frame_h=h, bd=bd)
+            a0cost = np.asarray(ac0).astype(np.int64)
+            admv0 = np.asarray(ad0)
+            a1cost = np.asarray(ac1).astype(np.int64)
+            admv1 = np.asarray(ad1)
+        costs = np.stack([icost, ucost[0], ucost[1], bcost, a0cost,
+                          a1cost])
         kind = np.argmin(costs, axis=0).astype(np.int32)
         cost = np.min(costs, axis=0)
         cflag = np.zeros(kind.shape, bool)
         if ciip:
+            kind_c = np.where(kind <= 3, kind, 0).astype(np.int32)
             sadm, sadb = ciip_pass(
-                jbuf, refp80[0], refp80[1], jnp.asarray(kind),
+                jbuf, refp80[0], refp80[1], jnp.asarray(kind_c),
                 jnp.asarray(umv[0]), jnp.asarray(umv[1]),
                 jnp.asarray(bwidx), s=s, frame_w=w, frame_h=h, bd=bd)
             sadm = np.asarray(sadm).astype(np.int64)
             sadb = np.asarray(sadb).astype(np.int64)
-            cflag = (kind > 0) & (sadb < sadm)
+            cflag = (kind_c > 0) & (sadb < sadm)
             cost = np.where(cflag, cost + ((sadb - sadm) << 8), cost)
         gval = np.zeros(kind.shape, np.int32)
         if gpm:
@@ -479,16 +573,19 @@ def decide_frame_b(orig_y: np.ndarray, ref0_y: np.ndarray,
             cflag = cflag & ~guse
             bwidx = np.where(guse, BCW_DEFAULT, bwidx)
             gval = np.where(guse, gidx + 1, 0).astype(np.int32)
+        adm = np.where((kind == 4)[..., None], admv0,
+                       np.where((kind == 5)[..., None], admv1, 0))
         size_data[s] = (cost, imode, kind, umv[0], umv[1], imrl, bwidx,
-                        cflag, iisp, gval)
+                        cflag, iisp, gval, adm)
 
     from ..spec.codec import FrameDecisions as FD
     dec = FD.empty(h, w)
-    (c8, im8, k8, mva8, mvb8, mrl8a, bw8, cf8, isp8a, g8) = size_data[8]
-    (c16, im16, k16, mva16, mvb16, mrl16a, bw16, cf16, isp16a,
-     g16) = size_data[16]
-    (c32, im32, k32, mva32, mvb32, mrl32a, bw32, cf32, isp32a,
-     g32) = size_data[32]
+    (c8, im8, k8, mva8, mvb8, mrl8a, bw8, cf8, isp8a, g8,
+     adm8) = size_data[8]
+    (c16, im16, k16, mva16, mvb16, mrl16a, bw16, cf16, isp16a, g16,
+     adm16) = size_data[16]
+    (c32, im32, k32, mva32, mvb32, mrl32a, bw32, cf32, isp32a, g32,
+     adm32) = size_data[32]
     n16y, n16x = h // 16, w // 16
     n32y, n32x = h // 32, w // 32
     sum8 = (c8.reshape(n16y, 2, n16x, 2).sum(axis=(1, 3))
@@ -529,10 +626,11 @@ def decide_frame_b(orig_y: np.ndarray, ref0_y: np.ndarray,
     dec.modes8[:] = np.where(itf, 0, mode)
     dec.mrl8[:] = np.where(itf, 0, mrlv).astype(np.uint8)
     dec.isp8[:] = np.where(itf, 0, ispv).astype(np.uint8)
-    dec.dir8[:] = np.where(itf, np.where(kind == 3, 2, kind - 1),
-                           0).astype(np.uint8)
-    use0 = itf & ((kind == 1) | (kind == 3))
-    use1 = itf & ((kind == 2) | (kind == 3))
+    dirv = np.where(kind == 3, 2,
+                    np.where((kind == 1) | (kind == 4), 0, 1))
+    dec.dir8[:] = np.where(itf, dirv, 0).astype(np.uint8)
+    use0 = itf & ((kind == 1) | (kind == 3) | (kind == 4))
+    use1 = itf & ((kind == 2) | (kind == 3) | (kind == 5))
     dec.mv8[..., 0] = np.where(use0, mv0[..., 0], 0)
     dec.mv8[..., 1] = np.where(use0, mv0[..., 1], 0)
     dec.mv8_l1[..., 0] = np.where(use1, mv1[..., 0], 0)
@@ -548,4 +646,8 @@ def decide_frame_b(orig_y: np.ndarray, ref0_y: np.ndarray,
     if gpm:
         gv = sel(g32, g16, g8)
         dec.gpm8[:] = np.where(itf & (kind == 3), gv, 0).astype(np.uint8)
+    if affine:
+        dec.aff8[:] = (kind >= 4).astype(np.uint8)
+        adm = sel(adm32, adm16, adm8)
+        dec.admv8[:] = np.where((kind >= 4)[..., None], adm, 0)
     return dec

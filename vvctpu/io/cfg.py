@@ -37,6 +37,7 @@ class AppConfig:
     sbt: bool = False             # SBT
     isp: bool = False             # ISP
     gpm: bool = False             # Geo / GPM
+    affine: bool = False          # Affine
     bdof: bool = False            # BIO / BDOF
     rdoq: bool = True             # RDOQ
     lmcs: bool = False            # LMCSEnable / LMCS
@@ -83,6 +84,7 @@ _KEYMAP = {
     "isp": ("isp", lambda v: bool(int(v))),
     "geo": ("gpm", lambda v: bool(int(v))),
     "gpm": ("gpm", lambda v: bool(int(v))),
+    "affine": ("affine", lambda v: bool(int(v))),
     "sbt": ("sbt", lambda v: bool(int(v))),
     "bio": ("bdof", lambda v: bool(int(v))),
     "bdof": ("bdof", lambda v: bool(int(v))),

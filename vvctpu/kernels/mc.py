@@ -132,3 +132,78 @@ def mc_chroma_block(ref_pad, x, y, s: int, mvx, mvy, bd: int = 8,
     for t in range(4):
         acc = acc + tv[t] * jax.lax.dynamic_slice_in_dim(tmp, t, s, axis=0)
     return jnp.clip((acc + 2048) >> 12, 0, (1 << bd) - 1)
+
+
+# ---------------------------------------------------------------------------
+# Affine (4-parameter) + PROF — device twin of spec/inter.py affine_pred_*
+# (per-4x4-subblock translational MC at the model MV, vmapped over the
+# subblock grid; PROF per-pixel gradient correction in the recon path).
+# ---------------------------------------------------------------------------
+_PROF_D = jnp.asarray(2 * np.arange(4) - 3, jnp.int32)
+
+
+def affine_pred_luma_j(ref_pad, x, y, s: int, mvx0, mvy0, dmx, dmy,
+                       bd: int = 8, prof: bool = True,
+                       margin: int = REF_MARGIN):
+    """(s, s) affine luma prediction; traced CPMV0 (mvx0, mvy0) and
+    dmv = CPMV1 - CPMV0 (dmx, dmy), all 1/16-pel."""
+    log2s = int(s).bit_length() - 1
+    n = s // 4
+    mx = (1 << bd) - 1
+    du = _PROF_D[None, :]
+    dv = _PROF_D[:, None]
+    dx32 = (dmx * du - dmy * dv) >> log2s
+    dy32 = (dmy * du + dmx * dv) >> log2s
+
+    def sub(k):
+        i, j = k // n, k % n
+        cx = 4 * j + 2
+        cy = 4 * i + 2
+        mvx = mvx0 + ((dmx * cx - dmy * cy) >> log2s)
+        mvy = mvy0 + ((dmy * cx + dmx * cy) >> log2s)
+        if prof:
+            p = mc_luma_block(ref_pad, x + 4 * j - 1, y + 4 * i - 1, 6,
+                              mvx, mvy, bd, margin)
+            gx = (p[1:5, 2:6] - p[1:5, 0:4]) >> 1
+            gy = (p[2:6, 1:5] - p[0:4, 1:5]) >> 1
+            di = (gx * dx32 + gy * dy32 + 16) >> 5
+            return jnp.clip(p[1:5, 1:5] + di, 0, mx)
+        return mc_luma_block(ref_pad, x + 4 * j, y + 4 * i, 4, mvx, mvy,
+                             bd, margin)
+
+    blocks = jax.vmap(sub)(jnp.arange(n * n, dtype=jnp.int32))
+    return blocks.reshape(n, n, 4, 4).transpose(0, 2, 1, 3).reshape(s, s)
+
+
+def affine_pred_chroma_j(ref_pad, cx0, cy0, cs: int, mvx0, mvy0, dmx, dmy,
+                         s_luma: int, bd: int = 8,
+                         margin: int = REF_MARGIN // 2):
+    """(cs, cs) affine chroma prediction: 4x4 subblocks at the luma
+    granule-centre model MVs."""
+    log2s = int(s_luma).bit_length() - 1
+    n = cs // 4
+
+    def sub(k):
+        i, j = k // n, k % n
+        cx = 8 * j + 4
+        cy = 8 * i + 4
+        mvx = mvx0 + ((dmx * cx - dmy * cy) >> log2s)
+        mvy = mvy0 + ((dmy * cx + dmx * cy) >> log2s)
+        return mc_chroma_block(ref_pad, cx0 + 4 * j, cy0 + 4 * i, 4,
+                               mvx, mvy, bd, margin)
+
+    blocks = jax.vmap(sub)(jnp.arange(n * n, dtype=jnp.int32))
+    return blocks.reshape(n, n, 4, 4).transpose(0, 2, 1, 3).reshape(cs, cs)
+
+
+def affine_granule_mvs_j(mvx0, mvy0, dmx, dmy, s: int):
+    """(s//8, s//8, 2) model MVs at the 8x8-granule centres (int32)."""
+    log2s = int(s).bit_length() - 1
+    n = s // 8
+    jj = 8 * jnp.arange(n, dtype=jnp.int32) + 4
+    ii = 8 * jnp.arange(n, dtype=jnp.int32) + 4
+    cx = jj[None, :]
+    cy = ii[:, None]
+    mvx = mvx0 + ((dmx * cx - dmy * cy) >> log2s)
+    mvy = mvy0 + ((dmy * cx + dmx * cy) >> log2s)
+    return jnp.stack([mvx, mvy], axis=-1)

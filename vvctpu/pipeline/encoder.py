@@ -59,7 +59,8 @@ def encode_sequence(frames, cfg: sseq.EncoderConfig, decisions_fn=None,
                                          cfg.bit_depth, mip=sps.mip_enabled,
                                          mrl=sps.mrl_enabled,
                                          ciip=sps.ciip_enabled,
-                                         isp=sps.isp_enabled)
+                                         isp=sps.isp_enabled,
+                                         affine=sps.affine_enabled)
         else:
             dec = jdecide.decide_frame_b(padded[0], dpb[ref_pocs[0]][0],
                                          dpb[ref_pocs[1]][0], qp,
@@ -68,7 +69,8 @@ def encode_sequence(frames, cfg: sseq.EncoderConfig, decisions_fn=None,
                                          bcw=sps.bcw_enabled,
                                          ciip=sps.ciip_enabled,
                                          isp=sps.isp_enabled,
-                                         gpm=sps.gpm_enabled)
+                                         gpm=sps.gpm_enabled,
+                                         affine=sps.affine_enabled)
         if decisions_out is not None:
             decisions_out.append(dec)
         lmcs_cw = ()
@@ -105,6 +107,7 @@ def encode_sequence(frames, cfg: sseq.EncoderConfig, decisions_fn=None,
             dmvr=sps.dmvr_enabled and sym, bdof=sps.bdof_enabled and sym,
             ciip=sps.ciip_enabled, sbt=sps.sbt_enabled,
             isp=sps.isp_enabled, gpm=sps.gpm_enabled,
+            affine=sps.affine_enabled,
             fwd_lut=None if fwd_lut is None else jnp_asarray(fwd_lut),
             crs_lut=None if crs_lut is None else jnp_asarray(crs_lut),
             lam_rd=lambda_rd_int(qp), **ref_kw)
@@ -211,6 +214,7 @@ def decode_sequence(data: bytes, check_hash: bool = True):
                 bdof=sps.bdof_enabled and bi_sym(sh),
                 ciip=sps.ciip_enabled, sbt=sps.sbt_enabled,
                 isp=sps.isp_enabled, gpm=sps.gpm_enabled,
+                affine=sps.affine_enabled,
                 fwd_lut=None if fwd_lut is None else jnp_asarray(fwd_lut),
                 crs_lut=None if crs_lut is None else jnp_asarray(crs_lut),
                 **ref_kw)

@@ -249,20 +249,26 @@ class _Walker:
                if d in (1, 2) else (0, 0))
         widx = (int(self.dec.bcw8[gy, gx])
                 if self.sps.bcw_enabled and d == 2 else imod.BCW_DEFAULT)
+        aff = None
+        if (self.sps.affine_enabled and s >= imod.AFF_MIN_SIZE and d != 2
+                and self.dec.aff8 is not None and self.dec.aff8[gy, gx]):
+            aff = (int(self.dec.admv8[gy, gx, 0]),
+                   int(self.dec.admv8[gy, gx, 1]))
         cands = imod.merge_candidates(self.inter_map, self.mv_map, x, y, s,
                                       self.is_b, self.col, self.hmvp)
         me = (d, mv0, mv1)
         midx = (cands.index(me)
-                if me in cands and widx == imod.BCW_DEFAULT else None)
+                if me in cands and widx == imod.BCW_DEFAULT
+                and aff is None else None)
         mmvd = (imod.mmvd_match(cands, me)
                 if midx is None and widx == imod.BCW_DEFAULT
-                and self.sps.mmvd_enabled else None)
+                and aff is None and self.sps.mmvd_enabled else None)
         ciip = (bool(self.dec.ciip8[gy, gx])
                 if self.sps.ciip_enabled else False)
         gpm = (int(self.dec.gpm8[gy, gx])
                if (self.sps.gpm_enabled and self.is_b and d == 2
                    and not ciip) else 0)
-        return d, mv0, mv1, midx, mmvd, widx, ciip, gpm
+        return d, mv0, mv1, midx, mmvd, widx, ciip, gpm, aff
 
     def _leaf_levels_zero(self, x, y, s):
         cs, cx, cy = s // 2, x // 2, y // 2
@@ -276,6 +282,7 @@ class _Walker:
                                   _code_mmvd, _code_sbt_idx)
         io = self.io
         gy, gx = y // 8, x // 8
+        aff = None
         if io.decoding:
             widx = imod.BCW_DEFAULT
             ciip = False
@@ -292,30 +299,43 @@ class _Walker:
                     midx = _code_merge_idx(io)
                     d, mv0, mv1 = cands[midx]
             else:
-                from ..spec.codec import code_amvr
+                from ..spec.codec import _code_mvd_comp, code_amvr
                 if self.is_b:
                     bi = io.bin(C.INTER_DIR(0))
                     d = 2 if bi else io.byp()
                 else:
                     d = 0
-                shift = imod.AMVR_SHIFTS[code_amvr(io)] \
-                    if self.sps.amvr_enabled else 2
-                smvd = bool(io.bin(C.SMVD_FLAG(0))) \
-                    if d == 2 and self.smvd else False
-                mv0 = mv1 = (0, 0)
-                if smvd:
-                    from ..spec.codec import code_mv_smvd
-                    mv0, mv1 = code_mv_smvd(io, self.mv_map, self.inter_map,
-                                            x, y, s, shift=shift)
+                aff_sig = (self.sps.affine_enabled
+                           and s >= imod.AFF_MIN_SIZE and d != 2)
+                if aff_sig and io.bin(C.AFF_FLAG(0)):
+                    mv = self._code_mv_list(x, y, s, d, shift=2)
+                    dmx = _code_mvd_comp(io, None) << 2
+                    dmy = _code_mvd_comp(io, None) << 2
+                    aff = (dmx, dmy)
+                    mv0 = mv if d == 0 else (0, 0)
+                    mv1 = mv if d == 1 else (0, 0)
                 else:
-                    if d in (0, 2):
-                        mv0 = self._code_mv_list(x, y, s, 0, shift=shift)
-                    if d in (1, 2):
-                        mv1 = self._code_mv_list(x, y, s, 1, shift=shift)
-                    if d == 1:
-                        mv0 = (0, 0)
-                if self.is_b and d == 2 and self.sps.bcw_enabled:
-                    widx = _code_bcw_idx(io)
+                    shift = imod.AMVR_SHIFTS[code_amvr(io)] \
+                        if self.sps.amvr_enabled else 2
+                    smvd = bool(io.bin(C.SMVD_FLAG(0))) \
+                        if d == 2 and self.smvd else False
+                    mv0 = mv1 = (0, 0)
+                    if smvd:
+                        from ..spec.codec import code_mv_smvd
+                        mv0, mv1 = code_mv_smvd(io, self.mv_map,
+                                                self.inter_map,
+                                                x, y, s, shift=shift)
+                    else:
+                        if d in (0, 2):
+                            mv0 = self._code_mv_list(x, y, s, 0,
+                                                     shift=shift)
+                        if d in (1, 2):
+                            mv1 = self._code_mv_list(x, y, s, 1,
+                                                     shift=shift)
+                        if d == 1:
+                            mv0 = (0, 0)
+                    if self.is_b and d == 2 and self.sps.bcw_enabled:
+                        widx = _code_bcw_idx(io)
             if self.sps.ciip_enabled and not skip:
                 ciip = bool(io.bin(C.CIIP_FLAG(0)))
             gpm = 0
@@ -334,8 +354,13 @@ class _Walker:
             self.dec.ciip8[sl] = ciip
             self.dec.sbt8[sl] = sbt
             self.dec.gpm8[sl] = gpm
+            self.dec.aff8[sl] = int(aff is not None)
+            if aff is not None:
+                self.dec.admv8[sl] = aff
         else:
-            d, mv0, mv1, midx, mmvd, widx, ciip, gpm = enc_mot
+            d, mv0, mv1, midx, mmvd, widx, ciip, gpm, aff = enc_mot
+            if skip:
+                aff = None
             merged = midx is not None or mmvd is not None
 
             def code_merge_data():
@@ -351,30 +376,44 @@ class _Walker:
                 if merged:
                     code_merge_data()
                 else:
-                    from ..spec.codec import _amvr_for_leaf, code_mv_smvd
+                    from ..spec.codec import (_amvr_for_leaf,
+                                              _code_mvd_comp, code_mv_smvd)
                     if self.is_b:
                         io.bin(C.INTER_DIR(0), int(d == 2))
                         if d != 2:
                             io.byp(d)
-                    prec = _amvr_for_leaf(io, self.mv_map, self.inter_map,
-                                          x, y, s, d, mv0, mv1,
-                                          self.sps.amvr_enabled)
-                    shift = imod.AMVR_SHIFTS[prec]
-                    i1 = imod.smvd_match(self.mv_map, self.inter_map, x, y,
-                                         s, mv0, mv1, shift) \
-                        if d == 2 and self.smvd else None
-                    if d == 2 and self.smvd:
-                        io.bin(C.SMVD_FLAG(0), int(i1 is not None))
-                    if i1 is not None:
-                        code_mv_smvd(io, self.mv_map, self.inter_map, x, y,
-                                     s, mv0, i1, shift=shift)
+                    aff_sig = (self.sps.affine_enabled
+                               and s >= imod.AFF_MIN_SIZE and d != 2)
+                    if aff_sig:
+                        io.bin(C.AFF_FLAG(0), int(aff is not None))
+                    if aff is not None:
+                        self._code_mv_list(x, y, s, d,
+                                           mv0 if d == 0 else mv1, shift=2)
+                        _code_mvd_comp(io, aff[0] >> 2)
+                        _code_mvd_comp(io, aff[1] >> 2)
                     else:
-                        if d in (0, 2):
-                            self._code_mv_list(x, y, s, 0, mv0, shift=shift)
-                        if d in (1, 2):
-                            self._code_mv_list(x, y, s, 1, mv1, shift=shift)
-                    if self.is_b and d == 2 and self.sps.bcw_enabled:
-                        _code_bcw_idx(io, widx)
+                        prec = _amvr_for_leaf(io, self.mv_map,
+                                              self.inter_map,
+                                              x, y, s, d, mv0, mv1,
+                                              self.sps.amvr_enabled)
+                        shift = imod.AMVR_SHIFTS[prec]
+                        i1 = imod.smvd_match(self.mv_map, self.inter_map,
+                                             x, y, s, mv0, mv1, shift) \
+                            if d == 2 and self.smvd else None
+                        if d == 2 and self.smvd:
+                            io.bin(C.SMVD_FLAG(0), int(i1 is not None))
+                        if i1 is not None:
+                            code_mv_smvd(io, self.mv_map, self.inter_map,
+                                         x, y, s, mv0, i1, shift=shift)
+                        else:
+                            if d in (0, 2):
+                                self._code_mv_list(x, y, s, 0, mv0,
+                                                   shift=shift)
+                            if d in (1, 2):
+                                self._code_mv_list(x, y, s, 1, mv1,
+                                                   shift=shift)
+                        if self.is_b and d == 2 and self.sps.bcw_enabled:
+                            _code_bcw_idx(io, widx)
                 if self.sps.ciip_enabled:
                     io.bin(C.CIIP_FLAG(0), int(ciip))
                 if (self.sps.gpm_enabled and self.is_b and not ciip
@@ -386,12 +425,17 @@ class _Walker:
                     _code_sbt_idx(io, int(self.dec.sbt8[gy, gx]))
         trace.t_leaf_inter(x, y, s, mv0 if d != 1 else mv1)
         sl = np.s_[gy:(y + s) // 8, gx:(x + s) // 8]
-        if d in (0, 2):
-            self.inter_map[:, :, 0][sl] = True
-            self.mv_map[:, :, 0][sl] = mv0
-        if d in (1, 2):
-            self.inter_map[:, :, 1][sl] = True
-            self.mv_map[:, :, 1][sl] = mv1
+        if aff is not None:
+            self.inter_map[:, :, d][sl] = True
+            self.mv_map[:, :, d][sl] = imod.affine_granule_mvs(
+                mv0 if d == 0 else mv1, aff, s)
+        else:
+            if d in (0, 2):
+                self.inter_map[:, :, 0][sl] = True
+                self.mv_map[:, :, 0][sl] = mv0
+            if d in (1, 2):
+                self.inter_map[:, :, 1][sl] = True
+                self.mv_map[:, :, 1][sl] = mv1
         imod.hmvp_push(self.hmvp, (d, mv0, mv1))
 
     def _code_leaf(self, x, y, s):

@@ -362,13 +362,14 @@ def _inter_batch_pass(carry, ib_slots, refs, s: int, qp, bd: int,
                       encode: bool, frame_w: int, frame_h: int,
                       rdoq: bool = False, lam_rd=0, fwd_lut=None,
                       dmvr: bool = False, bdof: bool = False,
-                      sbt: bool = False, crs_lut=None, gpm: bool = False):
+                      sbt: bool = False, crs_lut=None, gpm: bool = False,
+                      affine: bool = False):
     """Phase A: all inter s-leaves at once (no intra-frame dependency).
 
-    ib_slots: (B, 10) int32 [x, y, mv0x, mv0y, mv1x, mv1y, dir, bcw_idx,
-    sbt_idx, gpm_idx]; invalid rows have x = y = 2^20 (positive
-    out-of-bounds: their scatter indices are dropped).  refs: (l0_y, ...,
-    l1_cr)."""
+    ib_slots: (B, 13) int32 [x, y, mv0x, mv0y, mv1x, mv1y, dir, bcw_idx,
+    sbt_idx, gpm_idx, aff, admvx, admvy]; invalid rows have x = y = 2^20
+    (positive out-of-bounds: their scatter indices are dropped).  refs:
+    (l0_y, ..., l1_cr)."""
     from ..spec.inter import BCW_DEFAULT, BCW_W
     (by, bcb, bcr, ly, lcb, lcr, sy, scb, scr, mtsp, lfnstp,
      cmodep, jccrp, sbtp) = carry
@@ -479,6 +480,31 @@ def _inter_batch_pass(carry, ib_slots, refs, s: int, qp, bd: int,
             pred_y = bipred(refs[0], refs[3], x, y, s, True)
             pred_cb = bipred(refs[1], refs[4], x // 2, y // 2, cs, False)
             pred_cr = bipred(refs[2], refs[5], x // 2, y // 2, cs, False)
+        if affine and s >= 16:
+            # affine override for uni leaves (twin of spec _inter_pred's
+            # affine branch): per-subblock MC + PROF at the model MVs
+            av, amx, amy = slot[10], slot[11], slot[12]
+            bmx = jnp.where(d == 0, m0x, m1x)
+            bmy = jnp.where(d == 0, m0y, m1y)
+
+            def aff3(ry, rcb, rcr):
+                ay = mc.affine_pred_luma_j(ry, x, y, s, bmx, bmy, amx,
+                                           amy, bd)
+                acb = mc.affine_pred_chroma_j(rcb, x // 2, y // 2, cs,
+                                              bmx, bmy, amx, amy, s, bd)
+                acr = mc.affine_pred_chroma_j(rcr, x // 2, y // 2, cs,
+                                              bmx, bmy, amx, amy, s, bd)
+                return ay, acb, acr
+
+            a0 = aff3(refs[0], refs[1], refs[2])
+            a1 = aff3(refs[3], refs[4], refs[5])
+            sel0 = d == 0
+            pred_y = jnp.where(av > 0, jnp.where(sel0, a0[0], a1[0]),
+                               pred_y)
+            pred_cb = jnp.where(av > 0, jnp.where(sel0, a0[1], a1[1]),
+                                pred_cb)
+            pred_cr = jnp.where(av > 0, jnp.where(sel0, a0[2], a1[2]),
+                                pred_cr)
         if fwd_lut is not None:
             # LMCS: the final luma prediction is forward-mapped (intra and
             # residual coding run in the mapped domain)
@@ -555,7 +581,8 @@ def _inter_batch_pass(carry, ib_slots, refs, s: int, qp, bd: int,
                                     "inter_enabled", "mts", "lfnst",
                                     "cclm", "rdoq", "lmcs", "mip",
                                     "tskip", "jccr", "dmvr", "bdof",
-                                    "ciip", "sbt", "isp", "gpm"))
+                                    "ciip", "sbt", "isp", "gpm",
+                                    "affine"))
 def frame_scan(slots, planes_y, planes_cb, planes_cr, *, frame_w: int,
                frame_h: int, qp, bd: int, encode: bool,
                inter_enabled: bool = False, ref_y=None, ref_cb=None,
@@ -566,7 +593,8 @@ def frame_scan(slots, planes_y, planes_cb, planes_cr, *, frame_w: int,
                fwd_lut=None, mip: bool = False, tskip: bool = False,
                jccr: bool = False, dmvr: bool = False, bdof: bool = False,
                ciip: bool = False, sbt: bool = False, crs_lut=None,
-               isp: bool = False, gpm: bool = False):
+               isp: bool = False, gpm: bool = False,
+               affine: bool = False):
     """Run the full-frame reconstruction scan.
 
     slots: (N, 6) int32 [op, x, y, mode, mvx, mvy] in coding order; op 0 =
@@ -606,7 +634,7 @@ def frame_scan(slots, planes_y, planes_cb, planes_cr, *, frame_w: int,
                                       fwd_lut if lmcs else None,
                                       dmvr=dmvr, bdof=bdof, sbt=sbt,
                                       crs_lut=crs_lut if lmcs else None,
-                                      gpm=gpm)
+                                      gpm=gpm, affine=affine)
 
     # phase B: intra leaves in coding order (inter slots are op=0 skips)
     kw = dict(frame_w=frame_w, frame_h=frame_h, n_ctu_x=n_ctu_x, qp=qp,
@@ -704,7 +732,7 @@ def make_slots_split(dec: FrameDecisions, frame_h: int, frame_w: int):
         cap = (frame_h // s) * (frame_w // s)
         # dummy coordinate must be positive-out-of-bounds: jnp .at[] wraps
         # negative indices instead of dropping them
-        arr = np.full((cap, 10), 1 << 20, np.int32)
+        arr = np.full((cap, 13), 1 << 20, np.int32)
         m = op == opv
         k = int(m.sum())
         arr[:k, 0] = xs[m]
@@ -720,6 +748,12 @@ def make_slots_split(dec: FrameDecisions, frame_h: int, frame_w: int):
                       if dec.sbt8 is not None else 0)
         arr[:k, 9] = (dec.gpm8[ys[m] // 8, xs[m] // 8].astype(np.int32)
                       if dec.gpm8 is not None else 0)
+        if dec.aff8 is not None:
+            arr[:k, 10] = dec.aff8[ys[m] // 8, xs[m] // 8].astype(np.int32)
+            arr[:k, 11] = dec.admv8[ys[m] // 8, xs[m] // 8, 0]
+            arr[:k, 12] = dec.admv8[ys[m] // 8, xs[m] // 8, 1]
+        else:
+            arr[:k, 10:] = 0
         arr[k:, 2:] = 0
         arr[k:, 7] = BCW_DEFAULT
         inter[s] = arr

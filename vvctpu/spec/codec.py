@@ -51,6 +51,8 @@ class FrameDecisions:
     sbt8: np.ndarray = None     # (H//8, W//8) uint8: SBT idx 0..4 (inter)
     isp8: np.ndarray = None     # (H//8, W//8) uint8: ISP 0 off / 1 H / 2 V
     gpm8: np.ndarray = None     # (H//8, W//8) uint8: GPM 0 off / idx + 1
+    aff8: np.ndarray = None     # (H//8, W//8) uint8: affine flag (uni inter)
+    admv8: np.ndarray = None    # (H//8, W//8, 2) int32: CPMV1-CPMV0 delta
 
     @classmethod
     def empty(cls, h: int, w: int) -> "FrameDecisions":
@@ -71,7 +73,9 @@ class FrameDecisions:
                    np.zeros((h // 8, w // 8), np.uint8),
                    np.zeros((h // 8, w // 8), np.uint8),
                    np.zeros((h // 8, w // 8), np.uint8),
-                   np.zeros((h // 8, w // 8), np.uint8))
+                   np.zeros((h // 8, w // 8), np.uint8),
+                   np.zeros((h // 8, w // 8), np.uint8),
+                   np.zeros((h // 8, w // 8, 2), np.int32))
 
     def equal(self, other: "FrameDecisions") -> bool:
         return (np.array_equal(self.split32, other.split32)
@@ -90,7 +94,9 @@ class FrameDecisions:
                 and np.array_equal(self.ciip8, other.ciip8)
                 and np.array_equal(self.sbt8, other.sbt8)
                 and np.array_equal(self.isp8, other.isp8)
-                and np.array_equal(self.gpm8, other.gpm8))
+                and np.array_equal(self.gpm8, other.gpm8)
+                and np.array_equal(self.aff8, other.aff8)
+                and np.array_equal(self.admv8, other.admv8))
 
 
 @dataclass
@@ -688,7 +694,8 @@ def _ciip_blend(st: _FrameState, mc_pred: np.ndarray, comp: int, px: int,
 
 
 def _inter_pred(st: _FrameState, x: int, y: int, s: int, d: int, mv0, mv1,
-                widx: int = 1, ciip: bool = False, gpm: int = 0):
+                widx: int = 1, ciip: bool = False, gpm: int = 0,
+                aff=None):
     """[Y, Cb, Cr] motion-compensated predictions for the leaf.
 
     BI leaves run DMVR (per 16x16 subblock, refs symmetric) and BDOF
@@ -702,6 +709,23 @@ def _inter_pred(st: _FrameState, x: int, y: int, s: int, d: int, mv0, mv1,
     from . import inter as imod
     bd = st.sps.bit_depth
     mx = (1 << bd) - 1
+
+    if aff is not None:
+        # affine (uni): per-4x4-subblock luma MC + PROF; 4x4 chroma
+        # subblocks at the granule-centre model MVs
+        base = mv0 if d == 0 else mv1
+        ref = st.refs[d]
+        out = [imod.affine_pred_luma(ref[0], x, y, s, base, aff, bd,
+                                     prof=True),
+               imod.affine_pred_chroma(ref[1], x // 2, y // 2, s // 2,
+                                       base, aff, s, bd,
+                                       imod.REF_MARGIN // 2),
+               imod.affine_pred_chroma(ref[2], x // 2, y // 2, s // 2,
+                                       base, aff, s, bd,
+                                       imod.REF_MARGIN // 2)]
+        if st.lmcs is not None:
+            out[0] = st.lmcs[0][out[0]]
+        return out
 
     if gpm:
         w = rom.gpm_mask(s, gpm - 1)
@@ -811,20 +835,25 @@ def _prep_inter_enc(st: _FrameState, x: int, y: int, s: int) -> dict:
            if d in (1, 2) else (0, 0))
     widx = (int(st.dec.bcw8[gy, gx])
             if st.sps.bcw_enabled and d == 2 else imod.BCW_DEFAULT)
+    aff = None
+    if (st.sps.affine_enabled and s >= imod.AFF_MIN_SIZE and d != 2
+            and st.dec.aff8 is not None and st.dec.aff8[gy, gx]):
+        aff = (int(st.dec.admv8[gy, gx, 0]), int(st.dec.admv8[gy, gx, 1]))
     cands = imod.merge_candidates(st.inter_map, st.mv_map, x, y, s, is_b,
                                   st.col, st.hmvp)
     me = (d, mv0, mv1)
     # merge leaves always use the equal weight, so an unequal-BCW leaf
-    # must be coded explicitly
+    # must be coded explicitly; affine leaves are always explicit
     midx = (cands.index(me)
-            if me in cands and widx == imod.BCW_DEFAULT else None)
+            if me in cands and widx == imod.BCW_DEFAULT and aff is None
+            else None)
     mmvd = (imod.mmvd_match(cands, me)
-            if midx is None and widx == imod.BCW_DEFAULT
+            if midx is None and widx == imod.BCW_DEFAULT and aff is None
             and st.sps.mmvd_enabled else None)
     ciip = bool(st.dec.ciip8[gy, gx]) if st.sps.ciip_enabled else False
     gpm = (int(st.dec.gpm8[gy, gx])
            if (st.sps.gpm_enabled and is_b and d == 2 and not ciip) else 0)
-    preds = _inter_pred(st, x, y, s, d, mv0, mv1, widx, ciip, gpm)
+    preds = _inter_pred(st, x, y, s, d, mv0, mv1, widx, ciip, gpm, aff)
     bd = st.sps.bit_depth
     levs = []
     sbt = 0
@@ -865,7 +894,7 @@ def _prep_inter_enc(st: _FrameState, x: int, y: int, s: int) -> dict:
     all_zero = not any(lv.any() for lv in levs)
     return dict(d=d, mv0=mv0, mv1=mv1, midx=midx, mmvd=mmvd, preds=preds,
                 levs=levs, all_zero=all_zero, widx=widx, ciip=ciip,
-                sbt=sbt, gpm=gpm)
+                sbt=sbt, gpm=gpm, aff=aff)
 
 
 def _code_inter_leaf(io, st: _FrameState, x: int, y: int, s: int,
@@ -874,6 +903,7 @@ def _code_inter_leaf(io, st: _FrameState, x: int, y: int, s: int,
     gy, gx = y // 8, x // 8
     is_b = st.refs is not None and len(st.refs) == 2
 
+    aff = None
     if io.decoding:
         widx = imod.BCW_DEFAULT
         ciip = False
@@ -894,23 +924,33 @@ def _code_inter_leaf(io, st: _FrameState, x: int, y: int, s: int,
                 d = 2 if bi else io.byp()
             else:
                 d = 0
-            shift = imod.AMVR_SHIFTS[code_amvr(io)] \
-                if st.sps.amvr_enabled else 2
-            smvd = bool(io.bin(C.SMVD_FLAG(0))) \
-                if d == 2 and st.smvd else False
-            mv0 = mv1 = (0, 0)
-            if smvd:
-                mv0, mv1 = code_mv_smvd(io, st.mv_map, st.inter_map, x, y,
-                                        s, shift=shift)
+            aff_sig = (st.sps.affine_enabled and s >= imod.AFF_MIN_SIZE
+                       and d != 2)
+            if aff_sig and io.bin(C.AFF_FLAG(0)):
+                mv = _code_mv_list(io, st, x, y, s, d, shift=2)
+                dmx = _code_mvd_comp(io, None) << 2
+                dmy = _code_mvd_comp(io, None) << 2
+                aff = (dmx, dmy)
+                mv0 = mv if d == 0 else (0, 0)
+                mv1 = mv if d == 1 else (0, 0)
             else:
-                if d in (0, 2):
-                    mv0 = _code_mv_list(io, st, x, y, s, 0, shift=shift)
-                if d in (1, 2):
-                    mv1 = _code_mv_list(io, st, x, y, s, 1, shift=shift)
-                if d == 1:
-                    mv0 = (0, 0)
-            if is_b and d == 2 and st.sps.bcw_enabled:
-                widx = _code_bcw_idx(io)
+                shift = imod.AMVR_SHIFTS[code_amvr(io)] \
+                    if st.sps.amvr_enabled else 2
+                smvd = bool(io.bin(C.SMVD_FLAG(0))) \
+                    if d == 2 and st.smvd else False
+                mv0 = mv1 = (0, 0)
+                if smvd:
+                    mv0, mv1 = code_mv_smvd(io, st.mv_map, st.inter_map,
+                                            x, y, s, shift=shift)
+                else:
+                    if d in (0, 2):
+                        mv0 = _code_mv_list(io, st, x, y, s, 0, shift=shift)
+                    if d in (1, 2):
+                        mv1 = _code_mv_list(io, st, x, y, s, 1, shift=shift)
+                    if d == 1:
+                        mv0 = (0, 0)
+                if is_b and d == 2 and st.sps.bcw_enabled:
+                    widx = _code_bcw_idx(io)
         if st.sps.ciip_enabled and not skip:
             ciip = bool(io.bin(C.CIIP_FLAG(0)))
         gpm = 0
@@ -920,7 +960,7 @@ def _code_inter_leaf(io, st: _FrameState, x: int, y: int, s: int,
                 gpm = 1 + io.byp_n(n=6)
         sbt = _code_sbt_idx(io) \
             if st.sps.sbt_enabled and not skip and not ciip else 0
-        preds = _inter_pred(st, x, y, s, d, mv0, mv1, widx, ciip, gpm)
+        preds = _inter_pred(st, x, y, s, d, mv0, mv1, widx, ciip, gpm, aff)
         sl = np.s_[gy:(y + s) // 8, gx:(x + s) // 8]
         st.dec.inter8[sl] = 1
         st.dec.dir8[sl] = d
@@ -930,11 +970,15 @@ def _code_inter_leaf(io, st: _FrameState, x: int, y: int, s: int,
         st.dec.ciip8[sl] = ciip
         st.dec.sbt8[sl] = sbt
         st.dec.gpm8[sl] = gpm
+        st.dec.aff8[sl] = int(aff is not None)
+        if aff is not None:
+            st.dec.admv8[sl] = aff
     else:
         d, mv0, mv1 = pre["d"], pre["mv0"], pre["mv1"]
         midx, preds = pre["midx"], pre["preds"]
         mmvd = pre["mmvd"]
         widx = pre["widx"]
+        aff = pre["aff"] if not skip else None
         merged = midx is not None or mmvd is not None
 
         def code_merge_data():
@@ -954,25 +998,38 @@ def _code_inter_leaf(io, st: _FrameState, x: int, y: int, s: int,
                     io.bin(C.INTER_DIR(0), int(d == 2))
                     if d != 2:
                         io.byp(d)
-                prec = _amvr_for_leaf(io, st.mv_map, st.inter_map, x, y,
-                                      s, d, mv0, mv1,
-                                      st.sps.amvr_enabled)
-                shift = imod.AMVR_SHIFTS[prec]
-                i1 = imod.smvd_match(st.mv_map, st.inter_map, x, y, s,
-                                     mv0, mv1, shift) \
-                    if d == 2 and st.smvd else None
-                if d == 2 and st.smvd:
-                    io.bin(C.SMVD_FLAG(0), int(i1 is not None))
-                if i1 is not None:
-                    code_mv_smvd(io, st.mv_map, st.inter_map, x, y, s,
-                                 mv0, i1, shift=shift)
+                aff = pre["aff"]
+                aff_sig = (st.sps.affine_enabled
+                           and s >= imod.AFF_MIN_SIZE and d != 2)
+                if aff_sig:
+                    io.bin(C.AFF_FLAG(0), int(aff is not None))
+                if aff is not None:
+                    _code_mv_list(io, st, x, y, s, d,
+                                  mv0 if d == 0 else mv1, shift=2)
+                    _code_mvd_comp(io, aff[0] >> 2)
+                    _code_mvd_comp(io, aff[1] >> 2)
                 else:
-                    if d in (0, 2):
-                        _code_mv_list(io, st, x, y, s, 0, mv0, shift=shift)
-                    if d in (1, 2):
-                        _code_mv_list(io, st, x, y, s, 1, mv1, shift=shift)
-                if is_b and d == 2 and st.sps.bcw_enabled:
-                    _code_bcw_idx(io, widx)
+                    prec = _amvr_for_leaf(io, st.mv_map, st.inter_map, x, y,
+                                          s, d, mv0, mv1,
+                                          st.sps.amvr_enabled)
+                    shift = imod.AMVR_SHIFTS[prec]
+                    i1 = imod.smvd_match(st.mv_map, st.inter_map, x, y, s,
+                                         mv0, mv1, shift) \
+                        if d == 2 and st.smvd else None
+                    if d == 2 and st.smvd:
+                        io.bin(C.SMVD_FLAG(0), int(i1 is not None))
+                    if i1 is not None:
+                        code_mv_smvd(io, st.mv_map, st.inter_map, x, y, s,
+                                     mv0, i1, shift=shift)
+                    else:
+                        if d in (0, 2):
+                            _code_mv_list(io, st, x, y, s, 0, mv0,
+                                          shift=shift)
+                        if d in (1, 2):
+                            _code_mv_list(io, st, x, y, s, 1, mv1,
+                                          shift=shift)
+                    if is_b and d == 2 and st.sps.bcw_enabled:
+                        _code_bcw_idx(io, widx)
             if st.sps.ciip_enabled:
                 io.bin(C.CIIP_FLAG(0), int(pre["ciip"]))
             if (st.sps.gpm_enabled and is_b and not pre["ciip"]
@@ -1007,12 +1064,19 @@ def _code_inter_leaf(io, st: _FrameState, x: int, y: int, s: int,
         _code_component(io, st, 2, cx, cy, cs, 0, C.CBF_CR(0),
                         pred=preds[2], lev_pre=levs[2], crs_sc=crs_sc)
     sl = np.s_[gy:(y + s) // 8, gx:(x + s) // 8]
-    if d in (0, 2):
-        st.inter_map[:, :, 0][sl] = True
-        st.mv_map[:, :, 0][sl] = mv0
-    if d in (1, 2):
-        st.inter_map[:, :, 1][sl] = True
-        st.mv_map[:, :, 1][sl] = mv1
+    if aff is not None:
+        # per-granule model MVs feed neighbour prediction (the coded
+        # syntax carries CPMV0, kept in dec.mv8)
+        st.inter_map[:, :, d][sl] = True
+        st.mv_map[:, :, d][sl] = imod.affine_granule_mvs(
+            mv0 if d == 0 else mv1, aff, s)
+    else:
+        if d in (0, 2):
+            st.inter_map[:, :, 0][sl] = True
+            st.mv_map[:, :, 0][sl] = mv0
+        if d in (1, 2):
+            st.inter_map[:, :, 1][sl] = True
+            st.mv_map[:, :, 1][sl] = mv1
     imod.hmvp_push(st.hmvp, (d, mv0, mv1))
 
 

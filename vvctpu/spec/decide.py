@@ -317,6 +317,44 @@ def gpm_sad_pass(orig: np.ndarray, refp: list, mv0: np.ndarray,
 GPM_BITS = 8      # gpm_flag + 6-bin partition idx + rounding slack
 
 
+def affine_sad_pass(orig: np.ndarray, refp: np.ndarray, base_mv: np.ndarray,
+                    s: int, lam: int, bit_depth: int):
+    """Best affine dmv per s-block around the refined translational MV.
+
+    Search over the AFF_DELTAS x AFF_DELTAS grid (row-major dmvy outer,
+    (0,0) excluded — that is the translational candidate), prediction
+    WITHOUT PROF (decision-time policy; the recon path applies PROF).
+    Returns (cost incl. rates, dmv (nby, nbx, 2) int32); twin of
+    coding/decide.py affine_pass (role of VTM:EncoderLib/InterSearch.cpp
+    xAffineMotionEstimation, as a dense grid search)."""
+    h, w = orig.shape
+    nby, nbx = h // s, w // s
+    o64 = orig.astype(np.int64)
+    best_cost = np.full((nby, nbx), np.iinfo(np.int64).max, np.int64)
+    best_dmv = np.zeros((nby, nbx, 2), np.int32)
+    for by in range(nby):
+        for bx in range(nbx):
+            x, y = bx * s, by * s
+            base = (int(base_mv[by, bx, 0]), int(base_mv[by, bx, 1]))
+            bbits = _inter.mv_bits_q(base[0] >> 2, base[1] >> 2)
+            ob = o64[y:y + s, x:x + s]
+            for dmvy in _inter.AFF_DELTAS:
+                for dmvx in _inter.AFF_DELTAS:
+                    if dmvx == 0 and dmvy == 0:
+                        continue
+                    pred = _inter.affine_pred_luma(refp, x, y, s, base,
+                                                   (dmvx, dmvy), bit_depth,
+                                                   prof=False)
+                    sad = int(np.abs(ob - pred).sum())
+                    bits = (bbits + _inter.mv_bits_q(dmvx >> 2, dmvy >> 2)
+                            + _inter.AFF_BITS)
+                    cost = (sad << 8) + lam * bits
+                    if cost < best_cost[by, bx]:
+                        best_cost[by, bx] = cost
+                        best_dmv[by, bx] = (dmvx, dmvy)
+    return best_cost, best_dmv
+
+
 def me_size_pass(orig: np.ndarray, ref: np.ndarray, s: int, lam: int):
     """Best integer MV per s-block over a +-ME_RANGE full search.
 
@@ -347,7 +385,8 @@ def me_size_pass(orig: np.ndarray, ref: np.ndarray, s: int, lam: int):
 def decide_frame_p(orig_y: np.ndarray, ref_y: np.ndarray, qp: int,
                    bit_depth: int = rom.BIT_DEPTH,
                    mip: bool = False, mrl: bool = False,
-                   ciip: bool = False, isp: bool = False) -> FrameDecisions:
+                   ciip: bool = False, isp: bool = False,
+                   affine: bool = False) -> FrameDecisions:
     """Decisions for a P frame: per-size intra-vs-inter, then QT bottom-up."""
     h, w = orig_y.shape
     lam = lambda_satd_fp(qp)
@@ -372,21 +411,32 @@ def decide_frame_p(orig_y: np.ndarray, ref_y: np.ndarray, qp: int,
         mcost, mv = me_size_pass(orig_y, ref_y, s, lam)
         refp = _inter.pad_reference(ref_y)
         rcost, rmv = refine_size_pass(orig_y, refp, mv, s, lam)
-        use_inter = rcost < icost
-        cost = np.where(use_inter, rcost, icost)
+        acost = np.full((nby, nbx), np.int64(1) << 60, np.int64)
+        admv = np.zeros((nby, nbx, 2), np.int32)
+        if affine and s >= _inter.AFF_MIN_SIZE:
+            acost, admv = affine_sad_pass(orig_y, refp, rmv, s, lam,
+                                          bit_depth)
+        k3 = np.argmin(np.stack([icost, rcost, acost]),
+                       axis=0).astype(np.int32)
+        use_inter = k3 > 0
+        affu = k3 == 2
+        cost = np.min(np.stack([icost, rcost, acost]), axis=0)
         cflag = np.zeros((nby, nbx), bool)
         if ciip:
             sadm, sadb = ciip_sad_pass(orig_y, [refp, refp],
-                                       use_inter.astype(np.int32), rmv, rmv,
+                                       (k3 == 1).astype(np.int32), rmv, rmv,
                                        np.full((nby, nbx), 1, np.int32), s,
                                        bit_depth)
-            cflag = use_inter & (sadb < sadm)
+            cflag = (k3 == 1) & (sadb < sadm)
             cost = np.where(cflag, cost + ((sadb - sadm) << 8), cost)
-        size_data[s] = (cost, imode, use_inter, rmv, imrl, cflag, iisp)
+        size_data[s] = (cost, imode, use_inter, rmv, imrl, cflag, iisp,
+                        affu, admv)
 
-    cost8, imode8, inter8, mv8, mrl8, cf8, isp8a = size_data[8]
-    cost16, imode16, inter16, mv16, mrl16, cf16, isp16a = size_data[16]
-    cost32, imode32, inter32, mv32, mrl32, cf32, isp32a = size_data[32]
+    (cost8, imode8, inter8, mv8, mrl8, cf8, isp8a, af8, adm8) = size_data[8]
+    (cost16, imode16, inter16, mv16, mrl16, cf16, isp16a, af16,
+     adm16) = size_data[16]
+    (cost32, imode32, inter32, mv32, mrl32, cf32, isp32a, af32,
+     adm32) = size_data[32]
     n16y, n16x = h // 16, w // 16
     n32y, n32x = h // 32, w // 32
     sum8 = (cost8.reshape(n16y, 2, n16x, 2).sum(axis=(1, 3))
@@ -436,6 +486,18 @@ def decide_frame_p(orig_y: np.ndarray, ref_y: np.ndarray, qp: int,
         cf = np.where(use16, up(cf16.astype(np.uint8), 2), cf)
         cf = np.where(use8, cf8.astype(np.uint8), cf)
         dec.ciip8[:] = np.where(itf, cf, 0).astype(np.uint8)
+    if affine:
+        af = up(af32.astype(np.uint8), 4)
+        af = np.where(use16, up(af16.astype(np.uint8), 2), af)
+        af = np.where(use8, af8.astype(np.uint8), af)
+        dec.aff8[:] = np.where(itf, af, 0).astype(np.uint8)
+
+        def up3(a, f):
+            return np.kron(a, np.ones((f, f, 1), a.dtype))
+        adm = up3(adm32, 4)
+        adm = np.where(use16[..., None], up3(adm16, 2), adm)
+        adm = np.where(use8[..., None], adm8, adm)
+        dec.admv8[:] = np.where((itf & (af > 0))[..., None], adm, 0)
     return dec
 
 
@@ -481,7 +543,8 @@ def decide_frame_b(orig_y: np.ndarray, ref0_y: np.ndarray,
                    bit_depth: int = rom.BIT_DEPTH,
                    mip: bool = False, mrl: bool = False,
                    bcw: bool = False, ciip: bool = False,
-                   isp: bool = False, gpm: bool = False) -> FrameDecisions:
+                   isp: bool = False, gpm: bool = False,
+                   affine: bool = False) -> FrameDecisions:
     """B-frame decisions: per-size best of {intra, L0, L1, BI}, QT bottom-up.
 
     BI cost: SAD of the averaged refined uni-predictions plus both MV rates
@@ -543,14 +606,25 @@ def decide_frame_b(orig_y: np.ndarray, ref0_y: np.ndarray,
                         best = (c, wi)
                 bcost[by, bx] = best[0]
                 bwidx[by, bx] = best[1]
-        costs = np.stack([icost, ucost[0], ucost[1], bcost])  # (4,nby,nbx)
+        sent = np.full((nby, nbx), np.int64(1) << 60, np.int64)
+        a0cost, a1cost = sent, sent
+        admv0 = np.zeros((nby, nbx, 2), np.int32)
+        admv1 = np.zeros((nby, nbx, 2), np.int32)
+        if affine and s >= _inter.AFF_MIN_SIZE:
+            a0cost, admv0 = affine_sad_pass(orig_y, refp[0], umv[0], s,
+                                            lam, bit_depth)
+            a1cost, admv1 = affine_sad_pass(orig_y, refp[1], umv[1], s,
+                                            lam, bit_depth)
+        costs = np.stack([icost, ucost[0], ucost[1], bcost, a0cost,
+                          a1cost])                           # (6,nby,nbx)
         kind = np.argmin(costs, axis=0).astype(np.int32)      # first-min
         cost = np.min(costs, axis=0)
         cflag = np.zeros((nby, nbx), bool)
         if ciip:
-            sadm, sadb = ciip_sad_pass(orig_y, refp, kind, umv[0], umv[1],
+            kind_c = np.where(kind <= 3, kind, 0).astype(np.int32)
+            sadm, sadb = ciip_sad_pass(orig_y, refp, kind_c, umv[0], umv[1],
                                        bwidx, s, bit_depth)
-            cflag = (kind > 0) & (sadb < sadm)
+            cflag = (kind_c > 0) & (sadb < sadm)
             cost = np.where(cflag, cost + ((sadb - sadm) << 8), cost)
         gval = np.zeros((nby, nbx), np.int32)
         if gpm:
@@ -572,14 +646,17 @@ def decide_frame_b(orig_y: np.ndarray, ref0_y: np.ndarray,
             cflag = cflag & ~guse
             bwidx = np.where(guse, _inter.BCW_DEFAULT, bwidx)
             gval = np.where(guse, gidx + 1, 0).astype(np.int32)
+        adm = np.where((kind == 4)[..., None], admv0,
+                       np.where((kind == 5)[..., None], admv1, 0))
         size_data[s] = (cost, imode, kind, umv[0], umv[1], imrl, bwidx,
-                        cflag, iisp, gval)
+                        cflag, iisp, gval, adm)
 
-    (c8, im8, k8, mva8, mvb8, mrl8a, bw8, cf8, isp8a, g8) = size_data[8]
-    (c16, im16, k16, mva16, mvb16, mrl16a, bw16, cf16, isp16a,
-     g16) = size_data[16]
-    (c32, im32, k32, mva32, mvb32, mrl32a, bw32, cf32, isp32a,
-     g32) = size_data[32]
+    (c8, im8, k8, mva8, mvb8, mrl8a, bw8, cf8, isp8a, g8,
+     adm8) = size_data[8]
+    (c16, im16, k16, mva16, mvb16, mrl16a, bw16, cf16, isp16a, g16,
+     adm16) = size_data[16]
+    (c32, im32, k32, mva32, mvb32, mrl32a, bw32, cf32, isp32a, g32,
+     adm32) = size_data[32]
     n16y, n16x = h // 16, w // 16
     n32y, n32x = h // 32, w // 32
     sum8 = (c8.reshape(n16y, 2, n16x, 2).sum(axis=(1, 3))
@@ -620,10 +697,11 @@ def decide_frame_b(orig_y: np.ndarray, ref0_y: np.ndarray,
     dec.modes8[:] = np.where(itf, 0, mode)
     dec.mrl8[:] = np.where(itf, 0, mrlv).astype(np.uint8)
     dec.isp8[:] = np.where(itf, 0, ispv).astype(np.uint8)
-    dec.dir8[:] = np.where(itf, np.where(kind == 3, 2, kind - 1),
-                           0).astype(np.uint8)
-    use0 = itf & ((kind == 1) | (kind == 3))
-    use1 = itf & ((kind == 2) | (kind == 3))
+    dirv = np.where(kind == 3, 2,
+                    np.where((kind == 1) | (kind == 4), 0, 1))
+    dec.dir8[:] = np.where(itf, dirv, 0).astype(np.uint8)
+    use0 = itf & ((kind == 1) | (kind == 3) | (kind == 4))
+    use1 = itf & ((kind == 2) | (kind == 3) | (kind == 5))
     dec.mv8[..., 0] = np.where(use0, mv0[..., 0], 0)
     dec.mv8[..., 1] = np.where(use0, mv0[..., 1], 0)
     dec.mv8_l1[..., 0] = np.where(use1, mv1[..., 0], 0)
@@ -639,4 +717,8 @@ def decide_frame_b(orig_y: np.ndarray, ref0_y: np.ndarray,
     if gpm:
         gv = sel(g32, g16, g8)
         dec.gpm8[:] = np.where(itf & (kind == 3), gv, 0).astype(np.uint8)
+    if affine:
+        dec.aff8[:] = (kind >= 4).astype(np.uint8)
+        adm = sel(adm32, adm16, adm8)
+        dec.admv8[:] = np.where((kind >= 4)[..., None], adm, 0)
     return dec

@@ -45,6 +45,7 @@ class SPS:
     bdof_enabled: bool = False  # bi-directional optical flow (BI, no syntax)
     isp_enabled: bool = False   # intra sub-partitions (stripe TBs)
     gpm_enabled: bool = False   # geometric partitioning (B leaves)
+    affine_enabled: bool = False  # 4-parameter affine + PROF (uni, 16/32)
     cclm_enabled: bool = False
     lmcs_enabled: bool = False
     sao_enabled: bool = False
@@ -79,7 +80,8 @@ class SPS:
                   self.mmvd_enabled, self.dmvr_enabled, self.bdof_enabled,
                   self.bcw_enabled, self.amvr_enabled,
                   self.smvd_enabled, self.ciip_enabled, self.sbt_enabled,
-                  self.isp_enabled, self.gpm_enabled):
+                  self.isp_enabled, self.gpm_enabled,
+                  self.affine_enabled):
             w.u(int(f), 1)
         w.byte_align()
         return w.getvalue()
@@ -101,8 +103,8 @@ class SPS:
          s.mrl_enabled, s.ts_enabled, s.jccr_enabled, s.mmvd_enabled,
          s.dmvr_enabled, s.bdof_enabled, s.bcw_enabled,
          s.amvr_enabled, s.smvd_enabled, s.ciip_enabled,
-         s.sbt_enabled, s.isp_enabled,
-         s.gpm_enabled) = (bool(r.u(1)) for _ in range(21))
+         s.sbt_enabled, s.isp_enabled, s.gpm_enabled,
+         s.affine_enabled) = (bool(r.u(1)) for _ in range(22))
         return s
 
 

@@ -560,3 +560,87 @@ REFINE_HALF = [(0, 0), (-8, 0), (8, 0), (0, -8), (0, 8),
                (-8, -8), (8, -8), (-8, 8), (8, 8)]
 REFINE_QUARTER = [(0, 0), (-4, 0), (4, 0), (0, -4), (0, 4),
                   (-4, -4), (4, -4), (-4, 4), (4, 4)]
+
+
+# ---------------------------------------------------------------------------
+# Affine motion (4-parameter) + PROF
+# (role of VTM:CommonLib/InterPrediction.cpp xPredAffineBlk — per-4x4
+#  subblock MVs derived from control-point MVs — and the PROF gradient
+#  correction.  This build parameterises by CPMV0 = the leaf MV and
+#  dmv = CPMV1 - CPMV0 at the right edge; affine leaves are 16/32 luma,
+#  uni-prediction; the JAX twin kernels/mc.py affine_* matches bit-exact.)
+# ---------------------------------------------------------------------------
+AFF_MIN_SIZE = 16
+AFF_DELTAS = (-8, -4, 0, 4, 8)   # per-axis dmv search grid, 1/16-pel
+AFF_BITS = 2                     # affine_flag decision-time rate
+
+
+def affine_sub_mv(mv0, dmv, log2s: int, cx: int, cy: int):
+    """Model MV at luma offset (cx, cy) from the block origin, 1/16-pel.
+
+    4-parameter: mvx = mv0x + (a*cx - b*cy), mvy = mv0y + (b*cx + a*cy)
+    with a = dmvx / s (scale) and b = dmvy / s (rotation)."""
+    return (mv0[0] + ((dmv[0] * cx - dmv[1] * cy) >> log2s),
+            mv0[1] + ((dmv[1] * cx + dmv[0] * cy) >> log2s))
+
+
+def affine_granule_mvs(mv0, dmv, s: int) -> np.ndarray:
+    """(s//8, s//8, 2) int32 model MVs at the 8x8-granule centres — the
+    per-granule motion stored into the runtime mv field and used for the
+    chroma subblock MVs (deterministic, both engines)."""
+    log2s = int(s).bit_length() - 1
+    n = s // 8
+    out = np.zeros((n, n, 2), np.int32)
+    for i in range(n):
+        for j in range(n):
+            out[i, j] = affine_sub_mv(mv0, dmv, log2s, 8 * j + 4, 8 * i + 4)
+    return out
+
+
+_PROF_D = 2 * np.arange(4) - 3        # (2u - 3) per position in a subblock
+
+
+def affine_pred_luma(ref_pad: np.ndarray, x: int, y: int, s: int, mv0, dmv,
+                     bd: int, prof: bool = True,
+                     margin: int = REF_MARGIN) -> np.ndarray:
+    """(s, s) affine luma prediction: per-4x4-subblock translational MC at
+    the model MV of the subblock centre, plus the PROF per-pixel gradient
+    correction (dI = (gx*dx + gy*dy + 16) >> 5, offsets in 1/32-pel)."""
+    log2s = int(s).bit_length() - 1
+    mx = (1 << bd) - 1
+    out = np.zeros((s, s), np.int32)
+    du = _PROF_D[None, :]
+    dv = _PROF_D[:, None]
+    dx32 = (dmv[0] * du - dmv[1] * dv) >> log2s
+    dy32 = (dmv[1] * du + dmv[0] * dv) >> log2s
+    for i in range(s // 4):
+        for j in range(s // 4):
+            mvx, mvy = affine_sub_mv(mv0, dmv, log2s, 4 * j + 2, 4 * i + 2)
+            if prof:
+                p = mc_luma(ref_pad, x + 4 * j - 1, y + 4 * i - 1, 6, 6,
+                            mvx, mvy, bd, margin).astype(np.int32)
+                gx = (p[1:5, 2:6] - p[1:5, 0:4]) >> 1
+                gy = (p[2:6, 1:5] - p[0:4, 1:5]) >> 1
+                di = (gx * dx32 + gy * dy32 + 16) >> 5
+                blk = np.clip(p[1:5, 1:5] + di, 0, mx)
+            else:
+                blk = mc_luma(ref_pad, x + 4 * j, y + 4 * i, 4, 4,
+                              mvx, mvy, bd, margin)
+            out[4 * i:4 * i + 4, 4 * j:4 * j + 4] = blk
+    return out
+
+
+def affine_pred_chroma(ref_pad: np.ndarray, cx0: int, cy0: int, cs: int,
+                       mv0, dmv, s_luma: int, bd: int,
+                       margin: int) -> np.ndarray:
+    """(cs, cs) affine chroma prediction: 4x4 chroma subblocks (one per
+    8x8 luma granule) MC'd at the granule-centre model MV."""
+    log2s = int(s_luma).bit_length() - 1
+    out = np.zeros((cs, cs), np.int32)
+    for i in range(cs // 4):
+        for j in range(cs // 4):
+            mvx, mvy = affine_sub_mv(mv0, dmv, log2s, 8 * j + 4, 8 * i + 4)
+            out[4 * i:4 * i + 4, 4 * j:4 * j + 4] = mc_chroma(
+                ref_pad, cx0 + 4 * j, cy0 + 4 * i, 4, 4, mvx, mvy, bd,
+                margin)
+    return out

@@ -41,6 +41,7 @@ class EncoderConfig:
     bdof: bool = False      # bi-directional optical flow (BI leaves)
     isp: bool = False       # intra sub-partitions (2/4 stripe TBs per leaf)
     gpm: bool = False       # geometric partitioning (B leaves, 64 masks)
+    affine: bool = False    # 4-parameter affine + PROF (uni, 16/32 leaves)
     lfnst: bool = False     # low-frequency non-separable secondary transform
     cclm: bool = False      # cross-component linear-model chroma prediction
     rdoq: bool = True       # encoder RDOQ quantizer (decoder-transparent)
@@ -67,7 +68,8 @@ class EncoderConfig:
                        bdof_enabled=self.bdof, bcw_enabled=self.bcw,
                        amvr_enabled=self.amvr, smvd_enabled=self.smvd,
                        ciip_enabled=self.ciip, sbt_enabled=self.sbt,
-                       isp_enabled=self.isp, gpm_enabled=self.gpm)
+                       isp_enabled=self.isp, gpm_enabled=self.gpm,
+                       affine_enabled=self.affine)
 
 
 def gop_plan(n_frames: int, intra_period: int, gop: int):
@@ -162,14 +164,14 @@ def encode_sequence(frames: list[list[np.ndarray]], cfg: EncoderConfig,
             dec = decide.decide_frame_p(padded_y, dpb[ref_pocs[0]][0], qp,
                                         cfg.bit_depth, mip=cfg.mip,
                                         mrl=cfg.mrl, ciip=cfg.ciip,
-                                        isp=cfg.isp)
+                                        isp=cfg.isp, affine=cfg.affine)
         else:
             dec = decide.decide_frame_b(padded_y, dpb[ref_pocs[0]][0],
                                         dpb[ref_pocs[1]][0], qp,
                                         cfg.bit_depth, mip=cfg.mip,
                                         mrl=cfg.mrl, bcw=cfg.bcw,
                                         ciip=cfg.ciip, isp=cfg.isp,
-                                        gpm=cfg.gpm)
+                                        gpm=cfg.gpm, affine=cfg.affine)
         if decisions_out is not None:
             decisions_out.append(dec)
         sh = hls.SliceHeader(poc=poc, slice_type=stype, qp_delta=qpd,
