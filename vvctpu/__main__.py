@@ -115,6 +115,54 @@ def _parcat(args) -> int:
     return 0
 
 
+def _sei_remove(args) -> int:
+    from .io.streamtools import remove_sei
+    with open(args.bitstream, "rb") as f:
+        data = f.read()
+    out = remove_sei(data, keep_hash=args.keep_hash)
+    with open(args.output, "wb") as f:
+        f.write(out)
+    print(f"sei-remove: {len(data)} -> {len(out)} bytes")
+    return 0
+
+
+def _extract(args) -> int:
+    from .io.streamtools import extract_layer, extract_sublayer
+    with open(args.bitstream, "rb") as f:
+        data = f.read()
+    if args.layer is not None:
+        out = extract_layer(data, args.layer)
+    else:
+        out = extract_sublayer(data, args.tid)
+    with open(args.output, "wb") as f:
+        f.write(out)
+    print(f"extract: {len(data)} -> {len(out)} bytes")
+    return 0
+
+
+def _merge(args) -> int:
+    from .io.streamtools import merge_layers
+    streams = [open(f, "rb").read() for f in args.inputs]
+    out = merge_layers(streams)
+    with open(args.output, "wb") as f:
+        f.write(out)
+    print(f"merge: {len(args.inputs)} layers -> {args.output} "
+          f"({len(out)} bytes)")
+    return 0
+
+
+def _info(args) -> int:
+    from .io.streamtools import stream_info
+    with open(args.bitstream, "rb") as f:
+        data = f.read()
+    rows = stream_info(data)
+    for i, r in enumerate(rows):
+        print(f"{i:4d}  {r['type']:12s} layer {r['layer']} tid {r['tid']} "
+              f"{r['bytes']:8d} bytes")
+    print(f"total: {len(rows)} NAL units, {len(data)} bytes")
+    return 0
+
+
 def _dec(args) -> int:
     from .io import yuv
     from .spec import sequence as seq
@@ -241,6 +289,35 @@ def main(argv=None) -> int:
     pc.add_argument("inputs", nargs="+")
     pc.add_argument("-o", "--output", required=True)
     pc.set_defaults(fn=_parcat)
+
+    sr = sub.add_parser("sei-remove",
+                        help="strip SEI NAL units (SEIRemovalApp)")
+    sr.add_argument("-b", "--bitstream", required=True)
+    sr.add_argument("-o", "--output", required=True)
+    sr.add_argument("--keep-hash", action="store_true",
+                    help="keep decoded-picture-hash suffix SEIs")
+    sr.set_defaults(fn=_sei_remove)
+
+    ex = sub.add_parser("extract",
+                        help="extract temporal sublayer or layer "
+                             "(BitstreamExtractorApp)")
+    ex.add_argument("-b", "--bitstream", required=True)
+    ex.add_argument("-o", "--output", required=True)
+    ex.add_argument("--tid", type=int, default=0,
+                    help="max temporal_id to keep (default 0 = anchors)")
+    ex.add_argument("--layer", type=int, default=None,
+                    help="extract this nuh_layer_id from a merged stream")
+    ex.set_defaults(fn=_extract)
+
+    mg = sub.add_parser("merge",
+                        help="merge streams into layers (StreamMergeApp)")
+    mg.add_argument("inputs", nargs="+")
+    mg.add_argument("-o", "--output", required=True)
+    mg.set_defaults(fn=_merge)
+
+    nf = sub.add_parser("info", help="list NAL units in a stream")
+    nf.add_argument("-b", "--bitstream", required=True)
+    nf.set_defaults(fn=_info)
 
     args = ap.parse_args(argv)
     return args.fn(args)

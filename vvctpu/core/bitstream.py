@@ -197,8 +197,10 @@ def read_annexb(data: bytes) -> list[NalUnit]:
             i += 1
     for si, start in enumerate(starts):
         end = starts[si + 1] - 3 if si + 1 < len(starts) else n
-        # trim the 4-byte start code's leading zero of the *next* NAL
-        while end > start and data[end - 1] == 0 and si + 1 < len(starts):
+        # trim the 4-byte start code's single leading zero of the *next*
+        # NAL (at most one byte: payloads end with the rbsp stop bit, so a
+        # trailing zero here can only belong to the start code)
+        if end > start and data[end - 1] == 0 and si + 1 < len(starts):
             end -= 1
         raw = data[start:end]
         if len(raw) < 2:

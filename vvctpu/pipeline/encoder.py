@@ -42,6 +42,9 @@ def encode_sequence(frames, cfg: sseq.EncoderConfig, decisions_fn=None,
                                                    cfg.gop):
         planes = frames[poc]
         padded = scodec.pad_planes(planes, sps)
+        # temporal sublayer id from the GOP plan layer (twin of
+        # spec/sequence.py; enables sublayer extraction)
+        tid = 0 if stype != hls.SLICE_B else max(qpd - 1, 1)
         if rc is not None:
             qpd = max(0, min(63 - cfg.qp, qpd + rc.qp_offset()))
         qp = cfg.qp + qpd
@@ -150,10 +153,12 @@ def encode_sequence(frames, cfg: sseq.EncoderConfig, decisions_fn=None,
         mot[poc] = scodec.motion_record(dec, ref_pocs)
         cropped = scodec.crop_planes(rec, sps)
         nals.append(bs.NalUnit(
-            bs.NAL_IDR_N_LP if is_intra else bs.NAL_TRAIL, payload))
+            bs.NAL_IDR_N_LP if is_intra else bs.NAL_TRAIL, payload,
+            temporal_id=tid))
         nals.append(bs.NalUnit(bs.NAL_SUFFIX_SEI,
                                hls.write_pic_hash_sei(cropped,
-                                                      cfg.bit_depth)))
+                                                      cfg.bit_depth),
+                               temporal_id=tid))
         recons[poc] = cropped
         bits[poc] = 8 * len(payload)
         if rc is not None:

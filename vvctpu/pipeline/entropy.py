@@ -671,6 +671,7 @@ def encode_frame_syntax_wpp(sps: hls.SPS, pps: hls.PPS, sh: hls.SliceHeader,
     w.write_bytes(ep.getvalue())
     for pl in payloads:
         w.write_bytes(pl)
+    w.write_bytes(b"\x80")   # rbsp_slice_trailing_bits (spec codec twin)
     return w.getvalue()
 
 
@@ -780,6 +781,7 @@ def encode_frame_syntax(sps: hls.SPS, pps: hls.PPS, sh: hls.SliceHeader,
         payload = enc.finish()
     w = sh.write()
     w.write_bytes(payload)
+    w.write_bytes(b"\x80")   # rbsp_slice_trailing_bits (spec codec twin)
     return w.getvalue()
 
 

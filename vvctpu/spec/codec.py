@@ -1397,6 +1397,9 @@ def encode_frame(src_planes: list[np.ndarray], sps: hls.SPS, pps: hls.PPS,
         enc.terminate(1)
         w = sh.write()
         w.write_bytes(enc.finish())
+        # rbsp_slice_trailing_bits: a stop byte so the payload never ends
+        # 0x00 (Annex-B reserialization safety; readers ignore it)
+        w.write_bytes(b"\x80")
         return w.getvalue(), recon
 
     # WPP: one CABAC lane per CTU row, context inherited after the first
@@ -1444,6 +1447,7 @@ def encode_frame(src_planes: list[np.ndarray], sps: hls.SPS, pps: hls.PPS,
     w.write_bytes(ep.getvalue())
     for pl in payloads:
         w.write_bytes(pl)
+    w.write_bytes(b"\x80")   # rbsp_slice_trailing_bits (see non-WPP path)
     return w.getvalue(), recon
 
 

@@ -151,6 +151,10 @@ def encode_sequence(frames: list[list[np.ndarray]], cfg: EncoderConfig,
             continue
         planes = frames[poc]
         padded_y = codec.pad_planes(planes, sps)[0]
+        # temporal sublayer id from the GOP plan layer (anchors 0, B
+        # pictures by subdivision depth) — enables BitstreamExtractor-style
+        # sublayer extraction (io/streamtools.py)
+        tid = 0 if stype != hls.SLICE_B else max(qpd - 1, 1)
         if rc is not None:
             qpd = max(0, min(63 - cfg.qp, qpd + rc.qp_offset()))
         qp = cfg.qp + qpd
@@ -188,10 +192,11 @@ def encode_sequence(frames: list[list[np.ndarray]], cfg: EncoderConfig,
         cropped = codec.crop_planes(recon, sps)
         nals.append(bs.NalUnit(
             bs.NAL_IDR_N_LP if stype == hls.SLICE_I else bs.NAL_TRAIL,
-            payload))
+            payload, temporal_id=tid))
         nals.append(bs.NalUnit(
             bs.NAL_SUFFIX_SEI,
-            hls.write_pic_hash_sei(cropped, cfg.bit_depth)))
+            hls.write_pic_hash_sei(cropped, cfg.bit_depth),
+            temporal_id=tid))
         recons[poc] = cropped
         bits[poc] = 8 * len(payload)
         if rc is not None:
