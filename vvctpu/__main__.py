@@ -43,7 +43,8 @@ def _enc(args) -> int:
                      ("bcw", fc.bcw), ("amvr", fc.amvr),
                      ("smvd", fc.smvd), ("ciip", fc.ciip),
                      ("sbt", fc.sbt), ("isp", fc.isp),
-                     ("gpm", fc.gpm), ("affine", fc.affine)):
+                     ("gpm", fc.gpm), ("affine", fc.affine),
+                     ("dq", fc.dq)):
             if ap_defaults.get(a) == getattr(args, a):
                 setattr(args, a, v)
         if not fc.rdoq:
@@ -66,7 +67,7 @@ def _enc(args) -> int:
                             dmvr=args.dmvr, bdof=args.bdof, bcw=args.bcw,
                             amvr=args.amvr, smvd=args.smvd,
                             ciip=args.ciip, sbt=args.sbt, isp=args.isp,
-                            gpm=args.gpm, affine=args.affine,
+                            gpm=args.gpm, affine=args.affine, dq=args.dq,
                             mctf=args.mctf, rdoq=not args.no_rdoq,
                             rc_bits_per_frame=args.rc_bpf)
     if args.trace_file:
@@ -195,7 +196,7 @@ ap_defaults = {"qp": 32, "intra_period": 1, "gop": 1, "bit_depth": 8,
                "mrl": False, "tskip": False, "jccr": False, "mmvd": False,
                "dmvr": False, "bdof": False, "bcw": False, "amvr": False,
                "smvd": False, "ciip": False, "sbt": False, "isp": False,
-               "gpm": False, "affine": False}
+               "gpm": False, "affine": False, "dq": False}
 
 
 def main(argv=None) -> int:
@@ -231,6 +232,8 @@ def main(argv=None) -> int:
                    help="CCLM chroma-from-luma prediction")
     e.add_argument("--no-rdoq", action="store_true",
                    help="disable the RDOQ quantizer")
+    e.add_argument("--dq", action="store_true",
+                   help="dependent quantization (4-state trellis)")
     e.add_argument("--lmcs", action="store_true",
                    help="LMCS luma mapping (reshaper)")
     e.add_argument("--mip", action="store_true",

@@ -40,6 +40,7 @@ class AppConfig:
     affine: bool = False          # Affine
     bdof: bool = False            # BIO / BDOF
     rdoq: bool = True             # RDOQ
+    dq: bool = False              # DepQuant (4-state trellis)
     lmcs: bool = False            # LMCSEnable / LMCS
     alf: bool = False             # ALF
     mctf: bool = False            # TemporalFilter / MCTF
@@ -89,6 +90,7 @@ _KEYMAP = {
     "bio": ("bdof", lambda v: bool(int(v))),
     "bdof": ("bdof", lambda v: bool(int(v))),
     "rdoq": ("rdoq", lambda v: bool(int(v))),
+    "depquant": ("dq", lambda v: bool(int(v))),
     "lmcs": ("lmcs", lambda v: bool(int(v))),
     "lmcsenable": ("lmcs", lambda v: bool(int(v))),
     "alf": ("alf", lambda v: bool(int(v))),

@@ -81,8 +81,10 @@ _IQ_SCALES = np.asarray(rom.INV_QUANT_SCALES, np.int32)
 
 
 def quantize(coef, h: int, w: int, qp, intra: bool = True, bd: int = 8,
-             rdoq: bool = False, lam_rd=0):
+             rdoq: bool = False, lam_rd=0, dq: bool = False):
     """qp may be a traced int32 scalar (shift amounts are data on TPU)."""
+    if dq:
+        return quantize_dq_j(coef, h, w, qp, lam_rd, bd)
     if rdoq:
         return quantize_rdoq_j(coef, h, w, qp, lam_rd, bd)
     qp = jnp.asarray(qp, jnp.int32)
@@ -135,32 +137,167 @@ def quantize_rdoq_j(coef, h: int, w: int, qp, lam_rd, bd: int = 8):
     return jnp.sign(c) * lev
 
 
-def dequantize(level, h: int, w: int, qp, bd: int = 8):
+def _net_shift(t, net):
+    """Exact (t << net) for net >= 0 (with saturation pre-clip) or rounded
+    (t + 2^(|net|-1)) >> |net| for net < 0 — twin of the spec's int64
+    (x * scale << per + round) >> shift staging."""
+    netp = jnp.maximum(net, 0)
+    netn = jnp.maximum(-net, 0)
+    lim = jnp.left_shift(jnp.int32(1), 30 - netp)
+    c_up = jnp.left_shift(jnp.clip(t, -lim, lim), netp)
+    rnd = jnp.where(netn > 0, jnp.left_shift(jnp.int32(1),
+                                             jnp.maximum(netn - 1, 0)), 0)
+    c_dn = jnp.right_shift(t + rnd, netn)
+    return jnp.where(net >= 0, c_up, c_dn)
+
+
+def dequantize(level, h: int, w: int, qp, bd: int = 8, dq: bool = False):
+    if dq:
+        return dequantize_dq_j(level, h, w, qp, bd)
     shift = bd + ((_log2(w) + _log2(h)) >> 1) - 9
     qp = jnp.asarray(qp, jnp.int32)
     per = qp // 6
     iq = jnp.asarray(_IQ_SCALES)[qp % 6]
     t = level.astype(jnp.int32) * iq          # |t| <= 32767*72 < 2^22
-    net = per - shift
-    netp = jnp.maximum(net, 0)
-    netn = jnp.maximum(-net, 0)
-    # net >= 0: exact up-shift with saturation pre-clip
-    lim = jnp.left_shift(jnp.int32(1), 30 - netp)
-    c_up = jnp.left_shift(jnp.clip(t, -lim, lim), netp)
-    # net < 0: rounded down-shift (exact vs the <<per form; low bits zero)
-    rnd = jnp.where(netn > 0, jnp.left_shift(jnp.int32(1),
-                                             jnp.maximum(netn - 1, 0)), 0)
-    c_dn = jnp.right_shift(t + rnd, netn)
-    c = jnp.where(net >= 0, c_up, c_dn)
+    c = _net_shift(t, per - shift)
     return jnp.clip(c, COEFF_MIN, COEFF_MAX)
 
 
 def reconstruct(pred, level, h: int, w: int, qp: int,
-                kind_h: int = rom.DCT2, kind_v: int = rom.DCT2, bd: int = 8):
+                kind_h: int = rom.DCT2, kind_v: int = rom.DCT2, bd: int = 8,
+                dq: bool = False):
     """Shared enc/dec reconstruction (zero levels reduce to pred exactly)."""
-    resi = inverse_transform(dequantize(level, h, w, qp, bd), h, w,
+    resi = inverse_transform(dequantize(level, h, w, qp, bd, dq=dq), h, w,
                              kind_h, kind_v, bd)
     return jnp.clip(pred.astype(jnp.int32) + resi, 0, (1 << bd) - 1)
+
+
+# ---------------------------------------------------------------------------
+# Dependent quantization — device twins of spec/transform.py dq_states /
+# dequantize_dq / quantize_dq.  The decoder-side state walk is an
+# associative scan of 4-state transition maps (O(log n) depth on the VPU);
+# the encoder trellis is a lax.scan Viterbi with int32 renormalised costs.
+# ---------------------------------------------------------------------------
+from ..spec.transform import DQ_MAPS  # noqa: E402
+
+_SCAN_XY: dict[tuple[int, int], tuple[np.ndarray, np.ndarray]] = {}
+
+
+def _scan_xy(log2w: int, log2h: int):
+    """Walk-ordered (reverse diagonal scan) x/y index arrays (numpy)."""
+    key = (log2w, log2h)
+    if key not in _SCAN_XY:
+        scan = rom.scan_order(log2w, log2h)
+        xs = np.asarray([p[0] for p in scan], np.int32)[::-1].copy()
+        ys = np.asarray([p[1] for p in scan], np.int32)[::-1].copy()
+        _SCAN_XY[key] = (xs, ys)
+    return _SCAN_XY[key]
+
+
+def dq_states_j(level, h: int, w: int):
+    """(h, w) int32 quantizer-state plane — twin of spec dq_states."""
+    xs, ys = _scan_xy(_log2(w), _log2(h))
+    par = (jnp.abs(level)[ys, xs] & 1).astype(jnp.int32)     # walk order
+    maps = jnp.asarray(np.asarray(DQ_MAPS, np.int32))[par]   # (n, 4)
+
+    def comb(a, b):      # compose: apply a (earlier) then b (later)
+        return jnp.take_along_axis(b, a, axis=-1)
+
+    cum = jax.lax.associative_scan(comb, maps, axis=0)
+    st = jnp.concatenate([jnp.zeros((1,), jnp.int32), cum[:-1, 0]])
+    return jnp.zeros((h, w), jnp.int32).at[ys, xs].set(st)
+
+
+def dequantize_dq_j(level, h: int, w: int, qp, bd: int = 8):
+    shift = bd + ((_log2(w) + _log2(h)) >> 1) - 9
+    qp = jnp.asarray(qp, jnp.int32)
+    per = qp // 6
+    iq = jnp.asarray(_IQ_SCALES)[qp % 6]
+    st = dq_states_j(level, h, w)
+    lv = level.astype(jnp.int32)
+    off = ((st > 1) & (lv != 0)).astype(jnp.int32) * jnp.sign(lv)
+    t = (2 * lv - off) * iq                   # |t| <= 65535*72 < 2^23
+    c = _net_shift(t, per - (shift + 1))
+    return jnp.clip(c, COEFF_MIN, COEFF_MAX)
+
+
+def _dq_rate_j(lv):
+    bl = jnp.zeros_like(lv)
+    for k in range(15):
+        bl = bl + (lv >= (1 << k)).astype(jnp.int32)
+    return jnp.where(lv > 0, 2 + 2 * bl, 0)
+
+
+def quantize_dq_j(coef, h: int, w: int, qp, lam_rd, bd: int = 8):
+    """Trellis dependent quantization — bit-identical twin of spec
+    quantize_dq (same candidate order, first-min tie-breaks, int32
+    renormalised costs)."""
+    from ..spec.transform import DQ_TRANS
+    qp = jnp.asarray(qp, jnp.int32)
+    ts = rom.transform_shift(_log2(w), _log2(h), bd)
+    q_bits = rom.QUANT_SHIFT + qp // 6 + ts
+    qscale = jnp.asarray(_Q_SCALES)[qp % 6]
+    shift = bd + ((_log2(w) + _log2(h)) >> 1) - 9
+    per = qp // 6
+    iq = jnp.asarray(_IQ_SCALES)[qp % 6]
+    lam = jnp.minimum(jnp.left_shift(jnp.asarray(lam_rd, jnp.int32),
+                                     jnp.int32(max(2 * ts, 0))), 1 << 22)
+    xs, ys = _scan_xy(_log2(w), _log2(h))
+    c32 = coef.astype(jnp.int32)
+    av = jnp.abs(c32)[ys, xs]                 # (n,) walk order
+
+    def deq(l, q1):
+        t = (2 * l - jnp.where(q1 & (l > 0), 1, 0)) * iq
+        return jnp.clip(_net_shift(t, per - (shift + 1)),
+                        COEFF_MIN, COEFF_MAX)
+
+    trans = np.asarray(DQ_TRANS, np.int32)    # (4, 2)
+
+    def step(cost, a):
+        u = jnp.right_shift(a * qscale, q_bits - 1)
+        cs, s2s, lvs, prevs = [], [], [], []
+        for s in range(4):
+            q1 = s > 1
+            lf = jnp.minimum((u + 1) >> 1 if q1 else u >> 1,
+                             COEFF_MAX - 1)
+            for l in (jnp.int32(0), lf, lf + 1):
+                d = jnp.minimum(jnp.abs(a - deq(l, jnp.bool_(q1))), 30000)
+                cs.append(cost[s]
+                          + jnp.right_shift(d * d + lam * _dq_rate_j(l), 4))
+                s2s.append(jnp.asarray(trans[s])[l & 1])
+                lvs.append(l)
+                prevs.append(jnp.int32(s))
+        c12 = jnp.stack(cs)
+        s212 = jnp.stack(s2s)
+        lv12 = jnp.stack(lvs)
+        pr12 = jnp.stack(prevs)
+        ncost, nbp, nlv = [], [], []
+        for t in range(4):
+            ct = jnp.where(s212 == t, c12, 1 << 30)
+            i = jnp.argmin(ct)                # first-min, walk order
+            ncost.append(ct[i])
+            nbp.append(pr12[i])
+            nlv.append(lv12[i])
+        ncost = jnp.stack(ncost)
+        m = ncost.min()
+        return (jnp.minimum(ncost - m, 1 << 28),
+                (jnp.stack(nbp), jnp.stack(nlv)))
+
+    cost0 = jnp.asarray([0, 1 << 28, 1 << 28, 1 << 28], jnp.int32)
+    cost, (bps, lvs) = jax.lax.scan(step, cost0, av)
+
+    s_fin = jnp.argmin(cost).astype(jnp.int32)
+
+    def back(s, blv):
+        bp, lv = blv
+        return bp[s], lv[s]
+
+    _, out_lv = jax.lax.scan(back, s_fin, (bps, lvs), reverse=True)
+    # out_lv[j] is the level chosen at walk step j (scan runs j = n-1..0,
+    # outputs stored at their own index)
+    signs = jnp.sign(c32)[ys, xs]
+    return jnp.zeros((h, w), jnp.int32).at[ys, xs].set(
+        jnp.where(signs < 0, -out_lv, out_lv))
 
 
 # ---------------------------------------------------------------------------
@@ -244,7 +381,8 @@ from ..spec.transform import (SBT_IDX_BITS, sbt_kernels,  # noqa: E402
                               sbt_region)
 
 
-def choose_sbt_j(resi, s: int, qp, lam_rd, bd: int = 8, rdoq: bool = False):
+def choose_sbt_j(resi, s: int, qp, lam_rd, bd: int = 8, rdoq: bool = False,
+                 dq: bool = False):
     """(sbt_idx int32, levels_full, recon_resi) — RD over full DCT-II vs
     the 4 half transforms; twin of spec choose_sbt (first-min argmin,
     all-zero winner collapses to idx 0)."""
@@ -255,11 +393,11 @@ def choose_sbt_j(resi, s: int, qp, lam_rd, bd: int = 8, rdoq: bool = False):
         sub = resi[y0:y0 + h, x0:x0 + w]
         coef = forward_transform(sub, h, w, kh, kv, bd)
         lev_s = quantize(coef, h, w, qp, intra=True, bd=bd, rdoq=rdoq,
-                         lam_rd=lam_rd)
+                         lam_rd=lam_rd, dq=dq)
         lev = jnp.zeros((s, s), jnp.int32).at[y0:y0 + h,
                                               x0:x0 + w].set(lev_s)
-        rec_s = inverse_transform(dequantize(lev_s, h, w, qp, bd), h, w,
-                                  kh, kv, bd)
+        rec_s = inverse_transform(dequantize(lev_s, h, w, qp, bd, dq=dq),
+                                  h, w, kh, kv, bd)
         rec = jnp.zeros((s, s), jnp.int32).at[y0:y0 + h,
                                               x0:x0 + w].set(rec_s)
         dist = ((resi - rec) ** 2).sum()
@@ -275,7 +413,8 @@ def choose_sbt_j(resi, s: int, qp, lam_rd, bd: int = 8, rdoq: bool = False):
     return i, lev, rec
 
 
-def sbt_resi_j(lev_full, sbt_idx, s: int, qp, bd: int = 8):
+def sbt_resi_j(lev_full, sbt_idx, s: int, qp, bd: int = 8,
+               dq: bool = False):
     """Traced-index SBT residual: dequant + inverse-transform the sub-area
     per sbt_idx (0 = full DCT-II) — twin of spec sbt_reconstruct."""
     def br(idx):
@@ -283,8 +422,8 @@ def sbt_resi_j(lev_full, sbt_idx, s: int, qp, bd: int = 8):
             x0, y0, w, h = sbt_region(idx, s)
             kh, kv = sbt_kernels(idx)
             sub = lev_full[y0:y0 + h, x0:x0 + w]
-            r = inverse_transform(dequantize(sub, h, w, qp, bd), h, w,
-                                  kh, kv, bd)
+            r = inverse_transform(dequantize(sub, h, w, qp, bd, dq=dq),
+                                  h, w, kh, kv, bd)
             return jnp.zeros((s, s), jnp.int32).at[y0:y0 + h,
                                                    x0:x0 + w].set(r)
         return f
@@ -293,7 +432,7 @@ def sbt_resi_j(lev_full, sbt_idx, s: int, qp, bd: int = 8):
 
 def choose_tx_j(resi, s: int, qp, lam_rd, mode, bd: int = 8,
                 mts: bool = True, lfnst: bool = False, rdoq: bool = False,
-                allow=None, ts: bool = False):
+                allow=None, ts: bool = False, dq: bool = False):
     """Joint MTS/LFNST RD selection — twin of spec choose_tx.
 
     Returns (mts_idx, lfnst_idx, levels, recon_resi); first-min
@@ -311,11 +450,11 @@ def choose_tx_j(resi, s: int, qp, lam_rd, mode, bd: int = 8,
         if lk:
             coef = fwd_lfnst_j(coef, lk - 1, mode)
         lev = quantize(coef, s, s, qp, intra=True, bd=bd, rdoq=rdoq,
-                       lam_rd=lam_rd)
-        dq = dequantize(lev, s, s, qp, bd)
+                       lam_rd=lam_rd, dq=dq)
+        dqc = dequantize(lev, s, s, qp, bd, dq=dq)
         if lk:
-            dq = inv_lfnst_j(dq, lk - 1, mode)
-        rec = inverse_transform(dq, s, s, kh, kv, bd)
+            dqc = inv_lfnst_j(dqc, lk - 1, mode)
+        rec = inverse_transform(dqc, s, s, kh, kv, bd)
         dist = ((resi - rec) ** 2).sum()
         bits = (MTS_IDX_BITS[mk] if (mts or ts) else 0) \
             + (LFNST_IDX_BITS[lk] if (lfnst and mk == 0) else 0)

@@ -110,7 +110,7 @@ def encode_sequence(frames, cfg: sseq.EncoderConfig, decisions_fn=None,
             dmvr=sps.dmvr_enabled and sym, bdof=sps.bdof_enabled and sym,
             ciip=sps.ciip_enabled, sbt=sps.sbt_enabled,
             isp=sps.isp_enabled, gpm=sps.gpm_enabled,
-            affine=sps.affine_enabled,
+            affine=sps.affine_enabled, dq=sps.dq_enabled,
             fwd_lut=None if fwd_lut is None else jnp_asarray(fwd_lut),
             crs_lut=None if crs_lut is None else jnp_asarray(crs_lut),
             lam_rd=lambda_rd_int(qp), **ref_kw)
@@ -219,7 +219,7 @@ def decode_sequence(data: bytes, check_hash: bool = True):
                 bdof=sps.bdof_enabled and bi_sym(sh),
                 ciip=sps.ciip_enabled, sbt=sps.sbt_enabled,
                 isp=sps.isp_enabled, gpm=sps.gpm_enabled,
-                affine=sps.affine_enabled,
+                affine=sps.affine_enabled, dq=sps.dq_enabled,
                 fwd_lut=None if fwd_lut is None else jnp_asarray(fwd_lut),
                 crs_lut=None if crs_lut is None else jnp_asarray(crs_lut),
                 **ref_kw)

@@ -30,7 +30,7 @@ MARGIN = intra_pred.MARGIN
 
 
 def _component(buf, levels_io, src, pred, x, y, s, qp, bd, encode,
-               rdoq=False, lam_rd=0, crs_sc=None):
+               rdoq=False, lam_rd=0, crs_sc=None, dq=False):
     """Shared residual+recon for one component block with given prediction.
 
     crs_sc (traced 1.11-fp scale): LMCS chroma residual scaling — forward
@@ -43,16 +43,16 @@ def _component(buf, levels_io, src, pred, x, y, s, qp, bd, encode,
             resi = (resi << 11) // crs_sc
         coef = transform.forward_transform(resi, s, s, bd=bd)
         lev = transform.quantize(coef, s, s, qp, intra=True, bd=bd,
-                                 rdoq=rdoq, lam_rd=lam_rd)
+                                 rdoq=rdoq, lam_rd=lam_rd, dq=dq)
         levels_io = jax.lax.dynamic_update_slice(levels_io, lev, (y, x))
     else:
         lev = jax.lax.dynamic_slice(src, (y, x), (s, s))  # parsed levels
     if crs_sc is not None:
         r = transform.inverse_transform(
-            transform.dequantize(lev, s, s, qp, bd), s, s, bd=bd)
+            transform.dequantize(lev, s, s, qp, bd, dq=dq), s, s, bd=bd)
         rec = jnp.clip(pred + ((r * crs_sc) >> 11), 0, (1 << bd) - 1)
     else:
-        rec = transform.reconstruct(pred, lev, s, s, qp, bd=bd)
+        rec = transform.reconstruct(pred, lev, s, s, qp, bd=bd, dq=dq)
     buf = jax.lax.dynamic_update_slice(buf, rec, (y + 1, x + 1))
     return buf, levels_io
 
@@ -62,7 +62,7 @@ def _make_leaf_fn(s: int, inter: bool, *, frame_w: int, frame_h: int,
                   mts: bool = False, lfnst: bool = False, cclm: bool = False,
                   rdoq: bool = False, lam_rd=None, mip: bool = False,
                   tskip: bool = False, jccr: bool = False,
-                  isp: bool = False):
+                  isp: bool = False, dq: bool = False):
     cs = s // 2
     num_reg = rom.NUM_LUMA_MODE
 
@@ -116,27 +116,27 @@ def _make_leaf_fn(s: int, inter: bool, *, frame_w: int, frame_h: int,
                     midx, lidx, lev, rres = transform.choose_tx_j(
                         blk - pred_y, s, qp, lam_rd,
                         jnp.minimum(mode, num_reg - 1), bd, mts=mts,
-                        lfnst=lfnst, rdoq=rdoq,
+                        lfnst=lfnst, rdoq=rdoq, dq=dq,
                         allow=(mode < num_reg) if mip else None, ts=tskip)
                     ly = jax.lax.dynamic_update_slice(ly, lev, (y, x))
                 else:
                     midx = mts_in
                     lidx = lfnst_in
                     lev = jax.lax.dynamic_slice(sy, (y, x), (s, s))
-                    dq = transform.dequantize(lev, s, s, qp, bd)
+                    dqc = transform.dequantize(lev, s, s, qp, bd, dq=dq)
                     if lfnst:
-                        dq = transform.inv_lfnst_switch_j(
-                            dq, lidx, jnp.minimum(mode, num_reg - 1))
+                        dqc = transform.inv_lfnst_switch_j(
+                            dqc, lidx, jnp.minimum(mode, num_reg - 1))
                     branches_m = [
                         (lambda kh=kh, kv=kv: transform.inverse_transform(
-                            dq, s, s, kh, kv, bd))
+                            dqc, s, s, kh, kv, bd))
                         for kh, kv in transform.MTS_SET]
                     rres = jax.lax.switch(midx, branches_m)
                 rec = jnp.clip(pred_y + rres, 0, (1 << bd) - 1)
                 by = jax.lax.dynamic_update_slice(by, rec, (y + 1, x + 1))
                 return by, ly, midx, lidx
             by2, ly2 = _component(by, ly, sy, pred_y, x, y, s, qp, bd,
-                                  encode, rdoq, lam_rd)
+                                  encode, rdoq, lam_rd, dq=dq)
             return by2, ly2, jnp.int32(0), jnp.int32(0)
 
         if isp and not inter:
@@ -166,14 +166,14 @@ def _make_leaf_fn(s: int, inter: bool, *, frame_w: int, frame_h: int,
                                 blk - pred, h_st, w_st, kh, kv, bd)
                             lev = transform.quantize(
                                 coef, h_st, w_st, qp, intra=True, bd=bd,
-                                rdoq=rdoq, lam_rd=lam_rd)
+                                rdoq=rdoq, lam_rd=lam_rd, dq=dq)
                             ly = jax.lax.dynamic_update_slice(ly, lev,
                                                               (py, px))
                         else:
                             lev = jax.lax.dynamic_slice(sy, (py, px),
                                                         (h_st, w_st))
                         rec = transform.reconstruct(pred, lev, h_st, w_st,
-                                                    qp, kh, kv, bd)
+                                                    qp, kh, kv, bd, dq=dq)
                         by = jax.lax.dynamic_update_slice(by, rec,
                                                           (py + 1, px + 1))
                     return by, ly, jnp.int32(0), jnp.int32(0)
@@ -214,10 +214,10 @@ def _make_leaf_fn(s: int, inter: bool, *, frame_w: int, frame_h: int,
                     coef = transform.forward_transform(resi, cs, cs, bd=bd)
                     lev = transform.quantize(coef, cs, cs, qp, intra=True,
                                              bd=bd, rdoq=rdoq,
-                                             lam_rd=lam_rd)
+                                             lam_rd=lam_rd, dq=dq)
                     rr = transform.inverse_transform(
-                        transform.dequantize(lev, cs, cs, qp, bd), cs, cs,
-                        bd=bd)
+                        transform.dequantize(lev, cs, cs, qp, bd, dq=dq),
+                        cs, cs, bd=bd)
                     rate = jnp.minimum(transform.level_rate_est_j(lev),
                                        1 << 14)
                     return lev, rr, rate
@@ -271,11 +271,11 @@ def _make_leaf_fn(s: int, inter: bool, *, frame_w: int, frame_h: int,
                 lev_cb = jax.lax.dynamic_slice(scb, (cy2, cx2), (cs, cs))
                 lev_cr = jax.lax.dynamic_slice(scr, (cy2, cx2), (cs, cs))
                 rrj = transform.inverse_transform(
-                    transform.dequantize(lev_cb, cs, cs, qp, bd), cs, cs,
-                    bd=bd)
+                    transform.dequantize(lev_cb, cs, cs, qp, bd, dq=dq),
+                    cs, cs, bd=bd)
                 rcbb = jnp.clip(pcb + rrj, 0, mx)
                 rcr_sep = transform.reconstruct(pcr, lev_cr, cs, cs, qp,
-                                                bd=bd)
+                                                bd=bd, dq=dq)
                 if jccr:
                     rcrb = jnp.where(jccr_in > 0,
                                      jnp.clip(pcr - rrj, 0, mx), rcr_sep)
@@ -287,9 +287,9 @@ def _make_leaf_fn(s: int, inter: bool, *, frame_w: int, frame_h: int,
                                                (cy2 + 1, cx2 + 1))
         else:
             bcb, lcb = _component(bcb, lcb, scb, pred_cb, x // 2, y // 2,
-                                  cs, qp, bd, encode, rdoq, lam_rd)
+                                  cs, qp, bd, encode, rdoq, lam_rd, dq=dq)
             bcr, lcr = _component(bcr, lcr, scr, pred_cr, x // 2, y // 2,
-                                  cs, qp, bd, encode, rdoq, lam_rd)
+                                  cs, qp, bd, encode, rdoq, lam_rd, dq=dq)
         return (by, bcb, bcr, ly, lcb, lcr, sy, scb, scr, mtsp, lfnstp,
                 cmodep, jccrp, sbtp)
 
@@ -298,7 +298,8 @@ def _make_leaf_fn(s: int, inter: bool, *, frame_w: int, frame_h: int,
 
 def _make_ciip_fn(s: int, *, frame_w: int, frame_h: int, n_ctu_x: int, qp,
                   bd: int, encode: bool, refs, rdoq: bool = False,
-                  lam_rd=None, fwd_lut=None, crs_lut=None, **_unused):
+                  lam_rd=None, fwd_lut=None, crs_lut=None, dq: bool = False,
+                  **_unused):
     """CIIP leaf: sequential phase-B reconstruction (intra dependency) —
     MC (BCW-weighted average for BI) blended equally with planar intra from
     the reconstructed neighbours; twin of spec _ciip_blend + _inter_pred's
@@ -340,15 +341,17 @@ def _make_ciip_fn(s: int, *, frame_w: int, frame_h: int, n_ctu_x: int, qp,
         pred_cr = blend(mcpred(refs[2], refs[5], x // 2, y // 2, cs, False),
                         bcr, x // 2, y // 2, cs, False)
         by, ly = _component(by, ly, sy, pred_y, x, y, s, qp, bd, encode,
-                            rdoq, lam_rd)
+                            rdoq, lam_rd, dq=dq)
         sc = None
         if crs_lut is not None:
             lr = jax.lax.dynamic_slice(by, (y + 1, x + 1), (s, s))
             sc = crs_lut[lr.sum() >> _CRS_SHIFT[s]]
         bcb, lcb = _component(bcb, lcb, scb, pred_cb, x // 2, y // 2, cs,
-                              qp, bd, encode, rdoq, lam_rd, crs_sc=sc)
+                              qp, bd, encode, rdoq, lam_rd, crs_sc=sc,
+                              dq=dq)
         bcr, lcr = _component(bcr, lcr, scr, pred_cr, x // 2, y // 2, cs,
-                              qp, bd, encode, rdoq, lam_rd, crs_sc=sc)
+                              qp, bd, encode, rdoq, lam_rd, crs_sc=sc,
+                              dq=dq)
         return (by, bcb, bcr, ly, lcb, lcr, sy, scb, scr, mtsp, lfnstp,
                 cmodep, jccrp, sbtp)
 
@@ -363,7 +366,7 @@ def _inter_batch_pass(carry, ib_slots, refs, s: int, qp, bd: int,
                       rdoq: bool = False, lam_rd=0, fwd_lut=None,
                       dmvr: bool = False, bdof: bool = False,
                       sbt: bool = False, crs_lut=None, gpm: bool = False,
-                      affine: bool = False):
+                      affine: bool = False, dq: bool = False):
     """Phase A: all inter s-leaves at once (no intra-frame dependency).
 
     ib_slots: (B, 13) int32 [x, y, mv0x, mv0y, mv1x, mv1y, dir, bcw_idx,
@@ -519,15 +522,17 @@ def _inter_batch_pass(carry, ib_slots, refs, s: int, qp, bd: int,
                     resi = (resi << 11) // sc
                 coef = transform.forward_transform(resi, sz, sz, bd=bd)
                 lev = transform.quantize(coef, sz, sz, qp, intra=True, bd=bd,
-                                         rdoq=rdoq, lam_rd=lam_rd)
+                                         rdoq=rdoq, lam_rd=lam_rd, dq=dq)
             else:
                 lev = jax.lax.dynamic_slice(src, (cy, cx), (sz, sz))
             if sc is not None:
                 r = transform.inverse_transform(
-                    transform.dequantize(lev, sz, sz, qp, bd), sz, sz, bd=bd)
+                    transform.dequantize(lev, sz, sz, qp, bd, dq=dq), sz,
+                    sz, bd=bd)
                 rec = jnp.clip(pred + ((r * sc) >> 11), 0, mx)
             else:
-                rec = transform.reconstruct(pred, lev, sz, sz, qp, bd=bd)
+                rec = transform.reconstruct(pred, lev, sz, sz, qp, bd=bd,
+                                            dq=dq)
             return rec, lev
 
         if sbt:
@@ -537,11 +542,11 @@ def _inter_batch_pass(carry, ib_slots, refs, s: int, qp, bd: int,
                 blk = jax.lax.dynamic_slice(sy, (y, x),
                                             (s, s)).astype(jnp.int32)
                 sidx, lvy, rres = transform.choose_sbt_j(
-                    blk - pred_y, s, qp, lam_rd, bd=bd, rdoq=rdoq)
+                    blk - pred_y, s, qp, lam_rd, bd=bd, rdoq=rdoq, dq=dq)
             else:
                 sidx = slot[8]
                 lvy = jax.lax.dynamic_slice(sy, (y, x), (s, s))
-                rres = transform.sbt_resi_j(lvy, sidx, s, qp, bd)
+                rres = transform.sbt_resi_j(lvy, sidx, s, qp, bd, dq=dq)
             ry = jnp.clip(pred_y + rres, 0, mx)
         else:
             sidx = jnp.int32(0)
@@ -582,7 +587,7 @@ def _inter_batch_pass(carry, ib_slots, refs, s: int, qp, bd: int,
                                     "cclm", "rdoq", "lmcs", "mip",
                                     "tskip", "jccr", "dmvr", "bdof",
                                     "ciip", "sbt", "isp", "gpm",
-                                    "affine"))
+                                    "affine", "dq"))
 def frame_scan(slots, planes_y, planes_cb, planes_cr, *, frame_w: int,
                frame_h: int, qp, bd: int, encode: bool,
                inter_enabled: bool = False, ref_y=None, ref_cb=None,
@@ -594,7 +599,7 @@ def frame_scan(slots, planes_y, planes_cb, planes_cr, *, frame_w: int,
                jccr: bool = False, dmvr: bool = False, bdof: bool = False,
                ciip: bool = False, sbt: bool = False, crs_lut=None,
                isp: bool = False, gpm: bool = False,
-               affine: bool = False):
+               affine: bool = False, dq: bool = False):
     """Run the full-frame reconstruction scan.
 
     slots: (N, 6) int32 [op, x, y, mode, mvx, mvy] in coding order; op 0 =
@@ -634,13 +639,13 @@ def frame_scan(slots, planes_y, planes_cb, planes_cr, *, frame_w: int,
                                       fwd_lut if lmcs else None,
                                       dmvr=dmvr, bdof=bdof, sbt=sbt,
                                       crs_lut=crs_lut if lmcs else None,
-                                      gpm=gpm, affine=affine)
+                                      gpm=gpm, affine=affine, dq=dq)
 
     # phase B: intra leaves in coding order (inter slots are op=0 skips)
     kw = dict(frame_w=frame_w, frame_h=frame_h, n_ctu_x=n_ctu_x, qp=qp,
               bd=bd, encode=encode, refs=refs, mts=mts, lfnst=lfnst,
               cclm=cclm, rdoq=rdoq, lam_rd=jnp.asarray(lam_rd, jnp.int32),
-              mip=mip, tskip=tskip, jccr=jccr, isp=isp)
+              mip=mip, tskip=tskip, jccr=jccr, isp=isp, dq=dq)
     branches = [lambda c, *a: c,
                 _make_leaf_fn(8, False, **kw), _make_leaf_fn(16, False, **kw),
                 _make_leaf_fn(32, False, **kw)]
@@ -649,7 +654,7 @@ def frame_scan(slots, planes_y, planes_cb, planes_cr, *, frame_w: int,
                    bd=bd, encode=encode, refs=refs, rdoq=rdoq,
                    lam_rd=jnp.asarray(lam_rd, jnp.int32),
                    fwd_lut=fwd_lut if lmcs else None,
-                   crs_lut=crs_lut if lmcs else None)
+                   crs_lut=crs_lut if lmcs else None, dq=dq)
         branches += [_make_ciip_fn(8, **ckw), _make_ciip_fn(16, **ckw),
                      _make_ciip_fn(32, **ckw)]
     n_br = len(branches) - 1

@@ -122,6 +122,7 @@ class _FrameState:
     dmvr: bool = False                    # DMVR active (BI + symmetric refs)
     bdof: bool = False                    # BDOF active (BI + symmetric refs)
     smvd: bool = False                    # SMVD active (BI + symmetric refs)
+    dq: bool = False                      # dependent quantization (trellis)
 
     @classmethod
     def make(cls, sps, qp, encoding, decisions, src, refs=None, col=None,
@@ -392,7 +393,7 @@ def _code_component(io, st: _FrameState, comp: int, x: int, y: int, s: int,
             mts_idx, lfnst_idx, lev = transform.choose_tx(
                 resi, qp, mode, bd, mts=st.sps.mts_enabled and mts_ok,
                 lfnst=lfnst_on, rdoq=st.rdoq,
-                ts=st.sps.ts_enabled and mts_ok)
+                ts=st.sps.ts_enabled and mts_ok, dq=st.dq)
             st.dec.mts8[sl8] = mts_idx
             st.dec.lfnst8[sl8] = lfnst_idx
         elif lev_pre is not None:
@@ -404,7 +405,7 @@ def _code_component(io, st: _FrameState, comp: int, x: int, y: int, s: int,
                 resi = lmcsmod.crs_fwd(resi, crs_sc)
             coef = transform.forward_transform(resi, bit_depth=bd)
             lev = transform.quantize(coef, qp, intra=True, bit_depth=bd,
-                                     rdoq=st.rdoq,
+                                     rdoq=st.rdoq, dq=st.dq,
                                      lam_rd=transform.lambda_rd_int(qp))
         cbf = int(lev.any())
         io.bin(cbf_ctx, cbf)
@@ -416,13 +417,13 @@ def _code_component(io, st: _FrameState, comp: int, x: int, y: int, s: int,
             code_tb(io, lev, _log2(s), _log2(s), is_chroma)
     trace.t_cbf(comp, x, y, s, cbf)
     if sbt and cbf:
-        resi = transform.sbt_reconstruct(lev, sbt, qp, bd)
+        resi = transform.sbt_reconstruct(lev, sbt, qp, bd, dq=st.dq)
         plane[y:y + s, x:x + s] = np.clip(
             pred.astype(np.int32) + resi, 0, (1 << bd) - 1)
     elif crs_sc is not None:
         from . import lmcs as lmcsmod
         resi = transform.inverse_transform(
-            transform.dequantize(lev, qp, bd), bit_depth=bd) \
+            transform.dequantize(lev, qp, bd, dq=st.dq), bit_depth=bd) \
             if cbf else np.zeros((s, s), np.int32)
         plane[y:y + s, x:x + s] = np.clip(
             pred.astype(np.int32) + lmcsmod.crs_inv(resi, crs_sc), 0,
@@ -431,7 +432,7 @@ def _code_component(io, st: _FrameState, comp: int, x: int, y: int, s: int,
         kh, kv = transform.MTS_SET[mts_idx if cbf else 0]
         plane[y:y + s, x:x + s] = transform.reconstruct(
             pred, lev, qp, kh, kv, bit_depth=bd,
-            lfnst=lfnst_idx if cbf else 0, mode=mode)
+            lfnst=lfnst_idx if cbf else 0, mode=mode, dq=st.dq)
     valid[y:y + s, x:x + s] = True
 
 
@@ -459,7 +460,7 @@ def _code_isp_luma(io, st: _FrameState, x: int, y: int, s: int, mode: int,
                     - pred)
             coef = transform.forward_transform(resi, kh, kv, bd)
             lev = transform.quantize(coef, st.qp, intra=True, bit_depth=bd,
-                                     rdoq=st.rdoq, lam_rd=lam)
+                                     rdoq=st.rdoq, lam_rd=lam, dq=st.dq)
             cbf = int(lev.any())
             io.bin(C.CBF_LUMA(1), cbf)
             if cbf:
@@ -467,7 +468,7 @@ def _code_isp_luma(io, st: _FrameState, x: int, y: int, s: int, mode: int,
         trace.t_cbf(0, px, py, w_st, cbf)
         if cbf:
             r = transform.inverse_transform(
-                transform.dequantize(lev, st.qp, bd), kh, kv, bd)
+                transform.dequantize(lev, st.qp, bd, dq=st.dq), kh, kv, bd)
         else:
             r = 0
         st.recon[0][py:py + h_st, px:px + w_st] = np.clip(
@@ -871,11 +872,12 @@ def _prep_inter_enc(st: _FrameState, x: int, y: int, s: int) -> dict:
             if sbt:
                 lr = np.clip(
                     preds[0] + transform.sbt_reconstruct(levs[0], sbt,
-                                                         st.qp, bd),
+                                                         st.qp, bd,
+                                                         dq=st.dq),
                     0, (1 << bd) - 1)
             else:
                 lr = transform.reconstruct(preds[0], levs[0], st.qp,
-                                           bit_depth=bd)
+                                           bit_depth=bd, dq=st.dq)
             avg = int(lr.sum()) >> (2 * _log2(s))
             crs_sc = int(st.crs[avg])
         if comp > 0 and crs_sc is not None:
@@ -884,12 +886,13 @@ def _prep_inter_enc(st: _FrameState, x: int, y: int, s: int) -> dict:
         if comp == 0 and st.sps.sbt_enabled and not ciip:
             # SBT is mutually exclusive with CIIP (as in VVC): the blended
             # prediction has no single motion boundary to align a half to
-            sbt, lev = transform.choose_sbt(resi, st.qp, bd, rdoq=st.rdoq)
+            sbt, lev = transform.choose_sbt(resi, st.qp, bd, rdoq=st.rdoq,
+                                            dq=st.dq)
             levs.append(lev)
             continue
         coef = transform.forward_transform(resi, bit_depth=bd)
         levs.append(transform.quantize(
-            coef, st.qp, intra=True, bit_depth=bd, rdoq=st.rdoq,
+            coef, st.qp, intra=True, bit_depth=bd, rdoq=st.rdoq, dq=st.dq,
             lam_rd=transform.lambda_rd_int(st.qp)))
     all_zero = not any(lv.any() for lv in levs)
     return dict(d=d, mv0=mv0, mv1=mv1, midx=midx, mmvd=mmvd, preds=preds,
@@ -1174,9 +1177,10 @@ def _code_leaf(io, st: _FrameState, x: int, y: int, s: int) -> None:
                 coef = transform.forward_transform(rj, bit_depth=bd)
                 lev = transform.quantize(coef, st.qp, intra=True,
                                          bit_depth=bd, rdoq=st.rdoq,
-                                         lam_rd=lam)
+                                         lam_rd=lam, dq=st.dq)
                 rec = transform.inverse_transform(
-                    transform.dequantize(lev, st.qp, bd), bit_depth=bd)
+                    transform.dequantize(lev, st.qp, bd, dq=st.dq),
+                    bit_depth=bd)
                 dist = int(((resis[0].astype(np.int64) - rec) ** 2).sum()
                            + ((resis[1].astype(np.int64) + rec) ** 2).sum())
                 cost = dist + lam * min(transform.level_rate_est(lev),
@@ -1189,9 +1193,10 @@ def _code_leaf(io, st: _FrameState, x: int, y: int, s: int) -> None:
                                                        bit_depth=bd)
                     lev = transform.quantize(coef, st.qp, intra=True,
                                              bit_depth=bd, rdoq=st.rdoq,
-                                             lam_rd=lam)
+                                             lam_rd=lam, dq=st.dq)
                     rec = transform.inverse_transform(
-                        transform.dequantize(lev, st.qp, bd), bit_depth=bd)
+                        transform.dequantize(lev, st.qp, bd, dq=st.dq),
+                        bit_depth=bd)
                     dist = int(((resis[c - 1].astype(np.int64) - rec) ** 2
                                 ).sum())
                     cost += dist + lam * min(transform.level_rate_est(lev),
@@ -1237,7 +1242,7 @@ def _code_joint_chroma(io, st: _FrameState, cx: int, cy: int, cs: int,
     trace.t_cbf(2, cx, cy, cs, 0)
     if cbf:
         resi = transform.inverse_transform(
-            transform.dequantize(lev, st.qp, bd), bit_depth=bd)
+            transform.dequantize(lev, st.qp, bd, dq=st.dq), bit_depth=bd)
     else:
         resi = 0
     st.recon[1][cy:cy + cs, cx:cx + cs] = np.clip(preds[0] + resi, 0, mx)
@@ -1357,6 +1362,7 @@ def encode_frame(src_planes: list[np.ndarray], sps: hls.SPS, pps: hls.PPS,
     st.dmvr = sps.dmvr_enabled and bi_sym(sh)
     st.bdof = sps.bdof_enabled and bi_sym(sh)
     st.smvd = sps.smvd_enabled and bi_sym(sh)
+    st.dq = sps.dq_enabled
     if sh.lmcs_cw:
         from . import lmcs as lmcsmod
         st.lmcs = lmcsmod.build_luts(sh.lmcs_cw, sps.bit_depth)
@@ -1496,6 +1502,7 @@ def decode_frame(slice_rbsp: bytes, sps: hls.SPS, pps_map: dict[int, hls.PPS],
     st.dmvr = sps.dmvr_enabled and bi_sym(sh)
     st.bdof = sps.bdof_enabled and bi_sym(sh)
     st.smvd = sps.smvd_enabled and bi_sym(sh)
+    st.dq = sps.dq_enabled
     if sh.lmcs_cw:
         from . import lmcs as lmcsmod
         st.lmcs = lmcsmod.build_luts(sh.lmcs_cw, sps.bit_depth)

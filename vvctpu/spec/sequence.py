@@ -45,6 +45,7 @@ class EncoderConfig:
     lfnst: bool = False     # low-frequency non-separable secondary transform
     cclm: bool = False      # cross-component linear-model chroma prediction
     rdoq: bool = True       # encoder RDOQ quantizer (decoder-transparent)
+    dq: bool = False        # dependent quantization (4-state trellis)
     lmcs: bool = False      # luma mapping (reshaper)
     alf: bool = False       # adaptive loop filter (luma Wiener, CTU flags)
     mctf: bool = False      # motion-compensated temporal source prefilter
@@ -69,7 +70,7 @@ class EncoderConfig:
                        amvr_enabled=self.amvr, smvd_enabled=self.smvd,
                        ciip_enabled=self.ciip, sbt_enabled=self.sbt,
                        isp_enabled=self.isp, gpm_enabled=self.gpm,
-                       affine_enabled=self.affine)
+                       affine_enabled=self.affine, dq_enabled=self.dq)
 
 
 def gop_plan(n_frames: int, intra_period: int, gop: int):

@@ -76,7 +76,9 @@ def inverse_transform(coef: np.ndarray, kind_h: int = rom.DCT2,
 
 def quantize(coef: np.ndarray, qp: int, intra: bool = True,
              bit_depth: int = rom.BIT_DEPTH, rdoq: bool = False,
-             lam_rd: int = 0) -> np.ndarray:
+             lam_rd: int = 0, dq: bool = False) -> np.ndarray:
+    if dq:
+        return quantize_dq(coef, qp, lam_rd, bit_depth)
     if rdoq:
         return quantize_rdoq(coef, qp, lam_rd, intra, bit_depth)
     h, w = coef.shape
@@ -131,7 +133,10 @@ def quantize_rdoq(coef: np.ndarray, qp: int, lam_rd: int,
 
 
 def dequantize(level: np.ndarray, qp: int,
-               bit_depth: int = rom.BIT_DEPTH) -> np.ndarray:
+               bit_depth: int = rom.BIT_DEPTH,
+               dq: bool = False) -> np.ndarray:
+    if dq:
+        return dequantize_dq(level, qp, bit_depth)
     h, w = level.shape
     shift = bit_depth + ((_log2(w) + _log2(h)) >> 1) - 9
     scale = int(rom.INV_QUANT_SCALES[qp % 6]) << (qp // 6)
@@ -139,15 +144,137 @@ def dequantize(level: np.ndarray, qp: int,
     return np.clip(c, COEFF_MIN, COEFF_MAX).astype(np.int32)
 
 
+# ---------------------------------------------------------------------------
+# Dependent quantization (role of VTM:CommonLib/DepQuant.cpp, DQIntern):
+# two interleaved scalar quantizers Q0 (recon 2k*step') / Q1 (recon
+# (2k-1)*step', k>0) selected by a 4-state machine driven by level parities
+# along the coding (reverse-diagonal-scan) order; the encoder picks levels
+# by a Viterbi trellis over the states.  Documented deviations from VTM
+# (internally consistent across engines + spec): the state walk spans the
+# whole scan (not just from the last-significant coefficient), sig-coeff
+# contexts do not depend on the state, and the rate proxy is the shared
+# RDOQ one.
+# ---------------------------------------------------------------------------
+
+# next_state = DQ_TRANS[state][level & 1]
+DQ_TRANS = ((0, 2), (2, 0), (1, 3), (3, 1))
+# m_p[s] = DQ_TRANS[s][p] as composable maps (shared with the JAX twin)
+DQ_MAPS = ((0, 2, 1, 3), (2, 0, 3, 1))
+
+
+def dq_states(level: np.ndarray) -> np.ndarray:
+    """Per-coefficient quantizer state (h, w) from the level plane.
+
+    The walk runs in coding order (reverse diagonal scan from the highest
+    scan position), starting in state 0; the state at each position is the
+    one *before* consuming that position's parity."""
+    h, w = level.shape
+    scan = rom.scan_order(_log2(w), _log2(h))
+    n = len(scan)
+    st = np.zeros((h, w), np.int32)
+    s = 0
+    for k in range(n - 1, -1, -1):
+        x, y = int(scan[k][0]), int(scan[k][1])
+        st[y, x] = s
+        s = DQ_TRANS[s][int(abs(int(level[y, x]))) & 1]
+    return st
+
+
+def dequantize_dq(level: np.ndarray, qp: int,
+                  bit_depth: int = rom.BIT_DEPTH) -> np.ndarray:
+    """State-dependent dequant: c = ((2*lev - sgn*off)*scale + 2^shift)
+    >> (shift+1), off = 1 on Q1 states (2, 3) for nonzero levels."""
+    h, w = level.shape
+    shift = bit_depth + ((_log2(w) + _log2(h)) >> 1) - 9
+    scale = int(rom.INV_QUANT_SCALES[qp % 6]) << (qp // 6)
+    st = dq_states(level)
+    lv = level.astype(np.int64)
+    off = ((st > 1) & (lv != 0)).astype(np.int64) * np.sign(lv)
+    c = ((2 * lv - off) * scale + (1 << shift)) >> (shift + 1)
+    return np.clip(c, COEFF_MIN, COEFF_MAX).astype(np.int32)
+
+
+def _dq_rate(lv: int) -> int:
+    """Rate proxy per level (matches quantize_rdoq's)."""
+    return 2 + 2 * int(lv).bit_length() if lv > 0 else 0
+
+
+def quantize_dq(coef: np.ndarray, qp: int, lam_rd: int,
+                bit_depth: int = rom.BIT_DEPTH) -> np.ndarray:
+    """Trellis (Viterbi) dependent quantization over the coding-order walk.
+
+    Per position, per state, the active quantizer's floor level, floor+1
+    and zero are costed (coefficient-domain SSE + lambda*rate) and the
+    4-state DP takes the first-min over (state-major, candidate-minor)
+    order; running costs are renormalised by the state minimum each step so
+    the int32 device twin (kernels/transform.py quantize_dq_j) agrees
+    bit-for-bit."""
+    h, w = coef.shape
+    ts = rom.transform_shift(_log2(w), _log2(h), bit_depth)
+    q_bits = rom.QUANT_SHIFT + qp // 6 + ts
+    qscale = int(rom.QUANT_SCALES[qp % 6])
+    shift = bit_depth + ((_log2(w) + _log2(h)) >> 1) - 9
+    iscale = int(rom.INV_QUANT_SCALES[qp % 6]) << (qp // 6)
+    # int32-safety bounds (the device twin accumulates in int32): lambda
+    # capped so err^2 + lam*rate < 2^31, per-step increments >>4, running
+    # state costs renormalised by the min and clamped to 2^28
+    lam = min(int(lam_rd) << max(2 * ts, 0), 1 << 22)
+    scan = rom.scan_order(_log2(w), _log2(h))
+    n = len(scan)
+    big = 1 << 28
+
+    def deq(l, q1):
+        t = (2 * l - (1 if (q1 and l > 0) else 0)) * iscale
+        return min(max((t + (1 << shift)) >> (shift + 1), COEFF_MIN),
+                   COEFF_MAX)
+
+    cost = [0, big, big, big]           # start in state 0
+    bp = np.zeros((n, 4), np.int8)      # backpointer: previous state
+    cl = np.zeros((n, 4), np.int32)     # chosen level (abs) per next state
+    for j in range(n):
+        k = n - 1 - j
+        x, y = int(scan[k][0]), int(scan[k][1])
+        a = abs(int(coef[y, x]))
+        u = (a * qscale) >> (q_bits - 1)      # ~ 2a / step
+        ncost = [1 << 30] * 4
+        nbp = [0] * 4
+        nlv = [0] * 4
+        for s in range(4):
+            q1 = s > 1
+            lf = min(((u + 1) >> 1) if q1 else (u >> 1), COEFF_MAX - 1)
+            for l in (0, lf, lf + 1):
+                d = min(abs(a - deq(l, q1)), 30000)
+                c = cost[s] + ((d * d + lam * _dq_rate(l)) >> 4)
+                s2 = DQ_TRANS[s][l & 1]
+                if c < ncost[s2]:
+                    ncost[s2] = c
+                    nbp[s2] = s
+                    nlv[s2] = l
+        m = min(ncost)
+        cost = [min(c - m, big) for c in ncost]
+        bp[j] = nbp
+        cl[j] = nlv
+
+    s = int(np.argmin(cost))            # first-min final state
+    out = np.zeros((h, w), np.int32)
+    for j in range(n - 1, -1, -1):
+        k = n - 1 - j
+        x, y = int(scan[k][0]), int(scan[k][1])
+        lv = int(cl[j, s])
+        out[y, x] = lv if coef[y, x] >= 0 else -lv
+        s = int(bp[j, s])
+    return out
+
+
 def reconstruct(pred: np.ndarray, level: np.ndarray, qp: int,
                 kind_h: int = rom.DCT2, kind_v: int = rom.DCT2,
                 bit_depth: int = rom.BIT_DEPTH, lfnst: int = 0,
-                mode: int = 0) -> np.ndarray:
+                mode: int = 0, dq: bool = False) -> np.ndarray:
     """Shared enc/dec reconstruction: dequant -> (inv LFNST) -> inverse
     transform -> add-clip."""
     if not level.any():
         return pred.astype(np.int32)
-    coef = dequantize(level, qp, bit_depth)
+    coef = dequantize(level, qp, bit_depth, dq=dq)
     if lfnst:
         coef = inv_lfnst(coef, lfnst, mode)
     resi = inverse_transform(coef, kind_h, kind_v, bit_depth)
@@ -265,7 +392,7 @@ def sbt_kernels(idx: int):
 
 
 def sbt_reconstruct(lev_full: np.ndarray, sbt_idx: int, qp: int,
-                    bd: int = rom.BIT_DEPTH) -> np.ndarray:
+                    bd: int = rom.BIT_DEPTH, dq: bool = False) -> np.ndarray:
     """Residual of an SBT TB: dequant + inverse-transform the sub-area,
     zero elsewhere.  lev_full: full-size level plane (sub-area holds the
     sub-TB levels)."""
@@ -276,12 +403,12 @@ def sbt_reconstruct(lev_full: np.ndarray, sbt_idx: int, qp: int,
     resi = np.zeros((s, s), np.int32)
     if sub.any():
         resi[y0:y0 + h, x0:x0 + w] = inverse_transform(
-            dequantize(sub, qp, bd), kh, kv, bd)
+            dequantize(sub, qp, bd, dq=dq), kh, kv, bd)
     return resi
 
 
 def choose_sbt(resi: np.ndarray, qp: int, bd: int = rom.BIT_DEPTH,
-               rdoq: bool = False):
+               rdoq: bool = False, dq: bool = False):
     """RD-select SBT for an inter luma TB: full DCT-II vs the 4 half
     transforms (dropped half costs its residual energy).  Returns
     (sbt_idx, levels_full); first-min tie-breaking in index order; an
@@ -296,13 +423,13 @@ def choose_sbt(resi: np.ndarray, qp: int, bd: int = rom.BIT_DEPTH,
         sub = resi[y0:y0 + h, x0:x0 + w]
         coef = forward_transform(sub, kh, kv, bd)
         lev_s = quantize(coef, qp, intra=True, bit_depth=bd, rdoq=rdoq,
-                         lam_rd=lam)
+                         lam_rd=lam, dq=dq)
         lev = np.zeros((s, s), np.int32)
         lev[y0:y0 + h, x0:x0 + w] = lev_s
         rec = np.zeros((s, s), np.int64)
         if lev_s.any():
             rec[y0:y0 + h, x0:x0 + w] = inverse_transform(
-                dequantize(lev_s, qp, bd), kh, kv, bd)
+                dequantize(lev_s, qp, bd, dq=dq), kh, kv, bd)
         dist = int(((r64 - rec) ** 2).sum())
         rate = min(level_rate_est(lev), 1 << 14) + SBT_IDX_BITS[idx]
         cost = dist + lam * rate
@@ -316,7 +443,7 @@ def choose_sbt(resi: np.ndarray, qp: int, bd: int = rom.BIT_DEPTH,
 
 def choose_tx(resi: np.ndarray, qp: int, mode: int, bd: int = rom.BIT_DEPTH,
               mts: bool = True, lfnst: bool = False, rdoq: bool = False,
-              ts: bool = False):
+              ts: bool = False, dq: bool = False):
     """Joint MTS/TS/LFNST RD selection for an intra luma TB.
 
     Returns (mts_idx, lfnst_idx, levels); first-min tie-breaking in
@@ -336,11 +463,11 @@ def choose_tx(resi: np.ndarray, qp: int, mode: int, bd: int = rom.BIT_DEPTH,
         if lk:
             coef = fwd_lfnst(coef, lk, mode)
         lev = quantize(coef, qp, intra=True, bit_depth=bd, rdoq=rdoq,
-                       lam_rd=lam)
-        dq = dequantize(lev, qp, bd)
+                       lam_rd=lam, dq=dq)
+        dqc = dequantize(lev, qp, bd, dq=dq)
         if lk:
-            dq = inv_lfnst(dq, lk, mode)
-        rec = inverse_transform(dq, kh, kv, bd)
+            dqc = inv_lfnst(dqc, lk, mode)
+        rec = inverse_transform(dqc, kh, kv, bd)
         dist = int(((resi.astype(np.int64) - rec) ** 2).sum())
         bits = (MTS_IDX_BITS[mk] if (mts or ts) else 0) \
             + (LFNST_IDX_BITS[lk] if (lfnst and mk == 0) else 0)
