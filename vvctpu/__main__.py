@@ -44,7 +44,7 @@ def _enc(args) -> int:
                      ("smvd", fc.smvd), ("ciip", fc.ciip),
                      ("sbt", fc.sbt), ("isp", fc.isp),
                      ("gpm", fc.gpm), ("affine", fc.affine),
-                     ("dq", fc.dq)):
+                     ("dq", fc.dq), ("mtt", fc.mtt)):
             if ap_defaults.get(a) == getattr(args, a):
                 setattr(args, a, v)
         if not fc.rdoq:
@@ -68,6 +68,7 @@ def _enc(args) -> int:
                             amvr=args.amvr, smvd=args.smvd,
                             ciip=args.ciip, sbt=args.sbt, isp=args.isp,
                             gpm=args.gpm, affine=args.affine, dq=args.dq,
+                            mtt=args.mtt,
                             mctf=args.mctf, rdoq=not args.no_rdoq,
                             rc_bits_per_frame=args.rc_bpf)
     if args.trace_file:
@@ -196,7 +197,8 @@ ap_defaults = {"qp": 32, "intra_period": 1, "gop": 1, "bit_depth": 8,
                "mrl": False, "tskip": False, "jccr": False, "mmvd": False,
                "dmvr": False, "bdof": False, "bcw": False, "amvr": False,
                "smvd": False, "ciip": False, "sbt": False, "isp": False,
-               "gpm": False, "affine": False, "dq": False}
+               "gpm": False, "affine": False, "dq": False,
+               "mtt": False}
 
 
 def main(argv=None) -> int:
@@ -234,6 +236,8 @@ def main(argv=None) -> int:
                    help="disable the RDOQ quantizer")
     e.add_argument("--dq", action="store_true",
                    help="dependent quantization (4-state trellis)")
+    e.add_argument("--mtt", action="store_true",
+                   help="multi-type tree (binary splits at 16/32)")
     e.add_argument("--lmcs", action="store_true",
                    help="LMCS luma mapping (reshaper)")
     e.add_argument("--mip", action="store_true",

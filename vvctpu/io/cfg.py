@@ -41,6 +41,7 @@ class AppConfig:
     bdof: bool = False            # BIO / BDOF
     rdoq: bool = True             # RDOQ
     dq: bool = False              # DepQuant (4-state trellis)
+    mtt: bool = False             # MTT binary splits
     lmcs: bool = False            # LMCSEnable / LMCS
     alf: bool = False             # ALF
     mctf: bool = False            # TemporalFilter / MCTF
@@ -91,6 +92,7 @@ _KEYMAP = {
     "bdof": ("bdof", lambda v: bool(int(v))),
     "rdoq": ("rdoq", lambda v: bool(int(v))),
     "depquant": ("dq", lambda v: bool(int(v))),
+    "mtt": ("mtt", lambda v: bool(int(v))),
     "lmcs": ("lmcs", lambda v: bool(int(v))),
     "lmcsenable": ("lmcs", lambda v: bool(int(v))),
     "alf": ("alf", lambda v: bool(int(v))),

@@ -23,6 +23,10 @@ from . import entropy, recon
 
 def encode_sequence(frames, cfg: sseq.EncoderConfig, decisions_fn=None,
                     decisions_out=None):
+    if getattr(cfg, "mtt", False):
+        raise NotImplementedError(
+            "MTT binary splits: JAX engine support lands in stage 2; "
+            "use the spec engine")
     h, w = frames[0][0].shape
     sps = cfg.make_sps(w, h)
     pps = hls.PPS(init_qp=cfg.qp, entropy_sync=cfg.wpp)

@@ -37,6 +37,8 @@ class FrameDecisions:
     split32: np.ndarray   # (H//32, W//32) uint8: split 32 -> 16
     split16: np.ndarray   # (H//16, W//16) uint8: split 16 -> 8
     modes8: np.ndarray    # (H//8,  W//8)  int32: luma mode per 8x8 granule
+    bt32: np.ndarray = None     # (H//32, W//32) uint8: 0 / 1 H / 2 V binary
+    bt16: np.ndarray = None     # (H//16, W//16) uint8: 0 / 1 H / 2 V binary
     inter8: np.ndarray = None   # (H//8, W//8) uint8: 1 = inter leaf
     mv8: np.ndarray = None      # (H//8, W//8, 2) int32: L0 (mvx, mvy) 1/16
     mv8_l1: np.ndarray = None   # (H//8, W//8, 2) int32: L1 mv (B slices)
@@ -60,6 +62,8 @@ class FrameDecisions:
         return cls(np.zeros((h // 32, w // 32), np.uint8),
                    np.zeros((h // 16, w // 16), np.uint8),
                    np.zeros((h // 8, w // 8), np.int32),
+                   np.zeros((h // 32, w // 32), np.uint8),
+                   np.zeros((h // 16, w // 16), np.uint8),
                    np.zeros((h // 8, w // 8), np.uint8),
                    np.zeros((h // 8, w // 8, 2), np.int32),
                    np.zeros((h // 8, w // 8, 2), np.int32),
@@ -80,6 +84,8 @@ class FrameDecisions:
     def equal(self, other: "FrameDecisions") -> bool:
         return (np.array_equal(self.split32, other.split32)
                 and np.array_equal(self.split16, other.split16)
+                and np.array_equal(self.bt32, other.bt32)
+                and np.array_equal(self.bt16, other.bt16)
                 and np.array_equal(self.modes8, other.modes8)
                 and np.array_equal(self.inter8, other.inter8)
                 and np.array_equal(self.mv8, other.mv8)
@@ -255,20 +261,23 @@ def code_isp_flags(io, dec: FrameDecisions, sps, x: int, y: int,
     return isp
 
 
-def _code_intra_mode(io, st: _FrameState, x: int, y: int, s: int) -> int:
-    if st.sps.mip_enabled:
-        mode = code_mip_mode(io, st, x, y, s,
+def _code_intra_mode(io, st: _FrameState, x: int, y: int, w: int,
+                     h: int) -> int:
+    square = w == h
+    if st.sps.mip_enabled and square:
+        mode = code_mip_mode(io, st, x, y, w,
                              None if io.decoding
                              else int(st.dec.modes8[y // 8, x // 8]))
         if mode is not None:
             return mode     # MRL is regular-mode only
-    if st.sps.mrl_enabled:
+    if st.sps.mrl_enabled and square:
         code_mrl_idx(io, st, x, y,
                      None if io.decoding
                      else int(st.dec.mrl8[y // 8, x // 8]))
-    code_isp_flags(io, st.dec, st.sps, x, y, s)
-    left = _neighbor_mode(st, x - 1, y + s - 1)
-    above = _neighbor_mode(st, x + s - 1, y - 1)
+    if square:
+        code_isp_flags(io, st.dec, st.sps, x, y, w)
+    left = _neighbor_mode(st, x - 1, y + h - 1)
+    above = _neighbor_mode(st, x + w - 1, y - 1)
     mpm = intra.mpm_list(left, above)
 
     if io.decoding:
@@ -345,38 +354,38 @@ def _code_lfnst_idx(io, idx=None):
     return idx
 
 
-def _crs_scale(st: _FrameState, x: int, y: int, s: int):
+def _crs_scale(st: _FrameState, x: int, y: int, w: int, h: int):
     """CRS scale for the leaf: slope LUT at the average reconstructed
     mapped luma of the leaf (spec/lmcs.py build_crs_lut); None if CRS off.
     Requires the leaf's luma to be reconstructed already."""
     if st.crs is None:
         return None
-    avg = int(st.recon[0][y:y + s, x:x + s].sum()) >> (2 * _log2(s))
+    avg = int(st.recon[0][y:y + h, x:x + w].sum()) >> (_log2(w) + _log2(h))
     return int(st.crs[avg])
 
 
-def _code_component(io, st: _FrameState, comp: int, x: int, y: int, s: int,
-                    mode: int, cbf_ctx: int, pred=None,
+def _code_component(io, st: _FrameState, comp: int, x: int, y: int, w: int,
+                    h: int, mode: int, cbf_ctx: int, pred=None,
                     mts_ok: bool = False, lev_pre=None,
                     mrl: int = 0, sbt: int = 0, crs_sc=None) -> None:
     plane, valid = st.recon[comp], st.valid[comp]
     is_chroma = comp > 0
     bd = st.sps.bit_depth
     if pred is None:
-        top, left = intra.build_references(plane, valid, x, y, s, s, bd,
+        top, left = intra.build_references(plane, valid, x, y, w, h, bd,
                                            ref_line=mrl)
         if mode >= rom.NUM_LUMA_MODE:
             pred = intra.mip_predict(top, left, mode - rom.NUM_LUMA_MODE,
-                                     s, bd)
+                                     w, bd)
         else:
-            pred = intra.predict(top, left, mode, s, s, is_chroma, bd,
+            pred = intra.predict(top, left, mode, w, h, is_chroma, bd,
                                  ref_line=mrl)
     qp = st.qp
     mts_on = mts_ok and (st.sps.mts_enabled or st.sps.ts_enabled)
     lfnst_on = mts_ok and st.sps.lfnst_enabled
     mts_idx = 0
     lfnst_idx = 0
-    sl8 = np.s_[y // 8:(y + s) // 8, x // 8:(x + s) // 8]
+    sl8 = np.s_[y // 8:(y + h) // 8, x // 8:(x + w) // 8]
     if io.decoding:
         cbf = io.bin(cbf_ctx)
         if cbf and mts_on:
@@ -385,11 +394,11 @@ def _code_component(io, st: _FrameState, comp: int, x: int, y: int, s: int,
         if cbf and lfnst_on and mts_idx == 0:
             lfnst_idx = _code_lfnst_idx(io)
             st.dec.lfnst8[sl8] = lfnst_idx
-        lev = code_tb(io, None, _log2(s), _log2(s), is_chroma) if cbf \
-            else np.zeros((s, s), np.int32)
+        lev = code_tb(io, None, _log2(w), _log2(h), is_chroma) if cbf \
+            else np.zeros((h, w), np.int32)
     else:
         if mts_on or lfnst_on:
-            resi = st.src[comp][y:y + s, x:x + s].astype(np.int32) - pred
+            resi = st.src[comp][y:y + h, x:x + w].astype(np.int32) - pred
             mts_idx, lfnst_idx, lev = transform.choose_tx(
                 resi, qp, mode, bd, mts=st.sps.mts_enabled and mts_ok,
                 lfnst=lfnst_on, rdoq=st.rdoq,
@@ -399,7 +408,7 @@ def _code_component(io, st: _FrameState, comp: int, x: int, y: int, s: int,
         elif lev_pre is not None:
             lev = lev_pre
         else:
-            resi = st.src[comp][y:y + s, x:x + s].astype(np.int32) - pred
+            resi = st.src[comp][y:y + h, x:x + w].astype(np.int32) - pred
             if crs_sc is not None:
                 from . import lmcs as lmcsmod
                 resi = lmcsmod.crs_fwd(resi, crs_sc)
@@ -414,26 +423,26 @@ def _code_component(io, st: _FrameState, comp: int, x: int, y: int, s: int,
                 _code_mts_idx(io, mts_idx)
             if lfnst_on and mts_idx == 0:
                 _code_lfnst_idx(io, lfnst_idx)
-            code_tb(io, lev, _log2(s), _log2(s), is_chroma)
-    trace.t_cbf(comp, x, y, s, cbf)
+            code_tb(io, lev, _log2(w), _log2(h), is_chroma)
+    trace.t_cbf(comp, x, y, w, cbf)
     if sbt and cbf:
         resi = transform.sbt_reconstruct(lev, sbt, qp, bd, dq=st.dq)
-        plane[y:y + s, x:x + s] = np.clip(
+        plane[y:y + h, x:x + w] = np.clip(
             pred.astype(np.int32) + resi, 0, (1 << bd) - 1)
     elif crs_sc is not None:
         from . import lmcs as lmcsmod
         resi = transform.inverse_transform(
             transform.dequantize(lev, qp, bd, dq=st.dq), bit_depth=bd) \
-            if cbf else np.zeros((s, s), np.int32)
-        plane[y:y + s, x:x + s] = np.clip(
+            if cbf else np.zeros((h, w), np.int32)
+        plane[y:y + h, x:x + w] = np.clip(
             pred.astype(np.int32) + lmcsmod.crs_inv(resi, crs_sc), 0,
             (1 << bd) - 1)
     else:
         kh, kv = transform.MTS_SET[mts_idx if cbf else 0]
-        plane[y:y + s, x:x + s] = transform.reconstruct(
+        plane[y:y + h, x:x + w] = transform.reconstruct(
             pred, lev, qp, kh, kv, bit_depth=bd,
             lfnst=lfnst_idx if cbf else 0, mode=mode, dq=st.dq)
-    valid[y:y + s, x:x + s] = True
+    valid[y:y + h, x:x + w] = True
 
 
 def _code_isp_luma(io, st: _FrameState, x: int, y: int, s: int, mode: int,
@@ -514,14 +523,14 @@ def _code_mvd_comp(io, v) -> int:
 
 
 def code_mv_list(io, mv_map, inter_map, x: int, y: int, s: int, lst: int,
-                 mv_enc=None, shift: int = 2):
+                 mv_enc=None, shift: int = 2, h: int | None = None):
     """mvp_idx + MVD for one reference list at the given AMVR precision
     (shift in 1/16-pel units; 2 = quarter-pel default).  AMVP candidates
     are rounded to the precision grid, so the MVD is always exact.
     Shared by the spec traversal and the pipeline entropy walker."""
     from . import inter as imod
     cands = imod.mvp_candidates(mv_map[:, :, lst], inter_map[:, :, lst],
-                                x, y, s)
+                                x, y, s, h=h)
     rc = [(imod.round_mv_prec(c[0], shift), imod.round_mv_prec(c[1], shift))
           for c in cands]
     if io.decoding:
@@ -540,9 +549,9 @@ def code_mv_list(io, mv_map, inter_map, x: int, y: int, s: int, lst: int,
 
 
 def _code_mv_list(io, st: _FrameState, x: int, y: int, s: int, lst: int,
-                  mv_enc=None, shift: int = 2):
+                  mv_enc=None, shift: int = 2, h: int | None = None):
     return code_mv_list(io, st.mv_map, st.inter_map, x, y, s, lst, mv_enc,
-                        shift)
+                        shift, h=h)
 
 
 def code_mv_smvd(io, mv_map, inter_map, x: int, y: int, s: int,
@@ -587,7 +596,7 @@ def code_amvr(io, prec=None) -> int:
 
 
 def _amvr_for_leaf(io, mv_map, inter_map, x, y, s, d, mv0, mv1,
-                   enabled: bool) -> int:
+                   enabled: bool, h: int | None = None) -> int:
     """Shared encode-side AMVR decision + syntax for one explicit leaf."""
     from . import inter as imod
     if not enabled:
@@ -596,11 +605,12 @@ def _amvr_for_leaf(io, mv_map, inter_map, x, y, s, d, mv0, mv1,
     if d in (0, 2):
         mvs.append(mv0)
         lists.append(imod.mvp_candidates(mv_map[:, :, 0],
-                                         inter_map[:, :, 0], x, y, s))
+                                         inter_map[:, :, 0], x, y, s, h=h))
     if d in (1, 2):
         mvs.append(mv1)
         lists.append(imod.mvp_candidates(mv_map[:, :, 1],
-                                         inter_map[:, :, 1], x, y, s))
+                                         inter_map[:, :, 1], x, y, s,
+                                         h=h))
     prec = imod.amvr_choose(mvs, lists, True)
     return code_amvr(io, prec)
 
@@ -696,7 +706,7 @@ def _ciip_blend(st: _FrameState, mc_pred: np.ndarray, comp: int, px: int,
 
 def _inter_pred(st: _FrameState, x: int, y: int, s: int, d: int, mv0, mv1,
                 widx: int = 1, ciip: bool = False, gpm: int = 0,
-                aff=None):
+                aff=None, h: int | None = None):
     """[Y, Cb, Cr] motion-compensated predictions for the leaf.
 
     BI leaves run DMVR (per 16x16 subblock, refs symmetric) and BDOF
@@ -710,6 +720,33 @@ def _inter_pred(st: _FrameState, x: int, y: int, s: int, d: int, mv0, mv1,
     from . import inter as imod
     bd = st.sps.bit_depth
     mx = (1 << bd) - 1
+    hh = s if h is None else h
+    if hh != s:
+        # rectangular (BT) leaf: plain translational MC only (DMVR/BDOF/
+        # GPM/affine/CIIP are square-leaf tools in this build)
+        def pf(comp, px, py, pw, ph):
+            outs = []
+            for lst, mv in ((0, mv0), (1, mv1)):
+                if d != 2 and lst != d:
+                    continue
+                ref = st.refs[lst][comp]
+                if comp == 0:
+                    outs.append(imod.mc_luma(ref, px, py, pw, ph, mv[0],
+                                             mv[1], bd))
+                else:
+                    outs.append(imod.mc_chroma(ref, px, py, pw, ph, mv[0],
+                                               mv[1], bd,
+                                               imod.REF_MARGIN // 2))
+            if len(outs) == 2:
+                return imod.bcw_average(outs[0], outs[1], widx, bd)
+            return outs[0]
+
+        out = [pf(0, x, y, s, hh),
+               pf(1, x // 2, y // 2, s // 2, hh // 2),
+               pf(2, x // 2, y // 2, s // 2, hh // 2)]
+        if st.lmcs is not None:
+            out[0] = st.lmcs[0][out[0]]
+        return out
 
     if aff is not None:
         # affine (uni): per-4x4-subblock luma MC + PROF; 4x4 chroma
@@ -822,11 +859,15 @@ def _inter_pred(st: _FrameState, x: int, y: int, s: int, d: int, mv0, mv1,
     return out
 
 
-def _prep_inter_enc(st: _FrameState, x: int, y: int, s: int) -> dict:
+def _prep_inter_enc(st: _FrameState, x: int, y: int, s: int,
+                    h: int | None = None) -> dict:
     """Encoder-side precompute for one inter leaf: motion from the decision
     maps, merge-candidate match, predictions and quantized levels (needed
-    before the skip flag can be coded)."""
+    before the skip flag can be coded).  s is the leaf width, h the height
+    (square-only tools are gated off on rectangular BT leaves)."""
     from . import inter as imod
+    hh = s if h is None else h
+    square = hh == s
     gy, gx = y // 8, x // 8
     is_b = len(st.refs) == 2
     d = int(st.dec.dir8[gy, gx]) if is_b else 0
@@ -835,13 +876,15 @@ def _prep_inter_enc(st: _FrameState, x: int, y: int, s: int) -> dict:
     mv1 = ((int(st.dec.mv8_l1[gy, gx, 0]), int(st.dec.mv8_l1[gy, gx, 1]))
            if d in (1, 2) else (0, 0))
     widx = (int(st.dec.bcw8[gy, gx])
-            if st.sps.bcw_enabled and d == 2 else imod.BCW_DEFAULT)
+            if st.sps.bcw_enabled and d == 2 and square
+            else imod.BCW_DEFAULT)
     aff = None
     if (st.sps.affine_enabled and s >= imod.AFF_MIN_SIZE and d != 2
+            and square
             and st.dec.aff8 is not None and st.dec.aff8[gy, gx]):
         aff = (int(st.dec.admv8[gy, gx, 0]), int(st.dec.admv8[gy, gx, 1]))
     cands = imod.merge_candidates(st.inter_map, st.mv_map, x, y, s, is_b,
-                                  st.col, st.hmvp)
+                                  st.col, st.hmvp, h=hh)
     me = (d, mv0, mv1)
     # merge leaves always use the equal weight, so an unequal-BCW leaf
     # must be coded explicitly; affine leaves are always explicit
@@ -851,18 +894,21 @@ def _prep_inter_enc(st: _FrameState, x: int, y: int, s: int) -> dict:
     mmvd = (imod.mmvd_match(cands, me)
             if midx is None and widx == imod.BCW_DEFAULT and aff is None
             and st.sps.mmvd_enabled else None)
-    ciip = bool(st.dec.ciip8[gy, gx]) if st.sps.ciip_enabled else False
+    ciip = (bool(st.dec.ciip8[gy, gx])
+            if st.sps.ciip_enabled and square else False)
     gpm = (int(st.dec.gpm8[gy, gx])
-           if (st.sps.gpm_enabled and is_b and d == 2 and not ciip) else 0)
-    preds = _inter_pred(st, x, y, s, d, mv0, mv1, widx, ciip, gpm, aff)
+           if (st.sps.gpm_enabled and is_b and d == 2 and not ciip
+               and square) else 0)
+    preds = _inter_pred(st, x, y, s, d, mv0, mv1, widx, ciip, gpm, aff,
+                        h=hh)
     bd = st.sps.bit_depth
     levs = []
     sbt = 0
     crs_sc = None
-    for comp, (px, py, sz) in enumerate(((x, y, s),
-                                         (x // 2, y // 2, s // 2),
-                                         (x // 2, y // 2, s // 2))):
-        resi = (st.src[comp][py:py + sz, px:px + sz].astype(np.int32)
+    for comp, (px, py, sz, szh) in enumerate(
+            ((x, y, s, hh), (x // 2, y // 2, s // 2, hh // 2),
+             (x // 2, y // 2, s // 2, hh // 2))):
+        resi = (st.src[comp][py:py + szh, px:px + sz].astype(np.int32)
                 - preds[comp])
         if comp == 1 and st.crs is not None:
             # CRS: scale by the slope at the leaf's avg reconstructed
@@ -878,14 +924,15 @@ def _prep_inter_enc(st: _FrameState, x: int, y: int, s: int) -> dict:
             else:
                 lr = transform.reconstruct(preds[0], levs[0], st.qp,
                                            bit_depth=bd, dq=st.dq)
-            avg = int(lr.sum()) >> (2 * _log2(s))
+            avg = int(lr.sum()) >> (_log2(s) + _log2(hh))
             crs_sc = int(st.crs[avg])
         if comp > 0 and crs_sc is not None:
             from . import lmcs as lmcsmod
             resi = lmcsmod.crs_fwd(resi, crs_sc)
-        if comp == 0 and st.sps.sbt_enabled and not ciip:
+        if comp == 0 and st.sps.sbt_enabled and not ciip and square:
             # SBT is mutually exclusive with CIIP (as in VVC): the blended
-            # prediction has no single motion boundary to align a half to
+            # prediction has no single motion boundary to align a half to;
+            # square leaves only
             sbt, lev = transform.choose_sbt(resi, st.qp, bd, rdoq=st.rdoq,
                                             dq=st.dq)
             levs.append(lev)
@@ -901,8 +948,11 @@ def _prep_inter_enc(st: _FrameState, x: int, y: int, s: int) -> dict:
 
 
 def _code_inter_leaf(io, st: _FrameState, x: int, y: int, s: int,
-                     skip: bool, pre: dict | None = None) -> None:
+                     skip: bool, pre: dict | None = None,
+                     h: int | None = None) -> None:
     from . import inter as imod
+    hh = s if h is None else h
+    square = hh == s
     gy, gx = y // 8, x // 8
     is_b = st.refs is not None and len(st.refs) == 2
 
@@ -914,7 +964,7 @@ def _code_inter_leaf(io, st: _FrameState, x: int, y: int, s: int,
         if merge:
             mmvd = _code_mmvd(io) if st.sps.mmvd_enabled else None
             cands = imod.merge_candidates(st.inter_map, st.mv_map, x, y, s,
-                                          is_b, st.col, st.hmvp)
+                                          is_b, st.col, st.hmvp, h=hh)
             if mmvd is not None:
                 d, mv0, mv1 = imod.mmvd_derive(cands[mmvd[0]], mmvd[1],
                                                mmvd[2])
@@ -928,9 +978,9 @@ def _code_inter_leaf(io, st: _FrameState, x: int, y: int, s: int,
             else:
                 d = 0
             aff_sig = (st.sps.affine_enabled and s >= imod.AFF_MIN_SIZE
-                       and d != 2)
+                       and d != 2 and square)
             if aff_sig and io.bin(C.AFF_FLAG(0)):
-                mv = _code_mv_list(io, st, x, y, s, d, shift=2)
+                mv = _code_mv_list(io, st, x, y, s, d, shift=2, h=hh)
                 dmx = _code_mvd_comp(io, None) << 2
                 dmy = _code_mvd_comp(io, None) << 2
                 aff = (dmx, dmy)
@@ -940,31 +990,35 @@ def _code_inter_leaf(io, st: _FrameState, x: int, y: int, s: int,
                 shift = imod.AMVR_SHIFTS[code_amvr(io)] \
                     if st.sps.amvr_enabled else 2
                 smvd = bool(io.bin(C.SMVD_FLAG(0))) \
-                    if d == 2 and st.smvd else False
+                    if d == 2 and st.smvd and square else False
                 mv0 = mv1 = (0, 0)
                 if smvd:
                     mv0, mv1 = code_mv_smvd(io, st.mv_map, st.inter_map,
                                             x, y, s, shift=shift)
                 else:
                     if d in (0, 2):
-                        mv0 = _code_mv_list(io, st, x, y, s, 0, shift=shift)
+                        mv0 = _code_mv_list(io, st, x, y, s, 0, shift=shift,
+                                            h=hh)
                     if d in (1, 2):
-                        mv1 = _code_mv_list(io, st, x, y, s, 1, shift=shift)
+                        mv1 = _code_mv_list(io, st, x, y, s, 1, shift=shift,
+                                            h=hh)
                     if d == 1:
                         mv0 = (0, 0)
-                if is_b and d == 2 and st.sps.bcw_enabled:
+                if is_b and d == 2 and st.sps.bcw_enabled and square:
                     widx = _code_bcw_idx(io)
-        if st.sps.ciip_enabled and not skip:
+        if st.sps.ciip_enabled and not skip and square:
             ciip = bool(io.bin(C.CIIP_FLAG(0)))
         gpm = 0
         if (st.sps.gpm_enabled and is_b and not skip and not ciip
-                and d == 2):
+                and d == 2 and square):
             if io.bin(C.GPM_FLAG(0)):
                 gpm = 1 + io.byp_n(n=6)
         sbt = _code_sbt_idx(io) \
-            if st.sps.sbt_enabled and not skip and not ciip else 0
-        preds = _inter_pred(st, x, y, s, d, mv0, mv1, widx, ciip, gpm, aff)
-        sl = np.s_[gy:(y + s) // 8, gx:(x + s) // 8]
+            if st.sps.sbt_enabled and not skip and not ciip and square \
+            else 0
+        preds = _inter_pred(st, x, y, s, d, mv0, mv1, widx, ciip, gpm, aff,
+                            h=hh)
+        sl = np.s_[gy:(y + hh) // 8, gx:(x + s) // 8]
         st.dec.inter8[sl] = 1
         st.dec.dir8[sl] = d
         st.dec.mv8[sl] = mv0
@@ -1003,23 +1057,24 @@ def _code_inter_leaf(io, st: _FrameState, x: int, y: int, s: int,
                         io.byp(d)
                 aff = pre["aff"]
                 aff_sig = (st.sps.affine_enabled
-                           and s >= imod.AFF_MIN_SIZE and d != 2)
+                           and s >= imod.AFF_MIN_SIZE and d != 2
+                           and square)
                 if aff_sig:
                     io.bin(C.AFF_FLAG(0), int(aff is not None))
                 if aff is not None:
                     _code_mv_list(io, st, x, y, s, d,
-                                  mv0 if d == 0 else mv1, shift=2)
+                                  mv0 if d == 0 else mv1, shift=2, h=hh)
                     _code_mvd_comp(io, aff[0] >> 2)
                     _code_mvd_comp(io, aff[1] >> 2)
                 else:
                     prec = _amvr_for_leaf(io, st.mv_map, st.inter_map, x, y,
                                           s, d, mv0, mv1,
-                                          st.sps.amvr_enabled)
+                                          st.sps.amvr_enabled, h=hh)
                     shift = imod.AMVR_SHIFTS[prec]
                     i1 = imod.smvd_match(st.mv_map, st.inter_map, x, y, s,
                                          mv0, mv1, shift) \
-                        if d == 2 and st.smvd else None
-                    if d == 2 and st.smvd:
+                        if d == 2 and st.smvd and square else None
+                    if d == 2 and st.smvd and square:
                         io.bin(C.SMVD_FLAG(0), int(i1 is not None))
                     if i1 is not None:
                         code_mv_smvd(io, st.mv_map, st.inter_map, x, y, s,
@@ -1027,46 +1082,46 @@ def _code_inter_leaf(io, st: _FrameState, x: int, y: int, s: int,
                     else:
                         if d in (0, 2):
                             _code_mv_list(io, st, x, y, s, 0, mv0,
-                                          shift=shift)
+                                          shift=shift, h=hh)
                         if d in (1, 2):
                             _code_mv_list(io, st, x, y, s, 1, mv1,
-                                          shift=shift)
-                    if is_b and d == 2 and st.sps.bcw_enabled:
+                                          shift=shift, h=hh)
+                    if is_b and d == 2 and st.sps.bcw_enabled and square:
                         _code_bcw_idx(io, widx)
-            if st.sps.ciip_enabled:
+            if st.sps.ciip_enabled and square:
                 io.bin(C.CIIP_FLAG(0), int(pre["ciip"]))
             if (st.sps.gpm_enabled and is_b and not pre["ciip"]
-                    and d == 2):
+                    and d == 2 and square):
                 io.bin(C.GPM_FLAG(0), int(pre["gpm"] > 0))
                 if pre["gpm"]:
                     io.byp_n(pre["gpm"] - 1, 6)
-            if st.sps.sbt_enabled and not pre["ciip"]:
+            if st.sps.sbt_enabled and not pre["ciip"] and square:
                 _code_sbt_idx(io, pre["sbt"])
         sbt = pre["sbt"] if not skip else 0
-        sl = np.s_[gy:(y + s) // 8, gx:(x + s) // 8]
+        sl = np.s_[gy:(y + hh) // 8, gx:(x + s) // 8]
         st.dec.sbt8[sl] = sbt
 
     trace.t_leaf_inter(x, y, s, mv0 if d != 1 else mv1)
     bd = st.sps.bit_depth
     mx = (1 << bd) - 1
-    cs, cx, cy = s // 2, x // 2, y // 2
+    cs, ch, cx, cy = s // 2, hh // 2, x // 2, y // 2
     if skip:
-        for comp, (px, py, sz) in enumerate(((x, y, s), (cx, cy, cs),
-                                             (cx, cy, cs))):
+        for comp, (px, py, sz, szh) in enumerate(
+                ((x, y, s, hh), (cx, cy, cs, ch), (cx, cy, cs, ch))):
             trace.t_cbf(comp, px, py, sz, 0)
-            st.recon[comp][py:py + sz, px:px + sz] = np.clip(preds[comp], 0,
-                                                             mx)
-            st.valid[comp][py:py + sz, px:px + sz] = True
+            st.recon[comp][py:py + szh, px:px + sz] = np.clip(preds[comp],
+                                                              0, mx)
+            st.valid[comp][py:py + szh, px:px + sz] = True
     else:
         levs = (None, None, None) if io.decoding else pre["levs"]
-        _code_component(io, st, 0, x, y, s, 0, C.CBF_LUMA(0),
+        _code_component(io, st, 0, x, y, s, hh, 0, C.CBF_LUMA(0),
                         pred=preds[0], lev_pre=levs[0], sbt=sbt)
-        crs_sc = _crs_scale(st, x, y, s)
-        _code_component(io, st, 1, cx, cy, cs, 0, C.CBF_CB(0),
+        crs_sc = _crs_scale(st, x, y, s, hh)
+        _code_component(io, st, 1, cx, cy, cs, ch, 0, C.CBF_CB(0),
                         pred=preds[1], lev_pre=levs[1], crs_sc=crs_sc)
-        _code_component(io, st, 2, cx, cy, cs, 0, C.CBF_CR(0),
+        _code_component(io, st, 2, cx, cy, cs, ch, 0, C.CBF_CR(0),
                         pred=preds[2], lev_pre=levs[2], crs_sc=crs_sc)
-    sl = np.s_[gy:(y + s) // 8, gx:(x + s) // 8]
+    sl = np.s_[gy:(y + hh) // 8, gx:(x + s) // 8]
     if aff is not None:
         # per-granule model MVs feed neighbour prediction (the coded
         # syntax carries CPMV0, kept in dec.mv8)
@@ -1083,51 +1138,56 @@ def _code_inter_leaf(io, st: _FrameState, x: int, y: int, s: int,
     imod.hmvp_push(st.hmvp, (d, mv0, mv1))
 
 
-def _code_leaf(io, st: _FrameState, x: int, y: int, s: int) -> None:
+def _code_leaf(io, st: _FrameState, x: int, y: int, s: int,
+               h: int | None = None) -> None:
+    hh = s if h is None else h
+    square = hh == s
     if st.refs is not None:
         if io.decoding:
             if io.bin(C.SKIP_FLAG(0)):
-                _code_inter_leaf(io, st, x, y, s, True)
+                _code_inter_leaf(io, st, x, y, s, True, h=hh)
                 return
             if io.bin(C.PRED_MODE(0)):
-                _code_inter_leaf(io, st, x, y, s, False)
+                _code_inter_leaf(io, st, x, y, s, False, h=hh)
                 return
         else:
             if st.dec.inter8[y // 8, x // 8]:
-                pre = _prep_inter_enc(st, x, y, s)
+                pre = _prep_inter_enc(st, x, y, s, h=hh)
                 skip = ((pre["midx"] is not None
                          or pre["mmvd"] is not None) and pre["all_zero"]
                         and not pre["ciip"] and not pre["gpm"])
                 io.bin(C.SKIP_FLAG(0), int(skip))
                 if not skip:
                     io.bin(C.PRED_MODE(0), 1)
-                _code_inter_leaf(io, st, x, y, s, skip, pre)
+                _code_inter_leaf(io, st, x, y, s, skip, pre, h=hh)
                 return
             io.bin(C.SKIP_FLAG(0), 0)
             io.bin(C.PRED_MODE(0), 0)
-    mode = _code_intra_mode(io, st, x, y, s)
+    mode = _code_intra_mode(io, st, x, y, s, hh)
     trace.t_leaf_intra(x, y, s, mode)
     if io.decoding:
-        st.dec.modes8[y // 8:(y + s) // 8, x // 8:(x + s) // 8] = mode
+        st.dec.modes8[y // 8:(y + hh) // 8, x // 8:(x + s) // 8] = mode
     mrl = (int(st.dec.mrl8[y // 8, x // 8])
-           if st.sps.mrl_enabled and mode < rom.NUM_LUMA_MODE else 0)
-    if io.decoding and mode < rom.NUM_LUMA_MODE:
-        st.dec.mrl8[y // 8:(y + s) // 8, x // 8:(x + s) // 8] = mrl
-    isp = (int(st.dec.isp8[y // 8, x // 8])
-           if st.sps.isp_enabled and mode < rom.NUM_LUMA_MODE and mrl == 0
+           if st.sps.mrl_enabled and square and mode < rom.NUM_LUMA_MODE
            else 0)
+    if io.decoding and mode < rom.NUM_LUMA_MODE:
+        st.dec.mrl8[y // 8:(y + hh) // 8, x // 8:(x + s) // 8] = mrl
+    isp = (int(st.dec.isp8[y // 8, x // 8])
+           if st.sps.isp_enabled and square
+           and mode < rom.NUM_LUMA_MODE and mrl == 0 else 0)
     if isp:
         _code_isp_luma(io, st, x, y, s, mode, isp)
     else:
-        _code_component(io, st, 0, x, y, s, mode, C.CBF_LUMA(0),
-                        mts_ok=mode < rom.NUM_LUMA_MODE, mrl=mrl)
-    st.mode_map[y // 4:(y + s) // 4, x // 4:(x + s) // 4] = mode
+        _code_component(io, st, 0, x, y, s, hh, mode, C.CBF_LUMA(0),
+                        mts_ok=(mode < rom.NUM_LUMA_MODE and square),
+                        mrl=mrl)
+    st.mode_map[y // 4:(y + hh) // 4, x // 4:(x + s) // 4] = mode
     # chroma (4:2:0): derived DM mode (planar for MIP), or CCLM
     dm = mode if mode < rom.NUM_LUMA_MODE else rom.PLANAR_IDX
-    cs, cx, cy = s // 2, x // 2, y // 2
-    if not (st.sps.cclm_enabled or st.sps.jccr_enabled):
-        _code_component(io, st, 1, cx, cy, cs, dm, C.CBF_CB(0))
-        _code_component(io, st, 2, cx, cy, cs, dm, C.CBF_CR(0))
+    cs, ch, cx, cy = s // 2, hh // 2, x // 2, y // 2
+    if not ((st.sps.cclm_enabled or st.sps.jccr_enabled) and square):
+        _code_component(io, st, 1, cx, cy, cs, ch, dm, C.CBF_CB(0))
+        _code_component(io, st, 2, cx, cy, cs, ch, dm, C.CBF_CR(0))
         return
     bd = st.sps.bit_depth
     sl8 = np.s_[y // 8:(y + s) // 8, x // 8:(x + s) // 8]
@@ -1154,9 +1214,9 @@ def _code_leaf(io, st: _FrameState, x: int, y: int, s: int) -> None:
                                (chroma_pred(1, use_cclm),
                                 chroma_pred(2, use_cclm)))
             return
-        _code_component(io, st, 1, cx, cy, cs, dm, C.CBF_CB(0),
+        _code_component(io, st, 1, cx, cy, cs, cs, dm, C.CBF_CB(0),
                         pred=chroma_pred(1, use_cclm))
-        _code_component(io, st, 2, cx, cy, cs, dm, C.CBF_CR(0),
+        _code_component(io, st, 2, cx, cy, cs, cs, dm, C.CBF_CR(0),
                         pred=chroma_pred(2, use_cclm))
         return
     # encoder: joint (DM vs CCLM) x (separate vs JCCR) integer RD
@@ -1217,9 +1277,9 @@ def _code_leaf(io, st: _FrameState, x: int, y: int, s: int) -> None:
     if joint:
         _code_joint_chroma(io, st, cx, cy, cs, preds, lev=levs[0])
         return
-    _code_component(io, st, 1, cx, cy, cs, dm, C.CBF_CB(0),
+    _code_component(io, st, 1, cx, cy, cs, cs, dm, C.CBF_CB(0),
                     pred=preds[0], lev_pre=levs[0])
-    _code_component(io, st, 2, cx, cy, cs, dm, C.CBF_CR(0),
+    _code_component(io, st, 2, cx, cy, cs, cs, dm, C.CBF_CR(0),
                     pred=preds[1], lev_pre=levs[1])
 
 
@@ -1264,11 +1324,37 @@ def _code_qt(io, st: _FrameState, x: int, y: int, s: int, depth: int) -> None:
             io.bin(ctx, split)
         trace.t_split(x, y, s, split)
         if split:
-            h = s // 2
-            for dy in (0, h):
-                for dx in (0, h):
-                    _code_qt(io, st, x + dx, y + dy, h, depth + 1)
+            half = s // 2
+            for dy in (0, half):
+                for dx in (0, half):
+                    _code_qt(io, st, x + dx, y + dy, half, depth + 1)
             return
+        if st.sps.mtt_enabled:
+            # binary split of a non-QT-split node: bt_flag (ctx by size)
+            # + direction bin; children are two s x s/2 (H) or s/2 x s (V)
+            # rectangular leaves (single-level MTT; role of the VVC
+            # QTBT multi-type tree, VTM:CommonLib/UnitPartitioner.cpp)
+            barr = st.dec.bt32 if s == 32 else st.dec.bt16
+            fctx = C.BT_FLAG(0 if s == 16 else 1)
+            if io.decoding:
+                bt = 0
+                if io.bin(fctx):
+                    bt = 1 + io.bin(C.BT_DIR(0))
+                barr[y // s, x // s] = bt
+            else:
+                bt = int(barr[y // s, x // s])
+                io.bin(fctx, int(bt > 0))
+                if bt:
+                    io.bin(C.BT_DIR(0), bt - 1)
+            trace.t_split(x, y, s, 4 + bt)
+            if bt == 1:      # horizontal halves (w = s, h = s/2)
+                _code_leaf(io, st, x, y, s, h=s // 2)
+                _code_leaf(io, st, x, y + s // 2, s, h=s // 2)
+                return
+            if bt == 2:      # vertical halves (w = s/2, h = s)
+                _code_leaf(io, st, x, y, s // 2, h=s)
+                _code_leaf(io, st, x + s // 2, y, s // 2, h=s)
+                return
     _code_leaf(io, st, x, y, s)
 
 

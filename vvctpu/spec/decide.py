@@ -58,11 +58,11 @@ def satd8x8(diff: np.ndarray) -> int:
 
 
 def block_satd(diff: np.ndarray) -> int:
-    """SATD of an (s, s) diff via 8x8 Hadamard tiling."""
-    s = diff.shape[0]
+    """SATD of an (h, w) diff via 8x8 Hadamard tiling."""
+    h, w = diff.shape
     total = 0
-    for y in range(0, s, 8):
-        for x in range(0, s, 8):
+    for y in range(0, h, 8):
+        for x in range(0, w, 8):
             total += satd8x8(diff[y:y + 8, x:x + 8])
     return total
 
@@ -106,6 +106,43 @@ def _mode_costs_for_block(orig: np.ndarray, x: int, y: int, s: int,
 
 
 _SENTINEL = 1 << 30
+
+
+BT_LEAF_BITS = 1     # bt_flag = 0 bin on a square leaf when MTT is on
+BT_BITS = 2          # bt_flag + direction
+
+
+def _rect_mode_costs(orig: np.ndarray, x: int, y: int, w: int, h: int,
+                     lam: int, bit_depth: int):
+    """(cost, mode) for a rectangular (BT) intra block: 67-mode SATD
+    argmin (square-only tools excluded, matching the rect leaf syntax)."""
+    hh, ww = orig.shape
+    valid = np.ones((hh, ww), bool)
+    top, left = intra.build_references(orig, valid, x, y, w, h, bit_depth)
+    blk = orig[y:y + h, x:x + w].astype(np.int64)
+    best_c, best_m = None, 0
+    for mode in range(rom.NUM_LUMA_MODE):
+        pred = intra.predict(top, left, mode, w, h, False, bit_depth)
+        c = (block_satd(blk - pred) << 8) + int(MODE_BITS[mode]) * lam
+        if best_c is None or c < best_c:
+            best_c, best_m = c, mode
+    return best_c, best_m
+
+
+def rect_intra_grid(orig: np.ndarray, bw: int, bh: int, lam: int,
+                    bit_depth: int):
+    """Dense (cost, mode) grids over the frame's (bw x bh) blocks."""
+    h, w = orig.shape
+    nby, nbx = h // bh, w // bw
+    cost = np.zeros((nby, nbx), np.int64)
+    mode = np.zeros((nby, nbx), np.int32)
+    for by in range(nby):
+        for bx in range(nbx):
+            c, m = _rect_mode_costs(orig, bx * bw, by * bh, bw, bh, lam,
+                                    bit_depth)
+            cost[by, bx] = c
+            mode[by, bx] = m
+    return cost, mode
 
 
 def _block_decision(orig: np.ndarray, x: int, y: int, s: int, lam: int,
@@ -155,7 +192,7 @@ def _block_decision(orig: np.ndarray, x: int, y: int, s: int, lam: int,
 def decide_frame(orig_y: np.ndarray, qp: int,
                  bit_depth: int = rom.BIT_DEPTH,
                  mip: bool = False, mrl: bool = False,
-                 isp: bool = False) -> FrameDecisions:
+                 isp: bool = False, mtt: bool = False) -> FrameDecisions:
     """Compute partition + modes for a padded luma plane (H, W)."""
     h, w = orig_y.shape
     lam = lambda_satd_fp(qp)
@@ -192,36 +229,106 @@ def decide_frame(orig_y: np.ndarray, qp: int,
                 bk[by, bx] = k
                 bi[by, bx] = di
 
-    # bottom-up partition: cost of coding a 16 as 4x8 leaves vs one leaf
+    if not mtt:
+        # bottom-up partition: cost of a 16 as 4x8 leaves vs one leaf
+        sum8 = (best8_cost.reshape(n16y, 2, n16x, 2).sum(axis=(1, 3))
+                + ((4 * SPLIT_BITS) * lam))
+        split16 = sum8 < best16_cost
+        cost16 = np.where(split16, sum8, best16_cost)
+
+        sum16 = (cost16.reshape(n32y, 2, n32x, 2).sum(axis=(1, 3))
+                 + ((4 * SPLIT_BITS) * lam))
+        split32 = sum16 < best32_cost
+        dec.split32[:] = split32.astype(np.uint8)
+        dec.split16[:] = (split16
+                          & np.kron(split32, np.ones((2, 2), bool))).astype(
+                              np.uint8)
+
+        # modes8: broadcast winning mode of the winning block size
+        m = np.kron(best32_mode, np.ones((4, 4), np.int32))
+        m16 = np.kron(best16_mode, np.ones((2, 2), np.int32))
+        use16 = np.kron(split32.astype(bool), np.ones((4, 4), bool))
+        m = np.where(use16, m16, m)
+        use8 = np.kron(dec.split16.astype(bool), np.ones((2, 2), bool))
+        m = np.where(use8, best8_mode, m)
+        dec.modes8[:] = m
+        k = np.kron(best32_mrl, np.ones((4, 4), np.int32))
+        k = np.where(use16, np.kron(best16_mrl, np.ones((2, 2), np.int32)),
+                     k)
+        k = np.where(use8, best8_mrl, k)
+        dec.mrl8[:] = k.astype(np.uint8)
+        di = np.kron(best32_isp, np.ones((4, 4), np.int32))
+        di = np.where(use16, np.kron(best16_isp, np.ones((2, 2), np.int32)),
+                      di)
+        di = np.where(use8, best8_isp, di)
+        dec.isp8[:] = di.astype(np.uint8)
+        return dec
+
+    # MTT bottom-up: per node the 4-way first-min over
+    # [square leaf, BT-H, BT-V, QT] (candidate order fixed — the JAX twin
+    # must enumerate identically)
+    ch16, mh16 = rect_intra_grid(orig_y, 16, 8, lam, bit_depth)
+    cv16, mv16r = rect_intra_grid(orig_y, 8, 16, lam, bit_depth)
+    ch32, mh32 = rect_intra_grid(orig_y, 32, 16, lam, bit_depth)
+    cv32, mv32r = rect_intra_grid(orig_y, 16, 32, lam, bit_depth)
+
     sum8 = (best8_cost.reshape(n16y, 2, n16x, 2).sum(axis=(1, 3))
-            + ((4 * SPLIT_BITS) * lam))
-    split16 = sum8 < best16_cost
-    cost16 = np.where(split16, sum8, best16_cost)
+            + (4 * SPLIT_BITS) * lam)
+    bt_h16 = ch16.reshape(n16y, 2, n16x).sum(axis=1) + BT_BITS * lam
+    bt_v16 = cv16.reshape(n16y, n16x, 2).sum(axis=2) + BT_BITS * lam
+    cands16 = np.stack([best16_cost + BT_LEAF_BITS * lam, bt_h16, bt_v16,
+                        sum8])
+    k16 = np.argmin(cands16, axis=0).astype(np.int32)
+    cost16 = np.min(cands16, axis=0)
 
     sum16 = (cost16.reshape(n32y, 2, n32x, 2).sum(axis=(1, 3))
-             + ((4 * SPLIT_BITS) * lam))
-    split32 = sum16 < best32_cost
-    dec.split32[:] = split32.astype(np.uint8)
-    dec.split16[:] = (split16
-                      & np.kron(split32, np.ones((2, 2), bool))).astype(
-                          np.uint8)
+             + (4 * SPLIT_BITS) * lam)
+    bt_h32 = ch32.reshape(n32y, 2, n32x).sum(axis=1) + BT_BITS * lam
+    bt_v32 = cv32.reshape(n32y, n32x, 2).sum(axis=2) + BT_BITS * lam
+    cands32 = np.stack([best32_cost + BT_LEAF_BITS * lam, bt_h32, bt_v32,
+                        sum16])
+    k32 = np.argmin(cands32, axis=0).astype(np.int32)
 
-    # modes8: broadcast winning mode of the winning block size
-    m = np.kron(best32_mode, np.ones((4, 4), np.int32))
-    m16 = np.kron(best16_mode, np.ones((2, 2), np.int32))
-    use16 = np.kron(split32.astype(bool), np.ones((4, 4), bool))
-    m = np.where(use16, m16, m)
-    use8 = np.kron(dec.split16.astype(bool), np.ones((2, 2), bool))
-    m = np.where(use8, best8_mode, m)
+    split32 = k32 == 3
+    dec.split32[:] = split32.astype(np.uint8)
+    dec.bt32[:] = np.where(k32 == 1, 1,
+                           np.where(k32 == 2, 2, 0)).astype(np.uint8)
+    in16 = np.kron(split32, np.ones((2, 2), bool))
+    dec.split16[:] = ((k16 == 3) & in16).astype(np.uint8)
+    dec.bt16[:] = np.where(in16 & (k16 == 1), 1,
+                           np.where(in16 & (k16 == 2), 2, 0)).astype(
+                               np.uint8)
+
+    def up(a, fy, fx):
+        return np.kron(a, np.ones((fy, fx), a.dtype))
+
+    # granule-level selection masks (innermost first)
+    g_sp32 = up(split32, 4, 4)
+    g_bth32 = up(k32 == 1, 4, 4)
+    g_btv32 = up(k32 == 2, 4, 4)
+    g16 = up(in16 & (k16 == 0), 2, 2)          # square 16 leaf
+    g_bth16 = up(in16 & (k16 == 1), 2, 2)
+    g_btv16 = up(in16 & (k16 == 2), 2, 2)
+    g8 = up(in16 & (k16 == 3), 2, 2)
+
+    m = up(best32_mode, 4, 4)
+    m = np.where(g_bth32, up(mh32, 2, 4), m)
+    m = np.where(g_btv32, up(mv32r, 4, 2), m)
+    m = np.where(g16, up(best16_mode, 2, 2), m)
+    m = np.where(g_bth16, up(mh16, 1, 2), m)
+    m = np.where(g_btv16, up(mv16r, 2, 1), m)
+    m = np.where(g8, best8_mode, m)
     dec.modes8[:] = m
-    k = np.kron(best32_mrl, np.ones((4, 4), np.int32))
-    k = np.where(use16, np.kron(best16_mrl, np.ones((2, 2), np.int32)), k)
-    k = np.where(use8, best8_mrl, k)
-    dec.mrl8[:] = k.astype(np.uint8)
-    di = np.kron(best32_isp, np.ones((4, 4), np.int32))
-    di = np.where(use16, np.kron(best16_isp, np.ones((2, 2), np.int32)), di)
-    di = np.where(use8, best8_isp, di)
-    dec.isp8[:] = di.astype(np.uint8)
+
+    rectg = g_bth32 | g_btv32 | g_bth16 | g_btv16
+    k = up(best32_mrl, 4, 4)
+    k = np.where(g16, up(best16_mrl, 2, 2), k)
+    k = np.where(g8, best8_mrl, k)
+    dec.mrl8[:] = np.where(rectg, 0, k).astype(np.uint8)
+    di = up(best32_isp, 4, 4)
+    di = np.where(g16, up(best16_isp, 2, 2), di)
+    di = np.where(g8, best8_isp, di)
+    dec.isp8[:] = np.where(rectg, 0, di).astype(np.uint8)
     return dec
 
 
@@ -355,8 +462,9 @@ def affine_sad_pass(orig: np.ndarray, refp: np.ndarray, base_mv: np.ndarray,
     return best_cost, best_dmv
 
 
-def me_size_pass(orig: np.ndarray, ref: np.ndarray, s: int, lam: int):
-    """Best integer MV per s-block over a +-ME_RANGE full search.
+def me_size_pass(orig: np.ndarray, ref: np.ndarray, s: int, lam: int,
+                 bh: int | None = None):
+    """Best integer MV per (s x bh)-block over a +-ME_RANGE full search.
 
     Returns (cost (nby,nbx) int64 incl. lambda*bits, mv (nby,nbx,2) int32
     in integer-pel units).  Candidate order: row-major (dy, dx), strict-less
@@ -364,7 +472,8 @@ def me_size_pass(orig: np.ndarray, ref: np.ndarray, s: int, lam: int):
     """
     r = _inter.ME_RANGE
     h, w = orig.shape
-    nby, nbx = h // s, w // s
+    hh = s if bh is None else bh
+    nby, nbx = h // hh, w // s
     o = orig.astype(np.int64)
     refp = np.pad(ref, r, mode="edge").astype(np.int64)
     best_cost = np.full((nby, nbx), np.iinfo(np.int64).max, np.int64)
@@ -373,7 +482,7 @@ def me_size_pass(orig: np.ndarray, ref: np.ndarray, s: int, lam: int):
     for dy in range(-r, r + 1):
         for dx in range(-r, r + 1):
             d = np.abs(o - refp[r + dy:r + dy + h, r + dx:r + dx + w])
-            sad = d.reshape(nby, s, nbx, s).sum(axis=(1, 3))
+            sad = d.reshape(nby, hh, nbx, s).sum(axis=(1, 3))
             cost = (sad << 8) + lam * _inter.mv_bits_est(dx, dy)
             better = cost < best_cost
             best_cost = np.where(better, cost, best_cost)
@@ -382,11 +491,149 @@ def me_size_pass(orig: np.ndarray, ref: np.ndarray, s: int, lam: int):
     return best_cost, np.stack([best_dx, best_dy], axis=-1)
 
 
+def rect_inter_grid(orig: np.ndarray, refs, bw: int, bh: int, lam: int,
+                    bit_depth: int):
+    """Per-(bw x bh)-block best of {intra, refined uni per list, BI} for
+    rectangular BT leaves: returns (cost, mode, kind, mv0, mv1) grids with
+    kind 0 intra / 1 L0 / 2 L1 / 3 BI (candidate order = square path's)."""
+    icost, imode = rect_intra_grid(orig, bw, bh, lam, bit_depth)
+    ucost, umv = [], []
+    refps = []
+    for ref in refs:
+        refp = _inter.pad_reference(ref)
+        refps.append(refp)
+        mc_, mv_ = me_size_pass(orig, ref, bw, lam, bh=bh)
+        rc, rmv = refine_size_pass(orig, refp, mv_, bw, lam, bh=bh)
+        ucost.append(rc)
+        umv.append(rmv)
+    if len(refs) == 1:
+        costs = np.stack([icost, ucost[0]])
+        kind = np.argmin(costs, axis=0).astype(np.int32)
+        return (np.min(costs, axis=0), imode, kind, umv[0],
+                np.zeros_like(umv[0]))
+    nby, nbx = icost.shape
+    o64 = orig.astype(np.int64)
+    bcost = np.empty((nby, nbx), np.int64)
+    for by in range(nby):
+        for bx in range(nbx):
+            m0 = umv[0][by, bx]
+            m1 = umv[1][by, bx]
+            p0 = _inter.mc_luma(refps[0], bx * bw, by * bh, bw, bh,
+                                int(m0[0]), int(m0[1]), bit_depth)
+            p1 = _inter.mc_luma(refps[1], bx * bw, by * bh, bw, bh,
+                                int(m1[0]), int(m1[1]), bit_depth)
+            pb = np.minimum((p0 + p1 + 1) >> 1, (1 << bit_depth) - 1)
+            ob = o64[by * bh:(by + 1) * bh, bx * bw:(bx + 1) * bw]
+            sad = int(np.abs(ob - pb).sum())
+            bits = (_inter.mv_bits_q(int(m0[0]) >> 2, int(m0[1]) >> 2)
+                    + _inter.mv_bits_q(int(m1[0]) >> 2, int(m1[1]) >> 2))
+            bcost[by, bx] = (sad << 8) + lam * bits
+    costs = np.stack([icost, ucost[0], ucost[1], bcost])
+    kind = np.argmin(costs, axis=0).astype(np.int32)
+    return np.min(costs, axis=0), imode, kind, umv[0], umv[1]
+
+
+def _mtt_finish_inter(dec: FrameDecisions, size_data, rects, lam: int,
+                      is_b: bool):
+    """Shared MTT bottom-up + granule fill for P/B frames.
+
+    size_data[s] = (cost, imode, kind, mv0, mv1) for square sizes
+    (kind: 0 intra / 1 L0 / 2 L1 / 3 BI / >=4 square-only specials kept
+    by the caller); rects[(bw, bh)] = rect_inter_grid output.  Square-only
+    tool maps (mrl/isp/ciip/gpm/aff/bcw) are zeroed on rect granules by
+    the caller AFTER this fill.  Returns granule rect mask."""
+    c8 = size_data[8][0]
+    c16 = size_data[16][0]
+    c32 = size_data[32][0]
+    n16y, n16x = c16.shape
+    n32y, n32x = c32.shape
+    sum8 = (c8.reshape(n16y, 2, n16x, 2).sum(axis=(1, 3))
+            + (4 * SPLIT_BITS) * lam)
+    bt_h16 = rects[(16, 8)][0].reshape(n16y, 2, n16x).sum(axis=1) \
+        + BT_BITS * lam
+    bt_v16 = rects[(8, 16)][0].reshape(n16y, n16x, 2).sum(axis=2) \
+        + BT_BITS * lam
+    cands16 = np.stack([c16 + BT_LEAF_BITS * lam, bt_h16, bt_v16, sum8])
+    k16 = np.argmin(cands16, axis=0).astype(np.int32)
+    cost16 = np.min(cands16, axis=0)
+    sum16 = (cost16.reshape(n32y, 2, n32x, 2).sum(axis=(1, 3))
+             + (4 * SPLIT_BITS) * lam)
+    bt_h32 = rects[(32, 16)][0].reshape(n32y, 2, n32x).sum(axis=1) \
+        + BT_BITS * lam
+    bt_v32 = rects[(16, 32)][0].reshape(n32y, n32x, 2).sum(axis=2) \
+        + BT_BITS * lam
+    cands32 = np.stack([c32 + BT_LEAF_BITS * lam, bt_h32, bt_v32, sum16])
+    k32 = np.argmin(cands32, axis=0).astype(np.int32)
+
+    split32 = k32 == 3
+    dec.split32[:] = split32.astype(np.uint8)
+    dec.bt32[:] = np.where(k32 == 1, 1,
+                           np.where(k32 == 2, 2, 0)).astype(np.uint8)
+    in16 = np.kron(split32, np.ones((2, 2), bool))
+    dec.split16[:] = ((k16 == 3) & in16).astype(np.uint8)
+    dec.bt16[:] = np.where(in16 & (k16 == 1), 1,
+                           np.where(in16 & (k16 == 2), 2, 0)).astype(
+                               np.uint8)
+
+    def up(a, fy, fx):
+        if a.ndim == 3:
+            return np.kron(a, np.ones((fy, fx, 1), a.dtype))
+        return np.kron(a, np.ones((fy, fx), a.dtype))
+
+    masks = dict(
+        bth32=up(k32 == 1, 4, 4), btv32=up(k32 == 2, 4, 4),
+        sq16=up(in16 & (k16 == 0), 2, 2),
+        bth16=up(in16 & (k16 == 1), 2, 2),
+        btv16=up(in16 & (k16 == 2), 2, 2),
+        sq8=up(in16 & (k16 == 3), 2, 2))
+
+    def fill(idx, as_int32=False):
+        """Granule map of element idx from size_data / rects."""
+        v = up(size_data[32][idx], 4, 4)
+        v = np.where(_m3(masks["bth32"], v),
+                     up(rects[(32, 16)][idx], 2, 4), v)
+        v = np.where(_m3(masks["btv32"], v),
+                     up(rects[(16, 32)][idx], 4, 2), v)
+        v = np.where(_m3(masks["sq16"], v), up(size_data[16][idx], 2, 2), v)
+        v = np.where(_m3(masks["bth16"], v), up(rects[(16, 8)][idx], 1, 2),
+                     v)
+        v = np.where(_m3(masks["btv16"], v), up(rects[(8, 16)][idx], 2, 1),
+                     v)
+        v = np.where(_m3(masks["sq8"], v), size_data[8][idx], v)
+        return v
+
+    mode = fill(1)
+    kind = fill(2)
+    mv0 = fill(3)
+    mv1 = fill(4)
+    itf = kind > 0
+    dec.inter8[:] = itf.astype(np.uint8)
+    dec.modes8[:] = np.where(itf, 0, mode)
+    dirv = np.where(kind == 3, 2,
+                    np.where(kind == 1, 0, 1)) if is_b else \
+        np.zeros_like(kind)
+    dec.dir8[:] = np.where(itf, dirv, 0).astype(np.uint8)
+    use0 = itf & ((kind == 1) | (kind == 3))
+    use1 = itf & ((kind == 2) | (kind == 3)) if is_b \
+        else np.zeros_like(itf)
+    dec.mv8[..., 0] = np.where(use0, mv0[..., 0], 0)
+    dec.mv8[..., 1] = np.where(use0, mv0[..., 1], 0)
+    dec.mv8_l1[..., 0] = np.where(use1, mv1[..., 0], 0)
+    dec.mv8_l1[..., 1] = np.where(use1, mv1[..., 1], 0)
+    rectg = (masks["bth32"] | masks["btv32"] | masks["bth16"]
+             | masks["btv16"])
+    return rectg, masks, fill
+
+
+def _m3(mask, v):
+    return mask[..., None] if v.ndim == 3 else mask
+
+
 def decide_frame_p(orig_y: np.ndarray, ref_y: np.ndarray, qp: int,
                    bit_depth: int = rom.BIT_DEPTH,
                    mip: bool = False, mrl: bool = False,
                    ciip: bool = False, isp: bool = False,
-                   affine: bool = False) -> FrameDecisions:
+                   affine: bool = False, mtt: bool = False) -> FrameDecisions:
     """Decisions for a P frame: per-size intra-vs-inter, then QT bottom-up."""
     h, w = orig_y.shape
     lam = lambda_satd_fp(qp)
@@ -431,6 +678,37 @@ def decide_frame_p(orig_y: np.ndarray, ref_y: np.ndarray, qp: int,
             cost = np.where(cflag, cost + ((sadb - sadm) << 8), cost)
         size_data[s] = (cost, imode, use_inter, rmv, imrl, cflag, iisp,
                         affu, admv)
+
+    if mtt:
+        refs = (ref_y,)
+        zmv = {}
+        sd = {}
+        for s in (8, 16, 32):
+            (cost, imode, use_inter, rmv, imrl, cflag, iisp, affu,
+             admv) = size_data[s]
+            zmv[s] = np.zeros_like(rmv)
+            sd[s] = (cost, imode, use_inter.astype(np.int32), rmv, zmv[s],
+                     imrl, cflag.astype(np.int32), iisp,
+                     affu.astype(np.int32), admv)
+        rects = {}
+        for (bw, bh) in ((16, 8), (8, 16), (32, 16), (16, 32)):
+            rc, rm, rk, rmv0, rmv1 = rect_inter_grid(orig_y, refs, bw, bh,
+                                                     lam, bit_depth)
+            z = np.zeros_like(rk)
+            rects[(bw, bh)] = (rc, rm, rk, rmv0, rmv1, z, z, z, z,
+                               np.zeros_like(rmv0))
+        rectg, masks, fill = _mtt_finish_inter(dec, sd, rects, lam, False)
+        itf = dec.inter8.astype(bool)
+        dec.mrl8[:] = np.where(itf | rectg, 0, fill(5)).astype(np.uint8)
+        dec.isp8[:] = np.where(itf | rectg, 0, fill(7)).astype(np.uint8)
+        if ciip:
+            dec.ciip8[:] = np.where(itf, fill(6), 0).astype(np.uint8)
+        if affine:
+            af = fill(8)
+            dec.aff8[:] = np.where(itf, af, 0).astype(np.uint8)
+            adm = fill(9)
+            dec.admv8[:] = np.where((itf & (af > 0))[..., None], adm, 0)
+        return dec
 
     (cost8, imode8, inter8, mv8, mrl8, cf8, isp8a, af8, adm8) = size_data[8]
     (cost16, imode16, inter16, mv16, mrl16, cf16, isp16a, af16,
@@ -502,14 +780,15 @@ def decide_frame_p(orig_y: np.ndarray, ref_y: np.ndarray, qp: int,
 
 
 def refine_size_pass(orig: np.ndarray, refp: np.ndarray, int_mv: np.ndarray,
-                     s: int, lam: int):
+                     s: int, lam: int, bh: int | None = None):
     """Half- then quarter-pel refinement around the integer-ME winner.
 
     refp: REF_MARGIN-padded reference; int_mv: (nby, nbx, 2) integer-pel.
     Returns (cost, mv_1_16) with cost = (SAD << 8) + lam * mv_bits_q.
     Numpy reference of coding/me.py refine_pass (bit-identical)."""
     h, w = orig.shape
-    nby, nbx = h // s, w // s
+    hh = s if bh is None else bh
+    nby, nbx = h // hh, w // s
     o = orig.astype(np.int64)
     best_mv = (int_mv.astype(np.int64) << _inter.MV_FRAC_BITS)
     for deltas in (_inter.REFINE_HALF, _inter.REFINE_QUARTER):
@@ -521,9 +800,9 @@ def refine_size_pass(orig: np.ndarray, refp: np.ndarray, int_mv: np.ndarray,
                 for bx in range(nbx):
                     mvx = int(best_mv[by, bx, 0]) + ddx
                     mvy = int(best_mv[by, bx, 1]) + ddy
-                    pred = _inter.mc_luma(refp, bx * s, by * s, s, s, mvx,
+                    pred = _inter.mc_luma(refp, bx * s, by * hh, s, hh, mvx,
                                           mvy)
-                    sad = int(np.abs(o[by * s:(by + 1) * s,
+                    sad = int(np.abs(o[by * hh:(by + 1) * hh,
                                       bx * s:(bx + 1) * s] - pred).sum())
                     c[by, bx] = ((sad << 8)
                                  + lam * _inter.mv_bits_q(mvx >> 2,
@@ -544,7 +823,7 @@ def decide_frame_b(orig_y: np.ndarray, ref0_y: np.ndarray,
                    mip: bool = False, mrl: bool = False,
                    bcw: bool = False, ciip: bool = False,
                    isp: bool = False, gpm: bool = False,
-                   affine: bool = False) -> FrameDecisions:
+                   affine: bool = False, mtt: bool = False) -> FrameDecisions:
     """B-frame decisions: per-size best of {intra, L0, L1, BI}, QT bottom-up.
 
     BI cost: SAD of the averaged refined uni-predictions plus both MV rates
@@ -650,6 +929,46 @@ def decide_frame_b(orig_y: np.ndarray, ref0_y: np.ndarray,
                        np.where((kind == 5)[..., None], admv1, 0))
         size_data[s] = (cost, imode, kind, umv[0], umv[1], imrl, bwidx,
                         cflag, iisp, gval, adm)
+
+    if mtt:
+        sd = {}
+        for s in (8, 16, 32):
+            (cost, imode, kind, mva, mvb, imrl, bwidx, cflag, iisp, gval,
+             adm) = size_data[s]
+            kn = np.where(kind <= 3, kind,
+                          np.where(kind == 4, 1, 2)).astype(np.int32)
+            affk = (kind >= 4).astype(np.int32)
+            sd[s] = (cost, imode, kn, mva, mvb, imrl,
+                     cflag.astype(np.int32), iisp, affk, adm, bwidx, gval)
+        rects = {}
+        for (bw_r, bh_r) in ((16, 8), (8, 16), (32, 16), (16, 32)):
+            rc, rm, rk, rmv0, rmv1 = rect_inter_grid(
+                orig_y, (ref0_y, ref1_y), bw_r, bh_r, lam, bit_depth)
+            z = np.zeros_like(rk)
+            bwdef = np.full_like(rk, _inter.BCW_DEFAULT)
+            rects[(bw_r, bh_r)] = (rc, rm, rk, rmv0, rmv1, z, z, z, z,
+                                   np.zeros_like(rmv0), bwdef, z)
+        rectg, masks, fill = _mtt_finish_inter(dec, sd, rects, lam, True)
+        itf = dec.inter8.astype(bool)
+        kindg = fill(2)
+        dec.mrl8[:] = np.where(itf | rectg, 0, fill(5)).astype(np.uint8)
+        dec.isp8[:] = np.where(itf | rectg, 0, fill(7)).astype(np.uint8)
+        if ciip:
+            dec.ciip8[:] = np.where(itf, fill(6), 0).astype(np.uint8)
+        if affine:
+            af = fill(8)
+            dec.aff8[:] = np.where(itf, af, 0).astype(np.uint8)
+            adm = fill(9)
+            dec.admv8[:] = np.where((itf & (af > 0))[..., None], adm, 0)
+        if bcw:
+            bwg = fill(10)
+            dec.bcw8[:] = np.where(itf & (kindg == 3), bwg,
+                                   _inter.BCW_DEFAULT).astype(np.uint8)
+        if gpm:
+            gvg = fill(11)
+            dec.gpm8[:] = np.where(itf & (kindg == 3), gvg, 0).astype(
+                np.uint8)
+        return dec
 
     (c8, im8, k8, mva8, mvb8, mrl8a, bw8, cf8, isp8a, g8,
      adm8) = size_data[8]

@@ -47,6 +47,7 @@ class SPS:
     gpm_enabled: bool = False   # geometric partitioning (B leaves)
     affine_enabled: bool = False  # 4-parameter affine + PROF (uni, 16/32)
     dq_enabled: bool = False    # dependent quantization (4-state trellis)
+    mtt_enabled: bool = False   # multi-type tree (binary splits at 16/32)
     cclm_enabled: bool = False
     lmcs_enabled: bool = False
     sao_enabled: bool = False
@@ -82,7 +83,8 @@ class SPS:
                   self.bcw_enabled, self.amvr_enabled,
                   self.smvd_enabled, self.ciip_enabled, self.sbt_enabled,
                   self.isp_enabled, self.gpm_enabled,
-                  self.affine_enabled, self.dq_enabled):
+                  self.affine_enabled, self.dq_enabled,
+                  self.mtt_enabled):
             w.u(int(f), 1)
         w.byte_align()
         return w.getvalue()
@@ -105,8 +107,8 @@ class SPS:
          s.dmvr_enabled, s.bdof_enabled, s.bcw_enabled,
          s.amvr_enabled, s.smvd_enabled, s.ciip_enabled,
          s.sbt_enabled, s.isp_enabled, s.gpm_enabled,
-         s.affine_enabled, s.dq_enabled) = (bool(r.u(1))
-                                             for _ in range(23))
+         s.affine_enabled, s.dq_enabled, s.mtt_enabled) = (
+            bool(r.u(1)) for _ in range(24))
         return s
 
 

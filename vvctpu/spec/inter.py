@@ -103,11 +103,13 @@ def clip_mv(mvx: int, mvy: int, x: int, y: int, s: int, frame_w: int,
 # ---------------------------------------------------------------------------
 
 def mvp_candidates(mv_map: np.ndarray, inter_map: np.ndarray, x: int, y: int,
-                   s: int):
+                   s: int, h: int | None = None):
     """mv_map: (H//8, W//8, 2); inter_map: (H//8, W//8) bool.
-    Candidates: left neighbour, above neighbour, zero (first two distinct)."""
+    Candidates: left neighbour, above neighbour, zero (first two distinct).
+    s is the leaf width; h the height (default square)."""
     cands = []
     gh, gw = inter_map.shape
+    hh = s if h is None else h
 
     def add(gx, gy):
         if 0 <= gx < gw and 0 <= gy < gh and inter_map[gy, gx]:
@@ -115,7 +117,7 @@ def mvp_candidates(mv_map: np.ndarray, inter_map: np.ndarray, x: int, y: int,
             if mv not in cands:
                 cands.append(mv)
 
-    add((x - 1) // 8, (y + s - 1) // 8)      # left
+    add((x - 1) // 8, (y + hh - 1) // 8)     # left
     add((x + s - 1) // 8, (y - 1) // 8)      # above
     add((x - 1) // 8, (y - 1) // 8)          # above-left
     while len(cands) < 2:
@@ -200,13 +202,15 @@ def _cand_at(inter_map, mv_map, gx: int, gy: int):
 
 
 def merge_candidates(inter_map, mv_map, x: int, y: int, s: int, is_b: bool,
-                     col=None, hmvp=None):
-    """Merge list for the leaf at (x, y) size s; always MRG_MAX entries.
+                     col=None, hmvp=None, h: int | None = None):
+    """Merge list for the leaf at (x, y), width s, height h (default
+    square); always MRG_MAX entries.
 
     inter_map: (gh, gw, 2) bool; mv_map: (gh, gw, 2, 2) int32 — the
     traversal-state maps (identical in both engines' walkers).
     """
     cands: list[tuple] = []
+    hh = s if h is None else h
 
     def push(c):
         if c is not None and c not in cands and len(cands) < MRG_MAX:
@@ -214,18 +218,18 @@ def merge_candidates(inter_map, mv_map, x: int, y: int, s: int, is_b: bool,
 
     g = 8
     # spatial: A1 (left), B1 (above), B0 (above-right), A0 (below-left)
-    push(_cand_at(inter_map, mv_map, (x - 1) // g, (y + s - 1) // g))
+    push(_cand_at(inter_map, mv_map, (x - 1) // g, (y + hh - 1) // g))
     push(_cand_at(inter_map, mv_map, (x + s - 1) // g, (y - 1) // g))
     push(_cand_at(inter_map, mv_map, (x + s) // g, (y - 1) // g))
-    push(_cand_at(inter_map, mv_map, (x - 1) // g, (y + s) // g))
+    push(_cand_at(inter_map, mv_map, (x - 1) // g, (y + hh) // g))
     if len(cands) < 4:   # B2 (above-left) only when the list is short
         push(_cand_at(inter_map, mv_map, (x - 1) // g, (y - 1) // g))
 
     # TMVP: C0 bottom-right, fallback C1 centre
     if col is not None:
         gh, gw = col["avail"].shape
-        for cy, cx in (((y + s) // g, (x + s) // g),
-                       ((y + s // 2) // g, (x + s // 2) // g)):
+        for cy, cx in (((y + hh) // g, (x + s) // g),
+                       ((y + hh // 2) // g, (x + s // 2) // g)):
             if 0 <= cy < gh and 0 <= cx < gw and col["avail"][cy, cx]:
                 mv0 = (int(col["mv"][0][cy, cx, 0]),
                        int(col["mv"][0][cy, cx, 1]))

@@ -46,6 +46,7 @@ class EncoderConfig:
     cclm: bool = False      # cross-component linear-model chroma prediction
     rdoq: bool = True       # encoder RDOQ quantizer (decoder-transparent)
     dq: bool = False        # dependent quantization (4-state trellis)
+    mtt: bool = False       # multi-type tree (binary splits at 16/32)
     lmcs: bool = False      # luma mapping (reshaper)
     alf: bool = False       # adaptive loop filter (luma Wiener, CTU flags)
     mctf: bool = False      # motion-compensated temporal source prefilter
@@ -70,7 +71,8 @@ class EncoderConfig:
                        amvr_enabled=self.amvr, smvd_enabled=self.smvd,
                        ciip_enabled=self.ciip, sbt_enabled=self.sbt,
                        isp_enabled=self.isp, gpm_enabled=self.gpm,
-                       affine_enabled=self.affine, dq_enabled=self.dq)
+                       affine_enabled=self.affine, dq_enabled=self.dq,
+                       mtt_enabled=self.mtt)
 
 
 def gop_plan(n_frames: int, intra_period: int, gop: int):
@@ -164,19 +166,21 @@ def encode_sequence(frames: list[list[np.ndarray]], cfg: EncoderConfig,
         elif stype == hls.SLICE_I:
             dec = decide.decide_frame(padded_y, qp, cfg.bit_depth,
                                       mip=cfg.mip, mrl=cfg.mrl,
-                                      isp=cfg.isp)
+                                      isp=cfg.isp, mtt=cfg.mtt)
         elif stype == hls.SLICE_P:
             dec = decide.decide_frame_p(padded_y, dpb[ref_pocs[0]][0], qp,
                                         cfg.bit_depth, mip=cfg.mip,
                                         mrl=cfg.mrl, ciip=cfg.ciip,
-                                        isp=cfg.isp, affine=cfg.affine)
+                                        isp=cfg.isp, affine=cfg.affine,
+                                        mtt=cfg.mtt)
         else:
             dec = decide.decide_frame_b(padded_y, dpb[ref_pocs[0]][0],
                                         dpb[ref_pocs[1]][0], qp,
                                         cfg.bit_depth, mip=cfg.mip,
                                         mrl=cfg.mrl, bcw=cfg.bcw,
                                         ciip=cfg.ciip, isp=cfg.isp,
-                                        gpm=cfg.gpm, affine=cfg.affine)
+                                        gpm=cfg.gpm, affine=cfg.affine,
+                                        mtt=cfg.mtt)
         if decisions_out is not None:
             decisions_out.append(dec)
         sh = hls.SliceHeader(poc=poc, slice_type=stype, qp_delta=qpd,
