@@ -59,6 +59,100 @@ def _satd4_rect(diff, w: int, h: int):
     return per_tile.sum()
 
 
+def _satd_rect8(diff, w: int, h: int):
+    """Tiled 8x8 Hadamard SATD of an (h, w) diff — twin of spec
+    block_satd on rectangles."""
+    th, tw = h // 8, w // 8
+    d = diff.reshape(th, 8, tw, 8).transpose(0, 2, 1, 3).reshape(th * tw,
+                                                                 8, 8)
+    h8 = jnp.asarray(_H8)
+    x = jnp.matmul(h8, d.astype(jnp.int32), preferred_element_type=jnp.int32)
+    x = jnp.matmul(x, h8, preferred_element_type=jnp.int32)
+    per_tile = (jnp.abs(x).sum(axis=(1, 2)) + 4) >> 3
+    return per_tile.sum()
+
+
+@functools.partial(jax.jit, static_argnames=("bw", "bh", "frame_w",
+                                             "frame_h", "bd"))
+def rect_size_pass(buf, lam, *, bw: int, bh: int, frame_w: int,
+                   frame_h: int, bd: int = 8):
+    """Best (cost, mode) per (bw x bh) rect block over the 67 regular
+    modes — twin of spec rect_intra_grid (square-only tools excluded)."""
+    nby, nbx = frame_h // bh, frame_w // bw
+    xs = jnp.arange(nbx, dtype=jnp.int32) * bw
+    ys = jnp.arange(nby, dtype=jnp.int32) * bh
+    gx, gy = jnp.meshgrid(xs, ys)
+    coords = jnp.stack([gx.ravel(), gy.ravel()], axis=1)
+    modes = jnp.arange(rom.NUM_LUMA_MODE, dtype=jnp.int32)
+    lam32 = jnp.asarray(lam, jnp.int32)
+    bits = jnp.asarray(_MODE_BITS) * lam32
+
+    def per_block(xy):
+        x, y = xy[0], xy[1]
+        top, left = intra_pred.build_references_rect(
+            buf, x, y, w=bw, h=bh, is_luma=True, frame_w=frame_w,
+            frame_h=frame_h, n_ctu_x=frame_w // 64, bd=bd,
+            in_frame_only=True)
+        blk = jax.lax.dynamic_slice(buf, (y + 1, x + 1), (bh, bw))
+
+        def per_mode(m):
+            pred = intra_pred.predict_rect(top, left, m, w=bw, h=bh,
+                                           is_luma=True, bd=bd)
+            return _satd_rect8(blk - pred, bw, bh)
+
+        satds = jax.vmap(per_mode)(modes)
+        costs = (satds << 8) + bits[:rom.NUM_LUMA_MODE]
+        best = jnp.argmin(costs).astype(jnp.int32)
+        return costs[best], best
+
+    cost, mode = jax.vmap(per_block)(coords)
+    return cost.reshape(nby, nbx), mode.reshape(nby, nbx)
+
+
+def _rect_grids_intra(jbuf, lam, w, h, bd):
+    """Host dict {(bw, bh): (cost int64, mode)} for the 4 BT shapes."""
+    out = {}
+    for (bw, bh) in ((16, 8), (8, 16), (32, 16), (16, 32)):
+        c, m = rect_size_pass(jbuf, np.int32(lam), bw=bw, bh=bh, frame_w=w,
+                              frame_h=h, bd=bd)
+        out[(bw, bh)] = (np.asarray(c).astype(np.int64), np.asarray(m))
+    return out
+
+
+def _rect_grids_inter(jbuf, jorig, refs_p80, memaps, lam, w, h, bd):
+    """Host dict {(bw, bh): (cost, mode, kind, mv0, mv1)} — twin of spec
+    rect_inter_grid, built from the device rect passes."""
+    from . import me as jme
+    out = {}
+    for (bw, bh) in ((16, 8), (8, 16), (32, 16), (16, 32)):
+        ic, im = rect_size_pass(jbuf, np.int32(lam), bw=bw, bh=bh,
+                                frame_w=w, frame_h=h, bd=bd)
+        icost = np.asarray(ic).astype(np.int64)
+        imode = np.asarray(im)
+        ucost, umv = [], []
+        for lst, refp in enumerate(refs_p80):
+            rc, rmv = jme.refine_pass(jorig, refp, memaps[lst][(bw, bh)][1],
+                                      np.int32(lam), s=bw, frame_w=w,
+                                      frame_h=h, bd=bd, bh=bh)
+            ucost.append(np.asarray(rc).astype(np.int64))
+            umv.append(np.asarray(rmv))
+        if len(refs_p80) == 1:
+            costs = np.stack([icost, ucost[0]])
+            kind = np.argmin(costs, axis=0).astype(np.int32)
+            out[(bw, bh)] = (np.min(costs, axis=0), imode, kind, umv[0],
+                             np.zeros_like(umv[0]))
+            continue
+        bcost, _ = jme.bi_cost_pass(jorig, refs_p80[0], refs_p80[1],
+                                    jnp.asarray(umv[0]), jnp.asarray(umv[1]),
+                                    np.int32(lam), s=bw, frame_w=w,
+                                    frame_h=h, bd=bd, bcw=False, bh=bh)
+        bcost = np.asarray(bcost).astype(np.int64)
+        costs = np.stack([icost, ucost[0], ucost[1], bcost])
+        kind = np.argmin(costs, axis=0).astype(np.int32)
+        out[(bw, bh)] = (np.min(costs, axis=0), imode, kind, umv[0], umv[1])
+    return out
+
+
 @functools.partial(jax.jit, static_argnames=("s", "frame_w", "frame_h",
                                              "bd", "mip", "mrl", "isp"))
 def size_pass(buf, lam, *, s: int, frame_w: int, frame_h: int, bd: int = 8,
@@ -285,7 +379,7 @@ def affine_pass(orig, refp, base_mv, lam, *, s: int, frame_w: int,
 
 def decide_frame(orig_y: np.ndarray, qp: int, bd: int = 8,
                  mip: bool = False, mrl: bool = False,
-                 isp: bool = False) -> FrameDecisions:
+                 isp: bool = False, mtt: bool = False) -> FrameDecisions:
     """Device-batched decisions for a padded luma plane (host assembly)."""
     h, w = orig_y.shape
     lam = lambda_satd_fp(qp)
@@ -309,6 +403,16 @@ def decide_frame(orig_y: np.ndarray, qp: int, bd: int = 8,
     best32_mode = np.asarray(res[32][1])
     best32_mrl = np.asarray(res[32][2])
     best32_isp = np.asarray(res[32][3])
+
+    if mtt:
+        from ..spec.decide import mtt_assemble_i
+        dec = FrameDecisions.empty(h, w)
+        sizes = {8: (best8_cost, best8_mode, best8_mrl, best8_isp),
+                 16: (best16_cost, best16_mode, best16_mrl, best16_isp),
+                 32: (best32_cost, best32_mode, best32_mrl, best32_isp)}
+        mtt_assemble_i(dec, sizes, _rect_grids_intra(jbuf, lam, w, h, bd),
+                       lam)
+        return dec
 
     dec = FrameDecisions.empty(h, w)
     n16y, n16x = h // 16, w // 16
@@ -344,8 +448,8 @@ def decide_frame(orig_y: np.ndarray, qp: int, bd: int = 8,
 def decide_frame_p(orig_y: np.ndarray, ref_y: np.ndarray, qp: int,
                    bd: int = 8, mip: bool = False,
                    mrl: bool = False, ciip: bool = False,
-                   isp: bool = False,
-                   affine: bool = False) -> FrameDecisions:
+                   isp: bool = False, affine: bool = False,
+                   mtt: bool = False) -> FrameDecisions:
     """Device-batched P-frame decisions (twin of spec decide_frame_p)."""
     from ..spec.inter import ME_RANGE
     from . import me as jme
@@ -405,6 +509,14 @@ def decide_frame_p(orig_y: np.ndarray, ref_y: np.ndarray, qp: int,
             cost = np.where(cflag, cost + ((sadb - sadm) << 8), cost)
         size_data[s] = (cost, imode, use_inter, rmv, imrl, cflag, iisp,
                         affu, admv)
+
+    if mtt:
+        from ..spec.decide import mtt_assemble_p
+        dec = FrameDecisions.empty(h, w)
+        rects = _rect_grids_inter(jbuf, jorig, [refp80], [memaps], lam, w,
+                                  h, bd)
+        mtt_assemble_p(dec, size_data, rects, lam, ciip, affine)
+        return dec
 
     dec = FrameDecisions.empty(h, w)
     (cost8, imode8, inter8, mv8, mrl8, cf8, isp8a, af8,
@@ -481,7 +593,7 @@ def decide_frame_b(orig_y: np.ndarray, ref0_y: np.ndarray,
                    mip: bool = False, mrl: bool = False,
                    bcw: bool = False, ciip: bool = False,
                    isp: bool = False, gpm: bool = False,
-                   affine: bool = False):
+                   affine: bool = False, mtt: bool = False):
     """Device-batched B-frame decisions (twin of spec decide_frame_b)."""
     from ..spec.inter import BCW_DEFAULT
     from ..spec.inter import ME_RANGE, REF_MARGIN
@@ -577,6 +689,14 @@ def decide_frame_b(orig_y: np.ndarray, ref0_y: np.ndarray,
                        np.where((kind == 5)[..., None], admv1, 0))
         size_data[s] = (cost, imode, kind, umv[0], umv[1], imrl, bwidx,
                         cflag, iisp, gval, adm)
+
+    if mtt:
+        from ..spec.decide import mtt_assemble_b
+        dec = FrameDecisions.empty(h, w)
+        rects = _rect_grids_inter(jbuf, jorig, refp80, memaps, lam, w, h,
+                                  bd)
+        mtt_assemble_b(dec, size_data, rects, lam, ciip, affine, bcw, gpm)
+        return dec
 
     from ..spec.codec import FrameDecisions as FD
     dec = FD.empty(h, w)

@@ -34,27 +34,43 @@ def _offsets_with_bits() -> np.ndarray:
 
 _OFFSETS = _offsets_with_bits()
 
+# ME aggregation keys: square sizes by int, rect (BT) shapes by (w, h);
+# factors are (fx, fy) multiples of the 8x8 base SAD grid
+_ME_KEYS = (8, 16, 32, (16, 8), (8, 16), (32, 16), (16, 32))
+_ME_FACT = {8: (1, 1), 16: (2, 2), 32: (4, 4), (16, 8): (2, 1),
+            (8, 16): (1, 2), (32, 16): (4, 2), (16, 32): (2, 4)}
 
-@functools.partial(jax.jit, static_argnames=("frame_w", "frame_h"))
+
 def me_pass(orig, refp, lam, *, frame_w: int, frame_h: int):
-    """Full-search ME for all of sizes 8/16/32 at once.
+    """Full-search ME for all square sizes + BT rect shapes at once.
 
     orig: (H, W) int32; refp: (H+2R, W+2R) int32 edge-padded reference.
-    Returns dict size -> (cost int64 (nby, nbx), mv int32 (nby, nbx, 2))."""
+    Returns dict key -> (cost (nby, nbx), mv int32 (nby, nbx, 2)) for the
+    keys in _ME_KEYS (int = square size, (w, h) = rect shape)."""
+    res = _me_pass_impl(orig, refp, lam, frame_w=frame_w, frame_h=frame_h)
+    return {k: res[i] for i, k in enumerate(_ME_KEYS)}
+
+
+@functools.partial(jax.jit, static_argnames=("frame_w", "frame_h"))
+def _me_pass_impl(orig, refp, lam, *, frame_w: int, frame_h: int):
     h, w = frame_h, frame_w
     n8y, n8x = h // 8, w // 8
     offs = jnp.asarray(_OFFSETS)
     lam = jnp.asarray(lam, jnp.int32)
 
-    def agg(c, f):
-        return c.reshape(c.shape[0] // f, f, c.shape[1] // f, f).sum((1, 3))
+    def aggr(c, key):
+        fx, fy = _ME_FACT[key]
+        return c.reshape(c.shape[0] // fy, fy,
+                         c.shape[1] // fx, fx).sum((1, 3))
 
     def init(ny, nx):
         return (jnp.full((ny, nx), I32MAX, jnp.int32),
                 jnp.zeros((ny, nx), jnp.int32),
                 jnp.zeros((ny, nx), jnp.int32))
 
-    carry0 = tuple(init(h // s, w // s) for s in (8, 16, 32))
+    carry0 = tuple(
+        init(h // (8 * _ME_FACT[k][1]), w // (8 * _ME_FACT[k][0]))
+        for k in _ME_KEYS)
 
     def body(carry, off):
         dy, dx, bits = off[0], off[1], off[2]
@@ -62,11 +78,11 @@ def me_pass(orig, refp, lam, *, frame_w: int, frame_h: int):
                                     (h, w))
         d = jnp.abs(orig.astype(jnp.int32) - win.astype(jnp.int32))
         sad8 = d.reshape(n8y, 8, n8x, 8).sum((1, 3))
-        sads = {8: sad8, 16: agg(sad8, 2), 32: agg(sad8, 4)}
+        sads = {k: aggr(sad8, k) for k in _ME_KEYS}
         out = []
-        for i, s in enumerate((8, 16, 32)):
+        for i, k in enumerate(_ME_KEYS):
             cost, bx, by = carry[i]
-            c = (sads[s] << 8) + lam * bits
+            c = (sads[k] << 8) + lam * bits
             better = c < cost
             out.append((jnp.where(better, c, cost),
                         jnp.where(better, dx, bx),
@@ -74,8 +90,8 @@ def me_pass(orig, refp, lam, *, frame_w: int, frame_h: int):
         return tuple(out), None
 
     carry, _ = jax.lax.scan(body, carry0, offs)
-    return {s: (carry[i][0], jnp.stack([carry[i][1], carry[i][2]], -1))
-            for i, s in enumerate((8, 16, 32))}
+    return tuple((carry[i][0], jnp.stack([carry[i][1], carry[i][2]], -1))
+                 for i in range(len(_ME_KEYS)))
 
 
 def _bitlen(v):
@@ -89,19 +105,21 @@ def _mv_bits_q(mvx_q, mvy_q):
 
 
 @functools.partial(jax.jit, static_argnames=("s", "frame_w", "frame_h",
-                                             "bd"))
+                                             "bd", "bh"))
 def refine_pass(orig, refp_margin, int_mv, lam, *, s: int, frame_w: int,
-                frame_h: int, bd: int = 8):
+                frame_h: int, bd: int = 8, bh: int | None = None):
     """Half/quarter-pel refinement (twin of spec refine_size_pass).
 
     refp_margin: REF_MARGIN-padded reference; int_mv: (nby, nbx, 2) int.
+    s is the block width, bh the height (default square).
     Returns (cost int32, mv_1_16 int32 (nby, nbx, 2))."""
     from ..kernels import mc as jmc
     from ..spec.inter import (MV_FRAC_BITS, REFINE_HALF, REFINE_QUARTER)
     h, w = frame_h, frame_w
-    nby, nbx = h // s, w // s
+    hh = s if bh is None else bh
+    nby, nbx = h // hh, w // s
     xs = jnp.arange(nbx, dtype=jnp.int32) * s
-    ys = jnp.arange(nby, dtype=jnp.int32) * s
+    ys = jnp.arange(nby, dtype=jnp.int32) * hh
     gx, gy = jnp.meshgrid(xs, ys)
     coords = jnp.stack([gx.ravel(), gy.ravel()], axis=1)
     lam = jnp.asarray(lam, jnp.int32)
@@ -110,8 +128,9 @@ def refine_pass(orig, refp_margin, int_mv, lam, *, s: int, frame_w: int,
     best_mv = (int_mv.reshape(-1, 2) << MV_FRAC_BITS).astype(jnp.int32)
 
     def block_cost(xy, mvx, mvy):
-        pred = jmc.mc_luma_block(refp_margin, xy[0], xy[1], s, mvx, mvy, bd)
-        blk = jax.lax.dynamic_slice(orig, (xy[1], xy[0]), (s, s))
+        pred = jmc.mc_luma_block(refp_margin, xy[0], xy[1], s, mvx, mvy, bd,
+                                 h=hh)
+        blk = jax.lax.dynamic_slice(orig, (xy[1], xy[0]), (hh, s))
         sad = jnp.abs(blk - pred).sum()
         return (sad << 8) + lam * _mv_bits_q(mvx >> 2, mvy >> 2)
 
@@ -132,9 +151,10 @@ def refine_pass(orig, refp_margin, int_mv, lam, *, s: int, frame_w: int,
 
 
 @functools.partial(jax.jit, static_argnames=("s", "frame_w", "frame_h",
-                                             "bd", "bcw"))
+                                             "bd", "bcw", "bh"))
 def bi_cost_pass(orig, refp0, refp1, mv0, mv1, lam, *, s: int, frame_w: int,
-                 frame_h: int, bd: int = 8, bcw: bool = False):
+                 frame_h: int, bd: int = 8, bcw: bool = False,
+                 bh: int | None = None):
     """BI cost per s-block: SAD of the averaged refined uni predictions plus
     both quarter-pel MV rates (twin of the numpy loop in decide_frame_b).
 
@@ -144,9 +164,10 @@ def bi_cost_pass(orig, refp0, refp1, mv0, mv1, lam, *, s: int, frame_w: int,
     from ..kernels import mc as jmc
     from ..spec.inter import BCW_DEFAULT, BCW_IDX_BITS, BCW_W
     h, w = frame_h, frame_w
-    nby, nbx = h // s, w // s
+    hh = s if bh is None else bh
+    nby, nbx = h // hh, w // s
     xs = jnp.arange(nbx, dtype=jnp.int32) * s
-    ys = jnp.arange(nby, dtype=jnp.int32) * s
+    ys = jnp.arange(nby, dtype=jnp.int32) * hh
     gx, gy = jnp.meshgrid(xs, ys)
     coords = jnp.stack([gx.ravel(), gy.ravel()], axis=1)
     m0 = mv0.reshape(-1, 2)
@@ -157,9 +178,9 @@ def bi_cost_pass(orig, refp0, refp1, mv0, mv1, lam, *, s: int, frame_w: int,
     widxs = (0, 1, 2) if bcw else (BCW_DEFAULT,)
 
     def one(xy, a, b):
-        p0 = jmc.mc_luma_block(refp0, xy[0], xy[1], s, a[0], a[1], bd)
-        p1 = jmc.mc_luma_block(refp1, xy[0], xy[1], s, b[0], b[1], bd)
-        blk = jax.lax.dynamic_slice(orig, (xy[1], xy[0]), (s, s))
+        p0 = jmc.mc_luma_block(refp0, xy[0], xy[1], s, a[0], a[1], bd, h=hh)
+        p1 = jmc.mc_luma_block(refp1, xy[0], xy[1], s, b[0], b[1], bd, h=hh)
+        blk = jax.lax.dynamic_slice(orig, (xy[1], xy[0]), (hh, s))
         bits = (_mv_bits_q(a[0] >> 2, a[1] >> 2)
                 + _mv_bits_q(b[0] >> 2, b[1] >> 2))
         cs = []

@@ -23,12 +23,14 @@ from ..core import rom
 
 MARGIN = 64  # right/bottom margin of the recon gather buffer
 
-_ANGLE = jnp.asarray(rom.INTRA_PRED_ANGLE, jnp.int32)
-_INV_ANGLE = jnp.asarray(rom.INTRA_INV_ANGLE, jnp.int32)
-_TAPS_SHARP = jnp.asarray(np.asarray(rom.intra_filter_4tap(False)), jnp.int32)
-_TAPS_SMOOTH = jnp.asarray(np.asarray(rom.intra_filter_4tap(True)), jnp.int32)
+# numpy (not jnp) module constants: a first import inside a jit trace would
+# otherwise capture tracers (see kernels/mc.py _PROF_D_NP)
+_ANGLE = np.asarray(rom.INTRA_PRED_ANGLE, np.int32)
+_INV_ANGLE = np.asarray(rom.INTRA_INV_ANGLE, np.int32)
+_TAPS_SHARP = np.asarray(rom.intra_filter_4tap(False), np.int32)
+_TAPS_SMOOTH = np.asarray(rom.intra_filter_4tap(True), np.int32)
 
-_SMOOTH_THRES = jnp.asarray([64, 64, 64, 14, 2, 0, 0], jnp.int32)  # idx=log2s
+_SMOOTH_THRES = np.asarray([64, 64, 64, 14, 2, 0, 0], np.int32)  # idx=log2s
 
 
 def morton8(x, y, n_ctu_x: int):
@@ -153,8 +155,8 @@ def _dc(top, left, s: int):
 
 
 def _angular(top, left, mode, s: int, is_luma: bool, ref_line=0):
-    angle = _ANGLE[mode]
-    inv_angle = _INV_ANGLE[mode]
+    angle = jnp.asarray(_ANGLE)[mode]
+    inv_angle = jnp.asarray(_INV_ANGLE)[mode]
     vertical = mode >= rom.DIA_IDX
     main = jnp.where(vertical, top, left)
     side = jnp.where(vertical, left, top)
@@ -186,7 +188,7 @@ def _angular(top, left, mode, s: int, is_luma: bool, ref_line=0):
 
     if is_luma:
         filt = _ref_filter_flag(mode, s) & (rl == 0)
-        taps = jnp.where(filt, _TAPS_SMOOTH[i_fact], _TAPS_SHARP[i_fact])
+        taps = jnp.where(filt, jnp.asarray(_TAPS_SMOOTH)[i_fact], jnp.asarray(_TAPS_SHARP)[i_fact])
         four = jnp.zeros((s, s), jnp.int32)
         for t in range(4):
             four = four + taps[:, t][:, None] * ext[
@@ -227,7 +229,7 @@ def predict(top, left, mode, *, s: int, is_luma: bool, bd: int = 8,
     rl = jnp.asarray(ref_line, jnp.int32)
     if is_luma:
         filt = _ref_filter_flag(mode, s) & (rl == 0)
-        angle = _ANGLE[mode]
+        angle = jnp.asarray(_ANGLE)[mode]
         smooth_now = filt & ((mode == rom.PLANAR_IDX) | ((angle % 32) == 0))
         ts, ls = _smooth(top, left)
         top_u = jnp.where(smooth_now, ts, top)
@@ -352,8 +354,8 @@ def _dc_rect(top, left, w: int, h: int):
 
 
 def _angular_rect(top, left, mode, w: int, h: int, is_luma: bool, filt):
-    angle = _ANGLE[mode]
-    inv_angle = _INV_ANGLE[mode]
+    angle = jnp.asarray(_ANGLE)[mode]
+    inv_angle = jnp.asarray(_INV_ANGLE)[mode]
 
     def one(main, side, n_pred: int, n_orth: int):
         ext_len = 2 * (n_pred + n_orth) + 2
@@ -379,7 +381,7 @@ def _angular_rect(top, left, mode, w: int, h: int, is_luma: bool, filt):
                    + i_fact[:, None] * b + 16) >> 5
         if not is_luma:
             return jnp.where(integer_slope, a, two_tap)
-        taps = jnp.where(filt, _TAPS_SMOOTH[i_fact], _TAPS_SHARP[i_fact])
+        taps = jnp.where(filt, jnp.asarray(_TAPS_SMOOTH)[i_fact], jnp.asarray(_TAPS_SHARP)[i_fact])
         four = jnp.zeros((n_orth, n_pred), jnp.int32)
         for t in range(4):
             four = four + taps[:, t][:, None] * ext[
@@ -424,7 +426,7 @@ def predict_rect(top, left, mode, *, w: int, h: int, is_luma: bool,
     mode = jnp.asarray(mode, jnp.int32)
     if is_luma:
         filt = _ref_filter_flag_rect(mode, w, h)
-        angle = _ANGLE[mode]
+        angle = jnp.asarray(_ANGLE)[mode]
         smooth_now = filt & ((mode == rom.PLANAR_IDX) | ((angle % 32) == 0))
         ts, ls = _smooth(top, left)
         top_u = jnp.where(smooth_now, ts, top)

@@ -19,24 +19,26 @@ _TAPS_C = np.asarray(rom.mc_filter_chroma(), np.int32)
 
 
 def mc_luma_block(ref_pad, x, y, s: int, mvx, mvy, bd: int = 8,
-                  margin: int = REF_MARGIN):
-    """(s, s) MC luma block from a margin-padded reference plane."""
+                  margin: int = REF_MARGIN, h: int | None = None):
+    """(h, s) MC luma block from a margin-padded reference plane
+    (h defaults to s — square)."""
+    hh = s if h is None else h
     ix = mvx >> MV_FRAC_BITS
     iy = mvy >> MV_FRAC_BITS
     fx = mvx & 15
     fy = mvy & 15
     x0 = x + ix + margin - 3
     y0 = y + iy + margin - 3
-    win = jax.lax.dynamic_slice(ref_pad, (y0, x0), (s + 7, s + 7))
+    win = jax.lax.dynamic_slice(ref_pad, (y0, x0), (hh + 7, s + 7))
     win = win.astype(jnp.int32)
     th = jnp.asarray(_TAPS_L)[fx]
     tv = jnp.asarray(_TAPS_L)[fy]
-    tmp = jnp.zeros((s + 7, s), jnp.int32)
+    tmp = jnp.zeros((hh + 7, s), jnp.int32)
     for t in range(8):
         tmp = tmp + th[t] * jax.lax.dynamic_slice_in_dim(win, t, s, axis=1)
-    acc = jnp.zeros((s, s), jnp.int32)
+    acc = jnp.zeros((hh, s), jnp.int32)
     for t in range(8):
-        acc = acc + tv[t] * jax.lax.dynamic_slice_in_dim(tmp, t, s, axis=0)
+        acc = acc + tv[t] * jax.lax.dynamic_slice_in_dim(tmp, t, hh, axis=0)
     return jnp.clip((acc + 2048) >> 12, 0, (1 << bd) - 1)
 
 
@@ -114,23 +116,24 @@ def bdof_blend_j(p0e, p1e, bd: int):
 
 
 def mc_chroma_block(ref_pad, x, y, s: int, mvx, mvy, bd: int = 8,
-                    margin: int = REF_MARGIN // 2):
+                    margin: int = REF_MARGIN // 2, h: int | None = None):
+    hh = s if h is None else h
     ix = mvx >> 5
     iy = mvy >> 5
     fx = mvx & 31
     fy = mvy & 31
     x0 = x + ix + margin - 1
     y0 = y + iy + margin - 1
-    win = jax.lax.dynamic_slice(ref_pad, (y0, x0), (s + 3, s + 3))
+    win = jax.lax.dynamic_slice(ref_pad, (y0, x0), (hh + 3, s + 3))
     win = win.astype(jnp.int32)
     th = jnp.asarray(_TAPS_C)[fx]
     tv = jnp.asarray(_TAPS_C)[fy]
-    tmp = jnp.zeros((s + 3, s), jnp.int32)
+    tmp = jnp.zeros((hh + 3, s), jnp.int32)
     for t in range(4):
         tmp = tmp + th[t] * jax.lax.dynamic_slice_in_dim(win, t, s, axis=1)
-    acc = jnp.zeros((s, s), jnp.int32)
+    acc = jnp.zeros((hh, s), jnp.int32)
     for t in range(4):
-        acc = acc + tv[t] * jax.lax.dynamic_slice_in_dim(tmp, t, s, axis=0)
+        acc = acc + tv[t] * jax.lax.dynamic_slice_in_dim(tmp, t, hh, axis=0)
     return jnp.clip((acc + 2048) >> 12, 0, (1 << bd) - 1)
 
 
@@ -139,7 +142,9 @@ def mc_chroma_block(ref_pad, x, y, s: int, mvx, mvy, bd: int = 8,
 # (per-4x4-subblock translational MC at the model MV, vmapped over the
 # subblock grid; PROF per-pixel gradient correction in the recon path).
 # ---------------------------------------------------------------------------
-_PROF_D = jnp.asarray(2 * np.arange(4) - 3, jnp.int32)
+# numpy (not jnp): module import may first happen inside a jit trace, and
+# a module-level jnp constant created there would leak a tracer
+_PROF_D_NP = (2 * np.arange(4) - 3).astype(np.int32)
 
 
 def affine_pred_luma_j(ref_pad, x, y, s: int, mvx0, mvy0, dmx, dmy,
@@ -150,8 +155,9 @@ def affine_pred_luma_j(ref_pad, x, y, s: int, mvx0, mvy0, dmx, dmy,
     log2s = int(s).bit_length() - 1
     n = s // 4
     mx = (1 << bd) - 1
-    du = _PROF_D[None, :]
-    dv = _PROF_D[:, None]
+    prof_d = jnp.asarray(_PROF_D_NP)
+    du = prof_d[None, :]
+    dv = prof_d[:, None]
     dx32 = (dmx * du - dmy * dv) >> log2s
     dy32 = (dmy * du + dmx * dv) >> log2s
 

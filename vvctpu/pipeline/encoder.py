@@ -23,10 +23,6 @@ from . import entropy, recon
 
 def encode_sequence(frames, cfg: sseq.EncoderConfig, decisions_fn=None,
                     decisions_out=None):
-    if getattr(cfg, "mtt", False):
-        raise NotImplementedError(
-            "MTT binary splits: JAX engine support lands in stage 2; "
-            "use the spec engine")
     h, w = frames[0][0].shape
     sps = cfg.make_sps(w, h)
     pps = hls.PPS(init_qp=cfg.qp, entropy_sync=cfg.wpp)
@@ -60,14 +56,16 @@ def encode_sequence(frames, cfg: sseq.EncoderConfig, decisions_fn=None,
             dec = jdecide.decide_frame(padded[0], qp, cfg.bit_depth,
                                        mip=sps.mip_enabled,
                                        mrl=sps.mrl_enabled,
-                                       isp=sps.isp_enabled)
+                                       isp=sps.isp_enabled,
+                                       mtt=sps.mtt_enabled)
         elif stype == hls.SLICE_P:
             dec = jdecide.decide_frame_p(padded[0], dpb[ref_pocs[0]][0], qp,
                                          cfg.bit_depth, mip=sps.mip_enabled,
                                          mrl=sps.mrl_enabled,
                                          ciip=sps.ciip_enabled,
                                          isp=sps.isp_enabled,
-                                         affine=sps.affine_enabled)
+                                         affine=sps.affine_enabled,
+                                         mtt=sps.mtt_enabled)
         else:
             dec = jdecide.decide_frame_b(padded[0], dpb[ref_pocs[0]][0],
                                          dpb[ref_pocs[1]][0], qp,
@@ -77,7 +75,8 @@ def encode_sequence(frames, cfg: sseq.EncoderConfig, decisions_fn=None,
                                          ciip=sps.ciip_enabled,
                                          isp=sps.isp_enabled,
                                          gpm=sps.gpm_enabled,
-                                         affine=sps.affine_enabled)
+                                         affine=sps.affine_enabled,
+                                         mtt=sps.mtt_enabled)
         if decisions_out is not None:
             decisions_out.append(dec)
         lmcs_cw = ()
@@ -97,6 +96,10 @@ def encode_sequence(frames, cfg: sseq.EncoderConfig, decisions_fn=None,
             r0 = recon.pad_refs(dpb[ref_pocs[0]])
             ref_kw = dict(ref_y=r0[0], ref_cb=r0[1], ref_cr=r0[2],
                           inter8=isl[8], inter16=isl[16], inter32=isl[32])
+            if sps.mtt_enabled:
+                ref_kw.update(rect16x8=isl[(16, 8)], rect8x16=isl[(8, 16)],
+                              rect32x16=isl[(32, 16)],
+                              rect16x32=isl[(16, 32)])
             if len(ref_pocs) == 2:
                 r1 = recon.pad_refs(dpb[ref_pocs[1]])
                 ref_kw.update(ref1_y=r1[0], ref1_cb=r1[1], ref1_cr=r1[2])
@@ -115,6 +118,7 @@ def encode_sequence(frames, cfg: sseq.EncoderConfig, decisions_fn=None,
             ciip=sps.ciip_enabled, sbt=sps.sbt_enabled,
             isp=sps.isp_enabled, gpm=sps.gpm_enabled,
             affine=sps.affine_enabled, dq=sps.dq_enabled,
+            mtt=sps.mtt_enabled,
             fwd_lut=None if fwd_lut is None else jnp_asarray(fwd_lut),
             crs_lut=None if crs_lut is None else jnp_asarray(crs_lut),
             lam_rd=lambda_rd_int(qp), **ref_kw)
@@ -205,6 +209,11 @@ def decode_sequence(data: bytes, check_hash: bool = True):
                 ref_kw = dict(ref_y=r0[0], ref_cb=r0[1],
                               ref_cr=r0[2], inter8=isl[8],
                               inter16=isl[16], inter32=isl[32])
+                if sps.mtt_enabled:
+                    ref_kw.update(rect16x8=isl[(16, 8)],
+                                  rect8x16=isl[(8, 16)],
+                                  rect32x16=isl[(32, 16)],
+                                  rect16x32=isl[(16, 32)])
                 if len(sh.ref_pocs) == 2:
                     r1 = recon.pad_refs(dpb[sh.ref_pocs[1]])
                     ref_kw.update(ref1_y=r1[0], ref1_cb=r1[1],
@@ -224,6 +233,7 @@ def decode_sequence(data: bytes, check_hash: bool = True):
                 ciip=sps.ciip_enabled, sbt=sps.sbt_enabled,
                 isp=sps.isp_enabled, gpm=sps.gpm_enabled,
                 affine=sps.affine_enabled, dq=sps.dq_enabled,
+                mtt=sps.mtt_enabled,
                 fwd_lut=None if fwd_lut is None else jnp_asarray(fwd_lut),
                 crs_lut=None if crs_lut is None else jnp_asarray(crs_lut),
                 **ref_kw)

@@ -81,9 +81,11 @@ class _Walker:
             return rom.PLANAR_IDX
         return m if m >= 0 else rom.PLANAR_IDX
 
-    def _code_mode(self, x, y, s):
+    def _code_mode(self, x, y, s, h=None):
         io = self.io
-        if self.sps.mip_enabled:
+        hh = s if h is None else h
+        square = hh == s
+        if self.sps.mip_enabled and square:
             from ..spec.codec import code_mip_mode
             mode = code_mip_mode(io, self, x, y, s,
                                  None if io.decoding
@@ -95,14 +97,15 @@ class _Walker:
                 self.mode_map[y // 4:(y + s) // 4,
                               x // 4:(x + s) // 4] = mode
                 return mode
-        if self.sps.mrl_enabled:
+        if self.sps.mrl_enabled and square:
             from ..spec.codec import code_mrl_idx
             code_mrl_idx(io, self, x, y,
                          None if io.decoding
                          else int(self.dec.mrl8[y // 8, x // 8]))
-        from ..spec.codec import code_isp_flags
-        code_isp_flags(io, self.dec, self.sps, x, y, s)
-        mpm = intra.mpm_list(self._neighbor_mode(x - 1, y + s - 1),
+        if square:
+            from ..spec.codec import code_isp_flags
+            code_isp_flags(io, self.dec, self.sps, x, y, s)
+        mpm = intra.mpm_list(self._neighbor_mode(x - 1, y + hh - 1),
                              self._neighbor_mode(x + s - 1, y - 1))
         if io.decoding:
             if io.bin(C.INTRA_MPM_FLAG(0)):
@@ -121,7 +124,8 @@ class _Walker:
                 v = io.byp_n(n=nb)
                 idx = v if v < u else ((v << 1) | io.byp()) - u
                 mode = rest[idx]
-            self.dec.modes8[y // 8:(y + s) // 8, x // 8:(x + s) // 8] = mode
+            self.dec.modes8[y // 8:(y + hh) // 8,
+                            x // 8:(x + s) // 8] = mode
         else:
             mode = int(self.dec.modes8[y // 8, x // 8])
             if mode in mpm:
@@ -144,18 +148,20 @@ class _Walker:
                     io.byp_n(idx, nb)
                 else:
                     io.byp_n(idx + u, nb + 1)
-        self.mode_map[y // 4:(y + s) // 4, x // 4:(x + s) // 4] = mode
+        self.mode_map[y // 4:(y + hh) // 4, x // 4:(x + s) // 4] = mode
         return mode
 
     # -- residual per component ------------------------------------------
-    def _code_component(self, comp, x, y, s, cbf_ctx, mts_ok=False):
+    def _code_component(self, comp, x, y, s, cbf_ctx, mts_ok=False,
+                        h=None):
         from ..spec.codec import _code_lfnst_idx, _code_mts_idx
         io = self.io
+        hh = s if h is None else h
         plane = self.levels[comp]
         is_chroma = comp > 0
         mts_on = mts_ok and (self.sps.mts_enabled or self.sps.ts_enabled)
         lfnst_on = mts_ok and self.sps.lfnst_enabled
-        sl8 = np.s_[y // 8:(y + s) // 8, x // 8:(x + s) // 8]
+        sl8 = np.s_[y // 8:(y + hh) // 8, x // 8:(x + s) // 8]
         from ..cabac import native as cnative
         if io.decoding:
             cbf = io.bin(cbf_ctx)
@@ -167,14 +173,14 @@ class _Walker:
                 self.dec.lfnst8[sl8] = _code_lfnst_idx(io)
             if cbf:
                 if isinstance(io.c, cnative.NativeDecoder):
-                    lev = cnative.native_parse_tb(io.c, _log2(s), _log2(s),
+                    lev = cnative.native_parse_tb(io.c, _log2(s), _log2(hh),
                                                   is_chroma)
                 else:
-                    lev = code_tb(io, None, _log2(s), _log2(s), is_chroma)
-                plane[y:y + s, x:x + s] = lev
+                    lev = code_tb(io, None, _log2(s), _log2(hh), is_chroma)
+                plane[y:y + hh, x:x + s] = lev
             trace.t_cbf(comp, x, y, s, cbf)
         else:
-            lev = plane[y:y + s, x:x + s]
+            lev = plane[y:y + hh, x:x + s]
             cbf = int(lev.any())
             io.bin(cbf_ctx, cbf)
             midx = int(self.dec.mts8[y // 8, x // 8]) if mts_on else 0
@@ -187,13 +193,13 @@ class _Walker:
                 if self.sink is not None:
                     if cnative.available():
                         self.sink._chunks.append(
-                            cnative.tb_bins_c(lev, _log2(s), _log2(s),
+                            cnative.tb_bins_c(lev, _log2(s), _log2(hh),
                                               is_chroma))
                     else:
                         binarize.tb_bins(self.sink, lev, _log2(s),
-                                         _log2(s), is_chroma)
+                                         _log2(hh), is_chroma)
                 else:
-                    code_tb(io, lev, _log2(s), _log2(s), is_chroma)
+                    code_tb(io, lev, _log2(s), _log2(hh), is_chroma)
 
     def _code_isp_component(self, x, y, s, d):
         """ISP luma stripes: per-stripe cbf (CBF_LUMA ctx 1) + rect TB,
@@ -232,14 +238,16 @@ class _Walker:
                         code_tb(io, lev, _log2(w_st), _log2(h_st), False)
             trace.t_cbf(0, px, py, w_st, cbf)
 
-    def _code_mv_list(self, x, y, s, lst, mv_enc=None, shift=2):
+    def _code_mv_list(self, x, y, s, lst, mv_enc=None, shift=2, h=None):
         from ..spec.codec import code_mv_list
         return code_mv_list(self.io, self.mv_map, self.inter_map, x, y, s,
-                            lst, mv_enc, shift)
+                            lst, mv_enc, shift, h=h)
 
-    def _enc_motion(self, x, y, s):
+    def _enc_motion(self, x, y, s, h=None):
         """Encoder-side (d, mv0, mv1, merge_idx) from the decision maps."""
         from ..spec import inter as imod
+        hh = s if h is None else h
+        square = hh == s
         gy, gx = y // 8, x // 8
         d = int(self.dec.dir8[gy, gx]) if self.is_b else 0
         mv0 = ((int(self.dec.mv8[gy, gx, 0]), int(self.dec.mv8[gy, gx, 1]))
@@ -248,14 +256,17 @@ class _Walker:
                 int(self.dec.mv8_l1[gy, gx, 1]))
                if d in (1, 2) else (0, 0))
         widx = (int(self.dec.bcw8[gy, gx])
-                if self.sps.bcw_enabled and d == 2 else imod.BCW_DEFAULT)
+                if self.sps.bcw_enabled and d == 2 and square
+                else imod.BCW_DEFAULT)
         aff = None
         if (self.sps.affine_enabled and s >= imod.AFF_MIN_SIZE and d != 2
+                and square
                 and self.dec.aff8 is not None and self.dec.aff8[gy, gx]):
             aff = (int(self.dec.admv8[gy, gx, 0]),
                    int(self.dec.admv8[gy, gx, 1]))
         cands = imod.merge_candidates(self.inter_map, self.mv_map, x, y, s,
-                                      self.is_b, self.col, self.hmvp)
+                                      self.is_b, self.col, self.hmvp,
+                                      h=hh)
         me = (d, mv0, mv1)
         midx = (cands.index(me)
                 if me in cands and widx == imod.BCW_DEFAULT
@@ -264,23 +275,26 @@ class _Walker:
                 if midx is None and widx == imod.BCW_DEFAULT
                 and aff is None and self.sps.mmvd_enabled else None)
         ciip = (bool(self.dec.ciip8[gy, gx])
-                if self.sps.ciip_enabled else False)
+                if self.sps.ciip_enabled and square else False)
         gpm = (int(self.dec.gpm8[gy, gx])
                if (self.sps.gpm_enabled and self.is_b and d == 2
-                   and not ciip) else 0)
+                   and not ciip and square) else 0)
         return d, mv0, mv1, midx, mmvd, widx, ciip, gpm, aff
 
-    def _leaf_levels_zero(self, x, y, s):
-        cs, cx, cy = s // 2, x // 2, y // 2
-        return not (self.levels[0][y:y + s, x:x + s].any()
-                    or self.levels[1][cy:cy + cs, cx:cx + cs].any()
-                    or self.levels[2][cy:cy + cs, cx:cx + cs].any())
+    def _leaf_levels_zero(self, x, y, s, h=None):
+        hh = s if h is None else h
+        cs, ch, cx, cy = s // 2, (s if h is None else h) // 2, x // 2, y // 2
+        return not (self.levels[0][y:y + hh, x:x + s].any()
+                    or self.levels[1][cy:cy + ch, cx:cx + cs].any()
+                    or self.levels[2][cy:cy + ch, cx:cx + cs].any())
 
-    def _code_inter(self, x, y, s, skip, enc_mot=None):
+    def _code_inter(self, x, y, s, skip, enc_mot=None, h=None):
         from ..spec import inter as imod
         from ..spec.codec import (_code_bcw_idx, _code_merge_idx,
                                   _code_mmvd, _code_sbt_idx)
         io = self.io
+        hh = s if h is None else h
+        square = hh == s
         gy, gx = y // 8, x // 8
         aff = None
         if io.decoding:
@@ -291,7 +305,7 @@ class _Walker:
                 mmvd = _code_mmvd(io) if self.sps.mmvd_enabled else None
                 cands = imod.merge_candidates(self.inter_map, self.mv_map,
                                               x, y, s, self.is_b, self.col,
-                                              self.hmvp)
+                                              self.hmvp, h=hh)
                 if mmvd is not None:
                     d, mv0, mv1 = imod.mmvd_derive(cands[mmvd[0]], mmvd[1],
                                                    mmvd[2])
@@ -306,9 +320,10 @@ class _Walker:
                 else:
                     d = 0
                 aff_sig = (self.sps.affine_enabled
-                           and s >= imod.AFF_MIN_SIZE and d != 2)
+                           and s >= imod.AFF_MIN_SIZE and d != 2
+                           and square)
                 if aff_sig and io.bin(C.AFF_FLAG(0)):
-                    mv = self._code_mv_list(x, y, s, d, shift=2)
+                    mv = self._code_mv_list(x, y, s, d, shift=2, h=hh)
                     dmx = _code_mvd_comp(io, None) << 2
                     dmy = _code_mvd_comp(io, None) << 2
                     aff = (dmx, dmy)
@@ -318,7 +333,7 @@ class _Walker:
                     shift = imod.AMVR_SHIFTS[code_amvr(io)] \
                         if self.sps.amvr_enabled else 2
                     smvd = bool(io.bin(C.SMVD_FLAG(0))) \
-                        if d == 2 and self.smvd else False
+                        if d == 2 and self.smvd and square else False
                     mv0 = mv1 = (0, 0)
                     if smvd:
                         from ..spec.codec import code_mv_smvd
@@ -328,24 +343,26 @@ class _Walker:
                     else:
                         if d in (0, 2):
                             mv0 = self._code_mv_list(x, y, s, 0,
-                                                     shift=shift)
+                                                     shift=shift, h=hh)
                         if d in (1, 2):
                             mv1 = self._code_mv_list(x, y, s, 1,
-                                                     shift=shift)
+                                                     shift=shift, h=hh)
                         if d == 1:
                             mv0 = (0, 0)
-                    if self.is_b and d == 2 and self.sps.bcw_enabled:
+                    if self.is_b and d == 2 and self.sps.bcw_enabled \
+                            and square:
                         widx = _code_bcw_idx(io)
-            if self.sps.ciip_enabled and not skip:
+            if self.sps.ciip_enabled and not skip and square:
                 ciip = bool(io.bin(C.CIIP_FLAG(0)))
             gpm = 0
             if (self.sps.gpm_enabled and self.is_b and not skip
-                    and not ciip and d == 2):
+                    and not ciip and d == 2 and square):
                 if io.bin(C.GPM_FLAG(0)):
                     gpm = 1 + io.byp_n(n=6)
             sbt = _code_sbt_idx(io) \
-                if self.sps.sbt_enabled and not skip and not ciip else 0
-            sl = np.s_[gy:(y + s) // 8, gx:(x + s) // 8]
+                if self.sps.sbt_enabled and not skip and not ciip \
+                and square else 0
+            sl = np.s_[gy:(y + hh) // 8, gx:(x + s) // 8]
             self.dec.inter8[sl] = 1
             self.dec.dir8[sl] = d
             self.dec.mv8[sl] = mv0
@@ -383,24 +400,26 @@ class _Walker:
                         if d != 2:
                             io.byp(d)
                     aff_sig = (self.sps.affine_enabled
-                               and s >= imod.AFF_MIN_SIZE and d != 2)
+                               and s >= imod.AFF_MIN_SIZE and d != 2
+                               and square)
                     if aff_sig:
                         io.bin(C.AFF_FLAG(0), int(aff is not None))
                     if aff is not None:
                         self._code_mv_list(x, y, s, d,
-                                           mv0 if d == 0 else mv1, shift=2)
+                                           mv0 if d == 0 else mv1, shift=2,
+                                           h=hh)
                         _code_mvd_comp(io, aff[0] >> 2)
                         _code_mvd_comp(io, aff[1] >> 2)
                     else:
                         prec = _amvr_for_leaf(io, self.mv_map,
                                               self.inter_map,
                                               x, y, s, d, mv0, mv1,
-                                              self.sps.amvr_enabled)
+                                              self.sps.amvr_enabled, h=hh)
                         shift = imod.AMVR_SHIFTS[prec]
                         i1 = imod.smvd_match(self.mv_map, self.inter_map,
                                              x, y, s, mv0, mv1, shift) \
-                            if d == 2 and self.smvd else None
-                        if d == 2 and self.smvd:
+                            if d == 2 and self.smvd and square else None
+                        if d == 2 and self.smvd and square:
                             io.bin(C.SMVD_FLAG(0), int(i1 is not None))
                         if i1 is not None:
                             code_mv_smvd(io, self.mv_map, self.inter_map,
@@ -408,23 +427,24 @@ class _Walker:
                         else:
                             if d in (0, 2):
                                 self._code_mv_list(x, y, s, 0, mv0,
-                                                   shift=shift)
+                                                   shift=shift, h=hh)
                             if d in (1, 2):
                                 self._code_mv_list(x, y, s, 1, mv1,
-                                                   shift=shift)
-                        if self.is_b and d == 2 and self.sps.bcw_enabled:
+                                                   shift=shift, h=hh)
+                        if self.is_b and d == 2 and self.sps.bcw_enabled \
+                                and square:
                             _code_bcw_idx(io, widx)
-                if self.sps.ciip_enabled:
+                if self.sps.ciip_enabled and square:
                     io.bin(C.CIIP_FLAG(0), int(ciip))
                 if (self.sps.gpm_enabled and self.is_b and not ciip
-                        and d == 2):
+                        and d == 2 and square):
                     io.bin(C.GPM_FLAG(0), int(gpm > 0))
                     if gpm:
                         io.byp_n(gpm - 1, 6)
-                if self.sps.sbt_enabled and not ciip:
+                if self.sps.sbt_enabled and not ciip and square:
                     _code_sbt_idx(io, int(self.dec.sbt8[gy, gx]))
         trace.t_leaf_inter(x, y, s, mv0 if d != 1 else mv1)
-        sl = np.s_[gy:(y + s) // 8, gx:(x + s) // 8]
+        sl = np.s_[gy:(y + hh) // 8, gx:(x + s) // 8]
         if aff is not None:
             self.inter_map[:, :, d][sl] = True
             self.mv_map[:, :, d][sl] = imod.affine_granule_mvs(
@@ -438,13 +458,15 @@ class _Walker:
                 self.mv_map[:, :, 1][sl] = mv1
         imod.hmvp_push(self.hmvp, (d, mv0, mv1))
 
-    def _code_leaf(self, x, y, s):
+    def _code_leaf(self, x, y, s, h=None):
         io = self.io
-        cs, cx, cy = s // 2, x // 2, y // 2
+        hh = s if h is None else h
+        square = hh == s
+        cs, ch, cx, cy = s // 2, hh // 2, x // 2, y // 2
         if self.is_p:
             if io.decoding:
                 if io.bin(C.SKIP_FLAG(0)):
-                    self._code_inter(x, y, s, True)
+                    self._code_inter(x, y, s, True, h=hh)
                     for comp, (px, py, sz) in enumerate(
                             ((x, y, s), (cx, cy, cs), (cx, cy, cs))):
                         trace.t_cbf(comp, px, py, sz, 0)
@@ -453,23 +475,23 @@ class _Walker:
             else:
                 is_inter = int(self.dec.inter8[y // 8, x // 8])
                 if is_inter:
-                    enc_mot = self._enc_motion(x, y, s)
+                    enc_mot = self._enc_motion(x, y, s, h=hh)
                     skip = ((enc_mot[3] is not None
                              or enc_mot[4] is not None)
-                            and self._leaf_levels_zero(x, y, s)
+                            and self._leaf_levels_zero(x, y, s, h=hh)
                             and not enc_mot[6] and not enc_mot[7])
                     io.bin(C.SKIP_FLAG(0), int(skip))
                     if skip:
-                        self._code_inter(x, y, s, True, enc_mot)
+                        self._code_inter(x, y, s, True, enc_mot, h=hh)
                         for comp, (px, py, sz) in enumerate(
                                 ((x, y, s), (cx, cy, cs), (cx, cy, cs))):
                             trace.t_cbf(comp, px, py, sz, 0)
                         return
                     io.bin(C.PRED_MODE(0), 1)
-                    self._code_inter(x, y, s, False, enc_mot)
-                    self._code_component(0, x, y, s, C.CBF_LUMA(0))
-                    self._code_component(1, cx, cy, cs, C.CBF_CB(0))
-                    self._code_component(2, cx, cy, cs, C.CBF_CR(0))
+                    self._code_inter(x, y, s, False, enc_mot, h=hh)
+                    self._code_component(0, x, y, s, C.CBF_LUMA(0), h=hh)
+                    self._code_component(1, cx, cy, cs, C.CBF_CB(0), h=ch)
+                    self._code_component(2, cx, cy, cs, C.CBF_CR(0), h=ch)
                     return
                 io.bin(C.SKIP_FLAG(0), 0)
                 io.bin(C.PRED_MODE(0), 0)
@@ -477,36 +499,37 @@ class _Walker:
         else:
             is_inter = 0
         if is_inter:
-            self._code_inter(x, y, s, False)
-            self._code_component(0, x, y, s, C.CBF_LUMA(0))
+            self._code_inter(x, y, s, False, h=hh)
+            self._code_component(0, x, y, s, C.CBF_LUMA(0), h=hh)
         else:
-            mode = self._code_mode(x, y, s)
+            mode = self._code_mode(x, y, s, h=hh)
             trace.t_leaf_intra(x, y, s, mode)
-            if (self.sps.mrl_enabled and io.decoding
+            if (self.sps.mrl_enabled and io.decoding and square
                     and mode < rom.NUM_LUMA_MODE):
                 mrlv = self.dec.mrl8[y // 8, x // 8]
                 self.dec.mrl8[y // 8:(y + s) // 8,
                               x // 8:(x + s) // 8] = mrlv
             mrl0 = (int(self.dec.mrl8[y // 8, x // 8]) == 0
-                    if self.sps.mrl_enabled else True)
+                    if self.sps.mrl_enabled and square else True)
             ispv = (int(self.dec.isp8[y // 8, x // 8])
-                    if (self.sps.isp_enabled and mrl0
+                    if (self.sps.isp_enabled and square and mrl0
                         and mode < rom.NUM_LUMA_MODE) else 0)
             if ispv:
                 self._code_isp_component(x, y, s, ispv)
             else:
                 self._code_component(0, x, y, s, C.CBF_LUMA(0),
-                                     mts_ok=mode < rom.NUM_LUMA_MODE)
+                                     mts_ok=(mode < rom.NUM_LUMA_MODE
+                                             and square), h=hh)
             io = self.io
             sl8 = np.s_[y // 8:(y + s) // 8, x // 8:(x + s) // 8]
-            if self.sps.cclm_enabled:
+            if self.sps.cclm_enabled and square:
                 if io.decoding:
                     self.dec.cmode8[sl8] = \
                         1 - io.bin(C.INTRA_CHROMA_DM(0))
                 else:
                     io.bin(C.INTRA_CHROMA_DM(0),
                            int(self.dec.cmode8[y // 8, x // 8] == 0))
-            if self.sps.jccr_enabled:
+            if self.sps.jccr_enabled and square:
                 if io.decoding:
                     joint = io.bin(C.JCCR_FLAG(0))
                     self.dec.jccr8[sl8] = joint
@@ -516,8 +539,8 @@ class _Walker:
                 if joint:
                     self._code_joint_component(cx, cy, cs)
                     return
-        self._code_component(1, cx, cy, cs, C.CBF_CB(0))
-        self._code_component(2, cx, cy, cs, C.CBF_CR(0))
+        self._code_component(1, cx, cy, cs, C.CBF_CB(0), h=ch)
+        self._code_component(2, cx, cy, cs, C.CBF_CR(0), h=ch)
 
     def _code_joint_component(self, cx, cy, cs):
         """One joint Cb-Cr TB (JCCR): cbf (CBF_CB ctx) + residual into the
@@ -566,11 +589,34 @@ class _Walker:
                 io.bin(ctx, split)
             trace.t_split(x, y, s, split)
             if split:
-                h = s // 2
-                for dy in (0, h):
-                    for dx in (0, h):
-                        self._code_qt(x + dx, y + dy, h, depth + 1)
+                half = s // 2
+                for dy in (0, half):
+                    for dx in (0, half):
+                        self._code_qt(x + dx, y + dy, half, depth + 1)
                 return
+            if self.sps.mtt_enabled:
+                # twin of spec _code_qt's BT branch (bt_flag + direction)
+                barr = self.dec.bt32 if s == 32 else self.dec.bt16
+                fctx = C.BT_FLAG(0 if s == 16 else 1)
+                if io.decoding:
+                    bt = 0
+                    if io.bin(fctx):
+                        bt = 1 + io.bin(C.BT_DIR(0))
+                    barr[y // s, x // s] = bt
+                else:
+                    bt = int(barr[y // s, x // s])
+                    io.bin(fctx, int(bt > 0))
+                    if bt:
+                        io.bin(C.BT_DIR(0), bt - 1)
+                trace.t_split(x, y, s, 4 + bt)
+                if bt == 1:
+                    self._code_leaf(x, y, s, h=s // 2)
+                    self._code_leaf(x, y + s // 2, s, h=s // 2)
+                    return
+                if bt == 2:
+                    self._code_leaf(x, y, s // 2, h=s)
+                    self._code_leaf(x + s // 2, y, s // 2, h=s)
+                    return
         self._code_leaf(x, y, s)
 
     def walk(self, terminate_fn):

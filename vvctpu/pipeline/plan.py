@@ -13,6 +13,10 @@ import numpy as np
 from ..spec.codec import FrameDecisions
 
 OP_SKIP, OP_LEAF8, OP_LEAF16, OP_LEAF32 = 0, 1, 2, 3
+# rect (BT) leaves: ops 10..13 intra, 14..17 inter, shape by RECT_SHAPES idx
+RECT_SHAPES = ((16, 8), (8, 16), (32, 16), (16, 32))
+OP_RECT_INTRA0 = 10
+OP_RECT_INTER0 = 14
 _SIZE_OF_OP = {OP_LEAF8: 8, OP_LEAF16: 16, OP_LEAF32: 32}
 
 
@@ -29,7 +33,8 @@ def leaf_plan(dec: FrameDecisions, height: int, width: int,
     """Returns (op, x, y, mode, mv0, mv1, dir) arrays, length n_ctu * 64.
 
     op: 0 skip, 1/2/3 intra leaf 8/16/32, 4/5/6 inter leaf 8/16/32,
-    7/8/9 CIIP inter leaf 8/16/32 (sequential: reads recon neighbours);
+    7/8/9 CIIP inter leaf 8/16/32 (sequential: reads recon neighbours),
+    10..13 rect intra / 14..17 rect inter (BT leaves, RECT_SHAPES order);
     mv0/mv1: (n, 2) int32; dir: 0 = L0, 1 = L1, 2 = BI."""
     n_cx, n_cy = width // ctu, height // ctu
     n = n_cx * n_cy * 64
@@ -40,22 +45,52 @@ def leaf_plan(dec: FrameDecisions, height: int, width: int,
     mv0 = np.zeros((n, 2), np.int32)
     mv1 = np.zeros((n, 2), np.int32)
     dirs = np.zeros(n, np.int32)
+    bt32 = dec.bt32 if dec.bt32 is not None else None
+    bt16 = dec.bt16 if dec.bt16 is not None else None
     i = 0
     for cy in range(n_cy):
         for cx in range(n_cx):
             for m in range(64):
                 gx, gy = _demorton(m)
                 px, py = cx * ctu + gx * 8, cy * ctu + gy * 8
+                rect = -1
                 if not dec.split32[py // 32, px // 32]:
-                    o = OP_LEAF32 if (px % 32 == 0 and py % 32 == 0) \
-                        else OP_SKIP
+                    b = int(bt32[py // 32, px // 32]) if bt32 is not None \
+                        else 0
+                    if b == 1:
+                        o = 1 if (px % 32 == 0 and py % 16 == 0) else 0
+                        rect = 2
+                    elif b == 2:
+                        o = 1 if (px % 16 == 0 and py % 32 == 0) else 0
+                        rect = 3
+                    else:
+                        o = OP_LEAF32 if (px % 32 == 0 and py % 32 == 0) \
+                            else OP_SKIP
                 elif not dec.split16[py // 16, px // 16]:
-                    o = OP_LEAF16 if (px % 16 == 0 and py % 16 == 0) \
-                        else OP_SKIP
+                    b = int(bt16[py // 16, px // 16]) if bt16 is not None \
+                        else 0
+                    if b == 1:
+                        o = 1 if (px % 16 == 0 and py % 8 == 0) else 0
+                        rect = 0
+                    elif b == 2:
+                        o = 1 if (px % 8 == 0 and py % 16 == 0) else 0
+                        rect = 1
+                    else:
+                        o = OP_LEAF16 if (px % 16 == 0 and py % 16 == 0) \
+                            else OP_SKIP
                 else:
                     o = OP_LEAF8
-                if o != OP_SKIP and dec.inter8 is not None \
-                        and dec.inter8[py // 8, px // 8]:
+                is_inter = (dec.inter8 is not None
+                            and dec.inter8[py // 8, px // 8])
+                if rect >= 0:
+                    o = (OP_RECT_INTER0 + rect if (o and is_inter)
+                         else OP_RECT_INTRA0 + rect if o else OP_SKIP)
+                    if o != OP_SKIP and is_inter:
+                        mv0[i] = dec.mv8[py // 8, px // 8]
+                        if dec.mv8_l1 is not None:
+                            mv1[i] = dec.mv8_l1[py // 8, px // 8]
+                            dirs[i] = dec.dir8[py // 8, px // 8]
+                elif o != OP_SKIP and is_inter:
                     o += 6 if (dec.ciip8 is not None
                                and dec.ciip8[py // 8, px // 8]) else 3
                     mv0[i] = dec.mv8[py // 8, px // 8]

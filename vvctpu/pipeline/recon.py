@@ -361,6 +361,169 @@ def _make_ciip_fn(s: int, *, frame_w: int, frame_h: int, n_ctu_x: int, qp,
 _CRS_SHIFT = {8: 6, 16: 8, 32: 10}   # 2 * log2(s)
 
 
+def _log2i(n: int) -> int:
+    return int(n).bit_length() - 1
+
+
+def _component_rect(buf, levels_io, src, pred, x, y, w: int, h: int, qp,
+                    bd, encode, rdoq=False, lam_rd=0, dq=False,
+                    crs_sc=None):
+    """Rect twin of _component (BT leaves)."""
+    if encode:
+        blk = jax.lax.dynamic_slice(src, (y, x), (h, w)).astype(jnp.int32)
+        resi = blk - pred
+        if crs_sc is not None:
+            resi = (resi << 11) // crs_sc
+        coef = transform.forward_transform(resi, h, w, bd=bd)
+        lev = transform.quantize(coef, h, w, qp, intra=True, bd=bd,
+                                 rdoq=rdoq, lam_rd=lam_rd, dq=dq)
+        levels_io = jax.lax.dynamic_update_slice(levels_io, lev, (y, x))
+    else:
+        lev = jax.lax.dynamic_slice(src, (y, x), (h, w))
+    if crs_sc is not None:
+        r = transform.inverse_transform(
+            transform.dequantize(lev, h, w, qp, bd, dq=dq), h, w, bd=bd)
+        rec = jnp.clip(pred + ((r * crs_sc) >> 11), 0, (1 << bd) - 1)
+    else:
+        rec = transform.reconstruct(pred, lev, h, w, qp, bd=bd, dq=dq)
+    buf = jax.lax.dynamic_update_slice(buf, rec, (y + 1, x + 1))
+    return buf, levels_io
+
+
+def _make_rect_leaf_fn(w: int, h: int, *, frame_w: int, frame_h: int,
+                       n_ctu_x: int, qp, bd: int, encode: bool, refs,
+                       rdoq: bool = False, lam_rd=None, dq: bool = False,
+                       **_unused):
+    """Rectangular (BT) intra leaf: plain 67-mode prediction + DM chroma
+    (square-only tools are gated off on rect leaves — twin of the spec
+    _code_leaf rect path)."""
+    cw, ch = w // 2, h // 2
+    ps = max(w, h)          # enclosing square (BT parent) size
+
+    def leaf(carry, x, y, mode, mvx, mvy, mts_in, lfnst_in, cmode_in,
+             mrl_in, jccr_in, m1x, m1y, dd, wdx, isp_in):
+        (by, bcb, bcr, ly, lcb, lcr, sy, scb, scr, mtsp, lfnstp,
+         cmodep, jccrp, sbtp) = carry
+        # availability: the sibling BT child precedes this one in coding
+        # order but shares the parent's granule Morton index, so the
+        # parent rect is passed as the already-coded override (same rule
+        # as ISP stripes)
+        px0 = x & ~(ps - 1)
+        py0 = y & ~(ps - 1)
+        top, left = intra_pred.build_references_rect(
+            by, x, y, w=w, h=h, is_luma=True, frame_w=frame_w,
+            frame_h=frame_h, n_ctu_x=n_ctu_x, bd=bd,
+            leaf_x=px0, leaf_y=py0, leaf_w=ps, leaf_h=ps)
+        pred_y = intra_pred.predict_rect(top, left, mode, w=w, h=h,
+                                         is_luma=True, bd=bd)
+        by, ly = _component_rect(by, ly, sy, pred_y, x, y, w, h, qp, bd,
+                                 encode, rdoq, lam_rd, dq)
+        tcb, lcb_r = intra_pred.build_references_rect(
+            bcb, x // 2, y // 2, w=cw, h=ch, is_luma=False,
+            frame_w=frame_w // 2, frame_h=frame_h // 2, n_ctu_x=n_ctu_x,
+            bd=bd, leaf_x=px0 // 2, leaf_y=py0 // 2, leaf_w=ps // 2,
+            leaf_h=ps // 2)
+        pred_cb = intra_pred.predict_rect(tcb, lcb_r, mode, w=cw, h=ch,
+                                          is_luma=False, bd=bd)
+        bcb, lcb = _component_rect(bcb, lcb, scb, pred_cb, x // 2, y // 2,
+                                   cw, ch, qp, bd, encode, rdoq, lam_rd, dq)
+        tcr, lcr_r = intra_pred.build_references_rect(
+            bcr, x // 2, y // 2, w=cw, h=ch, is_luma=False,
+            frame_w=frame_w // 2, frame_h=frame_h // 2, n_ctu_x=n_ctu_x,
+            bd=bd, leaf_x=px0 // 2, leaf_y=py0 // 2, leaf_w=ps // 2,
+            leaf_h=ps // 2)
+        pred_cr = intra_pred.predict_rect(tcr, lcr_r, mode, w=cw, h=ch,
+                                          is_luma=False, bd=bd)
+        bcr, lcr = _component_rect(bcr, lcr, scr, pred_cr, x // 2, y // 2,
+                                   cw, ch, qp, bd, encode, rdoq, lam_rd, dq)
+        return (by, bcb, bcr, ly, lcb, lcr, sy, scb, scr, mtsp, lfnstp,
+                cmodep, jccrp, sbtp)
+
+    return leaf
+
+
+def _inter_batch_pass_rect(carry, ib_slots, refs, w: int, h: int, qp,
+                           bd: int, encode: bool, rdoq: bool = False,
+                           lam_rd=0, fwd_lut=None, crs_lut=None,
+                           dq: bool = False):
+    """Phase A for rectangular (BT) inter leaves: plain translational MC
+    (uni/BI equal weight) — twin of the spec _inter_pred rect path.
+
+    ib_slots: (B, 7) int32 [x, y, mv0x, mv0y, mv1x, mv1y, dir]; invalid
+    rows have x = y = 2^20."""
+    (by, bcb, bcr, ly, lcb, lcr, sy, scb, scr, mtsp, lfnstp,
+     cmodep, jccrp, sbtp) = carry
+    cw, ch = w // 2, h // 2
+    mx = (1 << bd) - 1
+    crs_shift = _log2i(w) + _log2i(h)
+
+    def one(slot):
+        x, y = slot[0], slot[1]
+        m0x, m0y, m1x, m1y, d = slot[2], slot[3], slot[4], slot[5], slot[6]
+
+        def bipred(ref0, ref1, px, py, pw, ph, luma):
+            f = mc.mc_luma_block if luma else mc.mc_chroma_block
+            p0 = f(ref0, px, py, pw, m0x, m0y, bd, h=ph)
+            p1 = f(ref1, px, py, pw, m1x, m1y, bd, h=ph)
+            avg = jnp.minimum((p0 + p1 + 1) >> 1, mx)
+            return jnp.where(d == 0, p0, jnp.where(d == 1, p1, avg))
+
+        pred_y = bipred(refs[0], refs[3], x, y, w, h, True)
+        pred_cb = bipred(refs[1], refs[4], x // 2, y // 2, cw, ch, False)
+        pred_cr = bipred(refs[2], refs[5], x // 2, y // 2, cw, ch, False)
+        if fwd_lut is not None:
+            pred_y = jnp.take(fwd_lut, pred_y)
+
+        def comp(src, pred, cx, cy, pw, ph, sc=None):
+            if encode:
+                blk = jax.lax.dynamic_slice(src, (cy, cx),
+                                            (ph, pw)).astype(jnp.int32)
+                resi = blk - pred
+                if sc is not None:
+                    resi = (resi << 11) // sc
+                coef = transform.forward_transform(resi, ph, pw, bd=bd)
+                lev = transform.quantize(coef, ph, pw, qp, intra=True,
+                                         bd=bd, rdoq=rdoq, lam_rd=lam_rd,
+                                         dq=dq)
+            else:
+                lev = jax.lax.dynamic_slice(src, (cy, cx), (ph, pw))
+            if sc is not None:
+                r = transform.inverse_transform(
+                    transform.dequantize(lev, ph, pw, qp, bd, dq=dq), ph,
+                    pw, bd=bd)
+                rec = jnp.clip(pred + ((r * sc) >> 11), 0, mx)
+            else:
+                rec = transform.reconstruct(pred, lev, ph, pw, qp, bd=bd,
+                                            dq=dq)
+            return rec, lev
+
+        ry, lvy = comp(sy, pred_y, x, y, w, h)
+        sc = None
+        if crs_lut is not None:
+            sc = crs_lut[ry.sum() >> crs_shift]
+        rcb, lvcb = comp(scb, pred_cb, x // 2, y // 2, cw, ch, sc)
+        rcr, lvcr = comp(scr, pred_cr, x // 2, y // 2, cw, ch, sc)
+        return ry, rcb, rcr, lvy, lvcb, lvcr
+
+    ry, rcb, rcr, lvy, lvcb, lvcr = jax.vmap(one)(ib_slots)
+
+    def scatter(buf, blocks, xs0, ys0, pw, ph, off):
+        yy = ys0[:, None, None] + off + jnp.arange(ph)[None, :, None]
+        xx = xs0[:, None, None] + off + jnp.arange(pw)[None, None, :]
+        return buf.at[yy, xx].set(blocks, mode="drop")
+
+    xs, ys = ib_slots[:, 0], ib_slots[:, 1]
+    by = scatter(by, ry, xs, ys, w, h, 1)
+    bcb = scatter(bcb, rcb, xs // 2, ys // 2, cw, ch, 1)
+    bcr = scatter(bcr, rcr, xs // 2, ys // 2, cw, ch, 1)
+    if encode:
+        ly = scatter(ly, lvy, xs, ys, w, h, 0)
+        lcb = scatter(lcb, lvcb, xs // 2, ys // 2, cw, ch, 0)
+        lcr = scatter(lcr, lvcr, xs // 2, ys // 2, cw, ch, 0)
+    return (by, bcb, bcr, ly, lcb, lcr, sy, scb, scr, mtsp, lfnstp, cmodep,
+            jccrp, sbtp)
+
+
 def _inter_batch_pass(carry, ib_slots, refs, s: int, qp, bd: int,
                       encode: bool, frame_w: int, frame_h: int,
                       rdoq: bool = False, lam_rd=0, fwd_lut=None,
@@ -587,7 +750,7 @@ def _inter_batch_pass(carry, ib_slots, refs, s: int, qp, bd: int,
                                     "cclm", "rdoq", "lmcs", "mip",
                                     "tskip", "jccr", "dmvr", "bdof",
                                     "ciip", "sbt", "isp", "gpm",
-                                    "affine", "dq"))
+                                    "affine", "dq", "mtt"))
 def frame_scan(slots, planes_y, planes_cb, planes_cr, *, frame_w: int,
                frame_h: int, qp, bd: int, encode: bool,
                inter_enabled: bool = False, ref_y=None, ref_cb=None,
@@ -599,7 +762,9 @@ def frame_scan(slots, planes_y, planes_cb, planes_cr, *, frame_w: int,
                jccr: bool = False, dmvr: bool = False, bdof: bool = False,
                ciip: bool = False, sbt: bool = False, crs_lut=None,
                isp: bool = False, gpm: bool = False,
-               affine: bool = False, dq: bool = False):
+               affine: bool = False, dq: bool = False, mtt: bool = False,
+               rect16x8=None, rect8x16=None, rect32x16=None,
+               rect16x32=None):
     """Run the full-frame reconstruction scan.
 
     slots: (N, 6) int32 [op, x, y, mode, mvx, mvy] in coding order; op 0 =
@@ -640,6 +805,15 @@ def frame_scan(slots, planes_y, planes_cb, planes_cr, *, frame_w: int,
                                       dmvr=dmvr, bdof=bdof, sbt=sbt,
                                       crs_lut=crs_lut if lmcs else None,
                                       gpm=gpm, affine=affine, dq=dq)
+        if mtt:
+            for (rw, rh), ib in (((16, 8), rect16x8), ((8, 16), rect8x16),
+                                 ((32, 16), rect32x16),
+                                 ((16, 32), rect16x32)):
+                carry = _inter_batch_pass_rect(
+                    carry, ib, refs, rw, rh, qp, bd, encode, rdoq,
+                    jnp.asarray(lam_rd, jnp.int32),
+                    fwd_lut if lmcs else None,
+                    crs_lut=crs_lut if lmcs else None, dq=dq)
 
     # phase B: intra leaves in coding order (inter slots are op=0 skips)
     kw = dict(frame_w=frame_w, frame_h=frame_h, n_ctu_x=n_ctu_x, qp=qp,
@@ -649,15 +823,28 @@ def frame_scan(slots, planes_y, planes_cb, planes_cr, *, frame_w: int,
     branches = [lambda c, *a: c,
                 _make_leaf_fn(8, False, **kw), _make_leaf_fn(16, False, **kw),
                 _make_leaf_fn(32, False, **kw)]
+    # canonical op -> branch index (ops: 0 skip, 1-3 intra sq, 4-6 inter sq
+    # [phase A], 7-9 CIIP, 10-13 rect intra, 14-17 rect inter [phase A])
+    op2b = np.zeros(18, np.int32)
+    op2b[1:4] = (1, 2, 3)
     if ciip and inter_enabled:
         ckw = dict(frame_w=frame_w, frame_h=frame_h, n_ctu_x=n_ctu_x, qp=qp,
                    bd=bd, encode=encode, refs=refs, rdoq=rdoq,
                    lam_rd=jnp.asarray(lam_rd, jnp.int32),
                    fwd_lut=fwd_lut if lmcs else None,
                    crs_lut=crs_lut if lmcs else None, dq=dq)
+        op2b[7:10] = np.arange(len(branches), len(branches) + 3)
         branches += [_make_ciip_fn(8, **ckw), _make_ciip_fn(16, **ckw),
                      _make_ciip_fn(32, **ckw)]
-    n_br = len(branches) - 1
+    if mtt:
+        rkw = dict(frame_w=frame_w, frame_h=frame_h, n_ctu_x=n_ctu_x,
+                   qp=qp, bd=bd, encode=encode, refs=refs, rdoq=rdoq,
+                   lam_rd=jnp.asarray(lam_rd, jnp.int32), dq=dq)
+        op2b[10:14] = np.arange(len(branches), len(branches) + 4)
+        branches += [_make_rect_leaf_fn(16, 8, **rkw),
+                     _make_rect_leaf_fn(8, 16, **rkw),
+                     _make_rect_leaf_fn(32, 16, **rkw),
+                     _make_rect_leaf_fn(16, 32, **rkw)]
 
     def step(carry, slot):
         mt = slot[6] if slot.shape[0] > 6 else jnp.int32(0)
@@ -670,8 +857,9 @@ def frame_scan(slots, planes_y, planes_cb, planes_cr, *, frame_w: int,
         dd = slot[13] if slot.shape[0] > 13 else jnp.int32(0)
         wdx = slot[14] if slot.shape[0] > 14 else jnp.int32(BCW_DEFAULT)
         ip = slot[15] if slot.shape[0] > 15 else jnp.int32(0)
+        br = jnp.asarray(op2b)[jnp.clip(slot[0], 0, 17)]
         return jax.lax.switch(
-            jnp.minimum(slot[0], n_br), branches, carry,
+            br, branches, carry,
             slot[1], slot[2], slot[3], slot[4], slot[5], mt, lf, cm,
             mr, jc, m1x, m1y, dd, wdx, ip), None
 
@@ -732,6 +920,21 @@ def make_slots_split(dec: FrameDecisions, frame_h: int, frame_w: int):
                       mr, jc, mv1[:, 0], mv1[:, 1], dirs, widx, ip],
                      axis=1).astype(np.int32)
     inter = {}
+    for ri, (rw, rh) in enumerate(planmod.RECT_SHAPES):
+        opv = planmod.OP_RECT_INTER0 + ri
+        cap = (frame_h // rh) * (frame_w // rw)
+        arr = np.full((cap, 7), 1 << 20, np.int32)
+        m = op == opv
+        k = int(m.sum())
+        arr[:k, 0] = xs[m]
+        arr[:k, 1] = ys[m]
+        arr[:k, 2] = mv0[m, 0]
+        arr[:k, 3] = mv0[m, 1]
+        arr[:k, 4] = mv1[m, 0]
+        arr[:k, 5] = mv1[m, 1]
+        arr[:k, 6] = dirs[m]
+        arr[k:, 2:] = 0
+        inter[(rw, rh)] = arr
     for i, s in enumerate((8, 16, 32)):
         opv = i + 4
         cap = (frame_h // s) * (frame_w // s)
@@ -762,12 +965,9 @@ def make_slots_split(dec: FrameDecisions, frame_h: int, frame_w: int):
         arr[k:, 2:] = 0
         arr[k:, 7] = BCW_DEFAULT
         inter[s] = arr
-    scan_slots = slots.copy()
-    is_batch = (scan_slots[:, 0] > 3) & (scan_slots[:, 0] <= 6)
-    scan_slots[is_batch, 0] = 0
-    # CIIP leaves (ops 7/8/9) stay sequential: branch indices 4/5/6
-    scan_slots[scan_slots[:, 0] > 6, 0] -= 3
-    return scan_slots, inter
+    # ops stay canonical: frame_scan's op->branch table routes phase-A
+    # ops (4-6 square inter, 14-17 rect inter) to the no-op branch
+    return slots, inter
 
 
 def pad_refs(rec_planes):

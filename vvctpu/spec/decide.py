@@ -266,11 +266,31 @@ def decide_frame(orig_y: np.ndarray, qp: int,
 
     # MTT bottom-up: per node the 4-way first-min over
     # [square leaf, BT-H, BT-V, QT] (candidate order fixed — the JAX twin
-    # must enumerate identically)
-    ch16, mh16 = rect_intra_grid(orig_y, 16, 8, lam, bit_depth)
-    cv16, mv16r = rect_intra_grid(orig_y, 8, 16, lam, bit_depth)
-    ch32, mh32 = rect_intra_grid(orig_y, 32, 16, lam, bit_depth)
-    cv32, mv32r = rect_intra_grid(orig_y, 16, 32, lam, bit_depth)
+    # computes bit-identical grids and calls the same assembly)
+    rects = {shape: rect_intra_grid(orig_y, shape[0], shape[1], lam,
+                                    bit_depth)
+             for shape in ((16, 8), (8, 16), (32, 16), (16, 32))}
+    sizes = {8: (best8_cost, best8_mode, best8_mrl, best8_isp),
+             16: (best16_cost, best16_mode, best16_mrl, best16_isp),
+             32: (best32_cost, best32_mode, best32_mrl, best32_isp)}
+    mtt_assemble_i(dec, sizes, rects, lam)
+    return dec
+
+
+def mtt_assemble_i(dec: FrameDecisions, sizes, rects, lam: int) -> None:
+    """Shared (spec + JAX engine) MTT bottom-up + map fill for I frames.
+
+    sizes[s] = (cost int64, mode, mrl, isp) square grids; rects[(bw, bh)] =
+    (cost, mode) rect grids."""
+    (best8_cost, best8_mode, best8_mrl, best8_isp) = sizes[8]
+    (best16_cost, best16_mode, best16_mrl, best16_isp) = sizes[16]
+    (best32_cost, best32_mode, best32_mrl, best32_isp) = sizes[32]
+    ch16, mh16 = rects[(16, 8)]
+    cv16, mv16r = rects[(8, 16)]
+    ch32, mh32 = rects[(32, 16)]
+    cv32, mv32r = rects[(16, 32)]
+    n16y, n16x = best16_cost.shape
+    n32y, n32x = best32_cost.shape
 
     sum8 = (best8_cost.reshape(n16y, 2, n16x, 2).sum(axis=(1, 3))
             + (4 * SPLIT_BITS) * lam)
@@ -329,7 +349,6 @@ def decide_frame(orig_y: np.ndarray, qp: int,
     di = np.where(g16, up(best16_isp, 2, 2), di)
     di = np.where(g8, best8_isp, di)
     dec.isp8[:] = np.where(rectg, 0, di).astype(np.uint8)
-    return dec
 
 
 # ---------------------------------------------------------------------------
@@ -629,6 +648,79 @@ def _m3(mask, v):
     return mask[..., None] if v.ndim == 3 else mask
 
 
+def mtt_assemble_p(dec: FrameDecisions, size_data, rect_grids, lam: int,
+                   ciip: bool, affine: bool) -> None:
+    """Shared (spec + JAX engine) MTT assembly for P frames.
+
+    size_data[s] = (cost, imode, use_inter bool, rmv, imrl, cflag, iisp,
+    affu bool, admv); rect_grids[(bw, bh)] = rect_inter_grid output."""
+    sd = {}
+    for s in (8, 16, 32):
+        (cost, imode, use_inter, rmv, imrl, cflag, iisp, affu,
+         admv) = size_data[s]
+        sd[s] = (cost, imode, use_inter.astype(np.int32), rmv,
+                 np.zeros_like(rmv), imrl, cflag.astype(np.int32), iisp,
+                 affu.astype(np.int32), admv)
+    rects = {}
+    for shape, (rc, rm, rk, rmv0, rmv1) in rect_grids.items():
+        z = np.zeros_like(rk)
+        rects[shape] = (rc, rm, rk, rmv0, rmv1, z, z, z, z,
+                        np.zeros_like(rmv0))
+    rectg, masks, fill = _mtt_finish_inter(dec, sd, rects, lam, False)
+    itf = dec.inter8.astype(bool)
+    dec.mrl8[:] = np.where(itf | rectg, 0, fill(5)).astype(np.uint8)
+    dec.isp8[:] = np.where(itf | rectg, 0, fill(7)).astype(np.uint8)
+    if ciip:
+        dec.ciip8[:] = np.where(itf, fill(6), 0).astype(np.uint8)
+    if affine:
+        af = fill(8)
+        dec.aff8[:] = np.where(itf, af, 0).astype(np.uint8)
+        adm = fill(9)
+        dec.admv8[:] = np.where((itf & (af > 0))[..., None], adm, 0)
+
+
+def mtt_assemble_b(dec: FrameDecisions, size_data, rect_grids, lam: int,
+                   ciip: bool, affine: bool, bcw: bool, gpm: bool) -> None:
+    """Shared (spec + JAX engine) MTT assembly for B frames.
+
+    size_data[s] = (cost, imode, kind 0..5, mva, mvb, imrl, bwidx, cflag,
+    iisp, gval, adm); rect_grids[(bw, bh)] = rect_inter_grid output."""
+    sd = {}
+    for s in (8, 16, 32):
+        (cost, imode, kind, mva, mvb, imrl, bwidx, cflag, iisp, gval,
+         adm) = size_data[s]
+        kn = np.where(kind <= 3, kind,
+                      np.where(kind == 4, 1, 2)).astype(np.int32)
+        affk = (kind >= 4).astype(np.int32)
+        sd[s] = (cost, imode, kn, mva, mvb, imrl, cflag.astype(np.int32),
+                 iisp, affk, adm, bwidx, gval)
+    rects = {}
+    for shape, (rc, rm, rk, rmv0, rmv1) in rect_grids.items():
+        z = np.zeros_like(rk)
+        bwdef = np.full_like(rk, _inter.BCW_DEFAULT)
+        rects[shape] = (rc, rm, rk, rmv0, rmv1, z, z, z, z,
+                        np.zeros_like(rmv0), bwdef, z)
+    rectg, masks, fill = _mtt_finish_inter(dec, sd, rects, lam, True)
+    itf = dec.inter8.astype(bool)
+    kindg = fill(2)
+    dec.mrl8[:] = np.where(itf | rectg, 0, fill(5)).astype(np.uint8)
+    dec.isp8[:] = np.where(itf | rectg, 0, fill(7)).astype(np.uint8)
+    if ciip:
+        dec.ciip8[:] = np.where(itf, fill(6), 0).astype(np.uint8)
+    if affine:
+        af = fill(8)
+        dec.aff8[:] = np.where(itf, af, 0).astype(np.uint8)
+        adm = fill(9)
+        dec.admv8[:] = np.where((itf & (af > 0))[..., None], adm, 0)
+    if bcw:
+        bwg = fill(10)
+        dec.bcw8[:] = np.where(itf & (kindg == 3), bwg,
+                               _inter.BCW_DEFAULT).astype(np.uint8)
+    if gpm:
+        gvg = fill(11)
+        dec.gpm8[:] = np.where(itf & (kindg == 3), gvg, 0).astype(np.uint8)
+
+
 def decide_frame_p(orig_y: np.ndarray, ref_y: np.ndarray, qp: int,
                    bit_depth: int = rom.BIT_DEPTH,
                    mip: bool = False, mrl: bool = False,
@@ -680,34 +772,11 @@ def decide_frame_p(orig_y: np.ndarray, ref_y: np.ndarray, qp: int,
                         affu, admv)
 
     if mtt:
-        refs = (ref_y,)
-        zmv = {}
-        sd = {}
-        for s in (8, 16, 32):
-            (cost, imode, use_inter, rmv, imrl, cflag, iisp, affu,
-             admv) = size_data[s]
-            zmv[s] = np.zeros_like(rmv)
-            sd[s] = (cost, imode, use_inter.astype(np.int32), rmv, zmv[s],
-                     imrl, cflag.astype(np.int32), iisp,
-                     affu.astype(np.int32), admv)
         rects = {}
         for (bw, bh) in ((16, 8), (8, 16), (32, 16), (16, 32)):
-            rc, rm, rk, rmv0, rmv1 = rect_inter_grid(orig_y, refs, bw, bh,
-                                                     lam, bit_depth)
-            z = np.zeros_like(rk)
-            rects[(bw, bh)] = (rc, rm, rk, rmv0, rmv1, z, z, z, z,
-                               np.zeros_like(rmv0))
-        rectg, masks, fill = _mtt_finish_inter(dec, sd, rects, lam, False)
-        itf = dec.inter8.astype(bool)
-        dec.mrl8[:] = np.where(itf | rectg, 0, fill(5)).astype(np.uint8)
-        dec.isp8[:] = np.where(itf | rectg, 0, fill(7)).astype(np.uint8)
-        if ciip:
-            dec.ciip8[:] = np.where(itf, fill(6), 0).astype(np.uint8)
-        if affine:
-            af = fill(8)
-            dec.aff8[:] = np.where(itf, af, 0).astype(np.uint8)
-            adm = fill(9)
-            dec.admv8[:] = np.where((itf & (af > 0))[..., None], adm, 0)
+            rects[(bw, bh)] = rect_inter_grid(orig_y, (ref_y,), bw, bh,
+                                              lam, bit_depth)
+        mtt_assemble_p(dec, size_data, rects, lam, ciip, affine)
         return dec
 
     (cost8, imode8, inter8, mv8, mrl8, cf8, isp8a, af8, adm8) = size_data[8]
@@ -931,43 +1000,12 @@ def decide_frame_b(orig_y: np.ndarray, ref0_y: np.ndarray,
                         cflag, iisp, gval, adm)
 
     if mtt:
-        sd = {}
-        for s in (8, 16, 32):
-            (cost, imode, kind, mva, mvb, imrl, bwidx, cflag, iisp, gval,
-             adm) = size_data[s]
-            kn = np.where(kind <= 3, kind,
-                          np.where(kind == 4, 1, 2)).astype(np.int32)
-            affk = (kind >= 4).astype(np.int32)
-            sd[s] = (cost, imode, kn, mva, mvb, imrl,
-                     cflag.astype(np.int32), iisp, affk, adm, bwidx, gval)
         rects = {}
-        for (bw_r, bh_r) in ((16, 8), (8, 16), (32, 16), (16, 32)):
-            rc, rm, rk, rmv0, rmv1 = rect_inter_grid(
-                orig_y, (ref0_y, ref1_y), bw_r, bh_r, lam, bit_depth)
-            z = np.zeros_like(rk)
-            bwdef = np.full_like(rk, _inter.BCW_DEFAULT)
-            rects[(bw_r, bh_r)] = (rc, rm, rk, rmv0, rmv1, z, z, z, z,
-                                   np.zeros_like(rmv0), bwdef, z)
-        rectg, masks, fill = _mtt_finish_inter(dec, sd, rects, lam, True)
-        itf = dec.inter8.astype(bool)
-        kindg = fill(2)
-        dec.mrl8[:] = np.where(itf | rectg, 0, fill(5)).astype(np.uint8)
-        dec.isp8[:] = np.where(itf | rectg, 0, fill(7)).astype(np.uint8)
-        if ciip:
-            dec.ciip8[:] = np.where(itf, fill(6), 0).astype(np.uint8)
-        if affine:
-            af = fill(8)
-            dec.aff8[:] = np.where(itf, af, 0).astype(np.uint8)
-            adm = fill(9)
-            dec.admv8[:] = np.where((itf & (af > 0))[..., None], adm, 0)
-        if bcw:
-            bwg = fill(10)
-            dec.bcw8[:] = np.where(itf & (kindg == 3), bwg,
-                                   _inter.BCW_DEFAULT).astype(np.uint8)
-        if gpm:
-            gvg = fill(11)
-            dec.gpm8[:] = np.where(itf & (kindg == 3), gvg, 0).astype(
-                np.uint8)
+        for shape in ((16, 8), (8, 16), (32, 16), (16, 32)):
+            rects[shape] = rect_inter_grid(orig_y, (ref0_y, ref1_y),
+                                           shape[0], shape[1], lam,
+                                           bit_depth)
+        mtt_assemble_b(dec, size_data, rects, lam, ciip, affine, bcw, gpm)
         return dec
 
     (c8, im8, k8, mva8, mvb8, mrl8a, bw8, cf8, isp8a, g8,
