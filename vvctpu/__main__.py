@@ -69,6 +69,8 @@ def _enc(args) -> int:
                             ciip=args.ciip, sbt=args.sbt, isp=args.isp,
                             gpm=args.gpm, affine=args.affine, dq=args.dq,
                             mtt=args.mtt,
+                            tile_cols=int(args.tiles.split("x")[0]),
+                            tile_rows=int(args.tiles.split("x")[1]),
                             mctf=args.mctf, rdoq=not args.no_rdoq,
                             rc_bits_per_frame=args.rc_bpf)
     if args.trace_file:
@@ -238,6 +240,8 @@ def main(argv=None) -> int:
                    help="dependent quantization (4-state trellis)")
     e.add_argument("--mtt", action="store_true",
                    help="multi-type tree (binary splits at 16/32)")
+    e.add_argument("--tiles", default="1x1",
+                   help="tile grid CxR (prediction+entropy break per tile)")
     e.add_argument("--lmcs", action="store_true",
                    help="LMCS luma mapping (reshaper)")
     e.add_argument("--mip", action="store_true",

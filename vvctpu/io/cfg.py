@@ -42,6 +42,8 @@ class AppConfig:
     rdoq: bool = True             # RDOQ
     dq: bool = False              # DepQuant (4-state trellis)
     mtt: bool = False             # MTT binary splits
+    tile_cols: int = 1
+    tile_rows: int = 1
     lmcs: bool = False            # LMCSEnable / LMCS
     alf: bool = False             # ALF
     mctf: bool = False            # TemporalFilter / MCTF
@@ -93,6 +95,8 @@ _KEYMAP = {
     "rdoq": ("rdoq", lambda v: bool(int(v))),
     "depquant": ("dq", lambda v: bool(int(v))),
     "mtt": ("mtt", lambda v: bool(int(v))),
+    "tilecolumns": ("tile_cols", int),
+    "tilerows": ("tile_rows", int),
     "lmcs": ("lmcs", lambda v: bool(int(v))),
     "lmcsenable": ("lmcs", lambda v: bool(int(v))),
     "alf": ("alf", lambda v: bool(int(v))),

@@ -21,11 +21,83 @@ from ..spec import sequence as sseq
 from . import entropy, recon
 
 
+def _run_scan(sps, pps, dec, py, pcb, pcr, dpb, ref_pocs, scan_kw):
+    """frame_scan over the whole frame, or one scan per tile with MC
+    reference offsets (tile-local slots; MC reads the full reference).
+    Returns (ry, rcb, rcr, ly, lcb, lcr, mts, lfnst, cmode, jccr, sbt)
+    as numpy arrays."""
+    is_p = bool(ref_pocs)
+    mtt = scan_kw.get("mtt", False)
+
+    def refs_kw():
+        if not is_p:
+            return {}
+        r0 = recon.pad_refs(dpb[ref_pocs[0]])
+        kw = dict(ref_y=r0[0], ref_cb=r0[1], ref_cr=r0[2])
+        if len(ref_pocs) == 2:
+            r1 = recon.pad_refs(dpb[ref_pocs[1]])
+            kw.update(ref1_y=r1[0], ref1_cb=r1[1], ref1_cr=r1[2])
+        return kw
+
+    rkw = refs_kw()
+    n_tiles = pps.num_tile_cols * pps.num_tile_rows
+    if n_tiles == 1:
+        if is_p:
+            slots, isl = recon.make_slots_split(dec, sps.height, sps.width)
+            rkw.update(inter8=isl[8], inter16=isl[16], inter32=isl[32])
+            if mtt:
+                rkw.update(rect16x8=isl[(16, 8)], rect8x16=isl[(8, 16)],
+                           rect32x16=isl[(32, 16)],
+                           rect16x32=isl[(16, 32)])
+        else:
+            slots = recon.make_slots(dec, sps.height, sps.width)
+        out = recon.frame_scan(slots, py, pcb, pcr, frame_w=sps.width,
+                               frame_h=sps.height, inter_enabled=is_p,
+                               **rkw, **scan_kw)
+        return [np.asarray(a) for a in out]
+
+    from ..spec.codec import tile_decisions_view
+    ctu = 1 << sps.log2_ctu
+    n_x, n_y = sps.width // ctu, sps.height // ctu
+    rects = hls.tile_grid(n_x, n_y, pps.num_tile_cols, pps.num_tile_rows)
+    H, W = sps.height, sps.width
+    outs = [np.zeros((H, W), np.int32), np.zeros((H // 2, W // 2), np.int32),
+            np.zeros((H // 2, W // 2), np.int32),
+            np.zeros((H, W), np.int32), np.zeros((H // 2, W // 2), np.int32),
+            np.zeros((H // 2, W // 2), np.int32)] + \
+        [np.zeros((H // 8, W // 8), np.int32) for _ in range(5)]
+    for (cx0, cy0, cx1, cy1) in rects:
+        x0, y0, x1, y1 = cx0 * ctu, cy0 * ctu, cx1 * ctu, cy1 * ctu
+        tw, th = x1 - x0, y1 - y0
+        tdec = tile_decisions_view(dec, x0, y0, x1, y1)
+        tkw = dict(rkw)
+        if is_p:
+            slots, isl = recon.make_slots_split(tdec, th, tw)
+            tkw.update(inter8=isl[8], inter16=isl[16], inter32=isl[32])
+            if mtt:
+                tkw.update(rect16x8=isl[(16, 8)], rect8x16=isl[(8, 16)],
+                           rect32x16=isl[(32, 16)],
+                           rect16x32=isl[(16, 32)])
+        else:
+            slots = recon.make_slots(tdec, th, tw)
+        res = recon.frame_scan(
+            slots, py[y0:y1, x0:x1], pcb[y0 // 2:y1 // 2, x0 // 2:x1 // 2],
+            pcr[y0 // 2:y1 // 2, x0 // 2:x1 // 2], frame_w=tw, frame_h=th,
+            inter_enabled=is_p, ref_off_x=x0, ref_off_y=y0, **tkw,
+            **scan_kw)
+        for i, a in enumerate(res):
+            a = np.asarray(a)
+            g = 1 if i in (0, 3) else 2 if i in (1, 2, 4, 5) else 8
+            outs[i][y0 // g:y1 // g, x0 // g:x1 // g] = a
+    return outs
+
+
 def encode_sequence(frames, cfg: sseq.EncoderConfig, decisions_fn=None,
                     decisions_out=None):
     h, w = frames[0][0].shape
     sps = cfg.make_sps(w, h)
-    pps = hls.PPS(init_qp=cfg.qp, entropy_sync=cfg.wpp)
+    pps = hls.PPS(init_qp=cfg.qp, entropy_sync=cfg.wpp,
+                  num_tile_cols=cfg.tile_cols, num_tile_rows=cfg.tile_rows)
     nals = [bs.NalUnit(bs.NAL_SPS, sps.write()),
             bs.NalUnit(bs.NAL_PPS, pps.write())]
     recons = [None] * len(frames)
@@ -88,29 +160,11 @@ def encode_sequence(frames, cfg: sseq.EncoderConfig, decisions_fn=None,
             fwd_lut, inv_lut = lmcsmod.build_luts(lmcs_cw, cfg.bit_depth)
             crs_lut = lmcsmod.build_crs_lut(lmcs_cw, cfg.bit_depth)
             scan_y = fwd_lut[padded[0]]
-        if is_intra:
-            slots = recon.make_slots(dec, sps.height, sps.width)
-            ref_kw = {}
-        else:
-            slots, isl = recon.make_slots_split(dec, sps.height, sps.width)
-            r0 = recon.pad_refs(dpb[ref_pocs[0]])
-            ref_kw = dict(ref_y=r0[0], ref_cb=r0[1], ref_cr=r0[2],
-                          inter8=isl[8], inter16=isl[16], inter32=isl[32])
-            if sps.mtt_enabled:
-                ref_kw.update(rect16x8=isl[(16, 8)], rect8x16=isl[(8, 16)],
-                              rect32x16=isl[(32, 16)],
-                              rect16x32=isl[(16, 32)])
-            if len(ref_pocs) == 2:
-                r1 = recon.pad_refs(dpb[ref_pocs[1]])
-                ref_kw.update(ref1_y=r1[0], ref1_cb=r1[1], ref1_cr=r1[2])
         from ..spec.transform import lambda_rd_int
         sym = (len(ref_pocs) == 2 and ref_pocs[0] < poc < ref_pocs[1]
                and poc - ref_pocs[0] == ref_pocs[1] - poc)
-        (ry, rcb, rcr, ly, lcb, lcr, mtsp, lfnstp, cmodep,
-         jccrp, sbtp) = recon.frame_scan(
-            slots, scan_y, padded[1], padded[2], frame_w=sps.width,
-            frame_h=sps.height, qp=qp, bd=cfg.bit_depth, encode=True,
-            inter_enabled=not is_intra, mts=sps.mts_enabled,
+        scan_kw = dict(
+            qp=qp, bd=cfg.bit_depth, encode=True, mts=sps.mts_enabled,
             lfnst=sps.lfnst_enabled, cclm=sps.cclm_enabled, rdoq=cfg.rdoq,
             lmcs=sps.lmcs_enabled, mip=sps.mip_enabled,
             tskip=sps.ts_enabled, jccr=sps.jccr_enabled,
@@ -121,7 +175,10 @@ def encode_sequence(frames, cfg: sseq.EncoderConfig, decisions_fn=None,
             mtt=sps.mtt_enabled,
             fwd_lut=None if fwd_lut is None else jnp_asarray(fwd_lut),
             crs_lut=None if crs_lut is None else jnp_asarray(crs_lut),
-            lam_rd=lambda_rd_int(qp), **ref_kw)
+            lam_rd=lambda_rd_int(qp))
+        (ry, rcb, rcr, ly, lcb, lcr, mtsp, lfnstp, cmodep, jccrp,
+         sbtp) = _run_scan(sps, pps, dec, scan_y, padded[1], padded[2],
+                           dpb, ref_pocs, scan_kw)
         levels = [np.asarray(ly), np.asarray(lcb), np.asarray(lcr)]
         if sps.mts_enabled:
             dec.mts8[:] = np.asarray(mtsp).astype(np.uint8)
@@ -200,34 +257,15 @@ def decode_sequence(data: bytes, check_hash: bool = True):
                 fwd_lut, inv_lut = lmcsmod.build_luts(sh.lmcs_cw,
                                                       sps.bit_depth)
                 crs_lut = lmcsmod.build_crs_lut(sh.lmcs_cw, sps.bit_depth)
-            slots = recon.make_slots(dec, sps.height, sps.width)
             is_p = sh.slice_type != hls.SLICE_I
-            if is_p:
-                slots, isl = recon.make_slots_split(dec, sps.height,
-                                                    sps.width)
-                r0 = recon.pad_refs(dpb[sh.ref_pocs[0]])
-                ref_kw = dict(ref_y=r0[0], ref_cb=r0[1],
-                              ref_cr=r0[2], inter8=isl[8],
-                              inter16=isl[16], inter32=isl[32])
-                if sps.mtt_enabled:
-                    ref_kw.update(rect16x8=isl[(16, 8)],
-                                  rect8x16=isl[(8, 16)],
-                                  rect32x16=isl[(32, 16)],
-                                  rect16x32=isl[(16, 32)])
-                if len(sh.ref_pocs) == 2:
-                    r1 = recon.pad_refs(dpb[sh.ref_pocs[1]])
-                    ref_kw.update(ref1_y=r1[0], ref1_cb=r1[1],
-                                  ref1_cr=r1[2])
-            else:
-                ref_kw = {}
             from ..spec.codec import bi_sym
-            ry, rcb, rcr, *_ = recon.frame_scan(
-                slots, levels[0], levels[1], levels[2], frame_w=sps.width,
-                frame_h=sps.height, qp=qp, bd=sps.bit_depth, encode=False,
-                inter_enabled=is_p, mts=sps.mts_enabled,
-                lfnst=sps.lfnst_enabled, cclm=sps.cclm_enabled,
-                lmcs=fwd_lut is not None, mip=sps.mip_enabled,
-                tskip=sps.ts_enabled, jccr=sps.jccr_enabled,
+            pps_d = pps_map[sh.pps_id]
+            scan_kw = dict(
+                qp=qp, bd=sps.bit_depth, encode=False,
+                mts=sps.mts_enabled, lfnst=sps.lfnst_enabled,
+                cclm=sps.cclm_enabled, lmcs=fwd_lut is not None,
+                mip=sps.mip_enabled, tskip=sps.ts_enabled,
+                jccr=sps.jccr_enabled,
                 dmvr=sps.dmvr_enabled and bi_sym(sh),
                 bdof=sps.bdof_enabled and bi_sym(sh),
                 ciip=sps.ciip_enabled, sbt=sps.sbt_enabled,
@@ -235,8 +273,10 @@ def decode_sequence(data: bytes, check_hash: bool = True):
                 affine=sps.affine_enabled, dq=sps.dq_enabled,
                 mtt=sps.mtt_enabled,
                 fwd_lut=None if fwd_lut is None else jnp_asarray(fwd_lut),
-                crs_lut=None if crs_lut is None else jnp_asarray(crs_lut),
-                **ref_kw)
+                crs_lut=None if crs_lut is None else jnp_asarray(crs_lut))
+            ry, rcb, rcr, *_ = _run_scan(
+                sps, pps_d, dec, levels[0], levels[1], levels[2], dpb,
+                sh.ref_pocs if is_p else (), scan_kw)
             rec = [np.asarray(ry), np.asarray(rcb), np.asarray(rcr)]
             if inv_lut is not None:
                 rec[0] = inv_lut[rec[0]]

@@ -784,6 +784,119 @@ def parse_frame_syntax_wpp(slice_rbsp: bytes, sps: hls.SPS,
 
 
 
+def encode_frame_syntax_tiles(sps: hls.SPS, pps: hls.PPS,
+                              sh: hls.SliceHeader, dec: FrameDecisions,
+                              levels, sao_params=None, alf_params=None,
+                              col=None) -> bytes:
+    """Tiles: independent CABAC + prediction per tile, entry points in the
+    payload (twin of spec codec's tiles path: per-CTU terminate(0), SAO/ALF
+    at the last tile, terminate(1) per tile)."""
+    from ..spec import sao as saomod
+    from ..spec.codec import bi_sym
+    qp = pps.init_qp + sh.qp_delta
+    ctu = 1 << sps.log2_ctu
+    n_x, n_y = sps.width // ctu, sps.height // ctu
+    rects = hls.tile_grid(n_x, n_y, pps.num_tile_cols, pps.num_tile_rows)
+    is_p = sh.slice_type != hls.SLICE_I
+    is_b = sh.slice_type == hls.SLICE_B
+    payloads = []
+    for ti, (cx0, cy0, cx1, cy1) in enumerate(rects):
+        sink = binarize.BinSink()
+        # a fresh walker per tile = the spec's _tile_reset (new maps)
+        walker = _Walker(sps, dec, levels, RecordIO(sink), sink=sink,
+                         is_p=is_p, is_b=is_b, col=col, sym=bi_sym(sh))
+        for iy in range(cy0, cy1):
+            walker.hmvp = []
+            for ix in range(cx0, cx1):
+                for dy2 in range(0, ctu, MID_SIZE):
+                    for dx2 in range(0, ctu, MID_SIZE):
+                        walker._code_qt(ix * ctu + dx2, iy * ctu + dy2,
+                                        MID_SIZE, 1)
+                sink.term(0)
+        if ti == len(rects) - 1:
+            if sao_params is not None:
+                saomod.code_sao_params(walker.io, sao_params, n_y, n_x)
+            if alf_params is not None:
+                from ..spec import alf as alfmod
+                alfmod.code_alf_params(walker.io, alf_params, n_y, n_x)
+        sink.term(1)
+        payloads.append(pack_bins(sink.concat(), sh.slice_type, qp))
+    w = sh.write()
+    ep = bs.BitWriter()
+    ep.ue(len(payloads))
+    for pl in payloads[:-1]:
+        ep.ue(len(pl))
+    ep.byte_align()
+    w.write_bytes(ep.getvalue())
+    for pl in payloads:
+        w.write_bytes(pl)
+    w.write_bytes(b"\x80")   # rbsp_slice_trailing_bits
+    return w.getvalue()
+
+
+def parse_frame_syntax_tiles(slice_rbsp: bytes, sps: hls.SPS,
+                             pps_map: dict[int, hls.PPS], motion=None):
+    from ..cabac import native as cnative
+    from ..spec import sao as saomod
+    from ..spec.codec import bi_sym, col_motion
+    r = bs.BitReader(slice_rbsp)
+    sh = hls.SliceHeader.read(r)
+    pps = pps_map[sh.pps_id]
+    qp = pps.init_qp + sh.qp_delta
+    ctu = 1 << sps.log2_ctu
+    n_x, n_y = sps.width // ctu, sps.height // ctu
+    rects = hls.tile_grid(n_x, n_y, pps.num_tile_cols, pps.num_tile_rows)
+    n_sub = r.ue()
+    if n_sub != len(rects):
+        raise ValueError("tile entry-point count mismatch")
+    lens = [r.ue() for _ in range(n_sub - 1)]
+    r.byte_align()
+    rest = r.remaining_bytes()
+    offs = [0]
+    for ln in lens:
+        offs.append(offs[-1] + ln)
+    subs = [rest[offs[i]:offs[i + 1]] if i + 1 < len(offs)
+            else rest[offs[i]:] for i in range(n_sub)]
+    decisions = FrameDecisions.empty(sps.height, sps.width)
+    levels = [np.zeros((sps.height, sps.width), np.int32),
+              np.zeros((sps.height // 2, sps.width // 2), np.int32),
+              np.zeros((sps.height // 2, sps.width // 2), np.int32)]
+    sao_params = None
+    alf_params = None
+    for ti, (cx0, cy0, cx1, cy1) in enumerate(rects):
+        st = C.make_ctx_state(sh.slice_type, qp)
+        if cnative.available():
+            cab = cnative.NativeDecoder(st, subs[ti])
+        else:
+            cab = CabacDecoder(st, subs[ti])
+        walker = _Walker(sps, decisions, levels, DecIO(cab),
+                         is_p=sh.slice_type != hls.SLICE_I,
+                         is_b=sh.slice_type == hls.SLICE_B,
+                         col=col_motion(motion, sh.poc, sh.ref_pocs)
+                         if sh.slice_type != hls.SLICE_I else None,
+                         sym=bi_sym(sh))
+        for iy in range(cy0, cy1):
+            walker.hmvp = []
+            for ix in range(cx0, cx1):
+                for dy2 in range(0, ctu, MID_SIZE):
+                    for dx2 in range(0, ctu, MID_SIZE):
+                        walker._code_qt(ix * ctu + dx2, iy * ctu + dy2,
+                                        MID_SIZE, 1)
+                if cab.terminate() != 0:
+                    raise ValueError("tile substream desync")
+        if ti == len(rects) - 1:
+            if sps.sao_enabled:
+                sao_params = saomod.code_sao_params(walker.io, None, n_y,
+                                                    n_x)
+            if sps.alf_enabled:
+                from ..spec import alf as alfmod
+                alf_params = alfmod.code_alf_params(walker.io, None, n_y,
+                                                    n_x)
+        if cab.terminate() != 1:
+            raise ValueError("missing end_of_tile")
+    return sh, decisions, levels, sao_params, alf_params
+
+
 def encode_frame_syntax(sps: hls.SPS, pps: hls.PPS, sh: hls.SliceHeader,
                         dec: FrameDecisions, levels,
                         sao_params=None, alf_params=None,
@@ -793,6 +906,9 @@ def encode_frame_syntax(sps: hls.SPS, pps: hls.PPS, sh: hls.SliceHeader,
     qp = pps.init_qp + sh.qp_delta
     ctu = 1 << sps.log2_ctu
     n_x, n_y = sps.width // ctu, sps.height // ctu
+    if pps.num_tile_cols * pps.num_tile_rows > 1:
+        return encode_frame_syntax_tiles(sps, pps, sh, dec, levels,
+                                         sao_params, alf_params, col=col)
     if pps.entropy_sync and n_y > 1:
         return encode_frame_syntax_wpp(sps, pps, sh, dec, levels, sao_params,
                                        alf_params, col=col)
@@ -857,6 +973,8 @@ def parse_frame_syntax(slice_rbsp: bytes, sps: hls.SPS,
     sh0 = hls.SliceHeader.read(r0)
     pps0 = pps_map[sh0.pps_id]
     ctu0 = 1 << sps.log2_ctu
+    if pps0.num_tile_cols * pps0.num_tile_rows > 1:
+        return parse_frame_syntax_tiles(slice_rbsp, sps, pps_map, motion)
     if pps0.entropy_sync and sps.height // ctu0 > 1:
         return parse_frame_syntax_wpp(slice_rbsp, sps, pps_map, motion)
     r = bs.BitReader(slice_rbsp)

@@ -299,7 +299,7 @@ def _make_leaf_fn(s: int, inter: bool, *, frame_w: int, frame_h: int,
 def _make_ciip_fn(s: int, *, frame_w: int, frame_h: int, n_ctu_x: int, qp,
                   bd: int, encode: bool, refs, rdoq: bool = False,
                   lam_rd=None, fwd_lut=None, crs_lut=None, dq: bool = False,
-                  **_unused):
+                  rox=0, roy=0, **_unused):
     """CIIP leaf: sequential phase-B reconstruction (intra dependency) —
     MC (BCW-weighted average for BI) blended equally with planar intra from
     the reconstructed neighbours; twin of spec _ciip_blend + _inter_pred's
@@ -317,8 +317,10 @@ def _make_ciip_fn(s: int, *, frame_w: int, frame_h: int, n_ctu_x: int, qp,
 
         def mcpred(r0, r1, px, py, sz, luma):
             f = mc.mc_luma_block if luma else mc.mc_chroma_block
-            p0 = f(r0, px, py, sz, mvx, mvy, bd)
-            p1 = f(r1, px, py, sz, m1x, m1y, bd)
+            ox = rox if luma else rox // 2
+            oy = roy if luma else roy // 2
+            p0 = f(r0, px + ox, py + oy, sz, mvx, mvy, bd)
+            p1 = f(r1, px + ox, py + oy, sz, m1x, m1y, bd)
             avg = jnp.clip((w * p0 + (8 - w) * p1 + 4) >> 3, 0, mx)
             return jnp.where(dd == 0, p0, jnp.where(dd == 1, p1, avg))
 
@@ -445,7 +447,7 @@ def _make_rect_leaf_fn(w: int, h: int, *, frame_w: int, frame_h: int,
 def _inter_batch_pass_rect(carry, ib_slots, refs, w: int, h: int, qp,
                            bd: int, encode: bool, rdoq: bool = False,
                            lam_rd=0, fwd_lut=None, crs_lut=None,
-                           dq: bool = False):
+                           dq: bool = False, rox=0, roy=0):
     """Phase A for rectangular (BT) inter leaves: plain translational MC
     (uni/BI equal weight) — twin of the spec _inter_pred rect path.
 
@@ -463,8 +465,10 @@ def _inter_batch_pass_rect(carry, ib_slots, refs, w: int, h: int, qp,
 
         def bipred(ref0, ref1, px, py, pw, ph, luma):
             f = mc.mc_luma_block if luma else mc.mc_chroma_block
-            p0 = f(ref0, px, py, pw, m0x, m0y, bd, h=ph)
-            p1 = f(ref1, px, py, pw, m1x, m1y, bd, h=ph)
+            ox = rox if luma else rox // 2
+            oy = roy if luma else roy // 2
+            p0 = f(ref0, px + ox, py + oy, pw, m0x, m0y, bd, h=ph)
+            p1 = f(ref1, px + ox, py + oy, pw, m1x, m1y, bd, h=ph)
             avg = jnp.minimum((p0 + p1 + 1) >> 1, mx)
             return jnp.where(d == 0, p0, jnp.where(d == 1, p1, avg))
 
@@ -529,7 +533,8 @@ def _inter_batch_pass(carry, ib_slots, refs, s: int, qp, bd: int,
                       rdoq: bool = False, lam_rd=0, fwd_lut=None,
                       dmvr: bool = False, bdof: bool = False,
                       sbt: bool = False, crs_lut=None, gpm: bool = False,
-                      affine: bool = False, dq: bool = False):
+                      affine: bool = False, dq: bool = False, rox=0,
+                      roy=0):
     """Phase A: all inter s-leaves at once (no intra-frame dependency).
 
     ib_slots: (B, 13) int32 [x, y, mv0x, mv0y, mv1x, mv1y, dir, bcw_idx,
@@ -550,6 +555,7 @@ def _inter_batch_pass(carry, ib_slots, refs, s: int, qp, bd: int,
 
     def one(slot):
         x, y = slot[0], slot[1]
+        fx, fy = x + rox, y + roy          # frame coords for MC gathers
         m0x, m0y, m1x, m1y, d = slot[2], slot[3], slot[4], slot[5], slot[6]
         w = bcw_w[jnp.clip(slot[7], 0, 2)]
         eqw = slot[7] == BCW_DEFAULT
@@ -575,8 +581,10 @@ def _inter_batch_pass(carry, ib_slots, refs, s: int, qp, bd: int,
 
         def bipred(ref0, ref1, px, py, sz, luma):
             f = mc.mc_luma_block if luma else mc.mc_chroma_block
-            p0 = f(ref0, px, py, sz, m0x, m0y, bd)
-            p1 = f(ref1, px, py, sz, m1x, m1y, bd)
+            ox = rox if luma else rox // 2
+            oy = roy if luma else roy // 2
+            p0 = f(ref0, px + ox, py + oy, sz, m0x, m0y, bd)
+            p1 = f(ref1, px + ox, py + oy, sz, m1x, m1y, bd)
             return jnp.where(d == 0, p0,
                              jnp.where(d == 1, p1, bi_blend(p0, p1, luma)))
 
@@ -594,7 +602,7 @@ def _inter_batch_pass(carry, ib_slots, refs, s: int, qp, bd: int,
                     a0x, a0y, a1x, a1y = m0x, m0y, m1x, m1y
                     if dmvr and s >= DMVR_SUB:
                         odx, ody = mc.dmvr_offset_j(
-                            refs[0], refs[3], x + sx0, y + sy0, sub,
+                            refs[0], refs[3], fx + sx0, fy + sy0, sub,
                             m0x, m0y, m1x, m1y)
                         odx = jnp.where((d == 2) & eqw & (gv == 0), odx, 0)
                         ody = jnp.where((d == 2) & eqw & (gv == 0), ody, 0)
@@ -602,11 +610,11 @@ def _inter_batch_pass(carry, ib_slots, refs, s: int, qp, bd: int,
                         a0y = m0y + (ody << MV_FRAC_BITS)
                         a1x = m1x - (odx << MV_FRAC_BITS)
                         a1y = m1y - (ody << MV_FRAC_BITS)
-                    p0e = mc.mc_luma_block(refs[0], x + sx0 - 1,
-                                           y + sy0 - 1, sub + 2, a0x, a0y,
+                    p0e = mc.mc_luma_block(refs[0], fx + sx0 - 1,
+                                           fy + sy0 - 1, sub + 2, a0x, a0y,
                                            bd)
-                    p1e = mc.mc_luma_block(refs[3], x + sx0 - 1,
-                                           y + sy0 - 1, sub + 2, a1x, a1y,
+                    p1e = mc.mc_luma_block(refs[3], fx + sx0 - 1,
+                                           fy + sy0 - 1, sub + 2, a1x, a1y,
                                            bd)
                     p0c = p0e[1:-1, 1:-1]
                     p1c = p1e[1:-1, 1:-1]
@@ -625,11 +633,11 @@ def _inter_batch_pass(carry, ib_slots, refs, s: int, qp, bd: int,
                     cs2 = sub // 2
                     for ci, (r0c, r1c) in enumerate(((refs[1], refs[4]),
                                                      (refs[2], refs[5]))):
-                        c0 = mc.mc_chroma_block(r0c, (x + sx0) // 2,
-                                                (y + sy0) // 2, cs2, a0x,
+                        c0 = mc.mc_chroma_block(r0c, (fx + sx0) // 2,
+                                                (fy + sy0) // 2, cs2, a0x,
                                                 a0y, bd)
-                        c1 = mc.mc_chroma_block(r1c, (x + sx0) // 2,
-                                                (y + sy0) // 2, cs2, a1x,
+                        c1 = mc.mc_chroma_block(r1c, (fx + sx0) // 2,
+                                                (fy + sy0) // 2, cs2, a1x,
                                                 a1y, bd)
                         cblk = jnp.where(
                             d == 0, c0,
@@ -654,11 +662,11 @@ def _inter_batch_pass(carry, ib_slots, refs, s: int, qp, bd: int,
             bmy = jnp.where(d == 0, m0y, m1y)
 
             def aff3(ry, rcb, rcr):
-                ay = mc.affine_pred_luma_j(ry, x, y, s, bmx, bmy, amx,
+                ay = mc.affine_pred_luma_j(ry, fx, fy, s, bmx, bmy, amx,
                                            amy, bd)
-                acb = mc.affine_pred_chroma_j(rcb, x // 2, y // 2, cs,
+                acb = mc.affine_pred_chroma_j(rcb, fx // 2, fy // 2, cs,
                                               bmx, bmy, amx, amy, s, bd)
-                acr = mc.affine_pred_chroma_j(rcr, x // 2, y // 2, cs,
+                acr = mc.affine_pred_chroma_j(rcr, fx // 2, fy // 2, cs,
                                               bmx, bmy, amx, amy, s, bd)
                 return ay, acb, acr
 
@@ -764,7 +772,7 @@ def frame_scan(slots, planes_y, planes_cb, planes_cr, *, frame_w: int,
                isp: bool = False, gpm: bool = False,
                affine: bool = False, dq: bool = False, mtt: bool = False,
                rect16x8=None, rect8x16=None, rect32x16=None,
-               rect16x32=None):
+               rect16x32=None, ref_off_x=0, ref_off_y=0):
     """Run the full-frame reconstruction scan.
 
     slots: (N, 6) int32 [op, x, y, mode, mvx, mvy] in coding order; op 0 =
@@ -795,6 +803,8 @@ def frame_scan(slots, planes_y, planes_cb, planes_cr, *, frame_w: int,
     if ref1_y is None:
         ref1_y, ref1_cb, ref1_cr = ref_y, ref_cb, ref_cr
     refs = (ref_y, ref_cb, ref_cr, ref1_y, ref1_cb, ref1_cr)
+    rox = jnp.asarray(ref_off_x, jnp.int32)
+    roy = jnp.asarray(ref_off_y, jnp.int32)
     if inter_enabled:
         # phase A: every inter leaf at once (no intra-frame dependency)
         for s_sz, ib in ((8, inter8), (16, inter16), (32, inter32)):
@@ -804,7 +814,8 @@ def frame_scan(slots, planes_y, planes_cb, planes_cr, *, frame_w: int,
                                       fwd_lut if lmcs else None,
                                       dmvr=dmvr, bdof=bdof, sbt=sbt,
                                       crs_lut=crs_lut if lmcs else None,
-                                      gpm=gpm, affine=affine, dq=dq)
+                                      gpm=gpm, affine=affine, dq=dq,
+                                      rox=rox, roy=roy)
         if mtt:
             for (rw, rh), ib in (((16, 8), rect16x8), ((8, 16), rect8x16),
                                  ((32, 16), rect32x16),
@@ -813,7 +824,8 @@ def frame_scan(slots, planes_y, planes_cb, planes_cr, *, frame_w: int,
                     carry, ib, refs, rw, rh, qp, bd, encode, rdoq,
                     jnp.asarray(lam_rd, jnp.int32),
                     fwd_lut if lmcs else None,
-                    crs_lut=crs_lut if lmcs else None, dq=dq)
+                    crs_lut=crs_lut if lmcs else None, dq=dq,
+                    rox=rox, roy=roy)
 
     # phase B: intra leaves in coding order (inter slots are op=0 skips)
     kw = dict(frame_w=frame_w, frame_h=frame_h, n_ctu_x=n_ctu_x, qp=qp,
@@ -832,7 +844,8 @@ def frame_scan(slots, planes_y, planes_cb, planes_cr, *, frame_w: int,
                    bd=bd, encode=encode, refs=refs, rdoq=rdoq,
                    lam_rd=jnp.asarray(lam_rd, jnp.int32),
                    fwd_lut=fwd_lut if lmcs else None,
-                   crs_lut=crs_lut if lmcs else None, dq=dq)
+                   crs_lut=crs_lut if lmcs else None, dq=dq,
+                   rox=rox, roy=roy)
         op2b[7:10] = np.arange(len(branches), len(branches) + 3)
         branches += [_make_ciip_fn(8, **ckw), _make_ciip_fn(16, **ckw),
                      _make_ciip_fn(32, **ckw)]

@@ -105,6 +105,25 @@ class FrameDecisions:
                 and np.array_equal(self.admv8, other.admv8))
 
 
+def tile_decisions_view(dec: FrameDecisions, x0: int, y0: int, x1: int,
+                        y1: int) -> FrameDecisions:
+    """Tile-rect view (shared memory) of the decision maps; coordinates in
+    pixels, CTU-aligned.  Used by the JAX engine to run one frame_scan per
+    tile on tile-local slots."""
+    def s(a, g):
+        return None if a is None else a[y0 // g:y1 // g, x0 // g:x1 // g]
+
+    return FrameDecisions(
+        split32=s(dec.split32, 32), split16=s(dec.split16, 16),
+        modes8=s(dec.modes8, 8), bt32=s(dec.bt32, 32),
+        bt16=s(dec.bt16, 16), inter8=s(dec.inter8, 8), mv8=s(dec.mv8, 8),
+        mv8_l1=s(dec.mv8_l1, 8), dir8=s(dec.dir8, 8), mts8=s(dec.mts8, 8),
+        lfnst8=s(dec.lfnst8, 8), cmode8=s(dec.cmode8, 8),
+        mrl8=s(dec.mrl8, 8), jccr8=s(dec.jccr8, 8), bcw8=s(dec.bcw8, 8),
+        ciip8=s(dec.ciip8, 8), sbt8=s(dec.sbt8, 8), isp8=s(dec.isp8, 8),
+        gpm8=s(dec.gpm8, 8), aff8=s(dec.aff8, 8), admv8=s(dec.admv8, 8))
+
+
 @dataclass
 class _FrameState:
     sps: hls.SPS
@@ -1395,6 +1414,20 @@ def _filter_src(st: _FrameState):
     return [st.src_orig_y, st.src[1], st.src[2]]
 
 
+def _tile_reset(st: _FrameState) -> None:
+    """Prediction break at a tile start: intra availability, MPM map,
+    spatial merge/AMVP motion and the HMVP FIFO all reset (VVC tile
+    semantics; MC references and TMVP stay frame-wide)."""
+    for v in st.valid:
+        v[:] = False
+    st.mode_map[:] = -1
+    if st.inter_map is not None:
+        st.inter_map[:] = False
+    if st.mv_map is not None:
+        st.mv_map[:] = 0
+    st.hmvp = []
+
+
 def _seed_state(slice_type, qp, snap):
     st = C.make_ctx_state(slice_type, qp)
     if snap is not None:
@@ -1458,6 +1491,61 @@ def encode_frame(src_planes: list[np.ndarray], sps: hls.SPS, pps: hls.PPS,
     ctu = 1 << sps.log2_ctu
     n_x, n_y = sps.width // ctu, sps.height // ctu
     wpp = pps.entropy_sync and n_y > 1
+    n_tiles = pps.num_tile_cols * pps.num_tile_rows
+    if n_tiles > 1 and wpp:
+        raise ValueError("tiles + WPP combination not supported")
+
+    if n_tiles > 1:
+        # tiles: independent CABAC + prediction per tile, entry points in
+        # the slice payload (SURVEY.md §2.10 "Tiles" axis)
+        payloads = []
+        recon = None
+        rects = hls.tile_grid(n_x, n_y, pps.num_tile_cols,
+                              pps.num_tile_rows)
+        for ti, (cx0, cy0, cx1, cy1) in enumerate(rects):
+            enc = CabacEncoder(C.make_ctx_state(sh.slice_type, qp))
+            io = EncIO(enc)
+            _tile_reset(st)
+            for iy in range(cy0, cy1):
+                st.hmvp = []
+                for ix in range(cx0, cx1):
+                    _code_ctu(io, st, ix * ctu, iy * ctu)
+                    enc.terminate(0)
+            if ti == len(rects) - 1:
+                recon = st.recon
+                if st.lmcs is not None:
+                    recon[0] = st.lmcs[1][recon[0]]
+                if sps.deblock_enabled:
+                    from . import deblock
+                    recon = deblock.deblock_frame(recon, decisions, qp,
+                                                  sps.bit_depth)
+                if sps.sao_enabled:
+                    from . import sao
+                    params = sao.decide_sao(_filter_src(st), recon, qp,
+                                            ctu, sps.bit_depth)
+                    sao.code_sao_params(io, params, n_y, n_x)
+                    recon = sao.apply_sao(recon, params, ctu,
+                                          sps.bit_depth)
+                if sps.alf_enabled:
+                    from . import alf
+                    ap = alf.derive_alf_frame(_filter_src(st), recon, qp,
+                                              ctu, sps.bit_depth)
+                    alf.code_alf_params(io, ap, n_y, n_x)
+                    recon = alf.apply_alf_frame(recon, ap, ctu,
+                                                sps.bit_depth)
+            enc.terminate(1)
+            payloads.append(enc.finish())
+        w = sh.write()
+        ep = bs.BitWriter()
+        ep.ue(len(payloads))
+        for pl in payloads[:-1]:
+            ep.ue(len(pl))
+        ep.byte_align()
+        w.write_bytes(ep.getvalue())
+        for pl in payloads:
+            w.write_bytes(pl)
+        w.write_bytes(b"\x80")   # rbsp_slice_trailing_bits
+        return w.getvalue(), recon
 
     if not wpp:
         enc = CabacEncoder(C.make_ctx_state(sh.slice_type, qp))
@@ -1596,6 +1684,62 @@ def decode_frame(slice_rbsp: bytes, sps: hls.SPS, pps_map: dict[int, hls.PPS],
     ctu = 1 << sps.log2_ctu
     n_x, n_y = sps.width // ctu, sps.height // ctu
     wpp = pps.entropy_sync and n_y > 1
+    n_tiles = pps.num_tile_cols * pps.num_tile_rows
+    if n_tiles > 1:
+        rects = hls.tile_grid(n_x, n_y, pps.num_tile_cols,
+                              pps.num_tile_rows)
+        n_sub = r.ue()
+        if n_sub != len(rects):
+            raise ValueError("tile entry-point count mismatch")
+        lens = [r.ue() for _ in range(n_sub - 1)]
+        r.byte_align()
+        rest = r.remaining_bytes()
+        offs = [0]
+        for ln in lens:
+            offs.append(offs[-1] + ln)
+        subs_b = [rest[offs[i]:offs[i + 1]] if i + 1 < len(offs)
+                  else rest[offs[i]:] for i in range(n_sub)]
+        sao_params_parsed = None
+        alf_params_parsed = None
+        for ti, (cx0, cy0, cx1, cy1) in enumerate(rects):
+            dec_c = CabacDecoder(C.make_ctx_state(sh.slice_type, qp),
+                                 subs_b[ti])
+            io = DecIO(dec_c) if stats is None \
+                else StatsIO(DecIO(dec_c), stats)
+            _tile_reset(st)
+            for iy in range(cy0, cy1):
+                st.hmvp = []
+                for ix in range(cx0, cx1):
+                    _code_ctu(io, st, ix * ctu, iy * ctu)
+                    if dec_c.terminate() != 0:
+                        raise ValueError("tile substream desync")
+            if ti == len(rects) - 1:
+                if sps.sao_enabled:
+                    from . import sao
+                    sao_params_parsed = sao.code_sao_params(io, None, n_y,
+                                                            n_x)
+                if sps.alf_enabled:
+                    from . import alf
+                    alf_params_parsed = alf.code_alf_params(io, None, n_y,
+                                                            n_x)
+            if dec_c.terminate() != 1:
+                raise ValueError("missing end_of_tile")
+        recon = st.recon
+        if st.lmcs is not None:
+            recon[0] = st.lmcs[1][recon[0]]
+        if sps.deblock_enabled:
+            from . import deblock
+            recon = deblock.deblock_frame(recon, decisions, qp,
+                                          sps.bit_depth)
+        if sao_params_parsed is not None:
+            from . import sao
+            recon = sao.apply_sao(recon, sao_params_parsed, ctu,
+                                  sps.bit_depth)
+        if alf_params_parsed is not None:
+            from . import alf
+            recon = alf.apply_alf_frame(recon, alf_params_parsed, ctu,
+                                        sps.bit_depth)
+        return recon, sh, decisions
     if wpp:
         n_rows = r.ue()
         if n_rows != n_y:

@@ -145,6 +145,18 @@ class PPS:
         return p
 
 
+def tile_grid(n_ctu_x: int, n_ctu_y: int, cols: int, rows: int):
+    """Uniform tile rectangles in CTU units, tile-raster order
+    (role of VTM:CommonLib/Slice.cpp PPS tile layout derivation):
+    [(cx0, cy0, cx1, cy1), ...]."""
+    cols = min(cols, n_ctu_x)     # clamp degenerate grids (empty tiles)
+    rows = min(rows, n_ctu_y)
+    xs = [k * n_ctu_x // cols for k in range(cols + 1)]
+    ys = [k * n_ctu_y // rows for k in range(rows + 1)]
+    return [(xs[i], ys[j], xs[i + 1], ys[j + 1])
+            for j in range(rows) for i in range(cols)]
+
+
 @dataclass
 class SliceHeader:
     pps_id: int = 0

@@ -47,6 +47,8 @@ class EncoderConfig:
     rdoq: bool = True       # encoder RDOQ quantizer (decoder-transparent)
     dq: bool = False        # dependent quantization (4-state trellis)
     mtt: bool = False       # multi-type tree (binary splits at 16/32)
+    tile_cols: int = 1      # tile grid columns (prediction+entropy break)
+    tile_rows: int = 1      # tile grid rows
     lmcs: bool = False      # luma mapping (reshaper)
     alf: bool = False       # adaptive loop filter (luma Wiener, CTU flags)
     mctf: bool = False      # motion-compensated temporal source prefilter
@@ -123,7 +125,8 @@ def encode_sequence(frames: list[list[np.ndarray]], cfg: EncoderConfig,
     absent in the reference, required for preemptible multi-host runs)."""
     h, w = frames[0][0].shape
     sps = cfg.make_sps(w, h)
-    pps = hls.PPS(init_qp=cfg.qp, entropy_sync=cfg.wpp)
+    pps = hls.PPS(init_qp=cfg.qp, entropy_sync=cfg.wpp,
+                  num_tile_cols=cfg.tile_cols, num_tile_rows=cfg.tile_rows)
     nals = [bs.NalUnit(bs.NAL_SPS, sps.write()),
             bs.NalUnit(bs.NAL_PPS, pps.write())]
     recons = [None] * len(frames)
