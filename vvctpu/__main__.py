@@ -44,7 +44,7 @@ def _enc(args) -> int:
                      ("smvd", fc.smvd), ("ciip", fc.ciip),
                      ("sbt", fc.sbt), ("isp", fc.isp),
                      ("gpm", fc.gpm), ("affine", fc.affine),
-                     ("dq", fc.dq), ("mtt", fc.mtt)):
+                     ("dq", fc.dq), ("mtt", fc.mtt), ("ibc", fc.ibc)):
             if ap_defaults.get(a) == getattr(args, a):
                 setattr(args, a, v)
         if not fc.rdoq:
@@ -68,7 +68,7 @@ def _enc(args) -> int:
                             amvr=args.amvr, smvd=args.smvd,
                             ciip=args.ciip, sbt=args.sbt, isp=args.isp,
                             gpm=args.gpm, affine=args.affine, dq=args.dq,
-                            mtt=args.mtt,
+                            mtt=args.mtt, ibc=args.ibc,
                             tile_cols=int(args.tiles.split("x")[0]),
                             tile_rows=int(args.tiles.split("x")[1]),
                             mctf=args.mctf, rdoq=not args.no_rdoq,
@@ -200,7 +200,7 @@ ap_defaults = {"qp": 32, "intra_period": 1, "gop": 1, "bit_depth": 8,
                "dmvr": False, "bdof": False, "bcw": False, "amvr": False,
                "smvd": False, "ciip": False, "sbt": False, "isp": False,
                "gpm": False, "affine": False, "dq": False,
-               "mtt": False}
+               "mtt": False, "ibc": False}
 
 
 def main(argv=None) -> int:
@@ -240,6 +240,8 @@ def main(argv=None) -> int:
                    help="dependent quantization (4-state trellis)")
     e.add_argument("--mtt", action="store_true",
                    help="multi-type tree (binary splits at 16/32)")
+    e.add_argument("--ibc", action="store_true",
+                   help="intra block copy (I slices, square leaves)")
     e.add_argument("--tiles", default="1x1",
                    help="tile grid CxR (prediction+entropy break per tile)")
     e.add_argument("--lmcs", action="store_true",

@@ -75,6 +75,7 @@ SPLIT_QT_FLAG = R.add("split_qt_flag", 3, init=(NEUTRAL, NEUTRAL, HIGH))
 SPLIT_CU_FLAG = R.add("split_cu_flag", 3)          # MTT split (reserved)
 BT_FLAG = R.add("bt_split_flag", 2)                # binary split (16 / 32)
 BT_DIR = R.add("bt_split_dir", 1)                  # 0 = horizontal halves
+IBC_FLAG = R.add("ibc_flag", 2)                    # ctx by neighbour IBCness
 PRED_MODE = R.add("pred_mode", 2)                  # intra/inter (reserved)
 
 # --- inter ---------------------------------------------------------------

@@ -379,7 +379,8 @@ def affine_pass(orig, refp, base_mv, lam, *, s: int, frame_w: int,
 
 def decide_frame(orig_y: np.ndarray, qp: int, bd: int = 8,
                  mip: bool = False, mrl: bool = False,
-                 isp: bool = False, mtt: bool = False) -> FrameDecisions:
+                 isp: bool = False, mtt: bool = False,
+                 ibc: bool = False) -> FrameDecisions:
     """Device-batched decisions for a padded luma plane (host assembly)."""
     h, w = orig_y.shape
     lam = lambda_satd_fp(qp)
@@ -393,16 +394,34 @@ def decide_frame(orig_y: np.ndarray, qp: int, bd: int = 8,
            for s in (8, 16, 32)}
     best8_cost = np.asarray(res[8][0]).astype(np.int64)
     best8_mode = np.asarray(res[8][1])
-    best8_mrl = np.asarray(res[8][2])
-    best8_isp = np.asarray(res[8][3])
+    best8_mrl = np.array(res[8][2])
+    best8_isp = np.array(res[8][3])
     best16_cost = np.asarray(res[16][0]).astype(np.int64)
     best16_mode = np.asarray(res[16][1])
-    best16_mrl = np.asarray(res[16][2])
-    best16_isp = np.asarray(res[16][3])
+    best16_mrl = np.array(res[16][2])
+    best16_isp = np.array(res[16][3])
     best32_cost = np.asarray(res[32][0]).astype(np.int64)
     best32_mode = np.asarray(res[32][1])
-    best32_mrl = np.asarray(res[32][2])
-    best32_isp = np.asarray(res[32][3])
+    best32_mrl = np.array(res[32][2])
+    best32_isp = np.array(res[32][3])
+
+    ibc_data = None
+    if ibc:
+        from . import me as jme
+        ipass = jme.ibc_pass(jnp.asarray(orig_y, jnp.int32), np.int32(lam),
+                             frame_w=w, frame_h=h)
+        ibc_data = {}
+        for grid, bc, bk, bi in ((8, best8_cost, best8_mrl, best8_isp),
+                                 (16, best16_cost, best16_mrl, best16_isp),
+                                 (32, best32_cost, best32_mrl,
+                                  best32_isp)):
+            ic = np.asarray(ipass[grid][0]).astype(np.int64)
+            bv = np.asarray(ipass[grid][1])
+            use = ic < bc
+            bc[:] = np.where(use, ic, bc)
+            bk[:] = np.where(use, 0, bk)
+            bi[:] = np.where(use, 0, bi)
+            ibc_data[grid] = (use, bv)
 
     if mtt:
         from ..spec.decide import mtt_assemble_i
@@ -411,7 +430,7 @@ def decide_frame(orig_y: np.ndarray, qp: int, bd: int = 8,
                  16: (best16_cost, best16_mode, best16_mrl, best16_isp),
                  32: (best32_cost, best32_mode, best32_mrl, best32_isp)}
         mtt_assemble_i(dec, sizes, _rect_grids_intra(jbuf, lam, w, h, bd),
-                       lam)
+                       lam, ibc_data=ibc_data)
         return dec
 
     dec = FrameDecisions.empty(h, w)
@@ -442,6 +461,9 @@ def decide_frame(orig_y: np.ndarray, qp: int, bd: int = 8,
     di = np.where(use16, np.kron(best16_isp, np.ones((2, 2), np.int32)), di)
     di = np.where(use8, best8_isp, di)
     dec.isp8[:] = di.astype(np.uint8)
+    if ibc_data is not None:
+        from ..spec.decide import _fill_ibc
+        _fill_ibc(dec, ibc_data, use16, use8)
     return dec
 
 

@@ -94,6 +94,81 @@ def _me_pass_impl(orig, refp, lam, *, frame_w: int, frame_h: int):
                  for i in range(len(_ME_KEYS)))
 
 
+def ibc_pass(orig, lam, *, frame_w: int, frame_h: int):
+    """Full-search IBC block-vector pass for sizes 8/16/32 at once — twin
+    of spec ibc_size_pass (same window, candidate order, legality and
+    strict-less min).  Returns dict size -> (cost int32, bv (nby,nbx,2))."""
+    res = _ibc_pass_impl(orig, lam, frame_w=frame_w, frame_h=frame_h)
+    return {s: res[i] for i, s in enumerate((8, 16, 32))}
+
+
+def _ibc_offsets() -> np.ndarray:
+    from ..spec.decide import IBC_WIN
+    from ..spec.inter import mv_bits_q
+    rows = []
+    for dy in range(-IBC_WIN, 1):
+        for dx in range(-IBC_WIN, IBC_WIN + 1):
+            rows.append((dy, dx, mv_bits_q(dx, dy)))
+    return np.asarray(rows, np.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("frame_w", "frame_h"))
+def _ibc_pass_impl(orig, lam, *, frame_w: int, frame_h: int):
+    from ..spec.codec import IBC_BITS
+    from ..spec.decide import IBC_WIN
+    h, w = frame_h, frame_w
+    n8y, n8x = h // 8, w // 8
+    offs = jnp.asarray(_ibc_offsets())
+    lam = jnp.asarray(lam, jnp.int32)
+    refp = jnp.pad(orig.astype(jnp.int32), IBC_WIN, mode="edge")
+
+    grids = {}
+    for s in (8, 16, 32):
+        X, Y = np.meshgrid(np.arange(w // s, dtype=np.int32) * s,
+                           np.arange(h // s, dtype=np.int32) * s)
+        grids[s] = (jnp.asarray(X), jnp.asarray(Y),
+                    jnp.asarray(Y & ~63), jnp.asarray(X & ~63))
+
+    def aggr(c, f):
+        return c.reshape(c.shape[0] // f, f, c.shape[1] // f, f).sum((1, 3))
+
+    def init(s):
+        ny, nx = h // s, w // s
+        return (jnp.full((ny, nx), I32MAX, jnp.int32),
+                jnp.zeros((ny, nx), jnp.int32),
+                jnp.zeros((ny, nx), jnp.int32))
+
+    carry0 = tuple(init(s) for s in (8, 16, 32))
+
+    def body(carry, off):
+        dy, dx, bits = off[0], off[1], off[2]
+        win = jax.lax.dynamic_slice(refp, (IBC_WIN + dy, IBC_WIN + dx),
+                                    (h, w))
+        d = jnp.abs(orig.astype(jnp.int32) - win)
+        sad8 = d.reshape(n8y, 8, n8x, 8).sum((1, 3))
+        sads = {8: sad8, 16: aggr(sad8, 2), 32: aggr(sad8, 4)}
+        out = []
+        for i, s in enumerate((8, 16, 32)):
+            X, Y, cy0, cx0 = grids[s]
+            sx, sy = X + dx, Y + dy
+            legal = ((sx >= 0) & (sy >= 0) & (sx + s <= w) & (sy + s <= h)
+                     & (((sy + s) <= cy0)
+                        | ((sy >= cy0) & ((sy + s) <= cy0 + 64)
+                           & ((sx + s) <= cx0))))
+            c = (sads[s] << 8) + lam * (bits + IBC_BITS)
+            c = jnp.where(legal, c, I32MAX)
+            cost, bx, by = carry[i]
+            better = c < cost
+            out.append((jnp.where(better, c, cost),
+                        jnp.where(better, dx, bx),
+                        jnp.where(better, dy, by)))
+        return tuple(out), None
+
+    carry, _ = jax.lax.scan(body, carry0, offs)
+    return tuple((carry[i][0], jnp.stack([carry[i][1], carry[i][2]], -1))
+                 for i in range(3))
+
+
 def _bitlen(v):
     """Threshold-sum integer bit length (== spec.inter.bitlen_int)."""
     v = jnp.abs(v)

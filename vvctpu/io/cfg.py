@@ -42,6 +42,7 @@ class AppConfig:
     rdoq: bool = True             # RDOQ
     dq: bool = False              # DepQuant (4-state trellis)
     mtt: bool = False             # MTT binary splits
+    ibc: bool = False             # IBC (intra block copy)
     tile_cols: int = 1
     tile_rows: int = 1
     lmcs: bool = False            # LMCSEnable / LMCS
@@ -95,6 +96,7 @@ _KEYMAP = {
     "rdoq": ("rdoq", lambda v: bool(int(v))),
     "depquant": ("dq", lambda v: bool(int(v))),
     "mtt": ("mtt", lambda v: bool(int(v))),
+    "ibc": ("ibc", lambda v: bool(int(v))),
     "tilecolumns": ("tile_cols", int),
     "tilerows": ("tile_rows", int),
     "lmcs": ("lmcs", lambda v: bool(int(v))),

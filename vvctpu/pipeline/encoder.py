@@ -129,7 +129,8 @@ def encode_sequence(frames, cfg: sseq.EncoderConfig, decisions_fn=None,
                                        mip=sps.mip_enabled,
                                        mrl=sps.mrl_enabled,
                                        isp=sps.isp_enabled,
-                                       mtt=sps.mtt_enabled)
+                                       mtt=sps.mtt_enabled,
+                                       ibc=sps.ibc_enabled)
         elif stype == hls.SLICE_P:
             dec = jdecide.decide_frame_p(padded[0], dpb[ref_pocs[0]][0], qp,
                                          cfg.bit_depth, mip=sps.mip_enabled,
@@ -172,7 +173,7 @@ def encode_sequence(frames, cfg: sseq.EncoderConfig, decisions_fn=None,
             ciip=sps.ciip_enabled, sbt=sps.sbt_enabled,
             isp=sps.isp_enabled, gpm=sps.gpm_enabled,
             affine=sps.affine_enabled, dq=sps.dq_enabled,
-            mtt=sps.mtt_enabled,
+            mtt=sps.mtt_enabled, ibc=sps.ibc_enabled,
             fwd_lut=None if fwd_lut is None else jnp_asarray(fwd_lut),
             crs_lut=None if crs_lut is None else jnp_asarray(crs_lut),
             lam_rd=lambda_rd_int(qp))
@@ -271,7 +272,7 @@ def decode_sequence(data: bytes, check_hash: bool = True):
                 ciip=sps.ciip_enabled, sbt=sps.sbt_enabled,
                 isp=sps.isp_enabled, gpm=sps.gpm_enabled,
                 affine=sps.affine_enabled, dq=sps.dq_enabled,
-                mtt=sps.mtt_enabled,
+                mtt=sps.mtt_enabled, ibc=sps.ibc_enabled,
                 fwd_lut=None if fwd_lut is None else jnp_asarray(fwd_lut),
                 crs_lut=None if crs_lut is None else jnp_asarray(crs_lut))
             ry, rcb, rcr, *_ = _run_scan(

@@ -71,6 +71,9 @@ class _Walker:
                                   bool)
         self.mv_map = np.zeros((sps.height // 8, sps.width // 8, 2, 2),
                                np.int32)
+        self.ibc_map = np.zeros((sps.height // 8, sps.width // 8), bool)
+        self.bv_map = np.zeros((sps.height // 8, sps.width // 8, 2),
+                               np.int32)
 
     # -- intra mode (identical scheme to spec/codec._code_intra_mode) -----
     def _neighbor_mode(self, x, y):
@@ -502,6 +505,23 @@ class _Walker:
             self._code_inter(x, y, s, False, h=hh)
             self._code_component(0, x, y, s, C.CBF_LUMA(0), h=hh)
         else:
+            if self.sps.ibc_enabled and not self.is_p and square:
+                from ..spec.codec import _code_ibc_flag_bv
+                bv = _code_ibc_flag_bv(io, self, x, y, s)
+                if bv is not None:
+                    sl8 = np.s_[y // 8:(y + s) // 8, x // 8:(x + s) // 8]
+                    self.mode_map[y // 4:(y + s) // 4,
+                                  x // 4:(x + s) // 4] = rom.PLANAR_IDX
+                    self.ibc_map[sl8] = True
+                    self.bv_map[sl8] = bv
+                    self.dec.ibc8[sl8] = 1
+                    self.dec.bv8[sl8] = bv
+                    self.dec.modes8[sl8] = 0
+                    trace.t_leaf_intra(x, y, s, -1)
+                    self._code_component(0, x, y, s, C.CBF_LUMA(0))
+                    self._code_component(1, cx, cy, cs, C.CBF_CB(0))
+                    self._code_component(2, cx, cy, cs, C.CBF_CR(0))
+                    return
             mode = self._code_mode(x, y, s, h=hh)
             trace.t_leaf_intra(x, y, s, mode)
             if (self.sps.mrl_enabled and io.decoding and square

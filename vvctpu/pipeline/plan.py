@@ -17,6 +17,7 @@ OP_SKIP, OP_LEAF8, OP_LEAF16, OP_LEAF32 = 0, 1, 2, 3
 RECT_SHAPES = ((16, 8), (8, 16), (32, 16), (16, 32))
 OP_RECT_INTRA0 = 10
 OP_RECT_INTER0 = 14
+OP_IBC0 = 18             # +0/1/2 for square IBC leaves 8/16/32
 _SIZE_OF_OP = {OP_LEAF8: 8, OP_LEAF16: 16, OP_LEAF32: 32}
 
 
@@ -97,6 +98,11 @@ def leaf_plan(dec: FrameDecisions, height: int, width: int,
                     if dec.mv8_l1 is not None:
                         mv1[i] = dec.mv8_l1[py // 8, px // 8]
                         dirs[i] = dec.dir8[py // 8, px // 8]
+                elif (o in (OP_LEAF8, OP_LEAF16, OP_LEAF32)
+                      and dec.ibc8 is not None
+                      and dec.ibc8[py // 8, px // 8]):
+                    mv0[i] = dec.bv8[py // 8, px // 8]
+                    o = OP_IBC0 + (o - OP_LEAF8)
                 op[i] = o
                 xs[i] = px
                 ys[i] = py

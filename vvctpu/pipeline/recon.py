@@ -444,6 +444,37 @@ def _make_rect_leaf_fn(w: int, h: int, *, frame_w: int, frame_h: int,
     return leaf
 
 
+def _make_ibc_fn(s: int, *, frame_w: int, frame_h: int, qp, bd: int,
+                 encode: bool, rdoq: bool = False, lam_rd=None,
+                 dq: bool = False, **_unused):
+    """IBC leaf: copy-predict from the already-reconstructed area of the
+    current picture at the (clamped) block vector — twin of spec
+    _code_ibc_leaf.  Sequential phase-B (reads the recon buffers)."""
+    cs = s // 2
+
+    def leaf(carry, x, y, mode, bvx, bvy, mts_in, lfnst_in, cmode_in,
+             mrl_in, jccr_in, m1x, m1y, dd, wdx, isp_in):
+        (by, bcb, bcr, ly, lcb, lcr, sy, scb, scr, mtsp, lfnstp,
+         cmodep, jccrp, sbtp) = carry
+        sx = jnp.clip(x + bvx, 0, frame_w - s)
+        sy0 = jnp.clip(y + bvy, 0, frame_h - s)
+        pred_y = jax.lax.dynamic_slice(by, (sy0 + 1, sx + 1), (s, s))
+        pred_cb = jax.lax.dynamic_slice(
+            bcb, (sy0 // 2 + 1, sx // 2 + 1), (cs, cs))
+        pred_cr = jax.lax.dynamic_slice(
+            bcr, (sy0 // 2 + 1, sx // 2 + 1), (cs, cs))
+        by, ly = _component(by, ly, sy, pred_y, x, y, s, qp, bd, encode,
+                            rdoq, lam_rd, dq=dq)
+        bcb, lcb = _component(bcb, lcb, scb, pred_cb, x // 2, y // 2, cs,
+                              qp, bd, encode, rdoq, lam_rd, dq=dq)
+        bcr, lcr = _component(bcr, lcr, scr, pred_cr, x // 2, y // 2, cs,
+                              qp, bd, encode, rdoq, lam_rd, dq=dq)
+        return (by, bcb, bcr, ly, lcb, lcr, sy, scb, scr, mtsp, lfnstp,
+                cmodep, jccrp, sbtp)
+
+    return leaf
+
+
 def _inter_batch_pass_rect(carry, ib_slots, refs, w: int, h: int, qp,
                            bd: int, encode: bool, rdoq: bool = False,
                            lam_rd=0, fwd_lut=None, crs_lut=None,
@@ -758,7 +789,7 @@ def _inter_batch_pass(carry, ib_slots, refs, s: int, qp, bd: int,
                                     "cclm", "rdoq", "lmcs", "mip",
                                     "tskip", "jccr", "dmvr", "bdof",
                                     "ciip", "sbt", "isp", "gpm",
-                                    "affine", "dq", "mtt"))
+                                    "affine", "dq", "mtt", "ibc"))
 def frame_scan(slots, planes_y, planes_cb, planes_cr, *, frame_w: int,
                frame_h: int, qp, bd: int, encode: bool,
                inter_enabled: bool = False, ref_y=None, ref_cb=None,
@@ -772,7 +803,8 @@ def frame_scan(slots, planes_y, planes_cb, planes_cr, *, frame_w: int,
                isp: bool = False, gpm: bool = False,
                affine: bool = False, dq: bool = False, mtt: bool = False,
                rect16x8=None, rect8x16=None, rect32x16=None,
-               rect16x32=None, ref_off_x=0, ref_off_y=0):
+               rect16x32=None, ref_off_x=0, ref_off_y=0,
+               ibc: bool = False):
     """Run the full-frame reconstruction scan.
 
     slots: (N, 6) int32 [op, x, y, mode, mvx, mvy] in coding order; op 0 =
@@ -837,7 +869,7 @@ def frame_scan(slots, planes_y, planes_cb, planes_cr, *, frame_w: int,
                 _make_leaf_fn(32, False, **kw)]
     # canonical op -> branch index (ops: 0 skip, 1-3 intra sq, 4-6 inter sq
     # [phase A], 7-9 CIIP, 10-13 rect intra, 14-17 rect inter [phase A])
-    op2b = np.zeros(18, np.int32)
+    op2b = np.zeros(21, np.int32)
     op2b[1:4] = (1, 2, 3)
     if ciip and inter_enabled:
         ckw = dict(frame_w=frame_w, frame_h=frame_h, n_ctu_x=n_ctu_x, qp=qp,
@@ -858,6 +890,13 @@ def frame_scan(slots, planes_y, planes_cb, planes_cr, *, frame_w: int,
                      _make_rect_leaf_fn(8, 16, **rkw),
                      _make_rect_leaf_fn(32, 16, **rkw),
                      _make_rect_leaf_fn(16, 32, **rkw)]
+    if ibc:
+        ikw = dict(frame_w=frame_w, frame_h=frame_h, qp=qp, bd=bd,
+                   encode=encode, rdoq=rdoq,
+                   lam_rd=jnp.asarray(lam_rd, jnp.int32), dq=dq)
+        op2b[18:21] = np.arange(len(branches), len(branches) + 3)
+        branches += [_make_ibc_fn(8, **ikw), _make_ibc_fn(16, **ikw),
+                     _make_ibc_fn(32, **ikw)]
 
     def step(carry, slot):
         mt = slot[6] if slot.shape[0] > 6 else jnp.int32(0)
@@ -870,7 +909,7 @@ def frame_scan(slots, planes_y, planes_cb, planes_cr, *, frame_w: int,
         dd = slot[13] if slot.shape[0] > 13 else jnp.int32(0)
         wdx = slot[14] if slot.shape[0] > 14 else jnp.int32(BCW_DEFAULT)
         ip = slot[15] if slot.shape[0] > 15 else jnp.int32(0)
-        br = jnp.asarray(op2b)[jnp.clip(slot[0], 0, 17)]
+        br = jnp.asarray(op2b)[jnp.clip(slot[0], 0, 20)]
         return jax.lax.switch(
             br, branches, carry,
             slot[1], slot[2], slot[3], slot[4], slot[5], mt, lf, cm,

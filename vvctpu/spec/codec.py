@@ -55,6 +55,8 @@ class FrameDecisions:
     gpm8: np.ndarray = None     # (H//8, W//8) uint8: GPM 0 off / idx + 1
     aff8: np.ndarray = None     # (H//8, W//8) uint8: affine flag (uni inter)
     admv8: np.ndarray = None    # (H//8, W//8, 2) int32: CPMV1-CPMV0 delta
+    ibc8: np.ndarray = None     # (H//8, W//8) uint8: IBC flag (I slices)
+    bv8: np.ndarray = None      # (H//8, W//8, 2) int32: block vector (pels)
 
     @classmethod
     def empty(cls, h: int, w: int) -> "FrameDecisions":
@@ -79,6 +81,8 @@ class FrameDecisions:
                    np.zeros((h // 8, w // 8), np.uint8),
                    np.zeros((h // 8, w // 8), np.uint8),
                    np.zeros((h // 8, w // 8), np.uint8),
+                   np.zeros((h // 8, w // 8, 2), np.int32),
+                   np.zeros((h // 8, w // 8), np.uint8),
                    np.zeros((h // 8, w // 8, 2), np.int32))
 
     def equal(self, other: "FrameDecisions") -> bool:
@@ -102,7 +106,9 @@ class FrameDecisions:
                 and np.array_equal(self.isp8, other.isp8)
                 and np.array_equal(self.gpm8, other.gpm8)
                 and np.array_equal(self.aff8, other.aff8)
-                and np.array_equal(self.admv8, other.admv8))
+                and np.array_equal(self.admv8, other.admv8)
+                and np.array_equal(self.ibc8, other.ibc8)
+                and np.array_equal(self.bv8, other.bv8))
 
 
 def tile_decisions_view(dec: FrameDecisions, x0: int, y0: int, x1: int,
@@ -121,7 +127,8 @@ def tile_decisions_view(dec: FrameDecisions, x0: int, y0: int, x1: int,
         lfnst8=s(dec.lfnst8, 8), cmode8=s(dec.cmode8, 8),
         mrl8=s(dec.mrl8, 8), jccr8=s(dec.jccr8, 8), bcw8=s(dec.bcw8, 8),
         ciip8=s(dec.ciip8, 8), sbt8=s(dec.sbt8, 8), isp8=s(dec.isp8, 8),
-        gpm8=s(dec.gpm8, 8), aff8=s(dec.aff8, 8), admv8=s(dec.admv8, 8))
+        gpm8=s(dec.gpm8, 8), aff8=s(dec.aff8, 8), admv8=s(dec.admv8, 8),
+        ibc8=s(dec.ibc8, 8), bv8=s(dec.bv8, 8))
 
 
 @dataclass
@@ -148,6 +155,8 @@ class _FrameState:
     bdof: bool = False                    # BDOF active (BI + symmetric refs)
     smvd: bool = False                    # SMVD active (BI + symmetric refs)
     dq: bool = False                      # dependent quantization (trellis)
+    ibc_map: np.ndarray | None = None     # (H//8, W//8) bool: IBC leaves
+    bv_map: np.ndarray | None = None      # (H//8, W//8, 2) int32: BVs
 
     @classmethod
     def make(cls, sps, qp, encoding, decisions, src, refs=None, col=None,
@@ -170,6 +179,8 @@ class _FrameState:
                 for rf in refs]
         st.inter_map = np.zeros((h // 8, w // 8, 2), bool)
         st.mv_map = np.zeros((h // 8, w // 8, 2, 2), np.int32)
+        st.ibc_map = np.zeros((h // 8, w // 8), bool)
+        st.bv_map = np.zeros((h // 8, w // 8, 2), np.int32)
         st.col = col
         st.rdoq = rdoq
         return st
@@ -1157,6 +1168,85 @@ def _code_inter_leaf(io, st: _FrameState, x: int, y: int, s: int,
     imod.hmvp_push(st.hmvp, (d, mv0, mv1))
 
 
+def ibc_legal(x: int, y: int, s: int, bvx: int, bvy: int, w: int,
+              h: int) -> bool:
+    """IBC reference-area constraint (role of the VVC virtual IBC buffer,
+    simplified to whole-CTU availability): the source block must lie fully
+    inside the frame AND either entirely above the current CTU row, or in
+    the same CTU row strictly left of the current CTU."""
+    sx, sy = x + bvx, y + bvy
+    if sx < 0 or sy < 0 or sx + s > w or sy + s > h:
+        return False
+    cy0, cx0 = y & ~63, x & ~63
+    return (sy + s <= cy0) or (sy >= cy0 and sy + s <= cy0 + 64
+                               and sx + s <= cx0)
+
+
+IBC_BITS = 1     # ibc_flag rate proxy in the decision pass
+
+
+def _code_ibc_leaf(io, st: _FrameState, x: int, y: int, s: int,
+                   bvx: int, bvy: int) -> None:
+    """IBC leaf reconstruction: copy-predict all components from the
+    already-reconstructed area of the current picture at the block vector
+    (integer pels; chroma floor-halved), then plain DCT-II residuals."""
+    wF, hF = st.sps.width, st.sps.height
+    sx = min(max(x + bvx, 0), wF - s)     # decoder-safety clamp
+    sy = min(max(y + bvy, 0), hF - s)
+    pred_y = st.recon[0][sy:sy + s, sx:sx + s].copy()
+    cs = s // 2
+    csx, csy = sx // 2, sy // 2
+    pred_cb = st.recon[1][csy:csy + cs, csx:csx + cs].copy()
+    pred_cr = st.recon[2][csy:csy + cs, csx:csx + cs].copy()
+    _code_component(io, st, 0, x, y, s, s, 0, C.CBF_LUMA(0), pred=pred_y)
+    _code_component(io, st, 1, x // 2, y // 2, cs, cs, 0, C.CBF_CB(0),
+                    pred=pred_cb)
+    _code_component(io, st, 2, x // 2, y // 2, cs, cs, 0, C.CBF_CR(0),
+                    pred=pred_cr)
+    sl8 = np.s_[y // 8:(y + s) // 8, x // 8:(x + s) // 8]
+    st.mode_map[y // 4:(y + s) // 4, x // 4:(x + s) // 4] = rom.PLANAR_IDX
+    st.ibc_map[sl8] = True
+    st.bv_map[sl8] = (bvx, bvy)
+    st.dec.ibc8[sl8] = 1
+    st.dec.bv8[sl8] = (bvx, bvy)
+    st.dec.modes8[sl8] = 0
+    trace.t_leaf_intra(x, y, s, -1)
+
+
+def _code_ibc_flag_bv(io, st: _FrameState, x: int, y: int, s: int):
+    """ibc_flag (+ BVP idx and BVD when set).  Returns (bvx, bvy) or
+    None; shared geometry with the AMVP scheme (2 candidates from the
+    left/above IBC neighbours, integer-pel units)."""
+    from . import inter as imod
+    gy, gx = y // 8, x // 8
+    nb = 0
+    if gx > 0 and st.ibc_map[gy, gx - 1]:
+        nb += 1
+    if gy > 0 and st.ibc_map[gy - 1, gx]:
+        nb += 1
+    ctx = C.IBC_FLAG(min(1, nb))
+    if io.decoding:
+        if not io.bin(ctx):
+            return None
+        cands = imod.mvp_candidates(st.bv_map, st.ibc_map, x, y, s)
+        idx = io.byp()
+        bvx = cands[idx][0] + _code_mvd_comp(io, None)
+        bvy = cands[idx][1] + _code_mvd_comp(io, None)
+        return (bvx, bvy)
+    flag = int(st.dec.ibc8[gy, gx])
+    io.bin(ctx, flag)
+    if not flag:
+        return None
+    bv = (int(st.dec.bv8[gy, gx, 0]), int(st.dec.bv8[gy, gx, 1]))
+    cands = imod.mvp_candidates(st.bv_map, st.ibc_map, x, y, s)
+    costs = [abs(bv[0] - c[0]) + abs(bv[1] - c[1]) for c in cands]
+    idx = int(np.argmin(costs))
+    io.byp(idx)
+    _code_mvd_comp(io, bv[0] - cands[idx][0])
+    _code_mvd_comp(io, bv[1] - cands[idx][1])
+    return bv
+
+
 def _code_leaf(io, st: _FrameState, x: int, y: int, s: int,
                h: int | None = None) -> None:
     hh = s if h is None else h
@@ -1182,6 +1272,11 @@ def _code_leaf(io, st: _FrameState, x: int, y: int, s: int,
                 return
             io.bin(C.SKIP_FLAG(0), 0)
             io.bin(C.PRED_MODE(0), 0)
+    if (st.sps.ibc_enabled and st.refs is None and square):
+        bv = _code_ibc_flag_bv(io, st, x, y, s)
+        if bv is not None:
+            _code_ibc_leaf(io, st, x, y, s, bv[0], bv[1])
+            return
     mode = _code_intra_mode(io, st, x, y, s, hh)
     trace.t_leaf_intra(x, y, s, mode)
     if io.decoding:
@@ -1425,6 +1520,9 @@ def _tile_reset(st: _FrameState) -> None:
         st.inter_map[:] = False
     if st.mv_map is not None:
         st.mv_map[:] = 0
+    if st.ibc_map is not None:
+        st.ibc_map[:] = False
+        st.bv_map[:] = 0
     st.hmvp = []
 
 
@@ -1494,6 +1592,9 @@ def encode_frame(src_planes: list[np.ndarray], sps: hls.SPS, pps: hls.PPS,
     n_tiles = pps.num_tile_cols * pps.num_tile_rows
     if n_tiles > 1 and wpp:
         raise ValueError("tiles + WPP combination not supported")
+    if n_tiles > 1 and sps.ibc_enabled:
+        raise ValueError("tiles + IBC combination not supported "
+                         "(IBC reference area is not tile-constrained)")
 
     if n_tiles > 1:
         # tiles: independent CABAC + prediction per tile, entry points in

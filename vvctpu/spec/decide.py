@@ -189,10 +189,53 @@ def _block_decision(orig: np.ndarray, x: int, y: int, s: int, lam: int,
     return int(cands[kbest]), mode, mrl_k, isp_d
 
 
+IBC_WIN = 64     # BV search window: dx in [-64, 64], dy in [-64, 0]
+
+
+def ibc_size_pass(orig: np.ndarray, s: int, lam: int):
+    """Best legal block vector per s-block: full SAD search over the
+    window, row-major (dy, dx) candidate order, strict-less running min,
+    legality per spec codec.ibc_legal (vectorised).  Returns
+    (cost int64 incl. lambda*(bv rate + IBC_BITS), bv (nby, nbx, 2))."""
+    from .codec import IBC_BITS
+    h, w = orig.shape
+    nby, nbx = h // s, w // s
+    o = orig.astype(np.int64)
+    refp = np.pad(orig, IBC_WIN, mode="edge").astype(np.int64)
+    X, Y = np.meshgrid(np.arange(nbx) * s, np.arange(nby) * s)
+    cy0 = Y & ~63
+    cx0 = X & ~63
+    SENT = np.int64(1) << 60
+    best = np.full((nby, nbx), SENT, np.int64)
+    bvx = np.zeros((nby, nbx), np.int32)
+    bvy = np.zeros((nby, nbx), np.int32)
+    for dy in range(-IBC_WIN, 1):
+        for dx in range(-IBC_WIN, IBC_WIN + 1):
+            sx, sy = X + dx, Y + dy
+            legal = ((sx >= 0) & (sy >= 0) & (sx + s <= w) & (sy + s <= h)
+                     & (((sy + s) <= cy0)
+                        | ((sy >= cy0) & ((sy + s) <= cy0 + 64)
+                           & ((sx + s) <= cx0))))
+            if not legal.any():
+                continue
+            d = np.abs(o - refp[IBC_WIN + dy:IBC_WIN + dy + h,
+                                IBC_WIN + dx:IBC_WIN + dx + w])
+            sad = d.reshape(nby, s, nbx, s).sum(axis=(1, 3))
+            cost = ((sad << 8)
+                    + lam * (_inter.mv_bits_q(dx, dy) + IBC_BITS))
+            cost = np.where(legal, cost, SENT)
+            better = cost < best
+            best = np.where(better, cost, best)
+            bvx = np.where(better, dx, bvx)
+            bvy = np.where(better, dy, bvy)
+    return best, np.stack([bvx, bvy], axis=-1)
+
+
 def decide_frame(orig_y: np.ndarray, qp: int,
                  bit_depth: int = rom.BIT_DEPTH,
                  mip: bool = False, mrl: bool = False,
-                 isp: bool = False, mtt: bool = False) -> FrameDecisions:
+                 isp: bool = False, mtt: bool = False,
+                 ibc: bool = False) -> FrameDecisions:
     """Compute partition + modes for a padded luma plane (H, W)."""
     h, w = orig_y.shape
     lam = lambda_satd_fp(qp)
@@ -229,6 +272,20 @@ def decide_frame(orig_y: np.ndarray, qp: int,
                 bk[by, bx] = k
                 bi[by, bx] = di
 
+    ibc_data = None
+    if ibc:
+        ibc_data = {}
+        for grid, bc, bk, bi in ((8, best8_cost, best8_mrl, best8_isp),
+                                 (16, best16_cost, best16_mrl, best16_isp),
+                                 (32, best32_cost, best32_mrl,
+                                  best32_isp)):
+            ic, bv = ibc_size_pass(orig_y, grid, lam)
+            use = ic < bc
+            bc[:] = np.where(use, ic, bc)
+            bk[:] = np.where(use, 0, bk)      # IBC leaves: no MRL/ISP
+            bi[:] = np.where(use, 0, bi)
+            ibc_data[grid] = (use, bv)
+
     if not mtt:
         # bottom-up partition: cost of a 16 as 4x8 leaves vs one leaf
         sum8 = (best8_cost.reshape(n16y, 2, n16x, 2).sum(axis=(1, 3))
@@ -262,6 +319,8 @@ def decide_frame(orig_y: np.ndarray, qp: int,
                       di)
         di = np.where(use8, best8_isp, di)
         dec.isp8[:] = di.astype(np.uint8)
+        if ibc_data is not None:
+            _fill_ibc(dec, ibc_data, use16, use8)
         return dec
 
     # MTT bottom-up: per node the 4-way first-min over
@@ -273,11 +332,33 @@ def decide_frame(orig_y: np.ndarray, qp: int,
     sizes = {8: (best8_cost, best8_mode, best8_mrl, best8_isp),
              16: (best16_cost, best16_mode, best16_mrl, best16_isp),
              32: (best32_cost, best32_mode, best32_mrl, best32_isp)}
-    mtt_assemble_i(dec, sizes, rects, lam)
+    mtt_assemble_i(dec, sizes, rects, lam, ibc_data=ibc_data)
     return dec
 
 
-def mtt_assemble_i(dec: FrameDecisions, sizes, rects, lam: int) -> None:
+def _fill_ibc(dec: FrameDecisions, ibc_data, use16, use8) -> None:
+    """Granule fill of ibc8/bv8 from the per-size winner grids (shared by
+    the non-MTT and MTT assemblies; rect BT leaves never use IBC)."""
+    f32, b32 = ibc_data[32]
+    f16, b16 = ibc_data[16]
+    f8, b8 = ibc_data[8]
+    f = np.kron(f32.astype(np.uint8), np.ones((4, 4), np.uint8))
+    f = np.where(use16, np.kron(f16.astype(np.uint8),
+                                np.ones((2, 2), np.uint8)), f)
+    f = np.where(use8, f8.astype(np.uint8), f)
+    bv = np.kron(b32, np.ones((4, 4, 1), np.int32))
+    bv = np.where(use16[..., None],
+                  np.kron(b16, np.ones((2, 2, 1), np.int32)), bv)
+    bv = np.where(use8[..., None], b8, bv)
+    dec.ibc8[:] = f
+    dec.bv8[:] = np.where((f > 0)[..., None], bv, 0)
+    dec.modes8[:] = np.where(f > 0, 0, dec.modes8)
+    dec.mrl8[:] = np.where(f > 0, 0, dec.mrl8)
+    dec.isp8[:] = np.where(f > 0, 0, dec.isp8)
+
+
+def mtt_assemble_i(dec: FrameDecisions, sizes, rects, lam: int,
+                   ibc_data=None) -> None:
     """Shared (spec + JAX engine) MTT bottom-up + map fill for I frames.
 
     sizes[s] = (cost int64, mode, mrl, isp) square grids; rects[(bw, bh)] =
@@ -349,6 +430,13 @@ def mtt_assemble_i(dec: FrameDecisions, sizes, rects, lam: int) -> None:
     di = np.where(g16, up(best16_isp, 2, 2), di)
     di = np.where(g8, best8_isp, di)
     dec.isp8[:] = np.where(rectg, 0, di).astype(np.uint8)
+    if ibc_data is not None:
+        # rect (BT) leaves never use IBC: the 16/8 grids only apply under
+        # the square-leaf masks, and rect granules get flag 0
+        _fill_ibc(dec, ibc_data, g16 | g_bth16 | g_btv16 | g8, g8)
+        rect0 = rectg
+        dec.ibc8[:] = np.where(rect0, 0, dec.ibc8)
+        dec.bv8[:] = np.where(rect0[..., None], 0, dec.bv8)
 
 
 # ---------------------------------------------------------------------------

@@ -47,6 +47,7 @@ class EncoderConfig:
     rdoq: bool = True       # encoder RDOQ quantizer (decoder-transparent)
     dq: bool = False        # dependent quantization (4-state trellis)
     mtt: bool = False       # multi-type tree (binary splits at 16/32)
+    ibc: bool = False       # intra block copy (I slices, square leaves)
     tile_cols: int = 1      # tile grid columns (prediction+entropy break)
     tile_rows: int = 1      # tile grid rows
     lmcs: bool = False      # luma mapping (reshaper)
@@ -74,7 +75,7 @@ class EncoderConfig:
                        ciip_enabled=self.ciip, sbt_enabled=self.sbt,
                        isp_enabled=self.isp, gpm_enabled=self.gpm,
                        affine_enabled=self.affine, dq_enabled=self.dq,
-                       mtt_enabled=self.mtt)
+                       mtt_enabled=self.mtt, ibc_enabled=self.ibc)
 
 
 def gop_plan(n_frames: int, intra_period: int, gop: int):
@@ -169,7 +170,8 @@ def encode_sequence(frames: list[list[np.ndarray]], cfg: EncoderConfig,
         elif stype == hls.SLICE_I:
             dec = decide.decide_frame(padded_y, qp, cfg.bit_depth,
                                       mip=cfg.mip, mrl=cfg.mrl,
-                                      isp=cfg.isp, mtt=cfg.mtt)
+                                      isp=cfg.isp, mtt=cfg.mtt,
+                                      ibc=cfg.ibc)
         elif stype == hls.SLICE_P:
             dec = decide.decide_frame_p(padded_y, dpb[ref_pocs[0]][0], qp,
                                         cfg.bit_depth, mip=cfg.mip,
