@@ -377,21 +377,45 @@ def affine_pass(orig, refp, base_mv, lam, *, s: int, frame_w: int,
     return cost.reshape(nby, nbx), dmv.reshape(nby, nbx, 2)
 
 
-def decide_frame(orig_y: np.ndarray, qp: int, bd: int = 8,
-                 mip: bool = False, mrl: bool = False,
-                 isp: bool = False, mtt: bool = False,
-                 ibc: bool = False) -> FrameDecisions:
-    """Device-batched decisions for a padded luma plane (host assembly)."""
+def decide_frame_device(orig_y: np.ndarray, qp: int, bd: int = 8,
+                        mip: bool = False, mrl: bool = False,
+                        isp: bool = False, mtt: bool = False,
+                        ibc: bool = False):
+    """Launch the I-frame decision device passes asynchronously.
+
+    Returns an opaque handle of un-materialised jax arrays; pass to
+    decide_frame_assemble to block and build the FrameDecisions.  The
+    split lets the sequence encoder overlap the previous frame's host
+    entropy/filters with this frame's device compute."""
     h, w = orig_y.shape
     lam = lambda_satd_fp(qp)
     buf = np.zeros((h + 1 + intra_pred.MARGIN, w + 1 + intra_pred.MARGIN),
                    np.int32)
     buf[1:h + 1, 1:w + 1] = orig_y
     jbuf = jnp.asarray(buf)
-
     res = {s: size_pass(jbuf, np.int32(lam), s=s, frame_w=w, frame_h=h,
                         bd=bd, mip=mip, mrl=mrl, isp=isp)
            for s in (8, 16, 32)}
+    ipass = None
+    if ibc:
+        from . import me as jme
+        ipass = jme.ibc_pass(jnp.asarray(orig_y, jnp.int32), np.int32(lam),
+                             frame_w=w, frame_h=h)
+    rects = None
+    if mtt:
+        rects = {}
+        for (bw, bh) in ((16, 8), (8, 16), (32, 16), (16, 32)):
+            rects[(bw, bh)] = rect_size_pass(jbuf, np.int32(lam), bw=bw,
+                                             bh=bh, frame_w=w, frame_h=h,
+                                             bd=bd)
+    return dict(res=res, ipass=ipass, rects=rects, h=h, w=w, lam=lam,
+                mtt=mtt, ibc=ibc)
+
+
+def decide_frame_assemble(hd) -> FrameDecisions:
+    """Block on the device results and run the host bottom-up assembly
+    (identical arithmetic to the one-call decide_frame)."""
+    res, h, w, lam = hd["res"], hd["h"], hd["w"], hd["lam"]
     best8_cost = np.asarray(res[8][0]).astype(np.int64)
     best8_mode = np.asarray(res[8][1])
     best8_mrl = np.array(res[8][2])
@@ -406,10 +430,8 @@ def decide_frame(orig_y: np.ndarray, qp: int, bd: int = 8,
     best32_isp = np.array(res[32][3])
 
     ibc_data = None
-    if ibc:
-        from . import me as jme
-        ipass = jme.ibc_pass(jnp.asarray(orig_y, jnp.int32), np.int32(lam),
-                             frame_w=w, frame_h=h)
+    if hd["ibc"]:
+        ipass = hd["ipass"]
         ibc_data = {}
         for grid, bc, bk, bi in ((8, best8_cost, best8_mrl, best8_isp),
                                  (16, best16_cost, best16_mrl, best16_isp),
@@ -423,14 +445,15 @@ def decide_frame(orig_y: np.ndarray, qp: int, bd: int = 8,
             bi[:] = np.where(use, 0, bi)
             ibc_data[grid] = (use, bv)
 
-    if mtt:
+    if hd["mtt"]:
         from ..spec.decide import mtt_assemble_i
         dec = FrameDecisions.empty(h, w)
         sizes = {8: (best8_cost, best8_mode, best8_mrl, best8_isp),
                  16: (best16_cost, best16_mode, best16_mrl, best16_isp),
                  32: (best32_cost, best32_mode, best32_mrl, best32_isp)}
-        mtt_assemble_i(dec, sizes, _rect_grids_intra(jbuf, lam, w, h, bd),
-                       lam, ibc_data=ibc_data)
+        rgrids = {k: (np.asarray(c).astype(np.int64), np.asarray(m))
+                  for k, (c, m) in hd["rects"].items()}
+        mtt_assemble_i(dec, sizes, rgrids, lam, ibc_data=ibc_data)
         return dec
 
     dec = FrameDecisions.empty(h, w)
@@ -465,6 +488,15 @@ def decide_frame(orig_y: np.ndarray, qp: int, bd: int = 8,
         from ..spec.decide import _fill_ibc
         _fill_ibc(dec, ibc_data, use16, use8)
     return dec
+
+
+def decide_frame(orig_y: np.ndarray, qp: int, bd: int = 8,
+                 mip: bool = False, mrl: bool = False,
+                 isp: bool = False, mtt: bool = False,
+                 ibc: bool = False) -> FrameDecisions:
+    """Device-batched decisions for a padded luma plane (host assembly)."""
+    return decide_frame_assemble(decide_frame_device(
+        orig_y, qp, bd, mip=mip, mrl=mrl, isp=isp, mtt=mtt, ibc=ibc))
 
 
 def decide_frame_p(orig_y: np.ndarray, ref_y: np.ndarray, qp: int,

@@ -92,6 +92,103 @@ def _run_scan(sps, pps, dec, py, pcb, pcr, dpb, ref_pocs, scan_kw):
     return outs
 
 
+def _encode_ai_pipelined(frames, cfg, sps, pps, nals, recons, bits,
+                         decisions_out=None):
+    """All-intra encode with a 1-frame device/host pipeline: frame i's
+    decision+reconstruction device passes run while frame i-1's host
+    entropy, loop filters and NAL assembly complete — the host stages hide
+    under device compute (byte-identical stream to the sequential path)."""
+    from ..spec.transform import lambda_rd_int
+    pending = None   # (poc, dec, out, padded, lmcs_cw, inv_lut, qpd)
+
+    def finish(p):
+        poc, dec, out, padded, lmcs_cw, inv_lut, qpd = p
+        (ry, rcb, rcr, ly, lcb, lcr, mtsp, lfnstp, cmodep, jccrp,
+         sbtp) = out
+        levels = [np.asarray(ly), np.asarray(lcb), np.asarray(lcr)]
+        if sps.mts_enabled:
+            dec.mts8[:] = np.asarray(mtsp).astype(np.uint8)
+        if sps.lfnst_enabled:
+            dec.lfnst8[:] = np.asarray(lfnstp).astype(np.uint8)
+        if sps.cclm_enabled:
+            dec.cmode8[:] = np.asarray(cmodep).astype(np.uint8)
+        if sps.jccr_enabled:
+            dec.jccr8[:] = np.asarray(jccrp).astype(np.uint8)
+        if sps.sbt_enabled:
+            dec.sbt8[:] = np.asarray(sbtp).astype(np.uint8)
+        sh = hls.SliceHeader(poc=poc, slice_type=hls.SLICE_I, qp_delta=qpd,
+                             ref_pocs=(), lmcs_cw=lmcs_cw)
+        rec = [np.asarray(ry), np.asarray(rcb), np.asarray(rcr)]
+        if inv_lut is not None:
+            rec[0] = inv_lut[rec[0]]
+        if sps.deblock_enabled:
+            from ..spec import deblock
+            rec = deblock.deblock_frame(rec, dec, pps.init_qp + qpd,
+                                        cfg.bit_depth)
+        sao_params = None
+        if sps.sao_enabled:
+            from ..spec import sao as saomod
+            sao_params = saomod.decide_sao(padded, rec, pps.init_qp + qpd,
+                                           cfg.ctu, cfg.bit_depth)
+            rec = saomod.apply_sao(rec, sao_params, cfg.ctu, cfg.bit_depth)
+        alf_params = None
+        if sps.alf_enabled:
+            from ..spec import alf as alfmod
+            alf_params = alfmod.derive_alf_frame(padded, rec,
+                                                 pps.init_qp + qpd,
+                                                 cfg.ctu, cfg.bit_depth)
+            rec = alfmod.apply_alf_frame(rec, alf_params, cfg.ctu,
+                                         cfg.bit_depth)
+        payload = entropy.encode_frame_syntax(sps, pps, sh, dec, levels,
+                                              sao_params, alf_params)
+        cropped = scodec.crop_planes(rec, sps)
+        nals.append(bs.NalUnit(bs.NAL_IDR_N_LP, payload, temporal_id=0))
+        nals.append(bs.NalUnit(bs.NAL_SUFFIX_SEI,
+                               hls.write_pic_hash_sei(cropped,
+                                                      cfg.bit_depth),
+                               temporal_id=0))
+        recons[poc] = cropped
+        bits[poc] = 8 * len(payload)
+
+    for poc in range(len(frames)):
+        padded = scodec.pad_planes(frames[poc], sps)
+        qp = cfg.qp
+        lmcs_cw = ()
+        fwd_lut = inv_lut = None
+        scan_y = padded[0]
+        if sps.lmcs_enabled:
+            from ..spec import lmcs as lmcsmod
+            lmcs_cw = lmcsmod.derive_model(padded[0], cfg.bit_depth)
+            fwd_lut, inv_lut = lmcsmod.build_luts(lmcs_cw, cfg.bit_depth)
+            scan_y = fwd_lut[padded[0]]
+        hd = jdecide.decide_frame_device(padded[0], qp, cfg.bit_depth,
+                                         mip=sps.mip_enabled,
+                                         mrl=sps.mrl_enabled,
+                                         isp=sps.isp_enabled,
+                                         mtt=sps.mtt_enabled,
+                                         ibc=sps.ibc_enabled)
+        if pending is not None:      # host work overlaps device compute
+            finish(pending)
+            pending = None
+        dec = jdecide.decide_frame_assemble(hd)
+        if decisions_out is not None:
+            decisions_out.append(dec)
+        slots = recon.make_slots(dec, sps.height, sps.width)
+        out = recon.frame_scan(
+            slots, scan_y, padded[1], padded[2], frame_w=sps.width,
+            frame_h=sps.height, qp=qp, bd=cfg.bit_depth, encode=True,
+            mts=sps.mts_enabled, lfnst=sps.lfnst_enabled,
+            cclm=sps.cclm_enabled, rdoq=cfg.rdoq, lmcs=sps.lmcs_enabled,
+            mip=sps.mip_enabled, tskip=sps.ts_enabled,
+            jccr=sps.jccr_enabled, isp=sps.isp_enabled,
+            mtt=sps.mtt_enabled, ibc=sps.ibc_enabled, dq=sps.dq_enabled,
+            fwd_lut=None if fwd_lut is None else jnp_asarray(fwd_lut),
+            lam_rd=lambda_rd_int(qp))
+        pending = (poc, dec, out, padded, lmcs_cw, inv_lut, 0)
+    finish(pending)
+    return bs.write_annexb(nals), recons, bits
+
+
 def encode_sequence(frames, cfg: sseq.EncoderConfig, decisions_fn=None,
                     decisions_out=None):
     h, w = frames[0][0].shape
@@ -107,6 +204,11 @@ def encode_sequence(frames, cfg: sseq.EncoderConfig, decisions_fn=None,
     if cfg.mctf:
         from ..spec import mctf as mctfmod
         frames = mctfmod.temporal_filter(frames, cfg.gop)
+    if (cfg.intra_period == 1 and cfg.rc_bits_per_frame == 0
+            and cfg.tile_cols * cfg.tile_rows == 1
+            and decisions_fn is None):
+        return _encode_ai_pipelined(frames, cfg, sps, pps, nals, recons,
+                                    bits, decisions_out=decisions_out)
     rc = sseq.RateControl(cfg.rc_bits_per_frame) \
         if cfg.rc_bits_per_frame > 0 else None
     for poc, stype, ref_pocs, qpd in sseq.gop_plan(len(frames),
