@@ -1,0 +1,233 @@
+"""Device (JAX) in-loop filters — twins of spec/deblock.py and spec/sao.py.
+
+Deblocking maps perfectly onto the VPU: vertical-edge windows on the 8x8
+luma grid are DISJOINT 8-column tiles (edge spacing == window width), so the
+whole frame filters as one reshaped elementwise pass — no scatter conflicts,
+no Pallas needed (XLA fuses the select trees).  Horizontal edges run on the
+transposed plane, exactly like the spec model, so results are bit-identical
+(tests/test_loopfilter_dev.py).
+
+SAO: band/edge offset application is a pure elementwise neighbour stencil +
+LUT; the per-CTU parameter selection stays host-side (encoder-only).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..spec.deblock import BETA_TABLE, TC_TABLE
+
+
+def _clip3(lo, hi, v):
+    return jnp.minimum(jnp.maximum(v, lo), hi)
+
+
+def _luma_segment_filter_j(p, q, beta, tc, bd):
+    """Twin of spec _luma_segment_filter on (..., 4)-line segments."""
+    dp_line = jnp.abs(p[2] - 2 * p[1] + p[0])
+    dq_line = jnp.abs(q[2] - 2 * q[1] + q[0])
+    dp = dp_line[..., 0] + dp_line[..., 3]
+    dq = dq_line[..., 0] + dq_line[..., 3]
+    d = dp + dq
+    active = (d < beta)[..., None]
+
+    strong_l = jnp.ones(p[0].shape[:-1], bool)
+    for ln in (0, 3):
+        sd = 2 * (dp_line[..., ln] + dq_line[..., ln]) < (beta >> 2)
+        sg = (jnp.abs(p[3][..., ln] - p[0][..., ln])
+              + jnp.abs(q[0][..., ln] - q[3][..., ln])) < (beta >> 3)
+        st = jnp.abs(p[0][..., ln] - q[0][..., ln]) < ((5 * tc + 1) >> 1)
+        strong_l &= sd & sg & st
+    strong = strong_l[..., None]
+
+    def c2(v, ref):
+        return _clip3(ref - 2 * tc, ref + 2 * tc, v)
+
+    sp0 = c2((p[2] + 2 * p[1] + 2 * p[0] + 2 * q[0] + q[1] + 4) >> 3, p[0])
+    sp1 = c2((p[2] + p[1] + p[0] + q[0] + 2) >> 2, p[1])
+    sp2 = c2((2 * p[3] + 3 * p[2] + p[1] + p[0] + q[0] + 4) >> 3, p[2])
+    sq0 = c2((q[2] + 2 * q[1] + 2 * q[0] + 2 * p[0] + p[1] + 4) >> 3, q[0])
+    sq1 = c2((q[2] + q[1] + q[0] + p[0] + 2) >> 2, q[1])
+    sq2 = c2((2 * q[3] + 3 * q[2] + q[1] + q[0] + p[0] + 4) >> 3, q[2])
+
+    delta = (9 * (q[0] - p[0]) - 3 * (q[1] - p[1]) + 8) >> 4
+    weak_on = jnp.abs(delta) < (tc * 10)
+    dc = _clip3(-tc, tc, delta)
+    mx = (1 << bd) - 1
+    wp0 = _clip3(0, mx, p[0] + dc)
+    wq0 = _clip3(0, mx, q[0] - dc)
+    side_p = (dp < ((beta + (beta >> 1)) >> 3))[..., None]
+    side_q = (dq < ((beta + (beta >> 1)) >> 3))[..., None]
+    tc2 = tc >> 1
+    dp1 = _clip3(-tc2, tc2, (((p[2] + p[0] + 1) >> 1) - p[1] + dc) >> 1)
+    dq1 = _clip3(-tc2, tc2, (((q[2] + q[0] + 1) >> 1) - q[1] - dc) >> 1)
+    wp1 = _clip3(0, mx, p[1] + dp1)
+    wq1 = _clip3(0, mx, q[1] + dq1)
+
+    fp0 = jnp.where(active, jnp.where(strong, sp0,
+                                      jnp.where(weak_on, wp0, p[0])), p[0])
+    fq0 = jnp.where(active, jnp.where(strong, sq0,
+                                      jnp.where(weak_on, wq0, q[0])), q[0])
+    fp1 = jnp.where(active,
+                    jnp.where(strong, sp1,
+                              jnp.where(weak_on & side_p, wp1, p[1])), p[1])
+    fq1 = jnp.where(active,
+                    jnp.where(strong, sq1,
+                              jnp.where(weak_on & side_q, wq1, q[1])), q[1])
+    fp2 = jnp.where(active & strong, sp2, p[2])
+    fq2 = jnp.where(active & strong, sq2, q[2])
+    return ([_clip3(0, mx, fp0), _clip3(0, mx, fp1), _clip3(0, mx, fp2)],
+            [_clip3(0, mx, fq0), _clip3(0, mx, fq1), _clip3(0, mx, fq2)])
+
+
+def _filter_luma_ver_j(rec, mask, qp, bd: int):
+    """All vertical luma edges in one dense pass.
+
+    rec: (H, W) int32; mask: (H//8, W//8) bool granule left-edge activity.
+    Edge windows [8k+4, 8k+12) are disjoint, so the frame reshapes into
+    (H//4, 4, nW, 8) tiles filtered elementwise."""
+    h, w = rec.shape
+    beta = jnp.asarray(BETA_TABLE)[qp] << (bd - 8)
+    tc = jnp.asarray(TC_TABLE)[qp] << (bd - 8)
+    x32 = rec.astype(jnp.int32)
+    core = x32[:, 4:w - 4]                       # first window at edge x=8
+    n_w = (w - 8) // 8
+    tiles = core.reshape(h // 4, 4, n_w, 8).transpose(0, 2, 1, 3)
+    # segment activity: segment row s (4 lines) belongs to granule row s//2;
+    # edge column k corresponds to granule column k+1 (edge at x=8(k+1))
+    seg_mask = jnp.repeat(mask[:, 1:], 2, axis=0)        # (H//4, nW)
+    p = [tiles[..., 3 - i] for i in range(4)]            # p0 at col 3
+    q = [tiles[..., 4 + i] for i in range(4)]
+    fp, fq = _luma_segment_filter_j(p, q, beta, tc, bd)
+    m = seg_mask[..., None]
+    out_tiles = tiles
+    for i in range(3):
+        out_tiles = out_tiles.at[..., 3 - i].set(
+            jnp.where(m, fp[i], tiles[..., 3 - i]))
+        out_tiles = out_tiles.at[..., 4 + i].set(
+            jnp.where(m, fq[i], tiles[..., 4 + i]))
+    core_out = out_tiles.transpose(0, 2, 1, 3).reshape(h, w - 8)
+    return jnp.concatenate([x32[:, :4], core_out, x32[:, w - 4:]], axis=1)
+
+
+def _filter_chroma_ver_j(rec, mask, qp, bd: int):
+    """Chroma vertical edges (2-point filter), dense tiles of width 4.
+
+    Spec skips edges with x < 2 or x + 1 >= w — i.e. x = 0 only; windows
+    [4k+2, 4k+6) are disjoint."""
+    h, w = rec.shape
+    tc = jnp.asarray(TC_TABLE)[qp] << (bd - 8)
+    x32 = rec.astype(jnp.int32)
+    core = x32[:, 2:w - 2]
+    n_w = (w - 4) // 4
+    tiles = core.reshape(h // 4, 4, n_w, 4).transpose(0, 2, 1, 3)
+    seg_mask = mask[:, 1:]                        # (H//4? no: gh, nW)
+    # chroma rows: 4-px rows per granule row (chroma h == 4 * gh)
+    # mask rows are luma granule rows == chroma 4-row groups directly
+    p1 = tiles[..., 0]
+    p0 = tiles[..., 1]
+    q0 = tiles[..., 2]
+    q1 = tiles[..., 3]
+    mx = (1 << bd) - 1
+    delta = _clip3(-tc, tc, (((q0 - p0) << 2) + p1 - q1 + 4) >> 3)
+    m = seg_mask[..., None]
+    fp0 = jnp.where(m, _clip3(0, mx, p0 + delta), p0)
+    fq0 = jnp.where(m, _clip3(0, mx, q0 - delta), q0)
+    out_tiles = tiles.at[..., 1].set(fp0).at[..., 2].set(fq0)
+    core_out = out_tiles.transpose(0, 2, 1, 3).reshape(h, w - 4)
+    return jnp.concatenate([x32[:, :2], core_out, x32[:, w - 2:]], axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("bd",))
+def _deblock_jit(y, cb, cr, ver, hor, qp, bd: int):
+    oy = _filter_luma_ver_j(y, ver, qp, bd)
+    oy = _filter_luma_ver_j(oy.T, hor.T, qp, bd).T
+    ocb = _filter_chroma_ver_j(cb, ver, qp, bd)
+    ocb = _filter_chroma_ver_j(ocb.T, hor.T, qp, bd).T
+    ocr = _filter_chroma_ver_j(cr, ver, qp, bd)
+    ocr = _filter_chroma_ver_j(ocr.T, hor.T, qp, bd).T
+    return oy, ocb, ocr
+
+
+def deblock_frame_j(planes, decisions, qp: int, bd: int = 8):
+    """Device twin of spec deblock.deblock_frame (bit-identical)."""
+    from ..spec.deblock import edge_masks
+    y, cb, cr = planes
+    h, w = np.asarray(y).shape
+    ver, hor = edge_masks(decisions, h, w)
+    oy, ocb, ocr = _deblock_jit(jnp.asarray(y), jnp.asarray(cb),
+                                jnp.asarray(cr), jnp.asarray(ver),
+                                jnp.asarray(hor), jnp.int32(qp), bd)
+    return [np.asarray(oy), np.asarray(ocb), np.asarray(ocr)]
+
+
+# ---------------------------------------------------------------------------
+# SAO offset application — device twin of spec/sao.py _apply_component
+# ---------------------------------------------------------------------------
+from ..spec.sao import (N_BANDS, SAO_BAND, SAO_EO0, SAO_EO45,  # noqa: E402
+                        _EO_NEIGH, _EO_SIGN)
+
+
+def _edge_categories_j(p, t: int):
+    (dy1, dx1), (dy2, dx2) = _EO_NEIGH[t]
+    h, w = p.shape
+    z = jnp.pad(p, 1, mode="edge")
+    n1 = jax.lax.dynamic_slice(z, (1 + dy1, 1 + dx1), (h, w))
+    n2 = jax.lax.dynamic_slice(z, (1 + dy2, 1 + dx2), (h, w))
+    cat = 2 + jnp.sign(p - n1) + jnp.sign(p - n2)
+    if dy1 != 0 or dy2 != 0:
+        cat = cat.at[0, :].set(2).at[-1, :].set(2)
+    if dx1 != 0 or dx2 != 0:
+        cat = cat.at[:, 0].set(2).at[:, -1].set(2)
+    return cat
+
+
+def _sao_component_j(rec, tp, offs_px, bp, bd: int):
+    """rec (h, w) int32; tp / bp (h, w) int32 per-pixel type / band pos;
+    offs_px (h, w, 4) int32."""
+    mx = (1 << bd) - 1
+    add = jnp.zeros_like(rec)
+    for t in range(SAO_EO0, SAO_EO45 + 1):
+        cat = _edge_categories_j(rec, t)
+        m_t = tp == t
+        for oi, ci in enumerate((0, 1, 3, 4)):
+            m = m_t & (cat == ci)
+            add = add + jnp.where(m, offs_px[..., oi] * int(_EO_SIGN[ci]),
+                                  0)
+    rel = jnp.mod((rec >> (bd - 5)) - bp, N_BANDS)
+    sel = jnp.take_along_axis(offs_px, jnp.minimum(rel, 3)[..., None],
+                              axis=-1)[..., 0]
+    add = add + jnp.where((tp == SAO_BAND) & (rel < 4), sel, 0)
+    return jnp.clip(rec + add, 0, mx)
+
+
+@functools.partial(jax.jit, static_argnames=("bd",))
+def _sao_jit(recs, tps, offs, bps, bd: int):
+    return tuple(_sao_component_j(recs[c], tps[c], offs[c], bps[c], bd)
+                 for c in range(3))
+
+
+def apply_sao_j(planes, params, ctu: int = 64, bd: int = 8):
+    """Device twin of spec sao.apply_sao (bit-identical)."""
+    recs, tps, offs, bps = [], [], [], []
+    for comp in range(3):
+        rec = np.asarray(planes[comp])
+        h, w = rec.shape
+        scale = 1 if comp == 0 else 2
+        cs = ctu // scale
+
+        def up(a):
+            return np.kron(a, np.ones((cs, cs), a.dtype))[:h, :w]
+
+        recs.append(jnp.asarray(rec.astype(np.int32)))
+        tps.append(jnp.asarray(up(params.type[:, :, comp]).astype(np.int32)))
+        offs.append(jnp.asarray(np.stack(
+            [up(params.offsets[:, :, comp, i]).astype(np.int32)
+             for i in range(4)], axis=-1)))
+        bps.append(jnp.asarray(
+            up(params.band_pos[:, :, comp]).astype(np.int32)))
+    out = _sao_jit(tuple(recs), tuple(tps), tuple(offs), tuple(bps), bd)
+    return [np.asarray(o) for o in out]

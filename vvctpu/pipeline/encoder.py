@@ -122,15 +122,16 @@ def _encode_ai_pipelined(frames, cfg, sps, pps, nals, recons, bits,
         if inv_lut is not None:
             rec[0] = inv_lut[rec[0]]
         if sps.deblock_enabled:
-            from ..spec import deblock
-            rec = deblock.deblock_frame(rec, dec, pps.init_qp + qpd,
-                                        cfg.bit_depth)
+            from ..kernels import loopfilter as lfk
+            rec = lfk.deblock_frame_j(rec, dec, pps.init_qp + qpd,
+                                      cfg.bit_depth)
         sao_params = None
         if sps.sao_enabled:
             from ..spec import sao as saomod
             sao_params = saomod.decide_sao(padded, rec, pps.init_qp + qpd,
                                            cfg.ctu, cfg.bit_depth)
-            rec = saomod.apply_sao(rec, sao_params, cfg.ctu, cfg.bit_depth)
+            from ..kernels import loopfilter as lfk
+            rec = lfk.apply_sao_j(rec, sao_params, cfg.ctu, cfg.bit_depth)
         alf_params = None
         if sps.alf_enabled:
             from ..spec import alf as alfmod
@@ -299,14 +300,15 @@ def encode_sequence(frames, cfg: sseq.EncoderConfig, decisions_fn=None,
         if inv_lut is not None:
             rec[0] = inv_lut[rec[0]]
         if sps.deblock_enabled:
-            from ..spec import deblock
-            rec = deblock.deblock_frame(rec, dec, qp, cfg.bit_depth)
+            from ..kernels import loopfilter as lfk
+            rec = lfk.deblock_frame_j(rec, dec, qp, cfg.bit_depth)
         sao_params = None
         if sps.sao_enabled:
             from ..spec import sao as saomod
             sao_params = saomod.decide_sao(padded, rec, qp, cfg.ctu,
                                            cfg.bit_depth)
-            rec = saomod.apply_sao(rec, sao_params, cfg.ctu, cfg.bit_depth)
+            from ..kernels import loopfilter as lfk
+            rec = lfk.apply_sao_j(rec, sao_params, cfg.ctu, cfg.bit_depth)
         alf_params = None
         if sps.alf_enabled:
             from ..spec import alf as alfmod
@@ -384,12 +386,12 @@ def decode_sequence(data: bytes, check_hash: bool = True):
             if inv_lut is not None:
                 rec[0] = inv_lut[rec[0]]
             if sps.deblock_enabled:
-                from ..spec import deblock
-                rec = deblock.deblock_frame(rec, dec, qp, sps.bit_depth)
+                from ..kernels import loopfilter as lfk
+                rec = lfk.deblock_frame_j(rec, dec, qp, sps.bit_depth)
             if sao_params is not None:
-                from ..spec import sao as saomod
-                rec = saomod.apply_sao(rec, sao_params,
-                                       1 << sps.log2_ctu, sps.bit_depth)
+                from ..kernels import loopfilter as lfk
+                rec = lfk.apply_sao_j(rec, sao_params,
+                                      1 << sps.log2_ctu, sps.bit_depth)
             if alf_params is not None:
                 from ..spec import alf as alfmod
                 rec = alfmod.apply_alf_frame(rec, alf_params,

@@ -50,6 +50,18 @@ def edge_masks(decisions, height: int, width: int):
     gy = np.arange(g_h)[:, None] * 8
     ver = ((gx % size) == 0) & (gx > 0)
     hor = ((gy % size) == 0) & (gy > 0)
+    if decisions.bt32 is not None:
+        # internal boundaries of MTT binary splits (leaf halves)
+        gxi = np.arange(g_w)[None, :]
+        gyi = np.arange(g_h)[:, None]
+        b32 = np.kron(decisions.bt32,
+                      np.ones((4, 4), np.uint8))[:g_h, :g_w]
+        b16 = np.kron(decisions.bt16,
+                      np.ones((2, 2), np.uint8))[:g_h, :g_w]
+        hor = hor | ((b32 == 1) & (gyi % 4 == 2))
+        ver = ver | ((b32 == 2) & (gxi % 4 == 2))
+        hor = hor | ((b16 == 1) & (gyi % 2 == 1))
+        ver = ver | ((b16 == 2) & (gxi % 2 == 1))
     return ver, hor
 
 
