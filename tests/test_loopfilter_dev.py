@@ -50,3 +50,27 @@ def test_sao_apply_device_bit_identical():
     got = lf.apply_sao_j(rec, params, 64, 8)
     for a, b in zip(ref, got):
         assert np.array_equal(a, b)
+
+
+def test_alf_device_bit_identical():
+    from vvctpu.spec import alf as salf
+    planes, dec = _frame_and_dec(seed=13)
+    rec = sdb.deblock_frame([p.copy() for p in planes], dec, 30, 8)
+    orig = [p.copy() for p in planes]
+    params = salf.derive_alf_frame(orig, rec, 30, 64, 8)
+    ref = salf.apply_alf_frame(rec, params, 64, 8)
+    got = lf.apply_alf_frame_j(rec, params, 64, 8)
+    for a, b in zip(ref, got):
+        assert np.array_equal(a, b)
+
+
+def test_prod_gt_exact():
+    import jax.numpy as jnp
+    from vvctpu.kernels.loopfilter import _prod_gt
+    rng = np.random.default_rng(3)
+    a, b, c, d = (rng.integers(0, 1 << 17, 4000).astype(np.int32)
+                  for _ in range(4))
+    want = a.astype(np.int64) * b > c.astype(np.int64) * d
+    got = np.asarray(_prod_gt(jnp.asarray(a), jnp.asarray(b),
+                              jnp.asarray(c), jnp.asarray(d)))
+    assert np.array_equal(want, got)

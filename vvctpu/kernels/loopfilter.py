@@ -231,3 +231,140 @@ def apply_sao_j(planes, params, ctu: int = 64, bd: int = 8):
             up(params.band_pos[:, :, comp]).astype(np.int32)))
     out = _sao_jit(tuple(recs), tuple(tps), tuple(offs), tuple(bps), bd)
     return [np.asarray(o) for o in out]
+
+
+# ---------------------------------------------------------------------------
+# ALF + CC-ALF — device twin of spec/alf.py (classification, luma 7x7
+# diamond, chroma 5x5, cross-component), bit-identical.
+# ---------------------------------------------------------------------------
+from ..spec.alf import (_ACT_TABLE, CC_OFFSETS, DIAMOND,  # noqa: E402
+                        DIAMOND_C, TRANS_PERMS)
+
+
+def _prod_gt(a, b, c, d):
+    """Exact int32 test a*b > c*d for 0 <= values < 2^17 (the products
+    need 34 bits): split b/d into (hi<<8)+lo, then S = X*256 + Y with
+    X = a*bh - c*dh, Y = a*bl - c*dl; S > 0  <=>  X > (-Y) >> 8
+    (arithmetic shift = floor)."""
+    x = a * (b >> 8) - c * (d >> 8)
+    y = a * (b & 255) - c * (d & 255)
+    return x > ((-y) >> 8)
+
+
+def classify_j(plane, bd: int):
+    """Twin of spec alf.classify: (cls, tr) per 4x4 block, int32-exact."""
+    p = plane.astype(jnp.int32)
+    z = jnp.pad(p, 1, mode="edge")
+    h, w = p.shape
+    gv = jnp.abs(2 * p - z[:-2, 1:-1] - z[2:, 1:-1])
+    gh = jnp.abs(2 * p - z[1:-1, :-2] - z[1:-1, 2:])
+    gd0 = jnp.abs(2 * p - z[:-2, :-2] - z[2:, 2:])
+    gd1 = jnp.abs(2 * p - z[:-2, 2:] - z[2:, :-2])
+
+    def bsum(g):
+        return g.reshape(h // 4, 4, w // 4, 4).sum(axis=(1, 3))
+
+    sv, sh_, sd0, sd1 = bsum(gv), bsum(gh), bsum(gd0), bsum(gd1)
+    hv1 = jnp.maximum(sv, sh_)
+    hv0 = jnp.minimum(sv, sh_)
+    d1 = jnp.maximum(sd0, sd1)
+    d0 = jnp.minimum(sd0, sd1)
+    strong_hv = hv1 > 2 * hv0
+    strong_d = d1 > 2 * d0
+    diag_main = _prod_gt(d1, hv0, hv1, d0)
+    dir_idx = jnp.where(~strong_hv & ~strong_d, 0,
+                        jnp.where(diag_main,
+                                  jnp.where(strong_d, 4, 3),
+                                  jnp.where(strong_hv, 2, 1)))
+    act = sv + sh_
+    a16 = jnp.clip((act * 16) >> (3 + bd), 0, 15)
+    act_idx = jnp.asarray(np.asarray(_ACT_TABLE, np.int32))[a16]
+    cls = dir_idx * 5 + act_idx
+    tr = (sv > sh_).astype(jnp.int32) + 2 * (sd1 > sd0).astype(jnp.int32)
+    return cls, tr
+
+
+def _stencil(z, pad: int, offsets, p):
+    h, w = p.shape
+    outs = []
+    for (dy, dx) in offsets:
+        a = jax.lax.dynamic_slice(z, (pad + dy, pad + dx), (h, w))
+        b = jax.lax.dynamic_slice(z, (pad - dy, pad - dx), (h, w))
+        outs.append(a + b - 2 * p)
+    return outs
+
+
+@functools.partial(jax.jit, static_argnames=("ctu", "bd"))
+def _alf_luma_jit(plane, coeff_eff, present, ctu_on, ctu: int, bd: int):
+    h, w = plane.shape
+    p = plane.astype(jnp.int32)
+    cls, tr = classify_j(p, bd)
+    per_block = coeff_eff[cls, tr] * present[cls][..., None]  # (h/4,w/4,12)
+    per_pix = jnp.repeat(jnp.repeat(per_block, 4, axis=0), 4, axis=1)
+    z = jnp.pad(p, 3, mode="edge")
+    feats = _stencil(z, 3, DIAMOND, p)
+    delta = jnp.zeros((h, w), jnp.int32)
+    for i, f in enumerate(feats):
+        delta = delta + per_pix[..., i] * f
+    delta = (delta + 64) >> 7
+    filt = jnp.clip(p + delta, 0, (1 << bd) - 1)
+    on = jnp.repeat(jnp.repeat(ctu_on, ctu, axis=0), ctu, axis=1)[:h, :w]
+    return jnp.where(on, filt, p)
+
+
+@functools.partial(jax.jit, static_argnames=("cctu", "bd", "use_c",
+                                             "use_cc"))
+def _alf_chroma_jit(base, luma_in, c_coeff, cc_coeff, ctu_on_c,
+                    cctu: int, bd: int, use_c: bool, use_cc: bool):
+    ch, cw = base.shape
+    p = base.astype(jnp.int32)
+    delta = jnp.zeros((ch, cw), jnp.int32)
+    if use_c:
+        z = jnp.pad(p, 2, mode="edge")
+        feats = _stencil(z, 2, DIAMOND_C, p)
+        for i, f in enumerate(feats):
+            delta = delta + c_coeff[i] * f
+        delta = (delta + 64) >> 7
+    if use_cc:
+        lz = jnp.pad(luma_in.astype(jnp.int32), 2, mode="edge")
+        ctr = lz[2:2 + 2 * ch:2, 2:2 + 2 * cw:2]
+        acc = jnp.zeros((ch, cw), jnp.int32)
+        for i, (dy, dx) in enumerate(CC_OFFSETS):
+            acc = acc + cc_coeff[i] * (
+                lz[2 + dy:2 + dy + 2 * ch:2,
+                   2 + dx:2 + dx + 2 * cw:2] - ctr)
+        delta = delta + ((acc + 64) >> 7)
+    filt = jnp.clip(p + delta, 0, (1 << bd) - 1)
+    on = jnp.repeat(jnp.repeat(ctu_on_c, cctu, axis=0),
+                    cctu, axis=1)[:ch, :cw]
+    return jnp.where(on, filt, p)
+
+
+def apply_alf_frame_j(planes, params, ctu: int = 64, bd: int = 8):
+    """Device twin of spec alf.apply_alf_frame (bit-identical)."""
+    luma_in = np.asarray(planes[0])
+    if params.enabled:
+        eff = (params.coeff[:, TRANS_PERMS]).astype(np.int32)  # (25,4,12)
+        oy = np.asarray(_alf_luma_jit(
+            jnp.asarray(luma_in.astype(np.int32)), jnp.asarray(eff),
+            jnp.asarray(params.present.astype(np.int32)),
+            jnp.asarray(params.ctu_on.astype(bool)), ctu, bd))
+    else:
+        oy = luma_in
+    out = [oy]
+    for c in (0, 1):
+        base = np.asarray(planes[c + 1])
+        if not params.c_enabled[c]:
+            out.append(base)
+            continue
+        use_c = bool(params.c_coeff[c].any())
+        use_cc = bool(params.cc_present[c])
+        o = np.asarray(_alf_chroma_jit(
+            jnp.asarray(base.astype(np.int32)),
+            jnp.asarray(luma_in.astype(np.int32)),
+            jnp.asarray(params.c_coeff[c].astype(np.int32)),
+            jnp.asarray(params.cc_coeff[c].astype(np.int32)),
+            jnp.asarray(params.ctu_on_c[c].astype(bool)),
+            ctu // 2, bd, use_c, use_cc))
+        out.append(o)
+    return out

@@ -138,8 +138,9 @@ def _encode_ai_pipelined(frames, cfg, sps, pps, nals, recons, bits,
             alf_params = alfmod.derive_alf_frame(padded, rec,
                                                  pps.init_qp + qpd,
                                                  cfg.ctu, cfg.bit_depth)
-            rec = alfmod.apply_alf_frame(rec, alf_params, cfg.ctu,
-                                         cfg.bit_depth)
+            from ..kernels import loopfilter as lfk
+            rec = lfk.apply_alf_frame_j(rec, alf_params, cfg.ctu,
+                                        cfg.bit_depth)
         payload = entropy.encode_frame_syntax(sps, pps, sh, dec, levels,
                                               sao_params, alf_params)
         cropped = scodec.crop_planes(rec, sps)
@@ -314,8 +315,9 @@ def encode_sequence(frames, cfg: sseq.EncoderConfig, decisions_fn=None,
             from ..spec import alf as alfmod
             alf_params = alfmod.derive_alf_frame(padded, rec, qp, cfg.ctu,
                                                  cfg.bit_depth)
-            rec = alfmod.apply_alf_frame(rec, alf_params, cfg.ctu,
-                                         cfg.bit_depth)
+            from ..kernels import loopfilter as lfk
+            rec = lfk.apply_alf_frame_j(rec, alf_params, cfg.ctu,
+                                        cfg.bit_depth)
         payload = entropy.encode_frame_syntax(
             sps, pps, sh, dec, levels, sao_params, alf_params,
             col=scodec.col_motion(mot, poc, ref_pocs))
@@ -393,10 +395,10 @@ def decode_sequence(data: bytes, check_hash: bool = True):
                 rec = lfk.apply_sao_j(rec, sao_params,
                                       1 << sps.log2_ctu, sps.bit_depth)
             if alf_params is not None:
-                from ..spec import alf as alfmod
-                rec = alfmod.apply_alf_frame(rec, alf_params,
-                                             1 << sps.log2_ctu,
-                                             sps.bit_depth)
+                from ..kernels import loopfilter as lfk
+                rec = lfk.apply_alf_frame_j(rec, alf_params,
+                                            1 << sps.log2_ctu,
+                                            sps.bit_depth)
             dpb[sh.poc] = rec
             mot[sh.poc] = scodec.motion_record(dec, sh.ref_pocs)
             pending = scodec.crop_planes(rec, sps)
