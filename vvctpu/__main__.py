@@ -77,7 +77,12 @@ def _enc(args) -> int:
         from .core import trace
         trace.open_trace(args.trace_file, args.trace_rule)
     t0 = time.time()
-    if args.engine == "jax":
+    if args.gop_parallel > 1:
+        from .dist.gop import encode_gop_parallel
+        data, recons, bits = encode_gop_parallel(
+            frames, cfg, segments=args.gop_parallel, engine=args.engine,
+            threads=True)
+    elif args.engine == "jax":
         from .pipeline import encoder as jenc
         data, recons, bits = jenc.encode_sequence(frames, cfg)
     else:
@@ -281,6 +286,10 @@ def main(argv=None) -> int:
     e.add_argument("--wpp", action="store_true",
                    help="wavefront entropy lanes (one per CTU row)")
     e.add_argument("--engine", choices=("spec", "jax"), default="spec")
+    e.add_argument("--gop-parallel", type=int, default=1, metavar="N",
+                   help="encode N closed-GOP segments independently and "
+                        "concatenate (Parcat DP axis; one per host on a "
+                        "pod slice)")
     e.add_argument("--trace-file", help="syntax trace output (dtrace equiv)")
     e.add_argument("--trace-rule", default="D_SYNTAX,D_MODE,D_RESID:poc>=0")
     e.set_defaults(fn=_enc)
