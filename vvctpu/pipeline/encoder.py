@@ -156,12 +156,13 @@ def _encode_ai_pipelined(frames, cfg, sps, pps, nals, recons, bits,
         padded = scodec.pad_planes(frames[poc], sps)
         qp = cfg.qp
         lmcs_cw = ()
-        fwd_lut = inv_lut = None
+        fwd_lut = inv_lut = crs_lut = None
         scan_y = padded[0]
         if sps.lmcs_enabled:
             from ..spec import lmcs as lmcsmod
             lmcs_cw = lmcsmod.derive_model(padded[0], cfg.bit_depth)
             fwd_lut, inv_lut = lmcsmod.build_luts(lmcs_cw, cfg.bit_depth)
+            crs_lut = lmcsmod.build_crs_lut(lmcs_cw, cfg.bit_depth)
             scan_y = fwd_lut[padded[0]]
         hd = jdecide.decide_frame_device(padded[0], qp, cfg.bit_depth,
                                          mip=sps.mip_enabled,
@@ -185,6 +186,7 @@ def _encode_ai_pipelined(frames, cfg, sps, pps, nals, recons, bits,
             jccr=sps.jccr_enabled, isp=sps.isp_enabled,
             mtt=sps.mtt_enabled, ibc=sps.ibc_enabled, dq=sps.dq_enabled,
             fwd_lut=None if fwd_lut is None else jnp_asarray(fwd_lut),
+            crs_lut=None if crs_lut is None else jnp_asarray(crs_lut),
             lam_rd=lambda_rd_int(qp))
         pending = (poc, dec, out, padded, lmcs_cw, inv_lut, 0)
     finish(pending)

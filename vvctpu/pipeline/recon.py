@@ -62,7 +62,7 @@ def _make_leaf_fn(s: int, inter: bool, *, frame_w: int, frame_h: int,
                   mts: bool = False, lfnst: bool = False, cclm: bool = False,
                   rdoq: bool = False, lam_rd=None, mip: bool = False,
                   tskip: bool = False, jccr: bool = False,
-                  isp: bool = False, dq: bool = False):
+                  isp: bool = False, dq: bool = False, crs_lut=None):
     cs = s // 2
     num_reg = rom.NUM_LUMA_MODE
 
@@ -189,6 +189,10 @@ def _make_leaf_fn(s: int, inter: bool, *, frame_w: int, frame_h: int,
                 mtsp, midx_o.reshape(1, 1), (y // 8, x // 8))
             lfnstp = jax.lax.dynamic_update_slice(
                 lfnstp, lidx_o.reshape(1, 1), (y // 8, x // 8))
+        sc = None
+        if crs_lut is not None and not inter:
+            lr = jax.lax.dynamic_slice(by, (y + 1, x + 1), (s, s))
+            sc = crs_lut[lr.sum() >> _CRS_SHIFT[s]]
         if (cclm or jccr) and not inter:
             # unified (DM vs CCLM) x (separate vs JCCR) chroma decision —
             # twin of spec _code_leaf; candidate order and strict-less
@@ -222,31 +226,41 @@ def _make_leaf_fn(s: int, inter: bool, *, frame_w: int, frame_h: int,
                                        1 << 14)
                     return lev, rr, rate
 
+                def inv_sc(r):
+                    return r if sc is None else (r * sc) >> 11
+
                 zero = jnp.zeros((cs, cs), jnp.int32)
                 best = None
                 for ci, (pcb, pcr) in enumerate(pred_opts):
+                    # residuals in the CRS-scaled domain (spec twin scales
+                    # resis before the candidate loop)
                     rcbr = bcbk - pcb
                     rcrr = bcrk - pcr
+                    if sc is not None:
+                        rcbr = (rcbr << 11) // sc
+                        rcrr = (rcrr << 11) // sc
                     for j in ((0, 1) if jccr else (0,)):
                         if j == 0:
                             lvb, rrb, rb = q_rr(rcbr)
                             lvr, rrr, rr2 = q_rr(rcrr)
-                            cost = (((rcbr - rrb) ** 2).sum()
-                                    + ((rcrr - rrr) ** 2).sum()
+                            db = jnp.minimum(jnp.abs(rcbr - rrb), 2047)
+                            dr = jnp.minimum(jnp.abs(rcrr - rrr), 2047)
+                            cost = ((db * db).sum() + (dr * dr).sum()
                                     + lam_rd * rb + lam_rd * rr2)
                             cand = (cost, lvb, lvr,
-                                    jnp.clip(pcb + rrb, 0, mx),
-                                    jnp.clip(pcr + rrr, 0, mx),
+                                    jnp.clip(pcb + inv_sc(rrb), 0, mx),
+                                    jnp.clip(pcr + inv_sc(rrr), 0, mx),
                                     jnp.int32(ci), jnp.int32(0))
                         else:
                             rj = (rcbr - rcrr) >> 1
                             lvj, rrj, rj_rate = q_rr(rj)
-                            cost = (((rcbr - rrj) ** 2).sum()
-                                    + ((rcrr + rrj) ** 2).sum()
+                            db = jnp.minimum(jnp.abs(rcbr - rrj), 2047)
+                            dr = jnp.minimum(jnp.abs(rcrr + rrj), 2047)
+                            cost = ((db * db).sum() + (dr * dr).sum()
                                     + lam_rd * rj_rate)
                             cand = (cost, lvj, zero,
-                                    jnp.clip(pcb + rrj, 0, mx),
-                                    jnp.clip(pcr - rrj, 0, mx),
+                                    jnp.clip(pcb + inv_sc(rrj), 0, mx),
+                                    jnp.clip(pcr - inv_sc(rrj), 0, mx),
                                     jnp.int32(ci), jnp.int32(1))
                         if best is None:
                             best = cand
@@ -273,9 +287,16 @@ def _make_leaf_fn(s: int, inter: bool, *, frame_w: int, frame_h: int,
                 rrj = transform.inverse_transform(
                     transform.dequantize(lev_cb, cs, cs, qp, bd, dq=dq),
                     cs, cs, bd=bd)
+                if sc is not None:
+                    rrj = (rrj * sc) >> 11
+                    rrr2 = transform.inverse_transform(
+                        transform.dequantize(lev_cr, cs, cs, qp, bd,
+                                             dq=dq), cs, cs, bd=bd)
+                    rcr_sep = jnp.clip(pcr + ((rrr2 * sc) >> 11), 0, mx)
+                else:
+                    rcr_sep = transform.reconstruct(pcr, lev_cr, cs, cs,
+                                                    qp, bd=bd, dq=dq)
                 rcbb = jnp.clip(pcb + rrj, 0, mx)
-                rcr_sep = transform.reconstruct(pcr, lev_cr, cs, cs, qp,
-                                                bd=bd, dq=dq)
                 if jccr:
                     rcrb = jnp.where(jccr_in > 0,
                                      jnp.clip(pcr - rrj, 0, mx), rcr_sep)
@@ -287,9 +308,11 @@ def _make_leaf_fn(s: int, inter: bool, *, frame_w: int, frame_h: int,
                                                (cy2 + 1, cx2 + 1))
         else:
             bcb, lcb = _component(bcb, lcb, scb, pred_cb, x // 2, y // 2,
-                                  cs, qp, bd, encode, rdoq, lam_rd, dq=dq)
+                                  cs, qp, bd, encode, rdoq, lam_rd, dq=dq,
+                                  crs_sc=None if inter else sc)
             bcr, lcr = _component(bcr, lcr, scr, pred_cr, x // 2, y // 2,
-                                  cs, qp, bd, encode, rdoq, lam_rd, dq=dq)
+                                  cs, qp, bd, encode, rdoq, lam_rd, dq=dq,
+                                  crs_sc=None if inter else sc)
         return (by, bcb, bcr, ly, lcb, lcr, sy, scb, scr, mtsp, lfnstp,
                 cmodep, jccrp, sbtp)
 
@@ -395,7 +418,7 @@ def _component_rect(buf, levels_io, src, pred, x, y, w: int, h: int, qp,
 def _make_rect_leaf_fn(w: int, h: int, *, frame_w: int, frame_h: int,
                        n_ctu_x: int, qp, bd: int, encode: bool, refs,
                        rdoq: bool = False, lam_rd=None, dq: bool = False,
-                       **_unused):
+                       crs_lut=None, **_unused):
     """Rectangular (BT) intra leaf: plain 67-mode prediction + DM chroma
     (square-only tools are gated off on rect leaves — twin of the spec
     _code_leaf rect path)."""
@@ -420,6 +443,10 @@ def _make_rect_leaf_fn(w: int, h: int, *, frame_w: int, frame_h: int,
                                          is_luma=True, bd=bd)
         by, ly = _component_rect(by, ly, sy, pred_y, x, y, w, h, qp, bd,
                                  encode, rdoq, lam_rd, dq)
+        sc = None
+        if crs_lut is not None:
+            lr = jax.lax.dynamic_slice(by, (y + 1, x + 1), (h, w))
+            sc = crs_lut[lr.sum() >> (_log2i(w) + _log2i(h))]
         tcb, lcb_r = intra_pred.build_references_rect(
             bcb, x // 2, y // 2, w=cw, h=ch, is_luma=False,
             frame_w=frame_w // 2, frame_h=frame_h // 2, n_ctu_x=n_ctu_x,
@@ -428,7 +455,8 @@ def _make_rect_leaf_fn(w: int, h: int, *, frame_w: int, frame_h: int,
         pred_cb = intra_pred.predict_rect(tcb, lcb_r, mode, w=cw, h=ch,
                                           is_luma=False, bd=bd)
         bcb, lcb = _component_rect(bcb, lcb, scb, pred_cb, x // 2, y // 2,
-                                   cw, ch, qp, bd, encode, rdoq, lam_rd, dq)
+                                   cw, ch, qp, bd, encode, rdoq, lam_rd,
+                                   dq, crs_sc=sc)
         tcr, lcr_r = intra_pred.build_references_rect(
             bcr, x // 2, y // 2, w=cw, h=ch, is_luma=False,
             frame_w=frame_w // 2, frame_h=frame_h // 2, n_ctu_x=n_ctu_x,
@@ -437,7 +465,8 @@ def _make_rect_leaf_fn(w: int, h: int, *, frame_w: int, frame_h: int,
         pred_cr = intra_pred.predict_rect(tcr, lcr_r, mode, w=cw, h=ch,
                                           is_luma=False, bd=bd)
         bcr, lcr = _component_rect(bcr, lcr, scr, pred_cr, x // 2, y // 2,
-                                   cw, ch, qp, bd, encode, rdoq, lam_rd, dq)
+                                   cw, ch, qp, bd, encode, rdoq, lam_rd,
+                                   dq, crs_sc=sc)
         return (by, bcb, bcr, ly, lcb, lcr, sy, scb, scr, mtsp, lfnstp,
                 cmodep, jccrp, sbtp)
 
@@ -863,7 +892,8 @@ def frame_scan(slots, planes_y, planes_cb, planes_cr, *, frame_w: int,
     kw = dict(frame_w=frame_w, frame_h=frame_h, n_ctu_x=n_ctu_x, qp=qp,
               bd=bd, encode=encode, refs=refs, mts=mts, lfnst=lfnst,
               cclm=cclm, rdoq=rdoq, lam_rd=jnp.asarray(lam_rd, jnp.int32),
-              mip=mip, tskip=tskip, jccr=jccr, isp=isp, dq=dq)
+              mip=mip, tskip=tskip, jccr=jccr, isp=isp, dq=dq,
+              crs_lut=crs_lut if lmcs else None)
     branches = [lambda c, *a: c,
                 _make_leaf_fn(8, False, **kw), _make_leaf_fn(16, False, **kw),
                 _make_leaf_fn(32, False, **kw)]
@@ -885,6 +915,7 @@ def frame_scan(slots, planes_y, planes_cb, planes_cr, *, frame_w: int,
         rkw = dict(frame_w=frame_w, frame_h=frame_h, n_ctu_x=n_ctu_x,
                    qp=qp, bd=bd, encode=encode, refs=refs, rdoq=rdoq,
                    lam_rd=jnp.asarray(lam_rd, jnp.int32), dq=dq)
+        rkw["crs_lut"] = crs_lut if lmcs else None
         op2b[10:14] = np.arange(len(branches), len(branches) + 4)
         branches += [_make_rect_leaf_fn(16, 8, **rkw),
                      _make_rect_leaf_fn(8, 16, **rkw),

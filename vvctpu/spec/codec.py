@@ -1296,12 +1296,16 @@ def _code_leaf(io, st: _FrameState, x: int, y: int, s: int,
                         mts_ok=(mode < rom.NUM_LUMA_MODE and square),
                         mrl=mrl)
     st.mode_map[y // 4:(y + hh) // 4, x // 4:(x + s) // 4] = mode
-    # chroma (4:2:0): derived DM mode (planar for MIP), or CCLM
+    # chroma (4:2:0): derived DM mode (planar for MIP), or CCLM; CRS
+    # (LMCS chroma residual scaling) from the reconstructed mapped luma
     dm = mode if mode < rom.NUM_LUMA_MODE else rom.PLANAR_IDX
     cs, ch, cx, cy = s // 2, hh // 2, x // 2, y // 2
+    crs_sc = _crs_scale(st, x, y, s, hh)
     if not ((st.sps.cclm_enabled or st.sps.jccr_enabled) and square):
-        _code_component(io, st, 1, cx, cy, cs, ch, dm, C.CBF_CB(0))
-        _code_component(io, st, 2, cx, cy, cs, ch, dm, C.CBF_CR(0))
+        _code_component(io, st, 1, cx, cy, cs, ch, dm, C.CBF_CB(0),
+                        crs_sc=crs_sc)
+        _code_component(io, st, 2, cx, cy, cs, ch, dm, C.CBF_CR(0),
+                        crs_sc=crs_sc)
         return
     bd = st.sps.bit_depth
     sl8 = np.s_[y // 8:(y + s) // 8, x // 8:(x + s) // 8]
@@ -1326,12 +1330,12 @@ def _code_leaf(io, st: _FrameState, x: int, y: int, s: int,
         if joint:
             _code_joint_chroma(io, st, cx, cy, cs,
                                (chroma_pred(1, use_cclm),
-                                chroma_pred(2, use_cclm)))
+                                chroma_pred(2, use_cclm)), crs_sc=crs_sc)
             return
         _code_component(io, st, 1, cx, cy, cs, cs, dm, C.CBF_CB(0),
-                        pred=chroma_pred(1, use_cclm))
+                        pred=chroma_pred(1, use_cclm), crs_sc=crs_sc)
         _code_component(io, st, 2, cx, cy, cs, cs, dm, C.CBF_CR(0),
-                        pred=chroma_pred(2, use_cclm))
+                        pred=chroma_pred(2, use_cclm), crs_sc=crs_sc)
         return
     # encoder: joint (DM vs CCLM) x (separate vs JCCR) integer RD
     lam = transform.lambda_rd_int(st.qp)
@@ -1342,6 +1346,9 @@ def _code_leaf(io, st: _FrameState, x: int, y: int, s: int,
         preds = [chroma_pred(1, use_cclm), chroma_pred(2, use_cclm)]
         resis = [(st.src[c][cy:cy + cs, cx:cx + cs].astype(np.int32)
                   - preds[c - 1]) for c in (1, 2)]
+        if crs_sc is not None:
+            from . import lmcs as lmcsmod
+            resis = [lmcsmod.crs_fwd(r, crs_sc) for r in resis]
         for joint in joint_opts:
             if joint:
                 # JCCR (mode-2 analog, CSign = -1): code one TB C with
@@ -1355,8 +1362,13 @@ def _code_leaf(io, st: _FrameState, x: int, y: int, s: int,
                 rec = transform.inverse_transform(
                     transform.dequantize(lev, st.qp, bd, dq=st.dq),
                     bit_depth=bd)
-                dist = int(((resis[0].astype(np.int64) - rec) ** 2).sum()
-                           + ((resis[1].astype(np.int64) + rec) ** 2).sum())
+                # per-pixel diff capped at 2047: keeps the device twin's
+                # int32 cost exact (chroma TBs <= 16x16)
+                d0 = np.minimum(np.abs(resis[0].astype(np.int64) - rec),
+                                2047)
+                d1 = np.minimum(np.abs(resis[1].astype(np.int64) + rec),
+                                2047)
+                dist = int((d0 * d0).sum() + (d1 * d1).sum())
                 cost = dist + lam * min(transform.level_rate_est(lev),
                                         1 << 14)
                 cands.append((cost, use_cclm, 1, preds, [lev]))
@@ -1371,8 +1383,9 @@ def _code_leaf(io, st: _FrameState, x: int, y: int, s: int,
                     rec = transform.inverse_transform(
                         transform.dequantize(lev, st.qp, bd, dq=st.dq),
                         bit_depth=bd)
-                    dist = int(((resis[c - 1].astype(np.int64) - rec) ** 2
-                                ).sum())
+                    dd = np.minimum(
+                        np.abs(resis[c - 1].astype(np.int64) - rec), 2047)
+                    dist = int((dd * dd).sum())
                     cost += dist + lam * min(transform.level_rate_est(lev),
                                              1 << 14)
                     levs.append(lev)
@@ -1389,18 +1402,19 @@ def _code_leaf(io, st: _FrameState, x: int, y: int, s: int,
     if st.sps.jccr_enabled:
         io.bin(C.JCCR_FLAG(0), joint)
     if joint:
-        _code_joint_chroma(io, st, cx, cy, cs, preds, lev=levs[0])
+        _code_joint_chroma(io, st, cx, cy, cs, preds, lev=levs[0],
+                           crs_sc=crs_sc)
         return
     _code_component(io, st, 1, cx, cy, cs, cs, dm, C.CBF_CB(0),
-                    pred=preds[0], lev_pre=levs[0])
+                    pred=preds[0], lev_pre=levs[0], crs_sc=crs_sc)
     _code_component(io, st, 2, cx, cy, cs, cs, dm, C.CBF_CR(0),
-                    pred=preds[1], lev_pre=levs[1])
+                    pred=preds[1], lev_pre=levs[1], crs_sc=crs_sc)
 
 
 def _code_joint_chroma(io, st: _FrameState, cx: int, cy: int, cs: int,
-                       preds, lev=None) -> None:
+                       preds, lev=None, crs_sc=None) -> None:
     """One joint Cb-Cr TB: cbf (CBF_CB ctx) + residual; recon
-    Cb = pred + r, Cr = pred - r (CSign = -1)."""
+    Cb = pred + r, Cr = pred - r (CSign = -1); CRS-scaled when LMCS."""
     bd = st.sps.bit_depth
     mx = (1 << bd) - 1
     if io.decoding:
@@ -1417,6 +1431,9 @@ def _code_joint_chroma(io, st: _FrameState, cx: int, cy: int, cs: int,
     if cbf:
         resi = transform.inverse_transform(
             transform.dequantize(lev, st.qp, bd, dq=st.dq), bit_depth=bd)
+        if crs_sc is not None:
+            from . import lmcs as lmcsmod
+            resi = lmcsmod.crs_inv(resi, crs_sc)
     else:
         resi = 0
     st.recon[1][cy:cy + cs, cx:cx + cs] = np.clip(preds[0] + resi, 0, mx)
