@@ -44,7 +44,8 @@ def _enc(args) -> int:
                      ("smvd", fc.smvd), ("ciip", fc.ciip),
                      ("sbt", fc.sbt), ("isp", fc.isp),
                      ("gpm", fc.gpm), ("affine", fc.affine),
-                     ("dq", fc.dq), ("mtt", fc.mtt), ("ibc", fc.ibc)):
+                     ("dq", fc.dq), ("mtt", fc.mtt), ("tt", fc.tt),
+                     ("ibc", fc.ibc)):
             if ap_defaults.get(a) == getattr(args, a):
                 setattr(args, a, v)
         if not fc.rdoq:
@@ -68,7 +69,7 @@ def _enc(args) -> int:
                             amvr=args.amvr, smvd=args.smvd,
                             ciip=args.ciip, sbt=args.sbt, isp=args.isp,
                             gpm=args.gpm, affine=args.affine, dq=args.dq,
-                            mtt=args.mtt, ibc=args.ibc,
+                            mtt=args.mtt, tt=args.tt, ibc=args.ibc,
                             tile_cols=int(args.tiles.split("x")[0]),
                             tile_rows=int(args.tiles.split("x")[1]),
                             mctf=args.mctf, rdoq=not args.no_rdoq,
@@ -205,7 +206,7 @@ ap_defaults = {"qp": 32, "intra_period": 1, "gop": 1, "bit_depth": 8,
                "dmvr": False, "bdof": False, "bcw": False, "amvr": False,
                "smvd": False, "ciip": False, "sbt": False, "isp": False,
                "gpm": False, "affine": False, "dq": False,
-               "mtt": False, "ibc": False}
+               "mtt": False, "tt": False, "ibc": False}
 
 
 def main(argv=None) -> int:
@@ -245,6 +246,8 @@ def main(argv=None) -> int:
                    help="dependent quantization (4-state trellis)")
     e.add_argument("--mtt", action="store_true",
                    help="multi-type tree (binary splits at 16/32)")
+    e.add_argument("--tt", action="store_true",
+                   help="ternary splits at 32 nodes (requires --mtt)")
     e.add_argument("--ibc", action="store_true",
                    help="intra block copy (I slices, square leaves)")
     e.add_argument("--tiles", default="1x1",

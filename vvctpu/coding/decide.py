@@ -73,14 +73,20 @@ def _satd_rect8(diff, w: int, h: int):
 
 
 @functools.partial(jax.jit, static_argnames=("bw", "bh", "frame_w",
-                                             "frame_h", "bd"))
+                                             "frame_h", "bd", "sy", "sx",
+                                             "oy", "ox"))
 def rect_size_pass(buf, lam, *, bw: int, bh: int, frame_w: int,
-                   frame_h: int, bd: int = 8):
+                   frame_h: int, bd: int = 8, sy: int | None = None,
+                   sx: int | None = None, oy: int = 0, ox: int = 0):
     """Best (cost, mode) per (bw x bh) rect block over the 67 regular
-    modes — twin of spec rect_intra_grid (square-only tools excluded)."""
-    nby, nbx = frame_h // bh, frame_w // bw
-    xs = jnp.arange(nbx, dtype=jnp.int32) * bw
-    ys = jnp.arange(nby, dtype=jnp.int32) * bh
+    modes — twin of spec rect_intra_grid (square-only tools excluded).
+    Blocks tile at stride (sy, sx) from offset (oy, ox) (defaults dense)."""
+    sy = bh if sy is None else sy
+    sx = bw if sx is None else sx
+    nby = (frame_h - oy - bh) // sy + 1
+    nbx = (frame_w - ox - bw) // sx + 1
+    xs = jnp.arange(nbx, dtype=jnp.int32) * sx + ox
+    ys = jnp.arange(nby, dtype=jnp.int32) * sy + oy
     gx, gy = jnp.meshgrid(xs, ys)
     coords = jnp.stack([gx.ravel(), gy.ravel()], axis=1)
     modes = jnp.arange(rom.NUM_LUMA_MODE, dtype=jnp.int32)
@@ -109,47 +115,68 @@ def rect_size_pass(buf, lam, *, bw: int, bh: int, frame_w: int,
     return cost.reshape(nby, nbx), mode.reshape(nby, nbx)
 
 
-def _rect_grids_intra(jbuf, lam, w, h, bd):
-    """Host dict {(bw, bh): (cost int64, mode)} for the 4 BT shapes."""
+_BT_SHAPES = ((16, 8), (8, 16), (32, 16), (16, 32))
+
+
+def _rect_keys(tt: bool):
+    from ..spec.decide import TT_GEOM
+    keys = [(bw, bh, None, None, 0, 0) for (bw, bh) in _BT_SHAPES]
+    names = list(_BT_SHAPES)
+    if tt:
+        for key, (bw, bh, sy, sx, oy, ox) in TT_GEOM.items():
+            keys.append((bw, bh, sy, sx, oy, ox))
+            names.append(key)
+    return names, keys
+
+
+def _rect_grids_intra(jbuf, lam, w, h, bd, tt: bool = False):
+    """Host dict {(bw, bh) | tt-key: (cost int64, mode)} for the 4 BT
+    shapes (+ the 4 TT stripe geometries when ``tt``)."""
     out = {}
-    for (bw, bh) in ((16, 8), (8, 16), (32, 16), (16, 32)):
+    names, keys = _rect_keys(tt)
+    for name, (bw, bh, sy, sx, oy, ox) in zip(names, keys):
         c, m = rect_size_pass(jbuf, np.int32(lam), bw=bw, bh=bh, frame_w=w,
-                              frame_h=h, bd=bd)
-        out[(bw, bh)] = (np.asarray(c).astype(np.int64), np.asarray(m))
+                              frame_h=h, bd=bd, sy=sy, sx=sx, oy=oy, ox=ox)
+        out[name] = (np.asarray(c).astype(np.int64), np.asarray(m))
     return out
 
 
-def _rect_grids_inter(jbuf, jorig, refs_p80, memaps, lam, w, h, bd):
-    """Host dict {(bw, bh): (cost, mode, kind, mv0, mv1)} — twin of spec
-    rect_inter_grid, built from the device rect passes."""
+def _rect_grids_inter(jbuf, jorig, refs_p80, memaps, lam, w, h, bd,
+                      tt: bool = False):
+    """Host dict {(bw, bh) | tt-key: (cost, mode, kind, mv0, mv1)} — twin
+    of spec rect_inter_grid, built from the device rect passes."""
     from . import me as jme
     out = {}
-    for (bw, bh) in ((16, 8), (8, 16), (32, 16), (16, 32)):
+    names, keys = _rect_keys(tt)
+    for name, (bw, bh, sy, sx, oy, ox) in zip(names, keys):
         ic, im = rect_size_pass(jbuf, np.int32(lam), bw=bw, bh=bh,
-                                frame_w=w, frame_h=h, bd=bd)
+                                frame_w=w, frame_h=h, bd=bd, sy=sy, sx=sx,
+                                oy=oy, ox=ox)
         icost = np.asarray(ic).astype(np.int64)
         imode = np.asarray(im)
         ucost, umv = [], []
         for lst, refp in enumerate(refs_p80):
-            rc, rmv = jme.refine_pass(jorig, refp, memaps[lst][(bw, bh)][1],
+            rc, rmv = jme.refine_pass(jorig, refp, memaps[lst][name][1],
                                       np.int32(lam), s=bw, frame_w=w,
-                                      frame_h=h, bd=bd, bh=bh)
+                                      frame_h=h, bd=bd, bh=bh, sy=sy,
+                                      sx=sx, oy=oy, ox=ox)
             ucost.append(np.asarray(rc).astype(np.int64))
             umv.append(np.asarray(rmv))
         if len(refs_p80) == 1:
             costs = np.stack([icost, ucost[0]])
             kind = np.argmin(costs, axis=0).astype(np.int32)
-            out[(bw, bh)] = (np.min(costs, axis=0), imode, kind, umv[0],
-                             np.zeros_like(umv[0]))
+            out[name] = (np.min(costs, axis=0), imode, kind, umv[0],
+                         np.zeros_like(umv[0]))
             continue
         bcost, _ = jme.bi_cost_pass(jorig, refs_p80[0], refs_p80[1],
                                     jnp.asarray(umv[0]), jnp.asarray(umv[1]),
                                     np.int32(lam), s=bw, frame_w=w,
-                                    frame_h=h, bd=bd, bcw=False, bh=bh)
+                                    frame_h=h, bd=bd, bcw=False, bh=bh,
+                                    sy=sy, sx=sx, oy=oy, ox=ox)
         bcost = np.asarray(bcost).astype(np.int64)
         costs = np.stack([icost, ucost[0], ucost[1], bcost])
         kind = np.argmin(costs, axis=0).astype(np.int32)
-        out[(bw, bh)] = (np.min(costs, axis=0), imode, kind, umv[0], umv[1])
+        out[name] = (np.min(costs, axis=0), imode, kind, umv[0], umv[1])
     return out
 
 
@@ -380,7 +407,7 @@ def affine_pass(orig, refp, base_mv, lam, *, s: int, frame_w: int,
 def decide_frame_device(orig_y: np.ndarray, qp: int, bd: int = 8,
                         mip: bool = False, mrl: bool = False,
                         isp: bool = False, mtt: bool = False,
-                        ibc: bool = False):
+                        ibc: bool = False, tt: bool = False):
     """Launch the I-frame decision device passes asynchronously.
 
     Returns an opaque handle of un-materialised jax arrays; pass to
@@ -404,10 +431,11 @@ def decide_frame_device(orig_y: np.ndarray, qp: int, bd: int = 8,
     rects = None
     if mtt:
         rects = {}
-        for (bw, bh) in ((16, 8), (8, 16), (32, 16), (16, 32)):
-            rects[(bw, bh)] = rect_size_pass(jbuf, np.int32(lam), bw=bw,
-                                             bh=bh, frame_w=w, frame_h=h,
-                                             bd=bd)
+        names, keys = _rect_keys(tt)
+        for name, (bw, bh, sy, sx, oy, ox) in zip(names, keys):
+            rects[name] = rect_size_pass(jbuf, np.int32(lam), bw=bw,
+                                         bh=bh, frame_w=w, frame_h=h,
+                                         bd=bd, sy=sy, sx=sx, oy=oy, ox=ox)
     return dict(res=res, ipass=ipass, rects=rects, h=h, w=w, lam=lam,
                 mtt=mtt, ibc=ibc)
 
@@ -493,17 +521,18 @@ def decide_frame_assemble(hd) -> FrameDecisions:
 def decide_frame(orig_y: np.ndarray, qp: int, bd: int = 8,
                  mip: bool = False, mrl: bool = False,
                  isp: bool = False, mtt: bool = False,
-                 ibc: bool = False) -> FrameDecisions:
+                 ibc: bool = False, tt: bool = False) -> FrameDecisions:
     """Device-batched decisions for a padded luma plane (host assembly)."""
     return decide_frame_assemble(decide_frame_device(
-        orig_y, qp, bd, mip=mip, mrl=mrl, isp=isp, mtt=mtt, ibc=ibc))
+        orig_y, qp, bd, mip=mip, mrl=mrl, isp=isp, mtt=mtt, ibc=ibc,
+        tt=tt))
 
 
 def decide_frame_p(orig_y: np.ndarray, ref_y: np.ndarray, qp: int,
                    bd: int = 8, mip: bool = False,
                    mrl: bool = False, ciip: bool = False,
                    isp: bool = False, affine: bool = False,
-                   mtt: bool = False) -> FrameDecisions:
+                   mtt: bool = False, tt: bool = False) -> FrameDecisions:
     """Device-batched P-frame decisions (twin of spec decide_frame_p)."""
     from ..spec.inter import ME_RANGE
     from . import me as jme
@@ -516,7 +545,8 @@ def decide_frame_p(orig_y: np.ndarray, ref_y: np.ndarray, qp: int,
     from ..spec.inter import REF_MARGIN
     refp = np.pad(ref_y.astype(np.int32), ME_RANGE, mode="edge")
     memaps = jme.me_pass(jnp.asarray(orig_y, jnp.int32), jnp.asarray(refp),
-                         np.int64(lam), frame_w=w, frame_h=h)
+                         np.int64(lam), frame_w=w, frame_h=h,
+                         tt=tt and mtt)
     refp80 = jnp.asarray(np.pad(ref_y.astype(np.int32), REF_MARGIN,
                                 mode="edge"))
     jorig = jnp.asarray(orig_y, jnp.int32)
@@ -568,7 +598,7 @@ def decide_frame_p(orig_y: np.ndarray, ref_y: np.ndarray, qp: int,
         from ..spec.decide import mtt_assemble_p
         dec = FrameDecisions.empty(h, w)
         rects = _rect_grids_inter(jbuf, jorig, [refp80], [memaps], lam, w,
-                                  h, bd)
+                                  h, bd, tt=tt)
         mtt_assemble_p(dec, size_data, rects, lam, ciip, affine)
         return dec
 
@@ -647,7 +677,8 @@ def decide_frame_b(orig_y: np.ndarray, ref0_y: np.ndarray,
                    mip: bool = False, mrl: bool = False,
                    bcw: bool = False, ciip: bool = False,
                    isp: bool = False, gpm: bool = False,
-                   affine: bool = False, mtt: bool = False):
+                   affine: bool = False, mtt: bool = False,
+                   tt: bool = False):
     """Device-batched B-frame decisions (twin of spec decide_frame_b)."""
     from ..spec.inter import BCW_DEFAULT
     from ..spec.inter import ME_RANGE, REF_MARGIN
@@ -665,7 +696,7 @@ def decide_frame_b(orig_y: np.ndarray, ref0_y: np.ndarray,
     refp80 = [jnp.asarray(np.pad(r.astype(np.int32), REF_MARGIN,
                                  mode="edge")) for r in refs]
     memaps = [jme.me_pass(jorig, refp_me[i], np.int64(lam), frame_w=w,
-                          frame_h=h) for i in range(2)]
+                          frame_h=h, tt=tt and mtt) for i in range(2)]
 
     size_data = {}
     for s in (8, 16, 32):
@@ -748,7 +779,7 @@ def decide_frame_b(orig_y: np.ndarray, ref0_y: np.ndarray,
         from ..spec.decide import mtt_assemble_b
         dec = FrameDecisions.empty(h, w)
         rects = _rect_grids_inter(jbuf, jorig, refp80, memaps, lam, w, h,
-                                  bd)
+                                  bd, tt=tt)
         mtt_assemble_b(dec, size_data, rects, lam, ciip, affine, bcw, gpm)
         return dec
 

@@ -34,31 +34,65 @@ def _offsets_with_bits() -> np.ndarray:
 
 _OFFSETS = _offsets_with_bits()
 
-# ME aggregation keys: square sizes by int, rect (BT) shapes by (w, h);
+# ME aggregation keys: square sizes by int, rect (BT) shapes by (w, h),
+# TT stripe geometries by string key (spec.decide.TT_GEOM strides/offsets);
 # factors are (fx, fy) multiples of the 8x8 base SAD grid
 _ME_KEYS = (8, 16, 32, (16, 8), (8, 16), (32, 16), (16, 32))
 _ME_FACT = {8: (1, 1), 16: (2, 2), 32: (4, 4), (16, 8): (2, 1),
             (8, 16): (1, 2), (32, 16): (4, 2), (16, 32): (2, 4)}
+# TT keys: (block granules gh, gw; stride granules gsy, gsx; offset gy0, gx0)
+_TT_KEYS = ((32, 8), (8, 32), "tth_mid", "ttv_mid")
+_TT_AGG = {(32, 8): (1, 4, 1, 4, 0, 0),
+           (8, 32): (4, 1, 4, 1, 0, 0),
+           "tth_mid": (2, 4, 4, 4, 1, 0),
+           "ttv_mid": (4, 2, 4, 4, 0, 1)}
 
 
-def me_pass(orig, refp, lam, *, frame_w: int, frame_h: int):
-    """Full-search ME for all square sizes + BT rect shapes at once.
+def _tt_shape(key, n8y, n8x):
+    gh, gw, gsy, gsx, gy0, gx0 = _TT_AGG[key]
+    return ((n8y - gy0 - gh) // gsy + 1, (n8x - gx0 - gw) // gsx + 1)
+
+
+def _tt_aggr(sad8, key, n8y, n8x):
+    gh, gw, gsy, gsx, gy0, gx0 = _TT_AGG[key]
+    nby, nbx = _tt_shape(key, n8y, n8x)
+    out = jnp.zeros((nby, nbx), sad8.dtype)
+    for gr in range(gh):
+        for gc in range(gw):
+            out = out + jax.lax.slice(
+                sad8, (gy0 + gr, gx0 + gc),
+                (gy0 + gr + (nby - 1) * gsy + 1,
+                 gx0 + gc + (nbx - 1) * gsx + 1), (gsy, gsx))
+    return out
+
+
+def me_pass(orig, refp, lam, *, frame_w: int, frame_h: int,
+            tt: bool = False):
+    """Full-search ME for all square sizes + BT rect shapes (+ TT stripe
+    geometries when ``tt``) at once.
 
     orig: (H, W) int32; refp: (H+2R, W+2R) int32 edge-padded reference.
     Returns dict key -> (cost (nby, nbx), mv int32 (nby, nbx, 2)) for the
-    keys in _ME_KEYS (int = square size, (w, h) = rect shape)."""
-    res = _me_pass_impl(orig, refp, lam, frame_w=frame_w, frame_h=frame_h)
-    return {k: res[i] for i, k in enumerate(_ME_KEYS)}
+    keys in _ME_KEYS (int = square size, (w, h) = rect shape) and, with
+    ``tt``, the _TT_KEYS."""
+    res = _me_pass_impl(orig, refp, lam, frame_w=frame_w, frame_h=frame_h,
+                        tt=tt)
+    keys = _ME_KEYS + (_TT_KEYS if tt else ())
+    return {k: res[i] for i, k in enumerate(keys)}
 
 
-@functools.partial(jax.jit, static_argnames=("frame_w", "frame_h"))
-def _me_pass_impl(orig, refp, lam, *, frame_w: int, frame_h: int):
+@functools.partial(jax.jit, static_argnames=("frame_w", "frame_h", "tt"))
+def _me_pass_impl(orig, refp, lam, *, frame_w: int, frame_h: int,
+                  tt: bool = False):
     h, w = frame_h, frame_w
     n8y, n8x = h // 8, w // 8
     offs = jnp.asarray(_OFFSETS)
     lam = jnp.asarray(lam, jnp.int32)
+    keys = _ME_KEYS + (_TT_KEYS if tt else ())
 
     def aggr(c, key):
+        if key in _TT_AGG:
+            return _tt_aggr(c, key, n8y, n8x)
         fx, fy = _ME_FACT[key]
         return c.reshape(c.shape[0] // fy, fy,
                          c.shape[1] // fx, fx).sum((1, 3))
@@ -68,9 +102,13 @@ def _me_pass_impl(orig, refp, lam, *, frame_w: int, frame_h: int):
                 jnp.zeros((ny, nx), jnp.int32),
                 jnp.zeros((ny, nx), jnp.int32))
 
-    carry0 = tuple(
-        init(h // (8 * _ME_FACT[k][1]), w // (8 * _ME_FACT[k][0]))
-        for k in _ME_KEYS)
+    def shape_of(k):
+        if k in _TT_AGG:
+            return _tt_shape(k, n8y, n8x)
+        fx, fy = _ME_FACT[k]
+        return (h // (8 * fy), w // (8 * fx))
+
+    carry0 = tuple(init(*shape_of(k)) for k in keys)
 
     def body(carry, off):
         dy, dx, bits = off[0], off[1], off[2]
@@ -78,9 +116,9 @@ def _me_pass_impl(orig, refp, lam, *, frame_w: int, frame_h: int):
                                     (h, w))
         d = jnp.abs(orig.astype(jnp.int32) - win.astype(jnp.int32))
         sad8 = d.reshape(n8y, 8, n8x, 8).sum((1, 3))
-        sads = {k: aggr(sad8, k) for k in _ME_KEYS}
+        sads = {k: aggr(sad8, k) for k in keys}
         out = []
-        for i, k in enumerate(_ME_KEYS):
+        for i, k in enumerate(keys):
             cost, bx, by = carry[i]
             c = (sads[k] << 8) + lam * bits
             better = c < cost
@@ -91,7 +129,7 @@ def _me_pass_impl(orig, refp, lam, *, frame_w: int, frame_h: int):
 
     carry, _ = jax.lax.scan(body, carry0, offs)
     return tuple((carry[i][0], jnp.stack([carry[i][1], carry[i][2]], -1))
-                 for i in range(len(_ME_KEYS)))
+                 for i in range(len(keys)))
 
 
 def ibc_pass(orig, lam, *, frame_w: int, frame_h: int):
@@ -180,21 +218,29 @@ def _mv_bits_q(mvx_q, mvy_q):
 
 
 @functools.partial(jax.jit, static_argnames=("s", "frame_w", "frame_h",
-                                             "bd", "bh"))
+                                             "bd", "bh", "sy", "sx", "oy",
+                                             "ox"))
 def refine_pass(orig, refp_margin, int_mv, lam, *, s: int, frame_w: int,
-                frame_h: int, bd: int = 8, bh: int | None = None):
+                frame_h: int, bd: int = 8, bh: int | None = None,
+                sy: int | None = None, sx: int | None = None,
+                oy: int = 0, ox: int = 0):
     """Half/quarter-pel refinement (twin of spec refine_size_pass).
 
     refp_margin: REF_MARGIN-padded reference; int_mv: (nby, nbx, 2) int.
-    s is the block width, bh the height (default square).
+    s is the block width, bh the height (default square); blocks tile at
+    stride (sy, sx) from offset (oy, ox) (defaults dense — TT stripes use
+    the TT_GEOM strides).
     Returns (cost int32, mv_1_16 int32 (nby, nbx, 2))."""
     from ..kernels import mc as jmc
     from ..spec.inter import (MV_FRAC_BITS, REFINE_HALF, REFINE_QUARTER)
     h, w = frame_h, frame_w
     hh = s if bh is None else bh
-    nby, nbx = h // hh, w // s
-    xs = jnp.arange(nbx, dtype=jnp.int32) * s
-    ys = jnp.arange(nby, dtype=jnp.int32) * hh
+    sy = hh if sy is None else sy
+    sx = s if sx is None else sx
+    nby = (h - oy - hh) // sy + 1
+    nbx = (w - ox - s) // sx + 1
+    xs = jnp.arange(nbx, dtype=jnp.int32) * sx + ox
+    ys = jnp.arange(nby, dtype=jnp.int32) * sy + oy
     gx, gy = jnp.meshgrid(xs, ys)
     coords = jnp.stack([gx.ravel(), gy.ravel()], axis=1)
     lam = jnp.asarray(lam, jnp.int32)
@@ -226,23 +272,29 @@ def refine_pass(orig, refp_margin, int_mv, lam, *, s: int, frame_w: int,
 
 
 @functools.partial(jax.jit, static_argnames=("s", "frame_w", "frame_h",
-                                             "bd", "bcw", "bh"))
+                                             "bd", "bcw", "bh", "sy", "sx",
+                                             "oy", "ox"))
 def bi_cost_pass(orig, refp0, refp1, mv0, mv1, lam, *, s: int, frame_w: int,
                  frame_h: int, bd: int = 8, bcw: bool = False,
-                 bh: int | None = None):
+                 bh: int | None = None, sy: int | None = None,
+                 sx: int | None = None, oy: int = 0, ox: int = 0):
     """BI cost per s-block: SAD of the averaged refined uni predictions plus
     both quarter-pel MV rates (twin of the numpy loop in decide_frame_b).
 
     With ``bcw``, each of the three {3,4,5}/8 weighted averages is costed
     (+ its bcw_idx rate) and the winner index returned alongside the cost.
+    Blocks tile at stride (sy, sx) from offset (oy, ox) (defaults dense).
     Returns (cost, widx), both (nby, nbx)."""
     from ..kernels import mc as jmc
     from ..spec.inter import BCW_DEFAULT, BCW_IDX_BITS, BCW_W
     h, w = frame_h, frame_w
     hh = s if bh is None else bh
-    nby, nbx = h // hh, w // s
-    xs = jnp.arange(nbx, dtype=jnp.int32) * s
-    ys = jnp.arange(nby, dtype=jnp.int32) * hh
+    sy = hh if sy is None else sy
+    sx = s if sx is None else sx
+    nby = (h - oy - hh) // sy + 1
+    nbx = (w - ox - s) // sx + 1
+    xs = jnp.arange(nbx, dtype=jnp.int32) * sx + ox
+    ys = jnp.arange(nby, dtype=jnp.int32) * sy + oy
     gx, gy = jnp.meshgrid(xs, ys)
     coords = jnp.stack([gx.ravel(), gy.ravel()], axis=1)
     m0 = mv0.reshape(-1, 2)

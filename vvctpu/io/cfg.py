@@ -42,6 +42,7 @@ class AppConfig:
     rdoq: bool = True             # RDOQ
     dq: bool = False              # DepQuant (4-state trellis)
     mtt: bool = False             # MTT binary splits
+    tt: bool = False              # MTT ternary splits (32 nodes)
     ibc: bool = False             # IBC (intra block copy)
     tile_cols: int = 1
     tile_rows: int = 1
@@ -96,6 +97,8 @@ _KEYMAP = {
     "rdoq": ("rdoq", lambda v: bool(int(v))),
     "depquant": ("dq", lambda v: bool(int(v))),
     "mtt": ("mtt", lambda v: bool(int(v))),
+    "tt": ("tt", lambda v: bool(int(v))),
+    "maxmtthierarchydepth": ("mtt", lambda v: int(v) > 0),
     "ibc": ("ibc", lambda v: bool(int(v))),
     "tilecolumns": ("tile_cols", int),
     "tilerows": ("tile_rows", int),

@@ -48,7 +48,8 @@ def _run_scan(sps, pps, dec, py, pcb, pcr, dpb, ref_pocs, scan_kw):
             if mtt:
                 rkw.update(rect16x8=isl[(16, 8)], rect8x16=isl[(8, 16)],
                            rect32x16=isl[(32, 16)],
-                           rect16x32=isl[(16, 32)])
+                           rect16x32=isl[(16, 32)],
+                           rect32x8=isl[(32, 8)], rect8x32=isl[(8, 32)])
         else:
             slots = recon.make_slots(dec, sps.height, sps.width)
         out = recon.frame_scan(slots, py, pcb, pcr, frame_w=sps.width,
@@ -77,7 +78,8 @@ def _run_scan(sps, pps, dec, py, pcb, pcr, dpb, ref_pocs, scan_kw):
             if mtt:
                 tkw.update(rect16x8=isl[(16, 8)], rect8x16=isl[(8, 16)],
                            rect32x16=isl[(32, 16)],
-                           rect16x32=isl[(16, 32)])
+                           rect16x32=isl[(16, 32)],
+                           rect32x8=isl[(32, 8)], rect8x32=isl[(8, 32)])
         else:
             slots = recon.make_slots(tdec, th, tw)
         res = recon.frame_scan(
@@ -169,7 +171,8 @@ def _encode_ai_pipelined(frames, cfg, sps, pps, nals, recons, bits,
                                          mrl=sps.mrl_enabled,
                                          isp=sps.isp_enabled,
                                          mtt=sps.mtt_enabled,
-                                         ibc=sps.ibc_enabled)
+                                         ibc=sps.ibc_enabled,
+                                         tt=sps.tt_enabled)
         if pending is not None:      # host work overlaps device compute
             finish(pending)
             pending = None
@@ -236,7 +239,8 @@ def encode_sequence(frames, cfg: sseq.EncoderConfig, decisions_fn=None,
                                        mrl=sps.mrl_enabled,
                                        isp=sps.isp_enabled,
                                        mtt=sps.mtt_enabled,
-                                       ibc=sps.ibc_enabled)
+                                       ibc=sps.ibc_enabled,
+                                       tt=sps.tt_enabled)
         elif stype == hls.SLICE_P:
             dec = jdecide.decide_frame_p(padded[0], dpb[ref_pocs[0]][0], qp,
                                          cfg.bit_depth, mip=sps.mip_enabled,
@@ -244,7 +248,8 @@ def encode_sequence(frames, cfg: sseq.EncoderConfig, decisions_fn=None,
                                          ciip=sps.ciip_enabled,
                                          isp=sps.isp_enabled,
                                          affine=sps.affine_enabled,
-                                         mtt=sps.mtt_enabled)
+                                         mtt=sps.mtt_enabled,
+                                         tt=sps.tt_enabled)
         else:
             dec = jdecide.decide_frame_b(padded[0], dpb[ref_pocs[0]][0],
                                          dpb[ref_pocs[1]][0], qp,
@@ -255,7 +260,8 @@ def encode_sequence(frames, cfg: sseq.EncoderConfig, decisions_fn=None,
                                          isp=sps.isp_enabled,
                                          gpm=sps.gpm_enabled,
                                          affine=sps.affine_enabled,
-                                         mtt=sps.mtt_enabled)
+                                         mtt=sps.mtt_enabled,
+                                         tt=sps.tt_enabled)
         if decisions_out is not None:
             decisions_out.append(dec)
         lmcs_cw = ()

@@ -615,19 +615,25 @@ class _Walker:
                         self._code_qt(x + dx, y + dy, half, depth + 1)
                 return
             if self.sps.mtt_enabled:
-                # twin of spec _code_qt's BT branch (bt_flag + direction)
+                # twin of spec _code_qt's MTT branch (bt_flag + direction
+                # + ternary bin at 32 when TT is enabled)
                 barr = self.dec.bt32 if s == 32 else self.dec.bt16
                 fctx = C.BT_FLAG(0 if s == 16 else 1)
+                tt_ok = self.sps.tt_enabled and s == 32
                 if io.decoding:
                     bt = 0
                     if io.bin(fctx):
                         bt = 1 + io.bin(C.BT_DIR(0))
+                        if tt_ok and io.bin(C.TT_FLAG(0)):
+                            bt += 2
                     barr[y // s, x // s] = bt
                 else:
                     bt = int(barr[y // s, x // s])
                     io.bin(fctx, int(bt > 0))
                     if bt:
-                        io.bin(C.BT_DIR(0), bt - 1)
+                        io.bin(C.BT_DIR(0), (bt - 1) & 1)
+                        if tt_ok:
+                            io.bin(C.TT_FLAG(0), int(bt > 2))
                 trace.t_split(x, y, s, 4 + bt)
                 if bt == 1:
                     self._code_leaf(x, y, s, h=s // 2)
@@ -636,6 +642,18 @@ class _Walker:
                 if bt == 2:
                     self._code_leaf(x, y, s // 2, h=s)
                     self._code_leaf(x + s // 2, y, s // 2, h=s)
+                    return
+                if bt == 3:
+                    q = s // 4
+                    self._code_leaf(x, y, s, h=q)
+                    self._code_leaf(x, y + q, s, h=s // 2)
+                    self._code_leaf(x, y + s - q, s, h=q)
+                    return
+                if bt == 4:
+                    q = s // 4
+                    self._code_leaf(x, y, q, h=s)
+                    self._code_leaf(x + q, y, s // 2, h=s)
+                    self._code_leaf(x + s - q, y, q, h=s)
                     return
         self._code_leaf(x, y, s)
 

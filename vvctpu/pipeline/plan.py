@@ -13,11 +13,14 @@ import numpy as np
 from ..spec.codec import FrameDecisions
 
 OP_SKIP, OP_LEAF8, OP_LEAF16, OP_LEAF32 = 0, 1, 2, 3
-# rect (BT) leaves: ops 10..13 intra, 14..17 inter, shape by RECT_SHAPES idx
-RECT_SHAPES = ((16, 8), (8, 16), (32, 16), (16, 32))
+# rect (BT + TT) leaves: ops 10..15 intra, 16..21 inter (RECT_SHAPES idx);
+# the TT mid stripes reuse the (32, 16) / (16, 32) shapes at offset
+# positions, so only the (32, 8) / (8, 32) quarter stripes are new shapes
+RECT_SHAPES = ((16, 8), (8, 16), (32, 16), (16, 32), (32, 8), (8, 32))
 OP_RECT_INTRA0 = 10
-OP_RECT_INTER0 = 14
-OP_IBC0 = 18             # +0/1/2 for square IBC leaves 8/16/32
+OP_RECT_INTER0 = 16
+OP_IBC0 = 22             # +0/1/2 for square IBC leaves 8/16/32
+OP_MAX = 24
 _SIZE_OF_OP = {OP_LEAF8: 8, OP_LEAF16: 16, OP_LEAF32: 32}
 
 
@@ -64,6 +67,18 @@ def leaf_plan(dec: FrameDecisions, height: int, width: int,
                     elif b == 2:
                         o = 1 if (px % 16 == 0 and py % 32 == 0) else 0
                         rect = 3
+                    elif b == 3:     # TT-H: 32x8 / 32x16@+8 / 32x8@+24
+                        r = (py % 32) // 8
+                        if px % 32 == 0 and r in (0, 1, 3):
+                            o, rect = 1, (4 if r != 1 else 2)
+                        else:
+                            o, rect = 0, 4
+                    elif b == 4:     # TT-V: 8x32 / 16x32@+8 / 8x32@+24
+                        c = (px % 32) // 8
+                        if py % 32 == 0 and c in (0, 1, 3):
+                            o, rect = 1, (5 if c != 1 else 3)
+                        else:
+                            o, rect = 0, 5
                     else:
                         o = OP_LEAF32 if (px % 32 == 0 and py % 32 == 0) \
                             else OP_SKIP

@@ -832,7 +832,8 @@ def frame_scan(slots, planes_y, planes_cb, planes_cr, *, frame_w: int,
                isp: bool = False, gpm: bool = False,
                affine: bool = False, dq: bool = False, mtt: bool = False,
                rect16x8=None, rect8x16=None, rect32x16=None,
-               rect16x32=None, ref_off_x=0, ref_off_y=0,
+               rect16x32=None, rect32x8=None, rect8x32=None,
+               ref_off_x=0, ref_off_y=0,
                ibc: bool = False):
     """Run the full-frame reconstruction scan.
 
@@ -880,7 +881,10 @@ def frame_scan(slots, planes_y, planes_cb, planes_cr, *, frame_w: int,
         if mtt:
             for (rw, rh), ib in (((16, 8), rect16x8), ((8, 16), rect8x16),
                                  ((32, 16), rect32x16),
-                                 ((16, 32), rect16x32)):
+                                 ((16, 32), rect16x32),
+                                 ((32, 8), rect32x8), ((8, 32), rect8x32)):
+                if ib is None:
+                    continue
                 carry = _inter_batch_pass_rect(
                     carry, ib, refs, rw, rh, qp, bd, encode, rdoq,
                     jnp.asarray(lam_rd, jnp.int32),
@@ -898,8 +902,9 @@ def frame_scan(slots, planes_y, planes_cb, planes_cr, *, frame_w: int,
                 _make_leaf_fn(8, False, **kw), _make_leaf_fn(16, False, **kw),
                 _make_leaf_fn(32, False, **kw)]
     # canonical op -> branch index (ops: 0 skip, 1-3 intra sq, 4-6 inter sq
-    # [phase A], 7-9 CIIP, 10-13 rect intra, 14-17 rect inter [phase A])
-    op2b = np.zeros(21, np.int32)
+    # [phase A], 7-9 CIIP, 10-15 rect intra, 16-21 rect inter [phase A],
+    # 22-24 IBC) — see pipeline/plan.py
+    op2b = np.zeros(planmod.OP_MAX + 1, np.int32)
     op2b[1:4] = (1, 2, 3)
     if ciip and inter_enabled:
         ckw = dict(frame_w=frame_w, frame_h=frame_h, n_ctu_x=n_ctu_x, qp=qp,
@@ -916,16 +921,16 @@ def frame_scan(slots, planes_y, planes_cb, planes_cr, *, frame_w: int,
                    qp=qp, bd=bd, encode=encode, refs=refs, rdoq=rdoq,
                    lam_rd=jnp.asarray(lam_rd, jnp.int32), dq=dq)
         rkw["crs_lut"] = crs_lut if lmcs else None
-        op2b[10:14] = np.arange(len(branches), len(branches) + 4)
-        branches += [_make_rect_leaf_fn(16, 8, **rkw),
-                     _make_rect_leaf_fn(8, 16, **rkw),
-                     _make_rect_leaf_fn(32, 16, **rkw),
-                     _make_rect_leaf_fn(16, 32, **rkw)]
+        nsh = len(planmod.RECT_SHAPES)
+        op2b[10:10 + nsh] = np.arange(len(branches), len(branches) + nsh)
+        branches += [_make_rect_leaf_fn(rw, rh, **rkw)
+                     for (rw, rh) in planmod.RECT_SHAPES]
     if ibc:
         ikw = dict(frame_w=frame_w, frame_h=frame_h, qp=qp, bd=bd,
                    encode=encode, rdoq=rdoq,
                    lam_rd=jnp.asarray(lam_rd, jnp.int32), dq=dq)
-        op2b[18:21] = np.arange(len(branches), len(branches) + 3)
+        op2b[planmod.OP_IBC0:planmod.OP_IBC0 + 3] = np.arange(
+            len(branches), len(branches) + 3)
         branches += [_make_ibc_fn(8, **ikw), _make_ibc_fn(16, **ikw),
                      _make_ibc_fn(32, **ikw)]
 
@@ -940,7 +945,7 @@ def frame_scan(slots, planes_y, planes_cb, planes_cr, *, frame_w: int,
         dd = slot[13] if slot.shape[0] > 13 else jnp.int32(0)
         wdx = slot[14] if slot.shape[0] > 14 else jnp.int32(BCW_DEFAULT)
         ip = slot[15] if slot.shape[0] > 15 else jnp.int32(0)
-        br = jnp.asarray(op2b)[jnp.clip(slot[0], 0, 20)]
+        br = jnp.asarray(op2b)[jnp.clip(slot[0], 0, planmod.OP_MAX)]
         return jax.lax.switch(
             br, branches, carry,
             slot[1], slot[2], slot[3], slot[4], slot[5], mt, lf, cm,

@@ -1461,22 +1461,30 @@ def _code_qt(io, st: _FrameState, x: int, y: int, s: int, depth: int) -> None:
                     _code_qt(io, st, x + dx, y + dy, half, depth + 1)
             return
         if st.sps.mtt_enabled:
-            # binary split of a non-QT-split node: bt_flag (ctx by size)
-            # + direction bin; children are two s x s/2 (H) or s/2 x s (V)
-            # rectangular leaves (single-level MTT; role of the VVC
-            # QTBT multi-type tree, VTM:CommonLib/UnitPartitioner.cpp)
+            # MTT split of a non-QT-split node: bt_flag (ctx by size) +
+            # direction bin + (s == 32, tt enabled) ternary bin; children
+            # are two s x s/2 halves (binary) or s/4, s/2, s/4 stripes
+            # (ternary) — role of the VVC QTBT+TT multi-type tree,
+            # VTM:CommonLib/UnitPartitioner.cpp (mtt_split_cu_flag,
+            # mtt_split_cu_vertical_flag, mtt_split_cu_binary_flag)
             barr = st.dec.bt32 if s == 32 else st.dec.bt16
-            fctx = C.BT_FLAG(0 if s == 16 else 1)
+            tt_ok = st.sps.tt_enabled and s == 32
             if io.decoding:
                 bt = 0
+                fctx = C.BT_FLAG(0 if s == 16 else 1)
                 if io.bin(fctx):
                     bt = 1 + io.bin(C.BT_DIR(0))
+                    if tt_ok and io.bin(C.TT_FLAG(0)):
+                        bt += 2          # 3 = TT-H, 4 = TT-V
                 barr[y // s, x // s] = bt
             else:
                 bt = int(barr[y // s, x // s])
+                fctx = C.BT_FLAG(0 if s == 16 else 1)
                 io.bin(fctx, int(bt > 0))
                 if bt:
-                    io.bin(C.BT_DIR(0), bt - 1)
+                    io.bin(C.BT_DIR(0), (bt - 1) & 1)
+                    if tt_ok:
+                        io.bin(C.TT_FLAG(0), int(bt > 2))
             trace.t_split(x, y, s, 4 + bt)
             if bt == 1:      # horizontal halves (w = s, h = s/2)
                 _code_leaf(io, st, x, y, s, h=s // 2)
@@ -1485,6 +1493,18 @@ def _code_qt(io, st: _FrameState, x: int, y: int, s: int, depth: int) -> None:
             if bt == 2:      # vertical halves (w = s/2, h = s)
                 _code_leaf(io, st, x, y, s // 2, h=s)
                 _code_leaf(io, st, x + s // 2, y, s // 2, h=s)
+                return
+            if bt == 3:      # ternary horizontal stripes (s/4, s/2, s/4)
+                q = s // 4
+                _code_leaf(io, st, x, y, s, h=q)
+                _code_leaf(io, st, x, y + q, s, h=s // 2)
+                _code_leaf(io, st, x, y + s - q, s, h=q)
+                return
+            if bt == 4:      # ternary vertical stripes
+                q = s // 4
+                _code_leaf(io, st, x, y, q, h=s)
+                _code_leaf(io, st, x + q, y, s // 2, h=s)
+                _code_leaf(io, st, x + s - q, y, q, h=s)
                 return
     _code_leaf(io, st, x, y, s)
 

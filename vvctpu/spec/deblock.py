@@ -62,6 +62,9 @@ def edge_masks(decisions, height: int, width: int):
         ver = ver | ((b32 == 2) & (gxi % 4 == 2))
         hor = hor | ((b16 == 1) & (gyi % 2 == 1))
         ver = ver | ((b16 == 2) & (gxi % 2 == 1))
+        # ternary splits: stripe boundaries at 1/4 and 3/4 of the 32 node
+        hor = hor | ((b32 == 3) & ((gyi % 4 == 1) | (gyi % 4 == 3)))
+        ver = ver | ((b32 == 4) & ((gxi % 4 == 1) | (gxi % 4 == 3)))
     return ver, hor
 
 

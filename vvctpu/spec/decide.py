@@ -110,6 +110,12 @@ _SENTINEL = 1 << 30
 
 BT_LEAF_BITS = 1     # bt_flag = 0 bin on a square leaf when MTT is on
 BT_BITS = 2          # bt_flag + direction
+TT_BITS = 3          # bt_flag + direction + ternary bin (s = 32 only)
+# the four TT stripe geometries: key -> (bw, bh, sy, sx, oy, ox)
+TT_GEOM = {(32, 8): (32, 8, 8, 32, 0, 0),
+           (8, 32): (8, 32, 32, 8, 0, 0),
+           "tth_mid": (32, 16, 32, 32, 8, 0),
+           "ttv_mid": (16, 32, 32, 32, 0, 8)}
 
 
 def _rect_mode_costs(orig: np.ndarray, x: int, y: int, w: int, h: int,
@@ -130,16 +136,22 @@ def _rect_mode_costs(orig: np.ndarray, x: int, y: int, w: int, h: int,
 
 
 def rect_intra_grid(orig: np.ndarray, bw: int, bh: int, lam: int,
-                    bit_depth: int):
-    """Dense (cost, mode) grids over the frame's (bw x bh) blocks."""
+                    bit_depth: int, sy: int | None = None,
+                    sx: int | None = None, oy: int = 0, ox: int = 0):
+    """Dense (cost, mode) grids over (bw x bh) blocks at stride (sy, sx)
+    from offset (oy, ox) — BT halves use the default tiling; TT stripes
+    use the TT_GEOM strides/offsets."""
     h, w = orig.shape
-    nby, nbx = h // bh, w // bw
+    sy = bh if sy is None else sy
+    sx = bw if sx is None else sx
+    nby = (h - oy - bh) // sy + 1
+    nbx = (w - ox - bw) // sx + 1
     cost = np.zeros((nby, nbx), np.int64)
     mode = np.zeros((nby, nbx), np.int32)
     for by in range(nby):
         for bx in range(nbx):
-            c, m = _rect_mode_costs(orig, bx * bw, by * bh, bw, bh, lam,
-                                    bit_depth)
+            c, m = _rect_mode_costs(orig, ox + bx * sx, oy + by * sy, bw,
+                                    bh, lam, bit_depth)
             cost[by, bx] = c
             mode[by, bx] = m
     return cost, mode
@@ -235,7 +247,7 @@ def decide_frame(orig_y: np.ndarray, qp: int,
                  bit_depth: int = rom.BIT_DEPTH,
                  mip: bool = False, mrl: bool = False,
                  isp: bool = False, mtt: bool = False,
-                 ibc: bool = False) -> FrameDecisions:
+                 ibc: bool = False, tt: bool = False) -> FrameDecisions:
     """Compute partition + modes for a padded luma plane (H, W)."""
     h, w = orig_y.shape
     lam = lambda_satd_fp(qp)
@@ -329,6 +341,10 @@ def decide_frame(orig_y: np.ndarray, qp: int,
     rects = {shape: rect_intra_grid(orig_y, shape[0], shape[1], lam,
                                     bit_depth)
              for shape in ((16, 8), (8, 16), (32, 16), (16, 32))}
+    if tt:
+        for key, (bw, bh, sy, sx, oy, ox) in TT_GEOM.items():
+            rects[key] = rect_intra_grid(orig_y, bw, bh, lam, bit_depth,
+                                         sy=sy, sx=sx, oy=oy, ox=ox)
     sizes = {8: (best8_cost, best8_mode, best8_mrl, best8_isp),
              16: (best16_cost, best16_mode, best16_mrl, best16_isp),
              32: (best32_cost, best32_mode, best32_mrl, best32_isp)}
@@ -373,6 +389,7 @@ def mtt_assemble_i(dec: FrameDecisions, sizes, rects, lam: int,
     n16y, n16x = best16_cost.shape
     n32y, n32x = best32_cost.shape
 
+    tt = (32, 8) in rects
     sum8 = (best8_cost.reshape(n16y, 2, n16x, 2).sum(axis=(1, 3))
             + (4 * SPLIT_BITS) * lam)
     bt_h16 = ch16.reshape(n16y, 2, n16x).sum(axis=1) + BT_BITS * lam
@@ -384,16 +401,28 @@ def mtt_assemble_i(dec: FrameDecisions, sizes, rects, lam: int,
 
     sum16 = (cost16.reshape(n32y, 2, n32x, 2).sum(axis=(1, 3))
              + (4 * SPLIT_BITS) * lam)
-    bt_h32 = ch32.reshape(n32y, 2, n32x).sum(axis=1) + BT_BITS * lam
-    bt_v32 = cv32.reshape(n32y, n32x, 2).sum(axis=2) + BT_BITS * lam
-    cands32 = np.stack([best32_cost + BT_LEAF_BITS * lam, bt_h32, bt_v32,
-                        sum16])
+    bt32_bits = TT_BITS if tt else BT_BITS    # + tt=0 bin when TT is on
+    bt_h32 = ch32.reshape(n32y, 2, n32x).sum(axis=1) + bt32_bits * lam
+    bt_v32 = cv32.reshape(n32y, n32x, 2).sum(axis=2) + bt32_bits * lam
+    c32 = [best32_cost + BT_LEAF_BITS * lam, bt_h32, bt_v32, sum16]
+    if tt:
+        ch8, mh8g = rects[(32, 8)]            # (n8y, n32x)
+        cv8, mv8g = rects[(8, 32)]            # (n32y, n8x)
+        cmh, mmh = rects["tth_mid"]           # (n32y, n32x)
+        cmv, mmv = rects["ttv_mid"]
+        tt_h = (ch8[0::4] + cmh + ch8[3::4] + TT_BITS * lam)
+        tt_v = (cv8[:, 0::4] + cmv + cv8[:, 3::4] + TT_BITS * lam)
+        c32 += [tt_h, tt_v]
+    cands32 = np.stack(c32)
     k32 = np.argmin(cands32, axis=0).astype(np.int32)
 
     split32 = k32 == 3
     dec.split32[:] = split32.astype(np.uint8)
     dec.bt32[:] = np.where(k32 == 1, 1,
-                           np.where(k32 == 2, 2, 0)).astype(np.uint8)
+                           np.where(k32 == 2, 2,
+                                    np.where(k32 == 4, 3,
+                                             np.where(k32 == 5, 4,
+                                                      0)))).astype(np.uint8)
     in16 = np.kron(split32, np.ones((2, 2), bool))
     dec.split16[:] = ((k16 == 3) & in16).astype(np.uint8)
     dec.bt16[:] = np.where(in16 & (k16 == 1), 1,
@@ -419,9 +448,23 @@ def mtt_assemble_i(dec: FrameDecisions, sizes, rects, lam: int,
     m = np.where(g_bth16, up(mh16, 1, 2), m)
     m = np.where(g_btv16, up(mv16r, 2, 1), m)
     m = np.where(g8, best8_mode, m)
+    g_tth = np.zeros(m.shape, bool)
+    g_ttv = np.zeros(m.shape, bool)
+    if tt:
+        n8y, n8x = m.shape
+        rowp = (np.arange(n8y) % 4)[:, None]
+        colp = (np.arange(n8x) % 4)[None, :]
+        g_tth = up(k32 == 4, 4, 4)
+        g_ttv = up(k32 == 5, 4, 4)
+        edge_r = (rowp == 0) | (rowp == 3)
+        edge_c = (colp == 0) | (colp == 3)
+        m = np.where(g_tth & edge_r, up(mh8g, 1, 4), m)
+        m = np.where(g_tth & ~edge_r, up(mmh, 4, 4), m)
+        m = np.where(g_ttv & edge_c, up(mv8g, 4, 1), m)
+        m = np.where(g_ttv & ~edge_c, up(mmv, 4, 4), m)
     dec.modes8[:] = m
 
-    rectg = g_bth32 | g_btv32 | g_bth16 | g_btv16
+    rectg = g_bth32 | g_btv32 | g_bth16 | g_btv16 | g_tth | g_ttv
     k = up(best32_mrl, 4, 4)
     k = np.where(g16, up(best16_mrl, 2, 2), k)
     k = np.where(g8, best8_mrl, k)
@@ -570,9 +613,13 @@ def affine_sad_pass(orig: np.ndarray, refp: np.ndarray, base_mv: np.ndarray,
 
 
 def me_size_pass(orig: np.ndarray, ref: np.ndarray, s: int, lam: int,
-                 bh: int | None = None):
+                 bh: int | None = None, sy: int | None = None,
+                 sx: int | None = None, oy: int = 0, ox: int = 0):
     """Best integer MV per (s x bh)-block over a +-ME_RANGE full search.
 
+    Blocks tile at stride (sy, sx) from offset (oy, ox) (defaults: dense
+    tiling) — all geometry 8-granule-aligned, so strided blocks aggregate
+    the 8x8 SAD map (integer sums: identical arithmetic either way).
     Returns (cost (nby,nbx) int64 incl. lambda*bits, mv (nby,nbx,2) int32
     in integer-pel units).  Candidate order: row-major (dy, dx), strict-less
     running min (ties keep the earlier candidate).
@@ -580,16 +627,31 @@ def me_size_pass(orig: np.ndarray, ref: np.ndarray, s: int, lam: int,
     r = _inter.ME_RANGE
     h, w = orig.shape
     hh = s if bh is None else bh
-    nby, nbx = h // hh, w // s
+    sy = hh if sy is None else sy
+    sx = s if sx is None else sx
+    dense = sy == hh and sx == s and oy == 0 and ox == 0
+    nby = (h - oy - hh) // sy + 1
+    nbx = (w - ox - s) // sx + 1
     o = orig.astype(np.int64)
     refp = np.pad(ref, r, mode="edge").astype(np.int64)
     best_cost = np.full((nby, nbx), np.iinfo(np.int64).max, np.int64)
     best_dy = np.zeros((nby, nbx), np.int32)
     best_dx = np.zeros((nby, nbx), np.int32)
+    gy0, gx0 = oy // 8, ox // 8
+    gsy, gsx = sy // 8, sx // 8
+    gh, gw = hh // 8, s // 8
     for dy in range(-r, r + 1):
         for dx in range(-r, r + 1):
             d = np.abs(o - refp[r + dy:r + dy + h, r + dx:r + dx + w])
-            sad = d.reshape(nby, hh, nbx, s).sum(axis=(1, 3))
+            if dense:
+                sad = d.reshape(nby, hh, nbx, s).sum(axis=(1, 3))
+            else:
+                sad8 = d.reshape(h // 8, 8, w // 8, 8).sum(axis=(1, 3))
+                sad = np.zeros((nby, nbx), np.int64)
+                for gr in range(gh):
+                    for gc in range(gw):
+                        sad += sad8[gy0 + gr:gy0 + gr + nby * gsy:gsy,
+                                    gx0 + gc:gx0 + gc + nbx * gsx:gsx]
             cost = (sad << 8) + lam * _inter.mv_bits_est(dx, dy)
             better = cost < best_cost
             best_cost = np.where(better, cost, best_cost)
@@ -599,18 +661,23 @@ def me_size_pass(orig: np.ndarray, ref: np.ndarray, s: int, lam: int,
 
 
 def rect_inter_grid(orig: np.ndarray, refs, bw: int, bh: int, lam: int,
-                    bit_depth: int):
+                    bit_depth: int, sy: int | None = None,
+                    sx: int | None = None, oy: int = 0, ox: int = 0):
     """Per-(bw x bh)-block best of {intra, refined uni per list, BI} for
-    rectangular BT leaves: returns (cost, mode, kind, mv0, mv1) grids with
-    kind 0 intra / 1 L0 / 2 L1 / 3 BI (candidate order = square path's)."""
-    icost, imode = rect_intra_grid(orig, bw, bh, lam, bit_depth)
+    rectangular BT/TT leaves: returns (cost, mode, kind, mv0, mv1) grids
+    with kind 0 intra / 1 L0 / 2 L1 / 3 BI (candidate order = square
+    path's).  Geometry (stride + offset) as in rect_intra_grid."""
+    icost, imode = rect_intra_grid(orig, bw, bh, lam, bit_depth, sy=sy,
+                                   sx=sx, oy=oy, ox=ox)
     ucost, umv = [], []
     refps = []
     for ref in refs:
         refp = _inter.pad_reference(ref)
         refps.append(refp)
-        mc_, mv_ = me_size_pass(orig, ref, bw, lam, bh=bh)
-        rc, rmv = refine_size_pass(orig, refp, mv_, bw, lam, bh=bh)
+        mc_, mv_ = me_size_pass(orig, ref, bw, lam, bh=bh, sy=sy, sx=sx,
+                                oy=oy, ox=ox)
+        rc, rmv = refine_size_pass(orig, refp, mv_, bw, lam, bh=bh, sy=sy,
+                                   sx=sx, oy=oy, ox=ox)
         ucost.append(rc)
         umv.append(rmv)
     if len(refs) == 1:
@@ -619,18 +686,21 @@ def rect_inter_grid(orig: np.ndarray, refs, bw: int, bh: int, lam: int,
         return (np.min(costs, axis=0), imode, kind, umv[0],
                 np.zeros_like(umv[0]))
     nby, nbx = icost.shape
+    syv = bh if sy is None else sy
+    sxv = bw if sx is None else sx
     o64 = orig.astype(np.int64)
     bcost = np.empty((nby, nbx), np.int64)
     for by in range(nby):
         for bx in range(nbx):
             m0 = umv[0][by, bx]
             m1 = umv[1][by, bx]
-            p0 = _inter.mc_luma(refps[0], bx * bw, by * bh, bw, bh,
+            px, py = ox + bx * sxv, oy + by * syv
+            p0 = _inter.mc_luma(refps[0], px, py, bw, bh,
                                 int(m0[0]), int(m0[1]), bit_depth)
-            p1 = _inter.mc_luma(refps[1], bx * bw, by * bh, bw, bh,
+            p1 = _inter.mc_luma(refps[1], px, py, bw, bh,
                                 int(m1[0]), int(m1[1]), bit_depth)
             pb = np.minimum((p0 + p1 + 1) >> 1, (1 << bit_depth) - 1)
-            ob = o64[by * bh:(by + 1) * bh, bx * bw:(bx + 1) * bw]
+            ob = o64[py:py + bh, px:px + bw]
             sad = int(np.abs(ob - pb).sum())
             bits = (_inter.mv_bits_q(int(m0[0]) >> 2, int(m0[1]) >> 2)
                     + _inter.mv_bits_q(int(m1[0]) >> 2, int(m1[1]) >> 2))
@@ -654,6 +724,7 @@ def _mtt_finish_inter(dec: FrameDecisions, size_data, rects, lam: int,
     c32 = size_data[32][0]
     n16y, n16x = c16.shape
     n32y, n32x = c32.shape
+    tt = (32, 8) in rects
     sum8 = (c8.reshape(n16y, 2, n16x, 2).sum(axis=(1, 3))
             + (4 * SPLIT_BITS) * lam)
     bt_h16 = rects[(16, 8)][0].reshape(n16y, 2, n16x).sum(axis=1) \
@@ -665,17 +736,29 @@ def _mtt_finish_inter(dec: FrameDecisions, size_data, rects, lam: int,
     cost16 = np.min(cands16, axis=0)
     sum16 = (cost16.reshape(n32y, 2, n32x, 2).sum(axis=(1, 3))
              + (4 * SPLIT_BITS) * lam)
+    bt32_bits = TT_BITS if tt else BT_BITS
     bt_h32 = rects[(32, 16)][0].reshape(n32y, 2, n32x).sum(axis=1) \
-        + BT_BITS * lam
+        + bt32_bits * lam
     bt_v32 = rects[(16, 32)][0].reshape(n32y, n32x, 2).sum(axis=2) \
-        + BT_BITS * lam
-    cands32 = np.stack([c32 + BT_LEAF_BITS * lam, bt_h32, bt_v32, sum16])
+        + bt32_bits * lam
+    c32l = [c32 + BT_LEAF_BITS * lam, bt_h32, bt_v32, sum16]
+    if tt:
+        ch8 = rects[(32, 8)][0]
+        cv8 = rects[(8, 32)][0]
+        c32l += [ch8[0::4] + rects["tth_mid"][0] + ch8[3::4]
+                 + TT_BITS * lam,
+                 cv8[:, 0::4] + rects["ttv_mid"][0] + cv8[:, 3::4]
+                 + TT_BITS * lam]
+    cands32 = np.stack(c32l)
     k32 = np.argmin(cands32, axis=0).astype(np.int32)
 
     split32 = k32 == 3
     dec.split32[:] = split32.astype(np.uint8)
     dec.bt32[:] = np.where(k32 == 1, 1,
-                           np.where(k32 == 2, 2, 0)).astype(np.uint8)
+                           np.where(k32 == 2, 2,
+                                    np.where(k32 == 4, 3,
+                                             np.where(k32 == 5, 4,
+                                                      0)))).astype(np.uint8)
     in16 = np.kron(split32, np.ones((2, 2), bool))
     dec.split16[:] = ((k16 == 3) & in16).astype(np.uint8)
     dec.bt16[:] = np.where(in16 & (k16 == 1), 1,
@@ -687,8 +770,15 @@ def _mtt_finish_inter(dec: FrameDecisions, size_data, rects, lam: int,
             return np.kron(a, np.ones((fy, fx, 1), a.dtype))
         return np.kron(a, np.ones((fy, fx), a.dtype))
 
+    rowp = (np.arange(n16y * 2) % 4)[:, None]
+    colp = (np.arange(n16x * 2) % 4)[None, :]
+    edge_r = np.broadcast_to((rowp == 0) | (rowp == 3),
+                             (n16y * 2, n16x * 2))
+    edge_c = np.broadcast_to((colp == 0) | (colp == 3),
+                             (n16y * 2, n16x * 2))
     masks = dict(
         bth32=up(k32 == 1, 4, 4), btv32=up(k32 == 2, 4, 4),
+        tth32=up(k32 == 4, 4, 4), ttv32=up(k32 == 5, 4, 4),
         sq16=up(in16 & (k16 == 0), 2, 2),
         bth16=up(in16 & (k16 == 1), 2, 2),
         btv16=up(in16 & (k16 == 2), 2, 2),
@@ -701,6 +791,15 @@ def _mtt_finish_inter(dec: FrameDecisions, size_data, rects, lam: int,
                      up(rects[(32, 16)][idx], 2, 4), v)
         v = np.where(_m3(masks["btv32"], v),
                      up(rects[(16, 32)][idx], 4, 2), v)
+        if tt:
+            v = np.where(_m3(masks["tth32"] & edge_r, v),
+                         up(rects[(32, 8)][idx], 1, 4), v)
+            v = np.where(_m3(masks["tth32"] & ~edge_r, v),
+                         up(rects["tth_mid"][idx], 4, 4), v)
+            v = np.where(_m3(masks["ttv32"] & edge_c, v),
+                         up(rects[(8, 32)][idx], 4, 1), v)
+            v = np.where(_m3(masks["ttv32"] & ~edge_c, v),
+                         up(rects["ttv_mid"][idx], 4, 4), v)
         v = np.where(_m3(masks["sq16"], v), up(size_data[16][idx], 2, 2), v)
         v = np.where(_m3(masks["bth16"], v), up(rects[(16, 8)][idx], 1, 2),
                      v)
@@ -728,7 +827,7 @@ def _mtt_finish_inter(dec: FrameDecisions, size_data, rects, lam: int,
     dec.mv8_l1[..., 0] = np.where(use1, mv1[..., 0], 0)
     dec.mv8_l1[..., 1] = np.where(use1, mv1[..., 1], 0)
     rectg = (masks["bth32"] | masks["btv32"] | masks["bth16"]
-             | masks["btv16"])
+             | masks["btv16"] | masks["tth32"] | masks["ttv32"])
     return rectg, masks, fill
 
 
@@ -813,7 +912,8 @@ def decide_frame_p(orig_y: np.ndarray, ref_y: np.ndarray, qp: int,
                    bit_depth: int = rom.BIT_DEPTH,
                    mip: bool = False, mrl: bool = False,
                    ciip: bool = False, isp: bool = False,
-                   affine: bool = False, mtt: bool = False) -> FrameDecisions:
+                   affine: bool = False, mtt: bool = False,
+                   tt: bool = False) -> FrameDecisions:
     """Decisions for a P frame: per-size intra-vs-inter, then QT bottom-up."""
     h, w = orig_y.shape
     lam = lambda_satd_fp(qp)
@@ -864,6 +964,11 @@ def decide_frame_p(orig_y: np.ndarray, ref_y: np.ndarray, qp: int,
         for (bw, bh) in ((16, 8), (8, 16), (32, 16), (16, 32)):
             rects[(bw, bh)] = rect_inter_grid(orig_y, (ref_y,), bw, bh,
                                               lam, bit_depth)
+        if tt:
+            for key, (bw, bh, sy, sx, oy, ox) in TT_GEOM.items():
+                rects[key] = rect_inter_grid(orig_y, (ref_y,), bw, bh,
+                                             lam, bit_depth, sy=sy, sx=sx,
+                                             oy=oy, ox=ox)
         mtt_assemble_p(dec, size_data, rects, lam, ciip, affine)
         return dec
 
@@ -937,15 +1042,21 @@ def decide_frame_p(orig_y: np.ndarray, ref_y: np.ndarray, qp: int,
 
 
 def refine_size_pass(orig: np.ndarray, refp: np.ndarray, int_mv: np.ndarray,
-                     s: int, lam: int, bh: int | None = None):
+                     s: int, lam: int, bh: int | None = None,
+                     sy: int | None = None, sx: int | None = None,
+                     oy: int = 0, ox: int = 0):
     """Half- then quarter-pel refinement around the integer-ME winner.
 
     refp: REF_MARGIN-padded reference; int_mv: (nby, nbx, 2) integer-pel.
+    Blocks tile at stride (sy, sx) from offset (oy, ox) (defaults dense).
     Returns (cost, mv_1_16) with cost = (SAD << 8) + lam * mv_bits_q.
     Numpy reference of coding/me.py refine_pass (bit-identical)."""
     h, w = orig.shape
     hh = s if bh is None else bh
-    nby, nbx = h // hh, w // s
+    sy = hh if sy is None else sy
+    sx = s if sx is None else sx
+    nby = (h - oy - hh) // sy + 1
+    nbx = (w - ox - s) // sx + 1
     o = orig.astype(np.int64)
     best_mv = (int_mv.astype(np.int64) << _inter.MV_FRAC_BITS)
     for deltas in (_inter.REFINE_HALF, _inter.REFINE_QUARTER):
@@ -957,10 +1068,11 @@ def refine_size_pass(orig: np.ndarray, refp: np.ndarray, int_mv: np.ndarray,
                 for bx in range(nbx):
                     mvx = int(best_mv[by, bx, 0]) + ddx
                     mvy = int(best_mv[by, bx, 1]) + ddy
-                    pred = _inter.mc_luma(refp, bx * s, by * hh, s, hh, mvx,
+                    px, py = ox + bx * sx, oy + by * sy
+                    pred = _inter.mc_luma(refp, px, py, s, hh, mvx,
                                           mvy)
-                    sad = int(np.abs(o[by * hh:(by + 1) * hh,
-                                      bx * s:(bx + 1) * s] - pred).sum())
+                    sad = int(np.abs(o[py:py + hh,
+                                      px:px + s] - pred).sum())
                     c[by, bx] = ((sad << 8)
                                  + lam * _inter.mv_bits_q(mvx >> 2,
                                                           mvy >> 2))
@@ -980,7 +1092,8 @@ def decide_frame_b(orig_y: np.ndarray, ref0_y: np.ndarray,
                    mip: bool = False, mrl: bool = False,
                    bcw: bool = False, ciip: bool = False,
                    isp: bool = False, gpm: bool = False,
-                   affine: bool = False, mtt: bool = False) -> FrameDecisions:
+                   affine: bool = False, mtt: bool = False,
+                   tt: bool = False) -> FrameDecisions:
     """B-frame decisions: per-size best of {intra, L0, L1, BI}, QT bottom-up.
 
     BI cost: SAD of the averaged refined uni-predictions plus both MV rates
@@ -1093,6 +1206,11 @@ def decide_frame_b(orig_y: np.ndarray, ref0_y: np.ndarray,
             rects[shape] = rect_inter_grid(orig_y, (ref0_y, ref1_y),
                                            shape[0], shape[1], lam,
                                            bit_depth)
+        if tt:
+            for key, (bw, bh, sy, sx, oy, ox) in TT_GEOM.items():
+                rects[key] = rect_inter_grid(orig_y, (ref0_y, ref1_y),
+                                             bw, bh, lam, bit_depth,
+                                             sy=sy, sx=sx, oy=oy, ox=ox)
         mtt_assemble_b(dec, size_data, rects, lam, ciip, affine, bcw, gpm)
         return dec
 

@@ -48,6 +48,7 @@ class SPS:
     affine_enabled: bool = False  # 4-parameter affine + PROF (uni, 16/32)
     dq_enabled: bool = False    # dependent quantization (4-state trellis)
     mtt_enabled: bool = False   # multi-type tree (binary splits at 16/32)
+    tt_enabled: bool = False    # ternary splits at 32 (requires mtt)
     ibc_enabled: bool = False   # intra block copy (I slices, square leaves)
     cclm_enabled: bool = False
     lmcs_enabled: bool = False
@@ -85,7 +86,7 @@ class SPS:
                   self.smvd_enabled, self.ciip_enabled, self.sbt_enabled,
                   self.isp_enabled, self.gpm_enabled,
                   self.affine_enabled, self.dq_enabled,
-                  self.mtt_enabled, self.ibc_enabled):
+                  self.mtt_enabled, self.tt_enabled, self.ibc_enabled):
             w.u(int(f), 1)
         w.byte_align()
         return w.getvalue()
@@ -108,8 +109,8 @@ class SPS:
          s.dmvr_enabled, s.bdof_enabled, s.bcw_enabled,
          s.amvr_enabled, s.smvd_enabled, s.ciip_enabled,
          s.sbt_enabled, s.isp_enabled, s.gpm_enabled,
-         s.affine_enabled, s.dq_enabled, s.mtt_enabled,
-         s.ibc_enabled) = (bool(r.u(1)) for _ in range(25))
+         s.affine_enabled, s.dq_enabled, s.mtt_enabled, s.tt_enabled,
+         s.ibc_enabled) = (bool(r.u(1)) for _ in range(26))
         return s
 
 

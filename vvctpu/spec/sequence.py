@@ -47,6 +47,7 @@ class EncoderConfig:
     rdoq: bool = True       # encoder RDOQ quantizer (decoder-transparent)
     dq: bool = False        # dependent quantization (4-state trellis)
     mtt: bool = False       # multi-type tree (binary splits at 16/32)
+    tt: bool = False        # ternary splits at 32 (with mtt)
     ibc: bool = False       # intra block copy (I slices, square leaves)
     tile_cols: int = 1      # tile grid columns (prediction+entropy break)
     tile_rows: int = 1      # tile grid rows
@@ -75,7 +76,9 @@ class EncoderConfig:
                        ciip_enabled=self.ciip, sbt_enabled=self.sbt,
                        isp_enabled=self.isp, gpm_enabled=self.gpm,
                        affine_enabled=self.affine, dq_enabled=self.dq,
-                       mtt_enabled=self.mtt, ibc_enabled=self.ibc)
+                       mtt_enabled=self.mtt,
+                       tt_enabled=self.tt and self.mtt,
+                       ibc_enabled=self.ibc)
 
 
 def gop_plan(n_frames: int, intra_period: int, gop: int):
@@ -171,13 +174,15 @@ def encode_sequence(frames: list[list[np.ndarray]], cfg: EncoderConfig,
             dec = decide.decide_frame(padded_y, qp, cfg.bit_depth,
                                       mip=cfg.mip, mrl=cfg.mrl,
                                       isp=cfg.isp, mtt=cfg.mtt,
-                                      ibc=cfg.ibc)
+                                      ibc=cfg.ibc,
+                                      tt=cfg.tt and cfg.mtt)
         elif stype == hls.SLICE_P:
             dec = decide.decide_frame_p(padded_y, dpb[ref_pocs[0]][0], qp,
                                         cfg.bit_depth, mip=cfg.mip,
                                         mrl=cfg.mrl, ciip=cfg.ciip,
                                         isp=cfg.isp, affine=cfg.affine,
-                                        mtt=cfg.mtt)
+                                        mtt=cfg.mtt,
+                                        tt=cfg.tt and cfg.mtt)
         else:
             dec = decide.decide_frame_b(padded_y, dpb[ref_pocs[0]][0],
                                         dpb[ref_pocs[1]][0], qp,
@@ -185,7 +190,8 @@ def encode_sequence(frames: list[list[np.ndarray]], cfg: EncoderConfig,
                                         mrl=cfg.mrl, bcw=cfg.bcw,
                                         ciip=cfg.ciip, isp=cfg.isp,
                                         gpm=cfg.gpm, affine=cfg.affine,
-                                        mtt=cfg.mtt)
+                                        mtt=cfg.mtt,
+                                        tt=cfg.tt and cfg.mtt)
         if decisions_out is not None:
             decisions_out.append(dec)
         sh = hls.SliceHeader(poc=poc, slice_type=stype, qp_delta=qpd,
