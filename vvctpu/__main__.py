@@ -45,7 +45,7 @@ def _enc(args) -> int:
                      ("sbt", fc.sbt), ("isp", fc.isp),
                      ("gpm", fc.gpm), ("affine", fc.affine),
                      ("dq", fc.dq), ("mtt", fc.mtt), ("tt", fc.tt),
-                     ("ibc", fc.ibc)):
+                     ("ibc", fc.ibc), ("plt", fc.plt)):
             if ap_defaults.get(a) == getattr(args, a):
                 setattr(args, a, v)
         if not fc.rdoq:
@@ -70,6 +70,7 @@ def _enc(args) -> int:
                             ciip=args.ciip, sbt=args.sbt, isp=args.isp,
                             gpm=args.gpm, affine=args.affine, dq=args.dq,
                             mtt=args.mtt, tt=args.tt, ibc=args.ibc,
+                            plt=args.plt,
                             tile_cols=int(args.tiles.split("x")[0]),
                             tile_rows=int(args.tiles.split("x")[1]),
                             mctf=args.mctf, rdoq=not args.no_rdoq,
@@ -206,7 +207,7 @@ ap_defaults = {"qp": 32, "intra_period": 1, "gop": 1, "bit_depth": 8,
                "dmvr": False, "bdof": False, "bcw": False, "amvr": False,
                "smvd": False, "ciip": False, "sbt": False, "isp": False,
                "gpm": False, "affine": False, "dq": False,
-               "mtt": False, "tt": False, "ibc": False}
+               "mtt": False, "tt": False, "ibc": False, "plt": False}
 
 
 def main(argv=None) -> int:
@@ -250,6 +251,8 @@ def main(argv=None) -> int:
                    help="ternary splits at 32 nodes (requires --mtt)")
     e.add_argument("--ibc", action="store_true",
                    help="intra block copy (I slices, square leaves)")
+    e.add_argument("--plt", action="store_true",
+                   help="palette mode (I slices, square leaves)")
     e.add_argument("--tiles", default="1x1",
                    help="tile grid CxR (prediction+entropy break per tile)")
     e.add_argument("--lmcs", action="store_true",

@@ -407,7 +407,8 @@ def affine_pass(orig, refp, base_mv, lam, *, s: int, frame_w: int,
 def decide_frame_device(orig_y: np.ndarray, qp: int, bd: int = 8,
                         mip: bool = False, mrl: bool = False,
                         isp: bool = False, mtt: bool = False,
-                        ibc: bool = False, tt: bool = False):
+                        ibc: bool = False, tt: bool = False,
+                        plt: bool = False):
     """Launch the I-frame decision device passes asynchronously.
 
     Returns an opaque handle of un-materialised jax arrays; pass to
@@ -437,7 +438,7 @@ def decide_frame_device(orig_y: np.ndarray, qp: int, bd: int = 8,
                                          bh=bh, frame_w=w, frame_h=h,
                                          bd=bd, sy=sy, sx=sx, oy=oy, ox=ox)
     return dict(res=res, ipass=ipass, rects=rects, h=h, w=w, lam=lam,
-                mtt=mtt, ibc=ibc)
+                mtt=mtt, ibc=ibc, plt=plt, bd=bd, orig_y=orig_y)
 
 
 def decide_frame_assemble(hd) -> FrameDecisions:
@@ -473,6 +474,15 @@ def decide_frame_assemble(hd) -> FrameDecisions:
             bi[:] = np.where(use, 0, bi)
             ibc_data[grid] = (use, bv)
 
+    plt_use = None
+    if hd.get("plt"):
+        from ..spec.decide import plt_competition
+        plt_use = plt_competition(
+            hd["orig_y"], lam, hd["bd"], ibc_data,
+            {8: (best8_cost, best8_mrl, best8_isp),
+             16: (best16_cost, best16_mrl, best16_isp),
+             32: (best32_cost, best32_mrl, best32_isp)})
+
     if hd["mtt"]:
         from ..spec.decide import mtt_assemble_i
         dec = FrameDecisions.empty(h, w)
@@ -481,7 +491,8 @@ def decide_frame_assemble(hd) -> FrameDecisions:
                  32: (best32_cost, best32_mode, best32_mrl, best32_isp)}
         rgrids = {k: (np.asarray(c).astype(np.int64), np.asarray(m))
                   for k, (c, m) in hd["rects"].items()}
-        mtt_assemble_i(dec, sizes, rgrids, lam, ibc_data=ibc_data)
+        mtt_assemble_i(dec, sizes, rgrids, lam, ibc_data=ibc_data,
+                       plt_use=plt_use)
         return dec
 
     dec = FrameDecisions.empty(h, w)
@@ -515,17 +526,21 @@ def decide_frame_assemble(hd) -> FrameDecisions:
     if ibc_data is not None:
         from ..spec.decide import _fill_ibc
         _fill_ibc(dec, ibc_data, use16, use8)
+    if plt_use is not None:
+        from ..spec.decide import _fill_plt
+        _fill_plt(dec, plt_use, use16, use8)
     return dec
 
 
 def decide_frame(orig_y: np.ndarray, qp: int, bd: int = 8,
                  mip: bool = False, mrl: bool = False,
                  isp: bool = False, mtt: bool = False,
-                 ibc: bool = False, tt: bool = False) -> FrameDecisions:
+                 ibc: bool = False, tt: bool = False,
+                 plt: bool = False) -> FrameDecisions:
     """Device-batched decisions for a padded luma plane (host assembly)."""
     return decide_frame_assemble(decide_frame_device(
         orig_y, qp, bd, mip=mip, mrl=mrl, isp=isp, mtt=mtt, ibc=ibc,
-        tt=tt))
+        tt=tt, plt=plt))
 
 
 def decide_frame_p(orig_y: np.ndarray, ref_y: np.ndarray, qp: int,

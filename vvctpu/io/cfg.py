@@ -44,6 +44,7 @@ class AppConfig:
     mtt: bool = False             # MTT binary splits
     tt: bool = False              # MTT ternary splits (32 nodes)
     ibc: bool = False             # IBC (intra block copy)
+    plt: bool = False             # PLT (palette mode)
     tile_cols: int = 1
     tile_rows: int = 1
     lmcs: bool = False            # LMCSEnable / LMCS
@@ -100,6 +101,8 @@ _KEYMAP = {
     "tt": ("tt", lambda v: bool(int(v))),
     "maxmtthierarchydepth": ("mtt", lambda v: int(v) > 0),
     "ibc": ("ibc", lambda v: bool(int(v))),
+    "plt": ("plt", lambda v: bool(int(v))),
+    "palettemode": ("plt", lambda v: bool(int(v))),
     "tilecolumns": ("tile_cols", int),
     "tilerows": ("tile_rows", int),
     "lmcs": ("lmcs", lambda v: bool(int(v))),

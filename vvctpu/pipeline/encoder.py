@@ -40,8 +40,11 @@ def _run_scan(sps, pps, dec, py, pcb, pcr, dpb, ref_pocs, scan_kw):
         return kw
 
     rkw = refs_kw()
+    plt_full = {k: scan_kw.pop(k) for k in ("plt_y", "plt_cb", "plt_cr")
+                if k in scan_kw}
     n_tiles = pps.num_tile_cols * pps.num_tile_rows
     if n_tiles == 1:
+        rkw.update(plt_full)
         if is_p:
             slots, isl = recon.make_slots_split(dec, sps.height, sps.width)
             rkw.update(inter8=isl[8], inter16=isl[16], inter32=isl[32])
@@ -72,6 +75,11 @@ def _run_scan(sps, pps, dec, py, pcb, pcr, dpb, ref_pocs, scan_kw):
         tw, th = x1 - x0, y1 - y0
         tdec = tile_decisions_view(dec, x0, y0, x1, y1)
         tkw = dict(rkw)
+        if plt_full:
+            tkw.update(
+                plt_y=plt_full["plt_y"][y0:y1, x0:x1],
+                plt_cb=plt_full["plt_cb"][y0 // 2:y1 // 2, x0 // 2:x1 // 2],
+                plt_cr=plt_full["plt_cr"][y0 // 2:y1 // 2, x0 // 2:x1 // 2])
         if is_p:
             slots, isl = recon.make_slots_split(tdec, th, tw)
             tkw.update(inter8=isl[8], inter16=isl[16], inter32=isl[32])
@@ -172,13 +180,24 @@ def _encode_ai_pipelined(frames, cfg, sps, pps, nals, recons, bits,
                                          isp=sps.isp_enabled,
                                          mtt=sps.mtt_enabled,
                                          ibc=sps.ibc_enabled,
-                                         tt=sps.tt_enabled)
+                                         tt=sps.tt_enabled,
+                                         plt=sps.plt_enabled)
         if pending is not None:      # host work overlaps device compute
             finish(pending)
             pending = None
         dec = jdecide.decide_frame_assemble(hd)
         if decisions_out is not None:
             decisions_out.append(dec)
+        pkw = {}
+        if sps.plt_enabled:
+            from ..spec import palette as pltmod
+            pltmod.derive_plt_data(dec, scan_y, padded[1], padded[2],
+                                   cfg.bit_depth)
+            ppl = pltmod.build_planes(dec.plt_data or {}, sps.height,
+                                      sps.width)
+            pkw = dict(plt_y=jnp_asarray(ppl[0]),
+                       plt_cb=jnp_asarray(ppl[1]),
+                       plt_cr=jnp_asarray(ppl[2]))
         slots = recon.make_slots(dec, sps.height, sps.width)
         out = recon.frame_scan(
             slots, scan_y, padded[1], padded[2], frame_w=sps.width,
@@ -190,7 +209,7 @@ def _encode_ai_pipelined(frames, cfg, sps, pps, nals, recons, bits,
             mtt=sps.mtt_enabled, ibc=sps.ibc_enabled, dq=sps.dq_enabled,
             fwd_lut=None if fwd_lut is None else jnp_asarray(fwd_lut),
             crs_lut=None if crs_lut is None else jnp_asarray(crs_lut),
-            lam_rd=lambda_rd_int(qp))
+            lam_rd=lambda_rd_int(qp), **pkw)
         pending = (poc, dec, out, padded, lmcs_cw, inv_lut, 0)
     finish(pending)
     return bs.write_annexb(nals), recons, bits
@@ -240,7 +259,8 @@ def encode_sequence(frames, cfg: sseq.EncoderConfig, decisions_fn=None,
                                        isp=sps.isp_enabled,
                                        mtt=sps.mtt_enabled,
                                        ibc=sps.ibc_enabled,
-                                       tt=sps.tt_enabled)
+                                       tt=sps.tt_enabled,
+                                       plt=sps.plt_enabled)
         elif stype == hls.SLICE_P:
             dec = jdecide.decide_frame_p(padded[0], dpb[ref_pocs[0]][0], qp,
                                          cfg.bit_depth, mip=sps.mip_enabled,
@@ -289,6 +309,13 @@ def encode_sequence(frames, cfg: sseq.EncoderConfig, decisions_fn=None,
             fwd_lut=None if fwd_lut is None else jnp_asarray(fwd_lut),
             crs_lut=None if crs_lut is None else jnp_asarray(crs_lut),
             lam_rd=lambda_rd_int(qp))
+        if sps.plt_enabled and is_intra:
+            from ..spec import palette as pltmod
+            pltmod.derive_plt_data(dec, scan_y, padded[1], padded[2],
+                                   cfg.bit_depth)
+            ppl = pltmod.build_planes(dec.plt_data or {}, sps.height,
+                                      sps.width)
+            scan_kw.update(plt_y=ppl[0], plt_cb=ppl[1], plt_cr=ppl[2])
         (ry, rcb, rcr, ly, lcb, lcr, mtsp, lfnstp, cmodep, jccrp,
          sbtp) = _run_scan(sps, pps, dec, scan_y, padded[1], padded[2],
                            dpb, ref_pocs, scan_kw)
@@ -389,6 +416,11 @@ def decode_sequence(data: bytes, check_hash: bool = True):
                 mtt=sps.mtt_enabled, ibc=sps.ibc_enabled,
                 fwd_lut=None if fwd_lut is None else jnp_asarray(fwd_lut),
                 crs_lut=None if crs_lut is None else jnp_asarray(crs_lut))
+            if sps.plt_enabled and dec.plt_data:
+                from ..spec import palette as pltmod
+                ppl = pltmod.build_planes(dec.plt_data, sps.height,
+                                          sps.width)
+                scan_kw.update(plt_y=ppl[0], plt_cb=ppl[1], plt_cr=ppl[2])
             ry, rcb, rcr, *_ = _run_scan(
                 sps, pps_d, dec, levels[0], levels[1], levels[2], dpb,
                 sh.ref_pocs if is_p else (), scan_kw)

@@ -522,6 +522,26 @@ class _Walker:
                     self._code_component(1, cx, cy, cs, C.CBF_CB(0))
                     self._code_component(2, cx, cy, cs, C.CBF_CR(0))
                     return
+            if self.sps.plt_enabled and not self.is_p and square:
+                from ..spec import palette as pltmod
+                from ..spec.codec import _code_plt_flag
+                if _code_plt_flag(io, self, x, y, s):
+                    bd = self.sps.bit_depth
+                    if io.decoding:
+                        entries, idx = pltmod.code_palette(io, s, bd)
+                    else:
+                        entries, idx = self.dec.plt_data[(x, y, s)]
+                        pltmod.code_palette(io, s, bd, entries, idx)
+                    if self.dec.plt_data is None:
+                        self.dec.plt_data = {}
+                    self.dec.plt_data[(x, y, s)] = (entries, idx)
+                    sl8 = np.s_[y // 8:(y + s) // 8, x // 8:(x + s) // 8]
+                    self.mode_map[y // 4:(y + s) // 4,
+                                  x // 4:(x + s) // 4] = rom.PLANAR_IDX
+                    self.dec.plt8[sl8] = 1
+                    self.dec.modes8[sl8] = 0
+                    trace.t_leaf_intra(x, y, s, -2)
+                    return
             mode = self._code_mode(x, y, s, h=hh)
             trace.t_leaf_intra(x, y, s, mode)
             if (self.sps.mrl_enabled and io.decoding and square

@@ -20,7 +20,8 @@ RECT_SHAPES = ((16, 8), (8, 16), (32, 16), (16, 32), (32, 8), (8, 32))
 OP_RECT_INTRA0 = 10
 OP_RECT_INTER0 = 16
 OP_IBC0 = 22             # +0/1/2 for square IBC leaves 8/16/32
-OP_MAX = 24
+OP_PLT0 = 25             # +0/1/2 for square palette leaves 8/16/32
+OP_MAX = 27
 _SIZE_OF_OP = {OP_LEAF8: 8, OP_LEAF16: 16, OP_LEAF32: 32}
 
 
@@ -118,6 +119,10 @@ def leaf_plan(dec: FrameDecisions, height: int, width: int,
                       and dec.ibc8[py // 8, px // 8]):
                     mv0[i] = dec.bv8[py // 8, px // 8]
                     o = OP_IBC0 + (o - OP_LEAF8)
+                elif (o in (OP_LEAF8, OP_LEAF16, OP_LEAF32)
+                      and dec.plt8 is not None
+                      and dec.plt8[py // 8, px // 8]):
+                    o = OP_PLT0 + (o - OP_LEAF8)
                 op[i] = o
                 xs[i] = px
                 ys[i] = py

@@ -504,6 +504,31 @@ def _make_ibc_fn(s: int, *, frame_w: int, frame_h: int, qp, bd: int,
     return leaf
 
 
+def _make_plt_fn(s: int, *, frame_w: int, frame_h: int, plt_y, plt_cb,
+                 plt_cr, **_unused):
+    """Palette leaf: copy the precomputed palette-recon block (host-derived
+    entries[idx] pixels, spec/palette.py) into the recon buffers; no
+    residual (levels stay zero) — twin of spec _code_plt_leaf."""
+    cs = s // 2
+
+    def leaf(carry, x, y, mode, bvx, bvy, mts_in, lfnst_in, cmode_in,
+             mrl_in, jccr_in, m1x, m1y, dd, wdx, isp_in):
+        (by, bcb, bcr, ly, lcb, lcr, sy, scb, scr, mtsp, lfnstp,
+         cmodep, jccrp, sbtp) = carry
+        blk = jax.lax.dynamic_slice(plt_y, (y, x), (s, s))
+        by = jax.lax.dynamic_update_slice(by, blk, (y + 1, x + 1))
+        bcb = jax.lax.dynamic_update_slice(
+            bcb, jax.lax.dynamic_slice(plt_cb, (y // 2, x // 2), (cs, cs)),
+            (y // 2 + 1, x // 2 + 1))
+        bcr = jax.lax.dynamic_update_slice(
+            bcr, jax.lax.dynamic_slice(plt_cr, (y // 2, x // 2), (cs, cs)),
+            (y // 2 + 1, x // 2 + 1))
+        return (by, bcb, bcr, ly, lcb, lcr, sy, scb, scr, mtsp, lfnstp,
+                cmodep, jccrp, sbtp)
+
+    return leaf
+
+
 def _inter_batch_pass_rect(carry, ib_slots, refs, w: int, h: int, qp,
                            bd: int, encode: bool, rdoq: bool = False,
                            lam_rd=0, fwd_lut=None, crs_lut=None,
@@ -834,7 +859,7 @@ def frame_scan(slots, planes_y, planes_cb, planes_cr, *, frame_w: int,
                rect16x8=None, rect8x16=None, rect32x16=None,
                rect16x32=None, rect32x8=None, rect8x32=None,
                ref_off_x=0, ref_off_y=0,
-               ibc: bool = False):
+               ibc: bool = False, plt_y=None, plt_cb=None, plt_cr=None):
     """Run the full-frame reconstruction scan.
 
     slots: (N, 6) int32 [op, x, y, mode, mvx, mvy] in coding order; op 0 =
@@ -933,6 +958,13 @@ def frame_scan(slots, planes_y, planes_cb, planes_cr, *, frame_w: int,
             len(branches), len(branches) + 3)
         branches += [_make_ibc_fn(8, **ikw), _make_ibc_fn(16, **ikw),
                      _make_ibc_fn(32, **ikw)]
+    if plt_y is not None:
+        pkw = dict(frame_w=frame_w, frame_h=frame_h, plt_y=plt_y,
+                   plt_cb=plt_cb, plt_cr=plt_cr)
+        op2b[planmod.OP_PLT0:planmod.OP_PLT0 + 3] = np.arange(
+            len(branches), len(branches) + 3)
+        branches += [_make_plt_fn(8, **pkw), _make_plt_fn(16, **pkw),
+                     _make_plt_fn(32, **pkw)]
 
     def step(carry, slot):
         mt = slot[6] if slot.shape[0] > 6 else jnp.int32(0)

@@ -57,6 +57,10 @@ class FrameDecisions:
     admv8: np.ndarray = None    # (H//8, W//8, 2) int32: CPMV1-CPMV0 delta
     ibc8: np.ndarray = None     # (H//8, W//8) uint8: IBC flag (I slices)
     bv8: np.ndarray = None      # (H//8, W//8, 2) int32: block vector (pels)
+    plt8: np.ndarray = None     # (H//8, W//8) uint8: palette flag (I slices)
+    plt_data: dict = None       # {(x, y, s): (entries, idx)} — derived at
+    #                             encode time / parsed at decode time; not
+    #                             part of decision equality
 
     @classmethod
     def empty(cls, h: int, w: int) -> "FrameDecisions":
@@ -83,7 +87,8 @@ class FrameDecisions:
                    np.zeros((h // 8, w // 8), np.uint8),
                    np.zeros((h // 8, w // 8, 2), np.int32),
                    np.zeros((h // 8, w // 8), np.uint8),
-                   np.zeros((h // 8, w // 8, 2), np.int32))
+                   np.zeros((h // 8, w // 8, 2), np.int32),
+                   np.zeros((h // 8, w // 8), np.uint8))
 
     def equal(self, other: "FrameDecisions") -> bool:
         return (np.array_equal(self.split32, other.split32)
@@ -108,7 +113,8 @@ class FrameDecisions:
                 and np.array_equal(self.aff8, other.aff8)
                 and np.array_equal(self.admv8, other.admv8)
                 and np.array_equal(self.ibc8, other.ibc8)
-                and np.array_equal(self.bv8, other.bv8))
+                and np.array_equal(self.bv8, other.bv8)
+                and np.array_equal(self.plt8, other.plt8))
 
 
 def tile_decisions_view(dec: FrameDecisions, x0: int, y0: int, x1: int,
@@ -128,7 +134,11 @@ def tile_decisions_view(dec: FrameDecisions, x0: int, y0: int, x1: int,
         mrl8=s(dec.mrl8, 8), jccr8=s(dec.jccr8, 8), bcw8=s(dec.bcw8, 8),
         ciip8=s(dec.ciip8, 8), sbt8=s(dec.sbt8, 8), isp8=s(dec.isp8, 8),
         gpm8=s(dec.gpm8, 8), aff8=s(dec.aff8, 8), admv8=s(dec.admv8, 8),
-        ibc8=s(dec.ibc8, 8), bv8=s(dec.bv8, 8))
+        ibc8=s(dec.ibc8, 8), bv8=s(dec.bv8, 8), plt8=s(dec.plt8, 8),
+        plt_data=None if dec.plt_data is None else
+        {(x - x0, y - y0, sz): v
+         for (x, y, sz), v in dec.plt_data.items()
+         if x0 <= x < x1 and y0 <= y < y1})
 
 
 @dataclass
@@ -1213,6 +1223,52 @@ def _code_ibc_leaf(io, st: _FrameState, x: int, y: int, s: int,
     trace.t_leaf_intra(x, y, s, -1)
 
 
+def _code_plt_flag(io, st: _FrameState, x: int, y: int, s: int) -> bool:
+    """plt_flag with context from the left/above granules' palette-ness
+    (IBC-flag scheme)."""
+    gy, gx = y // 8, x // 8
+    nb = 0
+    if gx > 0 and st.dec.plt8[gy, gx - 1]:
+        nb += 1
+    if gy > 0 and st.dec.plt8[gy - 1, gx]:
+        nb += 1
+    ctx = C.PLT_FLAG(min(1, nb))
+    if io.decoding:
+        return bool(io.bin(ctx))
+    flag = int(st.dec.plt8[gy, gx])
+    io.bin(ctx, flag)
+    return bool(flag)
+
+
+def _code_plt_leaf(io, st: _FrameState, x: int, y: int, s: int) -> None:
+    """Palette leaf: entries + index-map runs, recon = palette[idx] with
+    no residual (spec/palette.py; role of VTM DecCu palette recon)."""
+    from . import palette as pltmod
+    bd = st.sps.bit_depth
+    if io.decoding:
+        entries, idx = pltmod.code_palette(io, s, bd)
+    else:
+        entries, idx = pltmod.derive_palette(st.src[0], st.src[1],
+                                             st.src[2], x, y, s, bd)
+        pltmod.code_palette(io, s, bd, entries, idx)
+    if st.dec.plt_data is None:
+        st.dec.plt_data = {}
+    st.dec.plt_data[(x, y, s)] = (entries, idx)
+    ry, rcb, rcr = pltmod.map_block(entries, idx)
+    cs, cx, cy = s // 2, x // 2, y // 2
+    st.recon[0][y:y + s, x:x + s] = ry
+    st.recon[1][cy:cy + cs, cx:cx + cs] = rcb
+    st.recon[2][cy:cy + cs, cx:cx + cs] = rcr
+    st.valid[0][y:y + s, x:x + s] = True
+    st.valid[1][cy:cy + cs, cx:cx + cs] = True
+    st.valid[2][cy:cy + cs, cx:cx + cs] = True
+    sl8 = np.s_[y // 8:(y + s) // 8, x // 8:(x + s) // 8]
+    st.mode_map[y // 4:(y + s) // 4, x // 4:(x + s) // 4] = rom.PLANAR_IDX
+    st.dec.plt8[sl8] = 1
+    st.dec.modes8[sl8] = 0
+    trace.t_leaf_intra(x, y, s, -2)
+
+
 def _code_ibc_flag_bv(io, st: _FrameState, x: int, y: int, s: int):
     """ibc_flag (+ BVP idx and BVD when set).  Returns (bvx, bvy) or
     None; shared geometry with the AMVP scheme (2 candidates from the
@@ -1276,6 +1332,10 @@ def _code_leaf(io, st: _FrameState, x: int, y: int, s: int,
         bv = _code_ibc_flag_bv(io, st, x, y, s)
         if bv is not None:
             _code_ibc_leaf(io, st, x, y, s, bv[0], bv[1])
+            return
+    if (st.sps.plt_enabled and st.refs is None and square):
+        if _code_plt_flag(io, st, x, y, s):
+            _code_plt_leaf(io, st, x, y, s)
             return
     mode = _code_intra_mode(io, st, x, y, s, hh)
     trace.t_leaf_intra(x, y, s, mode)

@@ -247,7 +247,8 @@ def decide_frame(orig_y: np.ndarray, qp: int,
                  bit_depth: int = rom.BIT_DEPTH,
                  mip: bool = False, mrl: bool = False,
                  isp: bool = False, mtt: bool = False,
-                 ibc: bool = False, tt: bool = False) -> FrameDecisions:
+                 ibc: bool = False, tt: bool = False,
+                 plt: bool = False) -> FrameDecisions:
     """Compute partition + modes for a padded luma plane (H, W)."""
     h, w = orig_y.shape
     lam = lambda_satd_fp(qp)
@@ -297,6 +298,11 @@ def decide_frame(orig_y: np.ndarray, qp: int,
             bk[:] = np.where(use, 0, bk)      # IBC leaves: no MRL/ISP
             bi[:] = np.where(use, 0, bi)
             ibc_data[grid] = (use, bv)
+    plt_use = plt_competition(orig_y, lam, bit_depth, ibc_data,
+                              {8: (best8_cost, best8_mrl, best8_isp),
+                               16: (best16_cost, best16_mrl, best16_isp),
+                               32: (best32_cost, best32_mrl, best32_isp)}) \
+        if plt else None
 
     if not mtt:
         # bottom-up partition: cost of a 16 as 4x8 leaves vs one leaf
@@ -333,6 +339,8 @@ def decide_frame(orig_y: np.ndarray, qp: int,
         dec.isp8[:] = di.astype(np.uint8)
         if ibc_data is not None:
             _fill_ibc(dec, ibc_data, use16, use8)
+        if plt_use is not None:
+            _fill_plt(dec, plt_use, use16, use8)
         return dec
 
     # MTT bottom-up: per node the 4-way first-min over
@@ -348,7 +356,8 @@ def decide_frame(orig_y: np.ndarray, qp: int,
     sizes = {8: (best8_cost, best8_mode, best8_mrl, best8_isp),
              16: (best16_cost, best16_mode, best16_mrl, best16_isp),
              32: (best32_cost, best32_mode, best32_mrl, best32_isp)}
-    mtt_assemble_i(dec, sizes, rects, lam, ibc_data=ibc_data)
+    mtt_assemble_i(dec, sizes, rects, lam, ibc_data=ibc_data,
+                   plt_use=plt_use)
     return dec
 
 
@@ -373,8 +382,48 @@ def _fill_ibc(dec: FrameDecisions, ibc_data, use16, use8) -> None:
     dec.isp8[:] = np.where(f > 0, 0, dec.isp8)
 
 
+def plt_competition(orig_y, lam: int, bit_depth: int, ibc_data, sizes):
+    """Palette-vs-best competition per square size (shared by both
+    engines): strict-less on the running best cost; where palette wins,
+    MRL/ISP refinements and a same-block IBC win are cleared.
+
+    sizes[grid] = (cost, mrl, isp) arrays, mutated in place.  Returns
+    {grid: use mask}."""
+    from . import palette as pltmod
+    plt_use = {}
+    for grid in (8, 16, 32):
+        bc, bk, bi = sizes[grid]
+        pc = pltmod.palette_size_pass(orig_y, grid, lam, bit_depth)
+        use = pc < bc
+        bc[:] = np.where(use, pc, bc)
+        bk[:] = np.where(use, 0, bk)
+        bi[:] = np.where(use, 0, bi)
+        if ibc_data is not None:
+            iu, bv = ibc_data[grid]
+            ibc_data[grid] = (iu & ~use, bv)
+        plt_use[grid] = use
+    return plt_use
+
+
+def _fill_plt(dec: FrameDecisions, plt_use, use16, use8) -> None:
+    """Granule fill of plt8 from the per-size winner masks (after
+    _fill_ibc; palette leaves carry no other tool state)."""
+    f = np.kron(plt_use[32].astype(np.uint8), np.ones((4, 4), np.uint8))
+    f = np.where(use16, np.kron(plt_use[16].astype(np.uint8),
+                                np.ones((2, 2), np.uint8)), f)
+    f = np.where(use8, plt_use[8].astype(np.uint8), f)
+    dec.plt8[:] = f
+    on = f > 0
+    dec.modes8[:] = np.where(on, 0, dec.modes8)
+    dec.mrl8[:] = np.where(on, 0, dec.mrl8)
+    dec.isp8[:] = np.where(on, 0, dec.isp8)
+    if dec.ibc8 is not None:
+        dec.ibc8[:] = np.where(on, 0, dec.ibc8)
+        dec.bv8[:] = np.where(on[..., None], 0, dec.bv8)
+
+
 def mtt_assemble_i(dec: FrameDecisions, sizes, rects, lam: int,
-                   ibc_data=None) -> None:
+                   ibc_data=None, plt_use=None) -> None:
     """Shared (spec + JAX engine) MTT bottom-up + map fill for I frames.
 
     sizes[s] = (cost int64, mode, mrl, isp) square grids; rects[(bw, bh)] =
@@ -480,6 +529,9 @@ def mtt_assemble_i(dec: FrameDecisions, sizes, rects, lam: int,
         rect0 = rectg
         dec.ibc8[:] = np.where(rect0, 0, dec.ibc8)
         dec.bv8[:] = np.where(rect0[..., None], 0, dec.bv8)
+    if plt_use is not None:
+        _fill_plt(dec, plt_use, g16 | g_bth16 | g_btv16 | g8, g8)
+        dec.plt8[:] = np.where(rectg, 0, dec.plt8)
 
 
 # ---------------------------------------------------------------------------

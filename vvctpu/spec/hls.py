@@ -50,6 +50,7 @@ class SPS:
     mtt_enabled: bool = False   # multi-type tree (binary splits at 16/32)
     tt_enabled: bool = False    # ternary splits at 32 (requires mtt)
     ibc_enabled: bool = False   # intra block copy (I slices, square leaves)
+    plt_enabled: bool = False   # palette mode (I slices, square leaves)
     cclm_enabled: bool = False
     lmcs_enabled: bool = False
     sao_enabled: bool = False
@@ -86,7 +87,8 @@ class SPS:
                   self.smvd_enabled, self.ciip_enabled, self.sbt_enabled,
                   self.isp_enabled, self.gpm_enabled,
                   self.affine_enabled, self.dq_enabled,
-                  self.mtt_enabled, self.tt_enabled, self.ibc_enabled):
+                  self.mtt_enabled, self.tt_enabled, self.ibc_enabled,
+                  self.plt_enabled):
             w.u(int(f), 1)
         w.byte_align()
         return w.getvalue()
@@ -110,7 +112,7 @@ class SPS:
          s.amvr_enabled, s.smvd_enabled, s.ciip_enabled,
          s.sbt_enabled, s.isp_enabled, s.gpm_enabled,
          s.affine_enabled, s.dq_enabled, s.mtt_enabled, s.tt_enabled,
-         s.ibc_enabled) = (bool(r.u(1)) for _ in range(26))
+         s.ibc_enabled, s.plt_enabled) = (bool(r.u(1)) for _ in range(27))
         return s
 
 

@@ -49,6 +49,7 @@ class EncoderConfig:
     mtt: bool = False       # multi-type tree (binary splits at 16/32)
     tt: bool = False        # ternary splits at 32 (with mtt)
     ibc: bool = False       # intra block copy (I slices, square leaves)
+    plt: bool = False       # palette mode (I slices, square leaves)
     tile_cols: int = 1      # tile grid columns (prediction+entropy break)
     tile_rows: int = 1      # tile grid rows
     lmcs: bool = False      # luma mapping (reshaper)
@@ -78,7 +79,7 @@ class EncoderConfig:
                        affine_enabled=self.affine, dq_enabled=self.dq,
                        mtt_enabled=self.mtt,
                        tt_enabled=self.tt and self.mtt,
-                       ibc_enabled=self.ibc)
+                       ibc_enabled=self.ibc, plt_enabled=self.plt)
 
 
 def gop_plan(n_frames: int, intra_period: int, gop: int):
@@ -175,7 +176,8 @@ def encode_sequence(frames: list[list[np.ndarray]], cfg: EncoderConfig,
                                       mip=cfg.mip, mrl=cfg.mrl,
                                       isp=cfg.isp, mtt=cfg.mtt,
                                       ibc=cfg.ibc,
-                                      tt=cfg.tt and cfg.mtt)
+                                      tt=cfg.tt and cfg.mtt,
+                                      plt=cfg.plt)
         elif stype == hls.SLICE_P:
             dec = decide.decide_frame_p(padded_y, dpb[ref_pocs[0]][0], qp,
                                         cfg.bit_depth, mip=cfg.mip,
