@@ -73,8 +73,12 @@ def _enc(args) -> int:
                             plt=args.plt,
                             tile_cols=int(args.tiles.split("x")[0]),
                             tile_rows=int(args.tiles.split("x")[1]),
+                            subpic_cols=int(args.subpics.split("x")[0]),
+                            subpic_rows=int(args.subpics.split("x")[1]),
                             mctf=args.mctf, rdoq=not args.no_rdoq,
-                            rc_bits_per_frame=args.rc_bpf)
+                            rc_bits_per_frame=args.rc_bpf,
+                            hash_type={"md5": 0, "crc": 1,
+                                       "checksum": 2}[args.hash])
     if args.trace_file:
         from .core import trace
         trace.open_trace(args.trace_file, args.trace_rule)
@@ -162,6 +166,52 @@ def _merge(args) -> int:
     return 0
 
 
+def _subpic_extract(args) -> int:
+    from .io.streamtools import subpic_extract
+    with open(args.bitstream, "rb") as f:
+        data = f.read()
+    out = subpic_extract(data, args.idx)
+    with open(args.output, "wb") as f:
+        f.write(out)
+    print(f"subpic-extract: {len(data)} -> {len(out)} bytes")
+    return 0
+
+
+def _subpic_merge(args) -> int:
+    from .io.streamtools import subpic_merge
+    cols, rows = (int(v) for v in args.grid.split("x"))
+    streams = [open(f, "rb").read() for f in args.inputs]
+    out = subpic_merge(streams, cols, rows)
+    with open(args.output, "wb") as f:
+        f.write(out)
+    print(f"subpic-merge: {len(args.inputs)} subpics -> {args.output} "
+          f"({len(out)} bytes)")
+    return 0
+
+
+def _filmgrain(args) -> int:
+    from .io import filmgrain as fg
+    with open(args.bitstream, "rb") as f:
+        data = f.read()
+    if args.add:
+        out = fg.add_fgc(data, args.scale, args.seed, [(0, 255, args.gain)])
+        with open(args.output, "wb") as f:
+            f.write(out)
+        print(f"filmgrain: FGC SEI added -> {args.output}")
+        return 0
+    params = fg.find_fgc(data)
+    if params is None:
+        print("no film-grain SEI in stream", file=sys.stderr)
+        return 1
+    from .io import yuv
+    from .spec import sequence as seqmod
+    frames, sps = seqmod.decode_sequence(data, check_hash=True)
+    grained = fg.synthesize(frames, params, sps.bit_depth)
+    yuv.write_yuv(args.output, grained, sps.bit_depth)
+    print(f"filmgrain: {len(frames)} frames grained -> {args.output}")
+    return 0
+
+
 def _info(args) -> int:
     from .io.streamtools import stream_info
     with open(args.bitstream, "rb") as f:
@@ -223,6 +273,9 @@ def main(argv=None) -> int:
     e.add_argument("--wdt", type=int, help="source width")
     e.add_argument("--hgt", type=int, help="source height")
     e.add_argument("--checkpoint", help="encoder checkpoint .npz path")
+    e.add_argument("--hash", default="md5",
+                   choices=("md5", "crc", "checksum"),
+                   help="decoded-picture-hash SEI type")
     e.add_argument("-q", "--qp", type=int, default=32)
     e.add_argument("-f", "--frames", type=int, default=None)
     e.add_argument("--bit-depth", type=int, default=8, choices=(8, 10))
@@ -255,6 +308,9 @@ def main(argv=None) -> int:
                    help="palette mode (I slices, square leaves)")
     e.add_argument("--tiles", default="1x1",
                    help="tile grid CxR (prediction+entropy break per tile)")
+    e.add_argument("--subpics", default="1x1",
+                   help="subpicture grid CxR (independent decodable rects,"
+                   " one layer each; SubpicMerge/extract roles)")
     e.add_argument("--lmcs", action="store_true",
                    help="LMCS luma mapping (reshaper)")
     e.add_argument("--mip", action="store_true",
@@ -342,6 +398,37 @@ def main(argv=None) -> int:
     mg.add_argument("inputs", nargs="+")
     mg.add_argument("-o", "--output", required=True)
     mg.set_defaults(fn=_merge)
+
+    se = sub.add_parser("subpic-extract",
+                        help="extract one subpicture as a standalone "
+                        "stream (BitstreamExtractorApp subpic role)")
+    se.add_argument("-b", "--bitstream", required=True)
+    se.add_argument("-o", "--output", required=True)
+    se.add_argument("--idx", type=int, required=True,
+                    help="subpicture index (raster order)")
+    se.set_defaults(fn=_subpic_extract)
+
+    sm = sub.add_parser("subpic-merge",
+                        help="merge per-subpicture streams into one "
+                        "(SubpicMergeApp role)")
+    sm.add_argument("inputs", nargs="+")
+    sm.add_argument("-o", "--output", required=True)
+    sm.add_argument("--grid", required=True, help="CxR grid")
+    sm.set_defaults(fn=_subpic_merge)
+
+    fg = sub.add_parser("filmgrain",
+                        help="film-grain SEI tool (SEIFilmGrainApp role): "
+                        "--add inserts an FGC SEI; default decodes and "
+                        "synthesizes grain to YUV")
+    fg.add_argument("-b", "--bitstream", required=True)
+    fg.add_argument("-o", "--output", required=True)
+    fg.add_argument("--add", action="store_true",
+                    help="insert FGC SEI instead of synthesizing")
+    fg.add_argument("--scale", type=int, default=6,
+                    help="log2 grain scale divisor")
+    fg.add_argument("--seed", type=int, default=1)
+    fg.add_argument("--gain", type=int, default=16)
+    fg.set_defaults(fn=_filmgrain)
 
     nf = sub.add_parser("info", help="list NAL units in a stream")
     nf.add_argument("-b", "--bitstream", required=True)

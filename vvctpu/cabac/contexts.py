@@ -128,6 +128,7 @@ GPM_FLAG = R.add("gpm_flag", 1)          # geometric partitioning (B leaves)
 AFF_FLAG = R.add("affine_flag", 1)       # 4-parameter affine (uni leaves)
 TT_FLAG = R.add("tt_split_flag", 1)      # ternary (vs binary) MTT split
 PLT_FLAG = R.add("plt_flag", 2)          # palette mode (ctx by neighbours)
+AFFM_FLAG = R.add("affine_merge_flag", 1)  # inherited affine merge
 
 NUM_CTX = R.total
 

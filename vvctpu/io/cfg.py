@@ -54,6 +54,7 @@ class AppConfig:
     target_bitrate: int = 0       # TargetBitrate (bits/s)
     frame_rate: int = 30          # FrameRate
     deblock: bool = True          # (inverse of) LoopFilterDisable
+    hash_type: int = 0            # DecodedPictureHashSEI (1 MD5/2 CRC/3 sum)
     input_file: str = ""          # InputFile
     bitstream_file: str = ""      # BitstreamFile
     recon_file: str = ""          # ReconFile
@@ -114,6 +115,8 @@ _KEYMAP = {
     "targetbitrate": ("target_bitrate", int),
     "framerate": ("frame_rate", lambda v: int(float(v))),
     "loopfilterdisable": ("deblock", lambda v: not bool(int(v))),
+    "decodedpicturehashsei": ("hash_type",
+                              lambda v: max(0, min(2, int(v) - 1))),
     "inputfile": ("input_file", str),
     "bitstreamfile": ("bitstream_file", str),
     "reconfile": ("recon_file", str),

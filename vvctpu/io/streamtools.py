@@ -90,6 +90,52 @@ def extract_layer(data: bytes, layer_id: int) -> bytes:
     return bs.write_annexb(out)
 
 
+SEI_SUBPIC_LAYOUT = 201      # project SEI: uniform subpicture grid
+
+
+def _layout_sei_payload(cols: int, rows: int) -> bytes:
+    return bytes((SEI_SUBPIC_LAYOUT, 2, cols, rows))
+
+
+def subpic_layout(data: bytes):
+    """(cols, rows) if the stream carries a subpicture-layout SEI, else
+    None.  Only leading prefix SEIs are inspected (the layout SEI is
+    written before any parameter set)."""
+    for nal in bs.read_annexb(data):
+        if nal.nal_type == bs.NAL_PREFIX_SEI and len(nal.payload) >= 4 \
+                and nal.payload[0] == SEI_SUBPIC_LAYOUT:
+            return int(nal.payload[2]), int(nal.payload[3])
+        if nal.nal_type in _SLICE_TYPES:
+            return None
+    return None
+
+
+def subpic_merge(streams: list[bytes], cols: int, rows: int) -> bytes:
+    """Merge per-subpicture streams (subpic-raster order) into one stream:
+    layer k carries subpicture k, announced by a layout SEI
+    (VTM:App/SubpicMergeApp role; see dist/subpic.py)."""
+    if len(streams) != cols * rows:
+        raise ValueError("need cols*rows streams")
+    merged = merge_layers(streams)
+    head = bs.write_annexb([bs.NalUnit(bs.NAL_PREFIX_SEI,
+                                       _layout_sei_payload(cols, rows))])
+    return head + merged
+
+
+def subpic_extract(data: bytes, k: int) -> bytes:
+    """Extract subpicture k of a merged stream as a standalone conformant
+    stream (VTM:App/BitstreamExtractorApp subpicture role): pure NAL
+    filter — layer k minus the layout SEI."""
+    out = []
+    for n in bs.read_annexb(data):
+        if (n.nal_type == bs.NAL_PREFIX_SEI and len(n.payload) >= 1
+                and n.payload[0] == SEI_SUBPIC_LAYOUT):
+            continue
+        if n.layer_id == k:
+            out.append(bs.NalUnit(n.nal_type, n.payload, 0, n.temporal_id))
+    return bs.write_annexb(out)
+
+
 _NAL_NAMES = {bs.NAL_TRAIL: "TRAIL", bs.NAL_IDR_W_RADL: "IDR_W_RADL",
               bs.NAL_IDR_N_LP: "IDR_N_LP", bs.NAL_CRA: "CRA",
               bs.NAL_VPS: "VPS", bs.NAL_SPS: "SPS", bs.NAL_PPS: "PPS",

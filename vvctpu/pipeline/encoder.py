@@ -157,7 +157,8 @@ def _encode_ai_pipelined(frames, cfg, sps, pps, nals, recons, bits,
         nals.append(bs.NalUnit(bs.NAL_IDR_N_LP, payload, temporal_id=0))
         nals.append(bs.NalUnit(bs.NAL_SUFFIX_SEI,
                                hls.write_pic_hash_sei(cropped,
-                                                      cfg.bit_depth),
+                                                      cfg.bit_depth,
+                                                      cfg.hash_type),
                                temporal_id=0))
         recons[poc] = cropped
         bits[poc] = 8 * len(payload)
@@ -217,6 +218,14 @@ def _encode_ai_pipelined(frames, cfg, sps, pps, nals, recons, bits,
 
 def encode_sequence(frames, cfg: sseq.EncoderConfig, decisions_fn=None,
                     decisions_out=None):
+    if cfg.subpic_cols * cfg.subpic_rows > 1:
+        from ..dist.subpic import encode_subpics
+        # sequential over subpics: concurrent device encodes would fight
+        # for the one chip (GOP-DP uses threads; the SP axis maps to one
+        # chip per subpic on a pod slice)
+        return encode_subpics(frames, cfg,
+                              lambda fr, c: encode_sequence(fr, c),
+                              threads=False)
     h, w = frames[0][0].shape
     sps = cfg.make_sps(w, h)
     pps = hls.PPS(init_qp=cfg.qp, entropy_sync=cfg.wpp,
@@ -364,7 +373,8 @@ def encode_sequence(frames, cfg: sseq.EncoderConfig, decisions_fn=None,
             temporal_id=tid))
         nals.append(bs.NalUnit(bs.NAL_SUFFIX_SEI,
                                hls.write_pic_hash_sei(cropped,
-                                                      cfg.bit_depth),
+                                                      cfg.bit_depth,
+                                                      cfg.hash_type),
                                temporal_id=tid))
         recons[poc] = cropped
         bits[poc] = 8 * len(payload)
@@ -374,6 +384,13 @@ def encode_sequence(frames, cfg: sseq.EncoderConfig, decisions_fn=None,
 
 
 def decode_sequence(data: bytes, check_hash: bool = True):
+    from ..io import streamtools
+    layout = streamtools.subpic_layout(data)
+    if layout is not None:
+        from ..dist.subpic import decode_subpics
+        return decode_subpics(
+            data, layout,
+            lambda d, ch: decode_sequence(d, check_hash=ch), check_hash)
     sps = None
     pps_map: dict[int, hls.PPS] = {}
     frames = {}
@@ -445,9 +462,10 @@ def decode_sequence(data: bytes, check_hash: bool = True):
             pending_poc = sh.poc
             frames[sh.poc] = pending
         elif nal.nal_type == bs.NAL_SUFFIX_SEI and check_hash:
-            digest = hls.read_pic_hash_sei(nal.payload)
-            if digest is not None and pending is not None:
-                got = hls.plane_md5(pending, sps.bit_depth)
+            parsed = hls.read_pic_hash_sei(nal.payload)
+            if parsed is not None and pending is not None:
+                htype, digest = parsed
+                got = hls.plane_hash(pending, sps.bit_depth, htype)
                 if got != digest:
                     raise ValueError(
                         f"decoded-picture hash mismatch at poc "

@@ -326,9 +326,19 @@ class _Walker:
                            and s >= imod.AFF_MIN_SIZE and d != 2
                            and square)
                 if aff_sig and io.bin(C.AFF_FLAG(0)):
-                    mv = self._code_mv_list(x, y, s, d, shift=2, h=hh)
-                    dmx = _code_mvd_comp(io, None) << 2
-                    dmy = _code_mvd_comp(io, None) << 2
+                    acands = imod.affine_merge_cands(
+                        self.inter_map, self.mv_map, self.dec.aff8,
+                        self.dec.admv8, x, y, s, d)
+                    amrg = bool(io.bin(C.AFFM_FLAG(0))) if acands \
+                        else False
+                    if amrg:
+                        ai = io.byp() if len(acands) > 1 else 0
+                        bx_, by_, dmx, dmy = acands[ai]
+                        mv = (bx_, by_)
+                    else:
+                        mv = self._code_mv_list(x, y, s, d, shift=2, h=hh)
+                        dmx = _code_mvd_comp(io, None) << 2
+                        dmy = _code_mvd_comp(io, None) << 2
                     aff = (dmx, dmy)
                     mv0 = mv if d == 0 else (0, 0)
                     mv1 = mv if d == 1 else (0, 0)
@@ -408,11 +418,23 @@ class _Walker:
                     if aff_sig:
                         io.bin(C.AFF_FLAG(0), int(aff is not None))
                     if aff is not None:
-                        self._code_mv_list(x, y, s, d,
-                                           mv0 if d == 0 else mv1, shift=2,
-                                           h=hh)
-                        _code_mvd_comp(io, aff[0] >> 2)
-                        _code_mvd_comp(io, aff[1] >> 2)
+                        base = mv0 if d == 0 else mv1
+                        acands = imod.affine_merge_cands(
+                            self.inter_map, self.mv_map, self.dec.aff8,
+                            self.dec.admv8, x, y, s, d)
+                        tgt = (int(base[0]), int(base[1]), int(aff[0]),
+                               int(aff[1]))
+                        ai = acands.index(tgt) if tgt in acands else -1
+                        if acands:
+                            io.bin(C.AFFM_FLAG(0), int(ai >= 0))
+                        if ai >= 0:
+                            if len(acands) > 1:
+                                io.byp(ai)
+                        else:
+                            self._code_mv_list(x, y, s, d, base, shift=2,
+                                               h=hh)
+                            _code_mvd_comp(io, aff[0] >> 2)
+                            _code_mvd_comp(io, aff[1] >> 2)
                     else:
                         prec = _amvr_for_leaf(io, self.mv_map,
                                               self.inter_map,

@@ -210,35 +210,66 @@ class SliceHeader:
 SEI_PIC_HASH = 132
 
 
-def plane_md5(planes: list[np.ndarray], bit_depth: int = 8) -> bytes:
+def _plane_bytes(p: np.ndarray, bit_depth: int) -> bytes:
+    if bit_depth <= 8:
+        return p.astype(np.uint8).tobytes()
+    return p.astype("<u2").tobytes()
+
+
+def _crc16(data: bytes) -> int:
+    """CRC-16/CCITT as in the HEVC/VVC picture-hash SEI (crc = 0xFFFF
+    seed, poly 0x1021, bit-serial over data + 16 zero bits)."""
+    crc = 0xFFFF
+    for byte in data + b"\x00\x00":
+        for bit in range(7, -1, -1):
+            msb = (crc >> 15) & 1
+            crc = ((crc << 1) & 0xFFFF) | ((byte >> bit) & 1)
+            if msb:
+                crc ^= 0x1021
+    return crc
+
+
+def plane_hash(planes: list[np.ndarray], bit_depth: int = 8,
+               hash_type: int = 0) -> bytes:
+    """Concatenated per-plane digest: 0 = MD5 (16 B), 1 = CRC-16 (2 B),
+    2 = checksum (mod-2^32 byte sum, 4 B) — the three VVC
+    decoded-picture-hash SEI types."""
     out = b""
     for p in planes:
-        if bit_depth <= 8:
-            data = p.astype(np.uint8).tobytes()
+        data = _plane_bytes(p, bit_depth)
+        if hash_type == 0:
+            out += hashlib.md5(data).digest()
+        elif hash_type == 1:
+            out += _crc16(data).to_bytes(2, "big")
         else:
-            data = p.astype("<u2").tobytes()
-        out += hashlib.md5(data).digest()
+            s = int(np.frombuffer(data, np.uint8).astype(np.uint64).sum())
+            out += (s & 0xFFFFFFFF).to_bytes(4, "big")
     return out
 
 
-def write_pic_hash_sei(planes: list[np.ndarray], bit_depth: int = 8) -> bytes:
+def plane_md5(planes: list[np.ndarray], bit_depth: int = 8) -> bytes:
+    return plane_hash(planes, bit_depth, 0)
+
+
+def write_pic_hash_sei(planes: list[np.ndarray], bit_depth: int = 8,
+                       hash_type: int = 0) -> bytes:
     w = bs.BitWriter()
-    digest = plane_md5(planes, bit_depth)
+    digest = plane_hash(planes, bit_depth, hash_type)
     w.u(SEI_PIC_HASH, 8)          # payload type
     w.u(1 + len(digest), 8)       # payload size
-    w.u(0, 8)                     # hash_type = 0 (MD5)
+    w.u(hash_type, 8)             # 0 MD5 / 1 CRC / 2 checksum
     for b in digest:
         w.u(b, 8)
     w.byte_align()
     return w.getvalue()
 
 
-def read_pic_hash_sei(payload: bytes) -> bytes | None:
+def read_pic_hash_sei(payload: bytes):
+    """(hash_type, digest) or None."""
     r = bs.BitReader(payload)
     ptype = r.u(8)
     size = r.u(8)
     if ptype != SEI_PIC_HASH:
         return None
-    if r.u(8) != 0:
-        return None
-    return bytes(r.u(8) for _ in range(size - 1))
+    htype = r.u(8)
+    return htype, bytes(r.u(8) for _ in range(size - 1))

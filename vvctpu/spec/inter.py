@@ -588,6 +588,35 @@ def affine_sub_mv(mv0, dmv, log2s: int, cx: int, cy: int):
             mv0[1] + ((dmv[1] * cx + dmv[0] * cy) >> log2s))
 
 
+def affine_merge_cands(inter_map, mv_map, aff_map, admv_map, x: int,
+                       y: int, s: int, d: int):
+    """Inherited affine merge candidates for an (s x s) leaf: continue the
+    A1/B1 neighbour's affine field across the boundary — the candidate
+    base is chosen so the current leaf's 4-parameter model reproduces the
+    neighbour granule's stored model MV at that granule's centre (role of
+    VTM:CommonLib/UnitTools.cpp inherited affine candidates, recast for
+    the granule motion field).  Up to 2 unique (bx, by, dmx, dmy)."""
+    log2s = int(s).bit_length() - 1
+    cands = []
+    for (nx, ny) in ((x - 1, y + s - 1), (x + s - 1, y - 1)):   # A1, B1
+        if nx < 0 or ny < 0:
+            continue
+        gy, gx = ny // 8, nx // 8
+        if not aff_map[gy, gx] or not inter_map[gy, gx, d]:
+            continue
+        dmx = int(admv_map[gy, gx, 0])
+        dmy = int(admv_map[gy, gx, 1])
+        cx = (gx * 8 + 4) - x
+        cy = (gy * 8 + 4) - y
+        offx = (dmx * cx - dmy * cy) >> log2s
+        offy = (dmy * cx + dmx * cy) >> log2s
+        cand = (int(mv_map[gy, gx, d, 0]) - offx,
+                int(mv_map[gy, gx, d, 1]) - offy, dmx, dmy)
+        if cand not in cands:
+            cands.append(cand)
+    return cands
+
+
 def affine_granule_mvs(mv0, dmv, s: int) -> np.ndarray:
     """(s//8, s//8, 2) int32 model MVs at the 8x8-granule centres — the
     per-granule motion stored into the runtime mv field and used for the

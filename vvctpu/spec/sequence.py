@@ -52,10 +52,13 @@ class EncoderConfig:
     plt: bool = False       # palette mode (I slices, square leaves)
     tile_cols: int = 1      # tile grid columns (prediction+entropy break)
     tile_rows: int = 1      # tile grid rows
+    subpic_cols: int = 1    # subpicture grid (independent encodes, layers)
+    subpic_rows: int = 1
     lmcs: bool = False      # luma mapping (reshaper)
     alf: bool = False       # adaptive loop filter (luma Wiener, CTU flags)
     mctf: bool = False      # motion-compensated temporal source prefilter
     rc_bits_per_frame: int = 0   # >0 enables rate control
+    hash_type: int = 0      # picture-hash SEI: 0 MD5 / 1 CRC / 2 checksum
 
 
     def make_sps(self, width: int, height: int) -> hls.SPS:
@@ -128,6 +131,10 @@ def encode_sequence(frames: list[list[np.ndarray]], cfg: EncoderConfig,
     checkpoint_path: optional .npz the encoder writes after every anchor
     picture and resumes from if present (SURVEY.md §5 checkpoint/resume —
     absent in the reference, required for preemptible multi-host runs)."""
+    if cfg.subpic_cols * cfg.subpic_rows > 1:
+        from ..dist.subpic import encode_subpics
+        return encode_subpics(frames, cfg,
+                              lambda fr, c: encode_sequence(fr, c))
     h, w = frames[0][0].shape
     sps = cfg.make_sps(w, h)
     pps = hls.PPS(init_qp=cfg.qp, entropy_sync=cfg.wpp,
@@ -213,7 +220,7 @@ def encode_sequence(frames: list[list[np.ndarray]], cfg: EncoderConfig,
             payload, temporal_id=tid))
         nals.append(bs.NalUnit(
             bs.NAL_SUFFIX_SEI,
-            hls.write_pic_hash_sei(cropped, cfg.bit_depth),
+            hls.write_pic_hash_sei(cropped, cfg.bit_depth, cfg.hash_type),
             temporal_id=tid))
         recons[poc] = cropped
         bits[poc] = 8 * len(payload)
@@ -237,6 +244,14 @@ def decode_sequence(data: bytes, check_hash: bool = True, stats=None):
     """Returns (frames [cropped planes], sps).  Raises on hash mismatch.
     stats: optional dict tallying CABAC bins per syntax class (the
     DecoderAnalyser role — SURVEY.md §2.8 CodingStatistics)."""
+    from ..io import streamtools
+    layout = streamtools.subpic_layout(data)
+    if layout is not None:
+        from ..dist.subpic import decode_subpics
+        return decode_subpics(
+            data, layout,
+            lambda d, ch: decode_sequence(d, check_hash=ch, stats=stats),
+            check_hash)
     sps = None
     pps_map: dict[int, hls.PPS] = {}
     frames = {}     # poc -> cropped planes
@@ -261,9 +276,10 @@ def decode_sequence(data: bytes, check_hash: bool = True, stats=None):
             pending_poc = sh.poc
             frames[sh.poc] = pending
         elif nal.nal_type == bs.NAL_SUFFIX_SEI and check_hash:
-            digest = hls.read_pic_hash_sei(nal.payload)
-            if digest is not None and pending is not None:
-                got = hls.plane_md5(pending, sps.bit_depth)
+            parsed = hls.read_pic_hash_sei(nal.payload)
+            if parsed is not None and pending is not None:
+                htype, digest = parsed
+                got = hls.plane_hash(pending, sps.bit_depth, htype)
                 if got != digest:
                     raise ValueError(
                         f"decoded-picture hash mismatch at poc "
