@@ -314,6 +314,56 @@ def build_references_rect(buf, x, y, *, w: int, h: int, is_luma: bool,
     return top, left
 
 
+def build_references_rect_win(win, x0, y0, px, py, *, w: int, h: int,
+                              is_luma: bool, frame_w: int, frame_h: int,
+                              n_ctu_x: int, bd: int = 8, win_n: int,
+                              leaf_w: int = 0, leaf_h: int = 0):
+    """build_references_rect twin reading a local (win_n, win_n) window.
+
+    ``win`` is a gathered copy of the recon buffer starting at buffer index
+    (y0, x0) — i.e. win[r, c] = buf[y0 + r, x0 + c] — which the caller
+    patches with in-leaf reconstruction as it proceeds (the ISP stripe
+    loop under vmap, where per-leaf global buffer updates are impossible).
+    (px, py) is the block position in plane coords; availability is
+    computed from the global geometry exactly as build_references_rect
+    (leaf rect = (x0, y0) + (leaf_w, leaf_h), the enclosing leaf)."""
+    half = 1 << (bd - 1)
+    n = w + h
+    ry, rx = py - y0, px - x0
+    top_raw = jax.lax.dynamic_slice(win, (ry, rx), (1, n + 1))[0]
+    left_raw = jax.lax.dynamic_slice(win, (ry, rx), (n + 1, 1))[:, 0]
+
+    scan_vals = jnp.concatenate([left_raw[1:][::-1], top_raw])
+
+    j_idx = jnp.arange(n, 0, -1)
+    left_sx = jnp.full((n,), -1, jnp.int32) + px
+    left_sy = py - 1 + j_idx
+    top_i = jnp.arange(0, n + 1)
+    top_sx = px - 1 + top_i
+    top_sy = jnp.full((n + 1,), -1, jnp.int32) + py
+    sx = jnp.concatenate([left_sx, top_sx])
+    sy = jnp.concatenate([left_sy, top_sy])
+    scale = 1 if is_luma else 2
+    in_frame = (sx >= 0) & (sy >= 0) & (sx < frame_w) & (sy < frame_h)
+    cur = morton8(px * scale, py * scale, n_ctu_x)
+    coded = morton8(jnp.maximum(sx, 0) * scale,
+                    jnp.maximum(sy, 0) * scale, n_ctu_x) < cur
+    inside = ((sx >= x0) & (sx < x0 + leaf_w)
+              & (sy >= y0) & (sy < y0 + leaf_h))
+    avail = in_frame & (coded | inside)
+
+    idx = jnp.arange(2 * n + 1)
+    last_avail = jax.lax.cummax(jnp.where(avail, idx, -1))
+    first_avail = jnp.argmax(avail)
+    src = jnp.where(last_avail >= 0, last_avail, first_avail)
+    filled = scan_vals[src]
+    filled = jnp.where(avail.any(), filled, half).astype(jnp.int32)
+
+    left = jnp.concatenate([filled[n:n + 1], filled[:n][::-1]])
+    top = filled[n:]
+    return top, left
+
+
 _SMOOTH_THRES_BY_LOG2 = {2: 64, 3: 14, 4: 2, 5: 0, 6: 0}
 
 
@@ -513,10 +563,32 @@ def _sort4_j(l, c):
     return l, c
 
 
+def cclm_predict_local(by, bc, rec_y, cx, cy, *, cs: int, frame_w: int,
+                       frame_h: int, n_ctu_x: int, bd: int = 8):
+    """cclm_predict_j twin for the batched wavefront engine: the collocated
+    luma interior comes from the locally computed (2cs, 2cs) leaf recon
+    ``rec_y`` instead of the global buffer (which, under vmap, has not been
+    scattered yet); boundary rows/cols still gather from the global
+    buffers.  Arithmetic identical — the original's interior window
+    [:, 1:] is exactly rec_y."""
+    left_col = jax.lax.dynamic_slice(by, (2 * cy + 1, 2 * cx), (2 * cs, 1))
+    blk_win = jnp.concatenate([left_col, rec_y], axis=1)
+    return _cclm_core(by, bc, blk_win, cx, cy, cs=cs, frame_w=frame_w,
+                      frame_h=frame_h, n_ctu_x=n_ctu_x, bd=bd)
+
+
 def cclm_predict_j(by, bc, cx, cy, *, cs: int, frame_w: int, frame_h: int,
                    n_ctu_x: int, bd: int = 8):
     """CCLM chroma prediction on device.  by/bc: luma/chroma recon buffers
     with the +1 top-left offset; (cx, cy) chroma coords; returns (cs, cs)."""
+    blk_win = jax.lax.dynamic_slice(by, (2 * cy + 1, 2 * cx),
+                                    (2 * cs, 2 * cs + 1))
+    return _cclm_core(by, bc, blk_win, cx, cy, cs=cs, frame_w=frame_w,
+                      frame_h=frame_h, n_ctu_x=n_ctu_x, bd=bd)
+
+
+def _cclm_core(by, bc, blk_win, cx, cy, *, cs: int, frame_w: int,
+               frame_h: int, n_ctu_x: int, bd: int = 8):
     half = 1 << (bd - 1)
     mx = (1 << bd) - 1
 
@@ -530,8 +602,6 @@ def cclm_predict_j(by, bc, cx, cy, *, cs: int, frame_w: int, frame_h: int,
                  + b[:, 2:2 * cs + 1:2] + 4) >> 3)
 
     # interior block (luma rows 2cy.., buffer offset +1)
-    blk_win = jax.lax.dynamic_slice(by, (2 * cy + 1, 2 * cx),
-                                    (2 * cs, 2 * cs + 1))
     ds = ds_from(blk_win, cx)
 
     # above reference row (luma rows 2cy-2, 2cy-1)

@@ -21,6 +21,22 @@ from ..spec import sequence as sseq
 from . import entropy, recon
 
 
+def _scan_fn():
+    """Phase-B executor: the sequential lax.scan engine by default;
+    VVCTPU_WAVE=1 selects the batched wavefront engine (pipeline/wave.py)
+    — byte-identical output either way (tests/test_wave.py).  The wave
+    engine wins on large frames / fat waves; per-batch dispatch overhead
+    through the tunneled device makes it slower at CIF size until the
+    fused scan-over-waves variant lands (VVCTPU_SERIAL_SCAN=1 forces the
+    serial engine under VVCTPU_WAVE for A/B runs)."""
+    import os
+    if os.environ.get("VVCTPU_WAVE") and not os.environ.get(
+            "VVCTPU_SERIAL_SCAN"):
+        from . import wave
+        return wave.frame_wave
+    return recon.frame_scan
+
+
 def _run_scan(sps, pps, dec, py, pcb, pcr, dpb, ref_pocs, scan_kw):
     """frame_scan over the whole frame, or one scan per tile with MC
     reference offsets (tile-local slots; MC reads the full reference).
@@ -55,9 +71,9 @@ def _run_scan(sps, pps, dec, py, pcb, pcr, dpb, ref_pocs, scan_kw):
                            rect32x8=isl[(32, 8)], rect8x32=isl[(8, 32)])
         else:
             slots = recon.make_slots(dec, sps.height, sps.width)
-        out = recon.frame_scan(slots, py, pcb, pcr, frame_w=sps.width,
-                               frame_h=sps.height, inter_enabled=is_p,
-                               **rkw, **scan_kw)
+        out = _scan_fn()(slots, py, pcb, pcr, frame_w=sps.width,
+                         frame_h=sps.height, inter_enabled=is_p,
+                         **rkw, **scan_kw)
         return [np.asarray(a) for a in out]
 
     from ..spec.codec import tile_decisions_view
@@ -90,7 +106,7 @@ def _run_scan(sps, pps, dec, py, pcb, pcr, dpb, ref_pocs, scan_kw):
                            rect32x8=isl[(32, 8)], rect8x32=isl[(8, 32)])
         else:
             slots = recon.make_slots(tdec, th, tw)
-        res = recon.frame_scan(
+        res = _scan_fn()(
             slots, py[y0:y1, x0:x1], pcb[y0 // 2:y1 // 2, x0 // 2:x1 // 2],
             pcr[y0 // 2:y1 // 2, x0 // 2:x1 // 2], frame_w=tw, frame_h=th,
             inter_enabled=is_p, ref_off_x=x0, ref_off_y=y0, **tkw,
@@ -200,7 +216,7 @@ def _encode_ai_pipelined(frames, cfg, sps, pps, nals, recons, bits,
                        plt_cb=jnp_asarray(ppl[1]),
                        plt_cr=jnp_asarray(ppl[2]))
         slots = recon.make_slots(dec, sps.height, sps.width)
-        out = recon.frame_scan(
+        out = _scan_fn()(
             slots, scan_y, padded[1], padded[2], frame_w=sps.width,
             frame_h=sps.height, qp=qp, bd=cfg.bit_depth, encode=True,
             mts=sps.mts_enabled, lfnst=sps.lfnst_enabled,

@@ -1,0 +1,749 @@
+"""Wavefront reconstruction — dependency-levelled batched leaf execution.
+
+TPU-first redesign of the serial coding-order scan (pipeline/recon.py
+frame_scan).  The host computes, per phase-B leaf, the earliest wave in
+which every reference producer that is *geometrically available* to it
+(Morton order — kernels/intra_pred.py availability) has completed: the
+QTMTT-aware generalisation of the classic CTU diagonal wavefront
+(SURVEY.md §7.3.4, role of VTM's WPP/CTU dependency lag).  The device then
+executes one vmapped batch per (wave, leaf-class) and scatters the block
+results — O(waves) batched dispatches instead of O(leaves) sequential scan
+steps, each batch filling the VPU/MXU with K parallel leaves.
+
+Bit-exact twin of frame_scan: identical per-leaf integer arithmetic (the
+leaf bodies mirror recon.py's switch branches, with in-leaf sequential
+reads rewritten against local blocks), identical stream/recon output —
+enforced by tests/test_wave.py.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import rom
+from ..kernels import intra_pred, mc, transform
+from ..spec.codec import isp_kernels, isp_parts
+from ..spec.inter import BCW_W
+from . import plan as planmod
+from . import recon
+from .recon import _CRS_SHIFT, MARGIN, _log2i
+
+# ---------------------------------------------------------------------------
+# host: wave schedule
+# ---------------------------------------------------------------------------
+
+_MAX_BATCH = 128
+
+
+def _op_class(op: int, ip: int):
+    """(kind, w, h, d) for a phase-B slot op, or None for skip / phase-A."""
+    if op in (1, 2, 3):
+        s = 8 << (op - 1)
+        if ip > 0:
+            return ("isp", s, s, ip)
+        return ("intra", s, s, 0)
+    if op in (7, 8, 9):
+        return ("ciip", 8 << (op - 7), 8 << (op - 7), 0)
+    if planmod.OP_RECT_INTRA0 <= op < planmod.OP_RECT_INTRA0 + 6:
+        w, h = planmod.RECT_SHAPES[op - planmod.OP_RECT_INTRA0]
+        return ("rect", w, h, 0)
+    if planmod.OP_IBC0 <= op < planmod.OP_IBC0 + 3:
+        s = 8 << (op - planmod.OP_IBC0)
+        return ("ibc", s, s, 0)
+    if planmod.OP_PLT0 <= op < planmod.OP_PLT0 + 3:
+        s = 8 << (op - planmod.OP_PLT0)
+        return ("plt", s, s, 0)
+    return None
+
+
+def build_schedule(slots: np.ndarray, frame_h: int, frame_w: int):
+    """Order phase-B leaves into dependency waves.
+
+    Returns [(cls, rows)] in execution order: cls = (kind, w, h, d), rows an
+    (k, 16) int32 array of the slot rows in that batch.  Leaves in one batch
+    are mutually independent; every leaf's available reference region
+    (top/left strips incl. above-right and below-left reach, plus the IBC
+    source rect) is produced by strictly earlier batches."""
+    gH, gW = frame_h // 8, frame_w // 8
+    lvl_map = np.zeros((gH, gW), np.int32)
+    batches: dict[tuple, list] = {}
+    for i in range(slots.shape[0]):
+        op = int(slots[i, 0])
+        cls = _op_class(op, int(slots[i, 15]))
+        if cls is None:
+            continue
+        kind, w, h, _ = cls
+        x, y = int(slots[i, 1]), int(slots[i, 2])
+        n = w + h
+        lv = 0
+        gy = y // 8 - 1
+        if gy >= 0:
+            gx0 = max((x - 8) // 8, 0)
+            gx1 = min((x + n) // 8, gW - 1)
+            lv = int(lvl_map[gy, gx0:gx1 + 1].max())
+        gx = x // 8 - 1
+        if gx >= 0:
+            gy0 = max((y - 8) // 8, 0)
+            gy1 = min((y + n) // 8, gH - 1)
+            lv = max(lv, int(lvl_map[gy0:gy1 + 1, gx].max()))
+        if kind == "ibc":
+            sx = min(max(x + int(slots[i, 4]), 0), frame_w - w)
+            sy = min(max(y + int(slots[i, 5]), 0), frame_h - h)
+            lv = max(lv, int(lvl_map[sy // 8:(sy + h - 1) // 8 + 1,
+                                     sx // 8:(sx + w - 1) // 8 + 1].max()))
+        lv += 1
+        lvl_map[y // 8:(y + h - 1) // 8 + 1, x // 8:(x + w - 1) // 8 + 1] = lv
+        batches.setdefault((lv, cls), []).append(i)
+    out = []
+    for (lv, cls) in sorted(batches, key=lambda t: (t[0], t[1])):
+        rows = slots[np.asarray(batches[(lv, cls)], np.int64)]
+        for c0 in range(0, rows.shape[0], _MAX_BATCH):
+            out.append((cls, rows[c0:c0 + _MAX_BATCH]))
+    return out
+
+
+def _pad_rows(rows: np.ndarray) -> np.ndarray:
+    """Pad a (k, 16) batch to the next power-of-two row count with dummy
+    rows (x = y = 2^20: gathers clamp, scatters drop)."""
+    k = rows.shape[0]
+    cap = 1
+    while cap < k:
+        cap *= 2
+    if cap == k:
+        return rows
+    pad = np.zeros((cap - k, rows.shape[1]), np.int32)
+    pad[:, 1] = pad[:, 2] = 1 << 20
+    return np.concatenate([rows, pad], axis=0)
+
+
+# ---------------------------------------------------------------------------
+# device: shared pieces
+# ---------------------------------------------------------------------------
+
+
+def _scatter(buf, blocks, xs, ys, w: int, h: int, off: int):
+    yy = ys[:, None, None] + off + jnp.arange(h)[None, :, None]
+    xx = xs[:, None, None] + off + jnp.arange(w)[None, None, :]
+    return buf.at[yy, xx].set(blocks, mode="drop")
+
+
+def _scatter8(plane, vals, xs, ys):
+    return plane.at[ys // 8, xs // 8].set(vals, mode="drop")
+
+
+def _comp_local(src, pred, x, y, w: int, h: int, qp, bd, encode, rdoq,
+                lam_rd, dq, crs_sc=None, kh=rom.DCT2, kv=rom.DCT2):
+    """recon._component twin on local blocks: returns (rec, lev)."""
+    if encode:
+        blk = jax.lax.dynamic_slice(src, (y, x), (h, w)).astype(jnp.int32)
+        resi = blk - pred
+        if crs_sc is not None:
+            resi = (resi << 11) // crs_sc
+        coef = transform.forward_transform(resi, h, w, kh, kv, bd=bd)
+        lev = transform.quantize(coef, h, w, qp, intra=True, bd=bd,
+                                 rdoq=rdoq, lam_rd=lam_rd, dq=dq)
+    else:
+        lev = jax.lax.dynamic_slice(src, (y, x), (h, w))
+    if crs_sc is not None:
+        r = transform.inverse_transform(
+            transform.dequantize(lev, h, w, qp, bd, dq=dq), h, w, kh, kv,
+            bd=bd)
+        rec = jnp.clip(pred + ((r * crs_sc) >> 11), 0, (1 << bd) - 1)
+    else:
+        rec = transform.reconstruct(pred, lev, h, w, qp, kh, kv, bd, dq=dq)
+    return rec, lev
+
+
+def _chroma_leaf(by, bcb, bcr, scb, scr, rec_y, x, y, mode_dm, cmode_in,
+                 jccr_in, *, s, frame_w, frame_h, n_ctu_x, qp, bd, encode,
+                 cclm, rdoq, lam_rd, jccr, dq, sc):
+    """Chroma part of a square intra-family leaf — twin of the
+    recon._make_leaf_fn chroma tail ((DM vs CCLM) x (separate vs JCCR)
+    unified decision), on local blocks.  Returns (rec_cb, lev_cb, rec_cr,
+    lev_cr, use_c, use_j)."""
+    cs = s // 2
+    cx2, cy2 = x // 2, y // 2
+    mx = (1 << bd) - 1
+    tcb, lcb_r = intra_pred.build_references(
+        bcb, cx2, cy2, s=cs, is_luma=False, frame_w=frame_w // 2,
+        frame_h=frame_h // 2, n_ctu_x=n_ctu_x, bd=bd)
+    pred_cb = intra_pred.predict(tcb, lcb_r, mode_dm, s=cs, is_luma=False,
+                                 bd=bd)
+    tcr, lcr_r = intra_pred.build_references(
+        bcr, cx2, cy2, s=cs, is_luma=False, frame_w=frame_w // 2,
+        frame_h=frame_h // 2, n_ctu_x=n_ctu_x, bd=bd)
+    pred_cr = intra_pred.predict(tcr, lcr_r, mode_dm, s=cs, is_luma=False,
+                                 bd=bd)
+    if not (cclm or jccr):
+        rcb, lev_cb = _comp_local(scb, pred_cb, cx2, cy2, cs, cs, qp, bd,
+                                  encode, rdoq, lam_rd, dq, crs_sc=sc)
+        rcr, lev_cr = _comp_local(scr, pred_cr, cx2, cy2, cs, cs, qp, bd,
+                                  encode, rdoq, lam_rd, dq, crs_sc=sc)
+        return rcb, lev_cb, rcr, lev_cr, jnp.int32(0), jnp.int32(0)
+
+    pred_opts = [(pred_cb, pred_cr)]
+    if cclm:
+        pred_opts.append((
+            intra_pred.cclm_predict_local(by, bcb, rec_y, cx2, cy2, cs=cs,
+                                          frame_w=frame_w, frame_h=frame_h,
+                                          n_ctu_x=n_ctu_x, bd=bd),
+            intra_pred.cclm_predict_local(by, bcr, rec_y, cx2, cy2, cs=cs,
+                                          frame_w=frame_w, frame_h=frame_h,
+                                          n_ctu_x=n_ctu_x, bd=bd)))
+    if encode:
+        bcbk = jax.lax.dynamic_slice(scb, (cy2, cx2),
+                                     (cs, cs)).astype(jnp.int32)
+        bcrk = jax.lax.dynamic_slice(scr, (cy2, cx2),
+                                     (cs, cs)).astype(jnp.int32)
+
+        def q_rr(resi):
+            coef = transform.forward_transform(resi, cs, cs, bd=bd)
+            lev = transform.quantize(coef, cs, cs, qp, intra=True, bd=bd,
+                                     rdoq=rdoq, lam_rd=lam_rd, dq=dq)
+            rr = transform.inverse_transform(
+                transform.dequantize(lev, cs, cs, qp, bd, dq=dq), cs, cs,
+                bd=bd)
+            rate = jnp.minimum(transform.level_rate_est_j(lev), 1 << 14)
+            return lev, rr, rate
+
+        def inv_sc(r):
+            return r if sc is None else (r * sc) >> 11
+
+        zero = jnp.zeros((cs, cs), jnp.int32)
+        best = None
+        for ci, (pcb, pcr) in enumerate(pred_opts):
+            rcbr = bcbk - pcb
+            rcrr = bcrk - pcr
+            if sc is not None:
+                rcbr = (rcbr << 11) // sc
+                rcrr = (rcrr << 11) // sc
+            for j in ((0, 1) if jccr else (0,)):
+                if j == 0:
+                    lvb, rrb, rb = q_rr(rcbr)
+                    lvr, rrr, rr2 = q_rr(rcrr)
+                    db = jnp.minimum(jnp.abs(rcbr - rrb), 2047)
+                    dr = jnp.minimum(jnp.abs(rcrr - rrr), 2047)
+                    cost = ((db * db).sum() + (dr * dr).sum()
+                            + lam_rd * rb + lam_rd * rr2)
+                    cand = (cost, lvb, lvr,
+                            jnp.clip(pcb + inv_sc(rrb), 0, mx),
+                            jnp.clip(pcr + inv_sc(rrr), 0, mx),
+                            jnp.int32(ci), jnp.int32(0))
+                else:
+                    rj = (rcbr - rcrr) >> 1
+                    lvj, rrj, rj_rate = q_rr(rj)
+                    db = jnp.minimum(jnp.abs(rcbr - rrj), 2047)
+                    dr = jnp.minimum(jnp.abs(rcrr + rrj), 2047)
+                    cost = ((db * db).sum() + (dr * dr).sum()
+                            + lam_rd * rj_rate)
+                    cand = (cost, lvj, zero,
+                            jnp.clip(pcb + inv_sc(rrj), 0, mx),
+                            jnp.clip(pcr - inv_sc(rrj), 0, mx),
+                            jnp.int32(ci), jnp.int32(1))
+                if best is None:
+                    best = cand
+                else:
+                    better = cand[0] < best[0]
+                    best = tuple(jnp.where(better, c, b)
+                                 for c, b in zip(cand, best))
+        (_, lev_cb, lev_cr, rcbb, rcrb, use_c, use_j) = best
+        return rcbb, lev_cb, rcrb, lev_cr, use_c, use_j
+
+    # decode
+    if cclm:
+        use = cmode_in > 0
+        pcb = jnp.where(use, pred_opts[1][0], pred_opts[0][0])
+        pcr = jnp.where(use, pred_opts[1][1], pred_opts[0][1])
+    else:
+        pcb, pcr = pred_opts[0]
+    lev_cb = jax.lax.dynamic_slice(scb, (cy2, cx2), (cs, cs))
+    lev_cr = jax.lax.dynamic_slice(scr, (cy2, cx2), (cs, cs))
+    rrj = transform.inverse_transform(
+        transform.dequantize(lev_cb, cs, cs, qp, bd, dq=dq), cs, cs, bd=bd)
+    if sc is not None:
+        rrj = (rrj * sc) >> 11
+        rrr2 = transform.inverse_transform(
+            transform.dequantize(lev_cr, cs, cs, qp, bd, dq=dq), cs, cs,
+            bd=bd)
+        rcr_sep = jnp.clip(pcr + ((rrr2 * sc) >> 11), 0, mx)
+    else:
+        rcr_sep = transform.reconstruct(pcr, lev_cr, cs, cs, qp, bd=bd,
+                                        dq=dq)
+    rcbb = jnp.clip(pcb + rrj, 0, mx)
+    if jccr:
+        rcrb = jnp.where(jccr_in > 0, jnp.clip(pcr - rrj, 0, mx), rcr_sep)
+    else:
+        rcrb = rcr_sep
+    return rcbb, lev_cb, rcrb, lev_cr, jnp.int32(0), jnp.int32(0)
+
+
+def _apply_sq(carry, rows, outs, s: int, encode: bool, planes: bool,
+              chroma_flags: bool):
+    """Scatter a square-leaf batch's outputs into the carry."""
+    (by, bcb, bcr, ly, lcb, lcr, sy, scb, scr, mtsp, lfnstp,
+     cmodep, jccrp, sbtp) = carry
+    cs = s // 2
+    xs, ys = rows[:, 1], rows[:, 2]
+    (rec_y, lev_y, rec_cb, lev_cb, rec_cr, lev_cr, midx, lidx, use_c,
+     use_j) = outs
+    by = _scatter(by, rec_y, xs, ys, s, s, 1)
+    bcb = _scatter(bcb, rec_cb, xs // 2, ys // 2, cs, cs, 1)
+    bcr = _scatter(bcr, rec_cr, xs // 2, ys // 2, cs, cs, 1)
+    if encode:
+        ly = _scatter(ly, lev_y, xs, ys, s, s, 0)
+        lcb = _scatter(lcb, lev_cb, xs // 2, ys // 2, cs, cs, 0)
+        lcr = _scatter(lcr, lev_cr, xs // 2, ys // 2, cs, cs, 0)
+        if planes:
+            mtsp = _scatter8(mtsp, midx, xs, ys)
+            lfnstp = _scatter8(lfnstp, lidx, xs, ys)
+        if chroma_flags:
+            cmodep = _scatter8(cmodep, use_c, xs, ys)
+            jccrp = _scatter8(jccrp, use_j, xs, ys)
+    return (by, bcb, bcr, ly, lcb, lcr, sy, scb, scr, mtsp, lfnstp,
+            cmodep, jccrp, sbtp)
+
+
+# ---------------------------------------------------------------------------
+# device: batch kernels per leaf class
+# ---------------------------------------------------------------------------
+
+_STATICS = ("s", "frame_w", "frame_h", "bd", "encode", "mts", "lfnst",
+            "cclm", "rdoq", "mip", "tskip", "jccr", "dq")
+
+
+@functools.partial(jax.jit, static_argnames=_STATICS)
+def _intra_batch(carry, rows, qp, lam_rd, crs_lut, *, s, frame_w, frame_h,
+                 bd, encode, mts, lfnst, cclm, rdoq, mip, tskip, jccr, dq):
+    by, bcb, bcr = carry[0], carry[1], carry[2]
+    sy, scb, scr = carry[6], carry[7], carry[8]
+    n_ctu_x = frame_w // 64
+    num_reg = rom.NUM_LUMA_MODE
+    mx = (1 << bd) - 1
+    lam32 = jnp.asarray(lam_rd, jnp.int32)
+
+    def one(row):
+        x, y, mode = row[1], row[2], row[3]
+        mts_in, lfnst_in, cmode_in = row[6], row[7], row[8]
+        mrl_in, jccr_in = row[9], row[10]
+        top, left = intra_pred.build_references(
+            by, x, y, s=s, is_luma=True, frame_w=frame_w, frame_h=frame_h,
+            n_ctu_x=n_ctu_x, bd=bd, ref_line=mrl_in)
+        mode_reg = jnp.minimum(mode, num_reg - 1)
+        pred_y = intra_pred.predict(top, left, mode_reg, s=s, is_luma=True,
+                                    bd=bd, ref_line=mrl_in)
+        if mip:
+            pred_y = jnp.where(
+                mode >= num_reg,
+                intra_pred.mip_predict_j(top, left, mode - num_reg, s=s,
+                                         bd=bd),
+                pred_y)
+            mode_dm = jnp.where(mode >= num_reg, jnp.int32(rom.PLANAR_IDX),
+                                mode)
+        else:
+            mode_dm = mode
+        if mts or lfnst or tskip:
+            if encode:
+                blk = jax.lax.dynamic_slice(sy, (y, x),
+                                            (s, s)).astype(jnp.int32)
+                midx, lidx, lev_y, rres = transform.choose_tx_j(
+                    blk - pred_y, s, qp, lam32, mode_reg, bd, mts=mts,
+                    lfnst=lfnst, rdoq=rdoq, dq=dq,
+                    allow=(mode < num_reg) if mip else None, ts=tskip)
+            else:
+                midx = mts_in
+                lidx = lfnst_in
+                lev_y = jax.lax.dynamic_slice(sy, (y, x), (s, s))
+                dqc = transform.dequantize(lev_y, s, s, qp, bd, dq=dq)
+                if lfnst:
+                    dqc = transform.inv_lfnst_switch_j(dqc, lidx, mode_reg)
+                branches_m = [
+                    (lambda kh=kh, kv=kv: transform.inverse_transform(
+                        dqc, s, s, kh, kv, bd))
+                    for kh, kv in transform.MTS_SET]
+                rres = jax.lax.switch(midx, branches_m)
+            rec_y = jnp.clip(pred_y + rres, 0, mx)
+        else:
+            midx = jnp.int32(0)
+            lidx = jnp.int32(0)
+            rec_y, lev_y = _comp_local(sy, pred_y, x, y, s, s, qp, bd,
+                                       encode, rdoq, lam32, dq)
+        sc = None
+        if crs_lut is not None:
+            sc = crs_lut[rec_y.sum() >> _CRS_SHIFT[s]]
+        rcb, lev_cb, rcr, lev_cr, use_c, use_j = _chroma_leaf(
+            by, bcb, bcr, scb, scr, rec_y, x, y, mode_dm, cmode_in, jccr_in,
+            s=s, frame_w=frame_w, frame_h=frame_h, n_ctu_x=n_ctu_x, qp=qp,
+            bd=bd, encode=encode, cclm=cclm, rdoq=rdoq, lam_rd=lam32,
+            jccr=jccr, dq=dq, sc=sc)
+        return (rec_y, lev_y, rcb, lev_cb, rcr, lev_cr, midx, lidx, use_c,
+                use_j)
+
+    outs = jax.vmap(one)(rows)
+    return _apply_sq(carry, rows, outs, s, encode,
+                     planes=(mts or lfnst or tskip),
+                     chroma_flags=(cclm or jccr))
+
+
+_ISP_STATICS = ("s", "d", "frame_w", "frame_h", "bd", "encode", "cclm",
+                "rdoq", "jccr", "dq")
+
+
+@functools.partial(jax.jit, static_argnames=_ISP_STATICS)
+def _isp_batch(carry, rows, qp, lam_rd, crs_lut, *, s, d, frame_w, frame_h,
+               bd, encode, cclm, rdoq, jccr, dq):
+    by, bcb, bcr = carry[0], carry[1], carry[2]
+    sy, scb, scr = carry[6], carry[7], carry[8]
+    n_ctu_x = frame_w // 64
+    num_reg = rom.NUM_LUMA_MODE
+    lam32 = jnp.asarray(lam_rd, jnp.int32)
+    wn = 2 * s + 2
+
+    def one(row):
+        x, y, mode = row[1], row[2], row[3]
+        cmode_in, jccr_in = row[8], row[10]
+        mode_reg = jnp.minimum(mode, num_reg - 1)
+        win = jax.lax.dynamic_slice(by, (y, x), (wn, wn))
+        lev_y = jnp.zeros((s, s), jnp.int32)
+        for (dx2, dy2, w_st, h_st) in isp_parts(s, d):
+            px, py = x + dx2, y + dy2
+            tk, lk = intra_pred.build_references_rect_win(
+                win, x, y, px, py, w=w_st, h=h_st, is_luma=True,
+                frame_w=frame_w, frame_h=frame_h, n_ctu_x=n_ctu_x, bd=bd,
+                win_n=wn, leaf_w=s, leaf_h=s)
+            pred = intra_pred.predict_rect(tk, lk, mode_reg, w=w_st,
+                                           h=h_st, is_luma=True, bd=bd)
+            kh, kv = isp_kernels(w_st, h_st)
+            if encode:
+                blk = jax.lax.dynamic_slice(
+                    sy, (py, px), (h_st, w_st)).astype(jnp.int32)
+                coef = transform.forward_transform(blk - pred, h_st, w_st,
+                                                   kh, kv, bd)
+                lev = transform.quantize(coef, h_st, w_st, qp, intra=True,
+                                         bd=bd, rdoq=rdoq, lam_rd=lam32,
+                                         dq=dq)
+                lev_y = jax.lax.dynamic_update_slice(lev_y, lev, (dy2, dx2))
+            else:
+                lev = jax.lax.dynamic_slice(sy, (py, px), (h_st, w_st))
+            rec = transform.reconstruct(pred, lev, h_st, w_st, qp, kh, kv,
+                                        bd, dq=dq)
+            win = jax.lax.dynamic_update_slice(win, rec,
+                                               (dy2 + 1, dx2 + 1))
+        rec_y = win[1:s + 1, 1:s + 1]
+        if not encode:
+            lev_y = jax.lax.dynamic_slice(sy, (y, x), (s, s))
+        sc = None
+        if crs_lut is not None:
+            sc = crs_lut[rec_y.sum() >> _CRS_SHIFT[s]]
+        rcb, lev_cb, rcr, lev_cr, use_c, use_j = _chroma_leaf(
+            by, bcb, bcr, scb, scr, rec_y, x, y, mode_reg, cmode_in,
+            jccr_in, s=s, frame_w=frame_w, frame_h=frame_h,
+            n_ctu_x=n_ctu_x, qp=qp, bd=bd, encode=encode, cclm=cclm,
+            rdoq=rdoq, lam_rd=lam32, jccr=jccr, dq=dq, sc=sc)
+        return (rec_y, lev_y, rcb, lev_cb, rcr, lev_cr, jnp.int32(0),
+                jnp.int32(0), use_c, use_j)
+
+    outs = jax.vmap(one)(rows)
+    return _apply_sq(carry, rows, outs, s, encode, planes=False,
+                     chroma_flags=(cclm or jccr))
+
+
+_RECT_STATICS = ("w", "h", "frame_w", "frame_h", "bd", "encode", "rdoq",
+                 "dq")
+
+
+@functools.partial(jax.jit, static_argnames=_RECT_STATICS)
+def _rect_batch(carry, rows, qp, lam_rd, crs_lut, *, w, h, frame_w,
+                frame_h, bd, encode, rdoq, dq):
+    by, bcb, bcr = carry[0], carry[1], carry[2]
+    sy, scb, scr = carry[6], carry[7], carry[8]
+    (by0, bcb0, bcr0, ly, lcb, lcr, sy0, scb0, scr0, mtsp, lfnstp,
+     cmodep, jccrp, sbtp) = carry
+    n_ctu_x = frame_w // 64
+    cw, ch = w // 2, h // 2
+    ps = max(w, h)
+    lam32 = jnp.asarray(lam_rd, jnp.int32)
+
+    def one(row):
+        x, y, mode = row[1], row[2], row[3]
+        px0 = x & ~(ps - 1)
+        py0 = y & ~(ps - 1)
+        top, left = intra_pred.build_references_rect(
+            by, x, y, w=w, h=h, is_luma=True, frame_w=frame_w,
+            frame_h=frame_h, n_ctu_x=n_ctu_x, bd=bd,
+            leaf_x=px0, leaf_y=py0, leaf_w=ps, leaf_h=ps)
+        pred_y = intra_pred.predict_rect(top, left, mode, w=w, h=h,
+                                         is_luma=True, bd=bd)
+        rec_y, lev_y = _comp_local(sy, pred_y, x, y, w, h, qp, bd, encode,
+                                   rdoq, lam32, dq)
+        sc = None
+        if crs_lut is not None:
+            sc = crs_lut[rec_y.sum() >> (_log2i(w) + _log2i(h))]
+        tcb, lcb_r = intra_pred.build_references_rect(
+            bcb, x // 2, y // 2, w=cw, h=ch, is_luma=False,
+            frame_w=frame_w // 2, frame_h=frame_h // 2, n_ctu_x=n_ctu_x,
+            bd=bd, leaf_x=px0 // 2, leaf_y=py0 // 2, leaf_w=ps // 2,
+            leaf_h=ps // 2)
+        pred_cb = intra_pred.predict_rect(tcb, lcb_r, mode, w=cw, h=ch,
+                                          is_luma=False, bd=bd)
+        rcb, lev_cb = _comp_local(scb, pred_cb, x // 2, y // 2, cw, ch, qp,
+                                  bd, encode, rdoq, lam32, dq, crs_sc=sc)
+        tcr, lcr_r = intra_pred.build_references_rect(
+            bcr, x // 2, y // 2, w=cw, h=ch, is_luma=False,
+            frame_w=frame_w // 2, frame_h=frame_h // 2, n_ctu_x=n_ctu_x,
+            bd=bd, leaf_x=px0 // 2, leaf_y=py0 // 2, leaf_w=ps // 2,
+            leaf_h=ps // 2)
+        pred_cr = intra_pred.predict_rect(tcr, lcr_r, mode, w=cw, h=ch,
+                                          is_luma=False, bd=bd)
+        rcr, lev_cr = _comp_local(scr, pred_cr, x // 2, y // 2, cw, ch, qp,
+                                  bd, encode, rdoq, lam32, dq, crs_sc=sc)
+        return rec_y, lev_y, rcb, lev_cb, rcr, lev_cr
+
+    rec_y, lev_y, rcb, lev_cb, rcr, lev_cr = jax.vmap(one)(rows)
+    xs, ys = rows[:, 1], rows[:, 2]
+    by0 = _scatter(by0, rec_y, xs, ys, w, h, 1)
+    bcb0 = _scatter(bcb0, rcb, xs // 2, ys // 2, cw, ch, 1)
+    bcr0 = _scatter(bcr0, rcr, xs // 2, ys // 2, cw, ch, 1)
+    if encode:
+        ly = _scatter(ly, lev_y, xs, ys, w, h, 0)
+        lcb = _scatter(lcb, lev_cb, xs // 2, ys // 2, cw, ch, 0)
+        lcr = _scatter(lcr, lev_cr, xs // 2, ys // 2, cw, ch, 0)
+    return (by0, bcb0, bcr0, ly, lcb, lcr, sy0, scb0, scr0, mtsp, lfnstp,
+            cmodep, jccrp, sbtp)
+
+
+_IBC_STATICS = ("s", "frame_w", "frame_h", "bd", "encode", "rdoq", "dq")
+
+
+@functools.partial(jax.jit, static_argnames=_IBC_STATICS)
+def _ibc_batch(carry, rows, qp, lam_rd, *, s, frame_w, frame_h, bd, encode,
+               rdoq, dq):
+    by, bcb, bcr = carry[0], carry[1], carry[2]
+    sy, scb, scr = carry[6], carry[7], carry[8]
+    cs = s // 2
+    lam32 = jnp.asarray(lam_rd, jnp.int32)
+
+    def one(row):
+        x, y, bvx, bvy = row[1], row[2], row[4], row[5]
+        sx = jnp.clip(x + bvx, 0, frame_w - s)
+        sy0 = jnp.clip(y + bvy, 0, frame_h - s)
+        pred_y = jax.lax.dynamic_slice(by, (sy0 + 1, sx + 1), (s, s))
+        pred_cb = jax.lax.dynamic_slice(
+            bcb, (sy0 // 2 + 1, sx // 2 + 1), (cs, cs))
+        pred_cr = jax.lax.dynamic_slice(
+            bcr, (sy0 // 2 + 1, sx // 2 + 1), (cs, cs))
+        rec_y, lev_y = _comp_local(sy, pred_y, x, y, s, s, qp, bd, encode,
+                                   rdoq, lam32, dq)
+        rcb, lev_cb = _comp_local(scb, pred_cb, x // 2, y // 2, cs, cs, qp,
+                                  bd, encode, rdoq, lam32, dq)
+        rcr, lev_cr = _comp_local(scr, pred_cr, x // 2, y // 2, cs, cs, qp,
+                                  bd, encode, rdoq, lam32, dq)
+        return (rec_y, lev_y, rcb, lev_cb, rcr, lev_cr, jnp.int32(0),
+                jnp.int32(0), jnp.int32(0), jnp.int32(0))
+
+    outs = jax.vmap(one)(rows)
+    return _apply_sq(carry, rows, outs, s, encode, planes=False,
+                     chroma_flags=False)
+
+
+@functools.partial(jax.jit, static_argnames=("s",))
+def _plt_batch(carry, rows, plt_y, plt_cb, plt_cr, *, s):
+    cs = s // 2
+
+    def one(row):
+        x, y = row[1], row[2]
+        blk = jax.lax.dynamic_slice(plt_y, (y, x), (s, s))
+        bb = jax.lax.dynamic_slice(plt_cb, (y // 2, x // 2), (cs, cs))
+        br = jax.lax.dynamic_slice(plt_cr, (y // 2, x // 2), (cs, cs))
+        return blk, bb, br
+
+    blk, bb, br = jax.vmap(one)(rows)
+    (by, bcb, bcr, ly, lcb, lcr, sy, scb, scr, mtsp, lfnstp,
+     cmodep, jccrp, sbtp) = carry
+    xs, ys = rows[:, 1], rows[:, 2]
+    by = _scatter(by, blk, xs, ys, s, s, 1)
+    bcb = _scatter(bcb, bb, xs // 2, ys // 2, cs, cs, 1)
+    bcr = _scatter(bcr, br, xs // 2, ys // 2, cs, cs, 1)
+    return (by, bcb, bcr, ly, lcb, lcr, sy, scb, scr, mtsp, lfnstp,
+            cmodep, jccrp, sbtp)
+
+
+_CIIP_STATICS = ("s", "frame_w", "frame_h", "bd", "encode", "rdoq", "dq")
+
+
+@functools.partial(jax.jit, static_argnames=_CIIP_STATICS)
+def _ciip_batch(carry, rows, refs, qp, lam_rd, fwd_lut, crs_lut, rox, roy,
+                *, s, frame_w, frame_h, bd, encode, rdoq, dq):
+    by, bcb, bcr = carry[0], carry[1], carry[2]
+    sy, scb, scr = carry[6], carry[7], carry[8]
+    n_ctu_x = frame_w // 64
+    cs = s // 2
+    mx = (1 << bd) - 1
+    lam32 = jnp.asarray(lam_rd, jnp.int32)
+    bcw_w = jnp.asarray(np.asarray(BCW_W, np.int32))
+
+    def one(row):
+        x, y = row[1], row[2]
+        mvx, mvy, m1x, m1y = row[4], row[5], row[11], row[12]
+        dd, wdx = row[13], row[14]
+        w = bcw_w[jnp.clip(wdx, 0, 2)]
+
+        def mcpred(r0, r1, px, py, sz, luma):
+            f = mc.mc_luma_block if luma else mc.mc_chroma_block
+            ox = rox if luma else rox // 2
+            oy = roy if luma else roy // 2
+            p0 = f(r0, px + ox, py + oy, sz, mvx, mvy, bd)
+            p1 = f(r1, px + ox, py + oy, sz, m1x, m1y, bd)
+            avg = jnp.clip((w * p0 + (8 - w) * p1 + 4) >> 3, 0, mx)
+            return jnp.where(dd == 0, p0, jnp.where(dd == 1, p1, avg))
+
+        def blend(mc_p, buf, px, py, sz, luma):
+            top, left = intra_pred.build_references(
+                buf, px, py, s=sz, is_luma=luma,
+                frame_w=frame_w if luma else frame_w // 2,
+                frame_h=frame_h if luma else frame_h // 2,
+                n_ctu_x=n_ctu_x, bd=bd)
+            pl = intra_pred.predict(top, left, jnp.int32(rom.PLANAR_IDX),
+                                    s=sz, is_luma=luma, bd=bd)
+            return jnp.clip((mc_p + pl + 1) >> 1, 0, mx)
+
+        pred_y = mcpred(refs[0], refs[3], x, y, s, True)
+        if fwd_lut is not None:
+            pred_y = jnp.take(fwd_lut, pred_y)
+        pred_y = blend(pred_y, by, x, y, s, True)
+        pred_cb = blend(mcpred(refs[1], refs[4], x // 2, y // 2, cs, False),
+                        bcb, x // 2, y // 2, cs, False)
+        pred_cr = blend(mcpred(refs[2], refs[5], x // 2, y // 2, cs, False),
+                        bcr, x // 2, y // 2, cs, False)
+        rec_y, lev_y = _comp_local(sy, pred_y, x, y, s, s, qp, bd, encode,
+                                   rdoq, lam32, dq)
+        sc = None
+        if crs_lut is not None:
+            sc = crs_lut[rec_y.sum() >> _CRS_SHIFT[s]]
+        rcb, lev_cb = _comp_local(scb, pred_cb, x // 2, y // 2, cs, cs, qp,
+                                  bd, encode, rdoq, lam32, dq, crs_sc=sc)
+        rcr, lev_cr = _comp_local(scr, pred_cr, x // 2, y // 2, cs, cs, qp,
+                                  bd, encode, rdoq, lam32, dq, crs_sc=sc)
+        return (rec_y, lev_y, rcb, lev_cb, rcr, lev_cr, jnp.int32(0),
+                jnp.int32(0), jnp.int32(0), jnp.int32(0))
+
+    outs = jax.vmap(one)(rows)
+    return _apply_sq(carry, rows, outs, s, encode, planes=False,
+                     chroma_flags=False)
+
+
+# ---------------------------------------------------------------------------
+# driver
+# ---------------------------------------------------------------------------
+
+
+def frame_wave(slots, planes_y, planes_cb, planes_cr, *, frame_w: int,
+               frame_h: int, qp, bd: int, encode: bool,
+               inter_enabled: bool = False, ref_y=None, ref_cb=None,
+               ref_cr=None, ref1_y=None, ref1_cb=None, ref1_cr=None,
+               inter8=None, inter16=None, inter32=None,
+               mts: bool = False, lfnst: bool = False, cclm: bool = False,
+               rdoq: bool = False, lmcs: bool = False, lam_rd=0,
+               fwd_lut=None, mip: bool = False, tskip: bool = False,
+               jccr: bool = False, dmvr: bool = False, bdof: bool = False,
+               ciip: bool = False, sbt: bool = False, crs_lut=None,
+               isp: bool = False, gpm: bool = False,
+               affine: bool = False, dq: bool = False, mtt: bool = False,
+               rect16x8=None, rect8x16=None, rect32x16=None,
+               rect16x32=None, rect32x8=None, rect8x32=None,
+               ref_off_x=0, ref_off_y=0,
+               ibc: bool = False, plt_y=None, plt_cb=None, plt_cr=None):
+    """Drop-in twin of recon.frame_scan executing phase B as dependency
+    waves (see module docstring).  Same signature, same returns, same
+    bytes."""
+    slots_np = np.asarray(slots)
+    n_ctu_x = frame_w // 64
+    h2, w2 = frame_h // 2, frame_w // 2
+
+    def mkbuf(h, w):
+        return jnp.zeros((h + 1 + MARGIN, w + 1 + MARGIN), jnp.int32)
+
+    carry = (mkbuf(frame_h, frame_w), mkbuf(h2, w2), mkbuf(h2, w2),
+             jnp.zeros((frame_h, frame_w), jnp.int32),
+             jnp.zeros((h2, w2), jnp.int32),
+             jnp.zeros((h2, w2), jnp.int32),
+             jnp.asarray(planes_y, jnp.int32),
+             jnp.asarray(planes_cb, jnp.int32),
+             jnp.asarray(planes_cr, jnp.int32),
+             jnp.zeros((frame_h // 8, frame_w // 8), jnp.int32),
+             jnp.zeros((frame_h // 8, frame_w // 8), jnp.int32),
+             jnp.zeros((frame_h // 8, frame_w // 8), jnp.int32),
+             jnp.zeros((frame_h // 8, frame_w // 8), jnp.int32),
+             jnp.zeros((frame_h // 8, frame_w // 8), jnp.int32))
+
+    if ref1_y is None:
+        ref1_y, ref1_cb, ref1_cr = ref_y, ref_cb, ref_cr
+    refs = (ref_y, ref_cb, ref_cr, ref1_y, ref1_cb, ref1_cr)
+    rox = jnp.asarray(ref_off_x, jnp.int32)
+    roy = jnp.asarray(ref_off_y, jnp.int32)
+    if inter_enabled:
+        for s_sz, ib in ((8, inter8), (16, inter16), (32, inter32)):
+            carry = recon._inter_batch_pass(
+                carry, ib, refs, s_sz, qp, bd, encode, frame_w, frame_h,
+                rdoq, jnp.asarray(lam_rd, jnp.int32),
+                fwd_lut if lmcs else None, dmvr=dmvr, bdof=bdof, sbt=sbt,
+                crs_lut=crs_lut if lmcs else None, gpm=gpm, affine=affine,
+                dq=dq, rox=rox, roy=roy)
+        if mtt:
+            for (rw, rh), ib in (((16, 8), rect16x8), ((8, 16), rect8x16),
+                                 ((32, 16), rect32x16),
+                                 ((16, 32), rect16x32),
+                                 ((32, 8), rect32x8), ((8, 32), rect8x32)):
+                if ib is None:
+                    continue
+                carry = recon._inter_batch_pass_rect(
+                    carry, ib, refs, rw, rh, qp, bd, encode, rdoq,
+                    jnp.asarray(lam_rd, jnp.int32),
+                    fwd_lut if lmcs else None,
+                    crs_lut=crs_lut if lmcs else None, dq=dq,
+                    rox=rox, roy=roy)
+
+    qp32 = np.int32(qp)
+    lam32 = np.int32(lam_rd)
+    crs = crs_lut if lmcs else None
+    for cls, rows_np in build_schedule(slots_np, frame_h, frame_w):
+        kind, w, h, d = cls
+        rows = jnp.asarray(_pad_rows(rows_np))
+        if kind == "intra":
+            carry = _intra_batch(
+                carry, rows, qp32, lam32, crs, s=w, frame_w=frame_w,
+                frame_h=frame_h, bd=bd, encode=encode, mts=mts,
+                lfnst=lfnst, cclm=cclm, rdoq=rdoq, mip=mip, tskip=tskip,
+                jccr=jccr, dq=dq)
+        elif kind == "isp":
+            carry = _isp_batch(
+                carry, rows, qp32, lam32, crs, s=w, d=d, frame_w=frame_w,
+                frame_h=frame_h, bd=bd, encode=encode, cclm=cclm,
+                rdoq=rdoq, jccr=jccr, dq=dq)
+        elif kind == "rect":
+            carry = _rect_batch(
+                carry, rows, qp32, lam32, crs, w=w, h=h, frame_w=frame_w,
+                frame_h=frame_h, bd=bd, encode=encode, rdoq=rdoq, dq=dq)
+        elif kind == "ibc":
+            carry = _ibc_batch(
+                carry, rows, qp32, lam32, s=w, frame_w=frame_w,
+                frame_h=frame_h, bd=bd, encode=encode, rdoq=rdoq, dq=dq)
+        elif kind == "plt":
+            carry = _plt_batch(carry, rows, jnp.asarray(plt_y),
+                               jnp.asarray(plt_cb), jnp.asarray(plt_cr),
+                               s=w)
+        elif kind == "ciip":
+            carry = _ciip_batch(
+                carry, rows, refs, qp32, lam32, fwd_lut if lmcs else None,
+                crs, rox, roy, s=w, frame_w=frame_w, frame_h=frame_h,
+                bd=bd, encode=encode, rdoq=rdoq, dq=dq)
+        else:  # pragma: no cover
+            raise AssertionError(cls)
+
+    by, bcb, bcr, ly, lcb, lcr = carry[:6]
+    return (by[1:frame_h + 1, 1:frame_w + 1],
+            bcb[1:h2 + 1, 1:w2 + 1], bcr[1:h2 + 1, 1:w2 + 1],
+            ly, lcb, lcr, carry[9], carry[10], carry[11], carry[12],
+            carry[13])
