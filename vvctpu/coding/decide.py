@@ -444,6 +444,8 @@ def decide_frame_device(orig_y: np.ndarray, qp: int, bd: int = 8,
 def decide_frame_assemble(hd) -> FrameDecisions:
     """Block on the device results and run the host bottom-up assembly
     (identical arithmetic to the one-call decide_frame)."""
+    import jax
+    hd = jax.device_get(hd)    # ONE tunnel round trip for the whole tree
     res, h, w, lam = hd["res"], hd["h"], hd["w"], hd["lam"]
     best8_cost = np.asarray(res[8][0]).astype(np.int64)
     best8_mode = np.asarray(res[8][1])

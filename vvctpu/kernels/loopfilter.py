@@ -161,7 +161,7 @@ def deblock_frame_j(planes, decisions, qp: int, bd: int = 8):
     oy, ocb, ocr = _deblock_jit(jnp.asarray(y), jnp.asarray(cb),
                                 jnp.asarray(cr), jnp.asarray(ver),
                                 jnp.asarray(hor), jnp.int32(qp), bd)
-    return [np.asarray(oy), np.asarray(ocb), np.asarray(ocr)]
+    return jax.device_get([oy, ocb, ocr])   # one tunnel round trip
 
 
 # ---------------------------------------------------------------------------
@@ -230,7 +230,7 @@ def apply_sao_j(planes, params, ctu: int = 64, bd: int = 8):
         bps.append(jnp.asarray(
             up(params.band_pos[:, :, comp]).astype(np.int32)))
     out = _sao_jit(tuple(recs), tuple(tps), tuple(offs), tuple(bps), bd)
-    return [np.asarray(o) for o in out]
+    return jax.device_get(list(out))        # one tunnel round trip
 
 
 # ---------------------------------------------------------------------------
@@ -345,10 +345,10 @@ def apply_alf_frame_j(planes, params, ctu: int = 64, bd: int = 8):
     luma_in = np.asarray(planes[0])
     if params.enabled:
         eff = (params.coeff[:, TRANS_PERMS]).astype(np.int32)  # (25,4,12)
-        oy = np.asarray(_alf_luma_jit(
+        oy = _alf_luma_jit(
             jnp.asarray(luma_in.astype(np.int32)), jnp.asarray(eff),
             jnp.asarray(params.present.astype(np.int32)),
-            jnp.asarray(params.ctu_on.astype(bool)), ctu, bd))
+            jnp.asarray(params.ctu_on.astype(bool)), ctu, bd)
     else:
         oy = luma_in
     out = [oy]
@@ -359,12 +359,12 @@ def apply_alf_frame_j(planes, params, ctu: int = 64, bd: int = 8):
             continue
         use_c = bool(params.c_coeff[c].any())
         use_cc = bool(params.cc_present[c])
-        o = np.asarray(_alf_chroma_jit(
+        o = _alf_chroma_jit(
             jnp.asarray(base.astype(np.int32)),
             jnp.asarray(luma_in.astype(np.int32)),
             jnp.asarray(params.c_coeff[c].astype(np.int32)),
             jnp.asarray(params.cc_coeff[c].astype(np.int32)),
             jnp.asarray(params.ctu_on_c[c].astype(bool)),
-            ctu // 2, bd, use_c, use_cc))
+            ctu // 2, bd, use_c, use_cc)
         out.append(o)
-    return out
+    return jax.device_get(out)              # one tunnel round trip

@@ -84,6 +84,9 @@ def quantize(coef, h: int, w: int, qp, intra: bool = True, bd: int = 8,
              rdoq: bool = False, lam_rd=0, dq: bool = False):
     """qp may be a traced int32 scalar (shift amounts are data on TPU)."""
     if dq:
+        if coef.ndim == 3:     # candidate-batched (C, h, w)
+            return jax.vmap(
+                lambda c: quantize_dq_j(c, h, w, qp, lam_rd, bd))(coef)
         return quantize_dq_j(coef, h, w, qp, lam_rd, bd)
     if rdoq:
         return quantize_rdoq_j(coef, h, w, qp, lam_rd, bd)
@@ -127,10 +130,7 @@ def quantize_rdoq_j(coef, h: int, w: int, qp, lam_rd, bd: int = 8):
         deq = jnp.clip(jnp.right_shift(t + (1 << (dq_shift - 1)), dq_shift),
                        COEFF_MIN, COEFF_MAX)
         err = jnp.minimum(jnp.abs(a - deq), 30000)
-        bl = jnp.zeros_like(lv)
-        for k in range(15):
-            bl = bl + (lv >= (1 << k)).astype(jnp.int32)
-        rate = jnp.where(lv > 0, 2 + 2 * bl, 0)
+        rate = jnp.where(lv > 0, 2 + 2 * _bitlen15_j(lv), 0)
         return err * err + lam * rate
 
     lev = jnp.where(cost(l_b) < cost(l_a), l_b, l_a)
@@ -153,6 +153,9 @@ def _net_shift(t, net):
 
 def dequantize(level, h: int, w: int, qp, bd: int = 8, dq: bool = False):
     if dq:
+        if level.ndim == 3:    # candidate-batched (C, h, w)
+            return jax.vmap(
+                lambda lv: dequantize_dq_j(lv, h, w, qp, bd))(level)
         return dequantize_dq_j(level, h, w, qp, bd)
     shift = bd + ((_log2(w) + _log2(h)) >> 1) - 9
     qp = jnp.asarray(qp, jnp.int32)
@@ -222,10 +225,7 @@ def dequantize_dq_j(level, h: int, w: int, qp, bd: int = 8):
 
 
 def _dq_rate_j(lv):
-    bl = jnp.zeros_like(lv)
-    for k in range(15):
-        bl = bl + (lv >= (1 << k)).astype(jnp.int32)
-    return jnp.where(lv > 0, 2 + 2 * bl, 0)
+    return jnp.where(lv > 0, 2 + 2 * _bitlen15_j(lv), 0)
 
 
 def quantize_dq_j(coef, h: int, w: int, qp, lam_rd, bd: int = 8):
@@ -306,11 +306,20 @@ def quantize_dq_j(coef, h: int, w: int, qp, lam_rd, bd: int = 8):
 from ..spec.transform import MTS_IDX_BITS, MTS_SET  # noqa: E402
 
 
-def level_rate_est_j(lev):
-    """Integer rate proxy == spec level_rate_est (threshold-sum bitlen)."""
+def _bitlen15_j(a):
+    """Per-element bit length clamped to 15 == sum_k<15 (a >= 2^k) for
+    0 <= a < 2^15 (levels are COEFF_MAX-clipped)."""
+    return jnp.where(a > 0, 32 - jax.lax.clz(a.astype(jnp.int32)), 0)
+
+
+def level_rate_est_j(lev, axes=None):
+    """Integer rate proxy == spec level_rate_est (threshold-sum bitlen).
+
+    axes: reduction axes (default: all) — pass (-2, -1) for
+    candidate-batched (..., h, w) level stacks."""
     a = jnp.abs(lev)
-    nnz = (a > 0).sum()
-    bl = sum((a >= (1 << k)).sum() for k in range(15))
+    nnz = (a > 0).sum(axis=axes)
+    bl = _bitlen15_j(a).sum(axis=axes)
     return (nnz + bl).astype(jnp.int32)
 
 
@@ -430,40 +439,130 @@ def sbt_resi_j(lev_full, sbt_idx, s: int, qp, bd: int = 8,
     return jax.lax.switch(jnp.clip(sbt_idx, 0, 4), [br(i) for i in range(5)])
 
 
+_TX_CONST: dict[tuple, tuple] = {}
+
+
+def _tx_const(cands: tuple, s: int):
+    """Per-candidate constant matrix stacks (primary kernels; LFNST
+    candidates ride the DCT2 primaries).  TS (mk=5) slots get DCT2
+    matrices — their results are overwritten by the dedicated TS chain."""
+    key = (cands, s)
+    if key not in _TX_CONST:
+        mh, mw = [], []
+        for mk, lk in cands:
+            kh, kv = MTS_SET[0 if mk == 5 else mk]
+            mh.append(_mat(kv, s))
+            mw.append(_mat(kh, s))
+        _TX_CONST[key] = (np.stack(mh), np.stack(mw))
+    return _TX_CONST[key]
+
+
 def choose_tx_j(resi, s: int, qp, lam_rd, mode, bd: int = 8,
                 mts: bool = True, lfnst: bool = False, rdoq: bool = False,
                 allow=None, ts: bool = False, dq: bool = False):
     """Joint MTS/LFNST RD selection — twin of spec choose_tx.
 
-    Returns (mts_idx, lfnst_idx, levels, recon_resi); first-min
-    tie-breaking in tx_candidates order.  ``allow`` (traced bool, optional)
-    masks all non-DCT2 candidates when False — used for MIP leaves, whose
-    spec path bypasses choose_tx entirely (candidate (0,0) computes the
-    identical plain quantize, so levels match bit-for-bit)."""
-    cands = tx_candidates(mts, lfnst, ts)
-    costs, levs, recs = [], [], []
-    big = jnp.int32(0) if allow is None else \
-        jnp.where(jnp.asarray(allow), jnp.int32(0), jnp.int32(1 << 29))
-    for mk, lk in cands:
-        kh, kv = MTS_SET[mk]
-        coef = forward_transform(resi, s, s, kh, kv, bd)
-        if lk:
-            coef = fwd_lfnst_j(coef, lk - 1, mode)
-        lev = quantize(coef, s, s, qp, intra=True, bd=bd, rdoq=rdoq,
-                       lam_rd=lam_rd, dq=dq)
-        dqc = dequantize(lev, s, s, qp, bd, dq=dq)
-        if lk:
-            dqc = inv_lfnst_j(dqc, lk - 1, mode)
-        rec = inverse_transform(dqc, s, s, kh, kv, bd)
-        dist = ((resi - rec) ** 2).sum()
-        bits = (MTS_IDX_BITS[mk] if (mts or ts) else 0) \
-            + (LFNST_IDX_BITS[lk] if (lfnst and mk == 0) else 0)
-        rate = jnp.minimum(level_rate_est_j(lev) + bits, 1 << 14)
-        pen = jnp.int32(0) if (mk, lk) == (0, 0) else big
-        costs.append(dist + lam_rd * rate + pen)
-        levs.append(lev)
-        recs.append(rec)
-    idx = jnp.argmin(jnp.stack(costs)).astype(jnp.int32)
-    mts_idx = jnp.asarray([mk for mk, _ in cands], jnp.int32)[idx]
-    lfnst_idx = jnp.asarray([lk for _, lk in cands], jnp.int32)[idx]
-    return mts_idx, lfnst_idx, jnp.stack(levs)[idx], jnp.stack(recs)[idx]
+    Candidate-BATCHED: all primary transforms run as one stacked int32
+    matmul pair, quant/dequant/rate are elementwise over the candidate
+    axis, so the op count is O(1) in the candidate count (the op-count of
+    the per-leaf scan step is the phase-B bottleneck on TPU).  Identical
+    integer arithmetic to the unrolled form: first-min tie-breaking in
+    tx_candidates order.  ``allow`` (traced bool, optional) masks all
+    non-DCT2 candidates when False — used for MIP leaves, whose spec path
+    bypasses choose_tx entirely (candidate (0,0) computes the identical
+    plain quantize, so levels match bit-for-bit)."""
+    cands = tuple(tx_candidates(mts, lfnst, ts))
+    C = len(cands)
+    mks = np.asarray([mk for mk, _ in cands], np.int32)
+    lks = np.asarray([lk for _, lk in cands], np.int32)
+    mh_stack, mw_stack = _tx_const(cands, s)
+
+    # forward primaries, batched (twin of forward_transform staging)
+    st1 = _log2(s) + bd - 9
+    st2 = _log2(s) + 6
+    x = resi.astype(jnp.int32)
+    e = (jnp.matmul(jnp.broadcast_to(x, (C, s, s)),
+                    jnp.asarray(mw_stack.transpose(0, 2, 1)),
+                    preferred_element_type=jnp.int32)
+         + (1 << (st1 - 1))) >> st1
+    coef = (jnp.matmul(jnp.asarray(mh_stack), e,
+                       preferred_element_type=jnp.int32)
+            + (1 << (st2 - 1))) >> st2
+    coef = jnp.clip(coef, COEFF_MIN, COEFF_MAX)
+
+    # LFNST candidates: secondary transform of the DCT2 coef's 4x4 corner
+    if lks.any():
+        s_idx, tr = _lfnst_set_j(mode)
+        kmats = jnp.asarray(_LFNST_MATS)[s_idx]          # (2, 16, 16)
+        kc = kmats[jnp.asarray(np.maximum(lks - 1, 0))]  # (C, 16, 16)
+        sub = coef[:, :4, :4]
+        sub = jnp.where(tr, sub.transpose(0, 2, 1), sub)
+        t = jnp.matmul(kc, sub.reshape(C, 16, 1),
+                       preferred_element_type=jnp.int32)
+        lf = jnp.clip((t.reshape(C, 4, 4) + (1 << 6)) >> 7,
+                      COEFF_MIN, COEFF_MAX)
+        lf_full = jnp.zeros_like(coef).at[:, :4, :4].set(lf)
+        lmask = jnp.asarray(lks > 0)[:, None, None]
+        coef = jnp.where(lmask, lf_full, coef)
+
+    # TS candidate: pure shift chain overwrites its slot
+    ts_pos = int(np.flatnonzero(mks == 5)[0]) if ts else -1
+    if ts:
+        tsh = rom.transform_shift(_log2(s), _log2(s), bd)
+        coef = coef.at[ts_pos].set(
+            jnp.clip(x << tsh, COEFF_MIN, COEFF_MAX))
+
+    lev = quantize(coef, s, s, qp, intra=True, bd=bd, rdoq=rdoq,
+                   lam_rd=lam_rd, dq=dq)
+    dqc = dequantize(lev, s, s, qp, bd, dq=dq)
+
+    if lks.any():
+        s_idx, tr = _lfnst_set_j(mode)
+        kmats = jnp.asarray(_LFNST_MATS)[s_idx]
+        kc = kmats[jnp.asarray(np.maximum(lks - 1, 0))]
+        t = dqc[:, :4, :4].reshape(C, 16, 1)
+        v = jnp.matmul(kc.transpose(0, 2, 1), t,
+                       preferred_element_type=jnp.int32)
+        sub = jnp.clip((v.reshape(C, 4, 4) + (1 << 6)) >> 7,
+                       COEFF_MIN, COEFF_MAX)
+        sub = jnp.where(tr, sub.transpose(0, 2, 1), sub)
+        inv_full = jnp.zeros_like(dqc).at[:, :4, :4].set(sub)
+        lmask = jnp.asarray(lks > 0)[:, None, None]
+        dqc = jnp.where(lmask, inv_full, dqc)
+
+    # inverse primaries, batched (twin of inverse_transform staging)
+    st2i = 20 - bd
+    ei = (jnp.matmul(jnp.asarray(mh_stack.transpose(0, 2, 1)), dqc,
+                     preferred_element_type=jnp.int32) + 64) >> 7
+    ei = jnp.clip(ei, COEFF_MIN, COEFF_MAX)
+    rec = (jnp.matmul(ei, jnp.asarray(mw_stack),
+                      preferred_element_type=jnp.int32)
+           + (1 << (st2i - 1))) >> st2i
+    rec = jnp.clip(rec, COEFF_MIN, COEFF_MAX)
+    if ts:
+        tsh = rom.transform_shift(_log2(s), _log2(s), bd)
+        cts = dqc[ts_pos]
+        if tsh > 0:
+            cts = (cts + (1 << (tsh - 1))) >> tsh
+        rec = rec.at[ts_pos].set(jnp.clip(cts, COEFF_MIN, COEFF_MAX))
+
+    dist = ((resi[None] - rec) ** 2).sum(axis=(-2, -1))
+    bits = np.asarray(
+        [(MTS_IDX_BITS[mk] if (mts or ts) else 0)
+         + (LFNST_IDX_BITS[lk] if (lfnst and mk == 0) else 0)
+         for mk, lk in cands], np.int32)
+    rate = jnp.minimum(level_rate_est_j(lev, axes=(-2, -1))
+                       + jnp.asarray(bits), 1 << 14)
+    pen = np.asarray([(mk, lk) != (0, 0) for mk, lk in cands])
+    # penalty semantics: 'allow' False masks non-DCT2; otherwise no penalty
+    if allow is None:
+        costs = dist + lam_rd * rate
+    else:
+        costs = (dist + lam_rd * rate
+                 + jnp.where(jnp.asarray(pen),
+                             jnp.where(jnp.asarray(allow), jnp.int32(0),
+                                       jnp.int32(1 << 29)),
+                             jnp.int32(0)))
+    idx = jnp.argmin(costs).astype(jnp.int32)
+    return (jnp.asarray(mks)[idx], jnp.asarray(lks)[idx], lev[idx],
+            rec[idx])

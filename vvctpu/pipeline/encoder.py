@@ -22,19 +22,17 @@ from . import entropy, recon
 
 
 def _scan_fn():
-    """Phase-B executor: the sequential lax.scan engine by default;
-    VVCTPU_WAVE=1 selects the batched wavefront engine (pipeline/wave.py)
-    — byte-identical output either way (tests/test_wave.py).  The wave
-    engine wins on large frames / fat waves; per-batch dispatch overhead
-    through the tunneled device makes it slower at CIF size until the
-    fused scan-over-waves variant lands (VVCTPU_SERIAL_SCAN=1 forces the
-    serial engine under VVCTPU_WAVE for A/B runs)."""
+    """Phase-B executor: the fused wavefront engine by default (one jit
+    per geometry/toolset, lax.scan over dependency-wave chunks —
+    pipeline/wave.py) — byte-identical to the sequential lax.scan engine
+    (tests/test_wave.py).  VVCTPU_SERIAL_SCAN=1 forces the serial engine
+    for A/B runs; VVCTPU_WAVE_BATCH=1 selects the legacy per-batch
+    dispatch driver inside frame_wave."""
     import os
-    if os.environ.get("VVCTPU_WAVE") and not os.environ.get(
-            "VVCTPU_SERIAL_SCAN"):
-        from . import wave
-        return wave.frame_wave
-    return recon.frame_scan
+    if os.environ.get("VVCTPU_SERIAL_SCAN"):
+        return recon.frame_scan
+    from . import wave
+    return wave.frame_wave
 
 
 def _run_scan(sps, pps, dec, py, pcb, pcr, dpb, ref_pocs, scan_kw):
@@ -74,7 +72,8 @@ def _run_scan(sps, pps, dec, py, pcb, pcr, dpb, ref_pocs, scan_kw):
         out = _scan_fn()(slots, py, pcb, pcr, frame_w=sps.width,
                          frame_h=sps.height, inter_enabled=is_p,
                          **rkw, **scan_kw)
-        return [np.asarray(a) for a in out]
+        import jax
+        return jax.device_get(list(out))
 
     from ..spec.codec import tile_decisions_view
     ctu = 1 << sps.log2_ctu
@@ -128,7 +127,9 @@ def _encode_ai_pipelined(frames, cfg, sps, pps, nals, recons, bits,
     pending = None   # (poc, dec, out, padded, lmcs_cw, inv_lut, qpd)
 
     def finish(p):
+        import jax
         poc, dec, out, padded, lmcs_cw, inv_lut, qpd = p
+        out = jax.device_get(list(out))   # one tunnel round trip
         (ry, rcb, rcr, ly, lcb, lcr, mtsp, lfnstp, cmodep, jccrp,
          sbtp) = out
         levels = [np.asarray(ly), np.asarray(lcb), np.asarray(lcr)]

@@ -57,6 +57,67 @@ def _component(buf, levels_io, src, pred, x, y, s, qp, bd, encode,
     return buf, levels_io
 
 
+def chroma_rd_j(bcbk, bcrk, pred_opts, sc, cs: int, qp, bd: int,
+                rdoq: bool, lam_rd, jccr: bool, dq: bool):
+    """Unified (DM vs CCLM) x (separate vs JCCR) chroma RD — twin of the
+    spec _code_leaf chroma loop, candidate-BATCHED: all forward/inverse
+    transform + quant chains run as one stacked pass (op count O(1) in the
+    candidate count).  Candidate order and first-min tie-breaking match
+    the sequential strict-less loop exactly.
+
+    Returns (lev_cb, lev_cr, rec_cb, rec_cr, use_c, use_j)."""
+    mx = (1 << bd) - 1
+
+    def inv_sc(r):
+        return r if sc is None else (r * sc) >> 11
+
+    P = len(pred_opts)
+    rcb_l, rcr_l, rj_l = [], [], []
+    for (pcb, pcr) in pred_opts:
+        rcbr = bcbk - pcb
+        rcrr = bcrk - pcr
+        if sc is not None:
+            rcbr = (rcbr << 11) // sc
+            rcrr = (rcrr << 11) // sc
+        rcb_l.append(rcbr)
+        rcr_l.append(rcrr)
+        if jccr:
+            rj_l.append((rcbr - rcrr) >> 1)
+    stack = jnp.stack(rcb_l + rcr_l + rj_l)
+    coef = transform.forward_transform(stack, cs, cs, bd=bd)
+    lev = transform.quantize(coef, cs, cs, qp, intra=True, bd=bd,
+                             rdoq=rdoq, lam_rd=lam_rd, dq=dq)
+    rr = transform.inverse_transform(
+        transform.dequantize(lev, cs, cs, qp, bd, dq=dq), cs, cs, bd=bd)
+    rate = jnp.minimum(transform.level_rate_est_j(lev, axes=(-2, -1)),
+                       1 << 14)
+    zero = jnp.zeros((cs, cs), jnp.int32)
+    cands = []
+    for ci, (pcb, pcr) in enumerate(pred_opts):
+        rcbr, rcrr = rcb_l[ci], rcr_l[ci]
+        db = jnp.minimum(jnp.abs(rcbr - rr[ci]), 2047)
+        dr = jnp.minimum(jnp.abs(rcrr - rr[P + ci]), 2047)
+        cost = ((db * db).sum() + (dr * dr).sum()
+                + lam_rd * rate[ci] + lam_rd * rate[P + ci])
+        cands.append((cost, lev[ci], lev[P + ci],
+                      jnp.clip(pcb + inv_sc(rr[ci]), 0, mx),
+                      jnp.clip(pcr + inv_sc(rr[P + ci]), 0, mx),
+                      jnp.int32(ci), jnp.int32(0)))
+        if jccr:
+            rrj = rr[2 * P + ci]
+            db = jnp.minimum(jnp.abs(rcbr - rrj), 2047)
+            dr = jnp.minimum(jnp.abs(rcrr + rrj), 2047)
+            cost = ((db * db).sum() + (dr * dr).sum()
+                    + lam_rd * rate[2 * P + ci])
+            cands.append((cost, lev[2 * P + ci], zero,
+                          jnp.clip(pcb + inv_sc(rrj), 0, mx),
+                          jnp.clip(pcr - inv_sc(rrj), 0, mx),
+                          jnp.int32(ci), jnp.int32(1)))
+    i = jnp.argmin(jnp.stack([c[0] for c in cands])).astype(jnp.int32)
+    out = tuple(jnp.stack([c[k] for c in cands])[i] for k in range(1, 7))
+    return out
+
+
 def _make_leaf_fn(s: int, inter: bool, *, frame_w: int, frame_h: int,
                   n_ctu_x: int, qp, bd: int, encode: bool, refs,
                   mts: bool = False, lfnst: bool = False, cclm: bool = False,
@@ -214,61 +275,9 @@ def _make_leaf_fn(s: int, inter: bool, *, frame_w: int, frame_h: int,
                 bcrk = jax.lax.dynamic_slice(scr, (cy2, cx2),
                                              (cs, cs)).astype(jnp.int32)
 
-                def q_rr(resi):
-                    coef = transform.forward_transform(resi, cs, cs, bd=bd)
-                    lev = transform.quantize(coef, cs, cs, qp, intra=True,
-                                             bd=bd, rdoq=rdoq,
-                                             lam_rd=lam_rd, dq=dq)
-                    rr = transform.inverse_transform(
-                        transform.dequantize(lev, cs, cs, qp, bd, dq=dq),
-                        cs, cs, bd=bd)
-                    rate = jnp.minimum(transform.level_rate_est_j(lev),
-                                       1 << 14)
-                    return lev, rr, rate
-
-                def inv_sc(r):
-                    return r if sc is None else (r * sc) >> 11
-
-                zero = jnp.zeros((cs, cs), jnp.int32)
-                best = None
-                for ci, (pcb, pcr) in enumerate(pred_opts):
-                    # residuals in the CRS-scaled domain (spec twin scales
-                    # resis before the candidate loop)
-                    rcbr = bcbk - pcb
-                    rcrr = bcrk - pcr
-                    if sc is not None:
-                        rcbr = (rcbr << 11) // sc
-                        rcrr = (rcrr << 11) // sc
-                    for j in ((0, 1) if jccr else (0,)):
-                        if j == 0:
-                            lvb, rrb, rb = q_rr(rcbr)
-                            lvr, rrr, rr2 = q_rr(rcrr)
-                            db = jnp.minimum(jnp.abs(rcbr - rrb), 2047)
-                            dr = jnp.minimum(jnp.abs(rcrr - rrr), 2047)
-                            cost = ((db * db).sum() + (dr * dr).sum()
-                                    + lam_rd * rb + lam_rd * rr2)
-                            cand = (cost, lvb, lvr,
-                                    jnp.clip(pcb + inv_sc(rrb), 0, mx),
-                                    jnp.clip(pcr + inv_sc(rrr), 0, mx),
-                                    jnp.int32(ci), jnp.int32(0))
-                        else:
-                            rj = (rcbr - rcrr) >> 1
-                            lvj, rrj, rj_rate = q_rr(rj)
-                            db = jnp.minimum(jnp.abs(rcbr - rrj), 2047)
-                            dr = jnp.minimum(jnp.abs(rcrr + rrj), 2047)
-                            cost = ((db * db).sum() + (dr * dr).sum()
-                                    + lam_rd * rj_rate)
-                            cand = (cost, lvj, zero,
-                                    jnp.clip(pcb + inv_sc(rrj), 0, mx),
-                                    jnp.clip(pcr - inv_sc(rrj), 0, mx),
-                                    jnp.int32(ci), jnp.int32(1))
-                        if best is None:
-                            best = cand
-                        else:
-                            better = cand[0] < best[0]
-                            best = tuple(jnp.where(better, c, b)
-                                         for c, b in zip(cand, best))
-                (_, lev_cb, lev_cr, rcbb, rcrb, use_c, use_j) = best
+                (lev_cb, lev_cr, rcbb, rcrb, use_c, use_j) = chroma_rd_j(
+                    bcbk, bcrk, pred_opts, sc, cs, qp, bd, rdoq, lam_rd,
+                    jccr, dq)
                 lcb = jax.lax.dynamic_update_slice(lcb, lev_cb, (cy2, cx2))
                 lcr = jax.lax.dynamic_update_slice(lcr, lev_cr, (cy2, cx2))
                 cmodep = jax.lax.dynamic_update_slice(

@@ -198,58 +198,8 @@ def _chroma_leaf(by, bcb, bcr, scb, scr, rec_y, x, y, mode_dm, cmode_in,
                                      (cs, cs)).astype(jnp.int32)
         bcrk = jax.lax.dynamic_slice(scr, (cy2, cx2),
                                      (cs, cs)).astype(jnp.int32)
-
-        def q_rr(resi):
-            coef = transform.forward_transform(resi, cs, cs, bd=bd)
-            lev = transform.quantize(coef, cs, cs, qp, intra=True, bd=bd,
-                                     rdoq=rdoq, lam_rd=lam_rd, dq=dq)
-            rr = transform.inverse_transform(
-                transform.dequantize(lev, cs, cs, qp, bd, dq=dq), cs, cs,
-                bd=bd)
-            rate = jnp.minimum(transform.level_rate_est_j(lev), 1 << 14)
-            return lev, rr, rate
-
-        def inv_sc(r):
-            return r if sc is None else (r * sc) >> 11
-
-        zero = jnp.zeros((cs, cs), jnp.int32)
-        best = None
-        for ci, (pcb, pcr) in enumerate(pred_opts):
-            rcbr = bcbk - pcb
-            rcrr = bcrk - pcr
-            if sc is not None:
-                rcbr = (rcbr << 11) // sc
-                rcrr = (rcrr << 11) // sc
-            for j in ((0, 1) if jccr else (0,)):
-                if j == 0:
-                    lvb, rrb, rb = q_rr(rcbr)
-                    lvr, rrr, rr2 = q_rr(rcrr)
-                    db = jnp.minimum(jnp.abs(rcbr - rrb), 2047)
-                    dr = jnp.minimum(jnp.abs(rcrr - rrr), 2047)
-                    cost = ((db * db).sum() + (dr * dr).sum()
-                            + lam_rd * rb + lam_rd * rr2)
-                    cand = (cost, lvb, lvr,
-                            jnp.clip(pcb + inv_sc(rrb), 0, mx),
-                            jnp.clip(pcr + inv_sc(rrr), 0, mx),
-                            jnp.int32(ci), jnp.int32(0))
-                else:
-                    rj = (rcbr - rcrr) >> 1
-                    lvj, rrj, rj_rate = q_rr(rj)
-                    db = jnp.minimum(jnp.abs(rcbr - rrj), 2047)
-                    dr = jnp.minimum(jnp.abs(rcrr + rrj), 2047)
-                    cost = ((db * db).sum() + (dr * dr).sum()
-                            + lam_rd * rj_rate)
-                    cand = (cost, lvj, zero,
-                            jnp.clip(pcb + inv_sc(rrj), 0, mx),
-                            jnp.clip(pcr - inv_sc(rrj), 0, mx),
-                            jnp.int32(ci), jnp.int32(1))
-                if best is None:
-                    best = cand
-                else:
-                    better = cand[0] < best[0]
-                    best = tuple(jnp.where(better, c, b)
-                                 for c, b in zip(cand, best))
-        (_, lev_cb, lev_cr, rcbb, rcrb, use_c, use_j) = best
+        (lev_cb, lev_cr, rcbb, rcrb, use_c, use_j) = recon.chroma_rd_j(
+            bcbk, bcrk, pred_opts, sc, cs, qp, bd, rdoq, lam_rd, jccr, dq)
         return rcbb, lev_cb, rcrb, lev_cr, use_c, use_j
 
     # decode
@@ -635,6 +585,136 @@ def _ciip_batch(carry, rows, refs, qp, lam_rd, fwd_lut, crs_lut, rox, roy,
 
 
 # ---------------------------------------------------------------------------
+# fused scan-over-waves: ONE jit per (geometry, toolset) executing the whole
+# wave schedule as lax.scan over fixed-size wave chunks with a lax.switch
+# over leaf-class branches (reusing the per-class batch bodies above).
+# Fixes both failure modes of the per-batch dispatch driver: O(waves)
+# device round-trips and one XLA compilation per distinct batch shape.
+# ---------------------------------------------------------------------------
+
+_FUSED_K = 32          # leaves per scan step (pow-2; dummy rows drop)
+_STEP_PAD = 32         # schedule length bucket (bounds recompiles)
+
+
+def _fused_classes(*, isp, mtt, ibc, plt, ciip):
+    """Static ordered class list; index 0 is the no-op branch."""
+    classes = [("nop", 0, 0, 0),
+               ("intra", 8, 8, 0), ("intra", 16, 16, 0),
+               ("intra", 32, 32, 0)]
+    if isp:
+        classes += [("isp", s, s, d) for s in (8, 16, 32) for d in (1, 2)]
+    if mtt:
+        classes += [("rect", w, h, 0) for (w, h) in planmod.RECT_SHAPES]
+    if ibc:
+        classes += [("ibc", s, s, 0) for s in (8, 16, 32)]
+    if plt:
+        classes += [("plt", s, s, 0) for s in (8, 16, 32)]
+    if ciip:
+        classes += [("ciip", s, s, 0) for s in (8, 16, 32)]
+    return tuple(classes)
+
+
+def _fused_schedule(slots_np, frame_h, frame_w, classes):
+    """(wcls (n,) int32, wrows (n, K, 16) int32) from the wave schedule,
+    chunked to an adaptive pow-2 K (p75 of the frame's batch sizes, so CIF
+    frames don't pay 32-wide vmap lanes for mean-4 waves while 1080p
+    frames get fat batches) and padded to a _STEP_PAD-multiple step
+    count."""
+    cls_idx = {c: i for i, c in enumerate(classes)}
+    sched = build_schedule(slots_np, frame_h, frame_w)
+    # K depends only on the geometry (NOT the per-frame schedule): a
+    # per-frame K would recompile _fused_scan every frame
+    px = frame_h * frame_w
+    K = 4 if px <= (1 << 18) else 8 if px <= (1 << 20) else 16
+    wcls, wrows = [], []
+    for cls, rows in sched:
+        ci = cls_idx[cls]
+        for c0 in range(0, rows.shape[0], K):
+            chunk = rows[c0:c0 + K]
+            if chunk.shape[0] < K:
+                pad = np.zeros((K - chunk.shape[0], chunk.shape[1]),
+                               np.int32)
+                pad[:, 1] = pad[:, 2] = 1 << 20
+                chunk = np.concatenate([chunk, pad], axis=0)
+            wcls.append(ci)
+            wrows.append(chunk)
+    n = len(wcls)
+    # pad the step count to a power-of-2 bucket (>= _STEP_PAD): the scan
+    # length is baked into the compiled program, so fine-grained padding
+    # would recompile on every frame's schedule wobble
+    n_pad = _STEP_PAD
+    while n_pad < n:
+        n_pad *= 2
+    dummy = np.zeros((K, 16), np.int32)
+    dummy[:, 1] = dummy[:, 2] = 1 << 20
+    for _ in range(n_pad - n):
+        wcls.append(0)
+        wrows.append(dummy)
+    return (np.asarray(wcls, np.int32), np.stack(wrows).astype(np.int32))
+
+
+_FUSED_STATICS = ("classes", "frame_w", "frame_h", "bd", "encode", "mts",
+                  "lfnst", "cclm", "rdoq", "mip", "tskip", "jccr", "dq")
+
+
+@functools.partial(jax.jit, static_argnames=_FUSED_STATICS)
+def _fused_scan(carry, wcls, wrows, qp, lam_rd, crs_lut, fwd_lut, refs,
+                rox, roy, plt_planes, *, classes, frame_w, frame_h, bd,
+                encode, mts, lfnst, cclm, rdoq, mip, tskip, jccr, dq):
+    qp32 = jnp.asarray(qp, jnp.int32)
+    lam32 = jnp.asarray(lam_rd, jnp.int32)
+    branches = []
+    for (kind, w, h, d) in classes:
+        if kind == "nop":
+            branches.append(lambda c, r: c)
+        elif kind == "intra":
+            branches.append(functools.partial(
+                lambda c, r, s: _intra_batch.__wrapped__(
+                    c, r, qp32, lam32, crs_lut, s=s, frame_w=frame_w,
+                    frame_h=frame_h, bd=bd, encode=encode, mts=mts,
+                    lfnst=lfnst, cclm=cclm, rdoq=rdoq, mip=mip,
+                    tskip=tskip, jccr=jccr, dq=dq), s=w))
+        elif kind == "isp":
+            branches.append(functools.partial(
+                lambda c, r, s, d2: _isp_batch.__wrapped__(
+                    c, r, qp32, lam32, crs_lut, s=s, d=d2, frame_w=frame_w,
+                    frame_h=frame_h, bd=bd, encode=encode, cclm=cclm,
+                    rdoq=rdoq, jccr=jccr, dq=dq), s=w, d2=d))
+        elif kind == "rect":
+            branches.append(functools.partial(
+                lambda c, r, w2, h2: _rect_batch.__wrapped__(
+                    c, r, qp32, lam32, crs_lut, w=w2, h=h2,
+                    frame_w=frame_w, frame_h=frame_h, bd=bd, encode=encode,
+                    rdoq=rdoq, dq=dq), w2=w, h2=h))
+        elif kind == "ibc":
+            branches.append(functools.partial(
+                lambda c, r, s: _ibc_batch.__wrapped__(
+                    c, r, qp32, lam32, s=s, frame_w=frame_w,
+                    frame_h=frame_h, bd=bd, encode=encode, rdoq=rdoq,
+                    dq=dq), s=w))
+        elif kind == "plt":
+            branches.append(functools.partial(
+                lambda c, r, s: _plt_batch.__wrapped__(
+                    c, r, plt_planes[0], plt_planes[1], plt_planes[2],
+                    s=s), s=w))
+        elif kind == "ciip":
+            branches.append(functools.partial(
+                lambda c, r, s: _ciip_batch.__wrapped__(
+                    c, r, refs, qp32, lam32, fwd_lut, crs_lut, rox, roy,
+                    s=s, frame_w=frame_w, frame_h=frame_h, bd=bd,
+                    encode=encode, rdoq=rdoq, dq=dq), s=w))
+        else:  # pragma: no cover
+            raise AssertionError(kind)
+
+    def step(c, xs):
+        ci, rows = xs
+        return jax.lax.switch(ci, branches, c, rows), None
+
+    carry, _ = jax.lax.scan(step, carry, (wcls, wrows))
+    return carry
+
+
+# ---------------------------------------------------------------------------
 # driver
 # ---------------------------------------------------------------------------
 
@@ -705,42 +785,63 @@ def frame_wave(slots, planes_y, planes_cb, planes_cr, *, frame_w: int,
                     crs_lut=crs_lut if lmcs else None, dq=dq,
                     rox=rox, roy=roy)
 
-    qp32 = np.int32(qp)
-    lam32 = np.int32(lam_rd)
     crs = crs_lut if lmcs else None
-    for cls, rows_np in build_schedule(slots_np, frame_h, frame_w):
-        kind, w, h, d = cls
-        rows = jnp.asarray(_pad_rows(rows_np))
-        if kind == "intra":
-            carry = _intra_batch(
-                carry, rows, qp32, lam32, crs, s=w, frame_w=frame_w,
-                frame_h=frame_h, bd=bd, encode=encode, mts=mts,
-                lfnst=lfnst, cclm=cclm, rdoq=rdoq, mip=mip, tskip=tskip,
-                jccr=jccr, dq=dq)
-        elif kind == "isp":
-            carry = _isp_batch(
-                carry, rows, qp32, lam32, crs, s=w, d=d, frame_w=frame_w,
-                frame_h=frame_h, bd=bd, encode=encode, cclm=cclm,
-                rdoq=rdoq, jccr=jccr, dq=dq)
-        elif kind == "rect":
-            carry = _rect_batch(
-                carry, rows, qp32, lam32, crs, w=w, h=h, frame_w=frame_w,
-                frame_h=frame_h, bd=bd, encode=encode, rdoq=rdoq, dq=dq)
-        elif kind == "ibc":
-            carry = _ibc_batch(
-                carry, rows, qp32, lam32, s=w, frame_w=frame_w,
-                frame_h=frame_h, bd=bd, encode=encode, rdoq=rdoq, dq=dq)
-        elif kind == "plt":
-            carry = _plt_batch(carry, rows, jnp.asarray(plt_y),
-                               jnp.asarray(plt_cb), jnp.asarray(plt_cr),
-                               s=w)
-        elif kind == "ciip":
-            carry = _ciip_batch(
-                carry, rows, refs, qp32, lam32, fwd_lut if lmcs else None,
-                crs, rox, roy, s=w, frame_w=frame_w, frame_h=frame_h,
-                bd=bd, encode=encode, rdoq=rdoq, dq=dq)
-        else:  # pragma: no cover
-            raise AssertionError(cls)
+    import os
+    if os.environ.get("VVCTPU_WAVE_BATCH"):
+        # legacy per-batch dispatch driver (A/B reference)
+        qp32 = np.int32(qp)
+        lam32 = np.int32(lam_rd)
+        for cls, rows_np in build_schedule(slots_np, frame_h, frame_w):
+            kind, w, h, d = cls
+            rows = jnp.asarray(_pad_rows(rows_np))
+            if kind == "intra":
+                carry = _intra_batch(
+                    carry, rows, qp32, lam32, crs, s=w, frame_w=frame_w,
+                    frame_h=frame_h, bd=bd, encode=encode, mts=mts,
+                    lfnst=lfnst, cclm=cclm, rdoq=rdoq, mip=mip,
+                    tskip=tskip, jccr=jccr, dq=dq)
+            elif kind == "isp":
+                carry = _isp_batch(
+                    carry, rows, qp32, lam32, crs, s=w, d=d,
+                    frame_w=frame_w, frame_h=frame_h, bd=bd, encode=encode,
+                    cclm=cclm, rdoq=rdoq, jccr=jccr, dq=dq)
+            elif kind == "rect":
+                carry = _rect_batch(
+                    carry, rows, qp32, lam32, crs, w=w, h=h,
+                    frame_w=frame_w, frame_h=frame_h, bd=bd, encode=encode,
+                    rdoq=rdoq, dq=dq)
+            elif kind == "ibc":
+                carry = _ibc_batch(
+                    carry, rows, qp32, lam32, s=w, frame_w=frame_w,
+                    frame_h=frame_h, bd=bd, encode=encode, rdoq=rdoq,
+                    dq=dq)
+            elif kind == "plt":
+                carry = _plt_batch(carry, rows, jnp.asarray(plt_y),
+                                   jnp.asarray(plt_cb),
+                                   jnp.asarray(plt_cr), s=w)
+            elif kind == "ciip":
+                carry = _ciip_batch(
+                    carry, rows, refs, qp32, lam32,
+                    fwd_lut if lmcs else None, crs, rox, roy, s=w,
+                    frame_w=frame_w, frame_h=frame_h, bd=bd, encode=encode,
+                    rdoq=rdoq, dq=dq)
+            else:  # pragma: no cover
+                raise AssertionError(cls)
+    else:
+        classes = _fused_classes(isp=isp, mtt=mtt, ibc=ibc,
+                                 plt=plt_y is not None,
+                                 ciip=ciip and inter_enabled)
+        wcls, wrows = _fused_schedule(slots_np, frame_h, frame_w, classes)
+        plt_planes = ((jnp.asarray(plt_y), jnp.asarray(plt_cb),
+                       jnp.asarray(plt_cr)) if plt_y is not None
+                      else (jnp.zeros((1, 1), jnp.int32),) * 3)
+        carry = _fused_scan(
+            carry, jnp.asarray(wcls), jnp.asarray(wrows),
+            np.int32(qp), np.int32(lam_rd), crs,
+            fwd_lut if lmcs else None, refs, rox, roy, plt_planes,
+            classes=classes, frame_w=frame_w, frame_h=frame_h, bd=bd,
+            encode=encode, mts=mts, lfnst=lfnst, cclm=cclm, rdoq=rdoq,
+            mip=mip, tskip=tskip, jccr=jccr, dq=dq)
 
     by, bcb, bcr, ly, lcb, lcr = carry[:6]
     return (by[1:frame_h + 1, 1:frame_w + 1],

@@ -100,11 +100,11 @@ class AlfParams:
 
 
 def _features(plane: np.ndarray) -> np.ndarray:
-    """(12, H, W) int64 difference features (p_i + p_-i - 2p)."""
-    p = plane.astype(np.int64)
+    """(12, H, W) int32 difference features (p_i + p_-i - 2p)."""
+    p = plane.astype(np.int32)
     z = np.pad(p, 3, mode="edge")
     h, w = p.shape
-    out = np.empty((N_COEFF, h, w), np.int64)
+    out = np.empty((N_COEFF, h, w), np.int32)
     for i, (dy, dx) in enumerate(DIAMOND):
         a = z[3 + dy:3 + dy + h, 3 + dx:3 + dx + w]
         b = z[3 - dy:3 - dy + h, 3 - dx:3 - dx + w]
@@ -159,9 +159,9 @@ def _coeff_planes(params: AlfParams, cls, tr, h: int, w: int) -> np.ndarray:
     its block transpose permutation applied."""
     eff = params.coeff[:, TRANS_PERMS]          # (25, 4, 12)
     eff = eff * params.present[:, None, None]   # absent class -> identity
-    per_block = eff[cls, tr]                    # (H//4, W//4, 12)
+    per_block = eff[cls, tr].astype(np.int32)   # (H//4, W//4, 12)
     per_pix = np.repeat(np.repeat(per_block, 4, axis=0), 4, axis=1)
-    return per_pix[:h, :w].transpose(2, 0, 1).astype(np.int64)
+    return per_pix[:h, :w].transpose(2, 0, 1)
 
 
 def apply_alf(plane: np.ndarray, params: AlfParams, ctu: int = 64,
@@ -173,8 +173,8 @@ def apply_alf(plane: np.ndarray, params: AlfParams, ctu: int = 64,
     cls, tr = classify(plane, bd)
     f = _features(plane)
     cpl = _coeff_planes(params, cls, tr, h, w)
-    delta = ((cpl * f).sum(axis=0) + 64) >> 7
-    filtered = np.clip(plane.astype(np.int64) + delta, 0, (1 << bd) - 1)
+    delta = ((cpl * f).sum(axis=0, dtype=np.int32) + 64) >> 7
+    filtered = np.clip(plane.astype(np.int32) + delta, 0, (1 << bd) - 1)
     on = np.kron(params.ctu_on.astype(bool),
                  np.ones((ctu, ctu), bool))[:h, :w]
     return np.where(on, filtered, plane).astype(np.int32)
@@ -182,10 +182,10 @@ def apply_alf(plane: np.ndarray, params: AlfParams, ctu: int = 64,
 
 def _features_c(plane: np.ndarray) -> np.ndarray:
     """(6, H, W) chroma difference features over the 5x5 diamond."""
-    p = plane.astype(np.int64)
+    p = plane.astype(np.int32)
     z = np.pad(p, 2, mode="edge")
     h, w = p.shape
-    out = np.empty((N_COEFF_C, h, w), np.int64)
+    out = np.empty((N_COEFF_C, h, w), np.int32)
     for i, (dy, dx) in enumerate(DIAMOND_C):
         a = z[2 + dy:2 + dy + h, 2 + dx:2 + dx + w]
         b = z[2 - dy:2 - dy + h, 2 - dx:2 - dx + w]
@@ -196,10 +196,10 @@ def _features_c(plane: np.ndarray) -> np.ndarray:
 def _features_cc(luma: np.ndarray, ch: int, cw: int) -> np.ndarray:
     """(8, cH, cW) CC-ALF features: collocated-luma differences on the
     chroma grid (luma sample (2y, 2x) is the collocated centre)."""
-    p = luma.astype(np.int64)
+    p = luma.astype(np.int32)
     z = np.pad(p, 2, mode="edge")
     ctr = z[2:2 + 2 * ch:2, 2:2 + 2 * cw:2]
-    out = np.empty((N_COEFF_CC, ch, cw), np.int64)
+    out = np.empty((N_COEFF_CC, ch, cw), np.int32)
     for i, (dy, dx) in enumerate(CC_OFFSETS):
         out[i] = z[2 + dy:2 + dy + 2 * ch:2,
                    2 + dx:2 + dx + 2 * cw:2] - ctr
@@ -220,16 +220,16 @@ def apply_alf_frame(planes, params: AlfParams, ctu: int = 64,
             out.append(base)
             continue
         ch, cw = base.shape
-        delta = np.zeros((ch, cw), np.int64)
+        delta = np.zeros((ch, cw), np.int32)
         if params.c_coeff[c].any():
             fc = _features_c(base)
-            delta += (np.tensordot(params.c_coeff[c].astype(np.int64), fc,
+            delta += (np.tensordot(params.c_coeff[c].astype(np.int32), fc,
                                    axes=(0, 0)) + 64) >> 7
         if params.cc_present[c]:
             fcc = _features_cc(luma_in, ch, cw)
-            delta += (np.tensordot(params.cc_coeff[c].astype(np.int64), fcc,
+            delta += (np.tensordot(params.cc_coeff[c].astype(np.int32), fcc,
                                    axes=(0, 0)) + 64) >> 7
-        filt = np.clip(base.astype(np.int64) + delta, 0, mx)
+        filt = np.clip(base.astype(np.int32) + delta, 0, mx)
         on = np.kron(params.ctu_on_c[c].astype(bool),
                      np.ones((cctu, cctu), bool))[:ch, :cw]
         out.append(np.where(on, filt, base).astype(np.int32))
@@ -275,16 +275,10 @@ def derive_alf_frame(orig_planes, rec_planes, qp: int, ctu: int = 64,
         filt = np.clip(base.astype(np.int64) + delta2, 0, mx)
         e_off = (o - base) ** 2
         e_on = (o - filt) ** 2
-        total_gain = 0
-        on_map = np.zeros((n_y, n_x), np.uint8)
-        for cy in range(n_y):
-            for cx in range(n_x):
-                sl = np.s_[cy * cctu:(cy + 1) * cctu,
-                           cx * cctu:(cx + 1) * cctu]
-                gain = int(e_off[sl].sum()) - int(e_on[sl].sum())
-                if gain > lam:
-                    on_map[cy, cx] = 1
-                    total_gain += gain
+        gain = ((e_off - e_on).reshape(n_y, cctu, n_x, cctu)
+                .sum(axis=(1, 3)))
+        on_map = (gain > lam).astype(np.uint8)
+        total_gain = int(gain[gain > lam].sum())
         coeff_bits = 8 + (N_COEFF_C + N_COEFF_CC) * 7
         if on_map.any() and total_gain > lam * coeff_bits:
             params.c_enabled[c] = 1
@@ -315,14 +309,21 @@ def derive_alf(orig: np.ndarray, rec: np.ndarray, qp: int, ctu: int = 64,
     flat_f = fT.reshape(-1, N_COEFF).astype(np.float64)
     flat_e = err.reshape(-1).astype(np.float64)
     flat_c = cls_pix.reshape(-1)
+    # per-class Gram/rhs on contiguous class-sorted slices (stable sort
+    # keeps raster order within a class, so sums match the masked-gather
+    # formulation bit-for-bit in float64)
+    order = np.argsort(flat_c, kind="stable")
+    counts = np.bincount(flat_c, minlength=N_CLASSES)
+    offs = np.concatenate([[0], np.cumsum(counts)])
+    fs = flat_f[order]
+    es = flat_e[order]
     for k in range(N_CLASSES):
-        m = flat_c == k
-        npix = int(m.sum())
+        npix = int(counts[k])
         if npix < 64:
             continue
-        fm = flat_f[m]
+        fm = fs[offs[k]:offs[k + 1]]
         gram = fm.T @ fm
-        rhs = fm.T @ flat_e[m]
+        rhs = fm.T @ es[offs[k]:offs[k + 1]]
         gram += np.eye(N_COEFF) * (1.0 + gram.trace() * 1e-9)
         sol = np.linalg.solve(gram, rhs)
         coeff = np.clip(np.round(sol * 128.0), -COEFF_MAX,
@@ -340,14 +341,10 @@ def derive_alf(orig: np.ndarray, rec: np.ndarray, qp: int, ctu: int = 64,
     filt = np.clip(rec.astype(np.int64) + delta, 0, (1 << bd) - 1)
     e_off = err * err
     e_on = (orig.astype(np.int64) - filt) ** 2
-    total_gain = 0
-    for cy in range(n_y):
-        for cx in range(n_x):
-            sl = np.s_[cy * ctu:(cy + 1) * ctu, cx * ctu:(cx + 1) * ctu]
-            gain = int(e_off[sl].sum()) - int(e_on[sl].sum())
-            if gain > lam:
-                params.ctu_on[cy, cx] = 1
-                total_gain += gain
+    gain = ((e_off - e_on).reshape(n_y, ctu, n_x, ctu)
+            .sum(axis=(1, 3)))
+    params.ctu_on[:] = (gain > lam).astype(np.uint8)
+    total_gain = int(gain[gain > lam].sum())
     # frame-level decision must also pay for the filter-coefficient bits
     coeff_bits = 26 + int(params.present.sum()) * N_COEFF * 7
     if not params.ctu_on.any() or total_gain <= lam * coeff_bits:

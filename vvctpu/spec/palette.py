@@ -135,21 +135,61 @@ def code_palette(io, s: int, bd: int, entries=None, idx=None):
 def palette_size_pass(orig_y: np.ndarray, s: int, lam: int, bd: int):
     """Decision-pass palette cost per s-block (luma-only, exact rate):
     (cost (nby, nbx) int64) — shared by both engines (host pass; palette
-    derivation is histogram work, intentionally not a device kernel)."""
-    from .decide import block_satd
+    derivation is histogram work, intentionally not a device kernel).
+
+    Fully vectorised over the frame's blocks; arithmetic is identical to
+    the per-block _luma_palette/palette_bins path (count-desc/value-asc
+    entry order, first-min nearest mapping, 8x8 Hadamard SATD, exact run
+    bins)."""
+    from .decide import _H8
     h, w = orig_y.shape
     nby, nbx = h // s, w // s
-    cost = np.zeros((nby, nbx), np.int64)
-    o = orig_y.astype(np.int64)
-    for by in range(nby):
-        for bx in range(nbx):
-            blk = o[by * s:(by + 1) * s, bx * s:(bx + 1) * s]
-            ents_y, idx = _luma_palette(blk)
-            mapped = ents_y[idx]
-            satd = block_satd(blk - mapped)
-            bins = PLT_FLAG_BITS + palette_bins(len(ents_y), idx, bd)
-            cost[by, bx] = (satd << 8) + bins * lam
-    return cost
+    B, L = nby * nbx, s * s
+    nv = 1 << bd
+    flatb = (orig_y.astype(np.int32).reshape(nby, s, nbx, s)
+             .transpose(0, 2, 1, 3).reshape(B, L))
+    hist = np.bincount(
+        (np.repeat(np.arange(B, dtype=np.int64), L) << bd)
+        | flatb.ravel().astype(np.int64), minlength=B * nv
+    ).reshape(B, nv).astype(np.int32)
+    # top-MAX_PLT values by (count desc, value asc): embed the value
+    # tie-break in one sort key (counts <= L < nv ensures no overlap)
+    key = -(hist * nv + (nv - 1 - np.arange(nv, dtype=np.int32))[None, :])
+    kp = np.argpartition(key, MAX_PLT, axis=1)[:, :MAX_PLT]
+    top = np.take_along_axis(
+        kp, np.argsort(np.take_along_axis(key, kp, axis=1), axis=1), axis=1)
+    cnts = np.take_along_axis(hist, top, axis=1)
+    n_ent = (cnts > 0).sum(axis=1).astype(np.int64)      # (B,)
+    ents = np.where(cnts > 0, top, 1 << 20).astype(np.int32)  # absent->far
+    idx = np.argmin(np.abs(flatb[:, :, None] - ents[:, None, :]), axis=2)
+    mapped = np.take_along_axis(ents, idx, axis=1)
+    # 8x8 Hadamard SATD via batched float64 matmuls (exact: |t| < 2^53)
+    h8f = _H8.astype(np.float64)
+    diff = (flatb - mapped).reshape(nby, nbx, s // 8, 8, s // 8, 8)
+    tiles = diff.transpose(0, 1, 2, 4, 3, 5).astype(np.float64)
+    ht = h8f @ tiles @ h8f
+    satd = ((np.abs(ht).sum(axis=(4, 5)).astype(np.int64) + 4) >> 3).sum(
+        axis=(2, 3)).reshape(B)
+    # run bins over the index map (block-boundary-forced run breaks)
+    ib = np.where(n_ent > 1,
+                  np.floor(np.log2(np.maximum(n_ent - 1, 1)
+                                   .astype(np.float64))).astype(np.int64)
+                  + 1, 0)
+    g = idx.ravel()
+    change = np.empty(B * L, bool)
+    change[0] = True
+    change[1:] = g[1:] != g[:-1]
+    change[::L] = True
+    starts = np.flatnonzero(change)
+    runlen = np.diff(np.append(starts, B * L))
+    blk_id = starts // L
+    # eg_k_len(v, 2) == 2*m + 3 with m = max(floor(log2(v + 4)) - 2, 0)
+    m = np.maximum(np.floor(np.log2(runlen + 3.0)).astype(np.int64) - 2, 0)
+    runbits = np.bincount(blk_id, weights=(ib[blk_id] + 2 * m + 3),
+                          minlength=B).astype(np.int64)
+    bins = PLT_FLAG_BITS + 3 + n_ent * 3 * bd + runbits
+    cost = (satd << 8) + bins * lam
+    return cost.reshape(nby, nbx)
 
 
 def plt_leaves(dec) -> list[tuple[int, int, int]]:
