@@ -48,6 +48,17 @@ def _load():
     lib.vvc_dec_bypass_bits.argtypes = [ctypes.c_void_p, ctypes.c_int32]
     lib.vvc_dec_terminate.restype = ctypes.c_int32
     lib.vvc_dec_terminate.argtypes = [ctypes.c_void_p]
+    # hot per-TB entry points: raw-address args (ctypes POINTER casts cost
+    # ~5us per argument per call; passing .ctypes.data ints is ~free)
+    vp = ctypes.c_void_p
+    lib.vvc_tb_bins.restype = ctypes.c_int64
+    lib.vvc_tb_bins.argtypes = [vp, ctypes.c_int, ctypes.c_int,
+                                ctypes.c_int, vp, vp, vp, vp, vp,
+                                ctypes.c_int64, vp]
+    lib.vvc_tb_parse.restype = None
+    lib.vvc_tb_parse.argtypes = [vp, vp, vp, vp, vp, ctypes.c_int,
+                                 ctypes.c_int, ctypes.c_int, vp, vp, vp,
+                                 vp]
     _LIB = lib
     return lib
 
@@ -137,11 +148,58 @@ def pack_bins_state(arr: np.ndarray, st, snap_idx: int = -1):
     return out[:wrote].tobytes(), snap
 
 
+_RES_CFG = None
+
+
 def _res_cfg():
-    return np.asarray([C.LAST_X.offset, C.LAST_Y.offset, C.CG_FLAG.offset,
-                       C.SIG_FLAG.offset, C.GT1_FLAG.offset,
-                       C.PAR_FLAG.offset, C.GT3_FLAG.offset,
-                       C.SIG_CHROMA_BASE, C.GTX_CHROMA_BASE], np.int32)
+    global _RES_CFG
+    if _RES_CFG is None:
+        _RES_CFG = np.asarray(
+            [C.LAST_X.offset, C.LAST_Y.offset, C.CG_FLAG.offset,
+             C.SIG_FLAG.offset, C.GT1_FLAG.offset,
+             C.PAR_FLAG.offset, C.GT3_FLAG.offset,
+             C.SIG_CHROMA_BASE, C.GTX_CHROMA_BASE], np.int32)
+    return _RES_CFG
+
+
+# reusable per-process workspace for the hot per-TB calls (returned arrays
+# are always fresh copies, so reuse is safe).  Addresses are cached as raw
+# ints: numpy's .ctypes property allocates a helper object per access.
+_WS = None
+
+
+def _workspace():
+    global _WS
+    if _WS is None:
+        cap = 16 * 1024 + 256          # max TB is 32x32
+        ks = np.empty(cap, np.int32)
+        cs = np.empty(cap, np.int32)
+        bs = np.empty(cap, np.int32)
+        wk = np.empty(3 * 1024 + 64, np.int32)
+        lv = np.empty(1024, np.int32)
+        _WS = (ks, cs, bs, wk, lv, ks.ctypes.data, cs.ctypes.data,
+               bs.ctypes.data, wk.ctypes.data, lv.ctypes.data)
+    return _WS
+
+
+_SCAN_ADDR: dict = {}
+
+
+def _scan_addr(log2_w, log2_h):
+    key = (log2_w, log2_h)
+    if key not in _SCAN_ADDR:
+        _SCAN_ADDR[key] = _scan(log2_w, log2_h).ctypes.data
+    return _SCAN_ADDR[key]
+
+
+_RES_ADDR = None
+
+
+def _res_addr():
+    global _RES_ADDR
+    if _RES_ADDR is None:
+        _RES_ADDR = _res_cfg().ctypes.data
+    return _RES_ADDR
 
 
 _SCANS: dict = {}
@@ -161,19 +219,13 @@ def tb_bins_c(levels: np.ndarray, log2_w: int, log2_h: int,
     """(n, 3) int32 bins for one TB via the C binarizer (== binarize.tb_bins
     output order)."""
     lib = _load()
+    (kinds, ctxs, bins, _, lev, ka, ca, ba, wa, la) = _workspace()
     n = levels.size
-    cap = 16 * n + 256
-    kinds = np.empty(cap, np.int32)
-    ctxs = np.empty(cap, np.int32)
-    bins = np.empty(cap, np.int32)
-    work = np.empty(3 * n + 64, np.int32)
-    lev = np.ascontiguousarray(levels, np.int32)
-    lib.vvc_tb_bins.restype = ctypes.c_int64
+    np.copyto(lev[:n].reshape(levels.shape), levels, casting="unsafe")
     wrote = lib.vvc_tb_bins(
-        _i32p(lev), ctypes.c_int(log2_w), ctypes.c_int(log2_h),
-        ctypes.c_int(int(is_chroma)), _i32p(_scan(log2_w, log2_h)),
-        _i32p(_res_cfg()), _i32p(kinds), _i32p(ctxs), _i32p(bins),
-        ctypes.c_int64(cap), _i32p(work))
+        la, log2_w, log2_h, int(is_chroma),
+        _scan_addr(log2_w, log2_h), _res_addr(),
+        ka, ca, ba, len(kinds), wa)
     out = np.empty((wrote, 3), np.int32)
     out[:, 0] = kinds[:wrote]
     out[:, 1] = ctxs[:wrote]
@@ -186,14 +238,12 @@ def native_parse_tb(dec: "NativeDecoder", log2_w: int, log2_h: int,
     """Parse one TB directly in C through the native decode engine."""
     lib = _load()
     w, h = 1 << log2_w, 1 << log2_h
-    n = w * h
-    out = np.empty(n, np.int32)
-    work = np.empty(3 * n + 64, np.int32)
+    out = np.empty(w * h, np.int32)
+    ws = _workspace()
     st = dec.ctx
-    lib.vvc_tb_parse.restype = None
     lib.vvc_tb_parse(
-        dec._dec, _i32p(st.p0), _i32p(st.p1), _i32p(st.sh0), _i32p(st.sh1),
-        ctypes.c_int(log2_w), ctypes.c_int(log2_h),
-        ctypes.c_int(int(is_chroma)), _i32p(_scan(log2_w, log2_h)),
-        _i32p(_res_cfg()), _i32p(out), _i32p(work))
+        ctypes.addressof(dec._dec), st.p0.ctypes.data, st.p1.ctypes.data,
+        st.sh0.ctypes.data, st.sh1.ctypes.data, log2_w, log2_h,
+        int(is_chroma), _scan_addr(log2_w, log2_h),
+        _res_addr(), out.ctypes.data, ws[8])
     return out.reshape(h, w)

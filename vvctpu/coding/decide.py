@@ -441,11 +441,49 @@ def decide_frame_device(orig_y: np.ndarray, qp: int, bd: int = 8,
                 mtt=mtt, ibc=ibc, plt=plt, bd=bd, orig_y=orig_y)
 
 
+class _ArrRef:
+    __slots__ = ("i",)
+
+    def __init__(self, i):
+        self.i = i
+
+
+def _tree_get(o):
+    """jax.device_get over an arbitrary nested dict/list/tuple container
+    with MIXED dict key types (which jax pytree flattening rejects):
+    collects device arrays, fetches them in ONE round trip, rebuilds."""
+    import jax
+    arrs = []
+
+    def walk(v):
+        if isinstance(v, dict):
+            return {k: walk(x) for k, x in v.items()}
+        if isinstance(v, (list, tuple)):
+            return type(v)(walk(x) for x in v)
+        if isinstance(v, jax.Array):
+            arrs.append(v)
+            return _ArrRef(len(arrs) - 1)
+        return v
+
+    skel = walk(o)
+    vals = jax.device_get(arrs)
+
+    def fill(v):
+        if isinstance(v, _ArrRef):
+            return vals[v.i]
+        if isinstance(v, dict):
+            return {k: fill(x) for k, x in v.items()}
+        if isinstance(v, (list, tuple)):
+            return type(v)(fill(x) for x in v)
+        return v
+
+    return fill(skel)
+
+
 def decide_frame_assemble(hd) -> FrameDecisions:
     """Block on the device results and run the host bottom-up assembly
     (identical arithmetic to the one-call decide_frame)."""
-    import jax
-    hd = jax.device_get(hd)    # ONE tunnel round trip for the whole tree
+    hd = _tree_get(hd)         # ONE tunnel round trip for the whole tree
     res, h, w, lam = hd["res"], hd["h"], hd["w"], hd["lam"]
     best8_cost = np.asarray(res[8][0]).astype(np.int64)
     best8_mode = np.asarray(res[8][1])

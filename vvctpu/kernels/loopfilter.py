@@ -167,7 +167,8 @@ def deblock_frame_j(planes, decisions, qp: int, bd: int = 8):
 # ---------------------------------------------------------------------------
 # SAO offset application — device twin of spec/sao.py _apply_component
 # ---------------------------------------------------------------------------
-from ..spec.sao import (N_BANDS, SAO_BAND, SAO_EO0, SAO_EO45,  # noqa: E402
+from ..spec.sao import (MAX_OFFSET, N_BANDS, SAO_BAND,  # noqa: E402
+                        SAO_EO0, SAO_EO45, SAO_EO90, SAO_EO135,
                         _EO_NEIGH, _EO_SIGN)
 
 
@@ -231,6 +232,164 @@ def apply_sao_j(planes, params, ctu: int = 64, bd: int = 8):
             up(params.band_pos[:, :, comp]).astype(np.int32)))
     out = _sao_jit(tuple(recs), tuple(tps), tuple(offs), tuple(bps), bd)
     return jax.device_get(list(out))        # one tunnel round trip
+
+
+# ---------------------------------------------------------------------------
+# Device SAO decide — bit-exact twin of spec/sao.py decide_sao (integer
+# rounding, int32-safe cost scale).  Stats are per-(CTU, category)
+# scatter-adds; the RD compare mirrors the spec's argmin order exactly.
+# ---------------------------------------------------------------------------
+from ..spec.sao import SAO_BAND as _SB, SAO_OFF as _SO  # noqa: E402
+
+
+def _sao_decide_comp_j(org, rec, lam, n_y: int, n_x: int, cs: int,
+                       bd: int):
+    """(type (nY*nX,), offs (nY*nX, 4), band_pos (nY*nX,)) int32."""
+    h, w = rec.shape
+    n_ctu = n_y * n_x
+    diff = org - rec
+    ctu_id = ((np.arange(h) // cs)[:, None] * n_x
+              + (np.arange(w) // cs)[None, :]).astype(np.int32)
+    ctu_id = jnp.asarray(ctu_id)
+
+    def lam_bits(b):
+        return (b * lam + 128) >> 8
+
+    costs = [None] * 6
+    offs = [None] * 6
+    costs[_SO] = jnp.broadcast_to(lam_bits(jnp.int32(2)), (n_ctu,))
+    offs[_SO] = jnp.zeros((n_ctu, 4), jnp.int32)
+
+    def refine(n, e):
+        o = jnp.where(n > 0, (2 * e + n) // jnp.maximum(2 * n, 1), 0)
+        o = jnp.clip(o, 0, MAX_OFFSET)
+        for _ in range(MAX_OFFSET):
+            cur = n * o * o - 2 * o * e
+            dn = n * (o - 1) * (o - 1) - 2 * (o - 1) * e
+            o = jnp.where((o > 0) & (cur > dn), o - 1, o)
+        return o
+
+    sign4 = jnp.asarray(np.asarray(_EO_SIGN, np.int32)[[0, 1, 3, 4]])
+    for t in range(SAO_EO0, SAO_EO45 + 1):
+        cat = _edge_categories_j(rec, t)
+        idx = (ctu_id * 5 + cat).ravel()
+        n_cnt = jnp.zeros((n_ctu * 5,), jnp.int32).at[idx].add(
+            1).reshape(n_ctu, 5)
+        e_sum = jnp.zeros((n_ctu * 5,), jnp.int32).at[idx].add(
+            diff.ravel()).reshape(n_ctu, 5)
+        n4 = n_cnt[:, (0, 1, 3, 4)]
+        e4 = e_sum[:, (0, 1, 3, 4)] * sign4[None, :]
+        o4 = refine(n4, e4)
+        dd = (n4 * o4 * o4 - 2 * o4 * e4).sum(axis=1)
+        costs[t] = dd + lam_bits(jnp.int32(20))
+        offs[t] = o4
+
+    band = rec >> (bd - 5)
+    idx = (ctu_id * N_BANDS + band).ravel()
+    n_b = jnp.zeros((n_ctu * N_BANDS,), jnp.int32).at[idx].add(
+        1).reshape(n_ctu, N_BANDS)
+    e_b = jnp.zeros((n_ctu * N_BANDS,), jnp.int32).at[idx].add(
+        diff.ravel()).reshape(n_ctu, N_BANDS)
+    o_b = jnp.sign(e_b) * ((2 * jnp.abs(e_b) + n_b)
+                           // jnp.maximum(2 * n_b, 1))
+    o_b = jnp.clip(jnp.where(n_b > 0, o_b, 0), -MAX_OFFSET, MAX_OFFSET)
+    dd_b = n_b * o_b * o_b - 2 * o_b * e_b
+    ddc = jnp.concatenate([dd_b, dd_b[:, :3]], axis=1)
+    win = jnp.stack([ddc[:, s:s + 4].sum(axis=1)
+                     for s in range(N_BANDS)], axis=1)
+    s_best = jnp.argmin(win, axis=1).astype(jnp.int32)
+    costs[_SB] = (jnp.take_along_axis(win, s_best[:, None],
+                                      axis=1)[:, 0]
+                  + lam_bits(jnp.int32(28)))
+    rel = (jnp.arange(4)[None, :] + s_best[:, None]) % N_BANDS
+    offs[_SB] = jnp.take_along_axis(o_b, rel, axis=1)
+
+    order = [_SO, SAO_EO0, SAO_EO90, SAO_EO135, SAO_EO45, _SB]
+    stacked = jnp.stack([costs[t] for t in order])
+    pick = jnp.argmin(stacked, axis=0)
+    chosen_t = jnp.asarray(np.asarray(order, np.int32))[pick]
+    offs_sel = jnp.stack([offs[t] for t in order])[pick,
+                                                   jnp.arange(n_ctu)]
+    bp = jnp.where(chosen_t == _SB, s_best, 0)
+    return chosen_t, offs_sel, bp
+
+
+def _sao_apply_comp_j(rec, tp_c, offs_c, bp_c, cs: int, bd: int):
+    """Apply per-CTU params (CTU-grid arrays) to one component plane."""
+    h, w = rec.shape
+    n_y, n_x = h // cs, w // cs
+
+    def up(a):
+        return jnp.repeat(jnp.repeat(a.reshape(n_y, n_x), cs, axis=0),
+                          cs, axis=1)
+
+    tp = up(tp_c)
+    bp = up(bp_c)
+    offs_px = jnp.stack([up(offs_c[:, i]) for i in range(4)], axis=-1)
+    return _sao_component_j(rec, tp, offs_px, bp, bd)
+
+
+@functools.partial(jax.jit, static_argnames=("ctu", "bd", "lmcs",
+                                             "dbk_on", "sao_on"))
+def _finish_jit(ry, rcb, rcr, oy, ocb, ocr, inv_lut, ver, hor, qp, lam, *,
+                ctu: int, bd: int, lmcs: bool, dbk_on: bool, sao_on: bool):
+    """Post-reconstruction device chain: LMCS inverse mapping -> deblock
+    -> SAO decide + apply — bit-exact twin of the host sequence
+    (inv_lut[] + spec deblock + spec decide_sao + apply).  Returns
+    (rec_y, rec_cb, rec_cr, sao_type, sao_offs, sao_bp) with SAO params
+    on the (nY, nX, 3[, 4]) CTU grid."""
+    y = jnp.take(inv_lut, ry) if lmcs else ry
+    cb, cr = rcb, rcr
+    if dbk_on:
+        y = _filter_luma_ver_j(y, ver, qp, bd)
+        y = _filter_luma_ver_j(y.T, hor.T, qp, bd).T
+        cb = _filter_chroma_ver_j(cb, ver, qp, bd)
+        cb = _filter_chroma_ver_j(cb.T, hor.T, qp, bd).T
+        cr = _filter_chroma_ver_j(cr, ver, qp, bd)
+        cr = _filter_chroma_ver_j(cr.T, hor.T, qp, bd).T
+    h, w = y.shape
+    n_y, n_x = h // ctu, w // ctu
+    if not sao_on:
+        z3 = jnp.zeros((n_y, n_x, 3), jnp.int32)
+        return (y, cb, cr, z3, jnp.zeros((n_y, n_x, 3, 4), jnp.int32),
+                jnp.zeros((n_y, n_x, 3), jnp.int32))
+    types, offs, bps = [], [], []
+    outs = []
+    for comp, (o, r) in enumerate(((oy, y), (ocb, cb), (ocr, cr))):
+        cs = ctu if comp == 0 else ctu // 2
+        tc, oc, bc = _sao_decide_comp_j(o.astype(jnp.int32),
+                                        r.astype(jnp.int32),
+                                        lam, n_y, n_x, cs, bd)
+        types.append(tc)
+        offs.append(oc)
+        bps.append(bc)
+        outs.append(_sao_apply_comp_j(r.astype(jnp.int32), tc, oc, bc,
+                                      cs, bd))
+    sao_type = jnp.stack(types, axis=-1).reshape(n_y, n_x, 3)
+    sao_offs = jnp.stack(offs, axis=-2).reshape(n_y, n_x, 3, 4)
+    sao_bp = jnp.stack(bps, axis=-1).reshape(n_y, n_x, 3)
+    return outs[0], outs[1], outs[2], sao_type, sao_offs, sao_bp
+
+
+def finish_frame_j(planes, decisions, qp: int, lam: int, orig_planes,
+                   inv_lut=None, ctu: int = 64, bd: int = 8,
+                   deblock_on: bool = True, sao_on: bool = True):
+    """Dispatch the post-recon device chain; returns DEVICE arrays
+    (rec_y, rec_cb, rec_cr, sao_type, sao_offs, sao_bp) — callers fetch
+    everything in one jax.device_get round trip."""
+    from ..spec.deblock import edge_masks
+    y = planes[0]
+    h, w = (np.asarray(y).shape if not hasattr(y, "shape") else y.shape)
+    ver, hor = edge_masks(decisions, h, w)
+    il = (jnp.zeros((1,), jnp.int32) if inv_lut is None
+          else jnp.asarray(inv_lut))
+    return _finish_jit(
+        jnp.asarray(planes[0]), jnp.asarray(planes[1]),
+        jnp.asarray(planes[2]), jnp.asarray(orig_planes[0]),
+        jnp.asarray(orig_planes[1]), jnp.asarray(orig_planes[2]),
+        il, jnp.asarray(ver), jnp.asarray(hor), jnp.int32(qp),
+        jnp.int32(lam), ctu=ctu, bd=bd, lmcs=inv_lut is not None,
+        dbk_on=deblock_on, sao_on=sao_on)
 
 
 # ---------------------------------------------------------------------------

@@ -119,70 +119,25 @@ def _run_scan(sps, pps, dec, py, pcb, pcr, dpb, ref_pocs, scan_kw):
 
 def _encode_ai_pipelined(frames, cfg, sps, pps, nals, recons, bits,
                          decisions_out=None):
-    """All-intra encode with a 1-frame device/host pipeline: frame i's
-    decision+reconstruction device passes run while frame i-1's host
-    entropy, loop filters and NAL assembly complete — the host stages hide
-    under device compute (byte-identical stream to the sequential path)."""
+    """All-intra encode with a decide-ahead device/host pipeline.
+
+    AI frames are independent, so frame i+1's decision pass is dispatched
+    a full cycle early; the post-reconstruction chain (LMCS inverse ->
+    deblock -> SAO decide + apply) runs ON DEVICE chained behind the
+    reconstruction scan (kernels/loopfilter.finish_frame_j), and finish()
+    fetches everything for a frame in ONE tunnel round trip before doing
+    the host-only entropy + NAL work while the device churns frame i+1.
+    Byte-identical stream to the sequential path."""
+    import jax
+
+    from ..kernels import loopfilter as lfk
     from ..spec.transform import lambda_rd_int
-    pending = None   # (poc, dec, out, padded, lmcs_cw, inv_lut, qpd)
+    qp = cfg.qp
+    lam_sao = int(round(0.57 * (2.0 ** ((qp - 12) / 3.0)) * 256.0))
+    pending = None
 
-    def finish(p):
-        import jax
-        poc, dec, out, padded, lmcs_cw, inv_lut, qpd = p
-        out = jax.device_get(list(out))   # one tunnel round trip
-        (ry, rcb, rcr, ly, lcb, lcr, mtsp, lfnstp, cmodep, jccrp,
-         sbtp) = out
-        levels = [np.asarray(ly), np.asarray(lcb), np.asarray(lcr)]
-        if sps.mts_enabled:
-            dec.mts8[:] = np.asarray(mtsp).astype(np.uint8)
-        if sps.lfnst_enabled:
-            dec.lfnst8[:] = np.asarray(lfnstp).astype(np.uint8)
-        if sps.cclm_enabled:
-            dec.cmode8[:] = np.asarray(cmodep).astype(np.uint8)
-        if sps.jccr_enabled:
-            dec.jccr8[:] = np.asarray(jccrp).astype(np.uint8)
-        if sps.sbt_enabled:
-            dec.sbt8[:] = np.asarray(sbtp).astype(np.uint8)
-        sh = hls.SliceHeader(poc=poc, slice_type=hls.SLICE_I, qp_delta=qpd,
-                             ref_pocs=(), lmcs_cw=lmcs_cw)
-        rec = [np.asarray(ry), np.asarray(rcb), np.asarray(rcr)]
-        if inv_lut is not None:
-            rec[0] = inv_lut[rec[0]]
-        if sps.deblock_enabled:
-            from ..kernels import loopfilter as lfk
-            rec = lfk.deblock_frame_j(rec, dec, pps.init_qp + qpd,
-                                      cfg.bit_depth)
-        sao_params = None
-        if sps.sao_enabled:
-            from ..spec import sao as saomod
-            sao_params = saomod.decide_sao(padded, rec, pps.init_qp + qpd,
-                                           cfg.ctu, cfg.bit_depth)
-            from ..kernels import loopfilter as lfk
-            rec = lfk.apply_sao_j(rec, sao_params, cfg.ctu, cfg.bit_depth)
-        alf_params = None
-        if sps.alf_enabled:
-            from ..spec import alf as alfmod
-            alf_params = alfmod.derive_alf_frame(padded, rec,
-                                                 pps.init_qp + qpd,
-                                                 cfg.ctu, cfg.bit_depth)
-            from ..kernels import loopfilter as lfk
-            rec = lfk.apply_alf_frame_j(rec, alf_params, cfg.ctu,
-                                        cfg.bit_depth)
-        payload = entropy.encode_frame_syntax(sps, pps, sh, dec, levels,
-                                              sao_params, alf_params)
-        cropped = scodec.crop_planes(rec, sps)
-        nals.append(bs.NalUnit(bs.NAL_IDR_N_LP, payload, temporal_id=0))
-        nals.append(bs.NalUnit(bs.NAL_SUFFIX_SEI,
-                               hls.write_pic_hash_sei(cropped,
-                                                      cfg.bit_depth,
-                                                      cfg.hash_type),
-                               temporal_id=0))
-        recons[poc] = cropped
-        bits[poc] = 8 * len(payload)
-
-    for poc in range(len(frames)):
+    def start_decide(poc):
         padded = scodec.pad_planes(frames[poc], sps)
-        qp = cfg.qp
         lmcs_cw = ()
         fwd_lut = inv_lut = crs_lut = None
         scan_y = padded[0]
@@ -200,9 +155,62 @@ def _encode_ai_pipelined(frames, cfg, sps, pps, nals, recons, bits,
                                          ibc=sps.ibc_enabled,
                                          tt=sps.tt_enabled,
                                          plt=sps.plt_enabled)
-        if pending is not None:      # host work overlaps device compute
-            finish(pending)
-            pending = None
+        return (padded, lmcs_cw, fwd_lut, inv_lut, crs_lut, scan_y, hd)
+
+    def finish(p):
+        poc, dec, out, chain, lmcs_cw = p
+        fetched = jax.device_get(list(out[3:]) + list(chain))
+        (ly, lcb, lcr, mtsp, lfnstp, cmodep, jccrp, sbtp,
+         cy, ccb, ccr, sao_t, sao_o, sao_b) = fetched
+        levels = [ly, lcb, lcr]
+        if sps.mts_enabled:
+            dec.mts8[:] = mtsp.astype(np.uint8)
+        if sps.lfnst_enabled:
+            dec.lfnst8[:] = lfnstp.astype(np.uint8)
+        if sps.cclm_enabled:
+            dec.cmode8[:] = cmodep.astype(np.uint8)
+        if sps.jccr_enabled:
+            dec.jccr8[:] = jccrp.astype(np.uint8)
+        if sps.sbt_enabled:
+            dec.sbt8[:] = sbtp.astype(np.uint8)
+        sh = hls.SliceHeader(poc=poc, slice_type=hls.SLICE_I, qp_delta=0,
+                             ref_pocs=(), lmcs_cw=lmcs_cw)
+        rec = [cy, ccb, ccr]
+        sao_params = None
+        if sps.sao_enabled:
+            from ..spec.sao import SaoParams
+            sao_params = SaoParams(type=sao_t.astype(np.int32),
+                                   offsets=sao_o.astype(np.int32),
+                                   band_pos=sao_b.astype(np.int32))
+        alf_params = None
+        if sps.alf_enabled:
+            from ..spec import alf as alfmod
+            padded = pendmeta[poc]
+            alf_params = alfmod.derive_alf_frame(padded, rec, qp,
+                                                 cfg.ctu, cfg.bit_depth)
+            rec = lfk.apply_alf_frame_j(rec, alf_params, cfg.ctu,
+                                        cfg.bit_depth)
+        payload = entropy.encode_frame_syntax(sps, pps, sh, dec, levels,
+                                              sao_params, alf_params)
+        cropped = scodec.crop_planes(rec, sps)
+        nals.append(bs.NalUnit(bs.NAL_IDR_N_LP, payload, temporal_id=0))
+        nals.append(bs.NalUnit(bs.NAL_SUFFIX_SEI,
+                               hls.write_pic_hash_sei(cropped,
+                                                      cfg.bit_depth,
+                                                      cfg.hash_type),
+                               temporal_id=0))
+        recons[poc] = cropped
+        bits[poc] = 8 * len(payload)
+
+    n = len(frames)
+    pre = [None, None]
+    pendmeta = {}
+    pre[0] = start_decide(0)
+    for poc in range(n):
+        if poc + 1 < n:            # decide-ahead: next frame's device pass
+            pre[(poc + 1) % 2] = start_decide(poc + 1)
+        (padded, lmcs_cw, fwd_lut, inv_lut, crs_lut, scan_y,
+         hd) = pre[poc % 2]
         dec = jdecide.decide_frame_assemble(hd)
         if decisions_out is not None:
             decisions_out.append(dec)
@@ -228,7 +236,16 @@ def _encode_ai_pipelined(frames, cfg, sps, pps, nals, recons, bits,
             fwd_lut=None if fwd_lut is None else jnp_asarray(fwd_lut),
             crs_lut=None if crs_lut is None else jnp_asarray(crs_lut),
             lam_rd=lambda_rd_int(qp), **pkw)
-        pending = (poc, dec, out, padded, lmcs_cw, inv_lut, 0)
+        chain = lfk.finish_frame_j(
+            [out[0], out[1], out[2]], dec, qp, lam_sao, padded,
+            inv_lut=inv_lut, ctu=cfg.ctu, bd=cfg.bit_depth,
+            deblock_on=sps.deblock_enabled, sao_on=sps.sao_enabled)
+        pendmeta[poc] = padded
+        if pending is not None:    # host entropy overlaps device compute
+            finish(pending)
+            del pendmeta[pending[0]]
+            pending = None
+        pending = (poc, dec, out, chain, lmcs_cw)
     finish(pending)
     return bs.write_annexb(nals), recons, bits
 

@@ -26,6 +26,8 @@ from ..spec.codec import MID_SIZE, MIN_LEAF, FrameDecisions
 from ..spec.residual import DecIO, EncIO, code_tb
 
 
+from ..spec.codec import _code_lfnst_idx, _code_mts_idx
+from ..cabac import native as cnative
 def _log2(n: int) -> int:
     return int(n).bit_length() - 1
 
@@ -157,7 +159,6 @@ class _Walker:
     # -- residual per component ------------------------------------------
     def _code_component(self, comp, x, y, s, cbf_ctx, mts_ok=False,
                         h=None):
-        from ..spec.codec import _code_lfnst_idx, _code_mts_idx
         io = self.io
         hh = s if h is None else h
         plane = self.levels[comp]
@@ -165,7 +166,6 @@ class _Walker:
         mts_on = mts_ok and (self.sps.mts_enabled or self.sps.ts_enabled)
         lfnst_on = mts_ok and self.sps.lfnst_enabled
         sl8 = np.s_[y // 8:(y + hh) // 8, x // 8:(x + s) // 8]
-        from ..cabac import native as cnative
         if io.decoding:
             cbf = io.bin(cbf_ctx)
             midx = 0
@@ -208,7 +208,6 @@ class _Walker:
         """ISP luma stripes: per-stripe cbf (CBF_LUMA ctx 1) + rect TB,
         levels at their natural positions in the luma plane (twin of spec
         _code_isp_luma syntax)."""
-        from ..cabac import native as cnative
         from ..spec.codec import isp_parts
         io = self.io
         plane = self.levels[0]

@@ -134,11 +134,18 @@ def decide_sao(orig_planes, rec_planes, qp: int, ctu: int = 64,
     params = SaoParams.empty(n_y, n_x)
     lam = int(round(0.57 * (2.0 ** ((qp - 12) / 3.0)) * 256.0))
     bits_est = {"off": 2, "edge": 20, "band": 28}
+    # all arithmetic below is integer and int32-range-safe (dd <= ~2^24,
+    # lambda term pre-shifted) so the device twin
+    # (kernels/loopfilter.py sao_decide_j) matches bit-for-bit without
+    # int64 (TPU runs with 32-bit ints)
+
+    def lam_bits(b):
+        return (b * lam + 128) >> 8
 
     def refine_offsets(n, e):
-        """Integer offsets >= 0 minimising n*o^2 - 2*o*e, elementwise."""
-        with np.errstate(divide="ignore", invalid="ignore"):
-            o = np.where(n > 0, np.round(e / np.maximum(n, 1)), 0)
+        """Integer offsets >= 0 minimising n*o^2 - 2*o*e, elementwise
+        (round-half-up start, integer descent)."""
+        o = np.where(n > 0, (2 * e + n) // np.maximum(2 * n, 1), 0)
         o = np.clip(o, 0, MAX_OFFSET).astype(np.int64)
         for _ in range(MAX_OFFSET):
             cur = n * o * o - 2 * o * e
@@ -157,7 +164,7 @@ def decide_sao(orig_planes, rec_planes, qp: int, ctu: int = 64,
         yy, xx = np.mgrid[0:hh, 0:ww]
         ctu_id = ((yy // cs) * n_x + (xx // cs)).ravel()
 
-        costs = np.full((6, n_ctu), bits_est["off"] * lam, np.int64)
+        costs = np.full((6, n_ctu), lam_bits(bits_est["off"]), np.int64)
         all_offs = np.zeros((6, n_ctu, 4), np.int64)
         band_pos = np.zeros(n_ctu, np.int64)
 
@@ -173,7 +180,7 @@ def decide_sao(orig_planes, rec_planes, qp: int, ctu: int = 64,
             e4 = e_sum[:, cis] * _EO_SIGN[cis][None, :]
             o4 = refine_offsets(n4, e4)
             dd = (n4 * o4 * o4 - 2 * o4 * e4).sum(axis=1)
-            costs[t] = dd * 256 + bits_est["edge"] * lam
+            costs[t] = dd + lam_bits(bits_est["edge"])
             all_offs[t] = o4
 
         band = (rec.ravel() >> (bd - 5))
@@ -183,16 +190,17 @@ def decide_sao(orig_planes, rec_planes, qp: int, ctu: int = 64,
         e_b = np.bincount(idx, weights=diff,
                           minlength=n_ctu * N_BANDS).reshape(
             n_ctu, N_BANDS).astype(np.int64)
-        with np.errstate(divide="ignore", invalid="ignore"):
-            o_b = np.where(n_b > 0, np.round(e_b / np.maximum(n_b, 1)), 0)
-        o_b = np.clip(o_b, -MAX_OFFSET, MAX_OFFSET).astype(np.int64)
+        o_b = np.sign(e_b) * ((2 * np.abs(e_b) + n_b)
+                              // np.maximum(2 * n_b, 1))
+        o_b = np.clip(np.where(n_b > 0, o_b, 0),
+                      -MAX_OFFSET, MAX_OFFSET).astype(np.int64)
         dd_b = n_b * o_b * o_b - 2 * o_b * e_b
         ddc = np.concatenate([dd_b, dd_b[:, :3]], axis=1)
         win = np.stack([ddc[:, s:s + 4].sum(axis=1)
                         for s in range(N_BANDS)], axis=1)
         s_best = np.argmin(win, axis=1)
-        costs[SAO_BAND] = (win[np.arange(n_ctu), s_best] * 256
-                           + bits_est["band"] * lam)
+        costs[SAO_BAND] = (win[np.arange(n_ctu), s_best]
+                           + lam_bits(bits_est["band"]))
         band_pos[:] = s_best
         rel = (np.arange(4)[None, :] + s_best[:, None]) % N_BANDS
         all_offs[SAO_BAND] = np.take_along_axis(o_b, rel, axis=1)
