@@ -162,24 +162,30 @@ def _res_cfg():
     return _RES_CFG
 
 
-# reusable per-process workspace for the hot per-TB calls (returned arrays
+# reusable per-THREAD workspace for the hot per-TB calls (returned arrays
 # are always fresh copies, so reuse is safe).  Addresses are cached as raw
 # ints: numpy's .ctypes property allocates a helper object per access.
-_WS = None
+# Thread-local because ctypes releases the GIL during the C call and
+# dist/subpic + dist/gop run entropy coding on concurrent threads — a
+# process-global workspace would be silently corrupted by parallel calls.
+import threading
+
+_WS_TLS = threading.local()
 
 
 def _workspace():
-    global _WS
-    if _WS is None:
+    ws = getattr(_WS_TLS, "ws", None)
+    if ws is None:
         cap = 16 * 1024 + 256          # max TB is 32x32
         ks = np.empty(cap, np.int32)
         cs = np.empty(cap, np.int32)
         bs = np.empty(cap, np.int32)
         wk = np.empty(3 * 1024 + 64, np.int32)
         lv = np.empty(1024, np.int32)
-        _WS = (ks, cs, bs, wk, lv, ks.ctypes.data, cs.ctypes.data,
-               bs.ctypes.data, wk.ctypes.data, lv.ctypes.data)
-    return _WS
+        ws = (ks, cs, bs, wk, lv, ks.ctypes.data, cs.ctypes.data,
+              bs.ctypes.data, wk.ctypes.data, lv.ctypes.data)
+        _WS_TLS.ws = ws
+    return ws
 
 
 _SCAN_ADDR: dict = {}

@@ -592,7 +592,6 @@ def _ciip_batch(carry, rows, refs, qp, lam_rd, fwd_lut, crs_lut, rox, roy,
 # device round-trips and one XLA compilation per distinct batch shape.
 # ---------------------------------------------------------------------------
 
-_FUSED_K = 32          # leaves per scan step (pow-2; dummy rows drop)
 _STEP_PAD = 32         # schedule length bucket (bounds recompiles)
 
 
@@ -616,12 +615,16 @@ def _fused_classes(*, isp, mtt, ibc, plt, ciip):
 
 def _fused_schedule(slots_np, frame_h, frame_w, classes):
     """(wcls (n,) int32, wrows (n, K, 16) int32) from the wave schedule,
-    chunked to an adaptive pow-2 K (p75 of the frame's batch sizes, so CIF
-    frames don't pay 32-wide vmap lanes for mean-4 waves while 1080p
-    frames get fat batches) and padded to a _STEP_PAD-multiple step
-    count."""
+    chunked to a pow-2 K chosen from the frame pixel count (small frames
+    don't pay wide vmap lanes for mean-4 waves while 1080p frames get fat
+    batches) and padded to a pow-2 step-count bucket (>= _STEP_PAD)."""
     cls_idx = {c: i for i, c in enumerate(classes)}
     sched = build_schedule(slots_np, frame_h, frame_w)
+    for cls, _rows in sched:
+        if cls not in cls_idx:      # flag/slot disagreement: fail loudly
+            raise ValueError(
+                f"wave schedule contains leaf class {cls!r} but the "
+                f"corresponding tool flag is off (enabled: {classes})")
     # K depends only on the geometry (NOT the per-frame schedule): a
     # per-frame K would recompile _fused_scan every frame
     px = frame_h * frame_w
