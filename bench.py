@@ -1,15 +1,18 @@
 """Benchmark entry point (driver-run on real TPU hardware).
 
-Encodes the BASELINE.json config-#1 workload shape (All-Intra 416x240 8-bit
-QP32) with the JAX pipeline engine and reports steady-state encode fps.
+North-star workload (BASELINE.json metric): 1080p Random Access QP32 —
+hierarchical-B GOP16, WPP entropy lanes, deblock+SAO+RDOQ — encode fps AND
+decode fps, plus the BASELINE config-#1 ladder point (All-Intra 416x240
+QP32) for round-over-round continuity.
 
-Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "fps", "vs_baseline": N}
-
-vs_baseline is against the VTM single-thread estimate for this config
-(~0.5 fps on a modern x86 core — public CTC experience; BASELINE.md notes it
-is unverified in this offline environment; BASELINE.json "published" is
-empty).  Stage timings go to stderr.
+Prints ONE JSON line with the north-star encode number:
+  {"metric": "encode_fps_1080p_RA_QP32", "value": N, "unit": "fps",
+   "vs_baseline": N, ...extra keys...}
+vs_baseline is against the public VTM single-thread estimate for 1080p RA
+(~0.05 fps, the middle of the 0.01-0.1 range in BASELINE.md; unverified in
+this offline environment — BASELINE.json "published" is empty).  Decode fps
+and the config-#1 number ride along as extra keys and in BENCH_DETAIL.json.
+Stage timings go to stderr.
 """
 from __future__ import annotations
 
@@ -19,15 +22,15 @@ import time
 
 import numpy as np
 
-VTM_BASELINE_FPS = 0.5  # single-thread VTM estimate, 416x240 AI QP32
-W, H, QP, NFRAMES = 416, 240, 32, 4
+VTM_1080P_RA_FPS = 0.05   # single-thread VTM estimate (BASELINE.md)
+VTM_CIF_AI_FPS = 0.5      # single-thread VTM estimate, 416x240 AI QP32
 
 
 def synth_frames(n, h, w, seed=0):
     rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w]
     frames = []
     for t in range(n):
-        yy, xx = np.mgrid[0:h, 0:w]
         y = (90 + 70 * np.sin((xx + 5 * t) / 11.0)
              + 50 * np.cos((yy - 3 * t) / 8.0)
              + 25 * np.sin(xx * yy / 900.0)
@@ -41,8 +44,9 @@ def synth_frames(n, h, w, seed=0):
 
 
 def main() -> int:
-    import jax
     import os
+
+    import jax
     cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                          ".jax_cache")
     os.makedirs(cache, exist_ok=True)
@@ -52,32 +56,67 @@ def main() -> int:
     from vvctpu.spec import sequence as seq
 
     print(f"bench: devices={jax.devices()}", file=sys.stderr)
-    frames = synth_frames(NFRAMES, H, W)
-    cfg = seq.EncoderConfig(qp=QP)
+    detail = {}
 
-    # warmup (compile) on frame 0
+    # --- config #1: All-Intra 416x240 QP32 (continuity point) -----------
+    frames1 = synth_frames(4, 240, 416)
+    cfg1 = seq.EncoderConfig(qp=32)
     t0 = time.time()
-    jenc.encode_sequence(frames[:1], cfg)
+    jenc.encode_sequence(frames1[:1], cfg1)
+    print(f"bench: cfg1 warmup {time.time() - t0:.1f}s", file=sys.stderr)
+    t0 = time.time()
+    d1, _, b1 = jenc.encode_sequence(frames1, cfg1)
+    fps_cfg1 = len(frames1) / (time.time() - t0)
+    detail["encode_fps_416x240_AI_QP32"] = round(fps_cfg1, 4)
+    print(f"bench: cfg1 {fps_cfg1:.3f} fps, {sum(b1)/len(b1):.0f} "
+          f"bits/frame", file=sys.stderr)
+
+    # --- north star: 1080p RA QP32, GOP16 hierarchical-B + WPP ----------
+    NF = 17
+    frames3 = synth_frames(NF, 1080, 1920)
+    cfg3 = seq.EncoderConfig(qp=32, intra_period=32, gop=16, wpp=True)
+    t0 = time.time()
+    jenc.encode_sequence(frames3[:2], cfg3)   # compile I + inter paths
     t_warm = time.time() - t0
-    print(f"bench: warmup (incl. compile) {t_warm:.1f}s", file=sys.stderr)
+    print(f"bench: 1080p warmup (incl. compile) {t_warm:.1f}s",
+          file=sys.stderr)
+    detail["warmup_1080p_s"] = round(t_warm, 1)
+    t0 = time.time()
+    data, recons, bits = jenc.encode_sequence(frames3, cfg3)
+    dt = time.time() - t0
+    enc_fps = NF / dt
+    print(f"bench: 1080p encode {NF} frames in {dt:.2f}s = {enc_fps:.4f} "
+          f"fps, {sum(bits)/NF:.0f} bits/frame", file=sys.stderr)
 
     t0 = time.time()
-    data, recons, bits = jenc.encode_sequence(frames, cfg)
-    dt = time.time() - t0
-    fps = NFRAMES / dt
-
-    # sanity: self-check decode of the first frame's stream
     dec_frames, _ = jenc.decode_sequence(data, check_hash=True)
-    psnr = seq.psnr(frames[0][0], dec_frames[0][0])
-    print(f"bench: {NFRAMES} frames in {dt:.2f}s, "
-          f"{sum(bits) / NFRAMES:.0f} bits/frame, Y-PSNR {psnr:.2f} dB "
-          f"(hash verified)", file=sys.stderr)
+    t_dcold = time.time() - t0
+    t0 = time.time()
+    dec_frames, _ = jenc.decode_sequence(data, check_hash=True)
+    dec_fps = NF / (time.time() - t0)
+    psnr = seq.psnr(frames3[0][0], dec_frames[0][0])
+    print(f"bench: 1080p decode {dec_fps:.4f} fps warm "
+          f"(cold {NF/t_dcold:.4f}); Y-PSNR {psnr:.2f} dB (hash verified)",
+          file=sys.stderr)
+    detail["encode_fps_1080p_RA_QP32"] = round(enc_fps, 4)
+    detail["decode_fps_1080p_RA_QP32"] = round(dec_fps, 4)
+    detail["bits_per_frame_1080p"] = round(sum(bits) / NF)
+    detail["psnr_y_1080p"] = round(float(psnr), 2)
+
+    try:
+        with open("BENCH_DETAIL.json", "w") as f:
+            json.dump(detail, f, indent=1)
+    except OSError:
+        pass
 
     print(json.dumps({
-        "metric": "encode_fps_416x240_AI_QP32",
-        "value": round(fps, 4),
+        "metric": "encode_fps_1080p_RA_QP32",
+        "value": round(enc_fps, 4),
         "unit": "fps",
-        "vs_baseline": round(fps / VTM_BASELINE_FPS, 3),
+        "vs_baseline": round(enc_fps / VTM_1080P_RA_FPS, 3),
+        "decode_fps": round(dec_fps, 4),
+        "cfg1_fps": round(fps_cfg1, 4),
+        "cfg1_vs_baseline": round(fps_cfg1 / VTM_CIF_AI_FPS, 3),
     }))
     return 0
 

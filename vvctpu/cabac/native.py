@@ -37,11 +37,13 @@ def _load():
     lib.vvc_dec_sizeof.restype = ctypes.c_int64
     lib.vvc_dec_init.restype = None
     lib.vvc_dec_init.argtypes = [ctypes.c_void_p, u8p, ctypes.c_int64]
+    # raw-address args: creating ctypes POINTER objects per call costs
+    # ~5us x 4 args; cached .ctypes.data ints with c_void_p are ~free
     for name in ("vvc_dec_bin",):
         fn = getattr(lib, name)
         fn.restype = ctypes.c_int32
-        fn.argtypes = [ctypes.c_void_p, ctypes.c_int32, i32p, i32p, i32p,
-                       i32p]
+        fn.argtypes = [ctypes.c_void_p, ctypes.c_int32, ctypes.c_void_p,
+                       ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
     lib.vvc_dec_bypass.restype = ctypes.c_int32
     lib.vvc_dec_bypass.argtypes = [ctypes.c_void_p]
     lib.vvc_dec_bypass_bits.restype = ctypes.c_int32
@@ -101,12 +103,14 @@ class NativeDecoder:
         self.lib.vvc_dec_init(
             self._dec, self._data.ctypes.data_as(
                 ctypes.POINTER(ctypes.c_uint8)), len(self._data))
+        # cached raw addresses of the (fixed) context-state arrays
+        self._addrs = (ctx_state.p0.ctypes.data, ctx_state.p1.ctypes.data,
+                       ctx_state.sh0.ctypes.data, ctx_state.sh1.ctypes.data)
+        self._bin = self.lib.vvc_dec_bin
 
     def bin(self, ctx_id: int) -> int:
-        st = self.ctx
-        return int(self.lib.vvc_dec_bin(self._dec, ctx_id, _i32p(st.p0),
-                                        _i32p(st.p1), _i32p(st.sh0),
-                                        _i32p(st.sh1)))
+        a = self._addrs
+        return self._bin(self._dec, ctx_id, a[0], a[1], a[2], a[3])
 
     def bypass(self) -> int:
         return int(self.lib.vvc_dec_bypass(self._dec))
@@ -246,10 +250,9 @@ def native_parse_tb(dec: "NativeDecoder", log2_w: int, log2_h: int,
     w, h = 1 << log2_w, 1 << log2_h
     out = np.empty(w * h, np.int32)
     ws = _workspace()
-    st = dec.ctx
+    a = dec._addrs
     lib.vvc_tb_parse(
-        ctypes.addressof(dec._dec), st.p0.ctypes.data, st.p1.ctypes.data,
-        st.sh0.ctypes.data, st.sh1.ctypes.data, log2_w, log2_h,
+        ctypes.addressof(dec._dec), a[0], a[1], a[2], a[3], log2_w, log2_h,
         int(is_chroma), _scan_addr(log2_w, log2_h),
         _res_addr(), out.ctypes.data, ws[8])
     return out.reshape(h, w)

@@ -72,23 +72,43 @@ def _satd_rect8(diff, w: int, h: int):
     return per_tile.sum()
 
 
-@functools.partial(jax.jit, static_argnames=("bw", "bh", "frame_w",
-                                             "frame_h", "bd", "sy", "sx",
-                                             "oy", "ox"))
 def rect_size_pass(buf, lam, *, bw: int, bh: int, frame_w: int,
                    frame_h: int, bd: int = 8, sy: int | None = None,
                    sx: int | None = None, oy: int = 0, ox: int = 0):
     """Best (cost, mode) per (bw x bh) rect block over the 67 regular
     modes — twin of spec rect_intra_grid (square-only tools excluded).
-    Blocks tile at stride (sy, sx) from offset (oy, ox) (defaults dense)."""
+    Blocks tile at stride (sy, sx) from offset (oy, ox) (defaults dense);
+    launches chunked over the block grid (see size_pass)."""
     sy = bh if sy is None else sy
     sx = bw if sx is None else sx
     nby = (frame_h - oy - bh) // sy + 1
     nbx = (frame_w - ox - bw) // sx + 1
-    xs = jnp.arange(nbx, dtype=jnp.int32) * sx + ox
-    ys = jnp.arange(nby, dtype=jnp.int32) * sy + oy
-    gx, gy = jnp.meshgrid(xs, ys)
-    coords = jnp.stack([gx.ravel(), gy.ravel()], axis=1)
+    gx, gy = np.meshgrid(np.arange(nbx, dtype=np.int32) * sx + ox,
+                         np.arange(nby, dtype=np.int32) * sy + oy)
+    coords = np.stack([gx.ravel(), gy.ravel()], axis=1).astype(np.int32)
+    n = coords.shape[0]
+    chunk = max(256, _CHUNK_PX // (bw * bh))
+    if n <= chunk:
+        outs = [_rect_pass_chunk(buf, lam, jnp.asarray(coords), bw=bw,
+                                 bh=bh, frame_w=frame_w, frame_h=frame_h,
+                                 bd=bd)]
+    else:
+        n_pad = -(-n // chunk) * chunk
+        cpad = np.concatenate(
+            [coords, np.tile(coords[:1], (n_pad - n, 1))], axis=0)
+        outs = [_rect_pass_chunk(buf, lam, jnp.asarray(cpad[c0:c0 + chunk]),
+                                 bw=bw, bh=bh, frame_w=frame_w,
+                                 frame_h=frame_h, bd=bd)
+                for c0 in range(0, n_pad, chunk)]
+    cat = [jnp.concatenate([o[k] for o in outs])[:n].reshape(nby, nbx)
+           for k in range(2)]
+    return tuple(cat)
+
+
+@functools.partial(jax.jit, static_argnames=("bw", "bh", "frame_w",
+                                             "frame_h", "bd"))
+def _rect_pass_chunk(buf, lam, coords, *, bw: int, bh: int, frame_w: int,
+                     frame_h: int, bd: int = 8):
     modes = jnp.arange(rom.NUM_LUMA_MODE, dtype=jnp.int32)
     lam32 = jnp.asarray(lam, jnp.int32)
     bits = jnp.asarray(_MODE_BITS) * lam32
@@ -111,8 +131,7 @@ def rect_size_pass(buf, lam, *, bw: int, bh: int, frame_w: int,
         best = jnp.argmin(costs).astype(jnp.int32)
         return costs[best], best
 
-    cost, mode = jax.vmap(per_block)(coords)
-    return cost.reshape(nby, nbx), mode.reshape(nby, nbx)
+    return jax.vmap(per_block)(coords)
 
 
 _BT_SHAPES = ((16, 8), (8, 16), (32, 16), (16, 32))
@@ -180,8 +199,14 @@ def _rect_grids_inter(jbuf, jorig, refs_p80, memaps, lam, w, h, bd,
     return out
 
 
-@functools.partial(jax.jit, static_argnames=("s", "frame_w", "frame_h",
-                                             "bd", "mip", "mrl", "isp"))
+# blocks per device launch: bounded so the (blocks x modes x s x s)
+# candidate tensor stays ~100-300 MB.  One big unchunked program at 1080p
+# both bloats compile time and triggers an axon-runtime kernel fault when
+# the three size passes execute back-to-back asynchronously (reproduced
+# 2026-08-21; serialized single passes are fine) — chunking fixes both.
+_CHUNK_PX = 1 << 18
+
+
 def size_pass(buf, lam, *, s: int, frame_w: int, frame_h: int, bd: int = 8,
               mip: bool = False, mrl: bool = False, isp: bool = False):
     """Best (cost, mode, mrl, isp) per s-block over all 67 modes (+16 MIP
@@ -189,14 +214,38 @@ def size_pass(buf, lam, *, s: int, frame_w: int, frame_h: int, bd: int = 8,
     MRL 2, ISP-H, ISP-V] — twin of spec _block_decision.
 
     buf: margin-padded original luma plane (as in pipeline/recon buffers).
-    Returns int32 (nby, nbx) arrays (cost, mode, mrl, isp).
+    Returns int32 (nby, nbx) arrays (cost, mode, mrl, isp); launches are
+    chunked over the block grid (identical per-block arithmetic).
     """
-    from ..spec.codec import isp_parts
     nby, nbx = frame_h // s, frame_w // s
-    xs = (jnp.arange(nbx, dtype=jnp.int32) * s)
-    ys = (jnp.arange(nby, dtype=jnp.int32) * s)
-    gx, gy = jnp.meshgrid(xs, ys)
-    coords = jnp.stack([gx.ravel(), gy.ravel()], axis=1)
+    gx, gy = np.meshgrid(np.arange(nbx, dtype=np.int32) * s,
+                         np.arange(nby, dtype=np.int32) * s)
+    coords = np.stack([gx.ravel(), gy.ravel()], axis=1).astype(np.int32)
+    n = coords.shape[0]
+    chunk = max(256, _CHUNK_PX // (s * s))
+    if n <= chunk:
+        outs = [_size_pass_chunk(buf, lam, jnp.asarray(coords), s=s,
+                                 frame_w=frame_w, frame_h=frame_h, bd=bd,
+                                 mip=mip, mrl=mrl, isp=isp)]
+    else:
+        n_pad = -(-n // chunk) * chunk
+        cpad = np.concatenate(
+            [coords, np.zeros((n_pad - n, 2), np.int32)], axis=0)
+        outs = [_size_pass_chunk(buf, lam, jnp.asarray(cpad[c0:c0 + chunk]),
+                                 s=s, frame_w=frame_w, frame_h=frame_h,
+                                 bd=bd, mip=mip, mrl=mrl, isp=isp)
+                for c0 in range(0, n_pad, chunk)]
+    cat = [jnp.concatenate([o[k] for o in outs])[:n].reshape(nby, nbx)
+           for k in range(4)]
+    return tuple(cat)
+
+
+@functools.partial(jax.jit, static_argnames=("s", "frame_w", "frame_h",
+                                             "bd", "mip", "mrl", "isp"))
+def _size_pass_chunk(buf, lam, coords, *, s: int, frame_w: int,
+                     frame_h: int, bd: int = 8, mip: bool = False,
+                     mrl: bool = False, isp: bool = False):
+    from ..spec.codec import isp_parts
     modes = jnp.arange(rom.NUM_LUMA_MODE, dtype=jnp.int32)
     lam32 = jnp.asarray(lam, jnp.int32)
     extra = (1 if mrl else 0) + (1 if isp else 0)
@@ -270,9 +319,7 @@ def size_pass(buf, lam, *, s: int, frame_w: int, frame_h: int, bd: int = 8,
         isp_out = jnp.where(k <= 2, 0, k - 2)
         return arr[k], best, mrl_out, isp_out
 
-    cost, mode, mrlv, ispv = jax.vmap(per_block)(coords)
-    return (cost.reshape(nby, nbx), mode.reshape(nby, nbx),
-            mrlv.reshape(nby, nbx), ispv.reshape(nby, nbx))
+    return jax.vmap(per_block)(coords)
 
 
 @functools.partial(jax.jit, static_argnames=("s", "frame_w", "frame_h",
@@ -466,7 +513,8 @@ def _tree_get(o):
         return v
 
     skel = walk(o)
-    vals = jax.device_get(arrs)
+    from ..core import xfer
+    vals = xfer.device_get(arrs)
 
     def fill(v):
         if isinstance(v, _ArrRef):

@@ -161,7 +161,8 @@ def deblock_frame_j(planes, decisions, qp: int, bd: int = 8):
     oy, ocb, ocr = _deblock_jit(jnp.asarray(y), jnp.asarray(cb),
                                 jnp.asarray(cr), jnp.asarray(ver),
                                 jnp.asarray(hor), jnp.int32(qp), bd)
-    return jax.device_get([oy, ocb, ocr])   # one tunnel round trip
+    from ..core import xfer
+    return xfer.device_get([oy, ocb, ocr])   # one tunnel round trip
 
 
 # ---------------------------------------------------------------------------
@@ -231,7 +232,8 @@ def apply_sao_j(planes, params, ctu: int = 64, bd: int = 8):
         bps.append(jnp.asarray(
             up(params.band_pos[:, :, comp]).astype(np.int32)))
     out = _sao_jit(tuple(recs), tuple(tps), tuple(offs), tuple(bps), bd)
-    return jax.device_get(list(out))        # one tunnel round trip
+    from ..core import xfer
+    return xfer.device_get(list(out))       # one tunnel round trip
 
 
 # ---------------------------------------------------------------------------
@@ -526,4 +528,5 @@ def apply_alf_frame_j(planes, params, ctu: int = 64, bd: int = 8):
             jnp.asarray(params.ctu_on_c[c].astype(bool)),
             ctu // 2, bd, use_c, use_cc)
         out.append(o)
-    return jax.device_get(out)              # one tunnel round trip
+    from ..core import xfer
+    return xfer.device_get(out)             # one tunnel round trip

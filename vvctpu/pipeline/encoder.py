@@ -72,8 +72,8 @@ def _run_scan(sps, pps, dec, py, pcb, pcr, dpb, ref_pocs, scan_kw):
         out = _scan_fn()(slots, py, pcb, pcr, frame_w=sps.width,
                          frame_h=sps.height, inter_enabled=is_p,
                          **rkw, **scan_kw)
-        import jax
-        return jax.device_get(list(out))
+        from ..core import xfer
+        return xfer.device_get(list(out))
 
     from ..spec.codec import tile_decisions_view
     ctu = 1 << sps.log2_ctu
@@ -85,7 +85,9 @@ def _run_scan(sps, pps, dec, py, pcb, pcr, dpb, ref_pocs, scan_kw):
             np.zeros((H, W), np.int32), np.zeros((H // 2, W // 2), np.int32),
             np.zeros((H // 2, W // 2), np.int32)] + \
         [np.zeros((H // 8, W // 8), np.int32) for _ in range(5)]
-    for (cx0, cy0, cx1, cy1) in rects:
+
+    def tile_prep(rect):
+        cx0, cy0, cx1, cy1 = rect
         x0, y0, x1, y1 = cx0 * ctu, cy0 * ctu, cx1 * ctu, cy1 * ctu
         tw, th = x1 - x0, y1 - y0
         tdec = tile_decisions_view(dec, x0, y0, x1, y1)
@@ -105,15 +107,60 @@ def _run_scan(sps, pps, dec, py, pcb, pcr, dpb, ref_pocs, scan_kw):
                            rect32x8=isl[(32, 8)], rect8x32=isl[(8, 32)])
         else:
             slots = recon.make_slots(tdec, th, tw)
+            isl = None
+        return (x0, y0, x1, y1, tw, th, slots, isl, tkw)
+
+    preps = [tile_prep(r) for r in rects]
+
+    def write_outs(x0, y0, x1, y1, res):
+        for i, a in enumerate(res):
+            a = np.asarray(a)
+            g = 1 if i in (0, 3) else 2 if i in (1, 2, 4, 5) else 8
+            outs[i][y0 // g:y1 // g, x0 // g:x1 // g] = a
+
+    from ..dist import shard
+    mesh = shard.active_mesh()
+    sizes = {(p[4], p[5]) for p in preps}
+    import os
+    if (mesh is not None and len(sizes) == 1
+            and len(preps) == int(mesh.shape["tile"])
+            and not os.environ.get("VVCTPU_SERIAL_SCAN")):
+        # tile-sharded path: all tiles execute concurrently over the mesh
+        # 'tile' axis (byte-identical to the sequential loop below)
+        tw, th = preps[0][4], preps[0][5]
+        from ..pipeline import plan as planmod
+        tiles = []
+        for (x0, y0, x1, y1, _, _, slots, isl, tkw) in preps:
+            tiles.append(dict(
+                slots=slots,
+                py=py[y0:y1, x0:x1],
+                pcb=pcb[y0 // 2:y1 // 2, x0 // 2:x1 // 2],
+                pcr=pcr[y0 // 2:y1 // 2, x0 // 2:x1 // 2],
+                rox=x0, roy=y0,
+                inter={s: isl[s] for s in (8, 16, 32)} if is_p else None,
+                rect=({sh: isl[sh] for sh in planmod.RECT_SHAPES}
+                      if (is_p and mtt) else None),
+                plt=((tkw["plt_y"], tkw["plt_cb"], tkw["plt_cr"])
+                     if "plt_y" in tkw else None)))
+        refs6 = None
+        if is_p:
+            refs6 = (rkw["ref_y"], rkw["ref_cb"], rkw["ref_cr"],
+                     rkw.get("ref1_y", rkw["ref_y"]),
+                     rkw.get("ref1_cb", rkw["ref_cb"]),
+                     rkw.get("ref1_cr", rkw["ref_cr"]))
+        results = shard.sharded_tile_scan(mesh, tiles, tw, th, refs6,
+                                          dict(scan_kw))
+        for (x0, y0, x1, y1, *_), res in zip(preps, results):
+            write_outs(x0, y0, x1, y1, res)
+        return outs
+
+    for (x0, y0, x1, y1, tw, th, slots, isl, tkw) in preps:
         res = _scan_fn()(
             slots, py[y0:y1, x0:x1], pcb[y0 // 2:y1 // 2, x0 // 2:x1 // 2],
             pcr[y0 // 2:y1 // 2, x0 // 2:x1 // 2], frame_w=tw, frame_h=th,
             inter_enabled=is_p, ref_off_x=x0, ref_off_y=y0, **tkw,
             **scan_kw)
-        for i, a in enumerate(res):
-            a = np.asarray(a)
-            g = 1 if i in (0, 3) else 2 if i in (1, 2, 4, 5) else 8
-            outs[i][y0 // g:y1 // g, x0 // g:x1 // g] = a
+        write_outs(x0, y0, x1, y1, res)
     return outs
 
 
@@ -159,7 +206,8 @@ def _encode_ai_pipelined(frames, cfg, sps, pps, nals, recons, bits,
 
     def finish(p):
         poc, dec, out, chain, lmcs_cw = p
-        fetched = jax.device_get(list(out[3:]) + list(chain))
+        from ..core import xfer
+        fetched = xfer.device_get(list(out[3:]) + list(chain))
         (ly, lcb, lcr, mtsp, lfnstp, cmodep, jccrp, sbtp,
          cy, ccb, ccr, sao_t, sao_o, sao_b) = fetched
         levels = [ly, lcb, lcr]
