@@ -81,12 +81,25 @@ def me_pass(orig, refp, lam, *, frame_w: int, frame_h: int,
     return {k: res[i] for i, k in enumerate(keys)}
 
 
+_ME_BATCH = 16          # offsets per scan step (vmapped; latency lever)
+
+
 @functools.partial(jax.jit, static_argnames=("frame_w", "frame_h", "tt"))
 def _me_pass_impl(orig, refp, lam, *, frame_w: int, frame_h: int,
                   tt: bool = False):
     h, w = frame_h, frame_w
     n8y, n8x = h // 8, w // 8
-    offs = jnp.asarray(_OFFSETS)
+    # batch the offset grid: each scan step evaluates _ME_BATCH offsets
+    # vmapped, with a first-min argmin inside the batch (batch rows are in
+    # row-major offset order, so first-min == the sequential strict-less
+    # tie-break).  Tail padded by repeating the last offset (equal costs
+    # keep the earlier copy — result unchanged).
+    n_off = _OFFSETS.shape[0]
+    pad = (-n_off) % _ME_BATCH
+    offs_np = np.concatenate(
+        [_OFFSETS, np.tile(_OFFSETS[-1:], (pad, 1))]).reshape(
+            -1, _ME_BATCH, 3)
+    offs = jnp.asarray(offs_np)
     lam = jnp.asarray(lam, jnp.int32)
     keys = _ME_KEYS + (_TT_KEYS if tt else ())
 
@@ -109,22 +122,29 @@ def _me_pass_impl(orig, refp, lam, *, frame_w: int, frame_h: int,
         return (h // (8 * fy), w // (8 * fx))
 
     carry0 = tuple(init(*shape_of(k)) for k in keys)
+    orig32 = orig.astype(jnp.int32)
 
-    def body(carry, off):
-        dy, dx, bits = off[0], off[1], off[2]
-        win = jax.lax.dynamic_slice(refp, (ME_RANGE + dy, ME_RANGE + dx),
-                                    (h, w))
-        d = jnp.abs(orig.astype(jnp.int32) - win.astype(jnp.int32))
-        sad8 = d.reshape(n8y, 8, n8x, 8).sum((1, 3))
-        sads = {k: aggr(sad8, k) for k in keys}
+    def body(carry, offb):
+        def sad_one(off):
+            win = jax.lax.dynamic_slice(
+                refp, (ME_RANGE + off[0], ME_RANGE + off[1]), (h, w))
+            d = jnp.abs(orig32 - win.astype(jnp.int32))
+            return d.reshape(n8y, 8, n8x, 8).sum((1, 3))
+
+        sad8b = jax.vmap(sad_one)(offb)              # (B, n8y, n8x)
         out = []
         for i, k in enumerate(keys):
+            sb = jax.vmap(lambda c: aggr(c, k))(sad8b)
+            cb = (sb << 8) + lam * offb[:, 2, None, None]
+            bi = jnp.argmin(cb, axis=0)              # first-min in order
+            c = jnp.take_along_axis(cb, bi[None], 0)[0]
+            dxv = offb[:, 1][bi]
+            dyv = offb[:, 0][bi]
             cost, bx, by = carry[i]
-            c = (sads[k] << 8) + lam * bits
             better = c < cost
             out.append((jnp.where(better, c, cost),
-                        jnp.where(better, dx, bx),
-                        jnp.where(better, dy, by)))
+                        jnp.where(better, dxv, bx),
+                        jnp.where(better, dyv, by)))
         return tuple(out), None
 
     carry, _ = jax.lax.scan(body, carry0, offs)
@@ -156,7 +176,6 @@ def _ibc_pass_impl(orig, lam, *, frame_w: int, frame_h: int):
     from ..spec.decide import IBC_WIN
     h, w = frame_h, frame_w
     n8y, n8x = h // 8, w // 8
-    offs = jnp.asarray(_ibc_offsets())
     lam = jnp.asarray(lam, jnp.int32)
     refp = jnp.pad(orig.astype(jnp.int32), IBC_WIN, mode="edge")
 
@@ -178,28 +197,46 @@ def _ibc_pass_impl(orig, lam, *, frame_w: int, frame_h: int):
 
     carry0 = tuple(init(s) for s in (8, 16, 32))
 
-    def body(carry, off):
-        dy, dx, bits = off[0], off[1], off[2]
-        win = jax.lax.dynamic_slice(refp, (IBC_WIN + dy, IBC_WIN + dx),
-                                    (h, w))
-        d = jnp.abs(orig.astype(jnp.int32) - win)
-        sad8 = d.reshape(n8y, 8, n8x, 8).sum((1, 3))
-        sads = {8: sad8, 16: aggr(sad8, 2), 32: aggr(sad8, 4)}
+    # batched offsets, first-min argmin in offset order (see _me_pass_impl)
+    offs_np = _ibc_offsets()
+    pad = (-offs_np.shape[0]) % _ME_BATCH
+    offs = jnp.asarray(np.concatenate(
+        [offs_np, np.tile(offs_np[-1:], (pad, 1))]).reshape(
+            -1, _ME_BATCH, 3))
+    orig32 = orig.astype(jnp.int32)
+
+    def body(carry, offb):
+        def sad_one(off):
+            win = jax.lax.dynamic_slice(
+                refp, (IBC_WIN + off[0], IBC_WIN + off[1]), (h, w))
+            d = jnp.abs(orig32 - win)
+            return d.reshape(n8y, 8, n8x, 8).sum((1, 3))
+
+        sad8b = jax.vmap(sad_one)(offb)
+        sadsb = {8: sad8b,
+                 16: jax.vmap(lambda c: aggr(c, 2))(sad8b),
+                 32: jax.vmap(lambda c: aggr(c, 4))(sad8b)}
+        dxb = offb[:, 1][:, None, None]
+        dyb = offb[:, 0][:, None, None]
         out = []
         for i, s in enumerate((8, 16, 32)):
             X, Y, cy0, cx0 = grids[s]
-            sx, sy = X + dx, Y + dy
+            sx, sy = X[None] + dxb, Y[None] + dyb
             legal = ((sx >= 0) & (sy >= 0) & (sx + s <= w) & (sy + s <= h)
-                     & (((sy + s) <= cy0)
-                        | ((sy >= cy0) & ((sy + s) <= cy0 + 64)
-                           & ((sx + s) <= cx0))))
-            c = (sads[s] << 8) + lam * (bits + IBC_BITS)
-            c = jnp.where(legal, c, I32MAX)
+                     & (((sy + s) <= cy0[None])
+                        | ((sy >= cy0[None]) & ((sy + s) <= cy0[None] + 64)
+                           & ((sx + s) <= cx0[None]))))
+            cb = (sadsb[s] << 8) + lam * (offb[:, 2, None, None] + IBC_BITS)
+            cb = jnp.where(legal, cb, I32MAX)
+            bi = jnp.argmin(cb, axis=0)
+            c = jnp.take_along_axis(cb, bi[None], 0)[0]
+            dxv = offb[:, 1][bi]
+            dyv = offb[:, 0][bi]
             cost, bx, by = carry[i]
             better = c < cost
             out.append((jnp.where(better, c, cost),
-                        jnp.where(better, dx, bx),
-                        jnp.where(better, dy, by)))
+                        jnp.where(better, dxv, bx),
+                        jnp.where(better, dyv, by)))
         return tuple(out), None
 
     carry, _ = jax.lax.scan(body, carry0, offs)

@@ -49,7 +49,7 @@ def morton8(x, y, n_ctu_x: int):
                                              "in_frame_only"))
 def build_references(buf, x, y, *, s: int, is_luma: bool, frame_w: int,
                      frame_h: int, n_ctu_x: int, bd: int = 8,
-                     in_frame_only: bool = False, ref_line=0):
+                     in_frame_only: bool = False, ref_line=0, y_off=0):
     """Gather + substitute reference samples for a square s-block at (x, y).
 
     ``buf`` is the (frame_h + 1 + MARGIN, frame_w + 1 + MARGIN) recon buffer
@@ -66,7 +66,7 @@ def build_references(buf, x, y, *, s: int, is_luma: bool, frame_w: int,
     # dynamic_slice would wrap it to the end — and the in-frame samples
     # shifted back by roll; the wrapped entries all have sy/sx < 0 and are
     # substituted away by the availability mask.
-    ys0 = jnp.maximum(y - k, 0)
+    ys0 = jnp.maximum(y - k, 0) + y_off   # y_off: frame-slab memory offset
     xs0 = jnp.maximum(x - k, 0)
     top_raw = jax.lax.dynamic_slice(buf, (ys0, xs0), (1, n + 1))[0]
     top_raw = jnp.roll(top_raw, jnp.maximum(k - x, 0))
@@ -265,7 +265,7 @@ def build_references_rect(buf, x, y, *, w: int, h: int, is_luma: bool,
                           frame_w: int, frame_h: int, n_ctu_x: int,
                           bd: int = 8, in_frame_only: bool = False,
                           leaf_x=None, leaf_y=None, leaf_w: int = 0,
-                          leaf_h: int = 0):
+                          leaf_h: int = 0, y_off=0):
     """(top, left) references of length w+h+1 for a (w, h) block at (x, y).
 
     leaf_x/leaf_y (+ static leaf_w/leaf_h): optional enclosing-leaf rect in
@@ -275,8 +275,8 @@ def build_references_rect(buf, x, y, *, w: int, h: int, is_luma: bool,
     leaf's)."""
     half = 1 << (bd - 1)
     n = w + h
-    top_raw = jax.lax.dynamic_slice(buf, (y, x), (1, n + 1))[0]
-    left_raw = jax.lax.dynamic_slice(buf, (y, x), (n + 1, 1))[:, 0]
+    top_raw = jax.lax.dynamic_slice(buf, (y_off + y, x), (1, n + 1))[0]
+    left_raw = jax.lax.dynamic_slice(buf, (y_off + y, x), (n + 1, 1))[:, 0]
 
     scan_vals = jnp.concatenate([left_raw[1:][::-1], top_raw])  # len 2n+1
 
@@ -564,17 +564,20 @@ def _sort4_j(l, c):
 
 
 def cclm_predict_local(by, bc, rec_y, cx, cy, *, cs: int, frame_w: int,
-                       frame_h: int, n_ctu_x: int, bd: int = 8):
+                       frame_h: int, n_ctu_x: int, bd: int = 8,
+                       y_off_l=0, y_off_c=0):
     """cclm_predict_j twin for the batched wavefront engine: the collocated
     luma interior comes from the locally computed (2cs, 2cs) leaf recon
     ``rec_y`` instead of the global buffer (which, under vmap, has not been
     scattered yet); boundary rows/cols still gather from the global
     buffers.  Arithmetic identical — the original's interior window
     [:, 1:] is exactly rec_y."""
-    left_col = jax.lax.dynamic_slice(by, (2 * cy + 1, 2 * cx), (2 * cs, 1))
+    left_col = jax.lax.dynamic_slice(by, (y_off_l + 2 * cy + 1, 2 * cx),
+                                     (2 * cs, 1))
     blk_win = jnp.concatenate([left_col, rec_y], axis=1)
     return _cclm_core(by, bc, blk_win, cx, cy, cs=cs, frame_w=frame_w,
-                      frame_h=frame_h, n_ctu_x=n_ctu_x, bd=bd)
+                      frame_h=frame_h, n_ctu_x=n_ctu_x, bd=bd,
+                      y_off_l=y_off_l, y_off_c=y_off_c)
 
 
 def cclm_predict_j(by, bc, cx, cy, *, cs: int, frame_w: int, frame_h: int,
@@ -587,8 +590,20 @@ def cclm_predict_j(by, bc, cx, cy, *, cs: int, frame_w: int, frame_h: int,
                       frame_h=frame_h, n_ctu_x=n_ctu_x, bd=bd)
 
 
+def cclm_predict_j_off(by, bc, cx, cy, *, cs: int, frame_w: int,
+                       frame_h: int, n_ctu_x: int, bd: int = 8,
+                       y_off_l=0, y_off_c=0):
+    """cclm_predict_j with frame-slab offsets (batched engine)."""
+    blk_win = jax.lax.dynamic_slice(by, (y_off_l + 2 * cy + 1, 2 * cx),
+                                    (2 * cs, 2 * cs + 1))
+    return _cclm_core(by, bc, blk_win, cx, cy, cs=cs, frame_w=frame_w,
+                      frame_h=frame_h, n_ctu_x=n_ctu_x, bd=bd,
+                      y_off_l=y_off_l, y_off_c=y_off_c)
+
+
 def _cclm_core(by, bc, blk_win, cx, cy, *, cs: int, frame_w: int,
-               frame_h: int, n_ctu_x: int, bd: int = 8):
+               frame_h: int, n_ctu_x: int, bd: int = 8,
+               y_off_l=0, y_off_c=0):
     half = 1 << (bd - 1)
     mx = (1 << bd) - 1
 
@@ -605,17 +620,19 @@ def _cclm_core(by, bc, blk_win, cx, cy, *, cs: int, frame_w: int,
     ds = ds_from(blk_win, cx)
 
     # above reference row (luma rows 2cy-2, 2cy-1)
-    ab_win = jax.lax.dynamic_slice(by, (2 * cy - 1, 2 * cx), (2, 2 * cs + 1))
+    ab_win = jax.lax.dynamic_slice(by, (y_off_l + 2 * cy - 1, 2 * cx),
+                                   (2, 2 * cs + 1))
     a_ds = ds_from(ab_win, cx)[0]                       # (cs,)
     # left reference column (luma cols 2cx-3 .. 2cx-1 -> buf 2cx-2 ..)
-    lf_win = jax.lax.dynamic_slice(by, (2 * cy + 1, 2 * cx - 2), (2 * cs, 3))
+    lf_win = jax.lax.dynamic_slice(by, (y_off_l + 2 * cy + 1, 2 * cx - 2),
+                                   (2 * cs, 3))
     a2, b2 = lf_win[0::2], lf_win[1::2]
     l_ds = ((2 * a2[:, 1] + a2[:, 0] + a2[:, 2]
              + 2 * b2[:, 1] + b2[:, 0] + b2[:, 2] + 4) >> 3)   # (cs,)
 
     # neighbour chroma samples
-    a_c = jax.lax.dynamic_slice(bc, (cy, cx + 1), (1, cs))[0]
-    l_c = jax.lax.dynamic_slice(bc, (cy + 1, cx), (cs, 1))[:, 0]
+    a_c = jax.lax.dynamic_slice(bc, (y_off_c + cy, cx + 1), (1, cs))[0]
+    l_c = jax.lax.dynamic_slice(bc, (y_off_c + cy + 1, cx), (cs, 1))[:, 0]
 
     cur = morton8(2 * cx, 2 * cy, n_ctu_x)
     above = (cy > 0) & (morton8(2 * cx, jnp.maximum(2 * cy - 2, 0),

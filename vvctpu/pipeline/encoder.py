@@ -164,6 +164,127 @@ def _run_scan(sps, pps, dec, py, pcb, pcr, dpb, ref_pocs, scan_kw):
     return outs
 
 
+def _encode_ai_batched(frames, cfg, sps, pps, nals, recons, bits,
+                       decisions_out=None):
+    """All-intra encode with FRAME-BATCHED wavefront execution.
+
+    Groups of F independent I-frames run as ONE merged wave scan
+    (pipeline/wave.frame_wave_batch): the intra dependency chain caps a
+    single frame's wave anti-chains at ~10-20 leaves, so batching F frames
+    multiplies per-step occupancy F-fold at the same step count — the
+    TPU-first answer to VVC's serial intra dependencies.  Per-frame loop
+    filters chain on device; the next group's decision passes are enqueued
+    before this group's host entropy runs.  Byte-identical stream to the
+    sequential path (decisions, scans and filters are per-frame identical;
+    tests/test_pipeline_parity.py)."""
+    from ..kernels import loopfilter as lfk
+    from ..spec.transform import lambda_rd_int
+    from . import wave
+    qp = cfg.qp
+    bdepth = cfg.bit_depth
+    lam_sao = int(round(0.57 * (2.0 ** ((qp - 12) / 3.0)) * 256.0))
+    n = len(frames)
+    FB = 8 if sps.width * sps.height >= (1 << 20) else 4
+    scan_kw = dict(qp=qp, bd=bdepth, encode=True, mts=sps.mts_enabled,
+                   lfnst=sps.lfnst_enabled, cclm=sps.cclm_enabled,
+                   rdoq=cfg.rdoq, mip=sps.mip_enabled,
+                   tskip=sps.ts_enabled, jccr=sps.jccr_enabled,
+                   isp=sps.isp_enabled, mtt=sps.mtt_enabled,
+                   ibc=sps.ibc_enabled, dq=sps.dq_enabled,
+                   lam_rd=lambda_rd_int(qp))
+
+    def start_group(g0):
+        grp = list(range(g0, min(n, g0 + FB)))
+        padded_l = [scodec.pad_planes(frames[p], sps) for p in grp]
+        hds = [jdecide.decide_frame_device(pl[0], qp, bdepth,
+                                           mip=sps.mip_enabled,
+                                           mrl=sps.mrl_enabled,
+                                           isp=sps.isp_enabled,
+                                           mtt=sps.mtt_enabled,
+                                           ibc=sps.ibc_enabled,
+                                           tt=sps.tt_enabled,
+                                           plt=sps.plt_enabled)
+               for pl in padded_l]
+        return grp, padded_l, hds
+
+    pending_group = start_group(0)
+    g0 = 0
+    while g0 < n:
+        grp, padded_l, hds = pending_group
+        fin, decs = [], []
+        for i, poc in enumerate(grp):
+            dec = jdecide.decide_frame_assemble(hds[i])
+            decs.append(dec)
+            if decisions_out is not None:
+                decisions_out.append(dec)
+            pltpl = None
+            if sps.plt_enabled:
+                from ..spec import palette as pltmod
+                pltmod.derive_plt_data(dec, padded_l[i][0], padded_l[i][1],
+                                       padded_l[i][2], bdepth)
+                pltpl = pltmod.build_planes(dec.plt_data or {}, sps.height,
+                                            sps.width)
+            slots = recon.make_slots(dec, sps.height, sps.width)
+            fin.append(dict(slots=slots, py=padded_l[i][0],
+                            pcb=padded_l[i][1], pcr=padded_l[i][2],
+                            plt=pltpl))
+        outs = wave.frame_wave_batch(fin, frame_w=sps.width,
+                                     frame_h=sps.height, **scan_kw)
+        chains = [lfk.finish_frame_j(
+            [outs[i][0], outs[i][1], outs[i][2]], decs[i], qp, lam_sao,
+            padded_l[i], inv_lut=None, ctu=cfg.ctu, bd=bdepth,
+            deblock_on=sps.deblock_enabled, sao_on=sps.sao_enabled)
+            for i in range(len(grp))]
+        if g0 + FB < n:      # overlap: next group's decides on device now
+            pending_group = start_group(g0 + FB)
+        for i, poc in enumerate(grp):
+            from ..core import xfer
+            fetched = xfer.device_get(list(outs[i][3:]) + list(chains[i]))
+            (ly, lcb, lcr, mtsp, lfnstp, cmodep, jccrp, sbtp,
+             cy, ccb, ccr, sao_t, sao_o, sao_b) = fetched
+            dec = decs[i]
+            levels = [ly, lcb, lcr]
+            if sps.mts_enabled:
+                dec.mts8[:] = mtsp.astype(np.uint8)
+            if sps.lfnst_enabled:
+                dec.lfnst8[:] = lfnstp.astype(np.uint8)
+            if sps.cclm_enabled:
+                dec.cmode8[:] = cmodep.astype(np.uint8)
+            if sps.jccr_enabled:
+                dec.jccr8[:] = jccrp.astype(np.uint8)
+            if sps.sbt_enabled:
+                dec.sbt8[:] = sbtp.astype(np.uint8)
+            sh = hls.SliceHeader(poc=poc, slice_type=hls.SLICE_I,
+                                 qp_delta=0, ref_pocs=(), lmcs_cw=())
+            rec = [cy, ccb, ccr]
+            sao_params = None
+            if sps.sao_enabled:
+                from ..spec.sao import SaoParams
+                sao_params = SaoParams(type=sao_t.astype(np.int32),
+                                       offsets=sao_o.astype(np.int32),
+                                       band_pos=sao_b.astype(np.int32))
+            alf_params = None
+            if sps.alf_enabled:
+                from ..spec import alf as alfmod
+                alf_params = alfmod.derive_alf_frame(padded_l[i], rec, qp,
+                                                     cfg.ctu, bdepth)
+                rec = lfk.apply_alf_frame_j(rec, alf_params, cfg.ctu,
+                                            bdepth)
+            payload = entropy.encode_frame_syntax(sps, pps, sh, dec,
+                                                  levels, sao_params,
+                                                  alf_params)
+            cropped = scodec.crop_planes(rec, sps)
+            nals.append(bs.NalUnit(bs.NAL_IDR_N_LP, payload, temporal_id=0))
+            nals.append(bs.NalUnit(
+                bs.NAL_SUFFIX_SEI,
+                hls.write_pic_hash_sei(cropped, bdepth, cfg.hash_type),
+                temporal_id=0))
+            recons[poc] = cropped
+            bits[poc] = 8 * len(payload)
+        g0 += FB
+    return bs.write_annexb(nals), recons, bits
+
+
 def _encode_ai_pipelined(frames, cfg, sps, pps, nals, recons, bits,
                          decisions_out=None):
     """All-intra encode with a decide-ahead device/host pipeline.
@@ -324,6 +445,14 @@ def encode_sequence(frames, cfg: sseq.EncoderConfig, decisions_fn=None,
     if (cfg.intra_period == 1 and cfg.rc_bits_per_frame == 0
             and cfg.tile_cols * cfg.tile_rows == 1
             and decisions_fn is None):
+        import os
+        if (len(frames) > 1 and not sps.lmcs_enabled
+                and not os.environ.get("VVCTPU_NO_FRAME_BATCH")):
+            # frame-batched wavefront (merged multi-frame wave schedule);
+            # LMCS needs per-frame luts -> falls through to the per-frame
+            # pipeline below
+            return _encode_ai_batched(frames, cfg, sps, pps, nals, recons,
+                                      bits, decisions_out=decisions_out)
         return _encode_ai_pipelined(frames, cfg, sps, pps, nals, recons,
                                     bits, decisions_out=decisions_out)
     rc = sseq.RateControl(cfg.rc_bits_per_frame) \

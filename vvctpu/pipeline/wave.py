@@ -59,20 +59,13 @@ def _op_class(op: int, ip: int):
     return None
 
 
-def build_schedule(slots: np.ndarray, frame_h: int, frame_w: int):
-    """Order phase-B leaves into dependency waves.
-
-    Returns [(cls, rows)] in execution order: cls = (kind, w, h, d), rows an
-    (k, 16) int32 array of the slot rows in that batch.  Leaves in one batch
-    are mutually independent; every leaf's available reference region
-    (top/left strips incl. above-right and below-left reach, plus the IBC
-    source rect) is produced by strictly earlier batches."""
+def _levels_py(slots: np.ndarray, frame_h: int, frame_w: int) -> np.ndarray:
+    """Python reference leveller (fallback when native/wave.c is absent)."""
     gH, gW = frame_h // 8, frame_w // 8
     lvl_map = np.zeros((gH, gW), np.int32)
-    batches: dict[tuple, list] = {}
+    lv_out = np.zeros(slots.shape[0], np.int32)
     for i in range(slots.shape[0]):
-        op = int(slots[i, 0])
-        cls = _op_class(op, int(slots[i, 15]))
+        cls = _op_class(int(slots[i, 0]), int(slots[i, 15]))
         if cls is None:
             continue
         kind, w, h, _ = cls
@@ -96,10 +89,105 @@ def build_schedule(slots: np.ndarray, frame_h: int, frame_w: int):
                                      sx // 8:(sx + w - 1) // 8 + 1].max()))
         lv += 1
         lvl_map[y // 8:(y + h - 1) // 8 + 1, x // 8:(x + w - 1) // 8 + 1] = lv
-        batches.setdefault((lv, cls), []).append(i)
+        lv_out[i] = lv
+    return lv_out
+
+
+# per-op class geometry tables (0 width = not phase-B); isp resolved from
+# the slot's ip column at lookup time
+_NOPS = 28
+_KIND_RANK = {"ciip": 0, "ibc": 1, "intra": 2, "isp": 3, "plt": 4,
+              "rect": 5}
+
+
+def _op_tables():
+    W = np.zeros(_NOPS, np.int32)
+    H = np.zeros(_NOPS, np.int32)
+    IBC = np.zeros(_NOPS, np.int32)
+    KIND = np.zeros(_NOPS, np.int32)      # _KIND_RANK id (isp via ip)
+    for op in range(_NOPS):
+        cls = _op_class(op, 0)
+        if cls is None:
+            continue
+        kind, w, h, _ = cls
+        W[op], H[op] = w, h
+        IBC[op] = int(kind == "ibc")
+        KIND[op] = _KIND_RANK[kind]
+    return W, H, IBC, KIND
+
+
+_OPT = _op_tables()
+
+
+def _levels_c(slots: np.ndarray, frame_h: int, frame_w: int):
+    """Native leveller via native/wave.c (None if the .so lacks it)."""
+    import ctypes
+
+    from ..cabac import native as cnative
+    lib = cnative._load()
+    fn = getattr(lib, "vvc_wave_levels", None) if lib is not None else None
+    if fn is None:
+        return None
+    W, H, IBC, _ = _OPT
+    ops = slots[:, 0]
+    geom = np.empty((slots.shape[0], 3), np.int32)
+    geom[:, 0] = W[ops]
+    geom[:, 1] = H[ops]
+    geom[:, 2] = IBC[ops]
+    gH, gW = frame_h // 8, frame_w // 8
+    lvl_map = np.zeros(gH * gW, np.int32)
+    lv_out = np.empty(slots.shape[0], np.int32)
+    sl = np.ascontiguousarray(slots, np.int32)
+    fn.argtypes = [ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32,
+                   ctypes.c_void_p, ctypes.c_int32, ctypes.c_int32,
+                   ctypes.c_int32, ctypes.c_int32, ctypes.c_void_p,
+                   ctypes.c_void_p]
+    fn(sl.ctypes.data, sl.shape[0], sl.shape[1], geom.ctypes.data,
+       gH, gW, frame_w, frame_h, lvl_map.ctypes.data, lv_out.ctypes.data)
+    return lv_out
+
+
+def build_schedule(slots: np.ndarray, frame_h: int, frame_w: int):
+    """Order phase-B leaves into dependency waves.
+
+    Returns [(cls, rows)] in execution order: cls = (kind, w, h, d), rows an
+    (k, 16) int32 array of the slot rows in that batch.  Leaves in one batch
+    are mutually independent; every leaf's available reference region
+    (top/left strips incl. above-right and below-left reach, plus the IBC
+    source rect) is produced by strictly earlier batches.
+
+    Levelling runs in C (native/wave.c) with a Python fallback; grouping is
+    vectorised (stable sort by (level, class) keeps the coding-order row
+    order inside each batch, identical to the per-leaf reference loop)."""
+    lv = _levels_c(slots, frame_h, frame_w)
+    if lv is None:
+        lv = _levels_py(slots, frame_h, frame_w)
+    sel = np.nonzero(lv > 0)[0]
+    if sel.size == 0:
+        return []
+    W, H, _, KIND = _OPT
+    ops = slots[sel, 0]
+    ips = np.where((ops >= 1) & (ops <= 3), slots[sel, 15], 0)
+    kind = np.where(ips > 0, _KIND_RANK["isp"], KIND[ops])
+    d = np.where(ips > 0, ips, 0)
+    # combined sort key: (level, kind-rank, w, h, d); stable keeps coding
+    # order inside each group — matches sorted(batches, key=(lv, cls))
+    key = (lv[sel].astype(np.int64) << 32) | (kind.astype(np.int64) << 24) \
+        | (W[ops].astype(np.int64) << 16) | (H[ops].astype(np.int64) << 8) \
+        | d.astype(np.int64)
+    order = np.argsort(key, kind="stable")
+    sel_o = sel[order]
+    key_o = key[order]
+    bounds = np.nonzero(np.diff(key_o))[0] + 1
+    starts = np.concatenate([[0], bounds])
+    ends = np.concatenate([bounds, [key_o.size]])
+    inv_kind = {v: k for k, v in _KIND_RANK.items()}
     out = []
-    for (lv, cls) in sorted(batches, key=lambda t: (t[0], t[1])):
-        rows = slots[np.asarray(batches[(lv, cls)], np.int64)]
+    for s0, e0 in zip(starts, ends):
+        k = int(key_o[s0])
+        cls = (inv_kind[(k >> 24) & 0xFF], (k >> 16) & 0xFF,
+               (k >> 8) & 0xFF, k & 0xFF)
+        rows = slots[sel_o[s0:e0]]
         for c0 in range(0, rows.shape[0], _MAX_BATCH):
             out.append((cls, rows[c0:c0 + _MAX_BATCH]))
     return out
@@ -124,14 +212,31 @@ def _pad_rows(rows: np.ndarray) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 
+def _slabs(frame_h: int):
+    """Per-frame row strides of the stacked (frame-batched) buffers:
+    (luma buf, chroma buf, luma plane, chroma plane, 8-grid plane)."""
+    return (frame_h + 1 + MARGIN, frame_h // 2 + 1 + MARGIN,
+            frame_h, frame_h // 2, frame_h // 8)
+
+
+def _row_offs(row, nf: int, frame_h: int):
+    """(oL, oC, oP, oPc, o8) memory offsets for a slot row's frame (col 16;
+    all zero in single-frame mode so 16-col slots stay valid)."""
+    if nf == 1:
+        return 0, 0, 0, 0, 0
+    sly, slc, spy, spc, sp8 = _slabs(frame_h)
+    f = row[16]
+    return f * sly, f * slc, f * spy, f * spc, f * sp8
+
+
 def _scatter(buf, blocks, xs, ys, w: int, h: int, off: int):
     yy = ys[:, None, None] + off + jnp.arange(h)[None, :, None]
     xx = xs[:, None, None] + off + jnp.arange(w)[None, None, :]
     return buf.at[yy, xx].set(blocks, mode="drop")
 
 
-def _scatter8(plane, vals, xs, ys):
-    return plane.at[ys // 8, xs // 8].set(vals, mode="drop")
+def _scatter8(plane, vals, xs, ys, o8=0):
+    return plane.at[o8 + ys // 8, xs // 8].set(vals, mode="drop")
 
 
 def _comp_local(src, pred, x, y, w: int, h: int, qp, bd, encode, rdoq,
@@ -159,29 +264,30 @@ def _comp_local(src, pred, x, y, w: int, h: int, qp, bd, encode, rdoq,
 
 def _chroma_leaf(by, bcb, bcr, scb, scr, rec_y, x, y, mode_dm, cmode_in,
                  jccr_in, *, s, frame_w, frame_h, n_ctu_x, qp, bd, encode,
-                 cclm, rdoq, lam_rd, jccr, dq, sc):
+                 cclm, rdoq, lam_rd, jccr, dq, sc, offs=(0, 0, 0)):
     """Chroma part of a square intra-family leaf — twin of the
     recon._make_leaf_fn chroma tail ((DM vs CCLM) x (separate vs JCCR)
     unified decision), on local blocks.  Returns (rec_cb, lev_cb, rec_cr,
     lev_cr, use_c, use_j)."""
     cs = s // 2
     cx2, cy2 = x // 2, y // 2
+    oL, oC, oPc = offs
     mx = (1 << bd) - 1
     tcb, lcb_r = intra_pred.build_references(
         bcb, cx2, cy2, s=cs, is_luma=False, frame_w=frame_w // 2,
-        frame_h=frame_h // 2, n_ctu_x=n_ctu_x, bd=bd)
+        frame_h=frame_h // 2, n_ctu_x=n_ctu_x, bd=bd, y_off=oC)
     pred_cb = intra_pred.predict(tcb, lcb_r, mode_dm, s=cs, is_luma=False,
                                  bd=bd)
     tcr, lcr_r = intra_pred.build_references(
         bcr, cx2, cy2, s=cs, is_luma=False, frame_w=frame_w // 2,
-        frame_h=frame_h // 2, n_ctu_x=n_ctu_x, bd=bd)
+        frame_h=frame_h // 2, n_ctu_x=n_ctu_x, bd=bd, y_off=oC)
     pred_cr = intra_pred.predict(tcr, lcr_r, mode_dm, s=cs, is_luma=False,
                                  bd=bd)
     if not (cclm or jccr):
-        rcb, lev_cb = _comp_local(scb, pred_cb, cx2, cy2, cs, cs, qp, bd,
-                                  encode, rdoq, lam_rd, dq, crs_sc=sc)
-        rcr, lev_cr = _comp_local(scr, pred_cr, cx2, cy2, cs, cs, qp, bd,
-                                  encode, rdoq, lam_rd, dq, crs_sc=sc)
+        rcb, lev_cb = _comp_local(scb, pred_cb, cx2, oPc + cy2, cs, cs, qp,
+                                  bd, encode, rdoq, lam_rd, dq, crs_sc=sc)
+        rcr, lev_cr = _comp_local(scr, pred_cr, cx2, oPc + cy2, cs, cs, qp,
+                                  bd, encode, rdoq, lam_rd, dq, crs_sc=sc)
         return rcb, lev_cb, rcr, lev_cr, jnp.int32(0), jnp.int32(0)
 
     pred_opts = [(pred_cb, pred_cr)]
@@ -189,14 +295,16 @@ def _chroma_leaf(by, bcb, bcr, scb, scr, rec_y, x, y, mode_dm, cmode_in,
         pred_opts.append((
             intra_pred.cclm_predict_local(by, bcb, rec_y, cx2, cy2, cs=cs,
                                           frame_w=frame_w, frame_h=frame_h,
-                                          n_ctu_x=n_ctu_x, bd=bd),
+                                          n_ctu_x=n_ctu_x, bd=bd,
+                                          y_off_l=oL, y_off_c=oC),
             intra_pred.cclm_predict_local(by, bcr, rec_y, cx2, cy2, cs=cs,
                                           frame_w=frame_w, frame_h=frame_h,
-                                          n_ctu_x=n_ctu_x, bd=bd)))
+                                          n_ctu_x=n_ctu_x, bd=bd,
+                                          y_off_l=oL, y_off_c=oC)))
     if encode:
-        bcbk = jax.lax.dynamic_slice(scb, (cy2, cx2),
+        bcbk = jax.lax.dynamic_slice(scb, (oPc + cy2, cx2),
                                      (cs, cs)).astype(jnp.int32)
-        bcrk = jax.lax.dynamic_slice(scr, (cy2, cx2),
+        bcrk = jax.lax.dynamic_slice(scr, (oPc + cy2, cx2),
                                      (cs, cs)).astype(jnp.int32)
         (lev_cb, lev_cr, rcbb, rcrb, use_c, use_j) = recon.chroma_rd_j(
             bcbk, bcrk, pred_opts, sc, cs, qp, bd, rdoq, lam_rd, jccr, dq)
@@ -209,8 +317,8 @@ def _chroma_leaf(by, bcb, bcr, scb, scr, rec_y, x, y, mode_dm, cmode_in,
         pcr = jnp.where(use, pred_opts[1][1], pred_opts[0][1])
     else:
         pcb, pcr = pred_opts[0]
-    lev_cb = jax.lax.dynamic_slice(scb, (cy2, cx2), (cs, cs))
-    lev_cr = jax.lax.dynamic_slice(scr, (cy2, cx2), (cs, cs))
+    lev_cb = jax.lax.dynamic_slice(scb, (oPc + cy2, cx2), (cs, cs))
+    lev_cr = jax.lax.dynamic_slice(scr, (oPc + cy2, cx2), (cs, cs))
     rrj = transform.inverse_transform(
         transform.dequantize(lev_cb, cs, cs, qp, bd, dq=dq), cs, cs, bd=bd)
     if sc is not None:
@@ -230,28 +338,38 @@ def _chroma_leaf(by, bcb, bcr, scb, scr, rec_y, x, y, mode_dm, cmode_in,
     return rcbb, lev_cb, rcrb, lev_cr, jnp.int32(0), jnp.int32(0)
 
 
+def _batch_offs(rows, nf: int, frame_h: int):
+    """Vector (oL, oC, oP, oPc, o8) scatter offsets for a batch's rows."""
+    if nf == 1:
+        return 0, 0, 0, 0, 0
+    sly, slc, spy, spc, sp8 = _slabs(frame_h)
+    fv = rows[:, 16]
+    return fv * sly, fv * slc, fv * spy, fv * spc, fv * sp8
+
+
 def _apply_sq(carry, rows, outs, s: int, encode: bool, planes: bool,
-              chroma_flags: bool):
+              chroma_flags: bool, nf: int = 1, frame_h: int = 0):
     """Scatter a square-leaf batch's outputs into the carry."""
     (by, bcb, bcr, ly, lcb, lcr, sy, scb, scr, mtsp, lfnstp,
      cmodep, jccrp, sbtp) = carry
     cs = s // 2
     xs, ys = rows[:, 1], rows[:, 2]
+    oL, oC, oP, oPc, o8 = _batch_offs(rows, nf, frame_h)
     (rec_y, lev_y, rec_cb, lev_cb, rec_cr, lev_cr, midx, lidx, use_c,
      use_j) = outs
-    by = _scatter(by, rec_y, xs, ys, s, s, 1)
-    bcb = _scatter(bcb, rec_cb, xs // 2, ys // 2, cs, cs, 1)
-    bcr = _scatter(bcr, rec_cr, xs // 2, ys // 2, cs, cs, 1)
+    by = _scatter(by, rec_y, xs, oL + ys, s, s, 1)
+    bcb = _scatter(bcb, rec_cb, xs // 2, oC + ys // 2, cs, cs, 1)
+    bcr = _scatter(bcr, rec_cr, xs // 2, oC + ys // 2, cs, cs, 1)
     if encode:
-        ly = _scatter(ly, lev_y, xs, ys, s, s, 0)
-        lcb = _scatter(lcb, lev_cb, xs // 2, ys // 2, cs, cs, 0)
-        lcr = _scatter(lcr, lev_cr, xs // 2, ys // 2, cs, cs, 0)
+        ly = _scatter(ly, lev_y, xs, oP + ys, s, s, 0)
+        lcb = _scatter(lcb, lev_cb, xs // 2, oPc + ys // 2, cs, cs, 0)
+        lcr = _scatter(lcr, lev_cr, xs // 2, oPc + ys // 2, cs, cs, 0)
         if planes:
-            mtsp = _scatter8(mtsp, midx, xs, ys)
-            lfnstp = _scatter8(lfnstp, lidx, xs, ys)
+            mtsp = _scatter8(mtsp, midx, xs, ys, o8)
+            lfnstp = _scatter8(lfnstp, lidx, xs, ys, o8)
         if chroma_flags:
-            cmodep = _scatter8(cmodep, use_c, xs, ys)
-            jccrp = _scatter8(jccrp, use_j, xs, ys)
+            cmodep = _scatter8(cmodep, use_c, xs, ys, o8)
+            jccrp = _scatter8(jccrp, use_j, xs, ys, o8)
     return (by, bcb, bcr, ly, lcb, lcr, sy, scb, scr, mtsp, lfnstp,
             cmodep, jccrp, sbtp)
 
@@ -261,12 +379,13 @@ def _apply_sq(carry, rows, outs, s: int, encode: bool, planes: bool,
 # ---------------------------------------------------------------------------
 
 _STATICS = ("s", "frame_w", "frame_h", "bd", "encode", "mts", "lfnst",
-            "cclm", "rdoq", "mip", "tskip", "jccr", "dq")
+            "cclm", "rdoq", "mip", "tskip", "jccr", "dq", "nf")
 
 
 @functools.partial(jax.jit, static_argnames=_STATICS)
 def _intra_batch(carry, rows, qp, lam_rd, crs_lut, *, s, frame_w, frame_h,
-                 bd, encode, mts, lfnst, cclm, rdoq, mip, tskip, jccr, dq):
+                 bd, encode, mts, lfnst, cclm, rdoq, mip, tskip, jccr, dq,
+                 nf=1):
     by, bcb, bcr = carry[0], carry[1], carry[2]
     sy, scb, scr = carry[6], carry[7], carry[8]
     n_ctu_x = frame_w // 64
@@ -278,9 +397,10 @@ def _intra_batch(carry, rows, qp, lam_rd, crs_lut, *, s, frame_w, frame_h,
         x, y, mode = row[1], row[2], row[3]
         mts_in, lfnst_in, cmode_in = row[6], row[7], row[8]
         mrl_in, jccr_in = row[9], row[10]
+        oL, oC, oP, oPc, _o8 = _row_offs(row, nf, frame_h)
         top, left = intra_pred.build_references(
             by, x, y, s=s, is_luma=True, frame_w=frame_w, frame_h=frame_h,
-            n_ctu_x=n_ctu_x, bd=bd, ref_line=mrl_in)
+            n_ctu_x=n_ctu_x, bd=bd, ref_line=mrl_in, y_off=oL)
         mode_reg = jnp.minimum(mode, num_reg - 1)
         pred_y = intra_pred.predict(top, left, mode_reg, s=s, is_luma=True,
                                     bd=bd, ref_line=mrl_in)
@@ -296,7 +416,7 @@ def _intra_batch(carry, rows, qp, lam_rd, crs_lut, *, s, frame_w, frame_h,
             mode_dm = mode
         if mts or lfnst or tskip:
             if encode:
-                blk = jax.lax.dynamic_slice(sy, (y, x),
+                blk = jax.lax.dynamic_slice(sy, (oP + y, x),
                                             (s, s)).astype(jnp.int32)
                 midx, lidx, lev_y, rres = transform.choose_tx_j(
                     blk - pred_y, s, qp, lam32, mode_reg, bd, mts=mts,
@@ -305,7 +425,7 @@ def _intra_batch(carry, rows, qp, lam_rd, crs_lut, *, s, frame_w, frame_h,
             else:
                 midx = mts_in
                 lidx = lfnst_in
-                lev_y = jax.lax.dynamic_slice(sy, (y, x), (s, s))
+                lev_y = jax.lax.dynamic_slice(sy, (oP + y, x), (s, s))
                 dqc = transform.dequantize(lev_y, s, s, qp, bd, dq=dq)
                 if lfnst:
                     dqc = transform.inv_lfnst_switch_j(dqc, lidx, mode_reg)
@@ -318,7 +438,7 @@ def _intra_batch(carry, rows, qp, lam_rd, crs_lut, *, s, frame_w, frame_h,
         else:
             midx = jnp.int32(0)
             lidx = jnp.int32(0)
-            rec_y, lev_y = _comp_local(sy, pred_y, x, y, s, s, qp, bd,
+            rec_y, lev_y = _comp_local(sy, pred_y, x, oP + y, s, s, qp, bd,
                                        encode, rdoq, lam32, dq)
         sc = None
         if crs_lut is not None:
@@ -327,23 +447,23 @@ def _intra_batch(carry, rows, qp, lam_rd, crs_lut, *, s, frame_w, frame_h,
             by, bcb, bcr, scb, scr, rec_y, x, y, mode_dm, cmode_in, jccr_in,
             s=s, frame_w=frame_w, frame_h=frame_h, n_ctu_x=n_ctu_x, qp=qp,
             bd=bd, encode=encode, cclm=cclm, rdoq=rdoq, lam_rd=lam32,
-            jccr=jccr, dq=dq, sc=sc)
+            jccr=jccr, dq=dq, sc=sc, offs=(oL, oC, oPc))
         return (rec_y, lev_y, rcb, lev_cb, rcr, lev_cr, midx, lidx, use_c,
                 use_j)
 
     outs = jax.vmap(one)(rows)
     return _apply_sq(carry, rows, outs, s, encode,
                      planes=(mts or lfnst or tskip),
-                     chroma_flags=(cclm or jccr))
+                     chroma_flags=(cclm or jccr), nf=nf, frame_h=frame_h)
 
 
 _ISP_STATICS = ("s", "d", "frame_w", "frame_h", "bd", "encode", "cclm",
-                "rdoq", "jccr", "dq")
+                "rdoq", "jccr", "dq", "nf")
 
 
 @functools.partial(jax.jit, static_argnames=_ISP_STATICS)
 def _isp_batch(carry, rows, qp, lam_rd, crs_lut, *, s, d, frame_w, frame_h,
-               bd, encode, cclm, rdoq, jccr, dq):
+               bd, encode, cclm, rdoq, jccr, dq, nf=1):
     by, bcb, bcr = carry[0], carry[1], carry[2]
     sy, scb, scr = carry[6], carry[7], carry[8]
     n_ctu_x = frame_w // 64
@@ -354,8 +474,9 @@ def _isp_batch(carry, rows, qp, lam_rd, crs_lut, *, s, d, frame_w, frame_h,
     def one(row):
         x, y, mode = row[1], row[2], row[3]
         cmode_in, jccr_in = row[8], row[10]
+        oL, oC, oP, oPc, _o8 = _row_offs(row, nf, frame_h)
         mode_reg = jnp.minimum(mode, num_reg - 1)
-        win = jax.lax.dynamic_slice(by, (y, x), (wn, wn))
+        win = jax.lax.dynamic_slice(by, (oL + y, x), (wn, wn))
         lev_y = jnp.zeros((s, s), jnp.int32)
         for (dx2, dy2, w_st, h_st) in isp_parts(s, d):
             px, py = x + dx2, y + dy2
@@ -368,7 +489,7 @@ def _isp_batch(carry, rows, qp, lam_rd, crs_lut, *, s, d, frame_w, frame_h,
             kh, kv = isp_kernels(w_st, h_st)
             if encode:
                 blk = jax.lax.dynamic_slice(
-                    sy, (py, px), (h_st, w_st)).astype(jnp.int32)
+                    sy, (oP + py, px), (h_st, w_st)).astype(jnp.int32)
                 coef = transform.forward_transform(blk - pred, h_st, w_st,
                                                    kh, kv, bd)
                 lev = transform.quantize(coef, h_st, w_st, qp, intra=True,
@@ -376,14 +497,14 @@ def _isp_batch(carry, rows, qp, lam_rd, crs_lut, *, s, d, frame_w, frame_h,
                                          dq=dq)
                 lev_y = jax.lax.dynamic_update_slice(lev_y, lev, (dy2, dx2))
             else:
-                lev = jax.lax.dynamic_slice(sy, (py, px), (h_st, w_st))
+                lev = jax.lax.dynamic_slice(sy, (oP + py, px), (h_st, w_st))
             rec = transform.reconstruct(pred, lev, h_st, w_st, qp, kh, kv,
                                         bd, dq=dq)
             win = jax.lax.dynamic_update_slice(win, rec,
                                                (dy2 + 1, dx2 + 1))
         rec_y = win[1:s + 1, 1:s + 1]
         if not encode:
-            lev_y = jax.lax.dynamic_slice(sy, (y, x), (s, s))
+            lev_y = jax.lax.dynamic_slice(sy, (oP + y, x), (s, s))
         sc = None
         if crs_lut is not None:
             sc = crs_lut[rec_y.sum() >> _CRS_SHIFT[s]]
@@ -391,22 +512,23 @@ def _isp_batch(carry, rows, qp, lam_rd, crs_lut, *, s, d, frame_w, frame_h,
             by, bcb, bcr, scb, scr, rec_y, x, y, mode_reg, cmode_in,
             jccr_in, s=s, frame_w=frame_w, frame_h=frame_h,
             n_ctu_x=n_ctu_x, qp=qp, bd=bd, encode=encode, cclm=cclm,
-            rdoq=rdoq, lam_rd=lam32, jccr=jccr, dq=dq, sc=sc)
+            rdoq=rdoq, lam_rd=lam32, jccr=jccr, dq=dq, sc=sc,
+            offs=(oL, oC, oPc))
         return (rec_y, lev_y, rcb, lev_cb, rcr, lev_cr, jnp.int32(0),
                 jnp.int32(0), use_c, use_j)
 
     outs = jax.vmap(one)(rows)
     return _apply_sq(carry, rows, outs, s, encode, planes=False,
-                     chroma_flags=(cclm or jccr))
+                     chroma_flags=(cclm or jccr), nf=nf, frame_h=frame_h)
 
 
 _RECT_STATICS = ("w", "h", "frame_w", "frame_h", "bd", "encode", "rdoq",
-                 "dq")
+                 "dq", "nf")
 
 
 @functools.partial(jax.jit, static_argnames=_RECT_STATICS)
 def _rect_batch(carry, rows, qp, lam_rd, crs_lut, *, w, h, frame_w,
-                frame_h, bd, encode, rdoq, dq):
+                frame_h, bd, encode, rdoq, dq, nf=1):
     by, bcb, bcr = carry[0], carry[1], carry[2]
     sy, scb, scr = carry[6], carry[7], carry[8]
     (by0, bcb0, bcr0, ly, lcb, lcr, sy0, scb0, scr0, mtsp, lfnstp,
@@ -418,16 +540,17 @@ def _rect_batch(carry, rows, qp, lam_rd, crs_lut, *, w, h, frame_w,
 
     def one(row):
         x, y, mode = row[1], row[2], row[3]
+        oL, oC, oP, oPc, _o8 = _row_offs(row, nf, frame_h)
         px0 = x & ~(ps - 1)
         py0 = y & ~(ps - 1)
         top, left = intra_pred.build_references_rect(
             by, x, y, w=w, h=h, is_luma=True, frame_w=frame_w,
             frame_h=frame_h, n_ctu_x=n_ctu_x, bd=bd,
-            leaf_x=px0, leaf_y=py0, leaf_w=ps, leaf_h=ps)
+            leaf_x=px0, leaf_y=py0, leaf_w=ps, leaf_h=ps, y_off=oL)
         pred_y = intra_pred.predict_rect(top, left, mode, w=w, h=h,
                                          is_luma=True, bd=bd)
-        rec_y, lev_y = _comp_local(sy, pred_y, x, y, w, h, qp, bd, encode,
-                                   rdoq, lam32, dq)
+        rec_y, lev_y = _comp_local(sy, pred_y, x, oP + y, w, h, qp, bd,
+                                   encode, rdoq, lam32, dq)
         sc = None
         if crs_lut is not None:
             sc = crs_lut[rec_y.sum() >> (_log2i(w) + _log2i(h))]
@@ -435,41 +558,45 @@ def _rect_batch(carry, rows, qp, lam_rd, crs_lut, *, w, h, frame_w,
             bcb, x // 2, y // 2, w=cw, h=ch, is_luma=False,
             frame_w=frame_w // 2, frame_h=frame_h // 2, n_ctu_x=n_ctu_x,
             bd=bd, leaf_x=px0 // 2, leaf_y=py0 // 2, leaf_w=ps // 2,
-            leaf_h=ps // 2)
+            leaf_h=ps // 2, y_off=oC)
         pred_cb = intra_pred.predict_rect(tcb, lcb_r, mode, w=cw, h=ch,
                                           is_luma=False, bd=bd)
-        rcb, lev_cb = _comp_local(scb, pred_cb, x // 2, y // 2, cw, ch, qp,
-                                  bd, encode, rdoq, lam32, dq, crs_sc=sc)
+        rcb, lev_cb = _comp_local(scb, pred_cb, x // 2, oPc + y // 2, cw,
+                                  ch, qp, bd, encode, rdoq, lam32, dq,
+                                  crs_sc=sc)
         tcr, lcr_r = intra_pred.build_references_rect(
             bcr, x // 2, y // 2, w=cw, h=ch, is_luma=False,
             frame_w=frame_w // 2, frame_h=frame_h // 2, n_ctu_x=n_ctu_x,
             bd=bd, leaf_x=px0 // 2, leaf_y=py0 // 2, leaf_w=ps // 2,
-            leaf_h=ps // 2)
+            leaf_h=ps // 2, y_off=oC)
         pred_cr = intra_pred.predict_rect(tcr, lcr_r, mode, w=cw, h=ch,
                                           is_luma=False, bd=bd)
-        rcr, lev_cr = _comp_local(scr, pred_cr, x // 2, y // 2, cw, ch, qp,
-                                  bd, encode, rdoq, lam32, dq, crs_sc=sc)
+        rcr, lev_cr = _comp_local(scr, pred_cr, x // 2, oPc + y // 2, cw,
+                                  ch, qp, bd, encode, rdoq, lam32, dq,
+                                  crs_sc=sc)
         return rec_y, lev_y, rcb, lev_cb, rcr, lev_cr
 
     rec_y, lev_y, rcb, lev_cb, rcr, lev_cr = jax.vmap(one)(rows)
     xs, ys = rows[:, 1], rows[:, 2]
-    by0 = _scatter(by0, rec_y, xs, ys, w, h, 1)
-    bcb0 = _scatter(bcb0, rcb, xs // 2, ys // 2, cw, ch, 1)
-    bcr0 = _scatter(bcr0, rcr, xs // 2, ys // 2, cw, ch, 1)
+    oL, oC, oP, oPc, _o8 = _batch_offs(rows, nf, frame_h)
+    by0 = _scatter(by0, rec_y, xs, oL + ys, w, h, 1)
+    bcb0 = _scatter(bcb0, rcb, xs // 2, oC + ys // 2, cw, ch, 1)
+    bcr0 = _scatter(bcr0, rcr, xs // 2, oC + ys // 2, cw, ch, 1)
     if encode:
-        ly = _scatter(ly, lev_y, xs, ys, w, h, 0)
-        lcb = _scatter(lcb, lev_cb, xs // 2, ys // 2, cw, ch, 0)
-        lcr = _scatter(lcr, lev_cr, xs // 2, ys // 2, cw, ch, 0)
+        ly = _scatter(ly, lev_y, xs, oP + ys, w, h, 0)
+        lcb = _scatter(lcb, lev_cb, xs // 2, oPc + ys // 2, cw, ch, 0)
+        lcr = _scatter(lcr, lev_cr, xs // 2, oPc + ys // 2, cw, ch, 0)
     return (by0, bcb0, bcr0, ly, lcb, lcr, sy0, scb0, scr0, mtsp, lfnstp,
             cmodep, jccrp, sbtp)
 
 
-_IBC_STATICS = ("s", "frame_w", "frame_h", "bd", "encode", "rdoq", "dq")
+_IBC_STATICS = ("s", "frame_w", "frame_h", "bd", "encode", "rdoq", "dq",
+                "nf")
 
 
 @functools.partial(jax.jit, static_argnames=_IBC_STATICS)
 def _ibc_batch(carry, rows, qp, lam_rd, *, s, frame_w, frame_h, bd, encode,
-               rdoq, dq):
+               rdoq, dq, nf=1):
     by, bcb, bcr = carry[0], carry[1], carry[2]
     sy, scb, scr = carry[6], carry[7], carry[8]
     cs = s // 2
@@ -477,45 +604,48 @@ def _ibc_batch(carry, rows, qp, lam_rd, *, s, frame_w, frame_h, bd, encode,
 
     def one(row):
         x, y, bvx, bvy = row[1], row[2], row[4], row[5]
+        oL, oC, oP, oPc, _o8 = _row_offs(row, nf, frame_h)
         sx = jnp.clip(x + bvx, 0, frame_w - s)
         sy0 = jnp.clip(y + bvy, 0, frame_h - s)
-        pred_y = jax.lax.dynamic_slice(by, (sy0 + 1, sx + 1), (s, s))
+        pred_y = jax.lax.dynamic_slice(by, (oL + sy0 + 1, sx + 1), (s, s))
         pred_cb = jax.lax.dynamic_slice(
-            bcb, (sy0 // 2 + 1, sx // 2 + 1), (cs, cs))
+            bcb, (oC + sy0 // 2 + 1, sx // 2 + 1), (cs, cs))
         pred_cr = jax.lax.dynamic_slice(
-            bcr, (sy0 // 2 + 1, sx // 2 + 1), (cs, cs))
-        rec_y, lev_y = _comp_local(sy, pred_y, x, y, s, s, qp, bd, encode,
-                                   rdoq, lam32, dq)
-        rcb, lev_cb = _comp_local(scb, pred_cb, x // 2, y // 2, cs, cs, qp,
-                                  bd, encode, rdoq, lam32, dq)
-        rcr, lev_cr = _comp_local(scr, pred_cr, x // 2, y // 2, cs, cs, qp,
-                                  bd, encode, rdoq, lam32, dq)
+            bcr, (oC + sy0 // 2 + 1, sx // 2 + 1), (cs, cs))
+        rec_y, lev_y = _comp_local(sy, pred_y, x, oP + y, s, s, qp, bd,
+                                   encode, rdoq, lam32, dq)
+        rcb, lev_cb = _comp_local(scb, pred_cb, x // 2, oPc + y // 2, cs,
+                                  cs, qp, bd, encode, rdoq, lam32, dq)
+        rcr, lev_cr = _comp_local(scr, pred_cr, x // 2, oPc + y // 2, cs,
+                                  cs, qp, bd, encode, rdoq, lam32, dq)
         return (rec_y, lev_y, rcb, lev_cb, rcr, lev_cr, jnp.int32(0),
                 jnp.int32(0), jnp.int32(0), jnp.int32(0))
 
     outs = jax.vmap(one)(rows)
     return _apply_sq(carry, rows, outs, s, encode, planes=False,
-                     chroma_flags=False)
+                     chroma_flags=False, nf=nf, frame_h=frame_h)
 
 
-@functools.partial(jax.jit, static_argnames=("s",))
-def _plt_batch(carry, rows, plt_y, plt_cb, plt_cr, *, s):
+@functools.partial(jax.jit, static_argnames=("s", "nf", "frame_h"))
+def _plt_batch(carry, rows, plt_y, plt_cb, plt_cr, *, s, nf=1, frame_h=0):
     cs = s // 2
 
     def one(row):
         x, y = row[1], row[2]
-        blk = jax.lax.dynamic_slice(plt_y, (y, x), (s, s))
-        bb = jax.lax.dynamic_slice(plt_cb, (y // 2, x // 2), (cs, cs))
-        br = jax.lax.dynamic_slice(plt_cr, (y // 2, x // 2), (cs, cs))
+        _oL, _oC, oP, oPc, _o8 = _row_offs(row, nf, frame_h)
+        blk = jax.lax.dynamic_slice(plt_y, (oP + y, x), (s, s))
+        bb = jax.lax.dynamic_slice(plt_cb, (oPc + y // 2, x // 2), (cs, cs))
+        br = jax.lax.dynamic_slice(plt_cr, (oPc + y // 2, x // 2), (cs, cs))
         return blk, bb, br
 
     blk, bb, br = jax.vmap(one)(rows)
     (by, bcb, bcr, ly, lcb, lcr, sy, scb, scr, mtsp, lfnstp,
      cmodep, jccrp, sbtp) = carry
     xs, ys = rows[:, 1], rows[:, 2]
-    by = _scatter(by, blk, xs, ys, s, s, 1)
-    bcb = _scatter(bcb, bb, xs // 2, ys // 2, cs, cs, 1)
-    bcr = _scatter(bcr, br, xs // 2, ys // 2, cs, cs, 1)
+    oL, oC, _oP, _oPc, _o8 = _batch_offs(rows, nf, frame_h)
+    by = _scatter(by, blk, xs, oL + ys, s, s, 1)
+    bcb = _scatter(bcb, bb, xs // 2, oC + ys // 2, cs, cs, 1)
+    bcr = _scatter(bcr, br, xs // 2, oC + ys // 2, cs, cs, 1)
     return (by, bcb, bcr, ly, lcb, lcr, sy, scb, scr, mtsp, lfnstp,
             cmodep, jccrp, sbtp)
 
@@ -626,17 +756,24 @@ def _fused_schedule(slots_np, frame_h, frame_w, classes):
                 f"wave schedule contains leaf class {cls!r} but the "
                 f"corresponding tool flag is off (enabled: {classes})")
     # K depends only on the geometry (NOT the per-frame schedule): a
-    # per-frame K would recompile _fused_scan every frame
+    # per-frame K would recompile _fused_scan every frame.  Wider K was
+    # measured SLOWER single-frame (1080p wave groups average ~11 leaves,
+    # so extra lanes burn compute on dummies — frame_wave_batch is the
+    # occupancy lever).  VVCTPU_FUSED_K overrides for A/B runs.
+    import os
+    env_k = os.environ.get("VVCTPU_FUSED_K")
     px = frame_h * frame_w
     K = 4 if px <= (1 << 18) else 8 if px <= (1 << 20) else 16
+    if env_k:
+        K = int(env_k)
+    ncol = slots_np.shape[1]
     wcls, wrows = [], []
     for cls, rows in sched:
         ci = cls_idx[cls]
         for c0 in range(0, rows.shape[0], K):
             chunk = rows[c0:c0 + K]
             if chunk.shape[0] < K:
-                pad = np.zeros((K - chunk.shape[0], chunk.shape[1]),
-                               np.int32)
+                pad = np.zeros((K - chunk.shape[0], ncol), np.int32)
                 pad[:, 1] = pad[:, 2] = 1 << 20
                 chunk = np.concatenate([chunk, pad], axis=0)
             wcls.append(ci)
@@ -648,7 +785,7 @@ def _fused_schedule(slots_np, frame_h, frame_w, classes):
     n_pad = _STEP_PAD
     while n_pad < n:
         n_pad *= 2
-    dummy = np.zeros((K, 16), np.int32)
+    dummy = np.zeros((K, ncol), np.int32)
     dummy[:, 1] = dummy[:, 2] = 1 << 20
     for _ in range(n_pad - n):
         wcls.append(0)
@@ -657,13 +794,15 @@ def _fused_schedule(slots_np, frame_h, frame_w, classes):
 
 
 _FUSED_STATICS = ("classes", "frame_w", "frame_h", "bd", "encode", "mts",
-                  "lfnst", "cclm", "rdoq", "mip", "tskip", "jccr", "dq")
+                  "lfnst", "cclm", "rdoq", "mip", "tskip", "jccr", "dq",
+                  "nf")
 
 
 @functools.partial(jax.jit, static_argnames=_FUSED_STATICS)
 def _fused_scan(carry, wcls, wrows, qp, lam_rd, crs_lut, fwd_lut, refs,
                 rox, roy, plt_planes, *, classes, frame_w, frame_h, bd,
-                encode, mts, lfnst, cclm, rdoq, mip, tskip, jccr, dq):
+                encode, mts, lfnst, cclm, rdoq, mip, tskip, jccr, dq,
+                nf=1):
     qp32 = jnp.asarray(qp, jnp.int32)
     lam32 = jnp.asarray(lam_rd, jnp.int32)
     branches = []
@@ -676,30 +815,30 @@ def _fused_scan(carry, wcls, wrows, qp, lam_rd, crs_lut, fwd_lut, refs,
                     c, r, qp32, lam32, crs_lut, s=s, frame_w=frame_w,
                     frame_h=frame_h, bd=bd, encode=encode, mts=mts,
                     lfnst=lfnst, cclm=cclm, rdoq=rdoq, mip=mip,
-                    tskip=tskip, jccr=jccr, dq=dq), s=w))
+                    tskip=tskip, jccr=jccr, dq=dq, nf=nf), s=w))
         elif kind == "isp":
             branches.append(functools.partial(
                 lambda c, r, s, d2: _isp_batch.__wrapped__(
                     c, r, qp32, lam32, crs_lut, s=s, d=d2, frame_w=frame_w,
                     frame_h=frame_h, bd=bd, encode=encode, cclm=cclm,
-                    rdoq=rdoq, jccr=jccr, dq=dq), s=w, d2=d))
+                    rdoq=rdoq, jccr=jccr, dq=dq, nf=nf), s=w, d2=d))
         elif kind == "rect":
             branches.append(functools.partial(
                 lambda c, r, w2, h2: _rect_batch.__wrapped__(
                     c, r, qp32, lam32, crs_lut, w=w2, h=h2,
                     frame_w=frame_w, frame_h=frame_h, bd=bd, encode=encode,
-                    rdoq=rdoq, dq=dq), w2=w, h2=h))
+                    rdoq=rdoq, dq=dq, nf=nf), w2=w, h2=h))
         elif kind == "ibc":
             branches.append(functools.partial(
                 lambda c, r, s: _ibc_batch.__wrapped__(
                     c, r, qp32, lam32, s=s, frame_w=frame_w,
                     frame_h=frame_h, bd=bd, encode=encode, rdoq=rdoq,
-                    dq=dq), s=w))
+                    dq=dq, nf=nf), s=w))
         elif kind == "plt":
             branches.append(functools.partial(
                 lambda c, r, s: _plt_batch.__wrapped__(
                     c, r, plt_planes[0], plt_planes[1], plt_planes[2],
-                    s=s), s=w))
+                    s=s, nf=nf, frame_h=frame_h), s=w))
         elif kind == "ciip":
             branches.append(functools.partial(
                 lambda c, r, s: _ciip_batch.__wrapped__(
@@ -851,3 +990,168 @@ def frame_wave(slots, planes_y, planes_cb, planes_cr, *, frame_w: int,
             bcb[1:h2 + 1, 1:w2 + 1], bcr[1:h2 + 1, 1:w2 + 1],
             ly, lcb, lcr, carry[9], carry[10], carry[11], carry[12],
             carry[13])
+
+
+# ---------------------------------------------------------------------------
+# frame-batched execution: merge several frames' wave schedules so each scan
+# step packs leaves from every frame.  The intra dependency chain caps a
+# single 1080p frame's anti-chains at ~10-20 leaves (measured), far below
+# the VPU's appetite; independent frames (AI, or same-temporal-layer B's)
+# multiply the fill N-fold at identical step count.  Frames live in one
+# vertically-stacked buffer (one slab per frame, col-16 frame index in the
+# slot rows selects the slab offset) so the single-frame leaf bodies serve
+# unchanged — bit-exact per frame vs frame_wave (tests/test_wave_batch.py).
+# ---------------------------------------------------------------------------
+
+
+def _fused_schedule_batch(slot_list, frame_h, frame_w, classes):
+    """Merged ((n,) wcls, (n, K, 17) wrows) over a list of per-frame slot
+    arrays; rows carry the frame index in column 16."""
+    cls_idx = {c: i for i, c in enumerate(classes)}
+    lvs, rows_l = [], []
+    for f, s16 in enumerate(slot_list):
+        lv = _levels_c(s16, frame_h, frame_w)
+        if lv is None:
+            lv = _levels_py(s16, frame_h, frame_w)
+        sel = np.nonzero(lv > 0)[0]
+        r = np.concatenate(
+            [s16[sel], np.full((sel.size, 1), f, np.int32)], axis=1)
+        lvs.append(lv[sel])
+        rows_l.append(r)
+    lv = np.concatenate(lvs)
+    rows = np.concatenate(rows_l)
+    W, H, _, KIND = _OPT
+    ops = rows[:, 0]
+    ips = np.where((ops >= 1) & (ops <= 3), rows[:, 15], 0)
+    kind = np.where(ips > 0, _KIND_RANK["isp"], KIND[ops])
+    d = np.where(ips > 0, ips, 0)
+    key = (lv.astype(np.int64) << 32) | (kind.astype(np.int64) << 24) \
+        | (W[ops].astype(np.int64) << 16) | (H[ops].astype(np.int64) << 8) \
+        | d.astype(np.int64)
+    order = np.argsort(key, kind="stable")
+    rows_o = rows[order]
+    key_o = key[order]
+    bounds = np.nonzero(np.diff(key_o))[0] + 1
+    starts = np.concatenate([[0], bounds])
+    ends = np.concatenate([bounds, [key_o.size]])
+    inv_kind = {v: k for k, v in _KIND_RANK.items()}
+
+    F = len(slot_list)
+    px = frame_h * frame_w
+    base = 4 if px <= (1 << 18) else 8 if px <= (1 << 20) else 16
+    # cap 32: wider lanes spill VMEM in the leaf bodies (K=128 measured
+    # ~3x slower per lane than K<=32 at 1080p)
+    K = 1
+    while K < min(32, base * F):
+        K *= 2
+    import os
+    env_k = os.environ.get("VVCTPU_FUSED_K_BATCH")
+    if env_k:
+        K = int(env_k)
+    wcls, wrows = [], []
+    for s0, e0 in zip(starts, ends):
+        k = int(key_o[s0])
+        cls = (inv_kind[(k >> 24) & 0xFF], (k >> 16) & 0xFF,
+               (k >> 8) & 0xFF, k & 0xFF)
+        if cls not in cls_idx:
+            raise ValueError(
+                f"batched schedule contains leaf class {cls!r} but the "
+                f"corresponding tool flag is off (enabled: {classes})")
+        ci = cls_idx[cls]
+        grp = rows_o[s0:e0]
+        for c0 in range(0, grp.shape[0], K):
+            chunk = grp[c0:c0 + K]
+            if chunk.shape[0] < K:
+                pad = np.zeros((K - chunk.shape[0], 17), np.int32)
+                pad[:, 1] = pad[:, 2] = 1 << 20
+                chunk = np.concatenate([chunk, pad], axis=0)
+            wcls.append(ci)
+            wrows.append(chunk)
+    n = len(wcls)
+    n_pad = _STEP_PAD
+    while n_pad < n:
+        n_pad *= 2
+    dummy = np.zeros((K, 17), np.int32)
+    dummy[:, 1] = dummy[:, 2] = 1 << 20
+    for _ in range(n_pad - n):
+        wcls.append(0)
+        wrows.append(dummy)
+    return (np.asarray(wcls, np.int32), np.stack(wrows).astype(np.int32))
+
+
+def frame_wave_batch(frames_in, *, frame_w: int, frame_h: int, qp, bd: int,
+                     encode: bool, mts: bool = False, lfnst: bool = False,
+                     cclm: bool = False, rdoq: bool = False,
+                     lmcs: bool = False, lam_rd=0, fwd_lut=None,
+                     mip: bool = False, tskip: bool = False,
+                     jccr: bool = False, crs_lut=None, isp: bool = False,
+                     dq: bool = False, mtt: bool = False,
+                     ibc: bool = False, **_unused):
+    """Batched intra-frame wavefront over F independent frames.
+
+    frames_in: list of dicts {slots, py, pcb, pcr [, plt (3 planes)]}.
+    All frames share geometry and toolset; inter/CIIP classes are not
+    supported here (AI or the intra part of a layer batch).  LMCS luts are
+    shared across the batch (one model per call) — the callers batch only
+    frames coded with the same slice toolset; per-frame LMCS models fall
+    back to single-frame calls.  Returns a list of per-frame 11-tuples
+    exactly like frame_wave."""
+    F = len(frames_in)
+    sly, slc, spy, spc, sp8 = _slabs(frame_h)
+    h2, w2 = frame_h // 2, frame_w // 2
+    has_plt = any(fr.get("plt") is not None for fr in frames_in)
+    classes = _fused_classes(isp=isp, mtt=mtt, ibc=ibc, plt=has_plt,
+                             ciip=False)
+    wcls, wrows = _fused_schedule_batch(
+        [fr["slots"] for fr in frames_in], frame_h, frame_w, classes)
+
+    def stackp(key, hh):
+        return jnp.asarray(np.concatenate(
+            [np.asarray(fr[key]) for fr in frames_in]).astype(np.int32))
+
+    def mkbuf(h, w):
+        return jnp.zeros((F * h, w + 1 + MARGIN), jnp.int32)
+
+    carry = (mkbuf(sly, frame_w), mkbuf(slc, w2), mkbuf(slc, w2),
+             jnp.zeros((F * spy, frame_w), jnp.int32),
+             jnp.zeros((F * spc, w2), jnp.int32),
+             jnp.zeros((F * spc, w2), jnp.int32),
+             stackp("py", spy), stackp("pcb", spc), stackp("pcr", spc),
+             jnp.zeros((F * sp8, frame_w // 8), jnp.int32),
+             jnp.zeros((F * sp8, frame_w // 8), jnp.int32),
+             jnp.zeros((F * sp8, frame_w // 8), jnp.int32),
+             jnp.zeros((F * sp8, frame_w // 8), jnp.int32),
+             jnp.zeros((F * sp8, frame_w // 8), jnp.int32))
+    if has_plt:
+        zl = np.zeros((spy, frame_w), np.int32)
+        zc = np.zeros((spc, w2), np.int32)
+        plt_planes = tuple(jnp.asarray(np.concatenate(
+            [np.asarray(fr["plt"][i]) if fr.get("plt") is not None
+             else (zl if i == 0 else zc) for fr in frames_in]))
+            for i in range(3))
+    else:
+        plt_planes = (jnp.zeros((1, 1), jnp.int32),) * 3
+    z = jnp.zeros((1, 1), jnp.int32)
+    refs = (z, z, z, z, z, z)
+    crs = crs_lut if lmcs else None
+    carry = _fused_scan(
+        carry, jnp.asarray(wcls), jnp.asarray(wrows), np.int32(qp),
+        np.int32(lam_rd), crs, fwd_lut if lmcs else None, refs,
+        jnp.int32(0), jnp.int32(0), plt_planes, classes=classes,
+        frame_w=frame_w, frame_h=frame_h, bd=bd, encode=encode, mts=mts,
+        lfnst=lfnst, cclm=cclm, rdoq=rdoq, mip=mip, tskip=tskip,
+        jccr=jccr, dq=dq, nf=F)
+    by, bcb, bcr, ly, lcb, lcr = carry[:6]
+    outs = []
+    for f in range(F):
+        oL, oC, oP, oPc, o8 = (f * sly, f * slc, f * spy, f * spc,
+                               f * sp8)
+        outs.append((
+            by[oL + 1:oL + frame_h + 1, 1:frame_w + 1],
+            bcb[oC + 1:oC + h2 + 1, 1:w2 + 1],
+            bcr[oC + 1:oC + h2 + 1, 1:w2 + 1],
+            ly[oP:oP + frame_h], lcb[oPc:oPc + h2], lcr[oPc:oPc + h2],
+            carry[9][o8:o8 + sp8], carry[10][o8:o8 + sp8],
+            carry[11][o8:o8 + sp8], carry[12][o8:o8 + sp8],
+            carry[13][o8:o8 + sp8]))
+    return outs
