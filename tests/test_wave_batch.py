@@ -64,3 +64,20 @@ def test_batched_ai_encoder_byte_equal():
     assert d0 == d1
     out, _ = jenc.decode_sequence(d1, check_hash=True)
     assert len(out) == 5
+
+
+def test_batched_b_layer_byte_equal():
+    frames = synth(9, 64, 128, seed=11)
+    cfg = seq.EncoderConfig(qp=33, intra_period=8, gop=8)
+    os.environ["VVCTPU_NO_FRAME_BATCH"] = "1"
+    try:
+        d0, r0, _ = jenc.encode_sequence(frames, cfg)
+    finally:
+        del os.environ["VVCTPU_NO_FRAME_BATCH"]
+    d1, r1, _ = jenc.encode_sequence(frames, cfg)
+    assert d0 == d1
+    for a, b in zip(r0, r1):
+        for pa, pb in zip(a, b):
+            np.testing.assert_array_equal(pa, pb)
+    out, _ = jenc.decode_sequence(d1, check_hash=True)
+    assert len(out) == 9

@@ -457,9 +457,23 @@ def encode_sequence(frames, cfg: sseq.EncoderConfig, decisions_fn=None,
                                     bits, decisions_out=decisions_out)
     rc = sseq.RateControl(cfg.rc_bits_per_frame) \
         if cfg.rc_bits_per_frame > 0 else None
-    for poc, stype, ref_pocs, qpd in sseq.gop_plan(len(frames),
-                                                   cfg.intra_period,
-                                                   cfg.gop):
+    plan = list(sseq.gop_plan(len(frames), cfg.intra_period, cfg.gop))
+    import os
+    can_batch = (rc is None and cfg.tile_cols * cfg.tile_rows == 1
+                 and decisions_fn is None and not sps.lmcs_enabled
+                 and not os.environ.get("VVCTPU_NO_FRAME_BATCH"))
+    pi = 0
+    while pi < len(plan):
+        if can_batch:
+            grp = _b_group(plan, pi)
+            if len(grp) > 1:
+                _encode_b_group(frames, cfg, sps, pps, grp, dpb, mot,
+                                nals, recons, bits,
+                                decisions_out=decisions_out)
+                pi += len(grp)
+                continue
+        poc, stype, ref_pocs, qpd = plan[pi]
+        pi += 1
         planes = frames[poc]
         padded = scodec.pad_planes(planes, sps)
         # temporal sublayer id from the GOP plan layer (twin of
@@ -539,62 +553,167 @@ def encode_sequence(frames, cfg: sseq.EncoderConfig, decisions_fn=None,
         (ry, rcb, rcr, ly, lcb, lcr, mtsp, lfnstp, cmodep, jccrp,
          sbtp) = _run_scan(sps, pps, dec, scan_y, padded[1], padded[2],
                            dpb, ref_pocs, scan_kw)
-        levels = [np.asarray(ly), np.asarray(lcb), np.asarray(lcr)]
-        if sps.mts_enabled:
-            dec.mts8[:] = np.asarray(mtsp).astype(np.uint8)
-        if sps.lfnst_enabled:
-            dec.lfnst8[:] = np.asarray(lfnstp).astype(np.uint8)
-        if sps.cclm_enabled:
-            dec.cmode8[:] = np.asarray(cmodep).astype(np.uint8)
-        if sps.jccr_enabled:
-            dec.jccr8[:] = np.asarray(jccrp).astype(np.uint8)
-        if sps.sbt_enabled:
-            dec.sbt8[:] = np.asarray(sbtp).astype(np.uint8)
-        sh = hls.SliceHeader(poc=poc, slice_type=stype, qp_delta=qpd,
-                             ref_pocs=ref_pocs, lmcs_cw=lmcs_cw)
-        rec = [np.asarray(ry), np.asarray(rcb), np.asarray(rcr)]
-        if inv_lut is not None:
-            rec[0] = inv_lut[rec[0]]
-        if sps.deblock_enabled:
-            from ..kernels import loopfilter as lfk
-            rec = lfk.deblock_frame_j(rec, dec, qp, cfg.bit_depth)
-        sao_params = None
-        if sps.sao_enabled:
-            from ..spec import sao as saomod
-            sao_params = saomod.decide_sao(padded, rec, qp, cfg.ctu,
-                                           cfg.bit_depth)
-            from ..kernels import loopfilter as lfk
-            rec = lfk.apply_sao_j(rec, sao_params, cfg.ctu, cfg.bit_depth)
-        alf_params = None
-        if sps.alf_enabled:
-            from ..spec import alf as alfmod
-            alf_params = alfmod.derive_alf_frame(padded, rec, qp, cfg.ctu,
-                                                 cfg.bit_depth)
-            from ..kernels import loopfilter as lfk
-            rec = lfk.apply_alf_frame_j(rec, alf_params, cfg.ctu,
-                                        cfg.bit_depth)
-        payload = entropy.encode_frame_syntax(
-            sps, pps, sh, dec, levels, sao_params, alf_params,
-            col=scodec.col_motion(mot, poc, ref_pocs))
-        dpb[poc] = rec
-        mot[poc] = scodec.motion_record(dec, ref_pocs)
-        cropped = scodec.crop_planes(rec, sps)
-        nals.append(bs.NalUnit(
-            bs.NAL_IDR_N_LP if is_intra else bs.NAL_TRAIL, payload,
-            temporal_id=tid))
-        nals.append(bs.NalUnit(bs.NAL_SUFFIX_SEI,
-                               hls.write_pic_hash_sei(cropped,
-                                                      cfg.bit_depth,
-                                                      cfg.hash_type),
-                               temporal_id=tid))
-        recons[poc] = cropped
-        bits[poc] = 8 * len(payload)
+        _finish_frame(
+            cfg, sps, pps, dec, padded, poc, stype, ref_pocs, qpd, qp,
+            tid, lmcs_cw, inv_lut,
+            (ry, rcb, rcr, ly, lcb, lcr, mtsp, lfnstp, cmodep, jccrp,
+             sbtp), dpb, mot, nals, recons, bits)
         if rc is not None:
             rc.update(bits[poc])
     return bs.write_annexb(nals), recons, bits
 
 
+def _finish_frame(cfg, sps, pps, dec, padded, poc, stype, ref_pocs, qpd,
+                  qp, tid, lmcs_cw, inv_lut, scan_out, dpb, mot, nals,
+                  recons, bits):
+    """Post-scan tail of one inter/main-loop frame: decision planes, loop
+    filters, entropy, NAL emission, DPB/TMVP updates.  Shared by the
+    sequential path and the B-layer batched path (byte-identical)."""
+    is_intra = stype == hls.SLICE_I
+    (ry, rcb, rcr, ly, lcb, lcr, mtsp, lfnstp, cmodep, jccrp,
+     sbtp) = scan_out
+    levels = [np.asarray(ly), np.asarray(lcb), np.asarray(lcr)]
+    if sps.mts_enabled:
+        dec.mts8[:] = np.asarray(mtsp).astype(np.uint8)
+    if sps.lfnst_enabled:
+        dec.lfnst8[:] = np.asarray(lfnstp).astype(np.uint8)
+    if sps.cclm_enabled:
+        dec.cmode8[:] = np.asarray(cmodep).astype(np.uint8)
+    if sps.jccr_enabled:
+        dec.jccr8[:] = np.asarray(jccrp).astype(np.uint8)
+    if sps.sbt_enabled:
+        dec.sbt8[:] = np.asarray(sbtp).astype(np.uint8)
+    sh = hls.SliceHeader(poc=poc, slice_type=stype, qp_delta=qpd,
+                         ref_pocs=ref_pocs, lmcs_cw=lmcs_cw)
+    rec = [np.asarray(ry), np.asarray(rcb), np.asarray(rcr)]
+    if inv_lut is not None:
+        rec[0] = inv_lut[rec[0]]
+    if sps.deblock_enabled:
+        from ..kernels import loopfilter as lfk
+        rec = lfk.deblock_frame_j(rec, dec, qp, cfg.bit_depth)
+    sao_params = None
+    if sps.sao_enabled:
+        from ..spec import sao as saomod
+        sao_params = saomod.decide_sao(padded, rec, qp, cfg.ctu,
+                                       cfg.bit_depth)
+        from ..kernels import loopfilter as lfk
+        rec = lfk.apply_sao_j(rec, sao_params, cfg.ctu, cfg.bit_depth)
+    alf_params = None
+    if sps.alf_enabled:
+        from ..spec import alf as alfmod
+        alf_params = alfmod.derive_alf_frame(padded, rec, qp, cfg.ctu,
+                                             cfg.bit_depth)
+        from ..kernels import loopfilter as lfk
+        rec = lfk.apply_alf_frame_j(rec, alf_params, cfg.ctu,
+                                    cfg.bit_depth)
+    payload = entropy.encode_frame_syntax(
+        sps, pps, sh, dec, levels, sao_params, alf_params,
+        col=scodec.col_motion(mot, poc, ref_pocs))
+    dpb[poc] = rec
+    mot[poc] = scodec.motion_record(dec, ref_pocs)
+    cropped = scodec.crop_planes(rec, sps)
+    nals.append(bs.NalUnit(
+        bs.NAL_IDR_N_LP if is_intra else bs.NAL_TRAIL, payload,
+        temporal_id=tid))
+    nals.append(bs.NalUnit(bs.NAL_SUFFIX_SEI,
+                           hls.write_pic_hash_sei(cropped,
+                                                  cfg.bit_depth,
+                                                  cfg.hash_type),
+                           temporal_id=tid))
+    recons[poc] = cropped
+    bits[poc] = 8 * len(payload)
+
+
+def _b_group(plan, i, cap: int = 8):
+    """Maximal run plan[i:j] of mutually-independent B entries with equal
+    qp_delta and equal BI symmetry (shared scan statics) — the frames of
+    one temporal layer under the BFS GOP plan."""
+    p0, s0, r0, q0 = plan[i]
+    if s0 != hls.SLICE_B or len(r0) != 2:
+        return plan[i:i + 1]
+
+    def sym(e):
+        poc, _, refs, _ = e
+        return (refs[0] < poc < refs[1]
+                and poc - refs[0] == refs[1] - poc)
+
+    grp = [plan[i]]
+    pocs = {p0}
+    for j in range(i + 1, min(len(plan), i + cap)):
+        poc, stype, refs, qpd = plan[j]
+        if (stype != hls.SLICE_B or len(refs) != 2 or qpd != q0
+                or sym(plan[j]) != sym(plan[i])
+                or any(r in pocs for r in refs)):
+            break
+        grp.append(plan[j])
+        pocs.add(poc)
+    return grp
+
+
+def _encode_b_group(frames, cfg, sps, pps, grp, dpb, mot, nals, recons,
+                    bits, decisions_out=None):
+    """Encode one temporal layer's B frames as a single frame-batched
+    wavefront execution (pipeline/wave.frame_wave_batch): per-frame
+    decisions + phase-A inter batches + merged phase-B wave scan, then the
+    shared per-frame finish.  Byte-identical to the sequential path."""
+    from ..core import xfer
+    from ..spec.transform import lambda_rd_int
+    from . import wave
+    qp = cfg.qp + grp[0][3]
+    qpd = grp[0][3]
+    sym = (grp[0][2][0] < grp[0][0] < grp[0][2][1]
+           and grp[0][0] - grp[0][2][0] == grp[0][2][1] - grp[0][0])
+    scan_kw = dict(
+        qp=qp, bd=cfg.bit_depth, encode=True, mts=sps.mts_enabled,
+        lfnst=sps.lfnst_enabled, cclm=sps.cclm_enabled, rdoq=cfg.rdoq,
+        lmcs=False, mip=sps.mip_enabled, tskip=sps.ts_enabled,
+        jccr=sps.jccr_enabled, dmvr=sps.dmvr_enabled and sym,
+        bdof=sps.bdof_enabled and sym, ciip=sps.ciip_enabled,
+        sbt=sps.sbt_enabled, isp=sps.isp_enabled, gpm=sps.gpm_enabled,
+        affine=sps.affine_enabled, dq=sps.dq_enabled,
+        mtt=sps.mtt_enabled, ibc=sps.ibc_enabled,
+        lam_rd=lambda_rd_int(qp))
+    fins, decs, padded_l = [], [], []
+    for (poc, stype, ref_pocs, _q) in grp:
+        padded = scodec.pad_planes(frames[poc], sps)
+        padded_l.append(padded)
+        dec = jdecide.decide_frame_b(
+            padded[0], dpb[ref_pocs[0]][0], dpb[ref_pocs[1]][0], qp,
+            cfg.bit_depth, mip=sps.mip_enabled, mrl=sps.mrl_enabled,
+            bcw=sps.bcw_enabled, ciip=sps.ciip_enabled,
+            isp=sps.isp_enabled, gpm=sps.gpm_enabled,
+            affine=sps.affine_enabled, mtt=sps.mtt_enabled,
+            tt=sps.tt_enabled)
+        decs.append(dec)
+        if decisions_out is not None:
+            decisions_out.append(dec)
+        slots, isl = recon.make_slots_split(dec, sps.height, sps.width)
+        r0 = recon.pad_refs(dpb[ref_pocs[0]])
+        r1 = recon.pad_refs(dpb[ref_pocs[1]])
+        from . import plan as planmod
+        fins.append(dict(
+            slots=slots, py=padded[0], pcb=padded[1], pcr=padded[2],
+            inter={s: isl[s] for s in (8, 16, 32)},
+            rect=({sh: isl[sh] for sh in planmod.RECT_SHAPES}
+                  if sps.mtt_enabled else None),
+            refs=(r0[0], r0[1], r0[2], r1[0], r1[1], r1[2])))
+    outs = wave.frame_wave_batch(fins, frame_w=sps.width,
+                                 frame_h=sps.height, **scan_kw)
+    flat = xfer.device_get([a for o in outs for a in o])
+    for i, (poc, stype, ref_pocs, _q) in enumerate(grp):
+        tid = max(qpd - 1, 1)
+        scan_out = flat[11 * i:11 * (i + 1)]
+        _finish_frame(cfg, sps, pps, decs[i], padded_l[i], poc, stype,
+                      ref_pocs, qpd, qp, tid, (), None, scan_out, dpb,
+                      mot, nals, recons, bits)
+
+
 def decode_sequence(data: bytes, check_hash: bool = True):
+    """Two-pass decoder: host CABAC parse of every slice first (the TMVP
+    side-table updates at parse time, so parsing runs ahead of pixel
+    reconstruction), then frame-batched wavefront reconstruction — groups
+    of mutually-independent frames (all-intra, or one temporal layer's B
+    pictures) run as ONE merged scan (pipeline/wave.frame_wave_batch)."""
     from ..io import streamtools
     layout = streamtools.subpic_layout(data)
     if layout is not None:
@@ -605,10 +724,9 @@ def decode_sequence(data: bytes, check_hash: bool = True):
     sps = None
     pps_map: dict[int, hls.PPS] = {}
     frames = {}
-    pending = None
-    pending_poc = -1
     dpb = {}
     mot = {}
+    entries = []
     for nal in bs.read_annexb(data):
         if nal.nal_type == bs.NAL_SPS:
             sps = hls.SPS.read(nal.payload)
@@ -620,65 +738,151 @@ def decode_sequence(data: bytes, check_hash: bool = True):
             sh, dec, levels, sao_params, alf_params = \
                 entropy.parse_frame_syntax(nal.payload, sps, pps_map,
                                            motion=mot)
-            qp = pps_map[sh.pps_id].init_qp + sh.qp_delta
-            fwd_lut = inv_lut = crs_lut = None
-            if sh.lmcs_cw:
-                from ..spec import lmcs as lmcsmod
-                fwd_lut, inv_lut = lmcsmod.build_luts(sh.lmcs_cw,
-                                                      sps.bit_depth)
-                crs_lut = lmcsmod.build_crs_lut(sh.lmcs_cw, sps.bit_depth)
-            is_p = sh.slice_type != hls.SLICE_I
-            from ..spec.codec import bi_sym
-            pps_d = pps_map[sh.pps_id]
-            scan_kw = dict(
-                qp=qp, bd=sps.bit_depth, encode=False,
-                mts=sps.mts_enabled, lfnst=sps.lfnst_enabled,
-                cclm=sps.cclm_enabled, lmcs=fwd_lut is not None,
-                mip=sps.mip_enabled, tskip=sps.ts_enabled,
-                jccr=sps.jccr_enabled,
-                dmvr=sps.dmvr_enabled and bi_sym(sh),
-                bdof=sps.bdof_enabled and bi_sym(sh),
-                ciip=sps.ciip_enabled, sbt=sps.sbt_enabled,
-                isp=sps.isp_enabled, gpm=sps.gpm_enabled,
-                affine=sps.affine_enabled, dq=sps.dq_enabled,
-                mtt=sps.mtt_enabled, ibc=sps.ibc_enabled,
-                fwd_lut=None if fwd_lut is None else jnp_asarray(fwd_lut),
-                crs_lut=None if crs_lut is None else jnp_asarray(crs_lut))
+            mot[sh.poc] = scodec.motion_record(dec, sh.ref_pocs)
+            entries.append(dict(sh=sh, dec=dec, levels=levels,
+                                sao=sao_params, alf=alf_params,
+                                digest=None))
+        elif nal.nal_type == bs.NAL_SUFFIX_SEI and check_hash and entries:
+            parsed = hls.read_pic_hash_sei(nal.payload)
+            if parsed is not None:
+                entries[-1]["digest"] = parsed
+
+    from ..spec.codec import bi_sym
+    import os
+
+    def gkey(e):
+        sh = e["sh"]
+        pps_d = pps_map[sh.pps_id]
+        return (sh.slice_type != hls.SLICE_I, bi_sym(sh), sh.qp_delta,
+                len(sh.ref_pocs), bool(sh.lmcs_cw),
+                pps_d.num_tile_cols * pps_d.num_tile_rows)
+
+    can_batch = not os.environ.get("VVCTPU_NO_FRAME_BATCH")
+    i = 0
+    while i < len(entries):
+        grp = [entries[i]]
+        if can_batch:
+            k0 = gkey(entries[i])
+            if not k0[4] and k0[5] == 1:
+                pocs = {entries[i]["sh"].poc}
+                j = i + 1
+                while (j < len(entries) and len(grp) < 8
+                       and gkey(entries[j]) == k0
+                       and not any(r in pocs
+                                   for r in entries[j]["sh"].ref_pocs)):
+                    grp.append(entries[j])
+                    pocs.add(entries[j]["sh"].poc)
+                    j += 1
+        if len(grp) > 1:
+            _decode_group(grp, sps, pps_map, dpb, frames, check_hash)
+        else:
+            _decode_one(entries[i], sps, pps_map, dpb, frames, check_hash)
+        i += len(grp)
+    return [frames[p] for p in sorted(frames)], sps
+
+
+def _dec_scan_kw(sh, sps, pps_map, fwd_lut, crs_lut):
+    from ..spec.codec import bi_sym
+    qp = pps_map[sh.pps_id].init_qp + sh.qp_delta
+    return dict(
+        qp=qp, bd=sps.bit_depth, encode=False,
+        mts=sps.mts_enabled, lfnst=sps.lfnst_enabled,
+        cclm=sps.cclm_enabled, lmcs=fwd_lut is not None,
+        mip=sps.mip_enabled, tskip=sps.ts_enabled,
+        jccr=sps.jccr_enabled,
+        dmvr=sps.dmvr_enabled and bi_sym(sh),
+        bdof=sps.bdof_enabled and bi_sym(sh),
+        ciip=sps.ciip_enabled, sbt=sps.sbt_enabled,
+        isp=sps.isp_enabled, gpm=sps.gpm_enabled,
+        affine=sps.affine_enabled, dq=sps.dq_enabled,
+        mtt=sps.mtt_enabled, ibc=sps.ibc_enabled,
+        fwd_lut=None if fwd_lut is None else jnp_asarray(fwd_lut),
+        crs_lut=None if crs_lut is None else jnp_asarray(crs_lut))
+
+
+def _dec_finish(e, sps, rec, inv_lut, qp, dpb, frames, check_hash):
+    from ..kernels import loopfilter as lfk
+    sh = e["sh"]
+    if inv_lut is not None:
+        rec[0] = inv_lut[rec[0]]
+    if sps.deblock_enabled:
+        rec = lfk.deblock_frame_j(rec, e["dec"], qp, sps.bit_depth)
+    if e["sao"] is not None:
+        rec = lfk.apply_sao_j(rec, e["sao"], 1 << sps.log2_ctu,
+                              sps.bit_depth)
+    if e["alf"] is not None:
+        rec = lfk.apply_alf_frame_j(rec, e["alf"], 1 << sps.log2_ctu,
+                                    sps.bit_depth)
+    dpb[sh.poc] = rec
+    out = scodec.crop_planes(rec, sps)
+    frames[sh.poc] = out
+    if check_hash and e["digest"] is not None:
+        htype, digest = e["digest"]
+        got = hls.plane_hash(out, sps.bit_depth, htype)
+        if got != digest:
+            raise ValueError(
+                f"decoded-picture hash mismatch at poc {sh.poc}")
+
+
+def _decode_one(e, sps, pps_map, dpb, frames, check_hash):
+    sh, dec, levels = e["sh"], e["dec"], e["levels"]
+    qp = pps_map[sh.pps_id].init_qp + sh.qp_delta
+    fwd_lut = inv_lut = crs_lut = None
+    if sh.lmcs_cw:
+        from ..spec import lmcs as lmcsmod
+        fwd_lut, inv_lut = lmcsmod.build_luts(sh.lmcs_cw, sps.bit_depth)
+        crs_lut = lmcsmod.build_crs_lut(sh.lmcs_cw, sps.bit_depth)
+    is_p = sh.slice_type != hls.SLICE_I
+    scan_kw = _dec_scan_kw(sh, sps, pps_map, fwd_lut, crs_lut)
+    if sps.plt_enabled and dec.plt_data:
+        from ..spec import palette as pltmod
+        ppl = pltmod.build_planes(dec.plt_data, sps.height, sps.width)
+        scan_kw.update(plt_y=ppl[0], plt_cb=ppl[1], plt_cr=ppl[2])
+    ry, rcb, rcr, *_ = _run_scan(
+        sps, pps_map[sh.pps_id], dec, levels[0], levels[1], levels[2],
+        dpb, sh.ref_pocs if is_p else (), scan_kw)
+    rec = [np.asarray(ry), np.asarray(rcb), np.asarray(rcr)]
+    _dec_finish(e, sps, rec, inv_lut, qp, dpb, frames, check_hash)
+
+
+def _decode_group(grp, sps, pps_map, dpb, frames, check_hash):
+    """Reconstruct a batch of mutually-independent parsed frames as one
+    merged wave scan (+ one batched phase-A inter pass)."""
+    from ..core import xfer
+    from . import plan as planmod
+    from . import wave
+    sh0 = grp[0]["sh"]
+    qp = pps_map[sh0.pps_id].init_qp + sh0.qp_delta
+    is_p = sh0.slice_type != hls.SLICE_I
+    scan_kw = _dec_scan_kw(sh0, sps, pps_map, None, None)
+    scan_kw.pop("fwd_lut")
+    scan_kw.pop("crs_lut")
+    mtt = scan_kw["mtt"]
+    fins = []
+    for e in grp:
+        dec, levels = e["dec"], e["levels"]
+        fr = dict(py=levels[0], pcb=levels[1], pcr=levels[2])
+        if is_p:
+            slots, isl = recon.make_slots_split(dec, sps.height, sps.width)
+            fr["inter"] = {s: isl[s] for s in (8, 16, 32)}
+            if mtt:
+                fr["rect"] = {sh: isl[sh] for sh in planmod.RECT_SHAPES}
+            refs = e["sh"].ref_pocs
+            r0 = recon.pad_refs(dpb[refs[0]])
+            r1 = recon.pad_refs(dpb[refs[1]]) if len(refs) == 2 else r0
+            fr["refs"] = (r0[0], r0[1], r0[2], r1[0], r1[1], r1[2])
+        else:
+            slots = recon.make_slots(dec, sps.height, sps.width)
             if sps.plt_enabled and dec.plt_data:
                 from ..spec import palette as pltmod
-                ppl = pltmod.build_planes(dec.plt_data, sps.height,
-                                          sps.width)
-                scan_kw.update(plt_y=ppl[0], plt_cb=ppl[1], plt_cr=ppl[2])
-            ry, rcb, rcr, *_ = _run_scan(
-                sps, pps_d, dec, levels[0], levels[1], levels[2], dpb,
-                sh.ref_pocs if is_p else (), scan_kw)
-            rec = [np.asarray(ry), np.asarray(rcb), np.asarray(rcr)]
-            if inv_lut is not None:
-                rec[0] = inv_lut[rec[0]]
-            if sps.deblock_enabled:
-                from ..kernels import loopfilter as lfk
-                rec = lfk.deblock_frame_j(rec, dec, qp, sps.bit_depth)
-            if sao_params is not None:
-                from ..kernels import loopfilter as lfk
-                rec = lfk.apply_sao_j(rec, sao_params,
-                                      1 << sps.log2_ctu, sps.bit_depth)
-            if alf_params is not None:
-                from ..kernels import loopfilter as lfk
-                rec = lfk.apply_alf_frame_j(rec, alf_params,
-                                            1 << sps.log2_ctu,
-                                            sps.bit_depth)
-            dpb[sh.poc] = rec
-            mot[sh.poc] = scodec.motion_record(dec, sh.ref_pocs)
-            pending = scodec.crop_planes(rec, sps)
-            pending_poc = sh.poc
-            frames[sh.poc] = pending
-        elif nal.nal_type == bs.NAL_SUFFIX_SEI and check_hash:
-            parsed = hls.read_pic_hash_sei(nal.payload)
-            if parsed is not None and pending is not None:
-                htype, digest = parsed
-                got = hls.plane_hash(pending, sps.bit_depth, htype)
-                if got != digest:
-                    raise ValueError(
-                        f"decoded-picture hash mismatch at poc "
-                        f"{pending_poc}")
-    return [frames[p] for p in sorted(frames)], sps
+                fr["plt"] = pltmod.build_planes(dec.plt_data, sps.height,
+                                                sps.width)
+        fr["slots"] = slots
+        fins.append(fr)
+    outs = wave.frame_wave_batch(fins, frame_w=sps.width,
+                                 frame_h=sps.height, **scan_kw)
+    flat = xfer.device_get([o[i] for o in outs for i in range(3)])
+    for gi, e in enumerate(grp):
+        rec = [np.asarray(flat[3 * gi]), np.asarray(flat[3 * gi + 1]),
+               np.asarray(flat[3 * gi + 2])]
+        _dec_finish(e, sps, rec, None, qp, dpb, frames, check_hash)

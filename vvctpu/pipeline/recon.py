@@ -538,29 +538,43 @@ def _make_plt_fn(s: int, *, frame_w: int, frame_h: int, plt_y, plt_cb,
     return leaf
 
 
+def _slab_strides(frame_h: int):
+    """(luma ref, chroma ref, luma plane, chroma plane, grid8) per-frame
+    row strides of stacked batch buffers (frame-batched engine)."""
+    return (frame_h + 2 * REF_MARGIN, frame_h // 2 + REF_MARGIN,
+            frame_h, frame_h // 2, frame_h // 8)
+
+
 def _inter_batch_pass_rect(carry, ib_slots, refs, w: int, h: int, qp,
                            bd: int, encode: bool, rdoq: bool = False,
                            lam_rd=0, fwd_lut=None, crs_lut=None,
-                           dq: bool = False, rox=0, roy=0):
+                           dq: bool = False, rox=0, roy=0, nf: int = 1,
+                           frame_h_s: int = 0):
     """Phase A for rectangular (BT) inter leaves: plain translational MC
     (uni/BI equal weight) — twin of the spec _inter_pred rect path.
 
-    ib_slots: (B, 7) int32 [x, y, mv0x, mv0y, mv1x, mv1y, dir]; invalid
-    rows have x = y = 2^20."""
+    ib_slots: (B, 7) int32 [x, y, mv0x, mv0y, mv1x, mv1y, dir] (+ col 7 =
+    frame index when nf > 1); invalid rows have x = y = 2^20."""
     (by, bcb, bcr, ly, lcb, lcr, sy, scb, scr, mtsp, lfnstp,
      cmodep, jccrp, sbtp) = carry
     cw, ch = w // 2, h // 2
     mx = (1 << bd) - 1
     crs_shift = _log2i(w) + _log2i(h)
+    slr, slrc, spy, spc, sp8 = _slab_strides(frame_h_s)
 
     def one(slot):
         x, y = slot[0], slot[1]
         m0x, m0y, m1x, m1y, d = slot[2], slot[3], slot[4], slot[5], slot[6]
+        fidx = slot[7] if nf > 1 else 0
+        oR = fidx * slr
+        oRc = fidx * slrc
+        oP = fidx * spy
+        oPc = fidx * spc
 
         def bipred(ref0, ref1, px, py, pw, ph, luma):
             f = mc.mc_luma_block if luma else mc.mc_chroma_block
             ox = rox if luma else rox // 2
-            oy = roy if luma else roy // 2
+            oy = (roy + oR) if luma else (roy // 2 + oRc)
             p0 = f(ref0, px + ox, py + oy, pw, m0x, m0y, bd, h=ph)
             p1 = f(ref1, px + ox, py + oy, pw, m1x, m1y, bd, h=ph)
             avg = jnp.minimum((p0 + p1 + 1) >> 1, mx)
@@ -595,12 +609,12 @@ def _inter_batch_pass_rect(carry, ib_slots, refs, w: int, h: int, qp,
                                             dq=dq)
             return rec, lev
 
-        ry, lvy = comp(sy, pred_y, x, y, w, h)
+        ry, lvy = comp(sy, pred_y, x, oP + y, w, h)
         sc = None
         if crs_lut is not None:
             sc = crs_lut[ry.sum() >> crs_shift]
-        rcb, lvcb = comp(scb, pred_cb, x // 2, y // 2, cw, ch, sc)
-        rcr, lvcr = comp(scr, pred_cr, x // 2, y // 2, cw, ch, sc)
+        rcb, lvcb = comp(scb, pred_cb, x // 2, oPc + y // 2, cw, ch, sc)
+        rcr, lvcr = comp(scr, pred_cr, x // 2, oPc + y // 2, cw, ch, sc)
         return ry, rcb, rcr, lvy, lvcb, lvcr
 
     ry, rcb, rcr, lvy, lvcb, lvcr = jax.vmap(one)(ib_slots)
@@ -611,13 +625,20 @@ def _inter_batch_pass_rect(carry, ib_slots, refs, w: int, h: int, qp,
         return buf.at[yy, xx].set(blocks, mode="drop")
 
     xs, ys = ib_slots[:, 0], ib_slots[:, 1]
-    by = scatter(by, ry, xs, ys, w, h, 1)
-    bcb = scatter(bcb, rcb, xs // 2, ys // 2, cw, ch, 1)
-    bcr = scatter(bcr, rcr, xs // 2, ys // 2, cw, ch, 1)
+    if nf > 1:
+        fv = ib_slots[:, 7]
+        from ..pipeline.wave import _slabs as _wave_slabs
+        sly, slc, _spy2, _spc2, _sp82 = _wave_slabs(frame_h_s)
+        oLv, oCv, oPv, oPcv = fv * sly, fv * slc, fv * spy, fv * spc
+    else:
+        oLv = oCv = oPv = oPcv = 0
+    by = scatter(by, ry, xs, oLv + ys, w, h, 1)
+    bcb = scatter(bcb, rcb, xs // 2, oCv + ys // 2, cw, ch, 1)
+    bcr = scatter(bcr, rcr, xs // 2, oCv + ys // 2, cw, ch, 1)
     if encode:
-        ly = scatter(ly, lvy, xs, ys, w, h, 0)
-        lcb = scatter(lcb, lvcb, xs // 2, ys // 2, cw, ch, 0)
-        lcr = scatter(lcr, lvcr, xs // 2, ys // 2, cw, ch, 0)
+        ly = scatter(ly, lvy, xs, oPv + ys, w, h, 0)
+        lcb = scatter(lcb, lvcb, xs // 2, oPcv + ys // 2, cw, ch, 0)
+        lcr = scatter(lcr, lvcr, xs // 2, oPcv + ys // 2, cw, ch, 0)
     return (by, bcb, bcr, ly, lcb, lcr, sy, scb, scr, mtsp, lfnstp, cmodep,
             jccrp, sbtp)
 
@@ -628,13 +649,14 @@ def _inter_batch_pass(carry, ib_slots, refs, s: int, qp, bd: int,
                       dmvr: bool = False, bdof: bool = False,
                       sbt: bool = False, crs_lut=None, gpm: bool = False,
                       affine: bool = False, dq: bool = False, rox=0,
-                      roy=0):
+                      roy=0, nf: int = 1, frame_h_s: int = 0):
     """Phase A: all inter s-leaves at once (no intra-frame dependency).
 
     ib_slots: (B, 13) int32 [x, y, mv0x, mv0y, mv1x, mv1y, dir, bcw_idx,
-    sbt_idx, gpm_idx, aff, admvx, admvy]; invalid rows have x = y = 2^20
-    (positive out-of-bounds: their scatter indices are dropped).  refs:
-    (l0_y, ..., l1_cr)."""
+    sbt_idx, gpm_idx, aff, admvx, admvy] (+ col 13 = frame index when
+    nf > 1); invalid rows have x = y = 2^20 (positive out-of-bounds: their
+    scatter indices are dropped).  refs: (l0_y, ..., l1_cr), frame-slab
+    stacked in batch mode."""
     from ..spec.inter import BCW_DEFAULT, BCW_W
     (by, bcb, bcr, ly, lcb, lcr, sy, scb, scr, mtsp, lfnstp,
      cmodep, jccrp, sbtp) = carry
@@ -647,9 +669,17 @@ def _inter_batch_pass(carry, ib_slots, refs, s: int, qp, bd: int,
                                    rom.gpm_masks_all(s)])
         gmask = jnp.asarray(gmask_np)
 
+    slr, slrc, spy, spc, sp8 = _slab_strides(frame_h_s)
+
     def one(slot):
         x, y = slot[0], slot[1]
-        fx, fy = x + rox, y + roy          # frame coords for MC gathers
+        fidx = slot[13] if nf > 1 else 0
+        oR = fidx * slr
+        oRc = fidx * slrc
+        oP = fidx * spy
+        oPc = fidx * spc
+        fx, fy = x + rox, y + roy + oR     # frame coords for MC gathers
+        fyc = (y + roy) // 2 + oRc         # chroma-plane row coord
         m0x, m0y, m1x, m1y, d = slot[2], slot[3], slot[4], slot[5], slot[6]
         w = bcw_w[jnp.clip(slot[7], 0, 2)]
         eqw = slot[7] == BCW_DEFAULT
@@ -676,7 +706,7 @@ def _inter_batch_pass(carry, ib_slots, refs, s: int, qp, bd: int,
         def bipred(ref0, ref1, px, py, sz, luma):
             f = mc.mc_luma_block if luma else mc.mc_chroma_block
             ox = rox if luma else rox // 2
-            oy = roy if luma else roy // 2
+            oy = (roy + oR) if luma else (roy // 2 + oRc)
             p0 = f(ref0, px + ox, py + oy, sz, m0x, m0y, bd)
             p1 = f(ref1, px + ox, py + oy, sz, m1x, m1y, bd)
             return jnp.where(d == 0, p0,
@@ -727,11 +757,11 @@ def _inter_batch_pass(carry, ib_slots, refs, s: int, qp, bd: int,
                     cs2 = sub // 2
                     for ci, (r0c, r1c) in enumerate(((refs[1], refs[4]),
                                                      (refs[2], refs[5]))):
-                        c0 = mc.mc_chroma_block(r0c, (fx + sx0) // 2,
-                                                (fy + sy0) // 2, cs2, a0x,
+                        c0 = mc.mc_chroma_block(r0c, (x + rox + sx0) // 2,
+                                                fyc + sy0 // 2, cs2, a0x,
                                                 a0y, bd)
-                        c1 = mc.mc_chroma_block(r1c, (fx + sx0) // 2,
-                                                (fy + sy0) // 2, cs2, a1x,
+                        c1 = mc.mc_chroma_block(r1c, (x + rox + sx0) // 2,
+                                                fyc + sy0 // 2, cs2, a1x,
                                                 a1y, bd)
                         cblk = jnp.where(
                             d == 0, c0,
@@ -758,9 +788,9 @@ def _inter_batch_pass(carry, ib_slots, refs, s: int, qp, bd: int,
             def aff3(ry, rcb, rcr):
                 ay = mc.affine_pred_luma_j(ry, fx, fy, s, bmx, bmy, amx,
                                            amy, bd)
-                acb = mc.affine_pred_chroma_j(rcb, fx // 2, fy // 2, cs,
+                acb = mc.affine_pred_chroma_j(rcb, (x + rox) // 2, fyc, cs,
                                               bmx, bmy, amx, amy, s, bd)
-                acr = mc.affine_pred_chroma_j(rcr, fx // 2, fy // 2, cs,
+                acr = mc.affine_pred_chroma_j(rcr, (x + rox) // 2, fyc, cs,
                                               bmx, bmy, amx, amy, s, bd)
                 return ay, acb, acr
 
@@ -804,24 +834,24 @@ def _inter_batch_pass(carry, ib_slots, refs, s: int, qp, bd: int,
             # SBT RD / reconstruct on the luma TB (twin of spec
             # _prep_inter_enc's choose_sbt + _code_component's SBT path)
             if encode:
-                blk = jax.lax.dynamic_slice(sy, (y, x),
+                blk = jax.lax.dynamic_slice(sy, (oP + y, x),
                                             (s, s)).astype(jnp.int32)
                 sidx, lvy, rres = transform.choose_sbt_j(
                     blk - pred_y, s, qp, lam_rd, bd=bd, rdoq=rdoq, dq=dq)
             else:
                 sidx = slot[8]
-                lvy = jax.lax.dynamic_slice(sy, (y, x), (s, s))
+                lvy = jax.lax.dynamic_slice(sy, (oP + y, x), (s, s))
                 rres = transform.sbt_resi_j(lvy, sidx, s, qp, bd, dq=dq)
             ry = jnp.clip(pred_y + rres, 0, mx)
         else:
             sidx = jnp.int32(0)
-            ry, lvy = comp(sy, pred_y, x, y, s)
+            ry, lvy = comp(sy, pred_y, x, oP + y, s)
         sc = None
         if crs_lut is not None:
             # CRS: slope at the leaf's avg reconstructed mapped luma
             sc = crs_lut[ry.sum() >> _CRS_SHIFT[s]]
-        rcb, lvcb = comp(scb, pred_cb, x // 2, y // 2, cs, sc)
-        rcr, lvcr = comp(scr, pred_cr, x // 2, y // 2, cs, sc)
+        rcb, lvcb = comp(scb, pred_cb, x // 2, oPc + y // 2, cs, sc)
+        rcr, lvcr = comp(scr, pred_cr, x // 2, oPc + y // 2, cs, sc)
         return ry, rcb, rcr, lvy, lvcb, lvcr, sidx
 
     ry, rcb, rcr, lvy, lvcb, lvcr, sidxs = jax.vmap(one)(ib_slots)
@@ -833,15 +863,23 @@ def _inter_batch_pass(carry, ib_slots, refs, s: int, qp, bd: int,
         return buf.at[yy, xx].set(blocks, mode="drop")
 
     xs, ys = ib_slots[:, 0], ib_slots[:, 1]
-    by = scatter(by, ry, xs, ys, s, 1)
-    bcb = scatter(bcb, rcb, xs // 2, ys // 2, cs, 1)
-    bcr = scatter(bcr, rcr, xs // 2, ys // 2, cs, 1)
+    if nf > 1:
+        fv = ib_slots[:, 13]
+        from ..pipeline.wave import _slabs as _wave_slabs
+        sly, slc, _s1, _s2, _s3 = _wave_slabs(frame_h_s)
+        oLv, oCv, oPv, oPcv, o8v = (fv * sly, fv * slc, fv * spy,
+                                    fv * spc, fv * sp8)
+    else:
+        oLv = oCv = oPv = oPcv = o8v = 0
+    by = scatter(by, ry, xs, oLv + ys, s, 1)
+    bcb = scatter(bcb, rcb, xs // 2, oCv + ys // 2, cs, 1)
+    bcr = scatter(bcr, rcr, xs // 2, oCv + ys // 2, cs, 1)
     if encode:
-        ly = scatter(ly, lvy, xs, ys, s, 0)
-        lcb = scatter(lcb, lvcb, xs // 2, ys // 2, cs, 0)
-        lcr = scatter(lcr, lvcr, xs // 2, ys // 2, cs, 0)
+        ly = scatter(ly, lvy, xs, oPv + ys, s, 0)
+        lcb = scatter(lcb, lvcb, xs // 2, oPcv + ys // 2, cs, 0)
+        lcr = scatter(lcr, lvcr, xs // 2, oPcv + ys // 2, cs, 0)
         if sbt:
-            sbtp = sbtp.at[ys // 8, xs // 8].set(sidxs, mode="drop")
+            sbtp = sbtp.at[o8v + ys // 8, xs // 8].set(sidxs, mode="drop")
     return (by, bcb, bcr, ly, lcb, lcr, sy, scb, scr, mtsp, lfnstp, cmodep,
             jccrp, sbtp)
 

@@ -650,12 +650,14 @@ def _plt_batch(carry, rows, plt_y, plt_cb, plt_cr, *, s, nf=1, frame_h=0):
             cmodep, jccrp, sbtp)
 
 
-_CIIP_STATICS = ("s", "frame_w", "frame_h", "bd", "encode", "rdoq", "dq")
+_CIIP_STATICS = ("s", "frame_w", "frame_h", "bd", "encode", "rdoq", "dq",
+                 "nf")
 
 
 @functools.partial(jax.jit, static_argnames=_CIIP_STATICS)
 def _ciip_batch(carry, rows, refs, qp, lam_rd, fwd_lut, crs_lut, rox, roy,
-                *, s, frame_w, frame_h, bd, encode, rdoq, dq):
+                *, s, frame_w, frame_h, bd, encode, rdoq, dq, nf=1):
+    from ..pipeline.recon import _slab_strides
     by, bcb, bcr = carry[0], carry[1], carry[2]
     sy, scb, scr = carry[6], carry[7], carry[8]
     n_ctu_x = frame_w // 64
@@ -663,28 +665,33 @@ def _ciip_batch(carry, rows, refs, qp, lam_rd, fwd_lut, crs_lut, rox, roy,
     mx = (1 << bd) - 1
     lam32 = jnp.asarray(lam_rd, jnp.int32)
     bcw_w = jnp.asarray(np.asarray(BCW_W, np.int32))
+    slr, slrc, _spy, _spc, _sp8 = _slab_strides(frame_h)
 
     def one(row):
         x, y = row[1], row[2]
         mvx, mvy, m1x, m1y = row[4], row[5], row[11], row[12]
         dd, wdx = row[13], row[14]
+        oL, oC, oP, oPc, _o8 = _row_offs(row, nf, frame_h)
+        fidx = row[16] if nf > 1 else 0
+        oR = fidx * slr
+        oRc = fidx * slrc
         w = bcw_w[jnp.clip(wdx, 0, 2)]
 
         def mcpred(r0, r1, px, py, sz, luma):
             f = mc.mc_luma_block if luma else mc.mc_chroma_block
             ox = rox if luma else rox // 2
-            oy = roy if luma else roy // 2
+            oy = (roy + oR) if luma else (roy // 2 + oRc)
             p0 = f(r0, px + ox, py + oy, sz, mvx, mvy, bd)
             p1 = f(r1, px + ox, py + oy, sz, m1x, m1y, bd)
             avg = jnp.clip((w * p0 + (8 - w) * p1 + 4) >> 3, 0, mx)
             return jnp.where(dd == 0, p0, jnp.where(dd == 1, p1, avg))
 
-        def blend(mc_p, buf, px, py, sz, luma):
+        def blend(mc_p, buf, px, py, sz, luma, yo):
             top, left = intra_pred.build_references(
                 buf, px, py, s=sz, is_luma=luma,
                 frame_w=frame_w if luma else frame_w // 2,
                 frame_h=frame_h if luma else frame_h // 2,
-                n_ctu_x=n_ctu_x, bd=bd)
+                n_ctu_x=n_ctu_x, bd=bd, y_off=yo)
             pl = intra_pred.predict(top, left, jnp.int32(rom.PLANAR_IDX),
                                     s=sz, is_luma=luma, bd=bd)
             return jnp.clip((mc_p + pl + 1) >> 1, 0, mx)
@@ -692,26 +699,28 @@ def _ciip_batch(carry, rows, refs, qp, lam_rd, fwd_lut, crs_lut, rox, roy,
         pred_y = mcpred(refs[0], refs[3], x, y, s, True)
         if fwd_lut is not None:
             pred_y = jnp.take(fwd_lut, pred_y)
-        pred_y = blend(pred_y, by, x, y, s, True)
+        pred_y = blend(pred_y, by, x, y, s, True, oL)
         pred_cb = blend(mcpred(refs[1], refs[4], x // 2, y // 2, cs, False),
-                        bcb, x // 2, y // 2, cs, False)
+                        bcb, x // 2, y // 2, cs, False, oC)
         pred_cr = blend(mcpred(refs[2], refs[5], x // 2, y // 2, cs, False),
-                        bcr, x // 2, y // 2, cs, False)
-        rec_y, lev_y = _comp_local(sy, pred_y, x, y, s, s, qp, bd, encode,
-                                   rdoq, lam32, dq)
+                        bcr, x // 2, y // 2, cs, False, oC)
+        rec_y, lev_y = _comp_local(sy, pred_y, x, oP + y, s, s, qp, bd,
+                                   encode, rdoq, lam32, dq)
         sc = None
         if crs_lut is not None:
             sc = crs_lut[rec_y.sum() >> _CRS_SHIFT[s]]
-        rcb, lev_cb = _comp_local(scb, pred_cb, x // 2, y // 2, cs, cs, qp,
-                                  bd, encode, rdoq, lam32, dq, crs_sc=sc)
-        rcr, lev_cr = _comp_local(scr, pred_cr, x // 2, y // 2, cs, cs, qp,
-                                  bd, encode, rdoq, lam32, dq, crs_sc=sc)
+        rcb, lev_cb = _comp_local(scb, pred_cb, x // 2, oPc + y // 2, cs,
+                                  cs, qp, bd, encode, rdoq, lam32, dq,
+                                  crs_sc=sc)
+        rcr, lev_cr = _comp_local(scr, pred_cr, x // 2, oPc + y // 2, cs,
+                                  cs, qp, bd, encode, rdoq, lam32, dq,
+                                  crs_sc=sc)
         return (rec_y, lev_y, rcb, lev_cb, rcr, lev_cr, jnp.int32(0),
                 jnp.int32(0), jnp.int32(0), jnp.int32(0))
 
     outs = jax.vmap(one)(rows)
     return _apply_sq(carry, rows, outs, s, encode, planes=False,
-                     chroma_flags=False)
+                     chroma_flags=False, nf=nf, frame_h=frame_h)
 
 
 # ---------------------------------------------------------------------------
@@ -906,26 +915,21 @@ def frame_wave(slots, planes_y, planes_cb, planes_cr, *, frame_w: int,
     rox = jnp.asarray(ref_off_x, jnp.int32)
     roy = jnp.asarray(ref_off_y, jnp.int32)
     if inter_enabled:
-        for s_sz, ib in ((8, inter8), (16, inter16), (32, inter32)):
-            carry = recon._inter_batch_pass(
-                carry, ib, refs, s_sz, qp, bd, encode, frame_w, frame_h,
-                rdoq, jnp.asarray(lam_rd, jnp.int32),
-                fwd_lut if lmcs else None, dmvr=dmvr, bdof=bdof, sbt=sbt,
-                crs_lut=crs_lut if lmcs else None, gpm=gpm, affine=affine,
-                dq=dq, rox=rox, roy=roy)
-        if mtt:
-            for (rw, rh), ib in (((16, 8), rect16x8), ((8, 16), rect8x16),
-                                 ((32, 16), rect32x16),
-                                 ((16, 32), rect16x32),
-                                 ((32, 8), rect32x8), ((8, 32), rect8x32)):
-                if ib is None:
-                    continue
-                carry = recon._inter_batch_pass_rect(
-                    carry, ib, refs, rw, rh, qp, bd, encode, rdoq,
-                    jnp.asarray(lam_rd, jnp.int32),
-                    fwd_lut if lmcs else None,
-                    crs_lut=crs_lut if lmcs else None, dq=dq,
-                    rox=rox, roy=roy)
+        rect_all = (((16, 8), rect16x8), ((8, 16), rect8x16),
+                    ((32, 16), rect32x16), ((16, 32), rect16x32),
+                    ((32, 8), rect32x8), ((8, 32), rect8x32))
+        rect_list = tuple(sh for sh, ib in rect_all
+                          if mtt and ib is not None)
+        rects = tuple(jnp.asarray(ib) for sh, ib in rect_all
+                      if mtt and ib is not None)
+        carry = _phase_a_jit(
+            carry, (jnp.asarray(inter8), jnp.asarray(inter16),
+                    jnp.asarray(inter32)), rects, refs, np.int32(qp),
+            np.int32(lam_rd), fwd_lut, crs_lut, rox, roy,
+            s_list=(8, 16, 32), rect_list=rect_list, frame_w=frame_w,
+            frame_h=frame_h, bd=bd, encode=encode, rdoq=rdoq, dmvr=dmvr,
+            bdof=bdof, sbt=sbt, gpm=gpm, affine=affine, dq=dq, lmcs=lmcs,
+            nf=1)
 
     crs = crs_lut if lmcs else None
     import os
@@ -969,7 +973,9 @@ def frame_wave(slots, planes_y, planes_cb, planes_cr, *, frame_w: int,
                     rdoq=rdoq, dq=dq)
             else:  # pragma: no cover
                 raise AssertionError(cls)
-    else:
+    elif os.environ.get("VVCTPU_SWITCH_SCAN"):
+        # legacy fused lax.switch engine (A/B reference; each switch
+        # execution costs ~0.6 ms of conditional buffer traffic on TPU)
         classes = _fused_classes(isp=isp, mtt=mtt, ibc=ibc,
                                  plt=plt_y is not None,
                                  ciip=ciip and inter_enabled)
@@ -984,6 +990,25 @@ def frame_wave(slots, planes_y, planes_cb, planes_cr, *, frame_w: int,
             classes=classes, frame_w=frame_w, frame_h=frame_h, bd=bd,
             encode=encode, mts=mts, lfnst=lfnst, cclm=cclm, rdoq=rdoq,
             mip=mip, tskip=tskip, jccr=jccr, dq=dq)
+    else:
+        # switch-free uniform-step engine (default)
+        all_classes = _fused_classes(isp=isp, mtt=mtt, ibc=ibc,
+                                     plt=plt_y is not None,
+                                     ciip=ciip and inter_enabled)
+        classes = tuple(c for c in all_classes if c[0] != "nop")
+        kmap = _uniform_kmap(classes, 1, frame_h * frame_w)
+        _n, rows_map = _uniform_schedule([slots_np], frame_h, frame_w,
+                                         classes, kmap)
+        plt_planes = ((jnp.asarray(plt_y), jnp.asarray(plt_cb),
+                       jnp.asarray(plt_cr)) if plt_y is not None
+                      else (jnp.zeros((1, 1), jnp.int32),) * 3)
+        carry = _uniform_scan(
+            carry, tuple(jnp.asarray(rows_map[c]) for c in classes),
+            np.int32(qp), np.int32(lam_rd), crs,
+            fwd_lut if lmcs else None, refs, rox, roy, plt_planes,
+            classes=classes, frame_w=frame_w, frame_h=frame_h, bd=bd,
+            encode=encode, mts=mts, lfnst=lfnst, cclm=cclm, rdoq=rdoq,
+            mip=mip, tskip=tskip, jccr=jccr, dq=dq, nf=1)
 
     by, bcb, bcr, ly, lcb, lcr = carry[:6]
     return (by[1:frame_h + 1, 1:frame_w + 1],
@@ -1086,7 +1111,10 @@ def frame_wave_batch(frames_in, *, frame_w: int, frame_h: int, qp, bd: int,
                      mip: bool = False, tskip: bool = False,
                      jccr: bool = False, crs_lut=None, isp: bool = False,
                      dq: bool = False, mtt: bool = False,
-                     ibc: bool = False, **_unused):
+                     ibc: bool = False, ciip: bool = False,
+                     dmvr: bool = False, bdof: bool = False,
+                     sbt: bool = False, gpm: bool = False,
+                     affine: bool = False, **_unused):
     """Batched intra-frame wavefront over F independent frames.
 
     frames_in: list of dicts {slots, py, pcb, pcr [, plt (3 planes)]}.
@@ -1096,14 +1124,19 @@ def frame_wave_batch(frames_in, *, frame_w: int, frame_h: int, qp, bd: int,
     frames coded with the same slice toolset; per-frame LMCS models fall
     back to single-frame calls.  Returns a list of per-frame 11-tuples
     exactly like frame_wave."""
+    from . import plan as planmod
+    from . import recon as reconmod
     F = len(frames_in)
     sly, slc, spy, spc, sp8 = _slabs(frame_h)
     h2, w2 = frame_h // 2, frame_w // 2
     has_plt = any(fr.get("plt") is not None for fr in frames_in)
-    classes = _fused_classes(isp=isp, mtt=mtt, ibc=ibc, plt=has_plt,
-                             ciip=False)
-    wcls, wrows = _fused_schedule_batch(
-        [fr["slots"] for fr in frames_in], frame_h, frame_w, classes)
+    inter_enabled = any(fr.get("refs") is not None for fr in frames_in)
+    all_classes = _fused_classes(isp=isp, mtt=mtt, ibc=ibc, plt=has_plt,
+                                 ciip=ciip and inter_enabled)
+    classes = tuple(c for c in all_classes if c[0] != "nop")
+    kmap = _uniform_kmap(classes, F, frame_h * frame_w)
+    _n, rows_map = _uniform_schedule(
+        [fr["slots"] for fr in frames_in], frame_h, frame_w, classes, kmap)
 
     def stackp(key, hh):
         return jnp.asarray(np.concatenate(
@@ -1133,11 +1166,35 @@ def frame_wave_batch(frames_in, *, frame_w: int, frame_h: int, qp, bd: int,
         plt_planes = (jnp.zeros((1, 1), jnp.int32),) * 3
     z = jnp.zeros((1, 1), jnp.int32)
     refs = (z, z, z, z, z, z)
+    if inter_enabled:
+        refs = tuple(jnp.asarray(np.concatenate(
+            [np.asarray(fr["refs"][i]) for fr in frames_in]))
+            for i in range(6))
+
+        # phase A: all frames' inter leaves of a size in ONE batched pass
+        inters = tuple(jnp.asarray(np.concatenate(
+            [np.concatenate([fr["inter"][s_sz],
+                             np.full((fr["inter"][s_sz].shape[0], 1), f,
+                                     np.int32)], axis=1)
+             for f, fr in enumerate(frames_in)])) for s_sz in (8, 16, 32))
+        rect_list = tuple(planmod.RECT_SHAPES) if mtt else ()
+        rects = tuple(jnp.asarray(np.concatenate(
+            [np.concatenate([fr["rect"][sh],
+                             np.full((fr["rect"][sh].shape[0], 1), f,
+                                     np.int32)], axis=1)
+             for f, fr in enumerate(frames_in)])) for sh in rect_list)
+        carry = _phase_a_jit(
+            carry, inters, rects, refs, np.int32(qp), np.int32(lam_rd),
+            fwd_lut, crs_lut, jnp.int32(0), jnp.int32(0),
+            s_list=(8, 16, 32), rect_list=rect_list, frame_w=frame_w,
+            frame_h=frame_h, bd=bd, encode=encode, rdoq=rdoq, dmvr=dmvr,
+            bdof=bdof, sbt=sbt, gpm=gpm, affine=affine, dq=dq, lmcs=lmcs,
+            nf=F)
     crs = crs_lut if lmcs else None
-    carry = _fused_scan(
-        carry, jnp.asarray(wcls), jnp.asarray(wrows), np.int32(qp),
-        np.int32(lam_rd), crs, fwd_lut if lmcs else None, refs,
-        jnp.int32(0), jnp.int32(0), plt_planes, classes=classes,
+    carry = _uniform_scan(
+        carry, tuple(jnp.asarray(rows_map[c]) for c in classes),
+        np.int32(qp), np.int32(lam_rd), crs, fwd_lut if lmcs else None,
+        refs, jnp.int32(0), jnp.int32(0), plt_planes, classes=classes,
         frame_w=frame_w, frame_h=frame_h, bd=bd, encode=encode, mts=mts,
         lfnst=lfnst, cclm=cclm, rdoq=rdoq, mip=mip, tskip=tskip,
         jccr=jccr, dq=dq, nf=F)
@@ -1155,3 +1212,190 @@ def frame_wave_batch(frames_in, *, frame_w: int, frame_h: int, qp, bd: int,
             carry[11][o8:o8 + sp8], carry[12][o8:o8 + sp8],
             carry[13][o8:o8 + sp8]))
     return outs
+
+
+# ---------------------------------------------------------------------------
+# switch-free "uniform step" engine: profiling showed each lax.switch
+# execution inside the fused scan costs ~0.6 ms (conditional buffer
+# traffic), 5x the actual leaf-batch compute (~0.13 ms).  Here every scan
+# step unconditionally applies ONE fixed-width sub-batch of EVERY enabled
+# leaf class — leaves at the same dependency level are mutually
+# independent by construction (a dependency forces level+1), so the
+# in-step class order is irrelevant; absent classes ride as dummy rows
+# (x = y = 2^20, scatter-dropped).  Steps per level = max over classes of
+# that level's chunk count.  Works single-frame and frame-batched.
+# ---------------------------------------------------------------------------
+
+
+def _uniform_kmap(classes, F: int, px: int):
+    """Static per-class chunk widths: the square-intra classes carry most
+    leaves; everything else is rare.  Scaled by the frame-batch factor F
+    and frame size, pow-2, capped (VMEM)."""
+    base = 4 if px <= (1 << 18) else 8 if px <= (1 << 20) else 16
+
+    def pow2(v, cap):
+        k = 1
+        while k < min(cap, v):
+            k *= 2
+        return k
+
+    kmap = {}
+    for cls in classes:
+        kind = cls[0]
+        if kind == "nop":
+            continue
+        if kind == "intra":
+            kmap[cls] = pow2(base * F, 32)
+        else:
+            kmap[cls] = pow2(max(2, base // 2) * F, 16)
+    return kmap
+
+
+def _uniform_schedule(slot_list, frame_h, frame_w, classes, kmap):
+    """Per-class stacked row tensors for the uniform engine.
+
+    Returns (n_steps, {cls: (n_steps, K_cls, 17) int32}).  Rows carry the
+    frame index in column 16 (0 when single-frame)."""
+    per_level: dict = {}
+    for f, s16 in enumerate(slot_list):
+        lv = _levels_c(s16, frame_h, frame_w)
+        if lv is None:
+            lv = _levels_py(s16, frame_h, frame_w)
+        sel = np.nonzero(lv > 0)[0]
+        ops = s16[sel, 0]
+        ips = np.where((ops >= 1) & (ops <= 3), s16[sel, 15], 0)
+        W, H, _, KIND = _OPT
+        kind = np.where(ips > 0, _KIND_RANK["isp"], KIND[ops])
+        d = np.where(ips > 0, ips, 0)
+        inv_kind = {v: k for k, v in _KIND_RANK.items()}
+        rows = np.concatenate(
+            [s16[sel], np.full((sel.size, 1), f, np.int32)], axis=1)
+        lvv = lv[sel]
+        key = (kind.astype(np.int64) << 24) | (W[ops].astype(np.int64)
+                                               << 16) \
+            | (H[ops].astype(np.int64) << 8) | d.astype(np.int64)
+        for lvl in np.unique(lvv):
+            m = lvv == lvl
+            for k in np.unique(key[m]):
+                cls = (inv_kind[(int(k) >> 24) & 0xFF],
+                       (int(k) >> 16) & 0xFF, (int(k) >> 8) & 0xFF,
+                       int(k) & 0xFF)
+                per_level.setdefault(int(lvl), {}).setdefault(
+                    cls, []).append(rows[m & (key == k)])
+    for cls_groups in per_level.values():
+        for cls in cls_groups:
+            if cls not in kmap:
+                raise ValueError(
+                    f"uniform schedule has class {cls!r} but its tool "
+                    f"flag is off (enabled: {list(kmap)})")
+    # lay levels out into steps
+    steps_rows = {cls: [] for cls in kmap}
+    for lvl in sorted(per_level):
+        groups = {c: np.concatenate(v) for c, v in per_level[lvl].items()}
+        n_sub = max(-(-g.shape[0] // kmap[c]) for c, g in groups.items())
+        for i in range(n_sub):
+            for cls, K in kmap.items():
+                g = groups.get(cls)
+                chunk = (g[i * K:(i + 1) * K] if g is not None
+                         else np.zeros((0, 17), np.int32))
+                if chunk.shape[0] < K:
+                    pad = np.zeros((K - chunk.shape[0], 17), np.int32)
+                    pad[:, 1] = pad[:, 2] = 1 << 20
+                    chunk = np.concatenate([chunk, pad], axis=0)
+                steps_rows[cls].append(chunk)
+    n = len(next(iter(steps_rows.values()))) if steps_rows else 0
+    n_pad = _STEP_PAD
+    while n_pad < n:
+        n_pad *= 2
+    for cls, K in kmap.items():
+        dummy = np.zeros((K, 17), np.int32)
+        dummy[:, 1] = dummy[:, 2] = 1 << 20
+        steps_rows[cls].extend([dummy] * (n_pad - n))
+    return n_pad, {c: np.stack(v).astype(np.int32)
+                   for c, v in steps_rows.items()}
+
+
+_PHASE_A_STATICS = ("s_list", "rect_list", "frame_w", "frame_h", "bd",
+                    "encode", "rdoq", "dmvr", "bdof", "sbt", "gpm",
+                    "affine", "dq", "lmcs", "nf")
+
+
+@functools.partial(jax.jit, static_argnames=_PHASE_A_STATICS)
+def _phase_a_jit(carry, inters, rects, refs, qp, lam_rd, fwd_lut, crs_lut,
+                 rox, roy, *, s_list, rect_list, frame_w, frame_h, bd,
+                 encode, rdoq, dmvr, bdof, sbt, gpm, affine, dq, lmcs,
+                 nf=1):
+    """All phase-A inter passes under ONE jit (they ran eagerly before —
+    hundreds of per-op dispatches per frame)."""
+    lam32 = jnp.asarray(lam_rd, jnp.int32)
+    for ib, s_sz in zip(inters, s_list):
+        carry = recon._inter_batch_pass(
+            carry, ib, refs, s_sz, qp, bd, encode, frame_w, frame_h,
+            rdoq, lam32, fwd_lut if lmcs else None, dmvr=dmvr, bdof=bdof,
+            sbt=sbt, crs_lut=crs_lut if lmcs else None, gpm=gpm,
+            affine=affine, dq=dq, rox=rox, roy=roy, nf=nf,
+            frame_h_s=frame_h)
+    for ib, (rw, rh) in zip(rects, rect_list):
+        carry = recon._inter_batch_pass_rect(
+            carry, ib, refs, rw, rh, qp, bd, encode, rdoq, lam32,
+            fwd_lut if lmcs else None,
+            crs_lut=crs_lut if lmcs else None, dq=dq, rox=rox, roy=roy,
+            nf=nf, frame_h_s=frame_h)
+    return carry
+
+
+_UNIFORM_STATICS = ("classes", "frame_w", "frame_h", "bd", "encode", "mts",
+                    "lfnst", "cclm", "rdoq", "mip", "tskip", "jccr", "dq",
+                    "nf")
+
+
+@functools.partial(jax.jit, static_argnames=_UNIFORM_STATICS)
+def _uniform_scan(carry, rows_per_cls, qp, lam_rd, crs_lut, fwd_lut, refs,
+                  rox, roy, plt_planes, *, classes, frame_w, frame_h, bd,
+                  encode, mts, lfnst, cclm, rdoq, mip, tskip, jccr, dq,
+                  nf=1):
+    """lax.scan over uniform steps; rows_per_cls: tuple of (n, K_c, 17)
+    tensors aligned with ``classes`` (no nop entry)."""
+    qp32 = jnp.asarray(qp, jnp.int32)
+    lam32 = jnp.asarray(lam_rd, jnp.int32)
+
+    def apply_cls(c, cls, r):
+        kind, w, h, d = cls
+        if kind == "intra":
+            return _intra_batch.__wrapped__(
+                c, r, qp32, lam32, crs_lut, s=w, frame_w=frame_w,
+                frame_h=frame_h, bd=bd, encode=encode, mts=mts,
+                lfnst=lfnst, cclm=cclm, rdoq=rdoq, mip=mip, tskip=tskip,
+                jccr=jccr, dq=dq, nf=nf)
+        if kind == "isp":
+            return _isp_batch.__wrapped__(
+                c, r, qp32, lam32, crs_lut, s=w, d=d, frame_w=frame_w,
+                frame_h=frame_h, bd=bd, encode=encode, cclm=cclm,
+                rdoq=rdoq, jccr=jccr, dq=dq, nf=nf)
+        if kind == "rect":
+            return _rect_batch.__wrapped__(
+                c, r, qp32, lam32, crs_lut, w=w, h=h, frame_w=frame_w,
+                frame_h=frame_h, bd=bd, encode=encode, rdoq=rdoq, dq=dq,
+                nf=nf)
+        if kind == "ibc":
+            return _ibc_batch.__wrapped__(
+                c, r, qp32, lam32, s=w, frame_w=frame_w, frame_h=frame_h,
+                bd=bd, encode=encode, rdoq=rdoq, dq=dq, nf=nf)
+        if kind == "plt":
+            return _plt_batch.__wrapped__(
+                c, r, plt_planes[0], plt_planes[1], plt_planes[2], s=w,
+                nf=nf, frame_h=frame_h)
+        if kind == "ciip":
+            return _ciip_batch.__wrapped__(
+                c, r, refs, qp32, lam32, fwd_lut, crs_lut, rox, roy, s=w,
+                frame_w=frame_w, frame_h=frame_h, bd=bd, encode=encode,
+                rdoq=rdoq, dq=dq, nf=nf)
+        raise AssertionError(kind)    # pragma: no cover
+
+    def step(c, xs):
+        for cls, r in zip(classes, xs):
+            c = apply_cls(c, cls, r)
+        return c, None
+
+    carry, _ = jax.lax.scan(step, carry, rows_per_cls)
+    return carry

@@ -100,12 +100,23 @@ def gop_plan(n_frames: int, intra_period: int, gop: int):
         return poc == 0 or (ip == 1) or (ip > 1 and poc % ip == 0)
 
     def subdivide(lo, hi, tid):
-        if hi - lo < 2:
-            return
-        mid = (lo + hi) // 2
-        out.append((mid, hls.SLICE_B, (lo, hi), min(tid, 5)))
-        subdivide(lo, mid, tid + 1)
-        subdivide(mid, hi, tid + 1)
+        # breadth-first: each temporal layer's B pictures are CONSECUTIVE
+        # in coding order, so they form one frame-batched wavefront group
+        # (pipeline/encoder._encode_b_group) — same reference structure as
+        # the depth-first order, only the emission order differs
+        level = [(lo, hi)]
+        t = tid
+        while level:
+            nxt = []
+            for (a, b) in level:
+                if b - a < 2:
+                    continue
+                mid = (a + b) // 2
+                out.append((mid, hls.SLICE_B, (a, b), min(t, 5)))
+                nxt.append((a, mid))
+                nxt.append((mid, b))
+            level = nxt
+            t += 1
 
     anchor = 0
     out.append((0, hls.SLICE_I, (), 0))
