@@ -26,3 +26,23 @@ _cache = _os.path.join(_os.path.dirname(_os.path.dirname(
 _os.makedirs(_cache, exist_ok=True)
 jax.config.update("jax_compilation_cache_dir", _cache)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+
+# ---------------------------------------------------------------------------
+# Quick tier: `python -m pytest -m quick` — a <10-min smoke set touching
+# every layer (core/bitstream, CABAC + native tier, transforms, one
+# end-to-end roundtrip, wave engines, shard invariance).  The full suite
+# stays the release gate.
+# ---------------------------------------------------------------------------
+import pytest as _pytest
+
+_QUICK_FILES = {
+    "test_core.py", "test_cabac.py", "test_native_residual.py",
+    "test_spec_tools.py", "test_streamtools.py", "test_filmgrain.py",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for it in items:
+        if it.fspath.basename in _QUICK_FILES:
+            it.add_marker(_pytest.mark.quick)

@@ -631,12 +631,14 @@ def decide_frame(orig_y: np.ndarray, qp: int, bd: int = 8,
         tt=tt, plt=plt))
 
 
-def decide_frame_p(orig_y: np.ndarray, ref_y: np.ndarray, qp: int,
+def decide_frame_p(orig_y: np.ndarray, ref_y, qp: int,
                    bd: int = 8, mip: bool = False,
                    mrl: bool = False, ciip: bool = False,
                    isp: bool = False, affine: bool = False,
-                   mtt: bool = False, tt: bool = False) -> FrameDecisions:
-    """Device-batched P-frame decisions (twin of spec decide_frame_p)."""
+                   mtt: bool = False, tt: bool = False,
+                   prepadded: bool = False) -> FrameDecisions:
+    """Device-batched P-frame decisions (twin of spec decide_frame_p).
+    prepadded: see decide_frame_b."""
     from ..spec.inter import ME_RANGE
     from . import me as jme
     h, w = orig_y.shape
@@ -646,12 +648,18 @@ def decide_frame_p(orig_y: np.ndarray, ref_y: np.ndarray, qp: int,
     buf[1:h + 1, 1:w + 1] = orig_y
     jbuf = jnp.asarray(buf)
     from ..spec.inter import REF_MARGIN
-    refp = np.pad(ref_y.astype(np.int32), ME_RANGE, mode="edge")
-    memaps = jme.me_pass(jnp.asarray(orig_y, jnp.int32), jnp.asarray(refp),
+    if prepadded:
+        refp80 = jnp.asarray(ref_y)
+        c = REF_MARGIN - ME_RANGE
+        refp = refp80[c:-c, c:-c]
+    else:
+        refp = jnp.asarray(np.pad(ref_y.astype(np.int32), ME_RANGE,
+                                  mode="edge"))
+        refp80 = jnp.asarray(np.pad(ref_y.astype(np.int32), REF_MARGIN,
+                                    mode="edge"))
+    memaps = jme.me_pass(jnp.asarray(orig_y, jnp.int32), refp,
                          np.int64(lam), frame_w=w, frame_h=h,
                          tt=tt and mtt)
-    refp80 = jnp.asarray(np.pad(ref_y.astype(np.int32), REF_MARGIN,
-                                mode="edge"))
     jorig = jnp.asarray(orig_y, jnp.int32)
 
     size_data = {}
@@ -775,14 +783,17 @@ def decide_frame_p(orig_y: np.ndarray, ref_y: np.ndarray, qp: int,
     return dec
 
 
-def decide_frame_b(orig_y: np.ndarray, ref0_y: np.ndarray,
-                   ref1_y: np.ndarray, qp: int, bd: int = 8,
-                   mip: bool = False, mrl: bool = False,
+def decide_frame_b(orig_y: np.ndarray, ref0_y, ref1_y, qp: int,
+                   bd: int = 8, mip: bool = False, mrl: bool = False,
                    bcw: bool = False, ciip: bool = False,
                    isp: bool = False, gpm: bool = False,
                    affine: bool = False, mtt: bool = False,
-                   tt: bool = False):
-    """Device-batched B-frame decisions (twin of spec decide_frame_b)."""
+                   tt: bool = False, prepadded: bool = False):
+    """Device-batched B-frame decisions (twin of spec decide_frame_b).
+
+    prepadded=True: ref0_y/ref1_y are REF_MARGIN-edge-padded luma planes
+    already on device (device-resident DPB) — the ME_RANGE pad is a crop
+    of the same edge padding, bit-identical to padding the raw plane."""
     from ..spec.inter import BCW_DEFAULT
     from ..spec.inter import ME_RANGE, REF_MARGIN
     from . import me as jme
@@ -794,10 +805,15 @@ def decide_frame_b(orig_y: np.ndarray, ref0_y: np.ndarray,
     jbuf = jnp.asarray(buf)
     jorig = jnp.asarray(orig_y, jnp.int32)
     refs = (ref0_y, ref1_y)
-    refp_me = [jnp.asarray(np.pad(r.astype(np.int32), ME_RANGE, mode="edge"))
-               for r in refs]
-    refp80 = [jnp.asarray(np.pad(r.astype(np.int32), REF_MARGIN,
-                                 mode="edge")) for r in refs]
+    if prepadded:
+        refp80 = [jnp.asarray(r) for r in refs]
+        c = REF_MARGIN - ME_RANGE
+        refp_me = [r[c:-c, c:-c] for r in refp80]
+    else:
+        refp_me = [jnp.asarray(np.pad(r.astype(np.int32), ME_RANGE,
+                                      mode="edge")) for r in refs]
+        refp80 = [jnp.asarray(np.pad(r.astype(np.int32), REF_MARGIN,
+                                     mode="edge")) for r in refs]
     memaps = [jme.me_pass(jorig, refp_me[i], np.int64(lam), frame_w=w,
                           frame_h=h, tt=tt and mtt) for i in range(2)]
 

@@ -152,15 +152,19 @@ def _deblock_jit(y, cb, cr, ver, hor, qp, bd: int):
     return oy, ocb, ocr
 
 
-def deblock_frame_j(planes, decisions, qp: int, bd: int = 8):
-    """Device twin of spec deblock.deblock_frame (bit-identical)."""
+def deblock_frame_j(planes, decisions, qp: int, bd: int = 8,
+                    fetch: bool = True):
+    """Device twin of spec deblock.deblock_frame (bit-identical).
+    fetch=False keeps the results on device (device-resident pipeline)."""
     from ..spec.deblock import edge_masks
     y, cb, cr = planes
-    h, w = np.asarray(y).shape
+    h, w = y.shape
     ver, hor = edge_masks(decisions, h, w)
     oy, ocb, ocr = _deblock_jit(jnp.asarray(y), jnp.asarray(cb),
                                 jnp.asarray(cr), jnp.asarray(ver),
                                 jnp.asarray(hor), jnp.int32(qp), bd)
+    if not fetch:
+        return [oy, ocb, ocr]
     from ..core import xfer
     return xfer.device_get([oy, ocb, ocr])   # one tunnel round trip
 
@@ -212,11 +216,12 @@ def _sao_jit(recs, tps, offs, bps, bd: int):
                  for c in range(3))
 
 
-def apply_sao_j(planes, params, ctu: int = 64, bd: int = 8):
+def apply_sao_j(planes, params, ctu: int = 64, bd: int = 8,
+                fetch: bool = True):
     """Device twin of spec sao.apply_sao (bit-identical)."""
     recs, tps, offs, bps = [], [], [], []
     for comp in range(3):
-        rec = np.asarray(planes[comp])
+        rec = planes[comp]
         h, w = rec.shape
         scale = 1 if comp == 0 else 2
         cs = ctu // scale
@@ -224,7 +229,7 @@ def apply_sao_j(planes, params, ctu: int = 64, bd: int = 8):
         def up(a):
             return np.kron(a, np.ones((cs, cs), a.dtype))[:h, :w]
 
-        recs.append(jnp.asarray(rec.astype(np.int32)))
+        recs.append(jnp.asarray(rec).astype(jnp.int32))
         tps.append(jnp.asarray(up(params.type[:, :, comp]).astype(np.int32)))
         offs.append(jnp.asarray(np.stack(
             [up(params.offsets[:, :, comp, i]).astype(np.int32)
@@ -232,6 +237,8 @@ def apply_sao_j(planes, params, ctu: int = 64, bd: int = 8):
         bps.append(jnp.asarray(
             up(params.band_pos[:, :, comp]).astype(np.int32)))
     out = _sao_jit(tuple(recs), tuple(tps), tuple(offs), tuple(bps), bd)
+    if not fetch:
+        return list(out)
     from ..core import xfer
     return xfer.device_get(list(out))       # one tunnel round trip
 

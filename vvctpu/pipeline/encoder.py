@@ -35,21 +35,24 @@ def _scan_fn():
     return wave.frame_wave
 
 
-def _run_scan(sps, pps, dec, py, pcb, pcr, dpb, ref_pocs, scan_kw):
+def _run_scan(sps, pps, dec, py, pcb, pcr, dpb, ref_pocs, scan_kw,
+              fetch: bool = True):
     """frame_scan over the whole frame, or one scan per tile with MC
     reference offsets (tile-local slots; MC reads the full reference).
     Returns (ry, rcb, rcr, ly, lcb, lcr, mts, lfnst, cmode, jccr, sbt)
-    as numpy arrays."""
+    as numpy arrays (fetch=False: device arrays, single-tile only —
+    device-resident pipeline).  dpb values are DEVICE ref 3-tuples
+    (recon.pad_refs_dev)."""
     is_p = bool(ref_pocs)
     mtt = scan_kw.get("mtt", False)
 
     def refs_kw():
         if not is_p:
             return {}
-        r0 = recon.pad_refs(dpb[ref_pocs[0]])
+        r0 = dpb[ref_pocs[0]]
         kw = dict(ref_y=r0[0], ref_cb=r0[1], ref_cr=r0[2])
         if len(ref_pocs) == 2:
-            r1 = recon.pad_refs(dpb[ref_pocs[1]])
+            r1 = dpb[ref_pocs[1]]
             kw.update(ref1_y=r1[0], ref1_cb=r1[1], ref1_cr=r1[2])
         return kw
 
@@ -72,6 +75,8 @@ def _run_scan(sps, pps, dec, py, pcb, pcr, dpb, ref_pocs, scan_kw):
         out = _scan_fn()(slots, py, pcb, pcr, frame_w=sps.width,
                          frame_h=sps.height, inter_enabled=is_p,
                          **rkw, **scan_kw)
+        if not fetch:
+            return list(out)
         from ..core import xfer
         return xfer.device_get(list(out))
 
@@ -503,7 +508,7 @@ def encode_sequence(frames, cfg: sseq.EncoderConfig, decisions_fn=None,
                                          isp=sps.isp_enabled,
                                          affine=sps.affine_enabled,
                                          mtt=sps.mtt_enabled,
-                                         tt=sps.tt_enabled)
+                                         tt=sps.tt_enabled, prepadded=True)
         else:
             dec = jdecide.decide_frame_b(padded[0], dpb[ref_pocs[0]][0],
                                          dpb[ref_pocs[1]][0], qp,
@@ -515,7 +520,7 @@ def encode_sequence(frames, cfg: sseq.EncoderConfig, decisions_fn=None,
                                          gpm=sps.gpm_enabled,
                                          affine=sps.affine_enabled,
                                          mtt=sps.mtt_enabled,
-                                         tt=sps.tt_enabled)
+                                         tt=sps.tt_enabled, prepadded=True)
         if decisions_out is not None:
             decisions_out.append(dec)
         lmcs_cw = ()
@@ -550,9 +555,10 @@ def encode_sequence(frames, cfg: sseq.EncoderConfig, decisions_fn=None,
             ppl = pltmod.build_planes(dec.plt_data or {}, sps.height,
                                       sps.width)
             scan_kw.update(plt_y=ppl[0], plt_cb=ppl[1], plt_cr=ppl[2])
+        n_tiles1 = pps.num_tile_cols * pps.num_tile_rows == 1
         (ry, rcb, rcr, ly, lcb, lcr, mtsp, lfnstp, cmodep, jccrp,
          sbtp) = _run_scan(sps, pps, dec, scan_y, padded[1], padded[2],
-                           dpb, ref_pocs, scan_kw)
+                           dpb, ref_pocs, scan_kw, fetch=not n_tiles1)
         _finish_frame(
             cfg, sps, pps, dec, padded, poc, stype, ref_pocs, qpd, qp,
             tid, lmcs_cw, inv_lut,
@@ -566,50 +572,61 @@ def encode_sequence(frames, cfg: sseq.EncoderConfig, decisions_fn=None,
 def _finish_frame(cfg, sps, pps, dec, padded, poc, stype, ref_pocs, qpd,
                   qp, tid, lmcs_cw, inv_lut, scan_out, dpb, mot, nals,
                   recons, bits):
-    """Post-scan tail of one inter/main-loop frame: decision planes, loop
-    filters, entropy, NAL emission, DPB/TMVP updates.  Shared by the
-    sequential path and the B-layer batched path (byte-identical)."""
+    """Post-scan tail of one inter/main-loop frame: loop-filter chain ON
+    DEVICE (deblock + SAO decide/apply, kernels/loopfilter.finish_frame_j
+    — bit-exact twin of the spec chain), ONE fetch of everything, then
+    host entropy/NAL; the padded reference planes for future frames stay
+    device-resident (recon.pad_refs_dev).  Shared by the sequential path
+    and the B-layer batched path (byte-identical)."""
+    from ..core import xfer
+    from ..kernels import loopfilter as lfk
     is_intra = stype == hls.SLICE_I
     (ry, rcb, rcr, ly, lcb, lcr, mtsp, lfnstp, cmodep, jccrp,
      sbtp) = scan_out
-    levels = [np.asarray(ly), np.asarray(lcb), np.asarray(lcr)]
+    lam_sao = int(round(0.57 * (2.0 ** ((qp - 12) / 3.0)) * 256.0))
+    chain = lfk.finish_frame_j(
+        [ry, rcb, rcr], dec, qp, lam_sao, padded, inv_lut=inv_lut,
+        ctu=cfg.ctu, bd=cfg.bit_depth, deblock_on=sps.deblock_enabled,
+        sao_on=sps.sao_enabled)
+    refs_dev = None
+    if not sps.alf_enabled:
+        refs_dev = recon.pad_refs_dev(chain[:3])
+    fetched = xfer.device_get(
+        [ly, lcb, lcr, mtsp, lfnstp, cmodep, jccrp, sbtp] + list(chain))
+    (ly, lcb, lcr, mtsp, lfnstp, cmodep, jccrp, sbtp, cy, ccb, ccr,
+     sao_t, sao_o, sao_b) = fetched
+    levels = [ly, lcb, lcr]
     if sps.mts_enabled:
-        dec.mts8[:] = np.asarray(mtsp).astype(np.uint8)
+        dec.mts8[:] = mtsp.astype(np.uint8)
     if sps.lfnst_enabled:
-        dec.lfnst8[:] = np.asarray(lfnstp).astype(np.uint8)
+        dec.lfnst8[:] = lfnstp.astype(np.uint8)
     if sps.cclm_enabled:
-        dec.cmode8[:] = np.asarray(cmodep).astype(np.uint8)
+        dec.cmode8[:] = cmodep.astype(np.uint8)
     if sps.jccr_enabled:
-        dec.jccr8[:] = np.asarray(jccrp).astype(np.uint8)
+        dec.jccr8[:] = jccrp.astype(np.uint8)
     if sps.sbt_enabled:
-        dec.sbt8[:] = np.asarray(sbtp).astype(np.uint8)
+        dec.sbt8[:] = sbtp.astype(np.uint8)
     sh = hls.SliceHeader(poc=poc, slice_type=stype, qp_delta=qpd,
                          ref_pocs=ref_pocs, lmcs_cw=lmcs_cw)
-    rec = [np.asarray(ry), np.asarray(rcb), np.asarray(rcr)]
-    if inv_lut is not None:
-        rec[0] = inv_lut[rec[0]]
-    if sps.deblock_enabled:
-        from ..kernels import loopfilter as lfk
-        rec = lfk.deblock_frame_j(rec, dec, qp, cfg.bit_depth)
+    rec = [cy, ccb, ccr]
     sao_params = None
     if sps.sao_enabled:
-        from ..spec import sao as saomod
-        sao_params = saomod.decide_sao(padded, rec, qp, cfg.ctu,
-                                       cfg.bit_depth)
-        from ..kernels import loopfilter as lfk
-        rec = lfk.apply_sao_j(rec, sao_params, cfg.ctu, cfg.bit_depth)
+        from ..spec.sao import SaoParams
+        sao_params = SaoParams(type=sao_t.astype(np.int32),
+                               offsets=sao_o.astype(np.int32),
+                               band_pos=sao_b.astype(np.int32))
     alf_params = None
     if sps.alf_enabled:
         from ..spec import alf as alfmod
         alf_params = alfmod.derive_alf_frame(padded, rec, qp, cfg.ctu,
                                              cfg.bit_depth)
-        from ..kernels import loopfilter as lfk
         rec = lfk.apply_alf_frame_j(rec, alf_params, cfg.ctu,
                                     cfg.bit_depth)
+        refs_dev = recon.pad_refs_dev(rec)
     payload = entropy.encode_frame_syntax(
         sps, pps, sh, dec, levels, sao_params, alf_params,
         col=scodec.col_motion(mot, poc, ref_pocs))
-    dpb[poc] = rec
+    dpb[poc] = refs_dev
     mot[poc] = scodec.motion_record(dec, ref_pocs)
     cropped = scodec.crop_planes(rec, sps)
     nals.append(bs.NalUnit(
@@ -683,13 +700,13 @@ def _encode_b_group(frames, cfg, sps, pps, grp, dpb, mot, nals, recons,
             bcw=sps.bcw_enabled, ciip=sps.ciip_enabled,
             isp=sps.isp_enabled, gpm=sps.gpm_enabled,
             affine=sps.affine_enabled, mtt=sps.mtt_enabled,
-            tt=sps.tt_enabled)
+            tt=sps.tt_enabled, prepadded=True)
         decs.append(dec)
         if decisions_out is not None:
             decisions_out.append(dec)
         slots, isl = recon.make_slots_split(dec, sps.height, sps.width)
-        r0 = recon.pad_refs(dpb[ref_pocs[0]])
-        r1 = recon.pad_refs(dpb[ref_pocs[1]])
+        r0 = dpb[ref_pocs[0]]
+        r1 = dpb[ref_pocs[1]]
         from . import plan as planmod
         fins.append(dict(
             slots=slots, py=padded[0], pcb=padded[1], pcr=padded[2],
@@ -699,12 +716,10 @@ def _encode_b_group(frames, cfg, sps, pps, grp, dpb, mot, nals, recons,
             refs=(r0[0], r0[1], r0[2], r1[0], r1[1], r1[2])))
     outs = wave.frame_wave_batch(fins, frame_w=sps.width,
                                  frame_h=sps.height, **scan_kw)
-    flat = xfer.device_get([a for o in outs for a in o])
     for i, (poc, stype, ref_pocs, _q) in enumerate(grp):
         tid = max(qpd - 1, 1)
-        scan_out = flat[11 * i:11 * (i + 1)]
         _finish_frame(cfg, sps, pps, decs[i], padded_l[i], poc, stype,
-                      ref_pocs, qpd, qp, tid, (), None, scan_out, dpb,
+                      ref_pocs, qpd, qp, tid, (), None, outs[i], dpb,
                       mot, nals, recons, bits)
 
 
@@ -801,19 +816,27 @@ def _dec_scan_kw(sh, sps, pps_map, fwd_lut, crs_lut):
 
 
 def _dec_finish(e, sps, rec, inv_lut, qp, dpb, frames, check_hash):
+    """Loop-filter chain on DEVICE, device-resident DPB refs, one fetch of
+    the (uncropped) recon for output + hash."""
+    from ..core import xfer
     from ..kernels import loopfilter as lfk
     sh = e["sh"]
     if inv_lut is not None:
+        # LMCS path keeps host arithmetic (per-frame luts, rare)
+        rec = [np.asarray(r) for r in xfer.device_get(list(rec))] \
+            if not isinstance(rec[0], np.ndarray) else rec
         rec[0] = inv_lut[rec[0]]
     if sps.deblock_enabled:
-        rec = lfk.deblock_frame_j(rec, e["dec"], qp, sps.bit_depth)
+        rec = lfk.deblock_frame_j(rec, e["dec"], qp, sps.bit_depth,
+                                  fetch=False)
     if e["sao"] is not None:
         rec = lfk.apply_sao_j(rec, e["sao"], 1 << sps.log2_ctu,
-                              sps.bit_depth)
+                              sps.bit_depth, fetch=False)
     if e["alf"] is not None:
         rec = lfk.apply_alf_frame_j(rec, e["alf"], 1 << sps.log2_ctu,
                                     sps.bit_depth)
-    dpb[sh.poc] = rec
+    dpb[sh.poc] = recon.pad_refs_dev(rec)
+    rec = [np.asarray(r) for r in xfer.device_get(list(rec))]
     out = scodec.crop_planes(rec, sps)
     frames[sh.poc] = out
     if check_hash and e["digest"] is not None:
@@ -838,11 +861,13 @@ def _decode_one(e, sps, pps_map, dpb, frames, check_hash):
         from ..spec import palette as pltmod
         ppl = pltmod.build_planes(dec.plt_data, sps.height, sps.width)
         scan_kw.update(plt_y=ppl[0], plt_cb=ppl[1], plt_cr=ppl[2])
+    n_tiles1 = (pps_map[sh.pps_id].num_tile_cols
+                * pps_map[sh.pps_id].num_tile_rows == 1)
     ry, rcb, rcr, *_ = _run_scan(
         sps, pps_map[sh.pps_id], dec, levels[0], levels[1], levels[2],
-        dpb, sh.ref_pocs if is_p else (), scan_kw)
-    rec = [np.asarray(ry), np.asarray(rcb), np.asarray(rcr)]
-    _dec_finish(e, sps, rec, inv_lut, qp, dpb, frames, check_hash)
+        dpb, sh.ref_pocs if is_p else (), scan_kw, fetch=not n_tiles1)
+    _dec_finish(e, sps, [ry, rcb, rcr], inv_lut, qp, dpb, frames,
+                check_hash)
 
 
 def _decode_group(grp, sps, pps_map, dpb, frames, check_hash):
@@ -868,8 +893,8 @@ def _decode_group(grp, sps, pps_map, dpb, frames, check_hash):
             if mtt:
                 fr["rect"] = {sh: isl[sh] for sh in planmod.RECT_SHAPES}
             refs = e["sh"].ref_pocs
-            r0 = recon.pad_refs(dpb[refs[0]])
-            r1 = recon.pad_refs(dpb[refs[1]]) if len(refs) == 2 else r0
+            r0 = dpb[refs[0]]
+            r1 = dpb[refs[1]] if len(refs) == 2 else r0
             fr["refs"] = (r0[0], r0[1], r0[2], r1[0], r1[1], r1[2])
         else:
             slots = recon.make_slots(dec, sps.height, sps.width)
@@ -881,8 +906,6 @@ def _decode_group(grp, sps, pps_map, dpb, frames, check_hash):
         fins.append(fr)
     outs = wave.frame_wave_batch(fins, frame_w=sps.width,
                                  frame_h=sps.height, **scan_kw)
-    flat = xfer.device_get([o[i] for o in outs for i in range(3)])
     for gi, e in enumerate(grp):
-        rec = [np.asarray(flat[3 * gi]), np.asarray(flat[3 * gi + 1]),
-               np.asarray(flat[3 * gi + 2])]
-        _dec_finish(e, sps, rec, None, qp, dpb, frames, check_hash)
+        _dec_finish(e, sps, list(outs[gi][:3]), None, qp, dpb, frames,
+                    check_hash)

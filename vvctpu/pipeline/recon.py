@@ -1142,3 +1142,20 @@ def pad_refs(rec_planes):
     return (np.pad(rec_planes[0], REF_MARGIN, mode="edge"),
             np.pad(rec_planes[1], REF_MARGIN // 2, mode="edge"),
             np.pad(rec_planes[2], REF_MARGIN // 2, mode="edge"))
+
+
+@jax.jit
+def _pad_refs_jit(y, cb, cr):
+    return (jnp.pad(y, REF_MARGIN, mode="edge"),
+            jnp.pad(cb, REF_MARGIN // 2, mode="edge"),
+            jnp.pad(cr, REF_MARGIN // 2, mode="edge"))
+
+
+def pad_refs_dev(rec_planes):
+    """pad_refs twin producing DEVICE arrays (device-resident DPB: the
+    23ms-latency / ~30MB/s axon tunnel makes per-frame reference
+    re-uploads the dominant cost otherwise).  Bit-identical to np.pad
+    edge."""
+    return _pad_refs_jit(jnp.asarray(rec_planes[0]),
+                         jnp.asarray(rec_planes[1]),
+                         jnp.asarray(rec_planes[2]))

@@ -1167,8 +1167,9 @@ def frame_wave_batch(frames_in, *, frame_w: int, frame_h: int, qp, bd: int,
     z = jnp.zeros((1, 1), jnp.int32)
     refs = (z, z, z, z, z, z)
     if inter_enabled:
-        refs = tuple(jnp.asarray(np.concatenate(
-            [np.asarray(fr["refs"][i]) for fr in frames_in]))
+        # refs may be device-resident (DPB) — concatenate on device
+        refs = tuple(jnp.concatenate(
+            [jnp.asarray(fr["refs"][i]) for fr in frames_in])
             for i in range(6))
 
         # phase A: all frames' inter leaves of a size in ONE batched pass
