@@ -62,7 +62,7 @@ def main() -> int:
     frames1 = synth_frames(4, 240, 416)
     cfg1 = seq.EncoderConfig(qp=32)
     t0 = time.time()
-    jenc.encode_sequence(frames1[:1], cfg1)
+    jenc.encode_sequence(frames1, cfg1)   # warm every program (incl. batch)
     print(f"bench: cfg1 warmup {time.time() - t0:.1f}s", file=sys.stderr)
     t0 = time.time()
     d1, _, b1 = jenc.encode_sequence(frames1, cfg1)
@@ -76,7 +76,9 @@ def main() -> int:
     frames3 = synth_frames(NF, 1080, 1920)
     cfg3 = seq.EncoderConfig(qp=32, intra_period=32, gop=16, wpp=True)
     t0 = time.time()
-    jenc.encode_sequence(frames3[:2], cfg3)   # compile I + inter paths
+    # warm pass: compiles every program the GOP16 plan reaches (I, P,
+    # single-B and the layer-batch variants); steady state is the 2nd pass
+    jenc.encode_sequence(frames3, cfg3)
     t_warm = time.time() - t0
     print(f"bench: 1080p warmup (incl. compile) {t_warm:.1f}s",
           file=sys.stderr)

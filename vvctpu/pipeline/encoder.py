@@ -452,10 +452,12 @@ def encode_sequence(frames, cfg: sseq.EncoderConfig, decisions_fn=None,
             and decisions_fn is None):
         import os
         if (len(frames) > 1 and not sps.lmcs_enabled
+                and sps.width * sps.height >= (1 << 20)
                 and not os.environ.get("VVCTPU_NO_FRAME_BATCH")):
             # frame-batched wavefront (merged multi-frame wave schedule);
-            # LMCS needs per-frame luts -> falls through to the per-frame
-            # pipeline below
+            # pays off at HD+ sizes where per-frame wave anti-chains are
+            # the bottleneck — at CIF the decide-ahead pipeline below is
+            # faster.  LMCS needs per-frame luts -> per-frame path too.
             return _encode_ai_batched(frames, cfg, sps, pps, nals, recons,
                                       bits, decisions_out=decisions_out)
         return _encode_ai_pipelined(frames, cfg, sps, pps, nals, recons,

@@ -1029,81 +1029,6 @@ def frame_wave(slots, planes_y, planes_cb, planes_cr, *, frame_w: int,
 # ---------------------------------------------------------------------------
 
 
-def _fused_schedule_batch(slot_list, frame_h, frame_w, classes):
-    """Merged ((n,) wcls, (n, K, 17) wrows) over a list of per-frame slot
-    arrays; rows carry the frame index in column 16."""
-    cls_idx = {c: i for i, c in enumerate(classes)}
-    lvs, rows_l = [], []
-    for f, s16 in enumerate(slot_list):
-        lv = _levels_c(s16, frame_h, frame_w)
-        if lv is None:
-            lv = _levels_py(s16, frame_h, frame_w)
-        sel = np.nonzero(lv > 0)[0]
-        r = np.concatenate(
-            [s16[sel], np.full((sel.size, 1), f, np.int32)], axis=1)
-        lvs.append(lv[sel])
-        rows_l.append(r)
-    lv = np.concatenate(lvs)
-    rows = np.concatenate(rows_l)
-    W, H, _, KIND = _OPT
-    ops = rows[:, 0]
-    ips = np.where((ops >= 1) & (ops <= 3), rows[:, 15], 0)
-    kind = np.where(ips > 0, _KIND_RANK["isp"], KIND[ops])
-    d = np.where(ips > 0, ips, 0)
-    key = (lv.astype(np.int64) << 32) | (kind.astype(np.int64) << 24) \
-        | (W[ops].astype(np.int64) << 16) | (H[ops].astype(np.int64) << 8) \
-        | d.astype(np.int64)
-    order = np.argsort(key, kind="stable")
-    rows_o = rows[order]
-    key_o = key[order]
-    bounds = np.nonzero(np.diff(key_o))[0] + 1
-    starts = np.concatenate([[0], bounds])
-    ends = np.concatenate([bounds, [key_o.size]])
-    inv_kind = {v: k for k, v in _KIND_RANK.items()}
-
-    F = len(slot_list)
-    px = frame_h * frame_w
-    base = 4 if px <= (1 << 18) else 8 if px <= (1 << 20) else 16
-    # cap 32: wider lanes spill VMEM in the leaf bodies (K=128 measured
-    # ~3x slower per lane than K<=32 at 1080p)
-    K = 1
-    while K < min(32, base * F):
-        K *= 2
-    import os
-    env_k = os.environ.get("VVCTPU_FUSED_K_BATCH")
-    if env_k:
-        K = int(env_k)
-    wcls, wrows = [], []
-    for s0, e0 in zip(starts, ends):
-        k = int(key_o[s0])
-        cls = (inv_kind[(k >> 24) & 0xFF], (k >> 16) & 0xFF,
-               (k >> 8) & 0xFF, k & 0xFF)
-        if cls not in cls_idx:
-            raise ValueError(
-                f"batched schedule contains leaf class {cls!r} but the "
-                f"corresponding tool flag is off (enabled: {classes})")
-        ci = cls_idx[cls]
-        grp = rows_o[s0:e0]
-        for c0 in range(0, grp.shape[0], K):
-            chunk = grp[c0:c0 + K]
-            if chunk.shape[0] < K:
-                pad = np.zeros((K - chunk.shape[0], 17), np.int32)
-                pad[:, 1] = pad[:, 2] = 1 << 20
-                chunk = np.concatenate([chunk, pad], axis=0)
-            wcls.append(ci)
-            wrows.append(chunk)
-    n = len(wcls)
-    n_pad = _STEP_PAD
-    while n_pad < n:
-        n_pad *= 2
-    dummy = np.zeros((K, 17), np.int32)
-    dummy[:, 1] = dummy[:, 2] = 1 << 20
-    for _ in range(n_pad - n):
-        wcls.append(0)
-        wrows.append(dummy)
-    return (np.asarray(wcls, np.int32), np.stack(wrows).astype(np.int32))
-
-
 def frame_wave_batch(frames_in, *, frame_w: int, frame_h: int, qp, bd: int,
                      encode: bool, mts: bool = False, lfnst: bool = False,
                      cclm: bool = False, rdoq: bool = False,
