@@ -43,24 +43,52 @@ class TestSchedule:
                 for r in slots if wave._op_class(int(r[0]),
                                                  int(r[15])) is not None}
         got = set()
+
+        # coding-order key per granule: CTU raster, Morton (Z) within.
+        def _key(gy, gx):
+            cy, cx = gy // 8, gx // 8
+            ly, lx = gy % 8, gx % 8
+            m = 0
+            for i in range(3):
+                m |= (((ly >> i) & 1) << (2 * i + 1)
+                      | ((lx >> i) & 1) << (2 * i))
+            return ((cy * (sps.width // 64) + cx) << 6) | m
+
+        # dependency rule: a leaf's reference reads (top row incl.
+        # top-right extension, left column incl. below-left extension)
+        # that PRECEDE it in coding order must already be reconstructed
+        # — availability masking makes later granules a non-dependency
+        # (the sequential engine also treats them as unavailable).
         done = np.zeros((sps.height // 8, sps.width // 8), bool)
+        ngy, ngx = sps.height // 8, sps.width // 8
         for cls, rows in sched:
             kind, w, h, _ = cls
             for r in rows:
                 x, y = int(r[1]), int(r[2])
                 got.add((x, y))
-                # every available producer granule must already be done
+                k0 = _key(y // 8, x // 8)
+                reads = []
                 gy = y // 8 - 1
                 if gy >= 0:
                     for gx in range(max((x - 8) // 8, 0),
-                                    min((x + w + h) // 8,
-                                        sps.width // 8 - 1) + 1):
-                        pass  # availability-masked reads: no assert needed
+                                    min((x + w + h - 1) // 8, ngx - 1) + 1):
+                        reads.append((gy, gx))
+                gx = x // 8 - 1
+                if gx >= 0:
+                    for gy2 in range(max((y - 8) // 8, 0),
+                                     min((y + h + w - 1) // 8, ngy - 1) + 1):
+                        reads.append((gy2, gx))
+                for (ry_, rx_) in reads:
+                    if _key(ry_, rx_) < k0:
+                        assert done[ry_, rx_], (
+                            f"leaf ({x},{y},{w}x{h}) scheduled before its "
+                            f"producer granule ({rx_ * 8},{ry_ * 8})")
+            # mark the whole batch done only after checking every leaf
+            # (batch-internal leaves must not depend on each other)
             for r in rows:
                 x, y = int(r[1]), int(r[2])
-                w, h = cls[1], cls[2]
-                assert not done[y // 8:(y + h - 1) // 8 + 1,
-                                x // 8:(x + w - 1) // 8 + 1].any() or True
+                done[y // 8:(y + h - 1) // 8 + 1,
+                     x // 8:(x + w - 1) // 8 + 1] = True
         # batch-internal independence: no two leaves in one batch overlap
         for cls, rows in sched:
             w, h = cls[1], cls[2]

@@ -973,9 +973,16 @@ def frame_wave(slots, planes_y, planes_cb, planes_cr, *, frame_w: int,
                     rdoq=rdoq, dq=dq)
             else:  # pragma: no cover
                 raise AssertionError(cls)
-    elif os.environ.get("VVCTPU_SWITCH_SCAN"):
-        # legacy fused lax.switch engine (A/B reference; each switch
-        # execution costs ~0.6 ms of conditional buffer traffic on TPU)
+    elif (os.environ.get("VVCTPU_SWITCH_SCAN")
+          or (frame_h * frame_w < (1 << 20)
+              and not os.environ.get("VVCTPU_UNIFORM_SCAN"))):
+        # fused lax.switch engine — default at sub-HD sizes: the uniform
+        # engine runs one sub-batch of EVERY class per step, which costs
+        # ~3x at CIF wave sizes (r3 cfg1 regression 3.17->1.28 fps); the
+        # switch engine executes only the level's live class.  At HD+ the
+        # per-switch conditional buffer traffic (~0.6 ms) dominates and
+        # the uniform engine below wins.  VVCTPU_SWITCH_SCAN /
+        # VVCTPU_UNIFORM_SCAN force either (A/B reference).
         classes = _fused_classes(isp=isp, mtt=mtt, ibc=ibc,
                                  plt=plt_y is not None,
                                  ciip=ciip and inter_enabled)
