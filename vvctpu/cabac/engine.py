@@ -50,7 +50,15 @@ class CtxState:
             slope_idx, offset_idx = iv >> 4, iv & 15
             m = slope_idx * 5 - 45
             nn = (offset_idx << 3) - 16
-            pre = _clip(1, 127, ((m * (_clip(0, 63, qp) - 32)) >> 4) + nn + 64)
+            # NOTE (round 4): the round-1..3 engine added a spurious +64
+            # here, squashing every init into p(1) in [0.37, 0.99] — e.g.
+            # the NEUTRAL offset nibble 10 (nn = 64, intended p = 0.5)
+            # landed at pre 127 ~ p 0.99.  Dropping the bias restores the
+            # documented slope/offset semantics (contexts.py NEUTRAL/LOW/
+            # HIGH now init at ~0.5/0.25/0.75) and makes the init states a
+            # sound basis for the decision-pass fractional-bit estimates
+            # (cabac/estimate.py).
+            pre = _clip(1, 127, ((m * (_clip(0, 63, qp) - 32)) >> 4) + nn)
             self.p0[i] = pre << 3
             self.p1[i] = pre << 7
             r = int(rates[i])

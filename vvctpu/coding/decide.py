@@ -74,7 +74,8 @@ def _satd_rect8(diff, w: int, h: int):
 
 def rect_size_pass(buf, lam, *, bw: int, bh: int, frame_w: int,
                    frame_h: int, bd: int = 8, sy: int | None = None,
-                   sx: int | None = None, oy: int = 0, ox: int = 0):
+                   sx: int | None = None, oy: int = 0, ox: int = 0,
+                   mfp=None):
     """Best (cost, mode) per (bw x bh) rect block over the 67 regular
     modes — twin of spec rect_intra_grid (square-only tools excluded).
     Blocks tile at stride (sy, sx) from offset (oy, ox) (defaults dense);
@@ -88,8 +89,11 @@ def rect_size_pass(buf, lam, *, bw: int, bh: int, frame_w: int,
     coords = np.stack([gx.ravel(), gy.ravel()], axis=1).astype(np.int32)
     n = coords.shape[0]
     chunk = max(256, _CHUNK_PX // (bw * bh))
+    if mfp is None:
+        mfp = _MODE_BITS.astype(np.int32) << 8
+    jmfp = jnp.asarray(np.asarray(mfp, np.int32))
     if n <= chunk:
-        outs = [_rect_pass_chunk(buf, lam, jnp.asarray(coords), bw=bw,
+        outs = [_rect_pass_chunk(buf, lam, jnp.asarray(coords), jmfp, bw=bw,
                                  bh=bh, frame_w=frame_w, frame_h=frame_h,
                                  bd=bd)]
     else:
@@ -97,7 +101,7 @@ def rect_size_pass(buf, lam, *, bw: int, bh: int, frame_w: int,
         cpad = np.concatenate(
             [coords, np.tile(coords[:1], (n_pad - n, 1))], axis=0)
         outs = [_rect_pass_chunk(buf, lam, jnp.asarray(cpad[c0:c0 + chunk]),
-                                 bw=bw, bh=bh, frame_w=frame_w,
+                                 jmfp, bw=bw, bh=bh, frame_w=frame_w,
                                  frame_h=frame_h, bd=bd)
                 for c0 in range(0, n_pad, chunk)]
     cat = [jnp.concatenate([o[k] for o in outs])[:n].reshape(nby, nbx)
@@ -107,11 +111,11 @@ def rect_size_pass(buf, lam, *, bw: int, bh: int, frame_w: int,
 
 @functools.partial(jax.jit, static_argnames=("bw", "bh", "frame_w",
                                              "frame_h", "bd"))
-def _rect_pass_chunk(buf, lam, coords, *, bw: int, bh: int, frame_w: int,
-                     frame_h: int, bd: int = 8):
+def _rect_pass_chunk(buf, lam, coords, mfp, *, bw: int, bh: int,
+                     frame_w: int, frame_h: int, bd: int = 8):
     modes = jnp.arange(rom.NUM_LUMA_MODE, dtype=jnp.int32)
     lam32 = jnp.asarray(lam, jnp.int32)
-    bits = jnp.asarray(_MODE_BITS) * lam32
+    bits = (mfp * lam32) >> 8
 
     def per_block(xy):
         x, y = xy[0], xy[1]
@@ -148,20 +152,21 @@ def _rect_keys(tt: bool):
     return names, keys
 
 
-def _rect_grids_intra(jbuf, lam, w, h, bd, tt: bool = False):
+def _rect_grids_intra(jbuf, lam, w, h, bd, tt: bool = False, B=None):
     """Host dict {(bw, bh) | tt-key: (cost int64, mode)} for the 4 BT
     shapes (+ the 4 TT stripe geometries when ``tt``)."""
     out = {}
     names, keys = _rect_keys(tt)
     for name, (bw, bh, sy, sx, oy, ox) in zip(names, keys):
         c, m = rect_size_pass(jbuf, np.int32(lam), bw=bw, bh=bh, frame_w=w,
-                              frame_h=h, bd=bd, sy=sy, sx=sx, oy=oy, ox=ox)
+                              frame_h=h, bd=bd, sy=sy, sx=sx, oy=oy, ox=ox,
+                              mfp=B.mode_fp if B is not None else None)
         out[name] = (np.asarray(c).astype(np.int64), np.asarray(m))
     return out
 
 
 def _rect_grids_inter(jbuf, jorig, refs_p80, memaps, lam, w, h, bd,
-                      tt: bool = False):
+                      tt: bool = False, B=None):
     """Host dict {(bw, bh) | tt-key: (cost, mode, kind, mv0, mv1)} — twin
     of spec rect_inter_grid, built from the device rect passes."""
     from . import me as jme
@@ -170,7 +175,8 @@ def _rect_grids_inter(jbuf, jorig, refs_p80, memaps, lam, w, h, bd,
     for name, (bw, bh, sy, sx, oy, ox) in zip(names, keys):
         ic, im = rect_size_pass(jbuf, np.int32(lam), bw=bw, bh=bh,
                                 frame_w=w, frame_h=h, bd=bd, sy=sy, sx=sx,
-                                oy=oy, ox=ox)
+                                oy=oy, ox=ox,
+                                mfp=B.mode_fp if B is not None else None)
         icost = np.asarray(ic).astype(np.int64)
         imode = np.asarray(im)
         ucost, umv = [], []
@@ -208,7 +214,8 @@ _CHUNK_PX = 1 << 18
 
 
 def size_pass(buf, lam, *, s: int, frame_w: int, frame_h: int, bd: int = 8,
-              mip: bool = False, mrl: bool = False, isp: bool = False):
+              mip: bool = False, mrl: bool = False, isp: bool = False,
+              B=None):
     """Best (cost, mode, mrl, isp) per s-block over all 67 modes (+16 MIP
     ids), then the winner refined over the 5-candidate list [base, MRL 1,
     MRL 2, ISP-H, ISP-V] — twin of spec _block_decision.
@@ -223,17 +230,28 @@ def size_pass(buf, lam, *, s: int, frame_w: int, frame_h: int, bd: int = 8,
     coords = np.stack([gx.ravel(), gy.ravel()], axis=1).astype(np.int32)
     n = coords.shape[0]
     chunk = max(256, _CHUNK_PX // (s * s))
+    if B is None:
+        from ..cabac import estimate as est
+        B = est.decision_bits(2, 32)
+    nmode = rom.NUM_LUMA_MODE + 2 * rom.NUM_MIP_MODES
+    jmfp = jnp.asarray(np.asarray(B.mode_fp[:nmode], np.int32))
+    extra_reg = ((B.mrl0_fp if mrl else 0) + (B.isp0_fp if isp else 0)
+                 + (B.mip0_fp if mip else 0))
+    ispd_base = (B.mrl0_fp if mrl else 0) + B.ispd_fp
+    jsc = jnp.asarray(np.asarray(
+        [extra_reg, B.mrl1_fp, B.mrl2_fp, ispd_base], np.int32))
     if n <= chunk:
-        outs = [_size_pass_chunk(buf, lam, jnp.asarray(coords), s=s,
-                                 frame_w=frame_w, frame_h=frame_h, bd=bd,
-                                 mip=mip, mrl=mrl, isp=isp)]
+        outs = [_size_pass_chunk(buf, lam, jnp.asarray(coords), jmfp, jsc,
+                                 s=s, frame_w=frame_w, frame_h=frame_h,
+                                 bd=bd, mip=mip, mrl=mrl, isp=isp)]
     else:
         n_pad = -(-n // chunk) * chunk
         cpad = np.concatenate(
             [coords, np.zeros((n_pad - n, 2), np.int32)], axis=0)
         outs = [_size_pass_chunk(buf, lam, jnp.asarray(cpad[c0:c0 + chunk]),
-                                 s=s, frame_w=frame_w, frame_h=frame_h,
-                                 bd=bd, mip=mip, mrl=mrl, isp=isp)
+                                 jmfp, jsc, s=s, frame_w=frame_w,
+                                 frame_h=frame_h, bd=bd, mip=mip, mrl=mrl,
+                                 isp=isp)
                 for c0 in range(0, n_pad, chunk)]
     cat = [jnp.concatenate([o[k] for o in outs])[:n].reshape(nby, nbx)
            for k in range(4)]
@@ -242,14 +260,12 @@ def size_pass(buf, lam, *, s: int, frame_w: int, frame_h: int, bd: int = 8,
 
 @functools.partial(jax.jit, static_argnames=("s", "frame_w", "frame_h",
                                              "bd", "mip", "mrl", "isp"))
-def _size_pass_chunk(buf, lam, coords, *, s: int, frame_w: int,
+def _size_pass_chunk(buf, lam, coords, mfp, sc, *, s: int, frame_w: int,
                      frame_h: int, bd: int = 8, mip: bool = False,
                      mrl: bool = False, isp: bool = False):
     from ..spec.codec import isp_parts
     modes = jnp.arange(rom.NUM_LUMA_MODE, dtype=jnp.int32)
     lam32 = jnp.asarray(lam, jnp.int32)
-    extra = (1 if mrl else 0) + (1 if isp else 0)
-    bits = jnp.asarray(_MODE_BITS) * lam32
     SENT = jnp.int32(1 << 30)
 
     def per_block(xy):
@@ -264,7 +280,8 @@ def _size_pass_chunk(buf, lam, coords, *, s: int, frame_w: int,
             return _satd(blk - pred, s)
 
         satds = jax.vmap(per_mode)(modes)
-        costs = (satds << 8) + bits[:rom.NUM_LUMA_MODE] + extra * lam32
+        costs = ((satds << 8)
+                 + (((mfp[:rom.NUM_LUMA_MODE] + sc[0]) * lam32) >> 8))
         if mip:
             def per_mip(m):
                 pred = intra_pred.mip_predict_j(top, left, m, s=s, bd=bd)
@@ -272,7 +289,8 @@ def _size_pass_chunk(buf, lam, coords, *, s: int, frame_w: int,
             msatds = jax.vmap(per_mip)(
                 jnp.arange(2 * rom.NUM_MIP_MODES, dtype=jnp.int32))
             costs = jnp.concatenate(
-                [costs, (msatds << 8) + bits[rom.NUM_LUMA_MODE:]])
+                [costs, (msatds << 8)
+                 + ((mfp[rom.NUM_LUMA_MODE:] * lam32) >> 8)])
         best = jnp.argmin(costs)
         bcost = costs[best]
         best = best.astype(jnp.int32)
@@ -289,8 +307,9 @@ def _size_pass_chunk(buf, lam, coords, *, s: int, frame_w: int,
                 in_frame_only=True, ref_line=k)
             pred = intra_pred.predict(tk, lk, mode_c, s=s, is_luma=True,
                                       bd=bd, ref_line=k)
+            mrlk = jnp.where(k == 1, sc[1], sc[2])
             c = (_satd(blk - pred, s) << 8) \
-                + (jnp.asarray(_MODE_BITS)[mode_c] + 2) * lam32
+                + (((mfp[mode_c] + mrlk) * lam32) >> 8)
             return jnp.where(is_reg & (best >= 2), c, SENT)
 
         def isp_cost(d):
@@ -305,8 +324,7 @@ def _size_pass_chunk(buf, lam, coords, *, s: int, frame_w: int,
                 bs = jax.lax.dynamic_slice(buf, (y + dy + 1, x + dx + 1),
                                            (h_st, w_st))
                 total = total + _satd4_rect(bs - pred, w_st, h_st)
-            ibits = (jnp.asarray(_MODE_BITS)[mode_r]
-                     + (1 if mrl else 0) + 2) * lam32
+            ibits = ((mfp[mode_r] + sc[3]) * lam32) >> 8
             return jnp.where(is_reg, (total << 8) + ibits, SENT)
 
         cands = [bcost]
@@ -412,13 +430,13 @@ def _bitlen_j(v):
 
 @functools.partial(jax.jit, static_argnames=("s", "frame_w", "frame_h",
                                              "bd"))
-def affine_pass(orig, refp, base_mv, lam, *, s: int, frame_w: int,
+def affine_pass(orig, refp, base_mv, lam, aff_fp, *, s: int, frame_w: int,
                 frame_h: int, bd: int = 8):
     """Best affine dmv per s-block — twin of spec affine_sad_pass (same
     grid order, (0,0) sentinel-masked, prediction without PROF).
     Returns (cost, dmv) int32, dmv (nby, nbx, 2)."""
     from ..kernels import mc as jmc
-    from ..spec.inter import AFF_BITS, AFF_DELTAS, mv_bits_q
+    from ..spec.inter import AFF_DELTAS, mv_bits_q
     nby, nbx = frame_h // s, frame_w // s
     deltas = [(dx_, dy_) for dy_ in AFF_DELTAS for dx_ in AFF_DELTAS]
     lam32 = jnp.asarray(lam, jnp.int32)
@@ -441,8 +459,9 @@ def affine_pass(orig, refp, base_mv, lam, *, s: int, frame_w: int,
             pred = jmc.affine_pred_luma_j(refp, xy[0], xy[1], s, b[0],
                                           b[1], dx_, dy_, bd, prof=False)
             sad = jnp.abs(ob - pred).sum()
-            bits = bbits + mv_bits_q(dx_ >> 2, dy_ >> 2) + AFF_BITS
-            costs.append((sad << 8) + lam32 * bits)
+            bits = bbits + mv_bits_q(dx_ >> 2, dy_ >> 2)
+            costs.append((sad << 8) + lam32 * bits
+                         + ((jnp.asarray(aff_fp, jnp.int32) * lam32) >> 8))
         arr = jnp.stack(costs)
         k = jnp.argmin(arr).astype(jnp.int32)
         return arr[k], darr[k]
@@ -462,20 +481,23 @@ def decide_frame_device(orig_y: np.ndarray, qp: int, bd: int = 8,
     decide_frame_assemble to block and build the FrameDecisions.  The
     split lets the sequence encoder overlap the previous frame's host
     entropy/filters with this frame's device compute."""
+    from ..cabac import estimate as est
     h, w = orig_y.shape
     lam = lambda_satd_fp(qp)
+    B = est.decision_bits(2, qp)
     buf = np.zeros((h + 1 + intra_pred.MARGIN, w + 1 + intra_pred.MARGIN),
                    np.int32)
     buf[1:h + 1, 1:w + 1] = orig_y
     jbuf = jnp.asarray(buf)
     res = {s: size_pass(jbuf, np.int32(lam), s=s, frame_w=w, frame_h=h,
-                        bd=bd, mip=mip, mrl=mrl, isp=isp)
+                        bd=bd, mip=mip, mrl=mrl, isp=isp, B=B)
            for s in (8, 16, 32)}
     ipass = None
     if ibc:
         from . import me as jme
         ipass = jme.ibc_pass(jnp.asarray(orig_y, jnp.int32), np.int32(lam),
-                             frame_w=w, frame_h=h)
+                             frame_w=w, frame_h=h,
+                             ibc_fp=np.int32(B.ibc_fp))
     rects = None
     if mtt:
         rects = {}
@@ -483,9 +505,10 @@ def decide_frame_device(orig_y: np.ndarray, qp: int, bd: int = 8,
         for name, (bw, bh, sy, sx, oy, ox) in zip(names, keys):
             rects[name] = rect_size_pass(jbuf, np.int32(lam), bw=bw,
                                          bh=bh, frame_w=w, frame_h=h,
-                                         bd=bd, sy=sy, sx=sx, oy=oy, ox=ox)
+                                         bd=bd, sy=sy, sx=sx, oy=oy, ox=ox,
+                                         mfp=B.mode_fp)
     return dict(res=res, ipass=ipass, rects=rects, h=h, w=w, lam=lam,
-                mtt=mtt, ibc=ibc, plt=plt, bd=bd, orig_y=orig_y)
+                mtt=mtt, ibc=ibc, plt=plt, bd=bd, orig_y=orig_y, B=B)
 
 
 class _ArrRef:
@@ -533,6 +556,7 @@ def decide_frame_assemble(hd) -> FrameDecisions:
     (identical arithmetic to the one-call decide_frame)."""
     hd = _tree_get(hd)         # ONE tunnel round trip for the whole tree
     res, h, w, lam = hd["res"], hd["h"], hd["w"], hd["lam"]
+    B = hd["B"]
     best8_cost = np.asarray(res[8][0]).astype(np.int64)
     best8_mode = np.asarray(res[8][1])
     best8_mrl = np.array(res[8][2])
@@ -580,18 +604,19 @@ def decide_frame_assemble(hd) -> FrameDecisions:
         rgrids = {k: (np.asarray(c).astype(np.int64), np.asarray(m))
                   for k, (c, m) in hd["rects"].items()}
         mtt_assemble_i(dec, sizes, rgrids, lam, ibc_data=ibc_data,
-                       plt_use=plt_use)
+                       plt_use=plt_use, B=B)
         return dec
 
     dec = FrameDecisions.empty(h, w)
     n16y, n16x = h // 16, w // 16
     n32y, n32x = h // 32, w // 32
+    from ..spec.decide import _bl
     sum8 = (best8_cost.reshape(n16y, 2, n16x, 2).sum(axis=(1, 3))
-            + (4 * SPLIT_BITS) * lam)
+            + _bl(B.split_fp, lam))
     split16 = sum8 < best16_cost
     cost16 = np.where(split16, sum8, best16_cost)
     sum16 = (cost16.reshape(n32y, 2, n32x, 2).sum(axis=(1, 3))
-             + (4 * SPLIT_BITS) * lam)
+             + _bl(B.split_fp, lam))
     split32 = sum16 < best32_cost
     dec.split32[:] = split32.astype(np.uint8)
     dec.split16[:] = (split16
@@ -639,10 +664,12 @@ def decide_frame_p(orig_y: np.ndarray, ref_y, qp: int,
                    prepadded: bool = False) -> FrameDecisions:
     """Device-batched P-frame decisions (twin of spec decide_frame_p).
     prepadded: see decide_frame_b."""
+    from ..cabac import estimate as est
     from ..spec.inter import ME_RANGE
     from . import me as jme
     h, w = orig_y.shape
     lam = lambda_satd_fp(qp)
+    B = est.decision_bits(1, qp)
     buf = np.zeros((h + 1 + intra_pred.MARGIN, w + 1 + intra_pred.MARGIN),
                    np.int32)
     buf[1:h + 1, 1:w + 1] = orig_y
@@ -666,7 +693,8 @@ def decide_frame_p(orig_y: np.ndarray, ref_y, qp: int,
     for s in (8, 16, 32):
         icost, imode, imrl, iisp = size_pass(jbuf, np.int32(lam), s=s,
                                              frame_w=w, frame_h=h, bd=bd,
-                                             mip=mip, mrl=mrl, isp=isp)
+                                             mip=mip, mrl=mrl, isp=isp,
+                                             B=B)
         icost = np.asarray(icost).astype(np.int64)
         imode = np.asarray(imode)
         imrl = np.asarray(imrl)
@@ -681,8 +709,8 @@ def decide_frame_p(orig_y: np.ndarray, ref_y, qp: int,
         admv = np.zeros(rcost.shape + (2,), np.int32)
         if affine and s >= AFF_MIN_SIZE:
             ac, ad = affine_pass(jorig, refp80, jnp.asarray(rmv),
-                                 np.int32(lam), s=s, frame_w=w, frame_h=h,
-                                 bd=bd)
+                                 np.int32(lam), np.int32(B.aff_fp), s=s,
+                                 frame_w=w, frame_h=h, bd=bd)
             acost = np.asarray(ac).astype(np.int64)
             admv = np.asarray(ad)
         k3 = np.argmin(np.stack([icost, rcost, acost]),
@@ -709,8 +737,8 @@ def decide_frame_p(orig_y: np.ndarray, ref_y, qp: int,
         from ..spec.decide import mtt_assemble_p
         dec = FrameDecisions.empty(h, w)
         rects = _rect_grids_inter(jbuf, jorig, [refp80], [memaps], lam, w,
-                                  h, bd, tt=tt)
-        mtt_assemble_p(dec, size_data, rects, lam, ciip, affine)
+                                  h, bd, tt=tt, B=B)
+        mtt_assemble_p(dec, size_data, rects, lam, ciip, affine, B=B)
         return dec
 
     dec = FrameDecisions.empty(h, w)
@@ -722,12 +750,13 @@ def decide_frame_p(orig_y: np.ndarray, ref_y, qp: int,
      adm32) = size_data[32]
     n16y, n16x = h // 16, w // 16
     n32y, n32x = h // 32, w // 32
+    from ..spec.decide import _bl
     sum8 = (cost8.reshape(n16y, 2, n16x, 2).sum(axis=(1, 3))
-            + (4 * SPLIT_BITS) * lam)
+            + _bl(B.split_fp, lam))
     split16 = sum8 < cost16
     c16 = np.where(split16, sum8, cost16)
     sum16 = (c16.reshape(n32y, 2, n32x, 2).sum(axis=(1, 3))
-             + (4 * SPLIT_BITS) * lam)
+             + _bl(B.split_fp, lam))
     split32 = sum16 < cost32
     dec.split32[:] = split32.astype(np.uint8)
     dec.split16[:] = (split16
@@ -794,11 +823,13 @@ def decide_frame_b(orig_y: np.ndarray, ref0_y, ref1_y, qp: int,
     prepadded=True: ref0_y/ref1_y are REF_MARGIN-edge-padded luma planes
     already on device (device-resident DPB) — the ME_RANGE pad is a crop
     of the same edge padding, bit-identical to padding the raw plane."""
+    from ..cabac import estimate as est
     from ..spec.inter import BCW_DEFAULT
     from ..spec.inter import ME_RANGE, REF_MARGIN
     from . import me as jme
     h, w = orig_y.shape
     lam = lambda_satd_fp(qp)
+    B = est.decision_bits(0, qp)
     buf = np.zeros((h + 1 + intra_pred.MARGIN, w + 1 + intra_pred.MARGIN),
                    np.int32)
     buf[1:h + 1, 1:w + 1] = orig_y
@@ -821,7 +852,8 @@ def decide_frame_b(orig_y: np.ndarray, ref0_y, ref1_y, qp: int,
     for s in (8, 16, 32):
         icost, imode, imrl, iisp = size_pass(jbuf, np.int32(lam), s=s,
                                              frame_w=w, frame_h=h, bd=bd,
-                                             mip=mip, mrl=mrl, isp=isp)
+                                             mip=mip, mrl=mrl, isp=isp,
+                                             B=B)
         icost = np.asarray(icost).astype(np.int64)
         imode = np.asarray(imode)
         imrl = np.asarray(imrl)
@@ -836,7 +868,8 @@ def decide_frame_b(orig_y: np.ndarray, ref0_y, ref1_y, qp: int,
         bcost, bwidx = jme.bi_cost_pass(
             jorig, refp80[0], refp80[1], jnp.asarray(umv[0]),
             jnp.asarray(umv[1]), np.int32(lam), s=s, frame_w=w, frame_h=h,
-            bd=bd, bcw=bcw)
+            bd=bd, bcw=bcw,
+            bcw_fp=jnp.asarray(np.asarray(B.bcw_fp, np.int32)))
         bcost = np.asarray(bcost).astype(np.int64)
         bwidx = np.asarray(bwidx)
         from ..spec.inter import AFF_MIN_SIZE
@@ -846,11 +879,11 @@ def decide_frame_b(orig_y: np.ndarray, ref0_y, ref1_y, qp: int,
         admv1 = np.zeros(icost.shape + (2,), np.int32)
         if affine and s >= AFF_MIN_SIZE:
             ac0, ad0 = affine_pass(jorig, refp80[0], jnp.asarray(umv[0]),
-                                   np.int32(lam), s=s, frame_w=w,
-                                   frame_h=h, bd=bd)
+                                   np.int32(lam), np.int32(B.aff_fp), s=s,
+                                   frame_w=w, frame_h=h, bd=bd)
             ac1, ad1 = affine_pass(jorig, refp80[1], jnp.asarray(umv[1]),
-                                   np.int32(lam), s=s, frame_w=w,
-                                   frame_h=h, bd=bd)
+                                   np.int32(lam), np.int32(B.aff_fp), s=s,
+                                   frame_w=w, frame_h=h, bd=bd)
             a0cost = np.asarray(ac0).astype(np.int64)
             admv0 = np.asarray(ad0)
             a1cost = np.asarray(ac1).astype(np.int64)
@@ -872,7 +905,7 @@ def decide_frame_b(orig_y: np.ndarray, ref0_y, ref1_y, qp: int,
             cost = np.where(cflag, cost + ((sadb - sadm) << 8), cost)
         gval = np.zeros(kind.shape, np.int32)
         if gpm:
-            from ..spec.decide import GPM_BITS
+            from ..spec.decide import _bl
             gsad, gidx = gpm_pass(jorig, refp80[0], refp80[1],
                                   jnp.asarray(umv[0]), jnp.asarray(umv[1]),
                                   s=s, frame_w=w, frame_h=h, bd=bd)
@@ -881,8 +914,8 @@ def decide_frame_b(orig_y: np.ndarray, ref0_y, ref1_y, qp: int,
             gbits = (4 + 2 * _bitlen_arr(umv[0][..., 0] >> 2)
                      + 2 * _bitlen_arr(umv[0][..., 1] >> 2)
                      + 2 * _bitlen_arr(umv[1][..., 0] >> 2)
-                     + 2 * _bitlen_arr(umv[1][..., 1] >> 2) + GPM_BITS)
-            gcost = (gsad << 8) + lam * gbits
+                     + 2 * _bitlen_arr(umv[1][..., 1] >> 2))
+            gcost = (gsad << 8) + lam * gbits + _bl(B.gpm_fp, lam)
             guse = gcost < cost
             cost = np.where(guse, gcost, cost)
             kind = np.where(guse, 3, kind).astype(np.int32)
@@ -898,8 +931,9 @@ def decide_frame_b(orig_y: np.ndarray, ref0_y, ref1_y, qp: int,
         from ..spec.decide import mtt_assemble_b
         dec = FrameDecisions.empty(h, w)
         rects = _rect_grids_inter(jbuf, jorig, refp80, memaps, lam, w, h,
-                                  bd, tt=tt)
-        mtt_assemble_b(dec, size_data, rects, lam, ciip, affine, bcw, gpm)
+                                  bd, tt=tt, B=B)
+        mtt_assemble_b(dec, size_data, rects, lam, ciip, affine, bcw, gpm,
+                       B=B)
         return dec
 
     from ..spec.codec import FrameDecisions as FD
@@ -912,12 +946,13 @@ def decide_frame_b(orig_y: np.ndarray, ref0_y, ref1_y, qp: int,
      adm32) = size_data[32]
     n16y, n16x = h // 16, w // 16
     n32y, n32x = h // 32, w // 32
+    from ..spec.decide import _bl
     sum8 = (c8.reshape(n16y, 2, n16x, 2).sum(axis=(1, 3))
-            + (4 * SPLIT_BITS) * lam)
+            + _bl(B.split_fp, lam))
     split16 = sum8 < c16
     cc16 = np.where(split16, sum8, c16)
     sum16 = (cc16.reshape(n32y, 2, n32x, 2).sum(axis=(1, 3))
-             + (4 * SPLIT_BITS) * lam)
+             + _bl(B.split_fp, lam))
     split32 = sum16 < c32
     dec.split32[:] = split32.astype(np.uint8)
     dec.split16[:] = (split16

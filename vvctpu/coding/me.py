@@ -152,11 +152,15 @@ def _me_pass_impl(orig, refp, lam, *, frame_w: int, frame_h: int,
                  for i in range(len(keys)))
 
 
-def ibc_pass(orig, lam, *, frame_w: int, frame_h: int):
+def ibc_pass(orig, lam, *, frame_w: int, frame_h: int, ibc_fp=None):
     """Full-search IBC block-vector pass for sizes 8/16/32 at once — twin
     of spec ibc_size_pass (same window, candidate order, legality and
     strict-less min).  Returns dict size -> (cost int32, bv (nby,nbx,2))."""
-    res = _ibc_pass_impl(orig, lam, frame_w=frame_w, frame_h=frame_h)
+    if ibc_fp is None:
+        from ..spec.codec import IBC_BITS
+        ibc_fp = np.int32(IBC_BITS << 8)
+    res = _ibc_pass_impl(orig, lam, jnp.asarray(ibc_fp, jnp.int32),
+                         frame_w=frame_w, frame_h=frame_h)
     return {s: res[i] for i, s in enumerate((8, 16, 32))}
 
 
@@ -171,8 +175,7 @@ def _ibc_offsets() -> np.ndarray:
 
 
 @functools.partial(jax.jit, static_argnames=("frame_w", "frame_h"))
-def _ibc_pass_impl(orig, lam, *, frame_w: int, frame_h: int):
-    from ..spec.codec import IBC_BITS
+def _ibc_pass_impl(orig, lam, ibc_fp, *, frame_w: int, frame_h: int):
     from ..spec.decide import IBC_WIN
     h, w = frame_h, frame_w
     n8y, n8x = h // 8, w // 8
@@ -226,7 +229,8 @@ def _ibc_pass_impl(orig, lam, *, frame_w: int, frame_h: int):
                      & (((sy + s) <= cy0[None])
                         | ((sy >= cy0[None]) & ((sy + s) <= cy0[None] + 64)
                            & ((sx + s) <= cx0[None]))))
-            cb = (sadsb[s] << 8) + lam * (offb[:, 2, None, None] + IBC_BITS)
+            cb = ((sadsb[s] << 8) + lam * offb[:, 2, None, None]
+                  + ((ibc_fp * lam) >> 8))
             cb = jnp.where(legal, cb, I32MAX)
             bi = jnp.argmin(cb, axis=0)
             c = jnp.take_along_axis(cb, bi[None], 0)[0]
@@ -311,8 +315,8 @@ def refine_pass(orig, refp_margin, int_mv, lam, *, s: int, frame_w: int,
 @functools.partial(jax.jit, static_argnames=("s", "frame_w", "frame_h",
                                              "bd", "bcw", "bh", "sy", "sx",
                                              "oy", "ox"))
-def bi_cost_pass(orig, refp0, refp1, mv0, mv1, lam, *, s: int, frame_w: int,
-                 frame_h: int, bd: int = 8, bcw: bool = False,
+def bi_cost_pass(orig, refp0, refp1, mv0, mv1, lam, bcw_fp=None, *, s: int,
+                 frame_w: int, frame_h: int, bd: int = 8, bcw: bool = False,
                  bh: int | None = None, sy: int | None = None,
                  sx: int | None = None, oy: int = 0, ox: int = 0):
     """BI cost per s-block: SAD of the averaged refined uni predictions plus
@@ -324,6 +328,8 @@ def bi_cost_pass(orig, refp0, refp1, mv0, mv1, lam, *, s: int, frame_w: int,
     Returns (cost, widx), both (nby, nbx)."""
     from ..kernels import mc as jmc
     from ..spec.inter import BCW_DEFAULT, BCW_IDX_BITS, BCW_W
+    if bcw_fp is None:
+        bcw_fp = jnp.asarray(np.asarray(BCW_IDX_BITS, np.int32) << 8)
     h, w = frame_h, frame_w
     hh = s if bh is None else bh
     sy = hh if sy is None else sy
@@ -352,8 +358,8 @@ def bi_cost_pass(orig, refp0, refp1, mv0, mv1, lam, *, s: int, frame_w: int,
             wv = BCW_W[wi]
             pb = jnp.clip((wv * p0 + (8 - wv) * p1 + 4) >> 3, 0, mx)
             sad = jnp.abs(blk - pb).sum()
-            wb = BCW_IDX_BITS[wi] if bcw else 0
-            cs.append((sad << 8) + lam * (bits + wb))
+            wb = ((bcw_fp[wi] * lam) >> 8) if bcw else 0
+            cs.append((sad << 8) + lam * bits + wb)
         cv = jnp.stack(cs)
         wi = jnp.argmin(cv).astype(jnp.int32)
         return cv[wi], (wi if bcw else jnp.int32(BCW_DEFAULT))

@@ -210,10 +210,26 @@ def _sao_component_j(rec, tp, offs_px, bp, bd: int):
     return jnp.clip(rec + add, 0, mx)
 
 
-@functools.partial(jax.jit, static_argnames=("bd",))
-def _sao_jit(recs, tps, offs, bps, bd: int):
-    return tuple(_sao_component_j(recs[c], tps[c], offs[c], bps[c], bd)
-                 for c in range(3))
+@functools.partial(jax.jit, static_argnames=("ctu", "bd"))
+def _sao_jit(recs, tps, offs, bps, ctu: int, bd: int):
+    out = []
+    for c in range(3):
+        rec = recs[c]
+        h, w = rec.shape
+        cs = ctu // (1 if c == 0 else 2)
+
+        def up(a):
+            # per-CTU params are up-sampled ON DEVICE: the host->device
+            # tunnel is the decode bottleneck (~30-100 MB/s) and per-pixel
+            # int32 param planes were ~75 MB/frame at 1080p (round-4
+            # profile); the compact (nY, nX) arrays are a few KB.
+            # jnp.repeat == np.kron-with-ones on ints (bit-identical).
+            return jnp.repeat(jnp.repeat(a, cs, axis=0), cs,
+                              axis=1)[:h, :w]
+
+        out.append(_sao_component_j(rec, up(tps[c]), up(offs[c]),
+                                    up(bps[c]), bd))
+    return tuple(out)
 
 
 def apply_sao_j(planes, params, ctu: int = 64, bd: int = 8,
@@ -221,22 +237,14 @@ def apply_sao_j(planes, params, ctu: int = 64, bd: int = 8,
     """Device twin of spec sao.apply_sao (bit-identical)."""
     recs, tps, offs, bps = [], [], [], []
     for comp in range(3):
-        rec = planes[comp]
-        h, w = rec.shape
-        scale = 1 if comp == 0 else 2
-        cs = ctu // scale
-
-        def up(a):
-            return np.kron(a, np.ones((cs, cs), a.dtype))[:h, :w]
-
-        recs.append(jnp.asarray(rec).astype(jnp.int32))
-        tps.append(jnp.asarray(up(params.type[:, :, comp]).astype(np.int32)))
-        offs.append(jnp.asarray(np.stack(
-            [up(params.offsets[:, :, comp, i]).astype(np.int32)
-             for i in range(4)], axis=-1)))
+        recs.append(jnp.asarray(planes[comp]).astype(jnp.int32))
+        tps.append(jnp.asarray(params.type[:, :, comp].astype(np.int32)))
+        offs.append(jnp.asarray(
+            params.offsets[:, :, comp].astype(np.int32)))
         bps.append(jnp.asarray(
-            up(params.band_pos[:, :, comp]).astype(np.int32)))
-    out = _sao_jit(tuple(recs), tuple(tps), tuple(offs), tuple(bps), bd)
+            params.band_pos[:, :, comp].astype(np.int32)))
+    out = _sao_jit(tuple(recs), tuple(tps), tuple(offs), tuple(bps), ctu,
+                   bd)
     if not fetch:
         return list(out)
     from ..core import xfer

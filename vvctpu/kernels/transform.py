@@ -130,6 +130,7 @@ def quantize_rdoq_j(coef, h: int, w: int, qp, lam_rd, bd: int = 8):
         deq = jnp.clip(jnp.right_shift(t + (1 << (dq_shift - 1)), dq_shift),
                        COEFF_MIN, COEFF_MAX)
         err = jnp.minimum(jnp.abs(a - deq), 30000)
+        # integer proxy kept deliberately — see spec quantize_rdoq note
         rate = jnp.where(lv > 0, 2 + 2 * _bitlen15_j(lv), 0)
         return err * err + lam * rate
 
@@ -323,6 +324,23 @@ def level_rate_est_j(lev, axes=None):
     return (nnz + bl).astype(jnp.int32)
 
 
+def level_rate_fp_j(lev, w, axes=None):
+    """Fractional-bit (8.8) level rate — twin of spec level_rate_fp.
+    w: (4,) int32 (w_nnz, w_ge2, w_ge4, w_dbl) from est.tx_tables_j."""
+    a = jnp.abs(lev)
+    nnz = (a > 0).sum(axis=axes).astype(jnp.int32)
+    ge2 = (a >= 2).sum(axis=axes).astype(jnp.int32)
+    ge4 = (a >= 4).sum(axis=axes).astype(jnp.int32)
+    dbl = jnp.maximum(_bitlen15_j(a) - 3, 0).sum(axis=axes).astype(jnp.int32)
+    return nnz * w[0] + ge2 * w[1] + ge4 * w[2] + dbl * w[3]
+
+
+def _rd_cost_j(dist, rate_fp, lam):
+    """Twin of spec _rd_cost: int32-safe lam * fractional-rate."""
+    r = jnp.minimum(rate_fp, 1 << 22)
+    return dist + lam * (r >> 8) + ((lam * (r & 255)) >> 8)
+
+
 def choose_mts_j(resi, s: int, qp, lam_rd, bd: int = 8):
     """Returns (idx int32, levels (s,s), recon_resi (s,s)) — RD-selected
     transform pair, first-min tie-breaking in MTS_SET order."""
@@ -395,6 +413,8 @@ def choose_sbt_j(resi, s: int, qp, lam_rd, bd: int = 8, rdoq: bool = False,
     """(sbt_idx int32, levels_full, recon_resi) — RD over full DCT-II vs
     the 4 half transforms; twin of spec choose_sbt (first-min argmin,
     all-zero winner collapses to idx 0)."""
+    from ..cabac import estimate as est
+    _, _, sbt_fp, lvl_w = est.tx_tables_j(qp)
     costs, levs, recs = [], [], []
     for idx in range(5):
         x0, y0, w, h = sbt_region(idx, s)
@@ -410,9 +430,8 @@ def choose_sbt_j(resi, s: int, qp, lam_rd, bd: int = 8, rdoq: bool = False,
         rec = jnp.zeros((s, s), jnp.int32).at[y0:y0 + h,
                                               x0:x0 + w].set(rec_s)
         dist = ((resi - rec) ** 2).sum()
-        rate = (jnp.minimum(level_rate_est_j(lev), 1 << 14)
-                + SBT_IDX_BITS[idx])
-        costs.append(dist + lam_rd * rate)
+        rate_fp = level_rate_fp_j(lev, lvl_w) + sbt_fp[idx]
+        costs.append(_rd_cost_j(dist, rate_fp, lam_rd))
         levs.append(lev)
         recs.append(rec)
     i = jnp.argmin(jnp.stack(costs)).astype(jnp.int32)
@@ -547,18 +566,22 @@ def choose_tx_j(resi, s: int, qp, lam_rd, mode, bd: int = 8,
         rec = rec.at[ts_pos].set(jnp.clip(cts, COEFF_MIN, COEFF_MAX))
 
     dist = ((resi[None] - rec) ** 2).sum(axis=(-2, -1))
-    bits = np.asarray(
-        [(MTS_IDX_BITS[mk] if (mts or ts) else 0)
-         + (LFNST_IDX_BITS[lk] if (lfnst and mk == 0) else 0)
-         for mk, lk in cands], np.int32)
-    rate = jnp.minimum(level_rate_est_j(lev, axes=(-2, -1))
-                       + jnp.asarray(bits), 1 << 14)
+    from ..cabac import estimate as est
+    mts_fp, lfnst_fp, _, lvl_w = est.tx_tables_j(qp)
+    midx = jnp.asarray(np.asarray([mk for mk, _ in cands], np.int32))
+    lidx = jnp.asarray(np.asarray([lk for _, lk in cands], np.int32))
+    use_l = np.asarray([1 if (lfnst and mk == 0) else 0
+                        for mk, lk in cands], np.int32)
+    bits_fp = ((mts_fp[midx] if (mts or ts) else jnp.int32(0))
+               + jnp.where(jnp.asarray(use_l) > 0, lfnst_fp[lidx], 0))
+    rate_fp = level_rate_fp_j(lev, lvl_w, axes=(-2, -1)) + bits_fp
+    base = _rd_cost_j(dist, rate_fp, lam_rd)
     pen = np.asarray([(mk, lk) != (0, 0) for mk, lk in cands])
     # penalty semantics: 'allow' False masks non-DCT2; otherwise no penalty
     if allow is None:
-        costs = dist + lam_rd * rate
+        costs = base
     else:
-        costs = (dist + lam_rd * rate
+        costs = (base
                  + jnp.where(jnp.asarray(pen),
                              jnp.where(jnp.asarray(allow), jnp.int32(0),
                                        jnp.int32(1 << 29)),

@@ -89,8 +89,12 @@ def chroma_rd_j(bcbk, bcrk, pred_opts, sc, cs: int, qp, bd: int,
                              rdoq=rdoq, lam_rd=lam_rd, dq=dq)
     rr = transform.inverse_transform(
         transform.dequantize(lev, cs, cs, qp, bd, dq=dq), cs, cs, bd=bd)
-    rate = jnp.minimum(transform.level_rate_est_j(lev, axes=(-2, -1)),
-                       1 << 14)
+    from ..cabac import estimate as _est
+    _, _, _, _lvl_w = _est.tx_tables_j(qp)
+    rate_fp = jnp.minimum(
+        transform.level_rate_fp_j(lev, _lvl_w, axes=(-2, -1)), 1 << 22)
+    rate_w = rate_fp >> 8
+    rate_f = rate_fp & 255
     zero = jnp.zeros((cs, cs), jnp.int32)
     cands = []
     for ci, (pcb, pcr) in enumerate(pred_opts):
@@ -98,7 +102,9 @@ def chroma_rd_j(bcbk, bcrk, pred_opts, sc, cs: int, qp, bd: int,
         db = jnp.minimum(jnp.abs(rcbr - rr[ci]), 2047)
         dr = jnp.minimum(jnp.abs(rcrr - rr[P + ci]), 2047)
         cost = ((db * db).sum() + (dr * dr).sum()
-                + lam_rd * rate[ci] + lam_rd * rate[P + ci])
+                + lam_rd * rate_w[ci] + ((lam_rd * rate_f[ci]) >> 8)
+                + lam_rd * rate_w[P + ci]
+                + ((lam_rd * rate_f[P + ci]) >> 8))
         cands.append((cost, lev[ci], lev[P + ci],
                       jnp.clip(pcb + inv_sc(rr[ci]), 0, mx),
                       jnp.clip(pcr + inv_sc(rr[P + ci]), 0, mx),
@@ -108,7 +114,8 @@ def chroma_rd_j(bcbk, bcrk, pred_opts, sc, cs: int, qp, bd: int,
             db = jnp.minimum(jnp.abs(rcbr - rrj), 2047)
             dr = jnp.minimum(jnp.abs(rcrr + rrj), 2047)
             cost = ((db * db).sum() + (dr * dr).sum()
-                    + lam_rd * rate[2 * P + ci])
+                    + lam_rd * rate_w[2 * P + ci]
+                    + ((lam_rd * rate_f[2 * P + ci]) >> 8))
             cands.append((cost, lev[2 * P + ci], zero,
                           jnp.clip(pcb + inv_sc(rrj), 0, mx),
                           jnp.clip(pcr - inv_sc(rrj), 0, mx),

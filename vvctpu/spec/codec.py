@@ -1431,6 +1431,8 @@ def _code_leaf(io, st: _FrameState, x: int, y: int, s: int,
         if crs_sc is not None:
             from . import lmcs as lmcsmod
             resis = [lmcsmod.crs_fwd(r, crs_sc) for r in resis]
+        from ..cabac import estimate as _est
+        _btx = _est.tx_bits(st.qp)
         for joint in joint_opts:
             if joint:
                 # JCCR (mode-2 analog, CSign = -1): code one TB C with
@@ -1451,8 +1453,8 @@ def _code_leaf(io, st: _FrameState, x: int, y: int, s: int,
                 d1 = np.minimum(np.abs(resis[1].astype(np.int64) + rec),
                                 2047)
                 dist = int((d0 * d0).sum() + (d1 * d1).sum())
-                cost = dist + lam * min(transform.level_rate_est(lev),
-                                        1 << 14)
+                cost = transform._rd_cost(
+                    dist, transform.level_rate_fp(lev, _btx.lvl_w), lam)
                 cands.append((cost, use_cclm, 1, preds, [lev]))
             else:
                 levs, cost = [], 0
@@ -1468,8 +1470,8 @@ def _code_leaf(io, st: _FrameState, x: int, y: int, s: int,
                     dd = np.minimum(
                         np.abs(resis[c - 1].astype(np.int64) - rec), 2047)
                     dist = int((dd * dd).sum())
-                    cost += dist + lam * min(transform.level_rate_est(lev),
-                                             1 << 14)
+                    cost += transform._rd_cost(
+                        dist, transform.level_rate_fp(lev, _btx.lvl_w), lam)
                     levs.append(lev)
                 cands.append((cost, use_cclm, 0, preds, levs))
     best = cands[0]

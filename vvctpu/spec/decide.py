@@ -25,6 +25,10 @@ from .codec import FrameDecisions
 
 # mode-cost bit estimates (flat; MPM outcome unknown at batch-decision time).
 # Ids >= NUM_LUMA_MODE are the 16 MIP candidates (8 matrices x transpose).
+# Round 4: these flat integer tables are the VVCTPU_FLAT_BITS=1 fallback;
+# the default decision costs use fractional-bit CABAC estimates from the
+# context-init states (cabac/estimate.py, VTM BinEncoder estimate-mode
+# analog) via the DecisionBits tables threaded through every pass.
 NUM_MIP_IDS = 2 * rom.NUM_MIP_MODES
 MODE_BITS = np.full(rom.NUM_LUMA_MODE + NUM_MIP_IDS, 7, np.int64)
 MODE_BITS[rom.PLANAR_IDX] = 2
@@ -33,6 +37,12 @@ for m in (rom.HOR_IDX, rom.VER_IDX, rom.DIA_IDX, 2, 66):
     MODE_BITS[m] = 5
 MODE_BITS[rom.NUM_LUMA_MODE:] = 6    # mip_flag + transpose + 3-bit matrix id
 SPLIT_BITS = 2
+
+
+def _bl(fp, lam):
+    """lambda * fractional bits (8.8) -> cost units; exact in int64 and
+    int32 (values < 2^15 * 2^17)."""
+    return (fp * lam) >> 8
 
 
 def lambda_satd_fp(qp: int) -> int:
@@ -81,27 +91,30 @@ def block_satd4(diff: np.ndarray) -> int:
 def _mode_costs_for_block(orig: np.ndarray, x: int, y: int, s: int,
                           lam: int, bit_depth: int,
                           mip: bool = False,
-                          mrl: bool = False, isp: bool = False) -> np.ndarray:
+                          mrl: bool = False, isp: bool = False,
+                          B=None) -> np.ndarray:
     """(67 [+16],) int64 cost per mode for the block at (x, y) size s;
-    ids >= NUM_LUMA_MODE are the MIP candidates when enabled.  When MRL is
-    on, regular modes carry the extra mrl=0 TU bin; when ISP is on, the
-    extra isp_flag=0 bin."""
+    ids >= NUM_LUMA_MODE are the MIP candidates when enabled.  When MRL /
+    ISP / MIP are on, regular modes carry the line-0 / isp=0 / mip=0 flag
+    costs.  B: cabac/estimate.DecisionBits fractional-bit tables."""
     h, w = orig.shape
     valid = np.ones((h, w), bool)
     top, left = intra.build_references(orig, valid, x, y, s, s, bit_depth)
     blk = orig[y:y + s, x:x + s].astype(np.int64)
     n = rom.NUM_LUMA_MODE + (NUM_MIP_IDS if mip else 0)
+    reg_extra = ((B.mrl0_fp if mrl else 0) + (B.isp0_fp if isp else 0)
+                 + (B.mip0_fp if mip else 0))
     costs = np.empty(n, np.int64)
     for mode in range(n):
         if mode < rom.NUM_LUMA_MODE:
             pred = intra.predict(top, left, mode, s, s, False, bit_depth)
+            fp = B.mode_fp[mode] + reg_extra
         else:
             pred = intra.mip_predict(top, left, mode - rom.NUM_LUMA_MODE,
                                      s, bit_depth)
+            fp = B.mode_fp[mode]
         satd = block_satd(blk - pred)
-        bits = MODE_BITS[mode] + ((int(mrl) + int(isp))
-                                  if mode < rom.NUM_LUMA_MODE else 0)
-        costs[mode] = (satd << 8) + bits * lam
+        costs[mode] = (satd << 8) + _bl(fp, lam)
     return costs
 
 
@@ -119,7 +132,7 @@ TT_GEOM = {(32, 8): (32, 8, 8, 32, 0, 0),
 
 
 def _rect_mode_costs(orig: np.ndarray, x: int, y: int, w: int, h: int,
-                     lam: int, bit_depth: int):
+                     lam: int, bit_depth: int, B=None):
     """(cost, mode) for a rectangular (BT) intra block: 67-mode SATD
     argmin (square-only tools excluded, matching the rect leaf syntax)."""
     hh, ww = orig.shape
@@ -129,7 +142,7 @@ def _rect_mode_costs(orig: np.ndarray, x: int, y: int, w: int, h: int,
     best_c, best_m = None, 0
     for mode in range(rom.NUM_LUMA_MODE):
         pred = intra.predict(top, left, mode, w, h, False, bit_depth)
-        c = (block_satd(blk - pred) << 8) + int(MODE_BITS[mode]) * lam
+        c = (block_satd(blk - pred) << 8) + _bl(int(B.mode_fp[mode]), lam)
         if best_c is None or c < best_c:
             best_c, best_m = c, mode
     return best_c, best_m
@@ -137,7 +150,8 @@ def _rect_mode_costs(orig: np.ndarray, x: int, y: int, w: int, h: int,
 
 def rect_intra_grid(orig: np.ndarray, bw: int, bh: int, lam: int,
                     bit_depth: int, sy: int | None = None,
-                    sx: int | None = None, oy: int = 0, ox: int = 0):
+                    sx: int | None = None, oy: int = 0, ox: int = 0,
+                    B=None):
     """Dense (cost, mode) grids over (bw x bh) blocks at stride (sy, sx)
     from offset (oy, ox) — BT halves use the default tiling; TT stripes
     use the TT_GEOM strides/offsets."""
@@ -151,7 +165,7 @@ def rect_intra_grid(orig: np.ndarray, bw: int, bh: int, lam: int,
     for by in range(nby):
         for bx in range(nbx):
             c, m = _rect_mode_costs(orig, ox + bx * sx, oy + by * sy, bw,
-                                    bh, lam, bit_depth)
+                                    bh, lam, bit_depth, B=B)
             cost[by, bx] = c
             mode[by, bx] = m
     return cost, mode
@@ -159,12 +173,13 @@ def rect_intra_grid(orig: np.ndarray, bw: int, bh: int, lam: int,
 
 def _block_decision(orig: np.ndarray, x: int, y: int, s: int, lam: int,
                     bit_depth: int, mip: bool = False, mrl: bool = False,
-                    isp: bool = False):
+                    isp: bool = False, B=None):
     """(cost, mode, mrl_idx, isp_d) for one block: argmin over modes, then a
     refinement of the winner over the 5-candidate list [base, MRL line 1,
     MRL line 2, ISP-H, ISP-V] (sentinel-masked, first-min tie-breaking) —
     identical list in the JAX twin (coding/decide.py size_pass)."""
-    c = _mode_costs_for_block(orig, x, y, s, lam, bit_depth, mip, mrl, isp)
+    c = _mode_costs_for_block(orig, x, y, s, lam, bit_depth, mip, mrl, isp,
+                              B=B)
     mode = int(np.argmin(c))
     cost = int(c.min())
     if mode >= rom.NUM_LUMA_MODE:
@@ -180,10 +195,12 @@ def _block_decision(orig: np.ndarray, x: int, y: int, s: int, lam: int,
             pred = intra.predict(top, left, mode, s, s, False, bit_depth,
                                  ref_line=k)
             satd = block_satd(blk - pred)
-            cands[k] = (satd << 8) + (MODE_BITS[mode] + 2) * lam
+            mfp = B.mrl1_fp if k == 1 else B.mrl2_fp
+            cands[k] = (satd << 8) + _bl(int(B.mode_fp[mode]) + mfp, lam)
     if isp:
         from .codec import isp_parts
-        ibits = MODE_BITS[mode] + int(mrl) + 2
+        ifp = (int(B.mode_fp[mode]) + (B.mrl0_fp if mrl else 0)
+               + B.ispd_fp)
         for d in (1, 2):
             satd = 0
             for (dx, dy, w_st, h_st) in isp_parts(s, d):
@@ -194,7 +211,7 @@ def _block_decision(orig: np.ndarray, x: int, y: int, s: int, lam: int,
                                      bit_depth)
                 satd += block_satd4(
                     blk[dy:dy + h_st, dx:dx + w_st] - pred)
-            cands[2 + d] = (satd << 8) + ibits * lam
+            cands[2 + d] = (satd << 8) + _bl(ifp, lam)
     kbest = int(np.argmin(cands))
     mrl_k = kbest if kbest <= 2 else 0
     isp_d = 0 if kbest <= 2 else kbest - 2
@@ -204,12 +221,11 @@ def _block_decision(orig: np.ndarray, x: int, y: int, s: int, lam: int,
 IBC_WIN = 64     # BV search window: dx in [-64, 64], dy in [-64, 0]
 
 
-def ibc_size_pass(orig: np.ndarray, s: int, lam: int):
+def ibc_size_pass(orig: np.ndarray, s: int, lam: int, B=None):
     """Best legal block vector per s-block: full SAD search over the
     window, row-major (dy, dx) candidate order, strict-less running min,
     legality per spec codec.ibc_legal (vectorised).  Returns
-    (cost int64 incl. lambda*(bv rate + IBC_BITS), bv (nby, nbx, 2))."""
-    from .codec import IBC_BITS
+    (cost int64 incl. lambda*(bv rate + ibc_flag bits), bv (nby,nbx,2))."""
     h, w = orig.shape
     nby, nbx = h // s, w // s
     o = orig.astype(np.int64)
@@ -233,8 +249,8 @@ def ibc_size_pass(orig: np.ndarray, s: int, lam: int):
             d = np.abs(o - refp[IBC_WIN + dy:IBC_WIN + dy + h,
                                 IBC_WIN + dx:IBC_WIN + dx + w])
             sad = d.reshape(nby, s, nbx, s).sum(axis=(1, 3))
-            cost = ((sad << 8)
-                    + lam * (_inter.mv_bits_q(dx, dy) + IBC_BITS))
+            cost = ((sad << 8) + lam * _inter.mv_bits_q(dx, dy)
+                    + _bl(B.ibc_fp, lam))
             cost = np.where(legal, cost, SENT)
             better = cost < best
             best = np.where(better, cost, best)
@@ -250,8 +266,10 @@ def decide_frame(orig_y: np.ndarray, qp: int,
                  ibc: bool = False, tt: bool = False,
                  plt: bool = False) -> FrameDecisions:
     """Compute partition + modes for a padded luma plane (H, W)."""
+    from ..cabac import estimate as est
     h, w = orig_y.shape
     lam = lambda_satd_fp(qp)
+    B = est.decision_bits(2, qp)
     dec = FrameDecisions.empty(h, w)
 
     n8y, n8x = h // 8, w // 8
@@ -279,7 +297,7 @@ def decide_frame(orig_y: np.ndarray, qp: int,
                 cost, mode, k, di = _block_decision(orig_y, bx * grid,
                                                     by * grid, grid, lam,
                                                     bit_depth, mip, mrl,
-                                                    isp)
+                                                    isp, B=B)
                 bc[by, bx] = cost
                 bm[by, bx] = mode
                 bk[by, bx] = k
@@ -292,7 +310,7 @@ def decide_frame(orig_y: np.ndarray, qp: int,
                                  (16, best16_cost, best16_mrl, best16_isp),
                                  (32, best32_cost, best32_mrl,
                                   best32_isp)):
-            ic, bv = ibc_size_pass(orig_y, grid, lam)
+            ic, bv = ibc_size_pass(orig_y, grid, lam, B=B)
             use = ic < bc
             bc[:] = np.where(use, ic, bc)
             bk[:] = np.where(use, 0, bk)      # IBC leaves: no MRL/ISP
@@ -307,12 +325,12 @@ def decide_frame(orig_y: np.ndarray, qp: int,
     if not mtt:
         # bottom-up partition: cost of a 16 as 4x8 leaves vs one leaf
         sum8 = (best8_cost.reshape(n16y, 2, n16x, 2).sum(axis=(1, 3))
-                + ((4 * SPLIT_BITS) * lam))
+                + _bl(B.split_fp, lam))
         split16 = sum8 < best16_cost
         cost16 = np.where(split16, sum8, best16_cost)
 
         sum16 = (cost16.reshape(n32y, 2, n32x, 2).sum(axis=(1, 3))
-                 + ((4 * SPLIT_BITS) * lam))
+                 + _bl(B.split_fp, lam))
         split32 = sum16 < best32_cost
         dec.split32[:] = split32.astype(np.uint8)
         dec.split16[:] = (split16
@@ -347,17 +365,17 @@ def decide_frame(orig_y: np.ndarray, qp: int,
     # [square leaf, BT-H, BT-V, QT] (candidate order fixed — the JAX twin
     # computes bit-identical grids and calls the same assembly)
     rects = {shape: rect_intra_grid(orig_y, shape[0], shape[1], lam,
-                                    bit_depth)
+                                    bit_depth, B=B)
              for shape in ((16, 8), (8, 16), (32, 16), (16, 32))}
     if tt:
         for key, (bw, bh, sy, sx, oy, ox) in TT_GEOM.items():
             rects[key] = rect_intra_grid(orig_y, bw, bh, lam, bit_depth,
-                                         sy=sy, sx=sx, oy=oy, ox=ox)
+                                         sy=sy, sx=sx, oy=oy, ox=ox, B=B)
     sizes = {8: (best8_cost, best8_mode, best8_mrl, best8_isp),
              16: (best16_cost, best16_mode, best16_mrl, best16_isp),
              32: (best32_cost, best32_mode, best32_mrl, best32_isp)}
     mtt_assemble_i(dec, sizes, rects, lam, ibc_data=ibc_data,
-                   plt_use=plt_use)
+                   plt_use=plt_use, B=B)
     return dec
 
 
@@ -423,11 +441,11 @@ def _fill_plt(dec: FrameDecisions, plt_use, use16, use8) -> None:
 
 
 def mtt_assemble_i(dec: FrameDecisions, sizes, rects, lam: int,
-                   ibc_data=None, plt_use=None) -> None:
+                   ibc_data=None, plt_use=None, B=None) -> None:
     """Shared (spec + JAX engine) MTT bottom-up + map fill for I frames.
 
     sizes[s] = (cost int64, mode, mrl, isp) square grids; rects[(bw, bh)] =
-    (cost, mode) rect grids."""
+    (cost, mode) rect grids; B = DecisionBits fractional tables."""
     (best8_cost, best8_mode, best8_mrl, best8_isp) = sizes[8]
     (best16_cost, best16_mode, best16_mrl, best16_isp) = sizes[16]
     (best32_cost, best32_mode, best32_mrl, best32_isp) = sizes[32]
@@ -440,27 +458,27 @@ def mtt_assemble_i(dec: FrameDecisions, sizes, rects, lam: int,
 
     tt = (32, 8) in rects
     sum8 = (best8_cost.reshape(n16y, 2, n16x, 2).sum(axis=(1, 3))
-            + (4 * SPLIT_BITS) * lam)
-    bt_h16 = ch16.reshape(n16y, 2, n16x).sum(axis=1) + BT_BITS * lam
-    bt_v16 = cv16.reshape(n16y, n16x, 2).sum(axis=2) + BT_BITS * lam
-    cands16 = np.stack([best16_cost + BT_LEAF_BITS * lam, bt_h16, bt_v16,
+            + _bl(B.split_fp, lam))
+    bt_h16 = ch16.reshape(n16y, 2, n16x).sum(axis=1) + _bl(B.bt_fp, lam)
+    bt_v16 = cv16.reshape(n16y, n16x, 2).sum(axis=2) + _bl(B.bt_fp, lam)
+    cands16 = np.stack([best16_cost + _bl(B.leaf_fp, lam), bt_h16, bt_v16,
                         sum8])
     k16 = np.argmin(cands16, axis=0).astype(np.int32)
     cost16 = np.min(cands16, axis=0)
 
     sum16 = (cost16.reshape(n32y, 2, n32x, 2).sum(axis=(1, 3))
-             + (4 * SPLIT_BITS) * lam)
-    bt32_bits = TT_BITS if tt else BT_BITS    # + tt=0 bin when TT is on
-    bt_h32 = ch32.reshape(n32y, 2, n32x).sum(axis=1) + bt32_bits * lam
-    bt_v32 = cv32.reshape(n32y, n32x, 2).sum(axis=2) + bt32_bits * lam
-    c32 = [best32_cost + BT_LEAF_BITS * lam, bt_h32, bt_v32, sum16]
+             + _bl(B.split_fp, lam))
+    bt32_fp = B.bt32_fp if tt else B.bt_fp    # + tt=0 bin when TT is on
+    bt_h32 = ch32.reshape(n32y, 2, n32x).sum(axis=1) + _bl(bt32_fp, lam)
+    bt_v32 = cv32.reshape(n32y, n32x, 2).sum(axis=2) + _bl(bt32_fp, lam)
+    c32 = [best32_cost + _bl(B.leaf_fp, lam), bt_h32, bt_v32, sum16]
     if tt:
         ch8, mh8g = rects[(32, 8)]            # (n8y, n32x)
         cv8, mv8g = rects[(8, 32)]            # (n32y, n8x)
         cmh, mmh = rects["tth_mid"]           # (n32y, n32x)
         cmv, mmv = rects["ttv_mid"]
-        tt_h = (ch8[0::4] + cmh + ch8[3::4] + TT_BITS * lam)
-        tt_v = (cv8[:, 0::4] + cmv + cv8[:, 3::4] + TT_BITS * lam)
+        tt_h = (ch8[0::4] + cmh + ch8[3::4] + _bl(B.tt_fp, lam))
+        tt_v = (cv8[:, 0::4] + cmv + cv8[:, 3::4] + _bl(B.tt_fp, lam))
         c32 += [tt_h, tt_v]
     cands32 = np.stack(c32)
     k32 = np.argmin(cands32, axis=0).astype(np.int32)
@@ -627,7 +645,7 @@ GPM_BITS = 8      # gpm_flag + 6-bin partition idx + rounding slack
 
 
 def affine_sad_pass(orig: np.ndarray, refp: np.ndarray, base_mv: np.ndarray,
-                    s: int, lam: int, bit_depth: int):
+                    s: int, lam: int, bit_depth: int, B=None):
     """Best affine dmv per s-block around the refined translational MV.
 
     Search over the AFF_DELTAS x AFF_DELTAS grid (row-major dmvy outer,
@@ -655,9 +673,8 @@ def affine_sad_pass(orig: np.ndarray, refp: np.ndarray, base_mv: np.ndarray,
                                                    (dmvx, dmvy), bit_depth,
                                                    prof=False)
                     sad = int(np.abs(ob - pred).sum())
-                    bits = (bbits + _inter.mv_bits_q(dmvx >> 2, dmvy >> 2)
-                            + _inter.AFF_BITS)
-                    cost = (sad << 8) + lam * bits
+                    bits = bbits + _inter.mv_bits_q(dmvx >> 2, dmvy >> 2)
+                    cost = (sad << 8) + lam * bits + _bl(B.aff_fp, lam)
                     if cost < best_cost[by, bx]:
                         best_cost[by, bx] = cost
                         best_dmv[by, bx] = (dmvx, dmvy)
@@ -714,13 +731,14 @@ def me_size_pass(orig: np.ndarray, ref: np.ndarray, s: int, lam: int,
 
 def rect_inter_grid(orig: np.ndarray, refs, bw: int, bh: int, lam: int,
                     bit_depth: int, sy: int | None = None,
-                    sx: int | None = None, oy: int = 0, ox: int = 0):
+                    sx: int | None = None, oy: int = 0, ox: int = 0,
+                    B=None):
     """Per-(bw x bh)-block best of {intra, refined uni per list, BI} for
     rectangular BT/TT leaves: returns (cost, mode, kind, mv0, mv1) grids
     with kind 0 intra / 1 L0 / 2 L1 / 3 BI (candidate order = square
     path's).  Geometry (stride + offset) as in rect_intra_grid."""
     icost, imode = rect_intra_grid(orig, bw, bh, lam, bit_depth, sy=sy,
-                                   sx=sx, oy=oy, ox=ox)
+                                   sx=sx, oy=oy, ox=ox, B=B)
     ucost, umv = [], []
     refps = []
     for ref in refs:
@@ -763,7 +781,7 @@ def rect_inter_grid(orig: np.ndarray, refs, bw: int, bh: int, lam: int,
 
 
 def _mtt_finish_inter(dec: FrameDecisions, size_data, rects, lam: int,
-                      is_b: bool):
+                      is_b: bool, B=None):
     """Shared MTT bottom-up + granule fill for P/B frames.
 
     size_data[s] = (cost, imode, kind, mv0, mv1) for square sizes
@@ -778,29 +796,29 @@ def _mtt_finish_inter(dec: FrameDecisions, size_data, rects, lam: int,
     n32y, n32x = c32.shape
     tt = (32, 8) in rects
     sum8 = (c8.reshape(n16y, 2, n16x, 2).sum(axis=(1, 3))
-            + (4 * SPLIT_BITS) * lam)
+            + _bl(B.split_fp, lam))
     bt_h16 = rects[(16, 8)][0].reshape(n16y, 2, n16x).sum(axis=1) \
-        + BT_BITS * lam
+        + _bl(B.bt_fp, lam)
     bt_v16 = rects[(8, 16)][0].reshape(n16y, n16x, 2).sum(axis=2) \
-        + BT_BITS * lam
-    cands16 = np.stack([c16 + BT_LEAF_BITS * lam, bt_h16, bt_v16, sum8])
+        + _bl(B.bt_fp, lam)
+    cands16 = np.stack([c16 + _bl(B.leaf_fp, lam), bt_h16, bt_v16, sum8])
     k16 = np.argmin(cands16, axis=0).astype(np.int32)
     cost16 = np.min(cands16, axis=0)
     sum16 = (cost16.reshape(n32y, 2, n32x, 2).sum(axis=(1, 3))
-             + (4 * SPLIT_BITS) * lam)
-    bt32_bits = TT_BITS if tt else BT_BITS
+             + _bl(B.split_fp, lam))
+    bt32_fp = B.bt32_fp if tt else B.bt_fp
     bt_h32 = rects[(32, 16)][0].reshape(n32y, 2, n32x).sum(axis=1) \
-        + bt32_bits * lam
+        + _bl(bt32_fp, lam)
     bt_v32 = rects[(16, 32)][0].reshape(n32y, n32x, 2).sum(axis=2) \
-        + bt32_bits * lam
-    c32l = [c32 + BT_LEAF_BITS * lam, bt_h32, bt_v32, sum16]
+        + _bl(bt32_fp, lam)
+    c32l = [c32 + _bl(B.leaf_fp, lam), bt_h32, bt_v32, sum16]
     if tt:
         ch8 = rects[(32, 8)][0]
         cv8 = rects[(8, 32)][0]
         c32l += [ch8[0::4] + rects["tth_mid"][0] + ch8[3::4]
-                 + TT_BITS * lam,
+                 + _bl(B.tt_fp, lam),
                  cv8[:, 0::4] + rects["ttv_mid"][0] + cv8[:, 3::4]
-                 + TT_BITS * lam]
+                 + _bl(B.tt_fp, lam)]
     cands32 = np.stack(c32l)
     k32 = np.argmin(cands32, axis=0).astype(np.int32)
 
@@ -888,7 +906,7 @@ def _m3(mask, v):
 
 
 def mtt_assemble_p(dec: FrameDecisions, size_data, rect_grids, lam: int,
-                   ciip: bool, affine: bool) -> None:
+                   ciip: bool, affine: bool, B=None) -> None:
     """Shared (spec + JAX engine) MTT assembly for P frames.
 
     size_data[s] = (cost, imode, use_inter bool, rmv, imrl, cflag, iisp,
@@ -905,7 +923,7 @@ def mtt_assemble_p(dec: FrameDecisions, size_data, rect_grids, lam: int,
         z = np.zeros_like(rk)
         rects[shape] = (rc, rm, rk, rmv0, rmv1, z, z, z, z,
                         np.zeros_like(rmv0))
-    rectg, masks, fill = _mtt_finish_inter(dec, sd, rects, lam, False)
+    rectg, masks, fill = _mtt_finish_inter(dec, sd, rects, lam, False, B=B)
     itf = dec.inter8.astype(bool)
     dec.mrl8[:] = np.where(itf | rectg, 0, fill(5)).astype(np.uint8)
     dec.isp8[:] = np.where(itf | rectg, 0, fill(7)).astype(np.uint8)
@@ -919,7 +937,8 @@ def mtt_assemble_p(dec: FrameDecisions, size_data, rect_grids, lam: int,
 
 
 def mtt_assemble_b(dec: FrameDecisions, size_data, rect_grids, lam: int,
-                   ciip: bool, affine: bool, bcw: bool, gpm: bool) -> None:
+                   ciip: bool, affine: bool, bcw: bool, gpm: bool,
+                   B=None) -> None:
     """Shared (spec + JAX engine) MTT assembly for B frames.
 
     size_data[s] = (cost, imode, kind 0..5, mva, mvb, imrl, bwidx, cflag,
@@ -939,7 +958,7 @@ def mtt_assemble_b(dec: FrameDecisions, size_data, rect_grids, lam: int,
         bwdef = np.full_like(rk, _inter.BCW_DEFAULT)
         rects[shape] = (rc, rm, rk, rmv0, rmv1, z, z, z, z,
                         np.zeros_like(rmv0), bwdef, z)
-    rectg, masks, fill = _mtt_finish_inter(dec, sd, rects, lam, True)
+    rectg, masks, fill = _mtt_finish_inter(dec, sd, rects, lam, True, B=B)
     itf = dec.inter8.astype(bool)
     kindg = fill(2)
     dec.mrl8[:] = np.where(itf | rectg, 0, fill(5)).astype(np.uint8)
@@ -967,8 +986,10 @@ def decide_frame_p(orig_y: np.ndarray, ref_y: np.ndarray, qp: int,
                    affine: bool = False, mtt: bool = False,
                    tt: bool = False) -> FrameDecisions:
     """Decisions for a P frame: per-size intra-vs-inter, then QT bottom-up."""
+    from ..cabac import estimate as est
     h, w = orig_y.shape
     lam = lambda_satd_fp(qp)
+    B = est.decision_bits(1, qp)
     dec = FrameDecisions.empty(h, w)
 
     size_data = {}
@@ -982,7 +1003,7 @@ def decide_frame_p(orig_y: np.ndarray, ref_y: np.ndarray, qp: int,
             for bx in range(nbx):
                 cc, mm, kk, di = _block_decision(orig_y, bx * s, by * s, s,
                                                  lam, bit_depth, mip, mrl,
-                                                 isp)
+                                                 isp, B=B)
                 imode[by, bx] = mm
                 icost[by, bx] = cc
                 imrl[by, bx] = kk
@@ -994,7 +1015,7 @@ def decide_frame_p(orig_y: np.ndarray, ref_y: np.ndarray, qp: int,
         admv = np.zeros((nby, nbx, 2), np.int32)
         if affine and s >= _inter.AFF_MIN_SIZE:
             acost, admv = affine_sad_pass(orig_y, refp, rmv, s, lam,
-                                          bit_depth)
+                                          bit_depth, B=B)
         k3 = np.argmin(np.stack([icost, rcost, acost]),
                        axis=0).astype(np.int32)
         use_inter = k3 > 0
@@ -1015,13 +1036,13 @@ def decide_frame_p(orig_y: np.ndarray, ref_y: np.ndarray, qp: int,
         rects = {}
         for (bw, bh) in ((16, 8), (8, 16), (32, 16), (16, 32)):
             rects[(bw, bh)] = rect_inter_grid(orig_y, (ref_y,), bw, bh,
-                                              lam, bit_depth)
+                                              lam, bit_depth, B=B)
         if tt:
             for key, (bw, bh, sy, sx, oy, ox) in TT_GEOM.items():
                 rects[key] = rect_inter_grid(orig_y, (ref_y,), bw, bh,
                                              lam, bit_depth, sy=sy, sx=sx,
-                                             oy=oy, ox=ox)
-        mtt_assemble_p(dec, size_data, rects, lam, ciip, affine)
+                                             oy=oy, ox=ox, B=B)
+        mtt_assemble_p(dec, size_data, rects, lam, ciip, affine, B=B)
         return dec
 
     (cost8, imode8, inter8, mv8, mrl8, cf8, isp8a, af8, adm8) = size_data[8]
@@ -1032,11 +1053,11 @@ def decide_frame_p(orig_y: np.ndarray, ref_y: np.ndarray, qp: int,
     n16y, n16x = h // 16, w // 16
     n32y, n32x = h // 32, w // 32
     sum8 = (cost8.reshape(n16y, 2, n16x, 2).sum(axis=(1, 3))
-            + (4 * SPLIT_BITS) * lam)
+            + _bl(B.split_fp, lam))
     split16 = sum8 < cost16
     c16 = np.where(split16, sum8, cost16)
     sum16 = (c16.reshape(n32y, 2, n32x, 2).sum(axis=(1, 3))
-             + (4 * SPLIT_BITS) * lam)
+             + _bl(B.split_fp, lam))
     split32 = sum16 < cost32
     dec.split32[:] = split32.astype(np.uint8)
     dec.split16[:] = (split16
@@ -1153,8 +1174,10 @@ def decide_frame_b(orig_y: np.ndarray, ref0_y: np.ndarray,
     one pass over the two uni winners).  With ``bcw`` the BI average is
     additionally tried with the unequal {3,5}/8 weights (VTM BCW/GBi
     search) and the per-leaf winner index recorded in ``dec.bcw8``."""
+    from ..cabac import estimate as est
     h, w = orig_y.shape
     lam = lambda_satd_fp(qp)
+    B = est.decision_bits(0, qp)
     dec = FrameDecisions.empty(h, w)
     refp = [_inter.pad_reference(ref0_y), _inter.pad_reference(ref1_y)]
     o64 = orig_y.astype(np.int64)
@@ -1170,7 +1193,7 @@ def decide_frame_b(orig_y: np.ndarray, ref0_y: np.ndarray,
             for bx in range(nbx):
                 cc, mm, kk, di = _block_decision(orig_y, bx * s, by * s, s,
                                                  lam, bit_depth, mip, mrl,
-                                                 isp)
+                                                 isp, B=B)
                 imode[by, bx] = mm
                 icost[by, bx] = cc
                 imrl[by, bx] = kk
@@ -1201,8 +1224,8 @@ def decide_frame_b(orig_y: np.ndarray, ref0_y: np.ndarray,
                 for wi in widxs:
                     pb = _inter.bcw_average(p0, p1, wi, bit_depth)
                     sad = int(np.abs(ob - pb).sum())
-                    wb = _inter.BCW_IDX_BITS[wi] if bcw else 0
-                    c = (sad << 8) + lam * (bits + wb)
+                    c = ((sad << 8) + lam * bits
+                         + (_bl(B.bcw_fp[wi], lam) if bcw else 0))
                     if best is None or c < best[0]:
                         best = (c, wi)
                 bcost[by, bx] = best[0]
@@ -1213,9 +1236,9 @@ def decide_frame_b(orig_y: np.ndarray, ref0_y: np.ndarray,
         admv1 = np.zeros((nby, nbx, 2), np.int32)
         if affine and s >= _inter.AFF_MIN_SIZE:
             a0cost, admv0 = affine_sad_pass(orig_y, refp[0], umv[0], s,
-                                            lam, bit_depth)
+                                            lam, bit_depth, B=B)
             a1cost, admv1 = affine_sad_pass(orig_y, refp[1], umv[1], s,
-                                            lam, bit_depth)
+                                            lam, bit_depth, B=B)
         costs = np.stack([icost, ucost[0], ucost[1], bcost, a0cost,
                           a1cost])                           # (6,nby,nbx)
         kind = np.argmin(costs, axis=0).astype(np.int32)      # first-min
@@ -1238,9 +1261,8 @@ def decide_frame_b(orig_y: np.ndarray, ref0_y: np.ndarray,
                         _inter.mv_bits_q(int(umv[0][by, bx, 0]) >> 2,
                                          int(umv[0][by, bx, 1]) >> 2)
                         + _inter.mv_bits_q(int(umv[1][by, bx, 0]) >> 2,
-                                           int(umv[1][by, bx, 1]) >> 2)
-                        + GPM_BITS)
-            gcost = (gsad << 8) + lam * gbits
+                                           int(umv[1][by, bx, 1]) >> 2))
+            gcost = (gsad << 8) + lam * gbits + _bl(B.gpm_fp, lam)
             guse = gcost < cost
             cost = np.where(guse, gcost, cost)
             kind = np.where(guse, 3, kind).astype(np.int32)
@@ -1257,13 +1279,15 @@ def decide_frame_b(orig_y: np.ndarray, ref0_y: np.ndarray,
         for shape in ((16, 8), (8, 16), (32, 16), (16, 32)):
             rects[shape] = rect_inter_grid(orig_y, (ref0_y, ref1_y),
                                            shape[0], shape[1], lam,
-                                           bit_depth)
+                                           bit_depth, B=B)
         if tt:
             for key, (bw, bh, sy, sx, oy, ox) in TT_GEOM.items():
                 rects[key] = rect_inter_grid(orig_y, (ref0_y, ref1_y),
                                              bw, bh, lam, bit_depth,
-                                             sy=sy, sx=sx, oy=oy, ox=ox)
-        mtt_assemble_b(dec, size_data, rects, lam, ciip, affine, bcw, gpm)
+                                             sy=sy, sx=sx, oy=oy, ox=ox,
+                                             B=B)
+        mtt_assemble_b(dec, size_data, rects, lam, ciip, affine, bcw, gpm,
+                       B=B)
         return dec
 
     (c8, im8, k8, mva8, mvb8, mrl8a, bw8, cf8, isp8a, g8,
@@ -1275,11 +1299,11 @@ def decide_frame_b(orig_y: np.ndarray, ref0_y: np.ndarray,
     n16y, n16x = h // 16, w // 16
     n32y, n32x = h // 32, w // 32
     sum8 = (c8.reshape(n16y, 2, n16x, 2).sum(axis=(1, 3))
-            + (4 * SPLIT_BITS) * lam)
+            + _bl(B.split_fp, lam))
     split16 = sum8 < c16
     cc16 = np.where(split16, sum8, c16)
     sum16 = (cc16.reshape(n32y, 2, n32x, 2).sum(axis=(1, 3))
-             + (4 * SPLIT_BITS) * lam)
+             + _bl(B.split_fp, lam))
     split32 = sum16 < c32
     dec.split32[:] = split32.astype(np.uint8)
     dec.split16[:] = (split16

@@ -125,6 +125,13 @@ def quantize_rdoq(coef: np.ndarray, qp: int, lam_rd: int,
         bl = np.zeros_like(lv)
         for k in range(15):
             bl += (lv >= (1 << k)).astype(np.int64)
+        # NOTE: the per-coefficient proxy stays the integer 2 + 2*bitlen —
+        # an A/B against the fractional lvl_w weights (round 4) measured a
+        # ~5% WORSE Lagrangian at qp32: the conservative charge implicitly
+        # prices the context-adaptation drift that the init-state
+        # estimates cannot see.  The fractional estimates are used where
+        # they demonstrably help: candidate COMPARISON in choose_tx /
+        # choose_sbt / the chroma joint-mode RD (level_rate_fp).
         rate = np.where(lv > 0, 2 + 2 * bl, 0)
         return err * err + lam * rate
 
@@ -339,6 +346,30 @@ def level_rate_est(lev: np.ndarray) -> int:
     return nnz + bl
 
 
+def level_rate_fp(lev: np.ndarray, w) -> int:
+    """Fractional-bit (8.8) level rate: per-context CABAC estimates of the
+    sig/gt1/par/gt3/rice structure (cabac/estimate.py lvl_w weights; the
+    VTM QuantRDOQ/RdCost fractional-rate analog for the TB RD loop).
+
+    w = (w_nnz, w_ge2, w_ge4, w_dbl); with the flat weights
+    (2<<8, 1<<8, 1<<8, 1<<8) this equals ``level_rate_est(lev) << 8``
+    exactly (threshold-sum identity: count(a>=1) == nnz)."""
+    a = np.abs(lev.astype(np.int64))
+    nnz = int((a > 0).sum())
+    ge2 = int((a >= 2).sum())
+    ge4 = int((a >= 4).sum())
+    dbl = sum(int((a >= (1 << k)).sum()) for k in range(3, 15))
+    return nnz * w[0] + ge2 * w[1] + ge4 * w[2] + dbl * w[3]
+
+
+def _rd_cost(dist: int, rate_fp: int, lam: int) -> int:
+    """dist + lam * rate in fractional bits, int32-safe in the device
+    twin: rate capped at 1<<22 (== the old 1<<14 integer-bit cap << 8),
+    split into whole-bit and sub-bit parts so the product fits int32."""
+    r = min(rate_fp, 1 << 22)
+    return dist + lam * (r >> 8) + ((lam * (r & 255)) >> 8)
+
+
 def choose_mts(resi: np.ndarray, qp: int, bd: int = rom.BIT_DEPTH):
     """RD-select the transform pair: returns (idx, levels).
 
@@ -413,8 +444,10 @@ def choose_sbt(resi: np.ndarray, qp: int, bd: int = rom.BIT_DEPTH,
     transforms (dropped half costs its residual energy).  Returns
     (sbt_idx, levels_full); first-min tie-breaking in index order; an
     all-zero winner collapses to idx 0 (identical recon, fewer bins)."""
+    from ..cabac import estimate as est
     s = resi.shape[0]
     lam = lambda_rd_int(qp)
+    B = est.tx_bits(qp)
     r64 = resi.astype(np.int64)
     best = None
     for idx in range(5):
@@ -431,8 +464,8 @@ def choose_sbt(resi: np.ndarray, qp: int, bd: int = rom.BIT_DEPTH,
             rec[y0:y0 + h, x0:x0 + w] = inverse_transform(
                 dequantize(lev_s, qp, bd, dq=dq), kh, kv, bd)
         dist = int(((r64 - rec) ** 2).sum())
-        rate = min(level_rate_est(lev), 1 << 14) + SBT_IDX_BITS[idx]
-        cost = dist + lam * rate
+        rate_fp = level_rate_fp(lev, B.lvl_w) + B.sbt_fp[idx]
+        cost = _rd_cost(dist, rate_fp, lam)
         if best is None or cost < best[0]:
             best = (cost, idx, lev)
     idx, lev = best[1], best[2]
@@ -449,7 +482,9 @@ def choose_tx(resi: np.ndarray, qp: int, mode: int, bd: int = rom.BIT_DEPTH,
     Returns (mts_idx, lfnst_idx, levels); first-min tie-breaking in
     tx_candidates order.  LFNST candidates ride on the primary DCT-II
     (mts_idx 0), as in the standard."""
+    from ..cabac import estimate as est
     lam = lambda_rd_int(qp)
+    B = est.tx_bits(qp)
     dct2_coef = None
     best = None
     for mk, lk in tx_candidates(mts, lfnst, ts):
@@ -469,10 +504,9 @@ def choose_tx(resi: np.ndarray, qp: int, mode: int, bd: int = rom.BIT_DEPTH,
             dqc = inv_lfnst(dqc, lk, mode)
         rec = inverse_transform(dqc, kh, kv, bd)
         dist = int(((resi.astype(np.int64) - rec) ** 2).sum())
-        bits = (MTS_IDX_BITS[mk] if (mts or ts) else 0) \
-            + (LFNST_IDX_BITS[lk] if (lfnst and mk == 0) else 0)
-        rate = min(level_rate_est(lev) + bits, 1 << 14)
-        cost = dist + lam * rate     # bounded: fits int32 (JAX twin)
+        bits_fp = (B.mts_fp[mk] if (mts or ts) else 0) \
+            + (B.lfnst_fp[lk] if (lfnst and mk == 0) else 0)
+        cost = _rd_cost(dist, level_rate_fp(lev, B.lvl_w) + bits_fp, lam)
         if best is None or cost < best[0]:
             best = (cost, mk, lk, lev)
     return best[1], best[2], best[3]
