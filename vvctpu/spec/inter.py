@@ -521,7 +521,10 @@ def bdof_blend(p0e: np.ndarray, p1e: np.ndarray, bd: int) -> np.ndarray:
 # ---------------------------------------------------------------------------
 # Integer motion estimation (encoder policy; numpy twin of coding/me.py)
 # ---------------------------------------------------------------------------
-ME_RANGE = 16   # +- integer-pel search window
+ME_RANGE = 16   # +- integer-pel dense search window
+ME_EXT = 64     # +- extended range via the coarse-to-fine stage (round 4);
+                # must satisfy ME_EXT + 2 + 1 <= REF_MARGIN (fine window +
+                # MC filter footprint inside the padded reference)
 
 
 def me_block_sads(orig: np.ndarray, ref: np.ndarray, x: int, y: int,
