@@ -82,3 +82,22 @@ def test_ts_pipeline_parity():
     ref_out, _ = sequence.decode_sequence(ref_stream)
     for a, b in zip(out[0], ref_out[0]):
         assert np.array_equal(a, b)
+
+
+def test_ts_without_mts_pipeline_roundtrip():
+    """Round-4 regression: with tskip on and mts OFF, the scan's unified
+    tx-index plane must still reach the writer — the plane copy was gated
+    on mts_enabled alone, so the writer signalled idx 0 over TS-quantised
+    levels and every decoder reconstructed garbage (ladder screen clip)."""
+    import pytest
+    pytest.importorskip("jax")
+    from vvctpu.pipeline import encoder as jenc
+    planes = screen_planes(64, 128, seed=8)
+    cfg = sequence.EncoderConfig(qp=24, sao=False, deblock=False,
+                                 tskip=True)
+    ref_stream, ref_recons, _ = sequence.encode_sequence([planes], cfg)
+    got_stream, _, _ = jenc.encode_sequence([planes], cfg)
+    assert ref_stream == got_stream
+    out, _ = jenc.decode_sequence(got_stream, check_hash=True)
+    for a, b in zip(out[0], ref_recons[0]):
+        assert np.array_equal(a, b)

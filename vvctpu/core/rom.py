@@ -235,9 +235,47 @@ for _m in range(2, 35):
 for _m in range(35, 67):
     INTRA_PRED_ANGLE[_m] = _HALF_ANGLES[66 - _m]
 
+# Wide-angle extension (round 4; VVC 8.4.5.2.6 / Table 8-8 beyond the
+# +-32 slopes): for non-square blocks the near-diagonal modes are remapped
+# to angles steeper than 45 degrees.  Encoded indices here:
+#   67..80  = wide-high (W > H, original modes 2..15 remapped +65)
+#   81..94  = wide-low  (H > W, original modes 66..53 remapped; signed
+#             mode -k is stored as index 80 + k)
+# Both share the same angle magnitudes (transpose symmetry).
+WIDE_ANGLES = [35, 39, 45, 51, 57, 64, 73, 86, 102, 128, 171, 256, 341,
+               512]
+NUM_ANGLE_IDS = 67 + 2 * len(WIDE_ANGLES)
+_EXT = np.zeros(NUM_ANGLE_IDS, np.int32)
+_EXT[:NUM_LUMA_MODE] = INTRA_PRED_ANGLE
+for _k, _a in enumerate(WIDE_ANGLES):
+    _EXT[67 + _k] = _a
+    _EXT[81 + _k] = _a
+INTRA_PRED_ANGLE = _EXT
+
+
+def wide_angle_mode(mode: int, w: int, h: int) -> int:
+    """Remapped prediction-mode index for a (w, h) block (identity for
+    squares / non-angular modes).  Returns the encoded index described
+    above; the SIGNALLED mode is always the 0..66 input (remap is a
+    prediction-time operation, as in the standard)."""
+    if w == h or mode < 2 or mode > 66:
+        return mode
+    r = abs((int(w).bit_length() - 1) - (int(h).bit_length() - 1))
+    if w > h:
+        thr = (8 + 2 * r) if r > 1 else 8
+        if mode < thr:
+            return mode + 65
+    else:
+        thr = (60 - 2 * r) if r > 1 else 60
+        if mode > thr:
+            return 80 + (67 - mode)
+    return mode
+
+
 # inverse angle (for negative-angle modes projecting the side reference);
-# scaled by 512*32 as in VVC; stored positive, used with |angle|.
-INTRA_INV_ANGLE = np.zeros(NUM_LUMA_MODE, np.int32)
+# scaled by 512*32 as in VVC; stored positive, used with |angle|.  Wide
+# angles are all positive so their entries stay 0 (unused).
+INTRA_INV_ANGLE = np.zeros(NUM_ANGLE_IDS, np.int32)
 for _m in range(2, 67):
     a = abs(int(INTRA_PRED_ANGLE[_m]))
     if a != 0:

@@ -249,7 +249,13 @@ def _encode_ai_batched(frames, cfg, sps, pps, nals, recons, bits,
              cy, ccb, ccr, sao_t, sao_o, sao_b) = fetched
             dec = decs[i]
             levels = [ly, lcb, lcr]
-            if sps.mts_enabled:
+            if sps.mts_enabled or sps.ts_enabled:
+                # TS rides the unified tx index (5): the plane must be
+                # copied whenever the scan ran the tx RD — gating on
+                # mts_enabled alone dropped the signalled index for
+                # tskip-without-mts configs (pre-round-4 latent bug: the
+                # writer then coded idx 0 over TS-quantised levels and
+                # every decoder reconstructed garbage)
                 dec.mts8[:] = mtsp.astype(np.uint8)
             if sps.lfnst_enabled:
                 dec.lfnst8[:] = lfnstp.astype(np.uint8)
@@ -337,7 +343,7 @@ def _encode_ai_pipelined(frames, cfg, sps, pps, nals, recons, bits,
         (ly, lcb, lcr, mtsp, lfnstp, cmodep, jccrp, sbtp,
          cy, ccb, ccr, sao_t, sao_o, sao_b) = fetched
         levels = [ly, lcb, lcr]
-        if sps.mts_enabled:
+        if sps.mts_enabled or sps.ts_enabled:
             dec.mts8[:] = mtsp.astype(np.uint8)
         if sps.lfnst_enabled:
             dec.lfnst8[:] = lfnstp.astype(np.uint8)
@@ -598,7 +604,7 @@ def _finish_frame(cfg, sps, pps, dec, padded, poc, stype, ref_pocs, qpd,
     (ly, lcb, lcr, mtsp, lfnstp, cmodep, jccrp, sbtp, cy, ccb, ccr,
      sao_t, sao_o, sao_b) = fetched
     levels = [ly, lcb, lcr]
-    if sps.mts_enabled:
+    if sps.mts_enabled or sps.ts_enabled:
         dec.mts8[:] = mtsp.astype(np.uint8)
     if sps.lfnst_enabled:
         dec.lfnst8[:] = lfnstp.astype(np.uint8)
