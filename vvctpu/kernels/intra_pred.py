@@ -368,14 +368,18 @@ _SMOOTH_THRES_BY_LOG2 = {2: 64, 3: 14, 4: 2, 5: 0, 6: 0}
 
 
 def _ref_filter_flag_rect(mode, w: int, h: int):
+    """mode may be wide-angle remapped (67..94): distance uses the
+    signed mode (negative for the wide-low range) — twin of spec
+    ref_filter_flag."""
     log2s = ((int(w).bit_length() - 1) + (int(h).bit_length() - 1)) >> 1
     thres = _SMOOTH_THRES_BY_LOG2.get(log2s, 0)
-    dist = jnp.minimum(jnp.abs(mode - rom.HOR_IDX),
-                       jnp.abs(mode - rom.VER_IDX))
+    signed = jnp.where(mode > 80, 80 - mode, mode)
+    dist = jnp.minimum(jnp.abs(signed - rom.HOR_IDX),
+                       jnp.abs(signed - rom.VER_IDX))
     is_special = (mode == rom.DC_IDX) | (mode == rom.HOR_IDX) | \
         (mode == rom.VER_IDX)
     planar_f = (mode == rom.PLANAR_IDX) & (w * h > 32)
-    ang_f = (mode >= 2) & (dist > thres)
+    ang_f = ((mode >= 2) | (mode > 80)) & (dist > thres)
     return jnp.where(is_special, False, planar_f | ang_f)
 
 
@@ -410,6 +414,9 @@ def _angular_rect(top, left, mode, w: int, h: int, is_luma: bool, filt):
     def one(main, side, n_pred: int, n_orth: int):
         ext_len = 2 * (n_pred + n_orth) + 2
         off = n_orth
+        # reference arrays are w+h+1 long (build_references); reads past
+        # the last sample clamp to it — wide-angle rays rely on this
+        # (documented deviation: VVC builds a 2*max(w,h) reference row)
         ln = min(w + h, 2 * n_pred + 1)
         i_main = jnp.clip(jnp.arange(ext_len) - off, 0, ln)
         ext = main[i_main]
@@ -445,7 +452,9 @@ def _angular_rect(top, left, mode, w: int, h: int, is_luma: bool, filt):
         side = jnp.where(vertical, left, top)
         pred = one(main, side, w, h)
         return jnp.where(vertical, pred, pred.T)
-    return jax.lax.cond(mode >= rom.DIA_IDX,
+    # wide-high indices (67..80) predict from the top; wide-low (81..94)
+    # from the left
+    return jax.lax.cond((mode >= rom.DIA_IDX) & (mode <= 80),
                         lambda: one(top, left, w, h),
                         lambda: one(left, top, h, w).T)
 
@@ -474,9 +483,19 @@ def predict_rect(top, left, mode, *, w: int, h: int, is_luma: bool,
     """Predict an (h, w) block from length-(w+h+1) references; twin of
     spec/intra.predict for rectangular shapes (ref_line 0 only)."""
     mode = jnp.asarray(mode, jnp.int32)
+    m2 = mode
+    if w != h:
+        # wide-angle remap (twin of rom.wide_angle_mode; w/h static)
+        r = abs((int(w).bit_length() - 1) - (int(h).bit_length() - 1))
+        if w > h:
+            thr = (8 + 2 * r) if r > 1 else 8
+            m2 = jnp.where((mode >= 2) & (mode < thr), mode + 65, mode)
+        else:
+            thr = (60 - 2 * r) if r > 1 else 60
+            m2 = jnp.where((mode <= 66) & (mode > thr), 147 - mode, mode)
     if is_luma:
-        filt = _ref_filter_flag_rect(mode, w, h)
-        angle = jnp.asarray(_ANGLE)[mode]
+        filt = _ref_filter_flag_rect(m2, w, h)
+        angle = jnp.asarray(_ANGLE)[m2]
         smooth_now = filt & ((mode == rom.PLANAR_IDX) | ((angle % 32) == 0))
         ts, ls = _smooth(top, left)
         top_u = jnp.where(smooth_now, ts, top)
@@ -489,7 +508,7 @@ def predict_rect(top, left, mode, *, w: int, h: int, is_luma: bool,
         jnp.minimum(mode, 2),
         [lambda: _planar_rect(top_u, left_u, w, h),
          lambda: _dc_rect(top_u, left_u, w, h),
-         lambda: _angular_rect(top_u, left_u, jnp.maximum(mode, 2), w, h,
+         lambda: _angular_rect(top_u, left_u, jnp.maximum(m2, 2), w, h,
                                is_luma, filt)])
     if is_luma:
         pred = _pdpc_rect(pred, top_u, left_u, mode, w, h, bd)

@@ -91,12 +91,16 @@ _SMOOTH_THRES = {2: 64, 3: 14, 4: 2, 5: 0, 6: 0}
 
 
 def ref_filter_flag(mode: int, w: int, h: int) -> bool:
+    """mode may be a wide-angle-remapped index (67..94): the smoothing
+    distance uses the signed mode (negative for the wide-low range), so
+    wide angles always measure far from HOR/VER."""
     if mode in (DC, HOR, VER):
         return False
     log2s = ((int(w).bit_length() - 1) + (int(h).bit_length() - 1)) >> 1
     if mode == P:
         return (w * h) > 32
-    dist = min(abs(mode - HOR), abs(mode - VER))
+    signed = 80 - mode if mode > 80 else mode
+    dist = min(abs(signed - HOR), abs(signed - VER))
     return dist > _SMOOTH_THRES.get(log2s, 0)
 
 
@@ -135,7 +139,7 @@ def _angular(top, left, mode, w, h, is_chroma, filt, ref_line=0):
     modes < DIA are the transpose (predict from left).  ref_line k shifts
     the ray intersection: pos = (row + k) * angle, index offset +k (exact
     extension of the corner-aligned MRL reference geometry)."""
-    vertical = mode >= DIA
+    vertical = DIA <= mode <= 80    # 67..80 wide-high; 81..94 wide-low
     angle = int(rom.INTRA_PRED_ANGLE[mode])
     inv_angle = int(rom.INTRA_INV_ANGLE[mode])
 
@@ -217,9 +221,16 @@ def predict(top: np.ndarray, left: np.ndarray, mode: int, w: int, h: int,
     """Intra prediction from reference arrays.  Returns (h, w) int32.
 
     ref_line > 0 (MRL): reference smoothing and PDPC are disabled, as in
-    the standard; arrays must be built with the same ref_line."""
-    filt = (not is_chroma) and ref_line == 0 and ref_filter_flag(mode, w, h)
-    if filt and (mode == P or (rom.INTRA_PRED_ANGLE[mode] % 32) == 0):
+    the standard; arrays must be built with the same ref_line.
+
+    Non-square blocks remap near-diagonal angular modes to wide angles
+    (rom.wide_angle_mode; VVC 8.4.5.2.6) at prediction time — the
+    signalled mode stays 0..66.  Documented deviation: reference samples
+    beyond the built w+h extent clamp to the last value (VVC builds a
+    2*max(w,h) reference row for wide angles)."""
+    m2 = rom.wide_angle_mode(mode, w, h)
+    filt = (not is_chroma) and ref_line == 0 and ref_filter_flag(m2, w, h)
+    if filt and (mode == P or (rom.INTRA_PRED_ANGLE[m2] % 32) == 0):
         top, left = _smooth_refs(top, left)
         smoothed_interp = False
     else:
@@ -230,7 +241,7 @@ def predict(top: np.ndarray, left: np.ndarray, mode: int, w: int, h: int,
     elif mode == DC:
         pred = _dc(top, left, w, h)
     else:
-        pred = _angular(top, left, mode, w, h, is_chroma, smoothed_interp,
+        pred = _angular(top, left, m2, w, h, is_chroma, smoothed_interp,
                         ref_line)
 
     if not is_chroma and ref_line == 0 and mode in (P, DC, HOR, VER):
