@@ -63,20 +63,23 @@ class TestMeExt:
             assert np.array_equal(np.asarray(maps[key][1]), smv), key
 
     def test_stream_gain_on_pan(self):
-        """P-frame coding of a 40-px pan: inter with ext-range MVs must
-        beat the pre-ext fallback-to-intra by a wide bits margin."""
+        """Anchor-frame coding of a 20-px/frame pan: the dist-2 P anchor
+        needs a 40-pel MV (ext range; references at temporal distance 1
+        deliberately keep the dense +-16 window)."""
         h, w = 64, 192
         base = _textured(h, w + 64, seed=5)
-        frames = [[base[:, :w],
-                   np.full((h // 2, w // 2), 120, np.int32),
-                   np.full((h // 2, w // 2), 130, np.int32)],
-                  [base[:, 40:40 + w],
-                   np.full((h // 2, w // 2), 120, np.int32),
-                   np.full((h // 2, w // 2), 130, np.int32)]]
-        cfg = seq.EncoderConfig(qp=32, intra_period=0, gop=1)
+
+        def fr(off):
+            return [base[:, off:off + w],
+                    np.full((h // 2, w // 2), 120, np.int32),
+                    np.full((h // 2, w // 2), 130, np.int32)]
+
+        frames = [fr(0), fr(20), fr(40)]
+        cfg = seq.EncoderConfig(qp=32, intra_period=0, gop=2)
         data, recons, bits = seq.encode_sequence(frames, cfg)
         out, _ = seq.decode_sequence(data, check_hash=True)
-        # P frame must cost a small fraction of the I frame: the panned
-        # 80% of the frame is nearly free once the MV is found (the
-        # right-edge 40 columns are genuinely new content -> intra)
-        assert bits[1] < (bits[0] * 2) // 5, (bits[0], bits[1])
+        # the poc-2 anchor (dist 2 -> 40-pel MV) must cost a small
+        # fraction of the I frame: the panned ~80% of the frame is
+        # nearly free once the MV is found (the right-edge columns are
+        # genuinely new content -> intra)
+        assert bits[2] < (bits[0] * 2) // 5, (bits[0], bits[2])

@@ -661,7 +661,8 @@ def decide_frame_p(orig_y: np.ndarray, ref_y, qp: int,
                    mrl: bool = False, ciip: bool = False,
                    isp: bool = False, affine: bool = False,
                    mtt: bool = False, tt: bool = False,
-                   prepadded: bool = False) -> FrameDecisions:
+                   prepadded: bool = False,
+                   me_ext: bool = True) -> FrameDecisions:
     """Device-batched P-frame decisions (twin of spec decide_frame_p).
     prepadded: see decide_frame_b."""
     from ..cabac import estimate as est
@@ -682,7 +683,7 @@ def decide_frame_p(orig_y: np.ndarray, ref_y, qp: int,
                                     mode="edge"))
     memaps = jme.me_pass(jnp.asarray(orig_y, jnp.int32), refp80,
                          np.int64(lam), frame_w=w, frame_h=h,
-                         tt=tt and mtt)
+                         tt=tt and mtt, ext=me_ext)
     jorig = jnp.asarray(orig_y, jnp.int32)
 
     size_data = {}
@@ -813,7 +814,8 @@ def decide_frame_b(orig_y: np.ndarray, ref0_y, ref1_y, qp: int,
                    bcw: bool = False, ciip: bool = False,
                    isp: bool = False, gpm: bool = False,
                    affine: bool = False, mtt: bool = False,
-                   tt: bool = False, prepadded: bool = False):
+                   tt: bool = False, prepadded: bool = False,
+                   me_ext: bool = True):
     """Device-batched B-frame decisions (twin of spec decide_frame_b).
 
     prepadded=True: ref0_y/ref1_y are REF_MARGIN-edge-padded luma planes
@@ -838,7 +840,8 @@ def decide_frame_b(orig_y: np.ndarray, ref0_y, ref1_y, qp: int,
         refp80 = [jnp.asarray(np.pad(r.astype(np.int32), REF_MARGIN,
                                      mode="edge")) for r in refs]
     memaps = [jme.me_pass(jorig, refp80[i], np.int64(lam), frame_w=w,
-                          frame_h=h, tt=tt and mtt) for i in range(2)]
+                          frame_h=h, tt=tt and mtt, ext=me_ext)
+              for i in range(2)]
 
     size_data = {}
     for s in (8, 16, 32):

@@ -67,7 +67,7 @@ def _tt_aggr(sad8, key, n8y, n8x):
 
 
 def me_pass(orig, refp80, lam, *, frame_w: int, frame_h: int,
-            tt: bool = False):
+            tt: bool = False, ext: bool = True):
     """Integer ME for all square sizes + BT rect shapes (+ TT stripe
     geometries when ``tt``) at once: dense +-ME_RANGE full search widened
     to +-ME_EXT by the coarse-to-fine stage (twin of spec me_size_pass +
@@ -77,7 +77,7 @@ def me_pass(orig, refp80, lam, *, frame_w: int, frame_h: int,
     reference (the device-resident DPB plane).  Returns dict key ->
     (cost (nby, nbx), mv int32 (nby, nbx, 2))."""
     res = _me_pass_impl(orig, refp80, lam, frame_w=frame_w,
-                        frame_h=frame_h, tt=tt)
+                        frame_h=frame_h, tt=tt, ext=ext)
     keys = _ME_KEYS + (_TT_KEYS if tt else ())
     return {k: res[i] for i, k in enumerate(keys)}
 
@@ -85,9 +85,10 @@ def me_pass(orig, refp80, lam, *, frame_w: int, frame_h: int,
 _ME_BATCH = 16          # offsets per scan step (vmapped; latency lever)
 
 
-@functools.partial(jax.jit, static_argnames=("frame_w", "frame_h", "tt"))
+@functools.partial(jax.jit, static_argnames=("frame_w", "frame_h", "tt",
+                                             "ext"))
 def _me_pass_impl(orig, refp80, lam, *, frame_w: int, frame_h: int,
-                  tt: bool = False):
+                  tt: bool = False, ext: bool = True):
     h, w = frame_h, frame_w
     n8y, n8x = h // 8, w // 8
     c16 = REF_MARGIN - ME_RANGE
@@ -152,6 +153,10 @@ def _me_pass_impl(orig, refp80, lam, *, frame_w: int, frame_h: int,
         return tuple(out), None
 
     carry, _ = jax.lax.scan(body, carry0, offs)
+    if not ext:
+        return tuple((carry[i][0],
+                      jnp.stack([carry[i][1], carry[i][2]], -1))
+                     for i in range(len(keys)))
 
     # ---- extended range: coarse (4x-decimated full search over
     # +-ME_EXT/4) -> fine (5x5 full-res window around 4x the coarse
@@ -173,7 +178,9 @@ def _me_pass_impl(orig, refp80, lam, *, frame_w: int, frame_h: int,
         [coffs_np, np.tile(coffs_np[-1:], (cpad, 1))]).reshape(
             -1, _ME_BATCH, 2))
 
-    ccarry0 = tuple(init(*shape_of(k)) for k in keys)
+    ekeys = (8, 16, 32)   # ext stage: square sizes only (twin of spec
+    # me_size_pass's bh-is-None gate; rect/TT leaves keep the dense range)
+    ccarry0 = tuple(init(*shape_of(k)) for k in ekeys)
 
     def cbody(carry, offb):
         def sad_one(off):
@@ -184,7 +191,7 @@ def _me_pass_impl(orig, refp80, lam, *, frame_w: int, frame_h: int,
 
         sad2b = jax.vmap(sad_one)(offb)        # ds 2x2 == full-res 8x8
         out = []
-        for i, k in enumerate(keys):
+        for i, k in enumerate(ekeys):
             sb = jax.vmap(lambda c: aggr(c, k))(sad2b)
             bi = jnp.argmin(sb, axis=0)
             cmin = jnp.take_along_axis(sb, bi[None], 0)[0]
@@ -224,7 +231,14 @@ def _me_pass_impl(orig, refp80, lam, *, frame_w: int, frame_h: int,
         bdy = (cdy * 4).ravel()
 
         def one(xy, bx, by):
+            # ONE (bh+4, bw+4) window gather per block; the 25 delta
+            # candidates are static in-window slices (a per-delta
+            # dynamic_slice made the fine stage the decide bottleneck:
+            # 86 s/9 frames at 1080p before this restructure)
             ob = jax.lax.dynamic_slice(orig32, (xy[1], xy[0]), (bh_, bw_))
+            win = jax.lax.dynamic_slice(
+                refe, (xy[1] + re2 + by - 2, xy[0] + re2 + bx - 2),
+                (bh_ + 4, bw_ + 4))
             cost = jnp.int32(I32MAX)
             odx = jnp.int32(0)
             ody = jnp.int32(0)
@@ -232,9 +246,7 @@ def _me_pass_impl(orig, refp80, lam, *, frame_w: int, frame_h: int,
                 for ddx in range(-2, 3):
                     dx = bx + ddx
                     dy = by + ddy
-                    rb = jax.lax.dynamic_slice(
-                        refe, (xy[1] + re2 + dy, xy[0] + re2 + dx),
-                        (bh_, bw_))
+                    rb = win[2 + ddy:2 + ddy + bh_, 2 + ddx:2 + ddx + bw_]
                     sad = jnp.abs(ob - rb).sum()
                     bits = 2 + 2 * _bitlen(dx) + 2 * _bitlen(dy)
                     c = (sad << 8) + lam.astype(jnp.int32) * bits
@@ -251,12 +263,13 @@ def _me_pass_impl(orig, refp80, lam, *, frame_w: int, frame_h: int,
     out = []
     for i, k in enumerate(keys):
         dcost, ddx, ddy = carry[i]
-        fc, fdx, fdy = fine_for_key(k, ccarry[i])
-        better = fc < dcost
-        cost = jnp.where(better, fc, dcost)
-        dxv = jnp.where(better, fdx, ddx)
-        dyv = jnp.where(better, fdy, ddy)
-        out.append((cost, jnp.stack([dxv, dyv], -1)))
+        if k in ekeys:
+            fc, fdx, fdy = fine_for_key(k, ccarry[ekeys.index(k)])
+            better = fc < dcost
+            dcost = jnp.where(better, fc, dcost)
+            ddx = jnp.where(better, fdx, ddx)
+            ddy = jnp.where(better, fdy, ddy)
+        out.append((dcost, jnp.stack([ddx, ddy], -1)))
     return tuple(out)
 
 

@@ -516,7 +516,8 @@ def encode_sequence(frames, cfg: sseq.EncoderConfig, decisions_fn=None,
                                          isp=sps.isp_enabled,
                                          affine=sps.affine_enabled,
                                          mtt=sps.mtt_enabled,
-                                         tt=sps.tt_enabled, prepadded=True)
+                                         tt=sps.tt_enabled, prepadded=True,
+                                         me_ext=abs(poc - ref_pocs[0]) > 1)
         else:
             dec = jdecide.decide_frame_b(padded[0], dpb[ref_pocs[0]][0],
                                          dpb[ref_pocs[1]][0], qp,
@@ -528,7 +529,9 @@ def encode_sequence(frames, cfg: sseq.EncoderConfig, decisions_fn=None,
                                          gpm=sps.gpm_enabled,
                                          affine=sps.affine_enabled,
                                          mtt=sps.mtt_enabled,
-                                         tt=sps.tt_enabled, prepadded=True)
+                                         tt=sps.tt_enabled, prepadded=True,
+                                         me_ext=max(abs(poc - r)
+                                                    for r in ref_pocs) > 1)
         if decisions_out is not None:
             decisions_out.append(dec)
         lmcs_cw = ()
@@ -708,7 +711,8 @@ def _encode_b_group(frames, cfg, sps, pps, grp, dpb, mot, nals, recons,
             bcw=sps.bcw_enabled, ciip=sps.ciip_enabled,
             isp=sps.isp_enabled, gpm=sps.gpm_enabled,
             affine=sps.affine_enabled, mtt=sps.mtt_enabled,
-            tt=sps.tt_enabled, prepadded=True)
+            tt=sps.tt_enabled, prepadded=True,
+            me_ext=max(abs(poc - r) for r in ref_pocs) > 1)
         decs.append(dec)
         if decisions_out is not None:
             decisions_out.append(dec)

@@ -683,7 +683,8 @@ def affine_sad_pass(orig: np.ndarray, refp: np.ndarray, base_mv: np.ndarray,
 
 def me_size_pass(orig: np.ndarray, ref: np.ndarray, s: int, lam: int,
                  bh: int | None = None, sy: int | None = None,
-                 sx: int | None = None, oy: int = 0, ox: int = 0):
+                 sx: int | None = None, oy: int = 0, ox: int = 0,
+                 ext: bool = True):
     """Best integer MV per (s x bh)-block: dense +-ME_RANGE full search,
     widened to +-ME_EXT by a coarse-to-fine stage (round 4).
 
@@ -734,7 +735,11 @@ def me_size_pass(orig: np.ndarray, ref: np.ndarray, s: int, lam: int,
             best_dy = np.where(better, dy, best_dy)
             best_dx = np.where(better, dx, best_dx)
 
-    if _inter.ME_EXT > r:
+    # extended range: square dense blocks only (rect/TT leaves fall back
+    # to the +-ME_RANGE window; the square path carries large motion) and
+    # only when the caller asks (refs at temporal distance 1 are capped
+    # at the dense window — a 16-pel/frame pan still fits)
+    if ext and _inter.ME_EXT > r and bh is None and dense:
         ec, edx, edy = _me_ext_pass(orig, ref, s, hh, sy, sx, oy, ox, lam)
         better = ec < best_cost
         best_cost = np.where(better, ec, best_cost)
@@ -833,7 +838,7 @@ def rect_inter_grid(orig: np.ndarray, refs, bw: int, bh: int, lam: int,
         refp = _inter.pad_reference(ref)
         refps.append(refp)
         mc_, mv_ = me_size_pass(orig, ref, bw, lam, bh=bh, sy=sy, sx=sx,
-                                oy=oy, ox=ox)
+                                oy=oy, ox=ox, ext=False)
         rc, rmv = refine_size_pass(orig, refp, mv_, bw, lam, bh=bh, sy=sy,
                                    sx=sx, oy=oy, ox=ox)
         ucost.append(rc)
@@ -1072,7 +1077,8 @@ def decide_frame_p(orig_y: np.ndarray, ref_y: np.ndarray, qp: int,
                    mip: bool = False, mrl: bool = False,
                    ciip: bool = False, isp: bool = False,
                    affine: bool = False, mtt: bool = False,
-                   tt: bool = False) -> FrameDecisions:
+                   tt: bool = False,
+                   me_ext: bool = True) -> FrameDecisions:
     """Decisions for a P frame: per-size intra-vs-inter, then QT bottom-up."""
     from ..cabac import estimate as est
     h, w = orig_y.shape
@@ -1096,7 +1102,7 @@ def decide_frame_p(orig_y: np.ndarray, ref_y: np.ndarray, qp: int,
                 icost[by, bx] = cc
                 imrl[by, bx] = kk
                 iisp[by, bx] = di
-        mcost, mv = me_size_pass(orig_y, ref_y, s, lam)
+        mcost, mv = me_size_pass(orig_y, ref_y, s, lam, ext=me_ext)
         refp = _inter.pad_reference(ref_y)
         rcost, rmv = refine_size_pass(orig_y, refp, mv, s, lam)
         acost = np.full((nby, nbx), np.int64(1) << 60, np.int64)
@@ -1254,7 +1260,8 @@ def decide_frame_b(orig_y: np.ndarray, ref0_y: np.ndarray,
                    bcw: bool = False, ciip: bool = False,
                    isp: bool = False, gpm: bool = False,
                    affine: bool = False, mtt: bool = False,
-                   tt: bool = False) -> FrameDecisions:
+                   tt: bool = False,
+                   me_ext: bool = True) -> FrameDecisions:
     """B-frame decisions: per-size best of {intra, L0, L1, BI}, QT bottom-up.
 
     BI cost: SAD of the averaged refined uni-predictions plus both MV rates
@@ -1288,7 +1295,7 @@ def decide_frame_b(orig_y: np.ndarray, ref0_y: np.ndarray,
                 iisp[by, bx] = di
         ucost, umv = [], []
         for lst, ref in enumerate((ref0_y, ref1_y)):
-            mc_, mv_ = me_size_pass(orig_y, ref, s, lam)
+            mc_, mv_ = me_size_pass(orig_y, ref, s, lam, ext=me_ext)
             rc, rmv = refine_size_pass(orig_y, refp[lst], mv_, s, lam)
             ucost.append(rc)
             umv.append(rmv)

@@ -202,7 +202,8 @@ def encode_sequence(frames: list[list[np.ndarray]], cfg: EncoderConfig,
                                         mrl=cfg.mrl, ciip=cfg.ciip,
                                         isp=cfg.isp, affine=cfg.affine,
                                         mtt=cfg.mtt,
-                                        tt=cfg.tt and cfg.mtt)
+                                        tt=cfg.tt and cfg.mtt,
+                                        me_ext=abs(poc - ref_pocs[0]) > 1)
         else:
             dec = decide.decide_frame_b(padded_y, dpb[ref_pocs[0]][0],
                                         dpb[ref_pocs[1]][0], qp,
@@ -211,7 +212,9 @@ def encode_sequence(frames: list[list[np.ndarray]], cfg: EncoderConfig,
                                         ciip=cfg.ciip, isp=cfg.isp,
                                         gpm=cfg.gpm, affine=cfg.affine,
                                         mtt=cfg.mtt,
-                                        tt=cfg.tt and cfg.mtt)
+                                        tt=cfg.tt and cfg.mtt,
+                                        me_ext=max(abs(poc - r)
+                                                   for r in ref_pocs) > 1)
         if decisions_out is not None:
             decisions_out.append(dec)
         sh = hls.SliceHeader(poc=poc, slice_type=stype, qp_delta=qpd,
