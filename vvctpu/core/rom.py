@@ -459,3 +459,11 @@ def qp_to_lambda(qp: int, intra: bool = True) -> float:
     VTM:EncoderLib/EncSlice.cpp setUpLambda)."""
     alpha = 0.57 if intra else 0.68
     return alpha * (2.0 ** ((qp - 12) / 3.0))
+
+
+# Spec-literal table opt-in (tables_spec.py installs into
+# TR_MATRIX_OVERRIDE; default stays generated this round — see STATUS.md)
+import os as _os
+
+if _os.environ.get("VVCTPU_SPEC_TABLES"):
+    from . import tables_spec as _tables_spec  # noqa: F401  (installs)
