@@ -48,14 +48,8 @@ def test_roundtrip_with_literal_tables():
         jax = pytest.importorskip("jax")
         from vvctpu.pipeline import encoder as jenc
         jdata, _, _ = jenc.encode_sequence([[y, cb, cr]], cfg)
-        # NOTE: the device engine builds its transform constants from
-        # rom.tr_matrix at trace time; a fresh toolset/geometry ensures
-        # no stale cached constants (kernels/transform._TX_CONST) — clear
-        # them explicitly for the A/B
         assert jdata == data
         jout, _ = jenc.decode_sequence(jdata, check_hash=True)
         assert np.array_equal(jout[0][0], out[0][0])
     finally:
-        for n in (4, 8, 16, 32):
-            rom.TR_MATRIX_OVERRIDE.pop((rom.DCT2, n), None)
-        rom.tr_matrix.cache_clear()
+        ts.uninstall()   # restores _MATS/_TX_CONST + clears jit caches
