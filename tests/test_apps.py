@@ -161,3 +161,21 @@ def test_bitstats_accounting():
     assert stats.get("cu_skip_flag", 0) > 0       # P frame coded
     assert stats.get("(bypass)", 0) > 0
     assert sum(stats.values()) > 1000
+
+
+class TestDistributedCLI:
+    def test_single_process_noop(self, tmp_path):
+        """--distributed on one process is a no-op init: full sequence,
+        identical stream to a plain encode (dist.mesh.init_distributed
+        CLI wiring, VERDICT r4 ask #8)."""
+        from vvctpu.__main__ import main
+        frames = motion_frames(2, 64, 64, seed=84)
+        src = tmp_path / "in.yuv"
+        yuv.write_yuv(str(src), frames)
+        b1 = tmp_path / "plain.bin"
+        b2 = tmp_path / "dist.bin"
+        args = ["encode", "-i", str(src), "--wdt", "64", "--hgt", "64",
+                "-q", "35", "-f", "2"]
+        assert main(args + ["-b", str(b1)]) == 0
+        assert main(args + ["-b", str(b2), "--distributed"]) == 0
+        assert b2.read_bytes() == b1.read_bytes()  # 1 process: no .segN

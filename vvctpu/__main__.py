@@ -83,6 +83,23 @@ def _enc(args) -> int:
         from .core import trace
         trace.open_trace(args.trace_file, args.trace_rule)
     t0 = time.time()
+    seg_suffix = ""
+    if args.distributed:
+        # Multi-host GOP/segment parallelism (SURVEY §3.5 Parcat analog):
+        # each process encodes its closed-GOP segment; single-process
+        # launches are a no-op init and encode the full sequence.
+        from .dist.mesh import init_distributed
+        from .dist.gop import segment_for_process
+        pi = init_distributed(args.coordinator, args.num_processes,
+                              args.process_id)
+        import jax
+        np_ = jax.process_count()
+        if np_ > 1:
+            s, e = segment_for_process(len(frames), np_, cfg.gop, pi)
+            print(f"distributed: process {pi}/{np_} encodes frames "
+                  f"[{s}, {e}); concatenate segments with 'vvctpu parcat'")
+            frames = frames[s:e]
+            seg_suffix = f".seg{pi}"
     if args.gop_parallel > 1:
         from .dist.gop import encode_gop_parallel
         data, recons, bits = encode_gop_parallel(
@@ -95,7 +112,7 @@ def _enc(args) -> int:
         data, recons, bits = seq.encode_sequence(
             frames, cfg, checkpoint_path=args.checkpoint)
     dt = time.time() - t0
-    with open(args.bitstream, "wb") as f:
+    with open(args.bitstream + seg_suffix, "wb") as f:
         f.write(data)
     total_bits = 0
     for poc, planes in enumerate(frames):
@@ -348,6 +365,14 @@ def main(argv=None) -> int:
     e.add_argument("--wpp", action="store_true",
                    help="wavefront entropy lanes (one per CTU row)")
     e.add_argument("--engine", choices=("spec", "jax"), default="spec")
+    e.add_argument("--distributed", action="store_true",
+                   help="init jax.distributed; each process encodes its "
+                        "closed-GOP segment (bitstream gets .segN suffix "
+                        "when process_count > 1; parcat to combine)")
+    e.add_argument("--coordinator", default=None,
+                   help="jax.distributed coordinator address host:port")
+    e.add_argument("--num-processes", type=int, default=None)
+    e.add_argument("--process-id", type=int, default=None)
     e.add_argument("--gop-parallel", type=int, default=1, metavar="N",
                    help="encode N closed-GOP segments independently and "
                         "concatenate (Parcat DP axis; one per host on a "

@@ -6,12 +6,13 @@ TPU-native design the survey specifies: a (gop, tile) mesh where
 
 * the ``gop`` axis is data-parallel over frames (Parcat/GOP-chunk analog,
   DCN-friendly: no cross-talk),
-* the ``tile`` axis shards intra-frame work (tile/subpicture analog, ICI:
-  block batches for the decision pass, halo exchanges for loop filters).
+* the ``tile`` axis shards intra-frame work (tile/subpicture analog, ICI):
+  ``dist/shard.py sharded_tile_scan`` runs one tile per device over it.
 
-Collectives are XLA-inserted from sharding annotations (psum for frame
-statistics) plus an explicit shard_map ppermute halo exchange used by the
-cross-tile loop-filter path.
+Collectives are XLA-inserted from sharding annotations; loop filters run
+centrally on the gathered frame (cross-tile filtering needs both sides'
+pixels — a shard_map ppermute halo-exchange variant is future work, not
+claimed here).
 """
 from __future__ import annotations
 
@@ -54,28 +55,3 @@ def make_mesh(n_devices: int | None = None, gop: int | None = None):
     tile = n // gop
     arr = np.array(devs).reshape(gop, tile)
     return Mesh(arr, ("gop", "tile"))
-
-
-def halo_exchange_columns(mesh: Mesh, x, halo: int = 4):
-    """Ring-exchange boundary columns between tile-neighbours (shard_map +
-    ppermute) — the CP/ring-attention analog of SURVEY.md §2.10: loop filters
-    and motion search windows need neighbouring tiles' edge pixels.
-
-    x: (H, W) plane sharded column-wise over ``tile``.  Returns
-    (left_halo, right_halo) received from the neighbours, each (H, halo) per
-    shard.
-    """
-    ntile = mesh.shape["tile"]
-
-    def body(xs):
-        left_edge = xs[:, :halo]
-        right_edge = xs[:, -halo:]
-        right_perm = [(i, (i + 1) % ntile) for i in range(ntile)]
-        left_perm = [(i, (i - 1) % ntile) for i in range(ntile)]
-        from_left = jax.lax.ppermute(right_edge, "tile", right_perm)
-        from_right = jax.lax.ppermute(left_edge, "tile", left_perm)
-        return from_left, from_right
-
-    fn = jax.shard_map(body, mesh=mesh, in_specs=P(None, "tile"),
-                       out_specs=(P(None, "tile"), P(None, "tile")))
-    return fn(x)
