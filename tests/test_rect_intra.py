@@ -13,10 +13,10 @@ SHAPES = [(8, 4), (4, 8), (16, 4), (4, 16), (32, 8), (8, 32), (16, 8),
 @pytest.mark.parametrize("w,h", SHAPES)
 def test_predict_rect_parity(w, h):
     rng = np.random.default_rng(7 * w + h)
-    n = w + h
-    top = rng.integers(0, 256, n + 1).astype(np.int32)
-    left = top.copy()
-    left[1:] = rng.integers(0, 256, n).astype(np.int32)
+    # reference extents are 2w / 2h since r5 (VVC refW/refH)
+    top = rng.integers(0, 256, 2 * w + 1).astype(np.int32)
+    left = rng.integers(0, 256, 2 * h + 1).astype(np.int32)
+    left[0] = top[0]
     for mode in range(rom.NUM_LUMA_MODE):
         ref = intra.predict(top, left, mode, w, h, False, 8)
         got = np.asarray(intra_pred.predict_rect(
@@ -28,10 +28,9 @@ def test_predict_rect_parity(w, h):
 @pytest.mark.parametrize("w,h", [(8, 4), (16, 4), (32, 8)])
 def test_predict_rect_chroma_parity(w, h):
     rng = np.random.default_rng(3 * w + h)
-    n = w + h
-    top = rng.integers(0, 256, n + 1).astype(np.int32)
-    left = top.copy()
-    left[1:] = rng.integers(0, 256, n).astype(np.int32)
+    top = rng.integers(0, 256, 2 * w + 1).astype(np.int32)
+    left = rng.integers(0, 256, 2 * h + 1).astype(np.int32)
+    left[0] = top[0]
     for mode in range(rom.NUM_LUMA_MODE):
         ref = intra.predict(top, left, mode, w, h, True, 8)
         got = np.asarray(intra_pred.predict_rect(

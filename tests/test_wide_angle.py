@@ -54,12 +54,26 @@ class TestPrediction:
         must differ from the unmapped mode-2 (angle 32 from left) — a
         top-row gradient makes the difference visible."""
         w, h = 16, 8
-        top = np.arange(w + h + 1, dtype=np.int64) * 8 + 16
-        left = np.full(w + h + 1, 128, np.int64)
+        top = np.minimum(np.arange(2 * w + 1, dtype=np.int64) * 8 + 16, 255)
+        left = np.full(2 * h + 1, 128, np.int64)
         wide = intra.predict(top, left, 2, w, h)
         # same refs, forced non-wide (diagonal mode from the left side)
         narrow = intra._angular(top, left, 2, w, h, False, False)
         assert not np.array_equal(wide, np.clip(narrow, 0, 255))
+
+    def test_extended_row_actually_read(self):
+        """r5: wide-angle rays read the 2w-extent — samples beyond w+h
+        must influence the prediction (they clamped before)."""
+        w, h = 16, 8
+        rng = np.random.default_rng(9)
+        top = rng.integers(0, 256, 2 * w + 1).astype(np.int64)
+        left = rng.integers(0, 256, 2 * h + 1).astype(np.int64)
+        left[0] = top[0]
+        base = intra.predict(top, left, 2, w, h)   # mode 2 -> 67, angle 35
+        top2 = top.copy()
+        top2[w + h + 1:] = 0                       # beyond the old extent
+        changed = intra.predict(top2, left, 2, w, h)
+        assert not np.array_equal(base, changed)
 
     def test_device_parity_wide_shapes(self):
         jax = pytest.importorskip("jax")
@@ -67,8 +81,8 @@ class TestPrediction:
         from vvctpu.kernels import intra_pred
         rng = np.random.default_rng(3)
         for (w, h) in ((16, 8), (8, 16), (32, 8), (8, 32)):
-            top = rng.integers(0, 256, w + h + 1).astype(np.int64)
-            left = rng.integers(0, 256, w + h + 1).astype(np.int64)
+            top = rng.integers(0, 256, 2 * w + 1).astype(np.int64)
+            left = rng.integers(0, 256, 2 * h + 1).astype(np.int64)
             for mode in (2, 5, 7, 11, 57, 61, 63, 66):
                 want = intra.predict(top, left, mode, w, h)
                 got = np.asarray(intra_pred.predict_rect(

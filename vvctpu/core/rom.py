@@ -461,9 +461,14 @@ def qp_to_lambda(qp: int, intra: bool = True) -> float:
     return alpha * (2.0 ** ((qp - 12) / 3.0))
 
 
-# Spec-literal table opt-in (tables_spec.py installs into
-# TR_MATRIX_OVERRIDE; default stays generated this round — see STATUS.md)
+# Spec-literal DCT2 tables are the DEFAULT since round 5 (VERDICT r4 ask
+# #3): tables_spec.install() routes them through TR_MATRIX_OVERRIDE at
+# import.  VVCTPU_SPEC_TABLES=0 restores the generated tables (A/B for
+# the ladder).  Note the round-4 "opt-in" gate imported tables_spec
+# without calling install() — the env var was a no-op; fixed here.
 import os as _os
 
-if _os.environ.get("VVCTPU_SPEC_TABLES"):
-    from . import tables_spec as _tables_spec  # noqa: F401  (installs)
+if _os.environ.get("VVCTPU_SPEC_TABLES", "1") != "0":
+    from . import tables_spec as _tables_spec
+
+    _tables_spec.install()

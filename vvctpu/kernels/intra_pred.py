@@ -266,7 +266,10 @@ def build_references_rect(buf, x, y, *, w: int, h: int, is_luma: bool,
                           bd: int = 8, in_frame_only: bool = False,
                           leaf_x=None, leaf_y=None, leaf_w: int = 0,
                           leaf_h: int = 0, y_off=0):
-    """(top, left) references of length w+h+1 for a (w, h) block at (x, y).
+    """(top, left) references of length 2w+1 / 2h+1 for a (w, h) block at
+    (x, y) — VVC 8.4.5.2.5 refW/refH extents (wide-angle rays on
+    non-square blocks read up to 2*n_pred; for squares this equals the
+    w+h+1 pre-r5 build).
 
     leaf_x/leaf_y (+ static leaf_w/leaf_h): optional enclosing-leaf rect in
     which every sample above/left of the block counts as already coded —
@@ -274,18 +277,18 @@ def build_references_rect(buf, x, y, *, w: int, h: int, is_luma: bool,
     reconstructed although their 8x8-granule Morton index equals the
     leaf's)."""
     half = 1 << (bd - 1)
-    n = w + h
-    top_raw = jax.lax.dynamic_slice(buf, (y_off + y, x), (1, n + 1))[0]
-    left_raw = jax.lax.dynamic_slice(buf, (y_off + y, x), (n + 1, 1))[:, 0]
+    nt, nl = 2 * w, 2 * h
+    top_raw = jax.lax.dynamic_slice(buf, (y_off + y, x), (1, nt + 1))[0]
+    left_raw = jax.lax.dynamic_slice(buf, (y_off + y, x), (nl + 1, 1))[:, 0]
 
-    scan_vals = jnp.concatenate([left_raw[1:][::-1], top_raw])  # len 2n+1
+    scan_vals = jnp.concatenate([left_raw[1:][::-1], top_raw])  # nl+nt+1
 
-    j_idx = jnp.arange(n, 0, -1)
-    left_sx = jnp.full((n,), -1, jnp.int32) + x
+    j_idx = jnp.arange(nl, 0, -1)
+    left_sx = jnp.full((nl,), -1, jnp.int32) + x
     left_sy = y - 1 + j_idx
-    top_i = jnp.arange(0, n + 1)
+    top_i = jnp.arange(0, nt + 1)
     top_sx = x - 1 + top_i
-    top_sy = jnp.full((n + 1,), -1, jnp.int32) + y
+    top_sy = jnp.full((nt + 1,), -1, jnp.int32) + y
     sx = jnp.concatenate([left_sx, top_sx])
     sy = jnp.concatenate([left_sy, top_sy])
     scale = 1 if is_luma else 2
@@ -302,15 +305,15 @@ def build_references_rect(buf, x, y, *, w: int, h: int, is_luma: bool,
             coded = coded | inside
         avail = in_frame & coded
 
-    idx = jnp.arange(2 * n + 1)
+    idx = jnp.arange(nl + nt + 1)
     last_avail = jax.lax.cummax(jnp.where(avail, idx, -1))
     first_avail = jnp.argmax(avail)
     src = jnp.where(last_avail >= 0, last_avail, first_avail)
     filled = scan_vals[src]
     filled = jnp.where(avail.any(), filled, half).astype(jnp.int32)
 
-    left = jnp.concatenate([filled[n:n + 1], filled[:n][::-1]])
-    top = filled[n:]
+    left = jnp.concatenate([filled[nl:nl + 1], filled[:nl][::-1]])
+    top = filled[nl:]
     return top, left
 
 
@@ -328,19 +331,19 @@ def build_references_rect_win(win, x0, y0, px, py, *, w: int, h: int,
     computed from the global geometry exactly as build_references_rect
     (leaf rect = (x0, y0) + (leaf_w, leaf_h), the enclosing leaf)."""
     half = 1 << (bd - 1)
-    n = w + h
+    nt, nl = 2 * w, 2 * h
     ry, rx = py - y0, px - x0
-    top_raw = jax.lax.dynamic_slice(win, (ry, rx), (1, n + 1))[0]
-    left_raw = jax.lax.dynamic_slice(win, (ry, rx), (n + 1, 1))[:, 0]
+    top_raw = jax.lax.dynamic_slice(win, (ry, rx), (1, nt + 1))[0]
+    left_raw = jax.lax.dynamic_slice(win, (ry, rx), (nl + 1, 1))[:, 0]
 
     scan_vals = jnp.concatenate([left_raw[1:][::-1], top_raw])
 
-    j_idx = jnp.arange(n, 0, -1)
-    left_sx = jnp.full((n,), -1, jnp.int32) + px
+    j_idx = jnp.arange(nl, 0, -1)
+    left_sx = jnp.full((nl,), -1, jnp.int32) + px
     left_sy = py - 1 + j_idx
-    top_i = jnp.arange(0, n + 1)
+    top_i = jnp.arange(0, nt + 1)
     top_sx = px - 1 + top_i
-    top_sy = jnp.full((n + 1,), -1, jnp.int32) + py
+    top_sy = jnp.full((nt + 1,), -1, jnp.int32) + py
     sx = jnp.concatenate([left_sx, top_sx])
     sy = jnp.concatenate([left_sy, top_sy])
     scale = 1 if is_luma else 2
@@ -352,15 +355,15 @@ def build_references_rect_win(win, x0, y0, px, py, *, w: int, h: int,
               & (sy >= y0) & (sy < y0 + leaf_h))
     avail = in_frame & (coded | inside)
 
-    idx = jnp.arange(2 * n + 1)
+    idx = jnp.arange(nl + nt + 1)
     last_avail = jax.lax.cummax(jnp.where(avail, idx, -1))
     first_avail = jnp.argmax(avail)
     src = jnp.where(last_avail >= 0, last_avail, first_avail)
     filled = scan_vals[src]
     filled = jnp.where(avail.any(), filled, half).astype(jnp.int32)
 
-    left = jnp.concatenate([filled[n:n + 1], filled[:n][::-1]])
-    top = filled[n:]
+    left = jnp.concatenate([filled[nl:nl + 1], filled[:nl][::-1]])
+    top = filled[nl:]
     return top, left
 
 
@@ -414,14 +417,13 @@ def _angular_rect(top, left, mode, w: int, h: int, is_luma: bool, filt):
     def one(main, side, n_pred: int, n_orth: int):
         ext_len = 2 * (n_pred + n_orth) + 2
         off = n_orth
-        # reference arrays are w+h+1 long (build_references); reads past
-        # the last sample clamp to it — wide-angle rays rely on this
-        # (documented deviation: VVC builds a 2*max(w,h) reference row)
-        ln = min(w + h, 2 * n_pred + 1)
+        # main reference is 2*n_pred+1 long (VVC refW/refH extents, r5);
+        # the 4-tap tail past 2*n_pred clamps to the last built sample
+        ln = 2 * n_pred
         i_main = jnp.clip(jnp.arange(ext_len) - off, 0, ln)
         ext = main[i_main]
         k = off - jnp.arange(off)
-        sidx = jnp.clip((k * inv_angle + 256) >> 9, 0, w + h)
+        sidx = jnp.clip((k * inv_angle + 256) >> 9, 0, 2 * n_orth)
         proj = side[sidx]
         neg = angle < 0
         ext = ext.at[:off].set(jnp.where(neg, proj, ext[:off]))

@@ -32,22 +32,25 @@ P, DC, HOR, DIA, VER = (rom.PLANAR_IDX, rom.DC_IDX, rom.HOR_IDX, rom.DIA_IDX,
 def build_references(plane: np.ndarray, valid: np.ndarray, x: int, y: int,
                      w: int, h: int, bit_depth: int = rom.BIT_DEPTH,
                      ref_line: int = 0):
-    """Return (top, left) int32 reference arrays of length w+h+1 each.
+    """Return (top, left) int32 reference arrays of length 2w+1 / 2h+1.
 
-    ref_line k > 0 (MRL) gathers the k-th further line with corner
-    alignment: top[i] = p(x-1-k+i, y-1-k), left[j] = p(x-1-k, y-1-k+j)."""
+    VVC 8.4.5.2.5: refW = 2*nTbW, refH = 2*nTbH — the extended rows wide-
+    angle rays need on non-square blocks (for squares 2w == w+h, identical
+    to the pre-r5 build).  ref_line k > 0 (MRL) gathers the k-th further
+    line with corner alignment: top[i] = p(x-1-k+i, y-1-k),
+    left[j] = p(x-1-k, y-1-k+j)."""
     fh, fw = plane.shape
-    n = w + h
+    nt, nl = 2 * w, 2 * h
     half = 1 << (bit_depth - 1)
     k = ref_line
 
     # gather raw samples + availability, in substitution scan order:
     # left column bottom-to-top, then corner, then top row left-to-right.
     coords = []
-    for j in range(n, 0, -1):
+    for j in range(nl, 0, -1):
         coords.append((x - 1 - k, y - 1 - k + j))
     coords.append((x - 1 - k, y - 1 - k))
-    for i in range(1, n + 1):
+    for i in range(1, nt + 1):
         coords.append((x - 1 - k + i, y - 1 - k))
 
     vals = np.empty(len(coords), np.int32)
@@ -67,8 +70,8 @@ def build_references(plane: np.ndarray, valid: np.ndarray, x: int, y: int,
             if not avail[i]:
                 vals[i] = vals[i - 1]
 
-    left = vals[:n + 1][::-1].copy()   # left[0]=corner, left[j]=p(x-1,y-1+j)
-    top = vals[n:].copy()              # top[0]=corner, top[i]=p(x-1+i,y-1)
+    left = vals[:nl + 1][::-1].copy()  # left[0]=corner, left[j]=p(x-1,y-1+j)
+    top = vals[nl:].copy()             # top[0]=corner, top[i]=p(x-1+i,y-1)
     return top.astype(np.int32), left.astype(np.int32)
 
 
@@ -225,9 +228,9 @@ def predict(top: np.ndarray, left: np.ndarray, mode: int, w: int, h: int,
 
     Non-square blocks remap near-diagonal angular modes to wide angles
     (rom.wide_angle_mode; VVC 8.4.5.2.6) at prediction time — the
-    signalled mode stays 0..66.  Documented deviation: reference samples
-    beyond the built w+h extent clamp to the last value (VVC builds a
-    2*max(w,h) reference row for wide angles)."""
+    signalled mode stays 0..66.  References are 2w/2h long (VVC refW/refH)
+    so wide-angle rays read real samples; reads past 2*n_pred (4-tap tail)
+    clamp to the last built sample as in the standard's extension rule."""
     m2 = rom.wide_angle_mode(mode, w, h)
     filt = (not is_chroma) and ref_line == 0 and ref_filter_flag(m2, w, h)
     if filt and (mode == P or (rom.INTRA_PRED_ANGLE[m2] % 32) == 0):
