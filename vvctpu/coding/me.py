@@ -75,11 +75,38 @@ def me_pass(orig, refp80, lam, *, frame_w: int, frame_h: int,
 
     orig: (H, W) int32; refp80: (H+2*REF_MARGIN, ...) edge-padded
     reference (the device-resident DPB plane).  Returns dict key ->
-    (cost (nby, nbx), mv int32 (nby, nbx, 2))."""
+    (cost (nby, nbx), mv int32 (nby, nbx, 2)).
+
+    VVCTPU_PALLAS_ME=1 routes the dense stage through the Pallas kernel
+    (kernels/me_pallas.py, bit-identical — tests/test_me_pallas.py);
+    the XLA scan stays the default: measured 0.61 s vs 0.86 s per 1080p
+    reference on v5e (see PALLAS.md for the analysis)."""
+    import os
+    keys = _ME_KEYS + (_TT_KEYS if tt else ())
+    if os.environ.get("VVCTPU_PALLAS_ME") and not ext:
+        return {k: v for k, v in zip(keys, me_pass_pallas_dense(
+            orig, refp80, lam, frame_w=frame_w, frame_h=frame_h, tt=tt))}
     res = _me_pass_impl(orig, refp80, lam, frame_w=frame_w,
                         frame_h=frame_h, tt=tt, ext=ext)
-    keys = _ME_KEYS + (_TT_KEYS if tt else ())
     return {k: res[i] for i, k in enumerate(keys)}
+
+
+def me_pass_pallas_dense(orig, refp80, lam, *, frame_w: int, frame_h: int,
+                         tt: bool = False, interpret: bool = False):
+    """Dense stage via the Pallas kernel: returns the same per-key
+    (cost, mv) tuples as _me_pass_impl(ext=False), bit-identical."""
+    import jax.numpy as jnp
+
+    from ..kernels import me_pallas
+    keys = _ME_KEYS + (_TT_KEYS if tt else ())
+    c16 = REF_MARGIN - ME_RANGE
+    refp = jax.lax.slice(
+        refp80, (c16, c16), (c16 + frame_h + 2 * ME_RANGE,
+                             c16 + frame_w + 2 * ME_RANGE))
+    outs = me_pallas.me_sad_pallas(orig, refp, lam, frame_h=frame_h,
+                                   frame_w=frame_w, keys=keys,
+                                   interpret=interpret)
+    return tuple((c, jnp.stack([dx, dy], -1)) for (c, dx, dy) in outs)
 
 
 _ME_BATCH = 16          # offsets per scan step (vmapped; latency lever)
