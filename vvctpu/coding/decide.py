@@ -166,7 +166,7 @@ def _rect_grids_intra(jbuf, lam, w, h, bd, tt: bool = False, B=None):
 
 
 def _rect_grids_inter(jbuf, jorig, refs_p80, memaps, lam, w, h, bd,
-                      tt: bool = False, B=None):
+                      tt: bool = False, B=None, planes=None):
     """Host dict {(bw, bh) | tt-key: (cost, mode, kind, mv0, mv1)} — twin
     of spec rect_inter_grid, built from the device rect passes."""
     from . import me as jme
@@ -184,7 +184,9 @@ def _rect_grids_inter(jbuf, jorig, refs_p80, memaps, lam, w, h, bd,
             rc, rmv = jme.refine_pass(jorig, refp, memaps[lst][name][1],
                                       np.int32(lam), s=bw, frame_w=w,
                                       frame_h=h, bd=bd, bh=bh, sy=sy,
-                                      sx=sx, oy=oy, ox=ox)
+                                      sx=sx, oy=oy, ox=ox,
+                                      planes=None if planes is None
+                                      else planes[lst])
             ucost.append(np.asarray(rc).astype(np.int64))
             umv.append(np.asarray(rmv))
         if len(refs_p80) == 1:
@@ -197,7 +199,11 @@ def _rect_grids_inter(jbuf, jorig, refs_p80, memaps, lam, w, h, bd,
                                     jnp.asarray(umv[0]), jnp.asarray(umv[1]),
                                     np.int32(lam), s=bw, frame_w=w,
                                     frame_h=h, bd=bd, bcw=False, bh=bh,
-                                    sy=sy, sx=sx, oy=oy, ox=ox)
+                                    sy=sy, sx=sx, oy=oy, ox=ox,
+                                    planes0=None if planes is None
+                                    else planes[0],
+                                    planes1=None if planes is None
+                                    else planes[1])
         bcost = np.asarray(bcost).astype(np.int64)
         costs = np.stack([icost, ucost[0], ucost[1], bcost])
         kind = np.argmin(costs, axis=0).astype(np.int32)
@@ -685,6 +691,7 @@ def decide_frame_p(orig_y: np.ndarray, ref_y, qp: int,
                          np.int64(lam), frame_w=w, frame_h=h,
                          tt=tt and mtt, ext=me_ext)
     jorig = jnp.asarray(orig_y, jnp.int32)
+    planes1r = [jme.quarter_phase_planes(refp80, bd)]
 
     size_data = {}
     for s in (8, 16, 32):
@@ -698,7 +705,8 @@ def decide_frame_p(orig_y: np.ndarray, ref_y, qp: int,
         iisp = np.asarray(iisp)
         rcost, rmv = jme.refine_pass(jorig, refp80, memaps[s][1],
                                      np.int32(lam), s=s, frame_w=w,
-                                     frame_h=h, bd=bd)
+                                     frame_h=h, bd=bd,
+                                     planes=planes1r[0])
         rcost = np.asarray(rcost).astype(np.int64)
         rmv = np.asarray(rmv)
         from ..spec.inter import AFF_MIN_SIZE
@@ -734,7 +742,7 @@ def decide_frame_p(orig_y: np.ndarray, ref_y, qp: int,
         from ..spec.decide import mtt_assemble_p
         dec = FrameDecisions.empty(h, w)
         rects = _rect_grids_inter(jbuf, jorig, [refp80], [memaps], lam, w,
-                                  h, bd, tt=tt, B=B)
+                                  h, bd, tt=tt, B=B, planes=planes1r)
         mtt_assemble_p(dec, size_data, rects, lam, ciip, affine, B=B)
         return dec
 
@@ -842,6 +850,7 @@ def decide_frame_b(orig_y: np.ndarray, ref0_y, ref1_y, qp: int,
     memaps = [jme.me_pass(jorig, refp80[i], np.int64(lam), frame_w=w,
                           frame_h=h, tt=tt and mtt, ext=me_ext)
               for i in range(2)]
+    planes2 = [jme.quarter_phase_planes(refp80[i], bd) for i in range(2)]
 
     size_data = {}
     for s in (8, 16, 32):
@@ -857,14 +866,16 @@ def decide_frame_b(orig_y: np.ndarray, ref0_y, ref1_y, qp: int,
         for lst in range(2):
             rc, rmv = jme.refine_pass(jorig, refp80[lst], memaps[lst][s][1],
                                       np.int32(lam), s=s, frame_w=w,
-                                      frame_h=h, bd=bd)
+                                      frame_h=h, bd=bd,
+                                      planes=planes2[lst])
             ucost.append(np.asarray(rc).astype(np.int64))
             umv.append(np.asarray(rmv))
         bcost, bwidx = jme.bi_cost_pass(
             jorig, refp80[0], refp80[1], jnp.asarray(umv[0]),
             jnp.asarray(umv[1]), np.int32(lam), s=s, frame_w=w, frame_h=h,
             bd=bd, bcw=bcw,
-            bcw_fp=jnp.asarray(np.asarray(B.bcw_fp, np.int32)))
+            bcw_fp=jnp.asarray(np.asarray(B.bcw_fp, np.int32)),
+            planes0=planes2[0], planes1=planes2[1])
         bcost = np.asarray(bcost).astype(np.int64)
         bwidx = np.asarray(bwidx)
         from ..spec.inter import AFF_MIN_SIZE
@@ -926,7 +937,7 @@ def decide_frame_b(orig_y: np.ndarray, ref0_y, ref1_y, qp: int,
         from ..spec.decide import mtt_assemble_b
         dec = FrameDecisions.empty(h, w)
         rects = _rect_grids_inter(jbuf, jorig, refp80, memaps, lam, w, h,
-                                  bd, tt=tt, B=B)
+                                  bd, tt=tt, B=B, planes=planes2)
         mtt_assemble_b(dec, size_data, rects, lam, ciip, affine, bcw, gpm,
                        B=B)
         return dec

@@ -406,22 +406,58 @@ def _mv_bits_q(mvx_q, mvy_q):
     return 2 + 2 * _bitlen(mvx_q) + 2 * _bitlen(mvy_q)
 
 
+@functools.partial(jax.jit, static_argnames=("bd",))
+def quarter_phase_planes(refp_margin, bd: int = 8):
+    """(16, Hp, Wp) int32 stack of the reference interpolated at every
+    quarter-pel phase (fy, fx) in {0,4,8,12}^2, plane index
+    (fy >> 2) * 4 + (fx >> 2).
+
+    Per-pixel identical to kernels/mc.mc_luma_block's two-stage FIR
+    (same taps, accumulation order, (acc + 2048) >> 12 staging), so a
+    (hh, s) slice of plane p at (y + iy, x + ix) IS mc_luma_block(ref,
+    x, y, mv) for mv = ((ix << 4) | fx, (iy << 4) | fy).  Border rows/
+    cols within the filter footprint hold wrap garbage — never read,
+    the MC clamp keeps blocks >= 8 px inside the 80-px margin."""
+    from ..kernels.mc import _TAPS_L
+    r32 = refp_margin.astype(jnp.int32)
+    tmps = []
+    for fx in (0, 4, 8, 12):
+        th = np.asarray(_TAPS_L[fx])
+        tmps.append(sum(int(th[u]) * jnp.roll(r32, 3 - u, axis=1)
+                        for u in range(8)))
+    planes = []
+    for fy in (0, 4, 8, 12):
+        tv = np.asarray(_TAPS_L[fy])
+        for tmp in tmps:
+            acc = sum(int(tv[t]) * jnp.roll(tmp, 3 - t, axis=0)
+                      for t in range(8))
+            planes.append(jnp.clip((acc + 2048) >> 12, 0, (1 << bd) - 1))
+    return jnp.stack(planes)
+
+
 @functools.partial(jax.jit, static_argnames=("s", "frame_w", "frame_h",
                                              "bd", "bh", "sy", "sx", "oy",
                                              "ox"))
 def refine_pass(orig, refp_margin, int_mv, lam, *, s: int, frame_w: int,
                 frame_h: int, bd: int = 8, bh: int | None = None,
                 sy: int | None = None, sx: int | None = None,
-                oy: int = 0, ox: int = 0):
+                oy: int = 0, ox: int = 0, planes=None):
     """Half/quarter-pel refinement (twin of spec refine_size_pass).
 
     refp_margin: REF_MARGIN-padded reference; int_mv: (nby, nbx, 2) int.
     s is the block width, bh the height (default square); blocks tile at
     stride (sy, sx) from offset (oy, ox) (defaults dense — TT stripes use
     the TT_GEOM strides).
-    Returns (cost int32, mv_1_16 int32 (nby, nbx, 2))."""
-    from ..kernels import mc as jmc
-    from ..spec.inter import (MV_FRAC_BITS, REFINE_HALF, REFINE_QUARTER)
+    Returns (cost int32, mv_1_16 int32 (nby, nbx, 2)).
+
+    Round-5 restructure: candidate predictions are (hh, s) slices of the
+    16 quarter-pel phase planes (quarter_phase_planes — per-pixel equal
+    to the old per-block mc_luma_block FIR, bit-identical results); the
+    per-block per-delta work drops from a (hh+7, s+7) gather + 16-tap
+    FIR to one (hh, s) gather.  ``planes`` lets the caller share the
+    stack across the per-size calls."""
+    from ..spec.inter import MV_FRAC_BITS, REF_MARGIN
+    from ..spec.inter import (REFINE_HALF, REFINE_QUARTER)
     h, w = frame_h, frame_w
     hh = s if bh is None else bh
     sy = hh if sy is None else sy
@@ -434,28 +470,75 @@ def refine_pass(orig, refp_margin, int_mv, lam, *, s: int, frame_w: int,
     coords = jnp.stack([gx.ravel(), gy.ravel()], axis=1)
     lam = jnp.asarray(lam, jnp.int32)
     orig = orig.astype(jnp.int32)
+    if planes is None:
+        planes = quarter_phase_planes(refp_margin, bd)
+    Hp, Wp = planes.shape[1], planes.shape[2]
+    P4 = planes.reshape(4, 4, Hp, Wp)
+
+    def sh2(fyi, fxi):
+        # plane whose [y + iy, x + ix] entry is the prediction at phase
+        # (4*fyi, 4*fxi) quarter steps from the (iy, ix)-integer centre:
+        # negative/overflow phases fold into the neighbouring integer
+        # sample, absorbed here as a plane roll
+        qy, ry = divmod(4 * fyi, 16)
+        qx, rx = divmod(4 * fxi, 16)
+        pl = P4[ry >> 2, rx >> 2]
+        if qy:
+            pl = jnp.roll(pl, -qy, axis=0)
+        if qx:
+            pl = jnp.roll(pl, -qx, axis=1)
+        return pl
+
+    # all 9 half-pel candidates start from phase (0, 0), so their planes
+    # are static: one (9, hh, s) gather per block covers the whole stage
+    half_stack = jnp.stack([sh2(fy, fx) for fy in (-2, 0, 2)
+                            for fx in (-2, 0, 2)])
+    # quarter stage: centre phase in {0, 8} per axis, candidates +-1
+    # quarter step -> a (3, 3) window of the extended (5, 5) phase grid
+    qext = jnp.stack([jnp.stack([sh2(fy, fx) for fx in range(-1, 4)])
+                      for fy in range(-1, 4)])
 
     best_mv = (int_mv.reshape(-1, 2) << MV_FRAC_BITS).astype(jnp.int32)
 
-    def block_cost(xy, mvx, mvy):
-        pred = jmc.mc_luma_block(refp_margin, xy[0], xy[1], s, mvx, mvy, bd,
-                                 h=hh)
-        blk = jax.lax.dynamic_slice(orig, (xy[1], xy[0]), (hh, s))
-        sad = jnp.abs(blk - pred).sum()
-        return (sad << 8) + lam * _mv_bits_q(mvx >> 2, mvy >> 2)
+    def run_stage(stack4d, deltas, step, mv):
+        quarter = stack4d.ndim == 4
 
-    for deltas in (REFINE_HALF, REFINE_QUARTER):
-        cost = jnp.full((nby * nbx,), I32MAX, jnp.int32)
-        nxt = best_mv
-        for ddx, ddy in deltas:
-            c = jax.vmap(block_cost)(coords, best_mv[:, 0] + ddx,
-                                     best_mv[:, 1] + ddy)
-            better = c < cost
-            cost = jnp.where(better, c, cost)
-            nxt = jnp.where(better[:, None],
-                            best_mv + jnp.asarray([ddx, ddy], jnp.int32),
-                            nxt)
-        best_mv = nxt
+        def one(xy, mvx, mvy):
+            ix = mvx >> MV_FRAC_BITS
+            iy = mvy >> MV_FRAC_BITS
+            y0 = xy[1] + iy + REF_MARGIN
+            x0 = xy[0] + ix + REF_MARGIN
+            if quarter:
+                pyi = (mvy & 15) >> 2
+                pxi = (mvx & 15) >> 2
+                win = jax.lax.dynamic_slice(
+                    qext, (pyi, pxi, y0, x0), (3, 3, hh, s))
+            else:
+                win = jax.lax.dynamic_slice(
+                    half_stack, (0, y0, x0), (9, hh, s))
+            blk = jax.lax.dynamic_slice(orig, (xy[1], xy[0]), (hh, s))
+            cost = jnp.int32(I32MAX)
+            bdx = jnp.int32(0)
+            bdy = jnp.int32(0)
+            for (ddx, ddy) in deltas:
+                a = ddy // step + 1
+                b = ddx // step + 1
+                pred = win[a, b] if quarter else win[a * 3 + b]
+                sad = jnp.abs(blk - pred).sum()
+                c = ((sad << 8)
+                     + lam * _mv_bits_q((mvx + ddx) >> 2,
+                                        (mvy + ddy) >> 2))
+                better = c < cost
+                cost = jnp.where(better, c, cost)
+                bdx = jnp.where(better, ddx, bdx)
+                bdy = jnp.where(better, ddy, bdy)
+            return cost, bdx, bdy
+
+        cost, bdx, bdy = jax.vmap(one)(coords, mv[:, 0], mv[:, 1])
+        return cost, mv + jnp.stack([bdx, bdy], axis=-1)
+
+    _, best_mv = run_stage(half_stack, REFINE_HALF, 8, best_mv)
+    cost, best_mv = run_stage(qext, REFINE_QUARTER, 4, best_mv)
     return (cost.reshape(nby, nbx),
             best_mv.reshape(nby, nbx, 2))
 
@@ -466,7 +549,8 @@ def refine_pass(orig, refp_margin, int_mv, lam, *, s: int, frame_w: int,
 def bi_cost_pass(orig, refp0, refp1, mv0, mv1, lam, bcw_fp=None, *, s: int,
                  frame_w: int, frame_h: int, bd: int = 8, bcw: bool = False,
                  bh: int | None = None, sy: int | None = None,
-                 sx: int | None = None, oy: int = 0, ox: int = 0):
+                 sx: int | None = None, oy: int = 0, ox: int = 0,
+                 planes0=None, planes1=None):
     """BI cost per s-block: SAD of the averaged refined uni predictions plus
     both quarter-pel MV rates (twin of the numpy loop in decide_frame_b).
 
@@ -495,9 +579,23 @@ def bi_cost_pass(orig, refp0, refp1, mv0, mv1, lam, bcw_fp=None, *, s: int,
     orig = orig.astype(jnp.int32)
     widxs = (0, 1, 2) if bcw else (BCW_DEFAULT,)
 
+    from ..spec.inter import MV_FRAC_BITS as _FB
+    from ..spec.inter import REF_MARGIN as _RM
+
+    def pred_of(planes, refp, xy, m):
+        if planes is None:
+            return jmc.mc_luma_block(refp, xy[0], xy[1], s, m[0], m[1],
+                                     bd, h=hh)
+        # refined MVs are quarter-pel: one (hh, s) slice of the phase
+        # plane == mc_luma_block bit-exactly (quarter_phase_planes)
+        pidx = ((m[1] & 15) >> 2) * 4 + ((m[0] & 15) >> 2)
+        return jax.lax.dynamic_slice(
+            planes, (pidx, xy[1] + (m[1] >> _FB) + _RM,
+                     xy[0] + (m[0] >> _FB) + _RM), (1, hh, s))[0]
+
     def one(xy, a, b):
-        p0 = jmc.mc_luma_block(refp0, xy[0], xy[1], s, a[0], a[1], bd, h=hh)
-        p1 = jmc.mc_luma_block(refp1, xy[0], xy[1], s, b[0], b[1], bd, h=hh)
+        p0 = pred_of(planes0, refp0, xy, a)
+        p1 = pred_of(planes1, refp1, xy, b)
         blk = jax.lax.dynamic_slice(orig, (xy[1], xy[0]), (hh, s))
         bits = (_mv_bits_q(a[0] >> 2, a[1] >> 2)
                 + _mv_bits_q(b[0] >> 2, b[1] >> 2))
