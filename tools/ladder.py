@@ -117,15 +117,84 @@ def clip_screen(n, h, w):
     return frames
 
 
-CLIPS = {"detail": clip_detail, "motion": clip_motion, "screen": clip_screen}
+def clip_pan48(n, h, w):
+    """Hard pan: 48 px/frame global motion (VERDICT r4 ask #9) — far past
+    the +-16 dense range even at reference distance 1."""
+    bg = _textured_bg(h, w + 48 * n, seed=41)
+    frames = []
+    for t in range(n):
+        ox = 48 * t
+        y = bg[0:h, ox:ox + w].clip(0, 255).astype(np.int32)
+        cb = np.full((h // 2, w // 2), 118, np.int32)
+        cr = np.full((h // 2, w // 2), 132, np.int32)
+        frames.append([y, cb, cr])
+    return frames
+
+
+def clip_occl(n, h, w):
+    """Occlusion: a large moving foreground object covers and uncovers
+    textured background (merge/intra fallback stress)."""
+    bg = _textured_bg(h, w, seed=53)
+    frames = []
+    for t in range(n):
+        y = bg[0:h, 0:w].clip(0, 255).copy()
+        bw_, bh_ = w // 3, h // 2
+        bx = (t * 24) % max(w - bw_, 1)
+        by = h // 4
+        yy, xx = np.mgrid[0:bh_, 0:bw_]
+        y[by:by + bh_, bx:bx + bw_] = (
+            170 + 40 * np.sin((xx + yy) / 3.0)).astype(y.dtype)
+        cb = np.full((h // 2, w // 2), 124, np.int32)
+        cb[by // 2:(by + bh_) // 2, bx // 2:(bx + bw_) // 2] = 96
+        cr = np.full((h // 2, w // 2), 128, np.int32)
+        frames.append([y.astype(np.int32), cb, cr])
+    return frames
+
+
+def clip_textgrad(n, h, w):
+    """Text glyphs over a smooth gradient (screen content where flat-band
+    assumptions break; VERDICT r4 ask #9)."""
+    rng = np.random.default_rng(67)
+    glyphs = rng.integers(0, 2, (16, 8, 8)) * 190 + 40
+    yy, xx = np.mgrid[0:h, 0:w]
+    grad = (40 + 170 * xx / w + 20 * yy / h)
+    frames = []
+    for t in range(n):
+        y = grad.copy()
+        for row in range(8, h - 8, 16):
+            ids = rng.integers(0, 16, w // 8 + n)
+            for c in range(1, w // 8 - 1):
+                g = glyphs[ids[c + t]]
+                m = g > 100
+                blk = y[row:row + 8, c * 8:(c + 1) * 8]
+                blk[m] = 235
+        cb = np.full((h // 2, w // 2), 128, np.int32)
+        cr = np.full((h // 2, w // 2), 140, np.int32)
+        frames.append([y.clip(0, 255).astype(np.int32), cb, cr])
+    return frames
+
+
+CLIPS = {"detail": clip_detail, "motion": clip_motion, "screen": clip_screen,
+         "pan48": clip_pan48, "occl": clip_occl, "textgrad": clip_textgrad}
+
+# round-5 additions (VERDICT r4 ask #9): larger frames, >=48 px/frame pan,
+# occlusion, text-over-gradient; the new clips run the WIDE toolset (rect
+# leaves via MTT/TT + ISP/MIP/MRL) so wide-angle intra and table changes
+# are actually priced — the legacy trio keeps its round-4 toolset for
+# BD comparability with the committed LADDER_r04.json anchor.
+NEW_CLIPS = ("pan48", "occl", "textgrad")
+NEW_SIZE = {"pan48": (832, 480), "occl": (448, 256), "textgrad": (256, 128)}
 
 
 def _cfg(qp, seq):
     """Ladder toolset: the north-star RA shape (GOP + WPP + default tools)
-    with the screen clip additionally enabling IBC/TS."""
+    with the screen clips additionally enabling IBC/TS and the round-5
+    clips the rect-leaf toolset."""
     kw = dict(qp=qp, intra_period=16, gop=8, wpp=True)
-    if seq == "screen":
+    if seq in ("screen", "textgrad"):
         kw.update(ibc=True, tskip=True)
+    if seq in NEW_CLIPS:
+        kw.update(mtt=True, tt=True, isp=True, mip=True, mrl=True)
     return kw
 
 
@@ -223,7 +292,8 @@ def main(argv=None):
 
     results = {}
     for name in names:
-        frames = CLIPS[name](nf, h, w)
+        cw, ch = NEW_SIZE.get(name, (w, h))
+        frames = CLIPS[name](nf, ch, cw)
         results[name] = {}
         for i, qp in enumerate(qps):
             pt = run_point(name, frames, qp,

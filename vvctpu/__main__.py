@@ -60,6 +60,7 @@ def _enc(args) -> int:
         print("no frames read", file=sys.stderr)
         return 1
     cfg = seq.EncoderConfig(qp=args.qp, bit_depth=args.bit_depth,
+                            ctu=args.ctu,
                             intra_period=args.intra_period, wpp=args.wpp,
                             gop=args.gop, mts=args.mts, lfnst=args.lfnst,
                             cclm=args.cclm, alf=args.alf, lmcs=args.lmcs,
@@ -296,6 +297,9 @@ def main(argv=None) -> int:
     e.add_argument("-q", "--qp", type=int, default=32)
     e.add_argument("-f", "--frames", type=int, default=None)
     e.add_argument("--bit-depth", type=int, default=8, choices=(8, 10))
+    e.add_argument("--ctu", type=int, default=64, choices=(64, 128),
+                   help="CTU size (128: implicit QT to the 64 quads; "
+                        "IBC/palette require 64)")
     e.add_argument("--ip", "--intra-period", dest="intra_period", type=int,
                    default=1, help="1 = all-intra, 0 = first frame only, "
                    "N = IDR every N frames")

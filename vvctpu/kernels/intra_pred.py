@@ -33,15 +33,38 @@ _TAPS_SMOOTH = np.asarray(rom.intra_filter_4tap(True), np.int32)
 _SMOOTH_THRES = np.asarray([64, 64, 64, 14, 2, 0, 0], np.int32)  # idx=log2s
 
 
+# CTU geometry for the coding-order (z-index) availability proofs.  Set
+# once per encode/decode via set_log2_ctu (pipeline entry points) — a
+# module global read at TRACE time, so changing it must drop the jit
+# caches (same pattern as core/tables_spec).  Default 64-CTU.
+LOG2_CTU = 6
+
+
+def set_log2_ctu(log2c: int) -> None:
+    global LOG2_CTU
+    if log2c == LOG2_CTU:
+        return
+    LOG2_CTU = log2c
+    import sys
+    jx = sys.modules.get("jax")
+    if jx is not None:
+        jx.clear_caches()
+
+
 def morton8(x, y, n_ctu_x: int):
-    """Global z-order index of the 8x8 granule containing luma pixel (x, y)."""
-    ctu = (y >> 6) * n_ctu_x + (x >> 6)
-    gx = (x >> 3) & 7
-    gy = (y >> 3) & 7
+    """Global z-order index of the 8x8 granule containing luma pixel
+    (x, y): CTU raster x z-order (QT recursion order) within the CTU.
+    n_ctu_x must be the frame width in CTUs of the ACTIVE CTU size
+    (frame_w >> LOG2_CTU)."""
+    log2c = LOG2_CTU
+    nb = log2c - 3
+    ctu = (y >> log2c) * n_ctu_x + (x >> log2c)
+    gx = (x >> 3) & ((1 << nb) - 1)
+    gy = (y >> 3) & ((1 << nb) - 1)
     m = jnp.zeros_like(gx)
-    for b in range(3):
+    for b in range(nb):
         m = m | (((gx >> b) & 1) << (2 * b)) | (((gy >> b) & 1) << (2 * b + 1))
-    return ctu * 64 + m
+    return ctu * (1 << (2 * nb)) + m
 
 
 @functools.partial(jax.jit, static_argnames=("s", "is_luma", "frame_w",

@@ -63,7 +63,7 @@ def _run_scan(sps, pps, dec, py, pcb, pcr, dpb, ref_pocs, scan_kw,
     if n_tiles == 1:
         rkw.update(plt_full)
         if is_p:
-            slots, isl = recon.make_slots_split(dec, sps.height, sps.width)
+            slots, isl = recon.make_slots_split(dec, sps.height, sps.width, 1 << sps.log2_ctu)
             rkw.update(inter8=isl[8], inter16=isl[16], inter32=isl[32])
             if mtt:
                 rkw.update(rect16x8=isl[(16, 8)], rect8x16=isl[(8, 16)],
@@ -71,7 +71,7 @@ def _run_scan(sps, pps, dec, py, pcb, pcr, dpb, ref_pocs, scan_kw,
                            rect16x32=isl[(16, 32)],
                            rect32x8=isl[(32, 8)], rect8x32=isl[(8, 32)])
         else:
-            slots = recon.make_slots(dec, sps.height, sps.width)
+            slots = recon.make_slots(dec, sps.height, sps.width, 1 << sps.log2_ctu)
         out = _scan_fn()(slots, py, pcb, pcr, frame_w=sps.width,
                          frame_h=sps.height, inter_enabled=is_p,
                          **rkw, **scan_kw)
@@ -103,7 +103,7 @@ def _run_scan(sps, pps, dec, py, pcb, pcr, dpb, ref_pocs, scan_kw,
                 plt_cb=plt_full["plt_cb"][y0 // 2:y1 // 2, x0 // 2:x1 // 2],
                 plt_cr=plt_full["plt_cr"][y0 // 2:y1 // 2, x0 // 2:x1 // 2])
         if is_p:
-            slots, isl = recon.make_slots_split(tdec, th, tw)
+            slots, isl = recon.make_slots_split(tdec, th, tw, 1 << sps.log2_ctu)
             tkw.update(inter8=isl[8], inter16=isl[16], inter32=isl[32])
             if mtt:
                 tkw.update(rect16x8=isl[(16, 8)], rect8x16=isl[(8, 16)],
@@ -111,7 +111,7 @@ def _run_scan(sps, pps, dec, py, pcb, pcr, dpb, ref_pocs, scan_kw,
                            rect16x32=isl[(16, 32)],
                            rect32x8=isl[(32, 8)], rect8x32=isl[(8, 32)])
         else:
-            slots = recon.make_slots(tdec, th, tw)
+            slots = recon.make_slots(tdec, th, tw, 1 << sps.log2_ctu)
             isl = None
         return (x0, y0, x1, y1, tw, th, slots, isl, tkw)
 
@@ -229,7 +229,7 @@ def _encode_ai_batched(frames, cfg, sps, pps, nals, recons, bits,
                                        padded_l[i][2], bdepth)
                 pltpl = pltmod.build_planes(dec.plt_data or {}, sps.height,
                                             sps.width)
-            slots = recon.make_slots(dec, sps.height, sps.width)
+            slots = recon.make_slots(dec, sps.height, sps.width, 1 << sps.log2_ctu)
             fin.append(dict(slots=slots, py=padded_l[i][0],
                             pcb=padded_l[i][1], pcr=padded_l[i][2],
                             plt=pltpl))
@@ -404,7 +404,7 @@ def _encode_ai_pipelined(frames, cfg, sps, pps, nals, recons, bits,
             pkw = dict(plt_y=jnp_asarray(ppl[0]),
                        plt_cb=jnp_asarray(ppl[1]),
                        plt_cr=jnp_asarray(ppl[2]))
-        slots = recon.make_slots(dec, sps.height, sps.width)
+        slots = recon.make_slots(dec, sps.height, sps.width, 1 << sps.log2_ctu)
         out = _scan_fn()(
             slots, scan_y, padded[1], padded[2], frame_w=sps.width,
             frame_h=sps.height, qp=qp, bd=cfg.bit_depth, encode=True,
@@ -442,6 +442,8 @@ def encode_sequence(frames, cfg: sseq.EncoderConfig, decisions_fn=None,
                               threads=False)
     h, w = frames[0][0].shape
     sps = cfg.make_sps(w, h)
+    from ..kernels.intra_pred import set_log2_ctu
+    set_log2_ctu(sps.log2_ctu)
     pps = hls.PPS(init_qp=cfg.qp, entropy_sync=cfg.wpp,
                   num_tile_cols=cfg.tile_cols, num_tile_rows=cfg.tile_rows)
     nals = [bs.NalUnit(bs.NAL_SPS, sps.write()),
@@ -716,7 +718,7 @@ def _encode_b_group(frames, cfg, sps, pps, grp, dpb, mot, nals, recons,
         decs.append(dec)
         if decisions_out is not None:
             decisions_out.append(dec)
-        slots, isl = recon.make_slots_split(dec, sps.height, sps.width)
+        slots, isl = recon.make_slots_split(dec, sps.height, sps.width, 1 << sps.log2_ctu)
         r0 = dpb[ref_pocs[0]]
         r1 = dpb[ref_pocs[1]]
         from . import plan as planmod
@@ -757,6 +759,8 @@ def decode_sequence(data: bytes, check_hash: bool = True):
     for nal in bs.read_annexb(data):
         if nal.nal_type == bs.NAL_SPS:
             sps = hls.SPS.read(nal.payload)
+            from ..kernels.intra_pred import set_log2_ctu
+            set_log2_ctu(sps.log2_ctu)
         elif nal.nal_type == bs.NAL_PPS:
             p = hls.PPS.read(nal.payload)
             pps_map[p.pps_id] = p
@@ -922,7 +926,7 @@ def _decode_group(grp, sps, pps_map, dpb):
         dec, levels = e["dec"], e["levels"]
         fr = dict(py=levels[0], pcb=levels[1], pcr=levels[2])
         if is_p:
-            slots, isl = recon.make_slots_split(dec, sps.height, sps.width)
+            slots, isl = recon.make_slots_split(dec, sps.height, sps.width, 1 << sps.log2_ctu)
             fr["inter"] = {s: isl[s] for s in (8, 16, 32)}
             if mtt:
                 fr["rect"] = {sh: isl[sh] for sh in planmod.RECT_SHAPES}
@@ -931,7 +935,7 @@ def _decode_group(grp, sps, pps_map, dpb):
             r1 = dpb[refs[1]] if len(refs) == 2 else r0
             fr["refs"] = (r0[0], r0[1], r0[2], r1[0], r1[1], r1[2])
         else:
-            slots = recon.make_slots(dec, sps.height, sps.width)
+            slots = recon.make_slots(dec, sps.height, sps.width, 1 << sps.log2_ctu)
             if sps.plt_enabled and dec.plt_data:
                 from ..spec import palette as pltmod
                 fr["plt"] = pltmod.build_planes(dec.plt_data, sps.height,

@@ -22,7 +22,7 @@ from ..core import bitstream as bs
 from ..core import rom
 from ..core import trace
 from ..spec import hls, intra
-from ..spec.codec import MID_SIZE, MIN_LEAF, FrameDecisions
+from ..spec.codec import MID_SIZE, MIN_LEAF, FrameDecisions, ctu_block_order
 from ..spec.residual import DecIO, EncIO, code_tb
 
 
@@ -704,10 +704,9 @@ class _Walker:
         for iy in range(n_y):
             self.hmvp = []
             for ix in range(n_x):
-                for dy in range(0, ctu, MID_SIZE):
-                    for dx in range(0, ctu, MID_SIZE):
-                        self._code_qt(ix * ctu + dx, iy * ctu + dy,
-                                      MID_SIZE, 1)
+                for dx, dy in ctu_block_order(ctu):
+                    self._code_qt(ix * ctu + dx, iy * ctu + dy,
+                                  MID_SIZE, 1)
                 terminate_fn(False)
 
 
@@ -763,10 +762,9 @@ def encode_frame_syntax_wpp(sps: hls.SPS, pps: hls.PPS, sh: hls.SliceHeader,
         first_end = None
         walker.hmvp = []
         for ix in range(n_x):
-            for dy2 in range(0, ctu, MID_SIZE):
-                for dx2 in range(0, ctu, MID_SIZE):
-                    walker._code_qt(ix * ctu + dx2, iy * ctu + dy2,
-                                    MID_SIZE, 1)
+            for dx2, dy2 in ctu_block_order(ctu):
+                walker._code_qt(ix * ctu + dx2, iy * ctu + dy2,
+                                MID_SIZE, 1)
             if ix == 0:
                 first_end = len(sink.concat())
         if iy == n_y - 1 and sao_params is not None:
@@ -846,10 +844,9 @@ def parse_frame_syntax_wpp(slice_rbsp: bytes, sps: hls.SPS,
         walker.io = DecIO(cab)
         walker.hmvp = []
         for ix in range(n_x):
-            for dy2 in range(0, ctu, MID_SIZE):
-                for dx2 in range(0, ctu, MID_SIZE):
-                    walker._code_qt(ix * ctu + dx2, iy * ctu + dy2,
-                                    MID_SIZE, 1)
+            for dx2, dy2 in ctu_block_order(ctu):
+                walker._code_qt(ix * ctu + dx2, iy * ctu + dy2,
+                                MID_SIZE, 1)
             if ix == 0:
                 snap = (st.p0.copy(), st.p1.copy())
         if iy == n_y - 1 and sps.sao_enabled:
@@ -887,10 +884,9 @@ def encode_frame_syntax_tiles(sps: hls.SPS, pps: hls.PPS,
         for iy in range(cy0, cy1):
             walker.hmvp = []
             for ix in range(cx0, cx1):
-                for dy2 in range(0, ctu, MID_SIZE):
-                    for dx2 in range(0, ctu, MID_SIZE):
-                        walker._code_qt(ix * ctu + dx2, iy * ctu + dy2,
-                                        MID_SIZE, 1)
+                for dx2, dy2 in ctu_block_order(ctu):
+                    walker._code_qt(ix * ctu + dx2, iy * ctu + dy2,
+                                    MID_SIZE, 1)
                 sink.term(0)
         if ti == len(rects) - 1:
             if sao_params is not None:
@@ -957,10 +953,9 @@ def parse_frame_syntax_tiles(slice_rbsp: bytes, sps: hls.SPS,
         for iy in range(cy0, cy1):
             walker.hmvp = []
             for ix in range(cx0, cx1):
-                for dy2 in range(0, ctu, MID_SIZE):
-                    for dx2 in range(0, ctu, MID_SIZE):
-                        walker._code_qt(ix * ctu + dx2, iy * ctu + dy2,
-                                        MID_SIZE, 1)
+                for dx2, dy2 in ctu_block_order(ctu):
+                    walker._code_qt(ix * ctu + dx2, iy * ctu + dy2,
+                                    MID_SIZE, 1)
                 if cab.terminate() != 0:
                     raise ValueError("tile substream desync")
         if ti == len(rects) - 1:

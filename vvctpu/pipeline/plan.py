@@ -25,9 +25,9 @@ OP_MAX = 27
 _SIZE_OF_OP = {OP_LEAF8: 8, OP_LEAF16: 16, OP_LEAF32: 32}
 
 
-def _demorton(m: int) -> tuple[int, int]:
+def _demorton(m: int, bits: int = 3) -> tuple[int, int]:
     gx = gy = 0
-    for b in range(3):
+    for b in range(bits):
         gx |= ((m >> (2 * b)) & 1) << b
         gy |= ((m >> (2 * b + 1)) & 1) << b
     return gx, gy
@@ -42,7 +42,9 @@ def leaf_plan(dec: FrameDecisions, height: int, width: int,
     10..13 rect intra / 14..17 rect inter (BT leaves, RECT_SHAPES order);
     mv0/mv1: (n, 2) int32; dir: 0 = L0, 1 = L1, 2 = BI."""
     n_cx, n_cy = width // ctu, height // ctu
-    n = n_cx * n_cy * 64
+    ng = (ctu // 8) ** 2
+    gbits = (ctu // 8 - 1).bit_length()
+    n = n_cx * n_cy * ng
     op = np.zeros(n, np.int32)
     xs = np.zeros(n, np.int32)
     ys = np.zeros(n, np.int32)
@@ -55,8 +57,8 @@ def leaf_plan(dec: FrameDecisions, height: int, width: int,
     i = 0
     for cy in range(n_cy):
         for cx in range(n_cx):
-            for m in range(64):
-                gx, gy = _demorton(m)
+            for m in range(ng):
+                gx, gy = _demorton(m, gbits)
                 px, py = cx * ctu + gx * 8, cy * ctu + gy * 8
                 rect = -1
                 if not dec.split32[py // 32, px // 32]:

@@ -923,7 +923,7 @@ def frame_scan(slots, planes_y, planes_cb, planes_cr, *, frame_w: int,
     ref_*: margin-padded reference planes (P slices).
     Returns (recon_y, recon_cb, recon_cr, levels_y, levels_cb, levels_cr).
     """
-    n_ctu_x = frame_w // 64
+    n_ctu_x = frame_w >> intra_pred.LOG2_CTU
     h2, w2 = frame_h // 2, frame_w // 2
 
     def mkbuf(h, w):
@@ -1048,9 +1048,10 @@ def frame_scan(slots, planes_y, planes_cb, planes_cr, *, frame_w: int,
             carry[13])
 
 
-def make_slots(dec: FrameDecisions, frame_h: int, frame_w: int) -> np.ndarray:
+def make_slots(dec: FrameDecisions, frame_h: int, frame_w: int,
+               ctu: int = 64) -> np.ndarray:
     op, xs, ys, modes, mv0, mv1, dirs = planmod.leaf_plan(dec, frame_h,
-                                                          frame_w)
+                                                          frame_w, ctu)
     mts = dec.mts8[ys // 8, xs // 8].astype(np.int32) \
         if dec.mts8 is not None else np.zeros_like(op)
     lf = dec.lfnst8[ys // 8, xs // 8].astype(np.int32) \
@@ -1068,13 +1069,14 @@ def make_slots(dec: FrameDecisions, frame_h: int, frame_w: int) -> np.ndarray:
                      mr, jc, z, z, z, z, ip], axis=1).astype(np.int32)
 
 
-def make_slots_split(dec: FrameDecisions, frame_h: int, frame_w: int):
+def make_slots_split(dec: FrameDecisions, frame_h: int, frame_w: int,
+                     ctu: int = 64):
     """(scan_slots, {8/16/32: inter_slot_arrays}) — inter leaves pulled out
     of the sequential scan (op -> skip) into fixed-capacity per-size batches
     for the phase-A pass.  Invalid rows use x = y = 2^20 (positive
     out-of-bounds; scatter-dropped, gathers clamp)."""
     op, xs, ys, modes, mv0, mv1, dirs = planmod.leaf_plan(dec, frame_h,
-                                                          frame_w)
+                                                          frame_w, ctu)
     mts = dec.mts8[ys // 8, xs // 8].astype(np.int32) \
         if dec.mts8 is not None else np.zeros_like(op)
     lf = dec.lfnst8[ys // 8, xs // 8].astype(np.int32) \

@@ -388,7 +388,7 @@ def _intra_batch(carry, rows, qp, lam_rd, crs_lut, *, s, frame_w, frame_h,
                  nf=1):
     by, bcb, bcr = carry[0], carry[1], carry[2]
     sy, scb, scr = carry[6], carry[7], carry[8]
-    n_ctu_x = frame_w // 64
+    n_ctu_x = frame_w >> intra_pred.LOG2_CTU
     num_reg = rom.NUM_LUMA_MODE
     mx = (1 << bd) - 1
     lam32 = jnp.asarray(lam_rd, jnp.int32)
@@ -466,7 +466,7 @@ def _isp_batch(carry, rows, qp, lam_rd, crs_lut, *, s, d, frame_w, frame_h,
                bd, encode, cclm, rdoq, jccr, dq, nf=1):
     by, bcb, bcr = carry[0], carry[1], carry[2]
     sy, scb, scr = carry[6], carry[7], carry[8]
-    n_ctu_x = frame_w // 64
+    n_ctu_x = frame_w >> intra_pred.LOG2_CTU
     num_reg = rom.NUM_LUMA_MODE
     lam32 = jnp.asarray(lam_rd, jnp.int32)
     wn = 2 * s + 2
@@ -533,7 +533,7 @@ def _rect_batch(carry, rows, qp, lam_rd, crs_lut, *, w, h, frame_w,
     sy, scb, scr = carry[6], carry[7], carry[8]
     (by0, bcb0, bcr0, ly, lcb, lcr, sy0, scb0, scr0, mtsp, lfnstp,
      cmodep, jccrp, sbtp) = carry
-    n_ctu_x = frame_w // 64
+    n_ctu_x = frame_w >> intra_pred.LOG2_CTU
     cw, ch = w // 2, h // 2
     ps = max(w, h)
     lam32 = jnp.asarray(lam_rd, jnp.int32)
@@ -660,7 +660,7 @@ def _ciip_batch(carry, rows, refs, qp, lam_rd, fwd_lut, crs_lut, rox, roy,
     from ..pipeline.recon import _slab_strides
     by, bcb, bcr = carry[0], carry[1], carry[2]
     sy, scb, scr = carry[6], carry[7], carry[8]
-    n_ctu_x = frame_w // 64
+    n_ctu_x = frame_w >> intra_pred.LOG2_CTU
     cs = s // 2
     mx = (1 << bd) - 1
     lam32 = jnp.asarray(lam_rd, jnp.int32)
@@ -890,7 +890,7 @@ def frame_wave(slots, planes_y, planes_cb, planes_cr, *, frame_w: int,
     waves (see module docstring).  Same signature, same returns, same
     bytes."""
     slots_np = np.asarray(slots)
-    n_ctu_x = frame_w // 64
+    n_ctu_x = frame_w >> intra_pred.LOG2_CTU
     h2, w2 = frame_h // 2, frame_w // 2
 
     def mkbuf(h, w):

@@ -1593,11 +1593,26 @@ def _code_qt(io, st: _FrameState, x: int, y: int, s: int, depth: int) -> None:
     _code_leaf(io, st, x, y, s)
 
 
+def ctu_block_order(ctu: int):
+    """(dx, dy) of the implicit-split MID_SIZE blocks inside a CTU, in
+    z-order (QT recursion order; VVC coding_tree order).  For the 64 CTU
+    this equals the 2x2 raster; the 128 CTU (r5 ``--ctu 128``) interleaves
+    its four 64-quads z-first."""
+    n = ctu // MID_SIZE
+    out = []
+    for m in range(n * n):
+        gx = gy = 0
+        for b in range((n - 1).bit_length()):
+            gx |= ((m >> (2 * b)) & 1) << b
+            gy |= ((m >> (2 * b + 1)) & 1) << b
+        out.append((gx * MID_SIZE, gy * MID_SIZE))
+    return tuple(out)
+
+
 def _code_ctu(io, st: _FrameState, cx: int, cy: int) -> None:
     ctu = 1 << st.sps.log2_ctu
-    for dy in range(0, ctu, MID_SIZE):
-        for dx in range(0, ctu, MID_SIZE):
-            _code_qt(io, st, cx + dx, cy + dy, MID_SIZE, 1)
+    for dx, dy in ctu_block_order(ctu):
+        _code_qt(io, st, cx + dx, cy + dy, MID_SIZE, 1)
 
 
 # ---------------------------------------------------------------------------

@@ -62,6 +62,12 @@ class EncoderConfig:
 
 
     def make_sps(self, width: int, height: int) -> hls.SPS:
+        if self.ctu not in (64, 128):
+            raise ValueError(f"CTU size {self.ctu} not supported (64/128)")
+        if self.ctu == 128 and (self.ibc or self.plt):
+            # the IBC/palette reference-area rule hardcodes the 64-CTU
+            # row geometry (spec/codec.py bv legality) — documented gate
+            raise ValueError("--ctu 128 requires IBC and palette off")
         pw = -(-width // self.ctu) * self.ctu
         ph = -(-height // self.ctu) * self.ctu
         return hls.SPS(width=pw, height=ph,
