@@ -183,7 +183,9 @@ CLIPS = {"detail": clip_detail, "motion": clip_motion, "screen": clip_screen,
 # are actually priced — the legacy trio keeps its round-4 toolset for
 # BD comparability with the committed LADDER_r04.json anchor.
 NEW_CLIPS = ("pan48", "occl", "textgrad")
-NEW_SIZE = {"pan48": (832, 480), "occl": (448, 256), "textgrad": (256, 128)}
+# 448x256 (class-D-plus) keeps the wide-toolset points affordable on one
+# chip; pan48's 48 px/frame pan still exceeds the dense +-16 range 3x over
+NEW_SIZE = {"pan48": (448, 256), "occl": (448, 256), "textgrad": (256, 128)}
 
 
 def _cfg(qp, seq):
