@@ -477,6 +477,12 @@ def encode_sequence(frames, cfg: sseq.EncoderConfig, decisions_fn=None,
     can_batch = (rc is None and cfg.tile_cols * cfg.tile_rows == 1
                  and decisions_fn is None and not sps.lmcs_enabled
                  and not os.environ.get("VVCTPU_NO_FRAME_BATCH"))
+    pool = None
+    from ..core import trace as _trace
+    if can_batch and not _trace.enabled \
+            and not os.environ.get("VVCTPU_NO_ENTROPY_OVERLAP"):
+        from concurrent.futures import ThreadPoolExecutor
+        pool = ThreadPoolExecutor(max_workers=1)
     pi = 0
     while pi < len(plan):
         if can_batch:
@@ -484,7 +490,7 @@ def encode_sequence(frames, cfg: sseq.EncoderConfig, decisions_fn=None,
             if len(grp) > 1:
                 _encode_b_group(frames, cfg, sps, pps, grp, dpb, mot,
                                 nals, recons, bits,
-                                decisions_out=decisions_out)
+                                decisions_out=decisions_out, pool=pool)
                 pi += len(grp)
                 continue
         poc, stype, ref_pocs, qpd = plan[pi]
@@ -579,12 +585,21 @@ def encode_sequence(frames, cfg: sseq.EncoderConfig, decisions_fn=None,
              sbtp), dpb, mot, nals, recons, bits)
         if rc is not None:
             rc.update(bits[poc])
+    if pool is not None:
+        flat = []
+        for n in nals:
+            if hasattr(n, "result"):
+                flat.extend(n.result())
+            else:
+                flat.append(n)
+        pool.shutdown()
+        nals = flat
     return bs.write_annexb(nals), recons, bits
 
 
 def _finish_frame(cfg, sps, pps, dec, padded, poc, stype, ref_pocs, qpd,
                   qp, tid, lmcs_cw, inv_lut, scan_out, dpb, mot, nals,
-                  recons, bits):
+                  recons, bits, pool=None):
     """Post-scan tail of one inter/main-loop frame: loop-filter chain ON
     DEVICE (deblock + SAO decide/apply, kernels/loopfilter.finish_frame_j
     — bit-exact twin of the spec chain), ONE fetch of everything, then
@@ -636,22 +651,31 @@ def _finish_frame(cfg, sps, pps, dec, padded, poc, stype, ref_pocs, qpd,
         rec = lfk.apply_alf_frame_j(rec, alf_params, cfg.ctu,
                                     cfg.bit_depth)
         refs_dev = recon.pad_refs_dev(rec)
-    payload = entropy.encode_frame_syntax(
-        sps, pps, sh, dec, levels, sao_params, alf_params,
-        col=scodec.col_motion(mot, poc, ref_pocs))
+    col = scodec.col_motion(mot, poc, ref_pocs)
     dpb[poc] = refs_dev
     mot[poc] = scodec.motion_record(dec, ref_pocs)
-    cropped = scodec.crop_planes(rec, sps)
-    nals.append(bs.NalUnit(
-        bs.NAL_IDR_N_LP if is_intra else bs.NAL_TRAIL, payload,
-        temporal_id=tid))
-    nals.append(bs.NalUnit(bs.NAL_SUFFIX_SEI,
-                           hls.write_pic_hash_sei(cropped,
-                                                  cfg.bit_depth,
-                                                  cfg.hash_type),
-                           temporal_id=tid))
-    recons[poc] = cropped
-    bits[poc] = 8 * len(payload)
+
+    def tail():
+        payload = entropy.encode_frame_syntax(
+            sps, pps, sh, dec, levels, sao_params, alf_params, col=col)
+        cropped = scodec.crop_planes(rec, sps)
+        recons[poc] = cropped
+        bits[poc] = 8 * len(payload)
+        return [bs.NalUnit(
+            bs.NAL_IDR_N_LP if is_intra else bs.NAL_TRAIL, payload,
+            temporal_id=tid),
+            bs.NalUnit(bs.NAL_SUFFIX_SEI,
+                       hls.write_pic_hash_sei(cropped, cfg.bit_depth,
+                                              cfg.hash_type),
+                       temporal_id=tid)]
+
+    if pool is not None:
+        # host entropy runs on the worker while the main thread dispatches
+        # the next group's device passes (single worker = coding order;
+        # the future is resolved into NAL order at stream assembly)
+        nals.append(pool.submit(tail))
+    else:
+        nals.extend(tail())
 
 
 def _b_group(plan, i, cap: int = 8):
@@ -681,7 +705,7 @@ def _b_group(plan, i, cap: int = 8):
 
 
 def _encode_b_group(frames, cfg, sps, pps, grp, dpb, mot, nals, recons,
-                    bits, decisions_out=None):
+                    bits, decisions_out=None, pool=None):
     """Encode one temporal layer's B frames as a single frame-batched
     wavefront execution (pipeline/wave.frame_wave_batch): per-frame
     decisions + phase-A inter batches + merged phase-B wave scan, then the
@@ -734,7 +758,7 @@ def _encode_b_group(frames, cfg, sps, pps, grp, dpb, mot, nals, recons,
         tid = max(qpd - 1, 1)
         _finish_frame(cfg, sps, pps, decs[i], padded_l[i], poc, stype,
                       ref_pocs, qpd, qp, tid, (), None, outs[i], dpb,
-                      mot, nals, recons, bits)
+                      mot, nals, recons, bits, pool=pool)
 
 
 def decode_sequence(data: bytes, check_hash: bool = True):
