@@ -582,7 +582,8 @@ def encode_sequence(frames, cfg: sseq.EncoderConfig, decisions_fn=None,
             cfg, sps, pps, dec, padded, poc, stype, ref_pocs, qpd, qp,
             tid, lmcs_cw, inv_lut,
             (ry, rcb, rcr, ly, lcb, lcr, mtsp, lfnstp, cmodep, jccrp,
-             sbtp), dpb, mot, nals, recons, bits)
+             sbtp), dpb, mot, nals, recons, bits,
+            pool=pool if rc is None else None)
         if rc is not None:
             rc.update(bits[poc])
     if pool is not None:
