@@ -10,8 +10,6 @@ import pytest
 
 from vvctpu.spec import sequence as sseq
 
-pytestmark = pytest.mark.quick
-
 
 def _frames(n, h, w, seed=9):
     rng = np.random.default_rng(seed)
@@ -71,6 +69,7 @@ def test_mtt_ctu128():
                                           tt=True, isp=True))
 
 
+@pytest.mark.quick
 def test_ibc_gated():
     with pytest.raises(ValueError):
         sseq.EncoderConfig(ctu=128, ibc=True).make_sps(64, 64)
