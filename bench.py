@@ -105,46 +105,59 @@ def main() -> int:
     detail["bits_per_frame_1080p"] = round(sum(bits) / NF)
     detail["psnr_y_1080p"] = round(float(psnr), 2)
 
-    # --- BASELINE config #2: 1080p AI, full intra toolset ---------------
-    # (MIP, ISP, MTS, LFNST, RDOQ, deblock+SAO — VERDICT r4 ask #5: price
-    # the advertised tools, not just the bare configs)
-    frames2 = synth_frames(3, 1080, 1920, seed=2)
-    cfg2 = seq.EncoderConfig(qp=32, mts=True, lfnst=True, isp=True,
-                             mip=True, mrl=True, cclm=True)
-    t0 = time.time()
-    jenc.encode_sequence(frames2, cfg2)
-    print(f"bench: cfg2 warmup {time.time() - t0:.1f}s", file=sys.stderr)
-    t0 = time.time()
-    _, _, b2 = jenc.encode_sequence(frames2, cfg2)
-    fps_cfg2 = len(frames2) / (time.time() - t0)
-    detail["encode_fps_1080p_AI_fulltool"] = round(fps_cfg2, 4)
-    print(f"bench: cfg2 (1080p AI full intra toolset) {fps_cfg2:.4f} fps, "
-          f"{sum(b2)/len(b2):.0f} bits/frame", file=sys.stderr)
+    # --- BASELINE configs #2/#4: full-toolset rows (VERDICT r4 ask #5).
+    # Guarded: a 1080p full-toolset run can kill the axon TPU worker
+    # (kernel fault, unrecoverable in-process — observed on cfg4 this
+    # round), and the north-star JSON line must still be emitted.
+    fps_cfg2 = fps_cfg4 = None
+    try:
+        frames2 = synth_frames(3, 1080, 1920, seed=2)
+        cfg2 = seq.EncoderConfig(qp=32, mts=True, lfnst=True, isp=True,
+                                 mip=True, mrl=True, cclm=True)
+        t0 = time.time()
+        jenc.encode_sequence(frames2, cfg2)
+        print(f"bench: cfg2 warmup {time.time() - t0:.1f}s",
+              file=sys.stderr)
+        t0 = time.time()
+        _, _, b2 = jenc.encode_sequence(frames2, cfg2)
+        fps_cfg2 = len(frames2) / (time.time() - t0)
+        detail["encode_fps_1080p_AI_fulltool"] = round(fps_cfg2, 4)
+        print(f"bench: cfg2 (1080p AI full intra toolset) "
+              f"{fps_cfg2:.4f} fps, {sum(b2)/len(b2):.0f} bits/frame",
+              file=sys.stderr)
+    except Exception as e:   # noqa: BLE001
+        print(f"bench: cfg2 failed: {e}", file=sys.stderr)
+        detail["cfg2_error"] = str(e)[:200]
 
-    # --- BASELINE config #4: 1080p RA, full CTC toolset -----------------
-    frames4 = synth_frames(9, 1080, 1920, seed=4)
-    cfg4 = seq.EncoderConfig(qp=32, intra_period=32, gop=8, wpp=True,
-                             mts=True, lfnst=True, cclm=True, mip=True,
-                             mmvd=True, bcw=True, amvr=True, smvd=True,
-                             ciip=True, sbt=True, gpm=True, affine=True,
-                             dmvr=True, bdof=True, dq=True, alf=True,
-                             lmcs=False)
-    t0 = time.time()
-    jenc.encode_sequence(frames4, cfg4)
-    print(f"bench: cfg4 warmup {time.time() - t0:.1f}s", file=sys.stderr)
-    t0 = time.time()
-    d4, _, b4 = jenc.encode_sequence(frames4, cfg4)
-    fps_cfg4 = len(frames4) / (time.time() - t0)
-    detail["encode_fps_1080p_RA_fulltool"] = round(fps_cfg4, 4)
-    print(f"bench: cfg4 (1080p RA full CTC toolset) {fps_cfg4:.4f} fps, "
-          f"{sum(b4)/len(b4):.0f} bits/frame", file=sys.stderr)
-    t0 = time.time()
-    jenc.decode_sequence(d4, check_hash=True)
-    jenc.decode_sequence(d4, check_hash=True)   # warm
-    t0 = time.time()
-    jenc.decode_sequence(d4, check_hash=True)
-    detail["decode_fps_1080p_RA_fulltool"] = round(
-        len(frames4) / (time.time() - t0), 4)
+    try:
+        # 5 frames / GOP 4 keep the full-CTC device footprint below the
+        # axon kernel-fault regime seen at 9-frame GOP8
+        frames4 = synth_frames(5, 1080, 1920, seed=4)
+        cfg4 = seq.EncoderConfig(qp=32, intra_period=32, gop=4, wpp=True,
+                                 mts=True, lfnst=True, cclm=True, mip=True,
+                                 mmvd=True, bcw=True, amvr=True, smvd=True,
+                                 ciip=True, sbt=True, gpm=True, affine=True,
+                                 dmvr=True, bdof=True, dq=True, alf=True,
+                                 lmcs=False)
+        t0 = time.time()
+        jenc.encode_sequence(frames4, cfg4)
+        print(f"bench: cfg4 warmup {time.time() - t0:.1f}s",
+              file=sys.stderr)
+        t0 = time.time()
+        d4, _, b4 = jenc.encode_sequence(frames4, cfg4)
+        fps_cfg4 = len(frames4) / (time.time() - t0)
+        detail["encode_fps_1080p_RA_fulltool"] = round(fps_cfg4, 4)
+        print(f"bench: cfg4 (1080p RA full CTC toolset) {fps_cfg4:.4f} "
+              f"fps, {sum(b4)/len(b4):.0f} bits/frame", file=sys.stderr)
+        t0 = time.time()
+        jenc.decode_sequence(d4, check_hash=True)   # warm
+        t0 = time.time()
+        jenc.decode_sequence(d4, check_hash=True)
+        detail["decode_fps_1080p_RA_fulltool"] = round(
+            len(frames4) / (time.time() - t0), 4)
+    except Exception as e:   # noqa: BLE001
+        print(f"bench: cfg4 failed: {e}", file=sys.stderr)
+        detail["cfg4_error"] = str(e)[:200]
 
     try:
         with open("BENCH_DETAIL.json", "w") as f:
@@ -160,8 +173,10 @@ def main() -> int:
         "decode_fps": round(dec_fps, 4),
         "cfg1_fps": round(fps_cfg1, 4),
         "cfg1_vs_baseline": round(fps_cfg1 / VTM_CIF_AI_FPS, 3),
-        "cfg2_fps_AI_fulltool": round(fps_cfg2, 4),
-        "cfg4_fps_RA_fulltool": round(fps_cfg4, 4),
+        "cfg2_fps_AI_fulltool": (round(fps_cfg2, 4)
+                                 if fps_cfg2 is not None else None),
+        "cfg4_fps_RA_fulltool": (round(fps_cfg4, 4)
+                                 if fps_cfg4 is not None else None),
     }))
     return 0
 
