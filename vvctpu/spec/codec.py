@@ -1159,7 +1159,14 @@ def _code_inter_leaf(io, st: _FrameState, x: int, y: int, s: int,
                     io.byp_n(pre["gpm"] - 1, 6)
             if st.sps.sbt_enabled and not pre["ciip"] and square:
                 _code_sbt_idx(io, pre["sbt"])
-        sbt = pre["sbt"] if not skip else 0
+        # record (and apply) SBT only where it was actually signalled —
+        # mirrors the decoder/read-side gate exactly; a decide-pass sbt on
+        # a skip/CIIP/rect leaf is a dead value, and letting it through
+        # would apply an unsignalled transform to the residual (r5 latent
+        # bug: fired as a cross-engine sbt8-plane mismatch once the
+        # spec-literal beta table shifted RD)
+        sbt = (pre["sbt"] if (not skip and not pre["ciip"] and square)
+               else 0)
         sl = np.s_[gy:(y + hh) // 8, gx:(x + s) // 8]
         st.dec.sbt8[sl] = sbt
 

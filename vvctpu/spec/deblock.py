@@ -25,14 +25,24 @@ import numpy as np
 
 from ..core import rom
 
-# beta / tc parameter curves, indexed by QP 0..63
+# beta: the published HEVC/VVC beta' table (H.266 deblocking): 0 below
+# qp 16, +1 per qp through 28 (6..18), then +2 per qp to 88 at qp 63
+# (r5: spec literal — the generated curve used +2/qp throughout and
+# deviated for qp 17..28).  tc stays a generated monotone curve: the
+# published VVC tc' values (10-bit scale, ending 395) are not confidently
+# reconstructible offline — documented gap, drop-in replaceable.
 _QPS = np.arange(64)
-BETA_TABLE = np.where(_QPS < 16, 0, np.minimum(2 * (_QPS - 16) + 6, 88))
+BETA_TABLE = np.where(
+    _QPS < 16, 0,
+    np.where(_QPS <= 28, _QPS - 10, np.minimum(2 * (_QPS - 28) + 18, 88)))
 TC_TABLE = np.where(
     _QPS < 18, 0,
     np.maximum(1, np.round(2.0 ** ((_QPS - 18) / 6.0)).astype(np.int64)))
 BETA_TABLE = BETA_TABLE.astype(np.int64)
 TC_TABLE = TC_TABLE.astype(np.int64)
+# spec anchors: qp16 -> 6, qp28 -> 18, qp29 -> 20, qp51 -> 64, qp63 -> 88
+assert (BETA_TABLE[16], BETA_TABLE[28], BETA_TABLE[29], BETA_TABLE[51],
+        BETA_TABLE[63]) == (6, 18, 20, 64, 88), tuple(BETA_TABLE[:52:5])
 
 
 def edge_masks(decisions, height: int, width: int):
